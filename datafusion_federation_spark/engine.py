@@ -1,0 +1,215 @@
+"""FederationEngine — the user-facing session object.
+
+The reference wires its pieces into a DataFusion SessionState
+(default_session_state, src/lib.rs:25-54: federation rule inserted right
+after scalar-subquery decorrelation; FederatedQueryPlanner for physical
+planning). Our analog: an engine owning a SparkSession + FederatedCatalog,
+a fluent plan builder, the federation pass, and the Spark compiler.
+
+Query lifecycle (SURVEY.md §3):
+  build plan (builder or engine.sql) -> federate(plan) -> compile:
+  RemoteQueryNode -> executor.execute(sql) + schema cast; local residue ->
+  DataFrame ops (Catalyst optimizes/executes).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compiler import Compiler
+from .expressions import (
+    AggFunc, Alias, Col, Cube, Expr, GroupingSets, Rollup, SortKey, Star,
+    _wrap, col, lit,
+)
+from .federation import federate
+from .plans.nodes import (
+    Aggregate, Distinct, Filter, Join, Limit, Plan, Project, RemoteQueryNode,
+    Scan, SetOp, Sort, SubqueryAlias, Union, Window, walk_plan,
+)
+from .sources.catalog import FederatedCatalog
+from .sources.provider import SQLProvider
+
+
+class FederationEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = FederatedCatalog(spark)
+        self.compiler = Compiler(spark)
+
+    # -- registration ------------------------------------------------------
+    def register_local_parquet(self, name: str, path: str):
+        return self.catalog.register_local_parquet(name, path)
+
+    def register_remote(self, provider: SQLProvider, local_name: str,
+                        remote_name: Optional[str] = None, schema=None):
+        return self.catalog.register_remote(provider, local_name,
+                                            remote_name, schema)
+
+    def discover(self, provider: SQLProvider, prefix: str = ""):
+        return self.catalog.discover(provider, prefix)
+
+    # -- plan building -----------------------------------------------------
+    def table(self, name: str) -> "PlanBuilder":
+        return PlanBuilder(self, Scan(self.catalog.table(name)))
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL front door: register every catalog table as a Spark view
+        (local parquet directly; remote tables as whole-table federated
+        reads) and let Spark's parser/Catalyst run the query. Remote scans
+        still benefit from per-table pushdown; cross-engine largest-subtree
+        grouping needs the builder API."""
+        for name in self.catalog.tables():
+            h = self.catalog.table(name)
+            df = self.compiler._c(federate(Scan(h)))
+            df.createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
+    # -- execution ---------------------------------------------------------
+    def execute(self, plan: Plan) -> DataFrame:
+        return self.compiler.compile(federate(plan))
+
+    def explain(self, plan: Plan) -> str:
+        """Staged explain like the reference's EXPLAIN output
+        (src/sql/mod.rs:303-368): which subtrees federated, the base and
+        rewritten SQL per federated node, and Spark's physical plan for
+        the residue."""
+        fed = federate(plan)
+        lines = ["== Federated logical plan =="]
+        lines += _render_plan(fed)
+        for n in walk_plan(fed):
+            if isinstance(n, RemoteQueryNode):
+                lines.append(f"-- federated on {n.provider!r}")
+                if n.base_sql and n.base_sql != n.sql:
+                    lines.append(f"   base_sql      = {n.base_sql}")
+                lines.append(f"   rewritten_sql = {n.sql}")
+        df = self.compiler.compile(fed)
+        lines.append("== Spark physical plan (local residue) ==")
+        lines.append(df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted")))
+        return "\n".join(lines)
+
+
+def _render_plan(p: Plan, depth: int = 0):
+    pad = "  " * depth
+    if isinstance(p, RemoteQueryNode):
+        yield f"{pad}Federated[{p.provider.name}]"
+        return
+    label = type(p).__name__
+    if isinstance(p, Scan):
+        label += f"({p.table.local_name})"
+    yield pad + label
+    for i in p.inputs():
+        yield from _render_plan(i, depth + 1)
+
+
+class PlanBuilder:
+    """Fluent builder over plan IR (LogicalPlanBuilder analog —
+    the reference exercises scan().project().build() at
+    src/sql/analyzer.rs:715-738)."""
+
+    def __init__(self, engine: FederationEngine, plan: Plan):
+        self._engine = engine
+        self._plan = plan
+
+    def _next(self, plan: Plan) -> "PlanBuilder":
+        return PlanBuilder(self._engine, plan)
+
+    # -- relational verbs ---------------------------------------------------
+    def select(self, *exprs) -> "PlanBuilder":
+        exprs = [col(e) if isinstance(e, str) else e for e in exprs]
+        return self._next(Project(self._plan, exprs))
+
+    def filter(self, predicate: Expr) -> "PlanBuilder":
+        return self._next(Filter(self._plan, predicate))
+
+    where = filter
+
+    def join(self, other: "PlanBuilder", on=None, how: str = "inner",
+             using=None) -> "PlanBuilder":
+        return self._next(Join(self._plan, other._plan, how=how,
+                               condition=on, using=using))
+
+    def group_by(self, *keys) -> "GroupedBuilder":
+        keys = [col(k) if isinstance(k, str) else k for k in keys]
+        return GroupedBuilder(self, keys)
+
+    def rollup(self, *keys) -> "GroupedBuilder":
+        keys = [col(k) if isinstance(k, str) else k for k in keys]
+        return GroupedBuilder(self, [Rollup(keys)])
+
+    def cube(self, *keys) -> "GroupedBuilder":
+        keys = [col(k) if isinstance(k, str) else k for k in keys]
+        return GroupedBuilder(self, [Cube(keys)])
+
+    def grouping_sets(self, *sets) -> "GroupedBuilder":
+        conv = [[col(k) if isinstance(k, str) else k for k in s]
+                for s in sets]
+        return GroupedBuilder(self, [GroupingSets(conv)])
+
+    def window(self, *window_exprs) -> "PlanBuilder":
+        return self._next(Window(self._plan, list(window_exprs)))
+
+    def order_by(self, *keys) -> "PlanBuilder":
+        norm = []
+        for k in keys:
+            if isinstance(k, str):
+                norm.append(SortKey(col(k)))
+            elif isinstance(k, SortKey):
+                norm.append(k)
+            else:
+                norm.append(SortKey(k))
+        return self._next(Sort(self._plan, norm))
+
+    def limit(self, n: int, offset: int = 0) -> "PlanBuilder":
+        return self._next(Limit(self._plan, fetch=n, skip=offset))
+
+    def offset(self, n: int) -> "PlanBuilder":
+        return self._next(Limit(self._plan, fetch=None, skip=n))
+
+    def union_all(self, *others: "PlanBuilder") -> "PlanBuilder":
+        return self._next(Union([self._plan, *[o._plan for o in others]],
+                                all=True))
+
+    def union(self, *others: "PlanBuilder") -> "PlanBuilder":
+        return self._next(Union([self._plan, *[o._plan for o in others]],
+                                all=False))
+
+    def intersect(self, other: "PlanBuilder", all: bool = False):
+        return self._next(SetOp(self._plan, other._plan, "INTERSECT", all))
+
+    def except_(self, other: "PlanBuilder", all: bool = False):
+        return self._next(SetOp(self._plan, other._plan, "EXCEPT", all))
+
+    def distinct(self) -> "PlanBuilder":
+        return self._next(Distinct(self._plan))
+
+    def alias(self, name: str) -> "PlanBuilder":
+        return self._next(SubqueryAlias(self._plan, name))
+
+    # -- terminal -----------------------------------------------------------
+    @property
+    def plan(self) -> Plan:
+        return self._plan
+
+    def to_df(self) -> DataFrame:
+        return self._engine.execute(self._plan)
+
+    def explain(self) -> str:
+        return self._engine.explain(self._plan)
+
+    def collect(self):
+        return self.to_df().collect()
+
+
+class GroupedBuilder:
+    def __init__(self, parent: PlanBuilder, keys: Sequence[Expr]):
+        self._parent = parent
+        self._keys = keys
+
+    def agg(self, *aggs, having: Optional[Expr] = None) -> PlanBuilder:
+        return self._parent._next(
+            Aggregate(self._parent._plan, self._keys, list(aggs),
+                      having=having))

@@ -1,0 +1,803 @@
+"""Expression IR for the federation engine.
+
+Mirrors the expression surface the reference's rewrite analyzer proves it can
+relay (reference: datafusion-federation/src/sql/analyzer.rs:180-588 — every
+DataFusion ``Expr`` variant), re-expressed as small Python nodes that know how
+to render themselves two ways:
+
+- ``to_sql(dialect)``  -> a SQL fragment for the pushdown path (the reference
+  delegates this to DataFusion's Unparser; we own it — SURVEY.md §2B
+  "Unparser" row).
+- ``to_spark()``       -> a ``pyspark.sql.Column`` for the local path, so the
+  residue of a federated plan executes on Catalyst/Tungsten (JVM-side,
+  whole-stage codegen — no Python UDFs in this module).
+
+Scale note: every node compiles to built-in Spark SQL expressions, so plans
+built from this IR stay inside whole-stage codegen and benefit from predicate
+pushdown / column pruning at any data size.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Expr:
+    """Base expression node."""
+
+    def children(self) -> Sequence["Expr"]:
+        return ()
+
+    # -- fluent sugar ------------------------------------------------------
+    def alias(self, name: str) -> "Alias":
+        return Alias(self, name)
+
+    def asc(self, nulls_first: Optional[bool] = None) -> "SortKey":
+        return SortKey(self, ascending=True, nulls_first=nulls_first)
+
+    def desc(self, nulls_first: Optional[bool] = None) -> "SortKey":
+        return SortKey(self, ascending=False, nulls_first=nulls_first)
+
+    def cast(self, dtype: str) -> "Cast":
+        return Cast(self, dtype)
+
+    def between(self, lo: Any, hi: Any) -> "Between":
+        return Between(self, _wrap(lo), _wrap(hi))
+
+    def isin(self, *values: Any) -> "InList":
+        return InList(self, [_wrap(v) for v in values])
+
+    def like(self, pattern: str) -> "Like":
+        return Like(self, Lit(pattern))
+
+    def rlike(self, pattern: str) -> "SimilarTo":
+        return SimilarTo(self, Lit(pattern))
+
+    def is_null(self) -> "IsNull":
+        return IsNull(self)
+
+    def is_not_null(self) -> "IsNotNull":
+        return IsNotNull(self)
+
+    # -- operators ---------------------------------------------------------
+    def _bin(self, op: str, other: Any, reverse: bool = False) -> "BinaryOp":
+        other = _wrap(other)
+        return BinaryOp(op, other, self) if reverse else BinaryOp(op, self, other)
+
+    def __add__(self, o): return self._bin("+", o)
+    def __radd__(self, o): return self._bin("+", o, True)
+    def __sub__(self, o): return self._bin("-", o)
+    def __rsub__(self, o): return self._bin("-", o, True)
+    def __mul__(self, o): return self._bin("*", o)
+    def __rmul__(self, o): return self._bin("*", o, True)
+    def __truediv__(self, o): return self._bin("/", o)
+    def __rtruediv__(self, o): return self._bin("/", o, True)
+    def __mod__(self, o): return self._bin("%", o)
+    def __eq__(self, o): return self._bin("=", o)  # type: ignore[override]
+    def __ne__(self, o): return self._bin("<>", o)  # type: ignore[override]
+    def __lt__(self, o): return self._bin("<", o)
+    def __le__(self, o): return self._bin("<=", o)
+    def __gt__(self, o): return self._bin(">", o)
+    def __ge__(self, o): return self._bin(">=", o)
+    def __and__(self, o): return self._bin("AND", o)
+    def __or__(self, o): return self._bin("OR", o)
+    def __invert__(self): return Not(self)
+    def __neg__(self): return Negative(self)
+    def __hash__(self):  # dataclass eq is overridden; keep hashability by id
+        return id(self)
+
+    # -- rendering (implemented per subclass) ------------------------------
+    def to_sql(self, dialect) -> str:
+        raise NotImplementedError(type(self).__name__)
+
+    def to_spark(self) -> Column:
+        raise NotImplementedError(type(self).__name__)
+
+    def output_name(self) -> str:
+        """Best-effort column name this expr produces (for schemas)."""
+        return "expr"
+
+
+def _wrap(v: Any) -> Expr:
+    return v if isinstance(v, Expr) else Lit(v)
+
+
+# ---------------------------------------------------------------------------
+# Leaf expressions
+# ---------------------------------------------------------------------------
+
+@dataclass(eq=False)
+class Col(Expr):
+    """Column reference, optionally qualified (analyzer.rs:207-239)."""
+
+    name: str
+    table: Optional[str] = None
+
+    def to_sql(self, d) -> str:
+        if self.table:
+            return f"{d.quote(self.table)}.{d.quote(self.name)}"
+        return d.quote(self.name)
+
+    def to_spark(self) -> Column:
+        return F.col(f"{self.table}.{self.name}" if self.table else self.name)
+
+    def output_name(self) -> str:
+        return self.name
+
+
+@dataclass(eq=False)
+class Lit(Expr):
+    """Literal (analyzer.rs:565)."""
+
+    value: Any
+
+    def to_sql(self, d) -> str:
+        return d.literal(self.value)
+
+    def to_spark(self) -> Column:
+        return F.lit(self.value)
+
+    def output_name(self) -> str:
+        return str(self.value)
+
+
+@dataclass(eq=False)
+class Star(Expr):
+    """Wildcard, optionally qualified (analyzer.rs:494-522)."""
+
+    table: Optional[str] = None
+
+    def to_sql(self, d) -> str:
+        return f"{d.quote(self.table)}.*" if self.table else "*"
+
+    def to_spark(self) -> Column:
+        return F.col(f"{self.table}.*" if self.table else "*")
+
+    def output_name(self) -> str:
+        return "*"
+
+
+# ---------------------------------------------------------------------------
+# Composite expressions
+# ---------------------------------------------------------------------------
+
+@dataclass(eq=False)
+class Alias(Expr):
+    """`expr AS name` (analyzer.rs:240-252)."""
+
+    expr: Expr
+    name: str
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        return f"{self.expr.to_sql(d)} AS {d.quote(self.name)}"
+
+    def to_spark(self) -> Column:
+        return self.expr.to_spark().alias(self.name)
+
+    def output_name(self) -> str:
+        return self.name
+
+
+#: operators whose SQL spelling differs from the Spark Column operator
+_SQL_TO_SPARK_BIN = {
+    "=": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+    "AND": lambda a, b: a & b,
+    "OR": lambda a, b: a | b,
+    "||": lambda a, b: F.concat(a, b),
+}
+
+
+@dataclass(eq=False)
+class BinaryOp(Expr):
+    """All binary arithmetic/comparison/boolean ops (analyzer.rs:198-206)."""
+
+    op: str
+    left: Expr
+    right: Expr
+
+    def children(self): return (self.left, self.right)
+
+    def to_sql(self, d) -> str:
+        return f"({self.left.to_sql(d)} {self.op} {self.right.to_sql(d)})"
+
+    def to_spark(self) -> Column:
+        return _SQL_TO_SPARK_BIN[self.op.upper()](
+            self.left.to_spark(), self.right.to_spark()
+        )
+
+
+@dataclass(eq=False)
+class Not(Expr):
+    expr: Expr
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        return f"(NOT {self.expr.to_sql(d)})"
+
+    def to_spark(self) -> Column:
+        return ~self.expr.to_spark()
+
+
+@dataclass(eq=False)
+class Negative(Expr):
+    expr: Expr
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        return f"(- {self.expr.to_sql(d)})"
+
+    def to_spark(self) -> Column:
+        return -self.expr.to_spark()
+
+
+@dataclass(eq=False)
+class IsNull(Expr):
+    expr: Expr
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        return f"{self.expr.to_sql(d)} IS NULL"
+
+    def to_spark(self) -> Column:
+        return self.expr.to_spark().isNull()
+
+
+@dataclass(eq=False)
+class IsNotNull(Expr):
+    expr: Expr
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        return f"{self.expr.to_sql(d)} IS NOT NULL"
+
+    def to_spark(self) -> Column:
+        return self.expr.to_spark().isNotNull()
+
+
+@dataclass(eq=False)
+class IsTrue(Expr):
+    """IS [NOT] TRUE/FALSE/UNKNOWN family (analyzer.rs:287-310)."""
+
+    expr: Expr
+    what: str = "TRUE"  # TRUE | FALSE | UNKNOWN
+    negated: bool = False
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        neg = "NOT " if self.negated else ""
+        return f"{self.expr.to_sql(d)} IS {neg}{self.what}"
+
+    def to_spark(self) -> Column:
+        c = self.expr.to_spark()
+        if self.what == "UNKNOWN":
+            base = c.isNull()
+        else:
+            base = c.eqNullSafe(F.lit(self.what == "TRUE"))
+        return ~base if self.negated else base
+
+
+@dataclass(eq=False)
+class Between(Expr):
+    """Negatable BETWEEN (analyzer.rs:315-325)."""
+
+    expr: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+    def children(self): return (self.expr, self.low, self.high)
+
+    def to_sql(self, d) -> str:
+        neg = "NOT " if self.negated else ""
+        return (f"{self.expr.to_sql(d)} {neg}BETWEEN "
+                f"{self.low.to_sql(d)} AND {self.high.to_sql(d)}")
+
+    def to_spark(self) -> Column:
+        c = self.expr.to_spark().between(self.low.to_spark(), self.high.to_spark())
+        return ~c if self.negated else c
+
+
+@dataclass(eq=False)
+class Like(Expr):
+    """LIKE/ILIKE with escape + negation (analyzer.rs:253-263)."""
+
+    expr: Expr
+    pattern: Expr
+    negated: bool = False
+    case_insensitive: bool = False
+    escape_char: Optional[str] = None
+
+    def children(self): return (self.expr, self.pattern)
+
+    def to_sql(self, d) -> str:
+        op = d.ilike_op if self.case_insensitive else "LIKE"
+        neg = "NOT " if self.negated else ""
+        s = f"{self.expr.to_sql(d)} {neg}{op} {self.pattern.to_sql(d)}"
+        if self.escape_char:
+            s += f" ESCAPE {d.literal(self.escape_char)}"
+        return s
+
+    def to_spark(self) -> Column:
+        c = self.expr.to_spark()
+        if not isinstance(self.pattern, Lit):
+            raise ValueError("Spark LIKE requires a literal pattern")
+        pat = self.pattern.value
+        res = c.ilike(pat) if self.case_insensitive else c.like(pat)
+        return ~res if self.negated else res
+
+
+@dataclass(eq=False)
+class SimilarTo(Expr):
+    """Regex match (analyzer.rs:264-274)."""
+
+    expr: Expr
+    pattern: Expr
+    negated: bool = False
+
+    def children(self): return (self.expr, self.pattern)
+
+    def to_sql(self, d) -> str:
+        return d.regex_match(self.expr.to_sql(d), self.pattern.to_sql(d),
+                             self.negated)
+
+    def to_spark(self) -> Column:
+        if not isinstance(self.pattern, Lit):
+            raise ValueError("Spark RLIKE requires a literal pattern")
+        c = self.expr.to_spark().rlike(self.pattern.value)
+        return ~c if self.negated else c
+
+
+@dataclass(eq=False)
+class InList(Expr):
+    """Negatable IN (...) (analyzer.rs:448-456)."""
+
+    expr: Expr
+    values: Sequence[Expr]
+    negated: bool = False
+
+    def children(self): return (self.expr, *self.values)
+
+    def to_sql(self, d) -> str:
+        vals = ", ".join(v.to_sql(d) for v in self.values)
+        neg = "NOT " if self.negated else ""
+        return f"{self.expr.to_sql(d)} {neg}IN ({vals})"
+
+    def to_spark(self) -> Column:
+        c = self.expr.to_spark().isin([
+            v.value if isinstance(v, Lit) else v.to_spark() for v in self.values
+        ])
+        return ~c if self.negated else c
+
+
+@dataclass(eq=False)
+class Case(Expr):
+    """Searched + simple CASE (analyzer.rs:326-351)."""
+
+    branches: Sequence[tuple]          # [(when_expr, then_expr), ...]
+    else_expr: Optional[Expr] = None
+    operand: Optional[Expr] = None     # simple form: CASE operand WHEN v ...
+
+    def children(self):
+        out = []
+        if self.operand is not None:
+            out.append(self.operand)
+        for w, t in self.branches:
+            out += [w, t]
+        if self.else_expr is not None:
+            out.append(self.else_expr)
+        return tuple(out)
+
+    def to_sql(self, d) -> str:
+        parts = ["CASE"]
+        if self.operand is not None:
+            parts.append(self.operand.to_sql(d))
+        for w, t in self.branches:
+            parts.append(f"WHEN {w.to_sql(d)} THEN {t.to_sql(d)}")
+        if self.else_expr is not None:
+            parts.append(f"ELSE {self.else_expr.to_sql(d)}")
+        parts.append("END")
+        return " ".join(parts)
+
+    def to_spark(self) -> Column:
+        branches = self.branches
+        if self.operand is not None:
+            op = self.operand
+            branches = [(BinaryOp("=", op, w), t) for w, t in branches]
+        col = None
+        for w, t in branches:
+            col = (F.when(w.to_spark(), t.to_spark()) if col is None
+                   else col.when(w.to_spark(), t.to_spark()))
+        if self.else_expr is not None:
+            col = col.otherwise(self.else_expr.to_spark())
+        return col
+
+
+@dataclass(eq=False)
+class Cast(Expr):
+    """CAST / TRY_CAST (analyzer.rs:352-362). dtype is a Spark SQL type string."""
+
+    expr: Expr
+    dtype: str
+    try_cast: bool = False
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        kw = "TRY_CAST" if self.try_cast else "CAST"
+        return f"{kw}({self.expr.to_sql(d)} AS {d.type_name(self.dtype)})"
+
+    def to_spark(self) -> Column:
+        c = self.expr.to_spark()
+        return c.try_cast(self.dtype) if self.try_cast else c.cast(self.dtype)
+
+
+@dataclass(eq=False)
+class Func(Expr):
+    """Scalar function call (analyzer.rs:363-373). Name-mapped per dialect."""
+
+    name: str
+    args: Sequence[Expr] = ()
+
+    def children(self): return tuple(self.args)
+
+    def to_sql(self, d) -> str:
+        return d.scalar_function(self.name, [a.to_sql(d) for a in self.args])
+
+    def to_spark(self) -> Column:
+        fn = getattr(F, self.name, None)
+        if fn is not None:
+            return fn(*[a.to_spark() for a in self.args])
+        # Fall back to Spark's SQL expression builder for anything
+        # pyspark.sql.functions does not expose under the same name.
+        return F.expr(self.to_sql(_SPARK_DIALECT))
+
+    def output_name(self) -> str:
+        return self.name
+
+
+@dataclass(eq=False)
+class AggFunc(Expr):
+    """Aggregate call: DISTINCT / FILTER / ORDER BY args (analyzer.rs:374-409)."""
+
+    name: str
+    args: Sequence[Expr] = ()
+    distinct: bool = False
+    filter: Optional[Expr] = None
+    order_by: Sequence["SortKey"] = ()
+
+    def children(self):
+        out = list(self.args)
+        if self.filter is not None:
+            out.append(self.filter)
+        out += [k.expr for k in self.order_by]
+        return tuple(out)
+
+    def to_sql(self, d) -> str:
+        inner = ", ".join(a.to_sql(d) for a in self.args) or "*"
+        if self.distinct:
+            inner = "DISTINCT " + inner
+        if self.order_by:
+            inner += " ORDER BY " + ", ".join(k.to_sql(d) for k in self.order_by)
+        s = f"{d.agg_function(self.name)}({inner})"
+        if self.filter is not None:
+            s += f" FILTER (WHERE {self.filter.to_sql(d)})"
+        return s
+
+    def to_spark(self) -> Column:
+        args = list(self.args)
+        if self.filter is not None:
+            # FILTER (WHERE cond) -> agg(when(cond, arg)); count(*) filter ->
+            # count(when(cond, lit(1))).
+            if not args:
+                args = [Lit(1)]
+            args = [Case([(self.filter, a)]) for a in args]
+        cols = [a.to_spark() for a in args]
+        name = self.name.lower()
+        if self.distinct:
+            if name == "count":
+                return F.countDistinct(*cols)
+            if name == "sum":
+                return F.sum_distinct(*cols)
+            # other DISTINCT aggregates via Spark SQL expression text
+            inner = ", ".join(a.to_sql(_SPARK_DIALECT) for a in args)
+            return F.expr(f"{name}(DISTINCT {inner})")
+        if name == "count" and not cols:
+            return F.count(F.lit(1))
+        fn = getattr(F, name, None)
+        if fn is None:
+            raise ValueError(f"unknown aggregate {self.name}")
+        return fn(*cols)
+
+    def output_name(self) -> str:
+        return self.name
+
+
+@dataclass(eq=False)
+class SortKey(Expr):
+    """ORDER BY key (analyzer.rs:387-397,423-433)."""
+
+    expr: Expr
+    ascending: bool = True
+    nulls_first: Optional[bool] = None
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        s = self.expr.to_sql(d) + (" ASC" if self.ascending else " DESC")
+        if self.nulls_first is True:
+            s += " NULLS FIRST"
+        elif self.nulls_first is False:
+            s += " NULLS LAST"
+        return s
+
+    def to_spark(self) -> Column:
+        c = self.expr.to_spark()
+        if self.ascending:
+            if self.nulls_first is False:
+                return c.asc_nulls_last()
+            if self.nulls_first is True:
+                return c.asc_nulls_first()
+            return c.asc()
+        if self.nulls_first is True:
+            return c.desc_nulls_first()
+        if self.nulls_first is False:
+            return c.desc_nulls_last()
+        return c.desc()
+
+
+@dataclass(eq=False)
+class WindowFrame:
+    """ROWS/RANGE BETWEEN frame spec."""
+
+    kind: str = "ROWS"                     # ROWS | RANGE
+    start: Any = "UNBOUNDED PRECEDING"     # int offset or keyword string
+    end: Any = "CURRENT ROW"
+
+    def _bound_sql(self, b) -> str:
+        if isinstance(b, int):
+            if b < 0:
+                return f"{-b} PRECEDING"
+            if b > 0:
+                return f"{b} FOLLOWING"
+            return "CURRENT ROW"
+        return str(b)
+
+    def to_sql(self, d) -> str:
+        return (f"{self.kind} BETWEEN {self._bound_sql(self.start)} "
+                f"AND {self._bound_sql(self.end)}")
+
+    def _bound_spark(self, b, is_start: bool) -> int:
+        from pyspark.sql import Window as W
+        if isinstance(b, int):
+            return b
+        b = str(b).upper()
+        if "UNBOUNDED" in b:
+            return W.unboundedPreceding if is_start else W.unboundedFollowing
+        return W.currentRow
+
+
+@dataclass(eq=False)
+class WindowFunc(Expr):
+    """Window function with full frame spec (analyzer.rs:410-447)."""
+
+    func: Expr                              # Func or AggFunc
+    partition_by: Sequence[Expr] = ()
+    order_by: Sequence[SortKey] = ()
+    frame: Optional[WindowFrame] = None
+
+    def children(self):
+        return (self.func, *self.partition_by, *[k.expr for k in self.order_by])
+
+    def to_sql(self, d) -> str:
+        over = []
+        if self.partition_by:
+            over.append("PARTITION BY " +
+                        ", ".join(e.to_sql(d) for e in self.partition_by))
+        if self.order_by:
+            over.append("ORDER BY " +
+                        ", ".join(k.to_sql(d) for k in self.order_by))
+        if self.frame is not None:
+            over.append(self.frame.to_sql(d))
+        return f"{self.func.to_sql(d)} OVER ({' '.join(over)})"
+
+    def to_spark(self) -> Column:
+        from pyspark.sql import Window as W
+        w = W.partitionBy(*[e.to_spark() for e in self.partition_by])
+        if self.order_by:
+            w = w.orderBy(*[k.to_spark() for k in self.order_by])
+        if self.frame is not None:
+            lo = self.frame._bound_spark(self.frame.start, True)
+            hi = self.frame._bound_spark(self.frame.end, False)
+            w = (w.rowsBetween(lo, hi) if self.frame.kind == "ROWS"
+                 else w.rangeBetween(lo, hi))
+        return self.func.to_spark().over(w)
+
+
+# -- grouping sets (analyzer.rs:523-550) ------------------------------------
+
+@dataclass(eq=False)
+class Rollup(Expr):
+    exprs: Sequence[Expr]
+
+    def children(self): return tuple(self.exprs)
+
+    def to_sql(self, d) -> str:
+        return "ROLLUP (" + ", ".join(e.to_sql(d) for e in self.exprs) + ")"
+
+
+@dataclass(eq=False)
+class Cube(Expr):
+    exprs: Sequence[Expr]
+
+    def children(self): return tuple(self.exprs)
+
+    def to_sql(self, d) -> str:
+        return "CUBE (" + ", ".join(e.to_sql(d) for e in self.exprs) + ")"
+
+
+@dataclass(eq=False)
+class GroupingSets(Expr):
+    sets: Sequence[Sequence[Expr]]
+
+    def children(self):
+        return tuple(e for s in self.sets for e in s)
+
+    def to_sql(self, d) -> str:
+        inner = ", ".join(
+            "(" + ", ".join(e.to_sql(d) for e in s) + ")" for s in self.sets
+        )
+        return f"GROUPING SETS ({inner})"
+
+
+# -- subquery expressions (analyzer.rs:185-197,457-491,566-586) --------------
+
+@dataclass(eq=False)
+class ScalarSubquery(Expr):
+    """Scalar subquery; federated independently (optimizer/mod.rs:285-305)."""
+
+    plan: Any  # plans.nodes.Plan (late-bound to avoid a cycle)
+
+    def to_sql(self, d) -> str:
+        from .unparser import Unparser
+        return "(" + Unparser(d).plan_to_sql(self.plan) + ")"
+
+    def to_spark(self) -> Column:
+        raise NotImplementedError(
+            "scalar subqueries execute via the engine, not a bare Column"
+        )
+
+
+@dataclass(eq=False)
+class Exists(Expr):
+    """EXISTS subquery (analyzer.rs:457-471)."""
+
+    plan: Any
+    negated: bool = False
+
+    def to_sql(self, d) -> str:
+        from .unparser import Unparser
+        neg = "NOT " if self.negated else ""
+        return f"{neg}EXISTS (" + Unparser(d).plan_to_sql(self.plan) + ")"
+
+
+@dataclass(eq=False)
+class InSubquery(Expr):
+    """IN subquery; the reference refuses to federate it
+    (optimizer/mod.rs:113,302) — we keep it local as a LEFT SEMI join."""
+
+    expr: Expr
+    plan: Any
+    negated: bool = False
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        from .unparser import Unparser
+        neg = "NOT " if self.negated else ""
+        return (f"{self.expr.to_sql(d)} {neg}IN ("
+                + Unparser(d).plan_to_sql(self.plan) + ")")
+
+
+@dataclass(eq=False)
+class OuterRef(Expr):
+    """Correlated outer-reference column (analyzer.rs:551-560); forces the
+    containing subtree to stay local (optimizer/mod.rs:114-120)."""
+
+    name: str
+    table: Optional[str] = None
+
+    def to_sql(self, d) -> str:
+        return Col(self.name, self.table).to_sql(d)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def col(name: str) -> Col:
+    if "." in name:
+        t, c = name.rsplit(".", 1)
+        return Col(c, t)
+    return Col(name)
+
+
+def lit(v: Any) -> Lit:
+    return Lit(v)
+
+
+def func(name: str, *args: Any) -> Func:
+    return Func(name, [_wrap(a) for a in args])
+
+
+def agg(name: str, *args: Any, distinct: bool = False,
+        filter: Optional[Expr] = None) -> AggFunc:
+    return AggFunc(name, [_wrap(a) for a in args], distinct=distinct,
+                   filter=filter)
+
+
+def walk(e: Expr):
+    """Yield e and all descendants (scan_expr_recursively analog)."""
+    yield e
+    for c in e.children():
+        yield from walk(c)
+
+
+class _SparkSQLDialectProxy:
+    """Minimal dialect used when Func falls back to F.expr(...)."""
+
+    ilike_op = "ILIKE"
+
+    def quote(self, s: str) -> str:
+        return f"`{s}`"
+
+    def literal(self, v: Any) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v.isoformat()}'"
+        return repr(v)
+
+    def type_name(self, t: str) -> str:
+        return t.upper()
+
+    def scalar_function(self, name: str, args) -> str:
+        return f"{name}({', '.join(args)})"
+
+    def agg_function(self, name: str) -> str:
+        return name.upper()
+
+    def regex_match(self, expr: str, pat: str, negated: bool) -> str:
+        s = f"{expr} RLIKE {pat}"
+        return f"(NOT {s})" if negated else s
+
+
+_SPARK_DIALECT = _SparkSQLDialectProxy()

@@ -1,0 +1,221 @@
+"""The federation optimizer pass.
+
+Port of the reference's signature rewrite: find the LARGEST sub-plans whose
+table scans all belong to one federation provider, hand each to that
+provider's optimizer, and replace it with an opaque federated leaf
+(FederationOptimizerRule / optimize_plan_recursively — reference
+datafusion-federation/src/optimizer/mod.rs:28-264; ScanResult lattice —
+src/optimizer/scan_result.rs:7-58).
+
+Nothing in Catalyst does this (DSv2 pushdown only targets a single scan);
+it runs as a Python pre-pass over our plan IR before the Spark compiler
+takes over (SURVEY.md §4, §7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+from .expressions import (
+    Exists, Expr, InSubquery, OuterRef, ScalarSubquery, walk,
+)
+from .plans.nodes import (
+    Plan, Project, RemoteQueryNode, Scan, walk_plan,
+)
+from .expressions import Col, Star
+from .sources.provider import FederationProvider, LocalSparkProvider
+
+_LOCAL = LocalSparkProvider()
+
+
+class ScanResult:
+    """Provider lattice: NONE ⊔ Distinct(p) ⊔ AMBIGUOUS
+    (reference src/optimizer/scan_result.rs:7-58)."""
+
+    NONE = "none"
+    DISTINCT = "distinct"
+    AMBIGUOUS = "ambiguous"
+
+    def __init__(self, kind: str = NONE,
+                 provider: Optional[FederationProvider] = None):
+        self.kind = kind
+        self.provider = provider
+
+    @classmethod
+    def none(cls): return cls(cls.NONE)
+
+    @classmethod
+    def distinct(cls, p): return cls(cls.DISTINCT, p)
+
+    @classmethod
+    def ambiguous(cls): return cls(cls.AMBIGUOUS)
+
+    def merge(self, other: "ScanResult") -> "ScanResult":
+        # Distinct(a) ⊔ Distinct(b != a) = Ambiguous (scan_result.rs:23-44)
+        if self.kind == self.NONE:
+            return other
+        if other.kind == self.NONE:
+            return self
+        if self.kind == self.AMBIGUOUS or other.kind == self.AMBIGUOUS:
+            return ScanResult.ambiguous()
+        if self.provider == other.provider:
+            return self
+        return ScanResult.ambiguous()
+
+    def is_distinct(self) -> bool:
+        return self.kind == self.DISTINCT
+
+    def is_ambiguous(self) -> bool:
+        return self.kind == self.AMBIGUOUS
+
+    def __repr__(self):
+        return f"ScanResult({self.kind}, {self.provider})"
+
+
+# ---------------------------------------------------------------------------
+# provider discovery (scan_plan_recursively / scan_plan_exprs /
+# scan_expr_recursively — reference src/optimizer/mod.rs:63-126)
+# ---------------------------------------------------------------------------
+
+def scan_expr(e: Expr) -> ScanResult:
+    res = ScanResult.none()
+    for node in walk(e):
+        if isinstance(node, ScalarSubquery):
+            res = res.merge(scan_plan(node.plan))
+        elif isinstance(node, (Exists, InSubquery)):
+            # The reference refuses InSubquery federation
+            # (not_impl_err at optimizer/mod.rs:113,302); Exists/In stay
+            # local -> force Ambiguous so federation happens lower.
+            res = res.merge(ScanResult.ambiguous())
+        elif isinstance(node, OuterRef):
+            # Correlated outer reference: force local
+            # (optimizer/mod.rs:114-120).
+            res = res.merge(ScanResult.ambiguous())
+    return res
+
+
+def scan_plan(p: Plan) -> ScanResult:
+    res = ScanResult.none()
+    if isinstance(p, Scan):
+        prov = p.table.provider or _LOCAL
+        return ScanResult.distinct(prov)
+    if isinstance(p, RemoteQueryNode):
+        # already federated — double-federation guard
+        # (optimizer/mod.rs:142-147)
+        return ScanResult.ambiguous()
+    for e in p.exprs():
+        res = res.merge(scan_expr(e))
+    for i in p.inputs():
+        res = res.merge(scan_plan(i))
+    return res
+
+
+# ---------------------------------------------------------------------------
+# the rewrite (optimize_plan_recursively — src/optimizer/mod.rs:134-264)
+# ---------------------------------------------------------------------------
+
+def federate(plan: Plan) -> Plan:
+    """Entry point: replace maximal single-provider subtrees with
+    RemoteQueryNode leaves; everything else stays for the Spark compiler."""
+    new_plan, _ = _optimize_recursively(plan, is_root=True)
+    return new_plan
+
+
+def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
+    res = scan_plan(plan)
+
+    if res.is_distinct() and res.provider.can_federate():
+        if is_root:
+            # whole plan belongs to one federatable provider
+            return _claim(res.provider, plan), True
+        # not root: parent decides; signal "federatable as a whole"
+        return plan, False
+
+    # mixed/ambiguous node: federate each maximal single-provider input
+    new_inputs = []
+    changed = False
+    for child in plan.inputs():
+        child_res = scan_plan(child)
+        if child_res.is_distinct() and child_res.provider.can_federate():
+            new_inputs.append(_claim(child_res.provider, child))
+            changed = True
+        else:
+            new_child, ch = _optimize_recursively(child, is_root=False)
+            new_inputs.append(new_child)
+            changed = changed or ch
+    # subquery expressions federate independently as their own roots
+    # (optimize_plan_exprs — optimizer/mod.rs:266-305)
+    _federate_subquery_exprs(plan)
+    if changed:
+        return plan.with_inputs(new_inputs), True
+    return plan, False
+
+
+def _federate_subquery_exprs(plan: Plan) -> None:
+    """Each ScalarSubquery plan is federated independently as its own root
+    (optimizer/mod.rs:285-305). Mutates the subquery expr in place."""
+    for e in plan.exprs():
+        for node in walk(e):
+            if isinstance(node, ScalarSubquery):
+                node.plan = federate(node.plan)
+
+
+def _claim(provider: FederationProvider, plan: Plan) -> Plan:
+    """Hand the subtree to the provider's optimizer. Non-Projection roots
+    get wrapped in an all-columns projection first so the unparsed SQL has
+    a SELECT list (wrap_projection — optimizer/mod.rs:341-358)."""
+    plan = wrap_projection(plan)
+    node = provider.claim(plan)
+    if not isinstance(node, RemoteQueryNode):
+        raise TypeError("provider.claim must return a RemoteQueryNode")
+    return node
+
+
+def wrap_projection(plan: Plan) -> Plan:
+    from .plans.nodes import (
+        Aggregate, Distinct, Limit, Project, Sort, Union, Window,
+    )
+    if isinstance(plan, (Project, Aggregate, Union, Distinct)):
+        return plan
+    if isinstance(plan, (Sort, Limit, Window)):
+        return plan  # unparser emits SELECT * shells for these
+    if isinstance(plan, Scan) and plan.projection:
+        return plan
+    return Project(plan, [Star()])
+
+
+# ---------------------------------------------------------------------------
+# per-table hook pipeline (reference src/sql/mod.rs:234-301)
+# ---------------------------------------------------------------------------
+
+def apply_table_hooks(plan: Plan):
+    """Gather the TableHandles under `plan`, apply their logical optimizers
+    (schema must not change — checked like src/sql/mod.rs:272-282), and
+    return (plan, tables) for the SQL/AST rewriter stages."""
+    tables = []
+    seen = set()
+    for n in walk_plan(plan):
+        if isinstance(n, Scan) and id(n.table) not in seen:
+            seen.add(id(n.table))
+            tables.append(n.table)
+    for t in tables:
+        opt = t.remote.logical_optimizer if t.remote is not None else None
+        if opt is not None:
+            before = _plan_signature(plan)
+            plan = opt(plan)
+            if _plan_signature(plan) != before:
+                raise ValueError(
+                    f"logical optimizer for {t.local_name} changed the plan "
+                    "schema (hooks must be schema-stable)")
+    return plan, tables
+
+
+def _plan_signature(plan: Plan):
+    """Cheap output signature: projection names of the root, if known."""
+    from .plans.nodes import Project, Aggregate
+    if isinstance(plan, Project):
+        return tuple(e.output_name() for e in plan.projections)
+    if isinstance(plan, Aggregate):
+        return tuple(e.output_name() for e in
+                     list(plan.group_by) + list(plan.aggregates))
+    return type(plan).__name__

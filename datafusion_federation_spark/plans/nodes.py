@@ -1,0 +1,235 @@
+"""Logical plan IR.
+
+Mirrors the plan-level surface the reference can traverse and relay
+(SURVEY.md §2C "plan-level operators"; reference evidence in
+datafusion-federation/src/sql/analyzer.rs and src/optimizer/mod.rs).
+The federation pass (``..federation``) walks these nodes; the unparser
+(``..unparser``) renders a single-provider subtree to remote SQL; the
+compiler (``..compiler``) executes whatever stays local as ordinary
+PySpark DataFrame operations so Catalyst owns join selection, pushdown,
+pruning, codegen and shuffle for the local residue (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from ..expressions import Expr, SortKey
+
+
+class Plan:
+    """Base logical plan node."""
+
+    def inputs(self) -> Sequence["Plan"]:
+        return ()
+
+    def exprs(self) -> Sequence[Expr]:
+        """Expressions attached to this node (scan_plan_exprs analog)."""
+        return ()
+
+    def with_inputs(self, new_inputs: Sequence["Plan"]) -> "Plan":
+        """Structural copy with replaced inputs (TreeNode rewrite analog)."""
+        raise NotImplementedError(type(self).__name__)
+
+
+@dataclass(eq=False)
+class Scan(Plan):
+    """Table scan. ``table`` is a registry TableHandle carrying the local
+    name, the owning provider, the remote table reference and the Spark
+    schema (FederatedTableProviderAdaptor analog, reference
+    src/table_provider.rs:21-124)."""
+
+    table: Any                       # sources.table.TableHandle
+    projection: Optional[Sequence[str]] = None
+
+    def with_inputs(self, new_inputs):
+        assert not new_inputs
+        return self
+
+
+@dataclass(eq=False)
+class Project(Plan):
+    input: Plan
+    projections: Sequence[Expr]
+
+    def inputs(self): return (self.input,)
+    def exprs(self): return tuple(self.projections)
+
+    def with_inputs(self, new_inputs):
+        return Project(new_inputs[0], self.projections)
+
+
+@dataclass(eq=False)
+class Filter(Plan):
+    input: Plan
+    predicate: Expr
+
+    def inputs(self): return (self.input,)
+    def exprs(self): return (self.predicate,)
+
+    def with_inputs(self, new_inputs):
+        return Filter(new_inputs[0], self.predicate)
+
+
+@dataclass(eq=False)
+class Join(Plan):
+    """how: inner | left | right | full | cross | semi | anti."""
+
+    left: Plan
+    right: Plan
+    how: str = "inner"
+    condition: Optional[Expr] = None     # ON expr
+    using: Optional[Sequence[str]] = None  # USING (cols)
+
+    def inputs(self): return (self.left, self.right)
+
+    def exprs(self):
+        return (self.condition,) if self.condition is not None else ()
+
+    def with_inputs(self, new_inputs):
+        return Join(new_inputs[0], new_inputs[1], self.how,
+                    self.condition, self.using)
+
+
+@dataclass(eq=False)
+class Aggregate(Plan):
+    """group_by may contain plain exprs or Rollup/Cube/GroupingSets."""
+
+    input: Plan
+    group_by: Sequence[Expr]
+    aggregates: Sequence[Expr]           # Alias(AggFunc) entries
+    having: Optional[Expr] = None
+
+    def inputs(self): return (self.input,)
+
+    def exprs(self):
+        out = list(self.group_by) + list(self.aggregates)
+        if self.having is not None:
+            out.append(self.having)
+        return tuple(out)
+
+    def with_inputs(self, new_inputs):
+        return Aggregate(new_inputs[0], self.group_by, self.aggregates,
+                         self.having)
+
+
+@dataclass(eq=False)
+class Window(Plan):
+    """Appends window-function columns (Alias(WindowFunc) entries)."""
+
+    input: Plan
+    window_exprs: Sequence[Expr]
+
+    def inputs(self): return (self.input,)
+    def exprs(self): return tuple(self.window_exprs)
+
+    def with_inputs(self, new_inputs):
+        return Window(new_inputs[0], self.window_exprs)
+
+
+@dataclass(eq=False)
+class Sort(Plan):
+    input: Plan
+    keys: Sequence[SortKey]
+
+    def inputs(self): return (self.input,)
+    def exprs(self): return tuple(self.keys)
+
+    def with_inputs(self, new_inputs):
+        return Sort(new_inputs[0], self.keys)
+
+
+@dataclass(eq=False)
+class Limit(Plan):
+    """LIMIT fetch OFFSET skip; both survive rewrites (the reference
+    regression-fixed this: src/sql/analyzer.rs:73-94, CHANGELOG #101)."""
+
+    input: Plan
+    fetch: Optional[int] = None
+    skip: int = 0
+
+    def inputs(self): return (self.input,)
+
+    def with_inputs(self, new_inputs):
+        return Limit(new_inputs[0], self.fetch, self.skip)
+
+
+@dataclass(eq=False)
+class Union(Plan):
+    """UNION ALL / UNION (reference federates multi-branch UNION ALL into a
+    single remote query: src/sql/mod.rs:608-679)."""
+
+    branches: Sequence[Plan]
+    all: bool = True
+
+    def inputs(self): return tuple(self.branches)
+
+    def with_inputs(self, new_inputs):
+        return Union(tuple(new_inputs), self.all)
+
+
+@dataclass(eq=False)
+class SetOp(Plan):
+    """INTERSECT / EXCEPT (SURVEY.md §2C 'set ops')."""
+
+    left: Plan
+    right: Plan
+    op: str = "INTERSECT"   # INTERSECT | EXCEPT
+    all: bool = False
+
+    def inputs(self): return (self.left, self.right)
+
+    def with_inputs(self, new_inputs):
+        return SetOp(new_inputs[0], new_inputs[1], self.op, self.all)
+
+
+@dataclass(eq=False)
+class Distinct(Plan):
+    input: Plan
+
+    def inputs(self): return (self.input,)
+
+    def with_inputs(self, new_inputs):
+        return Distinct(new_inputs[0])
+
+
+@dataclass(eq=False)
+class SubqueryAlias(Plan):
+    """Derived table `(...) AS alias` (golden at src/sql/analyzer.rs:786-792)."""
+
+    input: Plan
+    alias: str
+
+    def inputs(self): return (self.input,)
+
+    def with_inputs(self, new_inputs):
+        return SubqueryAlias(new_inputs[0], self.alias)
+
+
+@dataclass(eq=False)
+class RemoteQueryNode(Plan):
+    """Opaque federated leaf — the FederatedPlanNode/VirtualExecutionPlan
+    analog (reference src/plan_node.rs:18-73, src/sql/mod.rs:164-445).
+
+    Holds the claimed sub-plan, its provider, and the staged SQL strings so
+    ``explain()`` can show base vs rewritten SQL like the reference's
+    EXPLAIN output (src/sql/mod.rs:303-368).
+    """
+
+    plan: Plan
+    provider: Any                     # sources.provider.SQLProvider
+    sql: str
+    schema: Any = None                # pyspark StructType (expected schema)
+    base_sql: Optional[str] = None    # pre-hook SQL for explain()
+
+    def with_inputs(self, new_inputs):
+        assert not new_inputs
+        return self
+
+
+def walk_plan(p: Plan):
+    """Yield p and all descendant plan nodes."""
+    yield p
+    for i in p.inputs():
+        yield from walk_plan(i)

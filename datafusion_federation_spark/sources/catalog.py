@@ -1,0 +1,71 @@
+"""Federated catalog — schema discovery + registry.
+
+Mirrors SQLSchemaProvider / MultiSchemaProvider (reference
+datafusion-federation/src/sql/schema.rs:12-143): discover table names from
+each remote, fetch schemas, register handles under local names;
+first-match-wins across providers (schema.rs:131-138).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from .provider import FederationProvider, LocalSparkProvider, SQLProvider
+from .table import RemoteTable, RemoteTableRef, TableHandle
+
+_LOCAL = LocalSparkProvider()
+
+
+class FederatedCatalog:
+    def __init__(self, spark):
+        self.spark = spark
+        self._tables: Dict[str, TableHandle] = {}
+
+    # ------------------------------------------------------------------
+    def register_local_parquet(self, name: str, path: str) -> TableHandle:
+        """A native Spark table (Nop provider in the lattice)."""
+        h = TableHandle(local_name=name, provider=_LOCAL,
+                        fallback_path=path)
+        self._tables[name] = h
+        return h
+
+    def register_remote(self, provider: SQLProvider, local_name: str,
+                        remote_name: Optional[str] = None,
+                        schema=None) -> TableHandle:
+        """Register one remote table under a local name; schema fetched
+        from the remote when not supplied (SQLTableSource::new analog,
+        reference src/sql/table.rs:126-133)."""
+        remote = RemoteTable.named(remote_name or local_name, schema=schema)
+        if schema is None:
+            try:
+                remote.schema = provider.executor.get_table_schema(
+                    self.spark, remote.ref.name)
+            except NotImplementedError:
+                pass
+        h = TableHandle(local_name=local_name, provider=provider,
+                        remote=remote, schema=remote.schema)
+        self._tables[local_name] = h
+        return h
+
+    def discover(self, provider: SQLProvider,
+                 prefix: str = "") -> List[TableHandle]:
+        """Register every table the remote reports
+        (SQLSchemaProvider::new — executor.table_names())."""
+        out = []
+        for name in provider.executor.table_names():
+            local = prefix + RemoteTableRef.parse(name).name
+            if local in self._tables:   # first-match-wins
+                continue
+            out.append(self.register_remote(provider, local, name))
+        return out
+
+    # ------------------------------------------------------------------
+    def table(self, name: str) -> TableHandle:
+        try:
+            return self._tables[name]
+        except KeyError:
+            raise KeyError(f"table {name!r} not registered; have "
+                           f"{sorted(self._tables)}")
+
+    def tables(self) -> List[str]:
+        return sorted(self._tables)

@@ -1,0 +1,309 @@
+"""Federation providers and SQL executors.
+
+Mirrors the reference's core traits:
+
+- ``FederationProvider`` (reference datafusion-federation/src/lib.rs:56-68):
+  identity = (name, compute_context) — two same-named engines with different
+  contexts must NOT merge (warning at examples/shared/mod.rs:46-50).
+- ``SQLExecutor`` (src/sql/executor.rs:19-75): the remote-engine contract —
+  name, compute_context, dialect, execute(sql, schema), table_names,
+  get_table_schema, optional ast_analyzer / statistics / metrics hooks.
+
+Concrete executors:
+
+- ``DuckDBExecutor`` — in-process analytic engine over parquet/CSV; returns
+  Arrow and enters Spark zero-copy via ``spark.createDataFrame``.
+- ``JDBCExecutor`` — any JDBC database via Spark's JDBC source with the
+  query pushed down (``option("query", sql)``); supports partitioned reads
+  (partitionColumn/lowerBound/upperBound/numPartitions) — a deliberate
+  scale improvement over the reference's single-partition remote results
+  (src/sql/mod.rs:177).
+- ``SparkSQLExecutor`` — a second SparkSession as the remote engine.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+from ..dialects import get_dialect
+
+
+class FederationProvider:
+    """Identity + self-determined optimizer (reference src/lib.rs:56-90)."""
+
+    def __init__(self, name: str, compute_context: Optional[str] = None):
+        self.name = name
+        self.compute_context = compute_context
+
+    # identity: (name, compute_context) — src/lib.rs:76-90
+    def __eq__(self, other):
+        return (isinstance(other, FederationProvider)
+                and self.name == other.name
+                and self.compute_context == other.compute_context)
+
+    def __hash__(self):
+        return hash((self.name, self.compute_context))
+
+    def __repr__(self):
+        return f"<provider {self.name}@{self.compute_context}>"
+
+    def can_federate(self) -> bool:
+        """Whether this provider has an optimizer at all
+        (FederationProvider::optimizer() returning Some)."""
+        return False
+
+    def claim(self, plan):
+        """Hand this provider a single-provider subtree; it returns the
+        federated replacement (SQLFederationOptimizerRule analog,
+        src/sql/mod.rs:78-130 — the SQL provider claims everything)."""
+        raise NotImplementedError
+
+
+class LocalSparkProvider(FederationProvider):
+    """Placeholder provider for native Spark tables so the lattice logic is
+    uniform (NopFederationProvider analog, src/optimizer/mod.rs:310-338)."""
+
+    def __init__(self):
+        super().__init__("__spark_local__", None)
+
+    def can_federate(self) -> bool:
+        return False
+
+
+class SQLExecutor:
+    """Remote engine contract (reference src/sql/executor.rs:19-75)."""
+
+    name: str = "sql"
+    compute_context: Optional[str] = None
+    dialect: str = "ansi"
+
+    # -- required ----------------------------------------------------------
+    def execute(self, spark, sql: str, schema=None):
+        """Run `sql` remotely; return a Spark DataFrame."""
+        raise NotImplementedError
+
+    def table_names(self) -> List[str]:
+        raise NotImplementedError
+
+    def get_table_schema(self, spark, table_name: str):
+        """Introspect a remote table's Spark schema (the reference's mock
+        infers by `select * from t limit 1` — examples/shared/mod.rs:74-79).
+        """
+        raise NotImplementedError
+
+    # -- optional hooks (src/sql/executor.rs:14-16,61-74) -------------------
+    ast_analyzer: Optional[Callable[[str], str]] = None
+
+    def statistics(self, sql: str) -> Optional[int]:
+        """Estimated row count for a federated query (default unknown)."""
+        return None
+
+    def metrics(self) -> Dict[str, Any]:
+        return dict(self._metrics)
+
+    _metrics: Dict[str, Any] = {}
+
+    def _record(self, sql: str, seconds: float, rows: Optional[int] = None):
+        m = self.__dict__.setdefault("_metrics", {})
+        m["queries"] = m.get("queries", 0) + 1
+        m["elapsed_s"] = m.get("elapsed_s", 0.0) + seconds
+        m["last_sql"] = sql
+
+
+class SQLProvider(FederationProvider):
+    """Federation provider backed by a SQLExecutor
+    (SQLFederationProvider analog, src/sql/mod.rs:52-61)."""
+
+    def __init__(self, executor: SQLExecutor):
+        super().__init__(executor.name, executor.compute_context)
+        self.executor = executor
+        self.dialect = get_dialect(executor.dialect)
+
+    def can_federate(self) -> bool:
+        return True
+
+    def claim(self, plan):
+        """Claim the whole handed subtree: unparse to this dialect and wrap
+        in a RemoteQueryNode. Runs the staged rewrite pipeline of the
+        reference's VirtualExecutionPlan::final_sql (src/sql/mod.rs:207-301):
+        per-table logical optimizers (schema-stable) -> unparse -> executor
+        ast_analyzer -> per-table ast_analyzers -> sql_query_rewriters.
+        """
+        from ..federation import apply_table_hooks
+        from ..plans.nodes import RemoteQueryNode
+        from ..unparser import Unparser
+
+        plan, tables = apply_table_hooks(plan)
+        base_sql = Unparser(self.dialect).plan_to_sql(plan)
+        sql = base_sql
+        if self.executor.ast_analyzer is not None:
+            sql = self.executor.ast_analyzer(sql)
+        for t in tables:
+            if t.remote is not None and t.remote.ast_analyzer is not None:
+                sql = t.remote.ast_analyzer(sql)
+        for t in tables:
+            if t.remote is not None and t.remote.sql_query_rewriter is not None:
+                sql = t.remote.sql_query_rewriter(sql)
+        return RemoteQueryNode(plan=plan, provider=self, sql=sql,
+                               base_sql=base_sql)
+
+
+# ---------------------------------------------------------------------------
+# Concrete executors
+# ---------------------------------------------------------------------------
+
+class DuckDBExecutor(SQLExecutor):
+    """DuckDB as a remote engine. Tables are registered as DuckDB views
+    (e.g. over parquet files); results come back as Arrow and enter Spark
+    via createDataFrame (Arrow-accelerated).
+
+    Scale note: this is the 'remote DBMS' of the federation demo. On a real
+    cluster the result of a federated query is a single driver-side Arrow
+    table; keep federated sub-queries reductive (aggregates / filtered
+    subsets), which is exactly what pushdown is for. For large remote
+    results prefer JDBCExecutor with partitioned reads.
+    """
+
+    dialect = "duckdb"
+
+    def __init__(self, name: str = "duckdb",
+                 compute_context: Optional[str] = None,
+                 database: str = ":memory:"):
+        import duckdb
+        self.name = name
+        self.compute_context = compute_context or database
+        self.conn = duckdb.connect(database)
+        self._tables: Dict[str, str] = {}
+
+    def register_parquet(self, name: str, path: str):
+        self.conn.execute(
+            f'CREATE OR REPLACE VIEW "{name}" AS '
+            f"SELECT * FROM read_parquet('{path}')")
+        self._tables[name] = path
+
+    def register_csv(self, name: str, path: str):
+        self.conn.execute(
+            f'CREATE OR REPLACE VIEW "{name}" AS '
+            f"SELECT * FROM read_csv_auto('{path}')")
+        self._tables[name] = path
+
+    def table_names(self) -> List[str]:
+        return list(self._tables)
+
+    def get_table_schema(self, spark, table_name: str):
+        t0 = time.time()
+        tbl = self.conn.execute(
+            f'SELECT * FROM "{table_name}" LIMIT 1').fetch_arrow_table()
+        df = spark.createDataFrame(tbl.to_pandas())
+        self._record(f"schema:{table_name}", time.time() - t0)
+        return df.schema
+
+    def execute(self, spark, sql: str, schema=None):
+        t0 = time.time()
+        arrow = self.conn.execute(sql).fetch_arrow_table()
+        self._record(sql, time.time() - t0, arrow.num_rows)
+        if arrow.num_rows == 0 and schema is not None:
+            return spark.createDataFrame([], schema)
+        pdf = arrow.to_pandas()
+        df = (spark.createDataFrame(pdf, schema=schema) if schema is not None
+              else spark.createDataFrame(pdf))
+        return df
+
+    def statistics(self, sql: str) -> Optional[int]:
+        try:
+            row = self.conn.execute(
+                f"SELECT COUNT(*) FROM ({sql}) t").fetchone()
+            return int(row[0])
+        except Exception:
+            return None
+
+
+@dataclass
+class JDBCPartitioning:
+    """Partitioned JDBC read spec — splits the remote result across
+    executors instead of the reference's single partition
+    (src/sql/mod.rs:177)."""
+
+    column: str
+    lower_bound: Any
+    upper_bound: Any
+    num_partitions: int = 32
+
+
+class JDBCExecutor(SQLExecutor):
+    """Any JDBC engine via Spark's JDBC source; the federated SQL ships as
+    ``option("query", sql)`` so the remote executes the whole subtree."""
+
+    def __init__(self, url: str, name: str = "jdbc", dialect: str = "ansi",
+                 properties: Optional[Dict[str, str]] = None,
+                 partitioning: Optional[JDBCPartitioning] = None,
+                 fetchsize: int = 10000):
+        self.url = url
+        self.name = name
+        self.dialect = dialect
+        self.compute_context = url
+        self.properties = properties or {}
+        self.partitioning = partitioning
+        self.fetchsize = fetchsize
+
+    def _reader(self, spark, sql: str):
+        r = (spark.read.format("jdbc")
+             .option("url", self.url)
+             .option("query", sql)
+             .option("fetchsize", str(self.fetchsize)))
+        for k, v in self.properties.items():
+            r = r.option(k, v)
+        p = self.partitioning
+        if p is not None:
+            # partitioned read: swap `query` for dbtable + bounds
+            r = (spark.read.format("jdbc")
+                 .option("url", self.url)
+                 .option("dbtable", f"({sql}) __fed_q")
+                 .option("partitionColumn", p.column)
+                 .option("lowerBound", str(p.lower_bound))
+                 .option("upperBound", str(p.upper_bound))
+                 .option("numPartitions", str(p.num_partitions))
+                 .option("fetchsize", str(self.fetchsize)))
+            for k, v in self.properties.items():
+                r = r.option(k, v)
+        return r
+
+    def execute(self, spark, sql: str, schema=None):
+        t0 = time.time()
+        df = self._reader(spark, sql).load()
+        self._record(sql, time.time() - t0)
+        return df
+
+    def table_names(self) -> List[str]:
+        raise NotImplementedError("JDBC catalog discovery needs a live DB")
+
+    def get_table_schema(self, spark, table_name: str):
+        return self.execute(
+            spark, f"SELECT * FROM {table_name} WHERE 1=0").schema
+
+
+class SparkSQLExecutor(SQLExecutor):
+    """A (second) SparkSession acting as the remote engine — federation
+    between two Spark clusters, or loop-back for testing."""
+
+    dialect = "spark"
+
+    def __init__(self, remote_spark, name: str = "spark_remote",
+                 compute_context: Optional[str] = None):
+        self.remote = remote_spark
+        self.name = name
+        self.compute_context = compute_context or str(id(remote_spark))
+
+    def table_names(self) -> List[str]:
+        return [t.name for t in self.remote.catalog.listTables()]
+
+    def get_table_schema(self, spark, table_name: str):
+        return self.remote.table(table_name).schema
+
+    def execute(self, spark, sql: str, schema=None):
+        t0 = time.time()
+        df = self.remote.sql(sql)
+        self._record(sql, time.time() - t0)
+        return df

@@ -1,0 +1,258 @@
+"""Plan -> SQL unparser.
+
+The reference gets this from DataFusion (``Unparser::new(dialect)
+.plan_to_sql(plan)``, src/sql/mod.rs:229-232); it is our single biggest
+net-new component (SURVEY.md §7 "hard parts" #1). Renders a federated
+sub-plan (whose scans all belong to one provider) into a single SQL
+statement in the provider's dialect, so the remote engine executes the whole
+subtree — joins, aggregates, windows, sorts, limits — close to storage.
+
+Strategy: build a SELECT "query shell" per plan pipeline, nesting derived
+tables whenever a new shell is needed (e.g. filter above an aggregate that
+isn't a HAVING, limit under a projection, set operations).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+from .dialects import Dialect, get_dialect
+from .expressions import (
+    Alias, Col, Cube, Expr, GroupingSets, Rollup, SortKey, Star,
+)
+from .plans.nodes import (
+    Aggregate, Distinct, Filter, Join, Limit, Plan, Project, RemoteQueryNode,
+    Scan, SetOp, Sort, SubqueryAlias, Union, Window, walk_plan,
+)
+
+_JOIN_SQL = {
+    "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+    "full": "FULL JOIN", "cross": "CROSS JOIN",
+    "semi": "LEFT SEMI JOIN", "anti": "LEFT ANTI JOIN",
+}
+
+
+@dataclass
+class _Shell:
+    """One SELECT ... FROM ... [JOIN]* [WHERE] [GROUP BY] [HAVING]
+    [ORDER BY] [LIMIT] under construction."""
+
+    from_sql: str = ""
+    joins: List[str] = field(default_factory=list)
+    select: Optional[List[str]] = None
+    where: List[str] = field(default_factory=list)
+    group_by: Optional[List[str]] = None
+    having: List[str] = field(default_factory=list)
+    order_by: Optional[List[str]] = None
+    limit: Optional[str] = None
+    distinct: bool = False
+
+    def render(self) -> str:
+        sel = ", ".join(self.select) if self.select else "*"
+        if self.distinct:
+            sel = "DISTINCT " + sel
+        sql = f"SELECT {sel} FROM {self.from_sql}"
+        for j in self.joins:
+            sql += " " + j
+        if self.where:
+            sql += " WHERE " + " AND ".join(self.where)
+        if self.group_by:
+            sql += " GROUP BY " + ", ".join(self.group_by)
+        if self.having:
+            sql += " HAVING " + " AND ".join(self.having)
+        if self.order_by:
+            sql += " ORDER BY " + ", ".join(self.order_by)
+        if self.limit:
+            sql += " " + self.limit
+        return sql
+
+
+class Unparser:
+    def __init__(self, dialect="ansi"):
+        self.dialect: Dialect = get_dialect(dialect)
+        self._alias_n = 0
+
+    # ------------------------------------------------------------------
+    def plan_to_sql(self, plan: Plan) -> str:
+        return self._to_query(plan)
+
+    # ------------------------------------------------------------------
+    def _fresh_alias(self) -> str:
+        self._alias_n += 1
+        return f"__q{self._alias_n}"
+
+    def _to_query(self, plan: Plan) -> str:
+        """Render a full query string for `plan`."""
+        if isinstance(plan, Union):
+            kw = " UNION ALL " if plan.all else " UNION "
+            return kw.join(self._to_query(b) for b in plan.branches)
+        if isinstance(plan, SetOp):
+            kw = f" {plan.op}{' ALL' if plan.all else ''} "
+            return kw.join([self._to_query(plan.left),
+                            self._to_query(plan.right)])
+        if isinstance(plan, (Sort, Limit)) and isinstance(
+                self._skip_orderlimit(plan), (Union, SetOp)):
+            # ORDER BY / LIMIT applied over a set operation
+            inner = self._skip_orderlimit(plan)
+            sql = self._to_query(inner)
+            node: Plan = plan
+            order, lim = None, None
+            while isinstance(node, (Sort, Limit)):
+                if isinstance(node, Sort) and order is None:
+                    order = ", ".join(k.to_sql(self.dialect) for k in node.keys)
+                if isinstance(node, Limit) and lim is None:
+                    lim = self.dialect.limit_clause(node.fetch, node.skip)
+                node = node.inputs()[0]
+            if order:
+                sql += " ORDER BY " + order
+            if lim:
+                sql += " " + lim
+            return sql
+        shell = self._build_shell(plan)
+        return shell.render()
+
+    @staticmethod
+    def _skip_orderlimit(plan: Plan) -> Plan:
+        while isinstance(plan, (Sort, Limit)):
+            plan = plan.inputs()[0]
+        return plan
+
+    # ------------------------------------------------------------------
+    def _relation_sql(self, plan: Plan, alias: Optional[str] = None) -> str:
+        """Render `plan` as a FROM-clause relation (table ref or derived
+        table)."""
+        d = self.dialect
+        if isinstance(plan, Scan):
+            ref = plan.table.remote_sql_ref(d)
+            if alias:
+                ref += f" AS {d.quote(alias)}"
+            return ref
+        if isinstance(plan, SubqueryAlias):
+            return self._relation_sql(plan.input, alias=plan.alias)
+        sub = self._to_query(plan)
+        a = alias or self._fresh_alias()
+        return f"({sub}) AS {d.quote(a)}"
+
+    def _build_shell(self, plan: Plan) -> _Shell:
+        d = self.dialect
+
+        if isinstance(plan, (Scan, SubqueryAlias, RemoteQueryNode)):
+            if isinstance(plan, RemoteQueryNode):
+                raise ValueError("cannot unparse an already-federated node "
+                                 "(double-federation guard)")
+            sh = _Shell(from_sql=self._relation_sql(plan))
+            if isinstance(plan, Scan) and plan.projection:
+                sh.select = [d.quote(c) for c in plan.projection]
+            return sh
+
+        if isinstance(plan, Project):
+            sh = self._build_shell(plan.input)
+            if sh.select is not None or sh.distinct:
+                sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            sh.select = [e.to_sql(d) for e in plan.projections]
+            return sh
+
+        if isinstance(plan, Filter):
+            sh = self._build_shell(plan.input)
+            pred = plan.predicate.to_sql(d)
+            if sh.group_by is not None or sh.select is not None or sh.limit:
+                if sh.group_by is not None and sh.select is not None:
+                    # post-aggregation filter -> HAVING
+                    sh.having.append(pred)
+                    return sh
+                sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            sh.where.append(pred)
+            return sh
+
+        if isinstance(plan, Join):
+            # A WHERE on the left input commutes with inner/left/cross joins
+            # but not right/full — wrap in that case.
+            wrap_where = plan.how in ("right", "full")
+            lsh = self._build_shell_as_relation(plan.left, wrap_where)
+            rrel = self._relation_sql_for_join(plan.right)
+            sh = lsh
+            kw = d.join_keyword(plan.how) if hasattr(d, "join_keyword") \
+                else _JOIN_SQL[plan.how]
+            if plan.how == "cross":
+                sh.joins.append(f"CROSS JOIN {rrel}")
+            elif plan.using:
+                cols = ", ".join(d.quote(c) for c in plan.using)
+                sh.joins.append(f"{kw} {rrel} USING ({cols})")
+            else:
+                cond = plan.condition.to_sql(d) if plan.condition is not None else "TRUE"
+                sh.joins.append(f"{kw} {rrel} ON {cond}")
+            return sh
+
+        if isinstance(plan, Aggregate):
+            sh = self._build_shell(plan.input)
+            if (sh.select is not None or sh.group_by is not None or sh.limit
+                    or sh.distinct):
+                sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            keys = []
+            for g in plan.group_by:
+                keys.append(g.to_sql(d))
+            sh.group_by = keys or None
+            sel = []
+            for g in plan.group_by:
+                if isinstance(g, (Rollup, Cube, GroupingSets)):
+                    continue
+                sel.append(g.to_sql(d))
+            sel += [a.to_sql(d) for a in plan.aggregates]
+            sh.select = sel
+            if plan.having is not None:
+                sh.having.append(plan.having.to_sql(d))
+            if not keys:
+                sh.group_by = None
+            return sh
+
+        if isinstance(plan, Window):
+            sh = self._build_shell(plan.input)
+            if sh.select is not None or sh.group_by is not None or sh.limit:
+                sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            sh.select = ["*"] + [e.to_sql(d) for e in plan.window_exprs]
+            return sh
+
+        if isinstance(plan, Sort):
+            sh = self._build_shell(plan.input)
+            if sh.limit:
+                sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            sh.order_by = [k.to_sql(d) for k in plan.keys]
+            return sh
+
+        if isinstance(plan, Limit):
+            sh = self._build_shell(plan.input)
+            if sh.limit:
+                sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            sh.limit = d.limit_clause(plan.fetch, plan.skip)
+            return sh
+
+        if isinstance(plan, Distinct):
+            sh = self._build_shell(plan.input)
+            if sh.group_by is not None or sh.limit or sh.distinct:
+                sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            sh.distinct = True
+            return sh
+
+        if isinstance(plan, (Union, SetOp)):
+            return _Shell(
+                from_sql=f"({self._to_query(plan)}) AS {d.quote(self._fresh_alias())}")
+
+        raise ValueError(f"cannot unparse plan node {type(plan).__name__}")
+
+    def _build_shell_as_relation(self, plan: Plan,
+                                 wrap_where: bool = False) -> _Shell:
+        """Left side of a join: reuse the shell if it is still a bare
+        relation chain (scan/filter), else wrap as derived table."""
+        sh = self._build_shell(plan)
+        if (sh.select is not None or sh.group_by is not None or sh.limit
+                or sh.order_by or sh.distinct or sh.having
+                or (wrap_where and sh.where)):
+            return _Shell(from_sql=(f"({sh.render()}) AS "
+                                    f"{self.dialect.quote(self._fresh_alias())}"))
+        return sh
+
+    def _relation_sql_for_join(self, plan: Plan) -> str:
+        if isinstance(plan, (Scan, SubqueryAlias)):
+            return self._relation_sql(plan)
+        return f"({self._to_query(plan)}) AS {self.dialect.quote(self._fresh_alias())}"
