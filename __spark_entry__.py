@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship query on sf0.001 (smoke).
+queries()      -> name -> (spark, sf_dir) -> DataFrame, one per implemented
+                  operator (SURVEY.md §2 + north-star extensions).
+oracle_sql()   -> name -> DuckDB SQL equivalent (omitted for
+                  non-SQL-expressible ops: engine-specific hash signatures).
+
+Implementation lives in datafusion_federation_spark.queries[_pipeline];
+this module only adapts the registry to the driver's shape.
 """
 
 from __future__ import annotations
@@ -13,26 +16,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datafusion_federation_spark.queries import REGISTRY
+import datafusion_federation_spark.queries_pipeline  # noqa: F401 (registers)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: federated pushdown join (orders+customer on a DuckDB
+    remote collapse to one SQL; schema-cast back into Spark)."""
+    fn, _ = REGISTRY["q50_federated_pushdown"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in REGISTRY.items()
+            if sql is not None}

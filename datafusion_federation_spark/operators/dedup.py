@@ -1,0 +1,271 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (per BASELINE.json north star): exact dedup,
+document fingerprinting, MinHash+LSH, SimHash, and n-gram Jaccard
+near-dup detection — each designed shuffle-aware for 100 TB:
+
+- exact/fingerprint dedup: one hash-partitioned groupBy on a 128-bit digest
+  (no full-text shuffle — only (digest, id) pairs move).
+- MinHash+LSH: shingle -> K minhashes -> B bands; candidate generation is a
+  self-join on (band_id, band_hash) buckets, so the shuffle key is the
+  band hash (uniform), never the raw document. Complexity O(N * K) map-side
+  + bucket-sized joins instead of O(N^2).
+- SimHash: vectorized Arrow-batched pandas UDF (the sanctioned slow path)
+  producing a 64-bit signature; near-dup = small hamming distance within
+  LSH buckets of signature chunks.
+
+All heavy expressions use built-in pyspark.sql.functions (JVM/codegen);
+only SimHash bit-packing drops to a pandas UDF.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per exact duplicate group of `cols`.
+
+    Scale: groupBy on md5 digest of the concatenated key columns — the
+    shuffle moves (digest, id), not the payload; the surviving ids are
+    joined back (broadcast when small, AQE otherwise).
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    keep = (df.select(F.col(id_col), digest.alias("__digest"))
+              .groupBy("__digest").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical text normalization used before fingerprinting: lowercase,
+    collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str,
+                out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint = md5 of normalized text
+    (portable across engines, unlike engine-specific hash functions)."""
+    return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+def word_shingles(col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column — pure built-ins
+    (split / sequence / transform), evaluated inside codegen."""
+    words = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                   for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) exploded pairs."""
+    return (df.select(F.col(id_col),
+                      F.explode(word_shingles(F.col(text_col), n))
+                       .alias("shingle")))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, set-based)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle sets for all
+    candidate pairs sharing >=1 shingle.
+
+    Scale: the join key is the shingle (uniform-ish for real text); pair
+    aggregation shuffles (id_a, id_b) counts only. For 100 TB precede with
+    minhash_lsh_candidates to bound the pair space; this operator is the
+    exact verifier.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, on=[F.col(f"a.shingle") == F.col(f"b.shingle"),
+                           F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (pairs.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard",
+                            F.col("inter") /
+                            (F.col("na") + F.col("nb") - F.col("inter")))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3) -> F.Column:
+    """MinHash signature as array<bigint>: for seed i, min over shingles of
+    xxhash64(i-salted shingle). Entirely JVM-side (xxhash64 + transform +
+    array_min), no UDF, no shuffle."""
+    shingles = word_shingles(col, shingle_n)
+    sigs = [F.array_min(F.transform(
+        shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding over MinHash signatures.
+
+    rows = bands partitions of the signature; documents agreeing on ALL
+    rows of any band land in the same bucket. Shuffle key = (band_idx,
+    band_hash): uniformly distributed, skew-resistant; pair generation is
+    per-bucket, so cost scales with bucket sizes, not N^2.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band_entries = with_sig.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", F.slice(F.col("sig"),
+                                 (b * rows_per_band + 1).cast("int"),
+                                 rows_per_band).cast("array<string>")))
+                 .alias("bucket")))).alias("bb"))
+    band_entries = band_entries.select(
+        id_col, F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"))
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                          F.col("a.bucket") == F.col("b.bucket"),
+                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        num_hashes: int = 32, bands: int = 8,
+                        shingle_n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """LSH candidates -> exact Jaccard verification (the standard
+    two-stage near-dup pipeline)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
+                                  shingle_n)
+    sh = shingle_table(df, text_col, id_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"),
+                     F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"),
+                     F.col("shingle").alias("sh_b"))
+    inter = (cand
+             .join(sh_a, "id_a")
+             .join(sh_b, on=[cand.id_b == sh_b.id_b,
+                             F.col("sh_a") == F.col("sh_b")])
+             .drop(sh_b.id_b)
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("jaccard", F.col("inter") /
+                             (F.col("na") + F.col("nb") - F.col("inter")))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b",
+                         F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF slow path, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document via a vectorized pandas UDF
+    (Arrow-batched; ~10-100x a row-at-a-time Python UDF). Signature is
+    deterministic (md5-derived word hashes)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            acc = [0] * 64
+            for w in t.lower().split():
+                h = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "big")
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            v = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    v |= (1 << bit)
+            # wrap to signed 64-bit for Spark LongType
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Scale: bucket on 4x16-bit signature chunks (a pair within hamming<=3 of
+    64 bits must agree exactly on at least one 16-bit chunk when
+    max_hamming < 4; for larger radii this is a high-recall heuristic) —
+    the join key is the chunk value, never O(N^2).
+    """
+    sh = simhash(df, text_col, id_col).select(id_col, "simhash")
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftright(F.col("simhash"), i * 16)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+            for i in range(4)])).alias("c"))
+    chunks = chunks.select(id_col, "simhash",
+                           F.col("c.chunk").alias("chunk"),
+                           F.col("c.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (a.join(b, on=[F.col("a.chunk") == F.col("b.chunk"),
+                           F.col("a.val") == F.col("b.val"),
+                           F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.simhash").alias("h_a"),
+                      F.col("b.simhash").alias("h_b"))
+              .distinct())
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (pairs.withColumn("hamming", hamming)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))

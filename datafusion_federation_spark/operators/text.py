@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension): token counting, quality scoring, language ID, fingerprinting.
+
+Everything here is built-in pyspark.sql.functions — regex, split, array
+ops — so the hot path is JVM-side codegen; no Python UDFs. Each function
+returns Column expressions usable inside any projection, keeping them
+composable with filters that Catalyst pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately small + deterministic; real pipelines would plug fastText.
+STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "con"],
+    "zh": ["的", "了", "是", "在", "我", "有", "他", "这", "不"],
+}
+
+#: whitespace tokenizer + a BPE-ish fallback regex (runs of letters, runs
+#: of digits, or single non-space symbols — a cheap proxy for subword
+#: token counts)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def whitespace_token_count(col) -> F.Column:
+    """Number of whitespace-separated tokens (empty text -> 0)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(col) -> F.Column:
+    """Count of BPE-ish regex tokens — letter runs, digit runs, symbols."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
+def char_classes(col) -> Dict[str, F.Column]:
+    """Character-class counters used by quality scoring."""
+    return {
+        "n_chars": F.length(col),
+        "n_alpha": F.regexp_count(col, F.lit(r"[A-Za-z]")),
+        "n_digit": F.regexp_count(col, F.lit(r"[0-9]")),
+        "n_punct": F.regexp_count(col, F.lit(r"[^\sA-Za-z0-9]")),
+        "n_space": F.regexp_count(col, F.lit(r"\s")),
+    }
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append quality-signal columns: length, token counts, punctuation /
+    alpha ratios, mean word length, stopword ratio (en)."""
+    c = F.col(text_col)
+    cc = char_classes(c)
+    tokens = whitespace_token_count(c)
+    stop_hits = stopword_hits(c, STOPWORDS["en"])
+    return (df
+            .withColumn("n_chars", cc["n_chars"])
+            .withColumn("n_tokens", tokens)
+            .withColumn("punct_ratio",
+                        F.round(cc["n_punct"] /
+                                F.greatest(cc["n_chars"], F.lit(1)), 6))
+            .withColumn("alpha_ratio",
+                        F.round(cc["n_alpha"] /
+                                F.greatest(cc["n_chars"], F.lit(1)), 6))
+            .withColumn("mean_word_len",
+                        F.round(cc["n_alpha"] /
+                                F.greatest(tokens, F.lit(1)), 6))
+            .withColumn("stopword_ratio",
+                        F.round(stop_hits /
+                                F.greatest(tokens, F.lit(1)), 6)))
+
+
+def quality_score(df: DataFrame, text_col: str,
+                  out_col: str = "quality") -> DataFrame:
+    """Scalar quality score in [0,1]: penalize too-short docs, high
+    punctuation density, and stopword-free (non-linguistic) text."""
+    feat = quality_features(df, text_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    score = F.round((length_term + punct_term + stop_term) / 3.0, 6)
+    return feat.withColumn(out_col, score)
+
+
+def stopword_hits(col, stopwords: Sequence[str]) -> F.Column:
+    """How many tokens of `col` are in the stopword list (JVM-side:
+    split + filter + array_contains)."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def language_id(df: DataFrame, text_col: str,
+                out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language heuristic: score text against each language's
+    stopword list, pick the argmax (ties -> lexicographically first lang,
+    deterministic). 'und' when nothing hits."""
+    c = F.col(text_col)
+    scored = F.array(*[
+        F.struct(stopword_hits(c, STOPWORDS[lang]).alias("hits"),
+                 F.lit(lang).alias("lang"))
+        for lang in sorted(STOPWORDS)])
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    # array_max on struct compares (hits, lang) lexicographically -> ties
+    # resolve to the LAST lang alphabetically; flip lang ordering for
+    # deterministic first-wins instead
+    scored_rev = F.array(*[
+        F.struct(stopword_hits(c, STOPWORDS[lang]).alias("hits"),
+                 F.lit(chr(255 - i)).alias("ord"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(sorted(STOPWORDS))])
+    best = F.array_max(F.filter(scored_rev, lambda s: s["hits"] > 0))
+    return df.withColumn(out_col,
+                         F.coalesce(best["lang"], F.lit("und")))
+
+
+def rolling_hash_fingerprint(df: DataFrame, text_col: str,
+                             window: int = 8,
+                             out_col: str = "winnow_fp") -> DataFrame:
+    """Winnowing-style document fingerprint: md5 each word 4-gram, take the
+    minimum digest per sliding window, distinct-collect — a robust
+    fingerprint for partial-overlap detection. Built-ins only."""
+    from .dedup import word_shingles
+    grams = word_shingles(F.col(text_col), 4)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    mins = F.transform(
+        idx, lambda i: F.array_min(
+            F.slice(hashes, (i + 1).cast("int"), window)))
+    return df.withColumn(out_col, F.array_distinct(mins))

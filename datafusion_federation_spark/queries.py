@@ -1,0 +1,712 @@
+"""Flagship query registry: every entry pairs a Spark implementation with a
+DuckDB oracle SQL string (the driver's correctness gate — see
+__spark_entry__.py). Coverage follows SURVEY.md §2C's operator inventory
+plus the north-star LLM-pipeline operators.
+
+Numeric determinism contract (both sides, always):
+- money aggregates: CAST to DECIMAL(12,2) before SUM (exact, order-free),
+  ROUND(...,2) then CAST AS DOUBLE  -> bit-identical doubles.
+- integer-valued computed columns: cast to BIGINT on both sides (DuckDB
+  SUM(int) is HUGEINT, Spark size() is int — normalize).
+- timestamps never returned raw: date_format/strftime strings instead.
+- every ORDER BY used for LIMIT has a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {}
+
+DEC = "decimal(12,2)"
+
+
+def q(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(c) -> F.Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(DEC)
+
+
+def money(colexpr) -> F.Column:
+    """SUM over decimal, rounded to cents, as double (deterministic)."""
+    return F.round(F.sum(colexpr), 2).cast("double")
+
+
+def avg_money(colexpr) -> F.Column:
+    """Deterministic mean: exact decimal sum -> double / count, round 4."""
+    return F.round(F.sum(colexpr).cast("double") / F.count(F.lit(1)), 4)
+
+
+# SQL-side helpers for oracle strings
+def _sql_money(e: str) -> str:
+    return f"CAST(ROUND(SUM({e}), 2) AS DOUBLE)"
+
+
+def _sql_avg(e: str) -> str:
+    return f"ROUND(CAST(SUM({e}) AS DOUBLE) / COUNT(*), 4)"
+
+
+M_EP = f"CAST(l_extendedprice AS {DEC})"
+M_DISC = f"CAST(l_discount AS {DEC})"
+M_TP = f"CAST(o_totalprice AS {DEC})"
+REV = f"{M_EP} * (1 - {M_DISC})"
+
+
+# ===========================================================================
+# §2C relational surface — TPC-H-adapted over the driver's star schema
+# ===========================================================================
+
+@q("q01_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {_sql_money(M_EP)} AS sum_base_price,
+       {_sql_money(REV)} AS sum_disc_price,
+       {_sql_avg(M_EP)} AS avg_price,
+       {_sql_avg(M_DISC)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01(spark, sf):
+    """TPC-H Q1 shape: multi-aggregate scan. Filter + aggregation push to
+    the parquet scan; one shuffle on the 2-column group key."""
+    li = t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 money(dec("l_extendedprice")).alias("sum_base_price"),
+                 money(dec("l_extendedprice") * (1 - dec("l_discount")))
+                 .alias("sum_disc_price"),
+                 avg_money(dec("l_extendedprice")).alias("avg_price"),
+                 avg_money(dec("l_discount")).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@q("q03_shipping_priority", f"""
+SELECT o.o_orderkey,
+       {_sql_money(REV)} AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""")
+def q03(spark, sf):
+    """3-way join + agg + top-k. customer is the small side -> broadcast;
+    lineitem never shuffles before the filter."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    l = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("orderdate"),
+                     "o_orderpriority")
+            .agg(money(dec("l_extendedprice") * (1 - dec("l_discount")))
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "o_orderkey")
+            .limit(10))
+
+
+@q("q05_regional_revenue", f"""
+SELECT n.n_name, {_sql_money(REV)} AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""")
+def q05(spark, sf):
+    """5-way star join. All dimensions broadcast; the only shuffle is the
+    final groupBy on n_name."""
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") &
+        (F.col("o_orderdate") < "1998-01-01"))
+    l = t(spark, sf, "lineitem")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(money(dec("l_extendedprice") * (1 - dec("l_discount")))
+                 .alias("revenue")))
+
+
+@q("q06_revenue_forecast", f"""
+SELECT {_sql_money(f"{M_EP} * {M_DISC}")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q06(spark, sf):
+    """Pure filter + ungrouped agg — everything pushes into the scan;
+    zero-shuffle (partial aggs merge at the driver)."""
+    li = t(spark, sf, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01") &
+                      (F.col("l_shipdate") < "1997-01-01") &
+                      F.col("l_discount").between(0.03, 0.07) &
+                      (F.col("l_quantity") < 24))
+            .agg(money(dec("l_extendedprice") * dec("l_discount"))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@q("q10_returned_items", f"""
+SELECT c.c_custkey, c.c_name, {_sql_money(REV)} AS revenue,
+       CAST(ROUND(CAST(max(c.c_acctbal) AS {DEC}), 2) AS DOUBLE) AS acctbal
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q10(spark, sf):
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(money(dec("l_extendedprice") * (1 - dec("l_discount")))
+                 .alias("revenue"),
+                 F.round(F.max(dec("c_acctbal")), 2).cast("double")
+                 .alias("acctbal"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@q("q12_priority_shipping", """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_qty_lines,
+       CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_qty_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+""")
+def q12(spark, sf):
+    """CASE WHEN conditional aggregation (TPC-H Q12 shape)."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") &
+        (F.col("l_shipdate") < "1998-01-01"))
+    o = t(spark, sf, "orders")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+                 .cast("bigint").alias("high_qty_lines"),
+                 F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0))
+                 .cast("bigint").alias("low_qty_lines")))
+
+
+@q("q14_promo_share", f"""
+SELECT CAST(ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN {REV} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM({REV}) AS DOUBLE), 4) AS DOUBLE) AS promo_share,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+""")
+def q14(spark, sf):
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") &
+        (F.col("l_shipdate") < "1997-07-01"))
+    p = t(spark, sf, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(F.lit(0).cast(DEC))).cast("double")
+                / F.sum(rev).cast("double"), 4).alias("promo_share"),
+                F.count(F.lit(1)).alias("n_lines")))
+
+
+@q("q18_large_orders", f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(ROUND(CAST(o_totalprice AS {DEC}), 2) AS DOUBLE) AS totalprice,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, orderdate, totalprice
+HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def q18(spark, sf):
+    """Aggregate + HAVING + join (TPC-H Q18 shape)."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("orderdate"),
+                     F.round(dec("o_totalprice"), 2).cast("double")
+                     .alias("totalprice"))
+            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150)
+            .orderBy(F.col("totalprice").desc(), "o_orderkey")
+            .limit(20))
+
+
+@q("q19_distinct_filter_agg", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) FILTER (WHERE l_quantity > 40) AS n_heavy,
+       CAST(SUM(CAST(l_quantity AS BIGINT))
+            FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q19(spark, sf):
+    """DISTINCT aggregates + FILTER clause (analyzer.rs:374-409 surface)."""
+    li = t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("n_orders"),
+                 F.countDistinct("l_partkey").alias("n_parts"),
+                 F.count(F.when(F.col("l_quantity") > 40, 1))
+                 .alias("n_heavy"),
+                 F.sum(F.when(F.col("l_discount") > 0.05,
+                              F.col("l_quantity").cast("bigint")))
+                 .cast("bigint").alias("qty_discounted")))
+
+
+@q("q20_rollup", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q20(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("bigint")).alias("qty")))
+
+
+@q("q21_cube", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q21(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("q22_grouping_sets", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""")
+def q22(spark, sf):
+    li = t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__q22_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM __q22_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@q("q23_window_rank", f"""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS {DEC}), 2) AS DOUBLE) AS totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+         CAST(RANK() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_orderstatus) AS BIGINT) AS status_rank
+  FROM orders) x
+WHERE rn <= 5
+""")
+def q23(spark, sf):
+    """Window functions: row_number + rank with distinct orderings."""
+    o = t(spark, sf, "orders")
+    w1 = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = W.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return (o.select("o_orderpriority", "o_orderkey",
+                     F.round(dec("o_totalprice"), 2).cast("double")
+                     .alias("totalprice"),
+                     F.row_number().over(w1).cast("bigint").alias("rn"),
+                     F.rank().over(w2).cast("bigint").alias("status_rank"))
+            .filter(F.col("rn") <= 5))
+
+
+@q("q24_window_running", f"""
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS {DEC})) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS running_total,
+       CAST(ROUND(COALESCE(LAG(CAST(o_totalprice AS {DEC})) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            CAST(0 AS {DEC})), 2) AS DOUBLE) AS prev_price
+FROM orders WHERE o_custkey < 50
+""")
+def q24(spark, sf):
+    """Running sum + LAG with explicit ROWS frame (full frame-spec
+    surface, analyzer.rs:410-447)."""
+    o = t(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(run), 2).cast("double")
+        .alias("running_total"),
+        F.round(F.coalesce(F.lag(dec("o_totalprice")).over(w),
+                           F.lit(0).cast(DEC)), 2).cast("double")
+        .alias("prev_price"))
+
+
+@q("q25_union_all", """
+SELECT 'high' AS bucket, o_orderkey AS okey FROM orders
+WHERE o_totalprice > 250000
+UNION ALL
+SELECT 'urgent' AS bucket, o_orderkey AS okey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""")
+def q25(spark, sf):
+    o = t(spark, sf, "orders")
+    a = (o.filter(F.col("o_totalprice") > 250000)
+         .select(F.lit("high").alias("bucket"),
+                 F.col("o_orderkey").alias("okey")))
+    b = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.lit("urgent").alias("bucket"),
+                 F.col("o_orderkey").alias("okey")))
+    return a.unionAll(b)
+
+
+@q("q26_intersect", """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+""")
+def q26(spark, sf):
+    c = (t(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+         .select("c_custkey"))
+    o = (t(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return c.intersect(o)
+
+
+@q("q27_except", """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""")
+def q27(spark, sf):
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@q("q28_exists_semi", """
+SELECT o_orderkey, o_orderpriority FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+""")
+def q28(spark, sf):
+    """Correlated EXISTS -> LEFT SEMI join (the reference keeps these
+    local; optimizer/mod.rs:114-120)."""
+    o = t(spark, sf, "orders")
+    l = t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+            .select("o_orderkey", "o_orderpriority"))
+
+
+@q("q29_not_exists_anti", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q29(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@q("q30_in_subquery", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+ORDER BY o_orderkey
+""")
+def q30(spark, sf):
+    o = t(spark, sf, "orders")
+    rich = (t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+            .select("c_custkey"))
+    return (o.join(rich, o.o_custkey == rich.c_custkey, "left_semi")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@q("q31_scalar_subquery", """
+SELECT COUNT(*) AS n_above,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_above
+FROM lineitem
+WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+""")
+def q31(spark, sf):
+    """Uncorrelated scalar subquery (federated independently in the
+    reference, optimizer/mod.rs:285-305). Quantities are integral doubles
+    so the avg threshold is ulp-safe."""
+    li = t(spark, sf, "lineitem")
+    avg_qty = li.agg(F.avg("l_quantity")).collect()[0][0]
+    return (li.filter(F.col("l_quantity") > avg_qty)
+            .agg(F.count(F.lit(1)).alias("n_above"),
+                 F.sum(F.col("l_quantity").cast("bigint"))
+                 .alias("qty_above")))
+
+
+@q("q32_case_like_between", """
+SELECT CASE WHEN p_size BETWEEN 1 AND 15 THEN 'small'
+            WHEN p_size BETWEEN 16 AND 35 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       CAST(SUM(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_green,
+       CAST(SUM(CASE WHEN p_brand IN ('Brand#11','Brand#22') THEN 1 ELSE 0
+            END) AS BIGINT) AS n_brands,
+       COUNT(*) AS n
+FROM part
+GROUP BY size_class
+""")
+def q32(spark, sf):
+    """CASE / LIKE / BETWEEN / IN expression surface in one projection."""
+    p = t(spark, sf, "part")
+    size_class = (F.when(F.col("p_size").between(1, 15), "small")
+                   .when(F.col("p_size").between(16, 35), "medium")
+                   .otherwise("large"))
+    return (p.groupBy(size_class.alias("size_class"))
+            .agg(F.sum(F.when(F.col("p_name").like("%green%"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_green"),
+                 F.sum(F.when(F.col("p_brand")
+                              .isin("Brand#11", "Brand#22"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_brands"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("q33_limit_offset", """
+SELECT o_orderkey, o_custkey FROM orders
+ORDER BY o_orderkey LIMIT 20 OFFSET 40
+""")
+def q33(spark, sf):
+    """LIMIT + OFFSET both surviving (reference regression #101)."""
+    return (t(spark, sf, "orders")
+            .orderBy("o_orderkey")
+            .offset(40).limit(20)
+            .select("o_orderkey", "o_custkey"))
+
+
+@q("q34_cross_join", """
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""")
+def q34(spark, sf):
+    return (t(spark, sf, "region").crossJoin(t(spark, sf, "nation"))
+            .select("r_name", "n_name"))
+
+
+@q("q35_left_join_nulls", """
+SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q35(spark, sf):
+    n = t(spark, sf, "nation")
+    s = t(spark, sf, "supplier")
+    return (n.join(s, s.s_nationkey == n.n_nationkey, "left")
+            .groupBy("n_name")
+            .agg(F.count("s_suppkey").alias("n_suppliers")))
+
+
+@q("q36_distinct", """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""")
+def q36(spark, sf):
+    return t(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority").distinct()
+
+
+# ===========================================================================
+# events: time-series / JSON / sessionization
+# ===========================================================================
+
+@q("q40_events_hourly", f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, COUNT(*) AS n,
+       {_sql_money(f"CAST(value AS {DEC})")} AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY hour, event_type
+""")
+def q40(spark, sf):
+    """Batch windowed aggregation over the event stream (tumbling 1h).
+    The same projection feeds the Structured Streaming path
+    (streaming/windows.py)."""
+    e = t(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click"))
+    return (e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+        .alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             money(dec("value")).alias("total_value")))
+
+
+@q("q41_events_json", """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""")
+def q41(spark, sf):
+    """JSON-string column decode (the schema-cast surface: string ->
+    struct, reference struct_cast.rs) via from_json + field access."""
+    from pyspark.sql import types as T
+    e = t(spark, sf, "events")
+    parsed = F.from_json("props", T.StructType(
+        [T.StructField("k", T.LongType())]))
+    return (e.withColumn("k", parsed["k"])
+            .groupBy("event_type")
+            .agg(F.sum("k").cast("bigint").alias("sum_k"),
+                 F.max("k").cast("bigint").alias("max_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@q("q42_sessionization", """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id,
+       CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps GROUP BY user_id
+""")
+def q42(spark, sf):
+    """Sessionization via LAG gap detection (30-min inactivity) — the
+    batch analog of a session window; scale path partitions by user_id."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_millis(F.col("ts")) -
+           F.lag(F.unix_millis(F.col("ts"))).over(w))
+    return (e.withColumn("new_session",
+                         F.when(gap > 1800000, 1).otherwise(0))
+            .groupBy("user_id")
+            .agg((1 + F.sum("new_session")).cast("bigint")
+                 .alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# ===========================================================================
+# federation-path queries (run through the engine + DuckDB provider)
+# ===========================================================================
+
+@q("q50_federated_pushdown", """
+SELECT c_mktsegment,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total,
+       COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def q50(spark, sf):
+    """End-to-end federation: orders+customer live on a DuckDB 'remote';
+    the whole join+agg federates into ONE remote SQL (largest
+    single-provider subtree), result schema-cast back into Spark."""
+    from . import (DuckDBExecutor, FederationEngine, SQLProvider)
+    from .expressions import Cast, agg, col, func, lit
+
+    eng = FederationEngine(spark)
+    ex = DuckDBExecutor(name="duck_orders", compute_context=sf)
+    ex.register_parquet("orders", f"{sf}/orders.parquet")
+    ex.register_parquet("customer", f"{sf}/customer.parquet")
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "orders")
+    eng.register_remote(prov, "customer")
+    total = func("round",
+                 agg("sum", Cast(col("o_totalprice"), "decimal(12,2)")),
+                 lit(2))
+    return (eng.table("orders")
+            .join(eng.table("customer"),
+                  on=col("o_custkey") == col("c_custkey"))
+            .group_by("c_mktsegment")
+            .agg(Cast(total, "double").alias("total"),
+                 agg("count").alias("n"))
+            .to_df())
+
+
+@q("q51_federated_mixed", """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+       COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+""")
+def q51(spark, sf):
+    """Mixed plan: local parquet lineitem joins a federated DuckDB orders
+    subtree — the filter pushes into the remote SQL, the join + agg run
+    on Spark (the reference's split-join scenario at data scale)."""
+    from . import DuckDBExecutor, FederationEngine, SQLProvider
+    from .expressions import Cast, agg, col, lit
+
+    eng = FederationEngine(spark)
+    ex = DuckDBExecutor(name="duck_orders2", compute_context=sf)
+    ex.register_parquet("orders", f"{sf}/orders.parquet")
+    eng.register_remote(SQLProvider(ex), "orders")
+    eng.register_local_parquet("lineitem", f"{sf}/lineitem.parquet")
+    return (eng.table("lineitem")
+            .join(eng.table("orders")
+                  .filter(col("o_totalprice") > lit(100000)),
+                  on=col("l_orderkey") == col("o_orderkey"))
+            .group_by("o_orderpriority")
+            .agg(agg("sum", Cast(col("l_quantity"), "bigint"))
+                 .alias("qty"),
+                 agg("count").alias("n"))
+            .to_df())

@@ -1,0 +1,334 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — the north-star extensions (BASELINE.json), registered into the
+same REGISTRY as the relational queries.
+
+Oracle notes: engine-portable hashes only (md5); dot products / norms are
+generated as explicit left-associated term sums so DuckDB evaluates in the
+same IEEE order as Spark's aggregate() fold; elements cast to DOUBLE on
+both sides before any arithmetic. xxhash64-based operators (MinHash,
+SimHash, winnowing) are engine-specific -> rows-only checks (no oracle),
+as the driver contract allows for non-SQL-expressible ops.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .queries import DEC, REGISTRY, q, t
+
+# deterministic fixtures (seeded; no runtime entropy)
+EMB_DIM = 64
+QUERY_VEC = [random.Random(7).gauss(0.0, 1.0) for _ in range(EMB_DIM)]
+N_PLANES = 8
+PLANES = similarity.random_hyperplanes(EMB_DIM, N_PLANES, seed=42)
+
+_NORM_SQL_WORDS = ("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+
+
+def _sql_dot(vec_expr: str, weights) -> str:
+    """Left-associated explicit dot product: matches Spark's aggregate()
+    fold order term by term."""
+    return " + ".join(
+        f"CAST({vec_expr}[{i+1}] AS DOUBLE) * {float(w)!r}"
+        for i, w in enumerate(weights))
+
+
+def _sql_sqnorm(vec_expr: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST({vec_expr}[{i+1}] AS DOUBLE) * CAST({vec_expr}[{i+1}] AS DOUBLE)"
+        for i in range(dim))
+
+
+def _sql_const_sqnorm(weights) -> str:
+    return " + ".join(f"{float(w)!r} * {float(w)!r}" for w in weights)
+
+
+# ===========================================================================
+# deduplication
+# ===========================================================================
+
+@q("d01_dedup_exact", """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+GROUP BY source
+""")
+def d01(spark, sf):
+    """Exact dedup: md5-groupBy keep-min-id, then per-source stats.
+    Only (digest, id) pairs shuffle — payload never moves."""
+    docs = t(spark, sf, "documents")
+    deduped = dedup.exact_dedup(docs, ["text"], "doc_id")
+    return (deduped.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+@q("d02_fingerprint", f"""
+SELECT lang,
+       COUNT(DISTINCT md5({_NORM_SQL_WORDS})) AS n_unique,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""")
+def d02(spark, sf):
+    """Document fingerprinting (md5 over normalized text) + uniqueness."""
+    docs = dedup.fingerprint(t(spark, sf, "documents"), "text")
+    return (docs.groupBy("lang")
+            .agg(F.countDistinct("fingerprint").alias("n_unique"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+@q("d03_ngram_jaccard", f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+         FOR i IN generate_series(1, greatest(len(ws)-2, 1))])) AS shingle
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+""")
+def d03(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8)."""
+    docs = t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     n=3, threshold=0.8)
+
+
+@q("d04_minhash_lsh")  # xxhash64-based -> rows-only check
+def d04(spark, sf):
+    """MinHash(32) + LSH(8 bands) candidates, exact-Jaccard verified at
+    0.7 — the two-stage near-dup pipeline that scales to 100 TB (bucket
+    join instead of O(N^2))."""
+    docs = t(spark, sf, "documents")
+    return (dedup.minhash_dedup_pairs(docs, "text", "doc_id",
+                                      num_hashes=32, bands=8,
+                                      threshold=0.7)
+            .orderBy("id_a", "id_b"))
+
+
+@q("d05_simhash")  # pandas-UDF signature -> rows-only check
+def d05(spark, sf):
+    """SimHash near-dup pairs (hamming <= 10 on 64-bit signatures),
+    chunk-bucketed candidate generation."""
+    docs = t(spark, sf, "documents")
+    return (dedup.simhash_near_pairs(docs, "text", "doc_id",
+                                     max_hamming=10)
+            .orderBy("id_a", "id_b"))
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+def _knn_oracle() -> str:
+    dot = _sql_dot("embedding", QUERY_VEC)
+    vnorm = _sql_sqnorm("embedding", EMB_DIM)
+    qnorm = _sql_const_sqnorm(QUERY_VEC)
+    return f"""
+SELECT vec_id,
+       ROUND(({dot}) / (sqrt({vnorm}) * sqrt({qnorm})), 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@q("d06_knn_cosine", _knn_oracle())
+def d06(spark, sf):
+    """Brute-force cosine top-10: the ANN correctness baseline. Linear
+    scan + TopK — embarrassingly parallel at any scale."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, "embedding", QUERY_VEC, k=10,
+                                  id_col="vec_id", round_digits=6)
+
+
+def _ann_oracle() -> str:
+    # replicate the bucket computation: bit i = (dot(vec, plane_i) > 0)
+    bits = " + ".join(
+        f"(CASE WHEN ({_sql_dot('embedding', PLANES[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES))
+    qsig = 0
+    for i, p in enumerate(PLANES):
+        if sum(a * b for a, b in zip(p, QUERY_VEC)) > 0:
+            qsig |= (1 << i)
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(N_PLANES)]
+    dot = _sql_dot("embedding", QUERY_VEC)
+    vnorm = _sql_sqnorm("embedding", EMB_DIM)
+    qnorm = _sql_const_sqnorm(QUERY_VEC)
+    return f"""
+SELECT vec_id,
+       ROUND(({dot}) / (sqrt({vnorm}) * sqrt({qnorm})), 6) AS score
+FROM (SELECT *, CAST({bits} AS INTEGER) AS bucket FROM embeddings) b
+WHERE bucket IN ({', '.join(str(p) for p in probes)})
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@q("d07_ann_lsh", _ann_oracle())
+def d07(spark, sf):
+    """ANN via random-hyperplane LSH buckets + multiprobe, exact rerank
+    inside probed buckets — the 100 TB scale path (bucket = partition
+    key; probing prunes partitions)."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.ann_lsh_topk(emb, "embedding", QUERY_VEC, k=10,
+                                   id_col="vec_id", n_planes=N_PLANES,
+                                   seed=42, multiprobe=True,
+                                   round_digits=6)
+
+
+@q("d08_embedding_near_pairs")  # LSH-bucketed pairs -> rows-only
+def d08(spark, sf):
+    """Embedding-cosine near-duplicate pairs within LSH buckets
+    (threshold 0.95)."""
+    emb = t(spark, sf, "embeddings")
+    return (similarity.pairwise_cosine_pairs(emb, "embedding", "vec_id",
+                                             threshold=0.95,
+                                             n_planes=N_PLANES, seed=42)
+            .orderBy("id_a", "id_b"))
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+@q("d09_token_stats", f"""
+SELECT lang,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS BIGINT)
+         AS total_bpeish_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""")
+def d09(spark, sf):
+    """Token counting: whitespace + BPE-ish regex tokenizers, per lang."""
+    docs = t(spark, sf, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.sum(text.whitespace_token_count(F.col("text"))
+                       .cast("bigint")).cast("bigint")
+                 .alias("total_tokens"),
+                 F.sum(text.bpe_ish_token_count(F.col("text"))
+                       .cast("bigint")).cast("bigint")
+                 .alias("total_bpeish_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+@q("d10_quality_features", f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))) AS BIGINT)
+         AS sum_punct,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT)
+         AS sum_alpha,
+       CAST(ROUND(CAST(SUM(CAST(ROUND(
+           CAST(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS DOUBLE)
+           / greatest(length(text), 1), 6) AS DECIMAL(10,6))) AS DOUBLE)
+           / COUNT(*), 6) AS DOUBLE) AS avg_punct_ratio
+FROM documents
+GROUP BY source
+""")
+def d10(spark, sf):
+    """Quality scoring features per source; ratio averaging goes through
+    exact decimal sums (order-independent)."""
+    c = F.col("text")
+    cc = text.char_classes(c)
+    punct_ratio = F.round(
+        cc["n_punct"].cast("double") /
+        F.greatest(cc["n_chars"], F.lit(1)), 6)
+    docs = t(spark, sf, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(cc["n_chars"].cast("bigint")).cast("bigint")
+                 .alias("sum_chars"),
+                 F.sum(cc["n_punct"].cast("bigint")).cast("bigint")
+                 .alias("sum_punct"),
+                 F.sum(cc["n_alpha"].cast("bigint")).cast("bigint")
+                 .alias("sum_alpha"),
+                 F.round(F.sum(punct_ratio.cast("decimal(10,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_punct_ratio")))
+
+
+def _langid_oracle() -> str:
+    per_lang = " UNION ALL ".join(f"""
+SELECT doc_id, '{lang}' AS lang_cand,
+       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           w -> list_contains({list(text.STOPWORDS[lang])!r}, w))) AS hits
+FROM documents""" for lang in sorted(text.STOPWORDS))
+    return f"""
+WITH scores AS ({per_lang}),
+ranked AS (
+  SELECT doc_id, lang_cand, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang_cand ASC) AS rn
+  FROM scores WHERE hits > 0),
+pred AS (
+  SELECT d.doc_id,
+         COALESCE(r.lang_cand, 'und') AS lang_pred
+  FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1)
+SELECT lang_pred, COUNT(*) AS n FROM pred GROUP BY lang_pred
+"""
+
+
+@q("d11_language_id", _langid_oracle())
+def d11(spark, sf):
+    """Stopword-hit language-ID heuristic; predicted-language counts."""
+    docs = t(spark, sf, "documents")
+    return (text.language_id(docs, "text")
+            .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("d12_winnow_fingerprint")  # xxhash64-based -> rows-only
+def d12(spark, sf):
+    """Winnowing rolling-hash fingerprints; docs sharing >=1 window-min
+    hash are partial-overlap candidates."""
+    docs = t(spark, sf, "documents")
+    fp = text.rolling_hash_fingerprint(docs, "text")
+    return (fp.select("doc_id", F.explode("winnow_fp").alias("h"))
+            .groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .groupBy("n_docs").agg(F.count(F.lit(1)).alias("n_hashes"))
+            .orderBy("n_docs"))
+
+
+# ===========================================================================
+# multimodal
+# ===========================================================================
+
+@q("d13_multimodal_meta", """
+SELECT doc_id, 'image' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST((strlen(text) % 640) + 1 AS INTEGER) AS width,
+       CAST(((strlen(text) * 7) % 480) + 1 AS INTEGER) AS height
+FROM documents
+""")
+def d13(spark, sf):
+    """Multimodal plumbing: binary payload column + Arrow-batched
+    mapInPandas metadata extraction (decode stubbed deterministically —
+    schema/batch shape/partitioning are real)."""
+    docs = t(spark, sf, "documents")
+    with_payload = multimodal.attach_binary_payload(docs, "text")
+    meta = multimodal.extract_media_meta(with_payload, "payload", "doc_id")
+    return meta.select("doc_id", "media_type", "n_bytes", "width", "height")
