@@ -54,6 +54,10 @@ class Compiler:
             # statistics-driven broadcast posture: a known-small federated
             # result is a broadcast candidate for downstream joins
             # (reference statistics hook, src/sql/executor.rs:61-63).
+            # statistics() is a CHEAP hook (cache / catalog estimate) — it
+            # must never re-execute the federated query; the reference
+            # fetches it as an optional async hint, never by re-running
+            # the plan.
             est = p.provider.executor.statistics(p.sql)
             if est is not None and est <= self.broadcast_threshold_rows:
                 df = F.broadcast(df)
@@ -78,15 +82,21 @@ class Compiler:
 
         if isinstance(p, Project):
             df = self._c(p.input)
-            return df.select(*[self._col(e, df) for e in p.projections])
+            df, projs, _ = self._attach_scalar_subqueries(df, p.projections)
+            return df.select(*[e.to_spark() for e in projs])
 
         if isinstance(p, Filter):
-            from .expressions import Exists, InSubquery, walk as walk_expr
-            subq = [n for n in walk_expr(p.predicate)
-                    if isinstance(n, (Exists, InSubquery))]
-            if subq:
+            from .expressions import (
+                Exists, InSubquery, ScalarSubquery, walk as walk_expr)
+            nodes = list(walk_expr(p.predicate))
+            if any(isinstance(n, (Exists, InSubquery)) for n in nodes):
                 return self._compile_subquery_filter(p)
-            return self._c(p.input).filter(p.predicate.to_spark())
+            df = self._c(p.input)
+            if any(isinstance(n, ScalarSubquery) for n in nodes):
+                df, (pred,), cols = self._attach_scalar_subqueries(
+                    df, [p.predicate])
+                return df.filter(pred.to_spark()).drop(*cols)
+            return df.filter(p.predicate.to_spark())
 
         if isinstance(p, Join):
             left = self._c(p.left)
@@ -100,7 +110,8 @@ class Compiler:
 
         if isinstance(p, Aggregate):
             df = self._c(p.input)
-            aggs = [self._col(a, df) for a in p.aggregates]
+            df, aggs_x, _ = self._attach_scalar_subqueries(df, p.aggregates)
+            aggs = [a.to_spark() for a in aggs_x]
             gb = self._grouping(df, p.group_by)
             out = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)))
             if p.having is not None:
@@ -109,7 +120,7 @@ class Compiler:
 
         if isinstance(p, Window):
             df = self._c(p.input)
-            cols = [F.col("*")] + [self._col(e, df) for e in p.window_exprs]
+            cols = [F.col("*")] + [e.to_spark() for e in p.window_exprs]
             return df.select(*cols)
 
         if isinstance(p, Sort):
@@ -146,22 +157,34 @@ class Compiler:
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
     # ------------------------------------------------------------------
-    def _col(self, e: Expr, df: DataFrame):
-        from .expressions import ScalarSubquery
+    def _attach_scalar_subqueries(self, df: DataFrame, exprs):
+        """Inline each uncorrelated ScalarSubquery as a broadcast LEFT
+        JOIN ON TRUE of its 0-or-1-row result. Keeps everything in ONE
+        Catalyst plan (no driver collect, no second job), and an empty
+        subquery result yields NULL exactly as SQL requires. The
+        reference federates these independently then joins
+        (optimizer/mod.rs:285-305); correlated ones are refused upstream
+        (optimizer/mod.rs:114-120).
 
-        # scalar subqueries: execute the (already federated) subplan and
-        # inline the scalar as a literal — DataFusion decorrelates these to
-        # joins before federation; ours are uncorrelated by construction
-        # (correlated ones are refused, reference optimizer/mod.rs:114-120).
+        Returns (df_with_joins, rewritten_exprs, helper_col_names).
+        """
+        from .expressions import Col, ScalarSubquery
+        state = {"df": df, "n": 0, "cols": []}
+
         def replace(x: Expr) -> Expr:
             if isinstance(x, ScalarSubquery):
-                from .expressions import Lit
-                val = self._c(x.plan).collect()[0][0]
-                return Lit(val)
+                name = f"__sq{state['n']}"
+                state["n"] += 1
+                sub = self._c(x.plan)
+                sub = sub.select(F.col(sub.columns[0]).alias(name))
+                state["df"] = state["df"].join(
+                    F.broadcast(sub), on=F.lit(True), how="left")
+                state["cols"].append(name)
+                return Col(name)
             return x
 
-        e = _rewrite_expr(e, replace)
-        return e.to_spark()
+        new = [_rewrite_expr(e, replace) for e in exprs]
+        return state["df"], new, state["cols"]
 
     def _grouping(self, df: DataFrame, group_by):
         plain = [g for g in group_by

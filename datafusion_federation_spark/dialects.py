@@ -71,6 +71,10 @@ class Dialect:
         s = f"REGEXP_MATCHES({expr}, {pattern})"
         return f"(NOT {s})" if negated else s
 
+    #: whether the engine has native SEMI/ANTI JOIN syntax; when False the
+    #: unparser rewrites semi/anti joins to (NOT) EXISTS
+    supports_semi_anti_join = False
+
     #: join keywords; semi/anti spellings vary per engine
     join_keywords = {
         "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
@@ -82,16 +86,19 @@ class Dialect:
         return self.join_keywords[how]
 
     def limit_clause(self, fetch, skip) -> str:
+        # zero values render too: LIMIT 0 / OFFSET 0 are preserved, they
+        # do not vanish (reference regression, src/sql/analyzer.rs:73-94)
         parts = []
         if fetch is not None:
             parts.append(f"LIMIT {fetch}")
-        if skip:
+        if skip is not None:
             parts.append(f"OFFSET {skip}")
         return " ".join(parts)
 
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
+    supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
     function_map = {
         # Spark canonical -> DuckDB
         "substring": "substr",
@@ -129,6 +136,7 @@ class SparkSQLDialect(Dialect):
 
     name = "spark"
     quote_char = "`"
+    supports_semi_anti_join = True  # LEFT SEMI / LEFT ANTI JOIN
     join_keywords = dict(Dialect.join_keywords,
                          semi="LEFT SEMI JOIN", anti="LEFT ANTI JOIN")
 
@@ -145,6 +153,12 @@ class MySQLDialect(Dialect):
     quote_char = "`"
     ilike_op = "LIKE"  # MySQL LIKE is case-insensitive by default collation
     supports_filter_clause = False
+
+    def limit_clause(self, fetch, skip) -> str:
+        # MySQL has no bare OFFSET; the documented idiom is a huge LIMIT
+        if fetch is None and skip is not None:
+            return f"LIMIT 18446744073709551615 OFFSET {skip}"
+        return super().limit_clause(fetch, skip)
 
     def regex_match(self, expr, pattern, negated):
         s = f"{expr} REGEXP {pattern}"

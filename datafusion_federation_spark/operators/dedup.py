@@ -22,6 +22,10 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+# module-level so PySpark's pandas_udf type-hint resolution can see `pd`
+# (with `from __future__ import annotations` the hints are strings and are
+# resolved against this module's globals at decoration time).
+import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -209,7 +213,6 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     deterministic (md5-derived word hashes)."""
     import hashlib
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

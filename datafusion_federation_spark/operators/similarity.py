@@ -110,13 +110,15 @@ def ann_lsh_topk(df: DataFrame, vec_col: str, query: Sequence[float],
 
 
 def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                          dim: int,
                           threshold: float = 0.9,
                           n_planes: int = 8, seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket the corpus, compare only
     within buckets (id_a < id_b), keep pairs above threshold — the
-    embedding analog of MinHash dedup. Bucket key join instead of O(N^2)."""
-    sample = df.select(vec_col).first()
-    dim = len(sample[0])
+    embedding analog of MinHash dedup. Bucket key join instead of O(N^2).
+
+    ``dim`` is passed explicitly (no driver-side .first() probe — the
+    operator stays a pure plan transformation with no eager action)."""
     planes = random_hyperplanes(dim, n_planes, seed)
     b = df.select(F.col(id_col), F.col(vec_col),
                   lsh_signature(F.col(vec_col), planes).alias("__bucket"))

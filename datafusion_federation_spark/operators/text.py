@@ -103,11 +103,6 @@ def language_id(df: DataFrame, text_col: str,
     stopword list, pick the argmax (ties -> lexicographically first lang,
     deterministic). 'und' when nothing hits."""
     c = F.col(text_col)
-    scored = F.array(*[
-        F.struct(stopword_hits(c, STOPWORDS[lang]).alias("hits"),
-                 F.lit(lang).alias("lang"))
-        for lang in sorted(STOPWORDS)])
-    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
     # array_max on struct compares (hits, lang) lexicographically -> ties
     # resolve to the LAST lang alphabetically; flip lang ordering for
     # deterministic first-wins instead

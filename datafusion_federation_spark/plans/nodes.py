@@ -142,12 +142,14 @@ class Sort(Plan):
 
 @dataclass(eq=False)
 class Limit(Plan):
-    """LIMIT fetch OFFSET skip; both survive rewrites (the reference
-    regression-fixed this: src/sql/analyzer.rs:73-94, CHANGELOG #101)."""
+    """LIMIT fetch OFFSET skip; both survive rewrites INCLUDING zero
+    values — LIMIT 0 / OFFSET 0 must render, not vanish (the reference
+    regression-fixed this: src/sql/analyzer.rs:73-94, CHANGELOG #101).
+    ``skip=None`` means no OFFSET clause at all."""
 
     input: Plan
     fetch: Optional[int] = None
-    skip: int = 0
+    skip: Optional[int] = None
 
     def inputs(self): return (self.input,)
 

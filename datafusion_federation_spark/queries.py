@@ -33,6 +33,19 @@ def q(name: str, oracle: Optional[str] = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events fixture stores ts as INT64 TIMESTAMP(NANOS), which
+        # Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
+        # raw longs, then rebuild a microsecond timestamp. Integer `div`
+        # (not `/`): ns epochs ~1.7e18 exceed double's 2^53 mantissa, so
+        # float division would corrupt the low microseconds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import types as T
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -112,13 +125,14 @@ ORDER BY revenue DESC, o.o_orderkey
 LIMIT 10
 """)
 def q03(spark, sf):
-    """3-way join + agg + top-k. customer is the small side -> broadcast;
-    lineitem never shuffles before the filter."""
+    """3-way join + agg + top-k. orders/customer are SF-proportional, so
+    no forced broadcast: filters push to parquet and AQE picks the join
+    strategy from runtime sizes (broadcast at small SF, shuffle at 100TB)."""
     c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     l = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
-    return (l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("o_orderkey",
                      F.date_format("o_orderdate", "yyyy-MM-dd")
                      .alias("orderdate"),
@@ -143,8 +157,9 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """)
 def q05(spark, sf):
-    """5-way star join. All dimensions broadcast; the only shuffle is the
-    final groupBy on n_name."""
+    """5-way star join. Only the fixed-size dims (nation: 25 rows,
+    region: 5 rows) get broadcast hints; customer/orders scale with SF
+    and are left to AQE."""
     r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf, "nation")
     c = t(spark, sf, "customer")
@@ -153,7 +168,7 @@ def q05(spark, sf):
         (F.col("o_orderdate") < "1998-01-01"))
     l = t(spark, sf, "lineitem")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("n_name")
@@ -199,7 +214,7 @@ def q10(spark, sf):
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_custkey", "c_name")
             .agg(money(dec("l_extendedprice") * (1 - dec("l_discount")))
                  .alias("revenue"),
@@ -249,7 +264,7 @@ def q14(spark, sf):
         (F.col("l_shipdate") >= "1997-01-01") &
         (F.col("l_shipdate") < "1997-07-01"))
     p = t(spark, sf, "part")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .agg(F.round(
                 100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
                               .otherwise(F.lit(0).cast(DEC))).cast("double")
@@ -275,7 +290,7 @@ def q18(spark, sf):
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_name", "c_custkey", "o_orderkey",
                      F.date_format("o_orderdate", "yyyy-MM-dd")
                      .alias("orderdate"),
@@ -489,11 +504,14 @@ WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
 """)
 def q31(spark, sf):
     """Uncorrelated scalar subquery (federated independently in the
-    reference, optimizer/mod.rs:285-305). Quantities are integral doubles
-    so the avg threshold is ulp-safe."""
+    reference, optimizer/mod.rs:285-305). The 1-row aggregate is
+    crossJoin(broadcast(...))-ed so Catalyst keeps it in ONE plan (no
+    driver collect, no second job). Quantities are integral doubles so
+    the avg threshold is ulp-safe."""
     li = t(spark, sf, "lineitem")
-    avg_qty = li.agg(F.avg("l_quantity")).collect()[0][0]
-    return (li.filter(F.col("l_quantity") > avg_qty)
+    avg_qty = li.agg(F.avg("l_quantity").alias("__avg_qty"))
+    return (li.crossJoin(F.broadcast(avg_qty))
+            .filter(F.col("l_quantity") > F.col("__avg_qty"))
             .agg(F.count(F.lit(1)).alias("n_above"),
                  F.sum(F.col("l_quantity").cast("bigint"))
                  .alias("qty_above")))

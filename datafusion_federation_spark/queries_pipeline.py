@@ -199,6 +199,7 @@ def d08(spark, sf):
     (threshold 0.95)."""
     emb = t(spark, sf, "embeddings")
     return (similarity.pairwise_cosine_pairs(emb, "embedding", "vec_id",
+                                             dim=EMB_DIM,
                                              threshold=0.95,
                                              n_planes=N_PLANES, seed=42)
             .orderBy("id_a", "id_b"))

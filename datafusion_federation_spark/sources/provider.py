@@ -176,6 +176,7 @@ class DuckDBExecutor(SQLExecutor):
         self.compute_context = compute_context or database
         self.conn = duckdb.connect(database)
         self._tables: Dict[str, str] = {}
+        self._row_cache: Dict[str, int] = {}
 
     def register_parquet(self, name: str, path: str):
         self.conn.execute(
@@ -204,20 +205,25 @@ class DuckDBExecutor(SQLExecutor):
         t0 = time.time()
         arrow = self.conn.execute(sql).fetch_arrow_table()
         self._record(sql, time.time() - t0, arrow.num_rows)
+        self._row_cache[sql] = arrow.num_rows
         if arrow.num_rows == 0 and schema is not None:
             return spark.createDataFrame([], schema)
-        pdf = arrow.to_pandas()
-        df = (spark.createDataFrame(pdf, schema=schema) if schema is not None
-              else spark.createDataFrame(pdf))
+        try:
+            # Spark 4: Arrow table -> DataFrame directly (no pandas hop)
+            df = (spark.createDataFrame(arrow, schema=schema)
+                  if schema is not None else spark.createDataFrame(arrow))
+        except Exception:
+            pdf = arrow.to_pandas()
+            df = (spark.createDataFrame(pdf, schema=schema)
+                  if schema is not None else spark.createDataFrame(pdf))
         return df
 
     def statistics(self, sql: str) -> Optional[int]:
-        try:
-            row = self.conn.execute(
-                f"SELECT COUNT(*) FROM ({sql}) t").fetchone()
-            return int(row[0])
-        except Exception:
-            return None
+        """Cheap statistics hook (reference src/sql/executor.rs:61-63
+        fetches these as an optional hint — NEVER by re-executing the
+        plan). We return the exact count if this SQL already ran on this
+        connection, else unknown; no remote work is ever issued here."""
+        return self._row_cache.get(sql)
 
 
 @dataclass

@@ -86,11 +86,11 @@ class Unparser:
         """Render a full query string for `plan`."""
         if isinstance(plan, Union):
             kw = " UNION ALL " if plan.all else " UNION "
-            return kw.join(self._to_query(b) for b in plan.branches)
+            return kw.join(self._branch_query(b) for b in plan.branches)
         if isinstance(plan, SetOp):
             kw = f" {plan.op}{' ALL' if plan.all else ''} "
-            return kw.join([self._to_query(plan.left),
-                            self._to_query(plan.right)])
+            return kw.join([self._branch_query(plan.left),
+                            self._branch_query(plan.right)])
         if isinstance(plan, (Sort, Limit)) and isinstance(
                 self._skip_orderlimit(plan), (Union, SetOp)):
             # ORDER BY / LIMIT applied over a set operation
@@ -118,6 +118,15 @@ class Unparser:
             plan = plan.inputs()[0]
         return plan
 
+    def _branch_query(self, b: Plan) -> str:
+        """A set-operation branch carrying its own ORDER BY/LIMIT must be
+        scoped, or the LIMIT binds to the whole union. Wrap it as a derived
+        table (bare parens around a SELECT are rejected by SQLite)."""
+        if isinstance(b, (Sort, Limit)):
+            a = self.dialect.quote(self._fresh_alias())
+            return f"SELECT * FROM ({self._to_query(b)}) AS {a}"
+        return self._to_query(b)
+
     # ------------------------------------------------------------------
     def _relation_sql(self, plan: Plan, alias: Optional[str] = None) -> str:
         """Render `plan` as a FROM-clause relation (table ref or derived
@@ -125,6 +134,8 @@ class Unparser:
         d = self.dialect
         if isinstance(plan, Scan):
             ref = plan.table.remote_sql_ref(d)
+            if alias is None:
+                alias = self._scan_auto_alias(plan)
             if alias:
                 ref += f" AS {d.quote(alias)}"
             return ref
@@ -133,6 +144,24 @@ class Unparser:
         sub = self._to_query(plan)
         a = alias or self._fresh_alias()
         return f"({sub}) AS {d.quote(a)}"
+
+    @staticmethod
+    def _scan_auto_alias(plan: Scan) -> Optional[str]:
+        """Alias a scanned relation with its LOCAL name when (a) the remote
+        name differs — so column refs qualified by the local name stay
+        valid (our trivial RewriteTableScanAnalyzer: handles carry remote
+        refs from registration, SURVEY.md §2B) — or (b) the reference is a
+        parameterized table function, which requires an alias (reference
+        TableArgReplace appends one, src/sql/ast_analyzer.rs:40-109;
+        golden `FROM table_b1(1) AS table_b1`, src/sql/mod.rs:670)."""
+        t = plan.table
+        if t.remote is None:
+            return None
+        if t.remote.ref.args is not None:
+            return t.local_name
+        if t.remote.ref.name != t.local_name:
+            return t.local_name
+        return None
 
     def _build_shell(self, plan: Plan) -> _Shell:
         d = self.dialect
@@ -156,11 +185,14 @@ class Unparser:
         if isinstance(plan, Filter):
             sh = self._build_shell(plan.input)
             pred = plan.predicate.to_sql(d)
-            if sh.group_by is not None or sh.select is not None or sh.limit:
-                if sh.group_by is not None and sh.select is not None:
-                    # post-aggregation filter -> HAVING
-                    sh.having.append(pred)
-                    return sh
+            if (sh.group_by is not None or sh.select is not None or sh.limit
+                    or sh.having):
+                # A filter above an aggregation/projection wraps it as a
+                # derived table and uses WHERE: the predicate may reference
+                # SELECT-list aliases, which is legal against a derived
+                # table in every dialect (HAVING-by-alias is DuckDB-only,
+                # rejected by PostgreSQL/ANSI). Aggregate.having still
+                # renders as HAVING with the raw aggregate expression.
                 sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
             sh.where.append(pred)
             return sh
@@ -171,6 +203,20 @@ class Unparser:
             wrap_where = plan.how in ("right", "full")
             lsh = self._build_shell_as_relation(plan.left, wrap_where)
             rrel = self._relation_sql_for_join(plan.right)
+            if (plan.how in ("semi", "anti")
+                    and not d.supports_semi_anti_join):
+                # Dialects without native SEMI/ANTI JOIN syntax
+                # (ANSI/Postgres/MySQL/SQLite) get the EXISTS spelling.
+                if plan.using:
+                    raise ValueError(
+                        "semi/anti USING join needs a dialect with native "
+                        "SEMI JOIN syntax; use an ON condition instead")
+                cond = (plan.condition.to_sql(d)
+                        if plan.condition is not None else "TRUE")
+                neg = "NOT " if plan.how == "anti" else ""
+                lsh.where.append(
+                    f"{neg}EXISTS (SELECT 1 FROM {rrel} WHERE {cond})")
+                return lsh
             sh = lsh
             kw = d.join_keyword(plan.how) if hasattr(d, "join_keyword") \
                 else _JOIN_SQL[plan.how]
