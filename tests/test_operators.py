@@ -1,0 +1,140 @@
+"""LLM-pipeline operator tests: pinned deterministic outputs for the
+hash-based operators that have no SQL oracle (MinHash/winnowing use
+xxhash64, SimHash uses md5-derived word hashes — neither reproducible in
+DuckDB SQL), plus planted-near-duplicate unit fixtures proving each
+detector actually detects.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_federation_spark.operators import dedup, similarity, text
+from tests.conftest import TESTDATA
+
+
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# pinned deterministic outputs at sf0.001 (rows-only queries get a real
+# expected-value check here, in lieu of a DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_pinned(spark):
+    out = (dedup.minhash_dedup_pairs(docs(spark), "text", "doc_id",
+                                     num_hashes=32, bands=8, threshold=0.7)
+           .orderBy("id_a", "id_b").collect())
+    assert len(out) == 26
+    first = [(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+             for r in out[:3]]
+    assert first == [(0, 50, 0.952381), (0, 82, 0.954545),
+                     (5, 450, 0.97561)]
+    # symmetric sanity: every pair ordered, no self-pairs
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_minhash_deterministic_across_runs(spark):
+    a = (dedup.minhash_dedup_pairs(docs(spark), "text", "doc_id",
+                                   num_hashes=32, bands=8, threshold=0.7)
+         .orderBy("id_a", "id_b").collect())
+    b = (dedup.minhash_dedup_pairs(docs(spark), "text", "doc_id",
+                                   num_hashes=32, bands=8, threshold=0.7)
+         .orderBy("id_a", "id_b").collect())
+    assert a == b
+
+
+def test_winnow_fingerprint_pinned(spark):
+    fp = text.rolling_hash_fingerprint(docs(spark), "text",
+                                       id_col="doc_id")
+    out = (fp.select("doc_id", F.explode("winnow_fp").alias("h"))
+           .groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+           .filter(F.col("n_docs") >= 2)
+           .groupBy("n_docs").agg(F.count(F.lit(1)).alias("n_hashes"))
+           .orderBy("n_docs").collect())
+    assert [(r["n_docs"], r["n_hashes"]) for r in out] == \
+        [(2, 260), (3, 9), (4, 14)]
+
+
+def test_simhash_pinned(spark):
+    out = (dedup.simhash_near_pairs(docs(spark), "text", "doc_id",
+                                    max_hamming=10)
+           .orderBy("id_a", "id_b").collect())
+    assert len(out) == 488
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["hamming"]) == (0, 50, 3)
+    assert all(0 <= r["hamming"] <= 10 for r in out)
+
+
+def test_embedding_near_pairs_pinned(spark):
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    out = (similarity.pairwise_cosine_pairs(emb, "embedding", "vec_id",
+                                            dim=64, threshold=0.4,
+                                            n_planes=8, seed=42)
+           .orderBy("id_a", "id_b").collect())
+    got = [(r["id_a"], r["id_b"], round(r["cos"], 6)) for r in out]
+    assert got == [(390, 483, 0.454308), (397, 471, 0.405846)]
+
+
+# ---------------------------------------------------------------------------
+# planted near-duplicates: each detector must find a doctored pair
+# ---------------------------------------------------------------------------
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the "
+        "garden under a bright morning sun near the quiet river bank")
+NEAR = BASE.replace("morning", "evening")          # one-word edit
+FAR = ("completely different content about database systems query "
+       "optimization distributed execution shuffle partitioning and "
+       "columnar storage formats with vectorized expression evaluation")
+
+
+@pytest.fixture()
+def planted(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR)], "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pair(planted):
+    out = (dedup.minhash_dedup_pairs(planted, "text", "doc_id",
+                                     num_hashes=32, bands=8, threshold=0.5)
+           .collect())
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_finds_planted_pair(planted):
+    out = dedup.simhash_near_pairs(planted, "text", "doc_id",
+                                   max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_finds_planted_pair(planted):
+    out = dedup.ngram_jaccard_pairs(planted, "text", "doc_id",
+                                    n=3, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (4, "same text"), (7, "other")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.exact_dedup(df, ["text"], "doc_id").collect())
+    assert kept == [4, 7]
+
+
+def test_cosine_topk_exact_match_first(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (3, [0.9, 0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, "embedding", [1.0, 0.0, 0.0], k=2,
+                                 id_col="vec_id").collect()
+    assert out[0]["vec_id"] == 1 and out[0]["score"] == 1.0
+    assert out[1]["vec_id"] == 3
