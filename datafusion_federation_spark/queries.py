@@ -728,3 +728,204 @@ def q51(spark, sf):
                  .alias("qty"),
                  agg("count").alias("n"))
             .to_df())
+
+
+def _fed_engine(spark, sf, tables, name):
+    """Engine with the given tables living on one DuckDB 'remote'
+    (boilerplate for the q52+ unparser-path queries)."""
+    from . import DuckDBExecutor, FederationEngine, SQLProvider
+    eng = FederationEngine(spark)
+    ex = DuckDBExecutor(name=name, compute_context=sf)
+    prov = SQLProvider(ex)
+    for tname in tables:
+        ex.register_parquet(tname, f"{sf}/{tname}.parquet")
+        eng.register_remote(prov, tname)
+    return eng
+
+
+@q("q52_federated_window", """
+SELECT o_orderpriority, o_orderkey, rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders) w
+WHERE rk <= 3
+ORDER BY o_orderpriority, rk
+""")
+def q52(spark, sf):
+    """Window function through the engine: ROW_NUMBER with partition +
+    two-key order federates into the remote SQL; the filter above the
+    Window lands on a derived table (top-3 per priority, entirely
+    remote)."""
+    from .expressions import WindowFunc, col, func, lit
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q52")
+    rk = WindowFunc(func("row_number"),
+                    partition_by=[col("o_orderpriority")],
+                    order_by=[col("o_totalprice").desc(),
+                              col("o_orderkey").asc()])
+    return (eng.table("orders")
+            .window(rk.alias("rk"))
+            .filter(col("rk") <= lit(3))
+            .select("o_orderpriority", "o_orderkey", "rk")
+            .order_by("o_orderpriority", "rk")
+            .to_df())
+
+
+@q("q53_federated_rollup", """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority)
+""")
+def q53(spark, sf):
+    """ROLLUP through the engine -> remote GROUP BY ROLLUP (...)."""
+    from .expressions import Cast, agg, col, func, lit
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q53")
+    total = Cast(func("round",
+                      agg("sum", Cast(col("o_totalprice"),
+                                      "decimal(12,2)")), lit(2)), "double")
+    return (eng.table("orders")
+            .rollup("o_orderpriority")
+            .agg(agg("count").alias("n"), total.alias("total"))
+            .to_df())
+
+
+@q("q54_federated_grouping_sets", """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""")
+def q54(spark, sf):
+    """GROUPING SETS through the engine -> remote GROUP BY GROUPING
+    SETS ((a), (b), ())."""
+    from .expressions import agg, col
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q54")
+    return (eng.table("orders")
+            .grouping_sets([col("o_orderpriority")],
+                           [col("o_orderstatus")], [])
+            .agg(agg("count").alias("n"))
+            .to_df())
+
+
+@q("q55_federated_limit_offset", """
+SELECT o_orderkey,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE)
+         AS price
+FROM orders
+ORDER BY price DESC, o_orderkey
+LIMIT 10 OFFSET 5
+""")
+def q55(spark, sf):
+    """ORDER BY + LIMIT/OFFSET federate into the remote SQL (skip and
+    fetch both survive — reference CHANGELOG #101 regression)."""
+    from .expressions import Cast, col, lit
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q55")
+    price = Cast(Cast(col("o_totalprice"), "decimal(12,2)"), "double")
+    return (eng.table("orders")
+            .select(col("o_orderkey"), price.alias("price"))
+            .order_by(col("price").desc(), col("o_orderkey").asc())
+            .limit(10, offset=5)
+            .to_df())
+
+
+@q("q56_federated_union", """
+SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice > 250000
+UNION ALL
+SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+""")
+def q56(spark, sf):
+    """UNION ALL on one provider collapses into ONE remote query
+    (reference mod.rs:681-767 single-query golden)."""
+    from .expressions import col, lit
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q56")
+    hi = (eng.table("orders")
+          .filter(col("o_totalprice") > lit(250000))
+          .select(col("o_orderkey"), lit("high").alias("bucket")))
+    lo = (eng.table("orders")
+          .filter(col("o_totalprice") < lit(10000))
+          .select(col("o_orderkey"), lit("low").alias("bucket")))
+    return hi.union_all(lo).to_df()
+
+
+@q("q57_federated_semi_join", """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+ORDER BY o_orderkey
+""")
+def q57(spark, sf):
+    """Semi join through the engine: DuckDB has native SEMI JOIN, so the
+    remote SQL uses it (dialects without it get the EXISTS spelling —
+    golden-tested in tests/test_unparser_goldens.py)."""
+    from .expressions import col, lit
+
+    eng = _fed_engine(spark, sf, ["orders", "customer"], "duck_q57")
+    rich = eng.table("customer").filter(col("c_acctbal") > lit(9000))
+    return (eng.table("orders")
+            .join(rich, on=col("o_custkey") == col("c_custkey"),
+                  how="semi")
+            .select("o_orderkey", "o_custkey")
+            .order_by("o_orderkey")
+            .to_df())
+
+
+@q("q58_federated_except", """
+SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+EXCEPT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_nationkey
+""")
+def q58(spark, sf):
+    """EXCEPT through the engine with a global ORDER BY above the set
+    operation."""
+    from .expressions import col, lit
+
+    eng = _fed_engine(spark, sf, ["customer"], "duck_q58")
+    a = (eng.table("customer").filter(col("c_acctbal") > lit(0))
+         .select("c_nationkey"))
+    b = (eng.table("customer")
+         .filter(col("c_mktsegment") == lit("BUILDING"))
+         .select("c_nationkey"))
+    return a.except_(b).order_by("c_nationkey").to_df()
+
+
+@q("q59_federated_expr_surface", """
+SELECT CASE WHEN p_size BETWEEN 1 AND 15 THEN 'small'
+            WHEN p_size BETWEEN 16 AND 35 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       COUNT(*) AS n,
+       COUNT(DISTINCT p_type) AS n_types,
+       COUNT(*) FILTER (WHERE p_name LIKE '%green%') AS n_green
+FROM part
+WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+   OR p_name LIKE 'a%'
+GROUP BY size_class
+""")
+def q59(spark, sf):
+    """Expression surface through the unparser: CASE / BETWEEN / LIKE /
+    IN-list in one federated query, plus DISTINCT and FILTER aggregate
+    clauses."""
+    from .expressions import Case, agg, col, lit
+
+    eng = _fed_engine(spark, sf, ["part"], "duck_q59")
+    size_class = Case([(col("p_size").between(1, 15), lit("small")),
+                       (col("p_size").between(16, 35), lit("medium"))],
+                      lit("large"))
+    pred = (col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+            | col("p_name").like("a%"))
+    return (eng.table("part")
+            .filter(pred)
+            .group_by(size_class.alias("size_class"))
+            .agg(agg("count").alias("n"),
+                 agg("count", col("p_type"), distinct=True)
+                 .alias("n_types"),
+                 agg("count", filter=col("p_name").like("%green%"))
+                 .alias("n_green"))
+            .to_df())

@@ -235,15 +235,31 @@ class Unparser:
             if (sh.select is not None or sh.group_by is not None or sh.limit
                     or sh.distinct):
                 sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
+            # GROUP BY keys: bare expressions (an aliased key renders its
+            # underlying expr — `GROUP BY x AS y` is a syntax error)
             keys = []
             for g in plan.group_by:
-                keys.append(g.to_sql(d))
+                keys.append(g.expr.to_sql(d) if isinstance(g, Alias)
+                            else g.to_sql(d))
             sh.group_by = keys or None
+            # SELECT list: grouping keys (incl. the member columns of
+            # rollup/cube/grouping sets — they are output columns), then
+            # aggregates
             sel = []
+            seen = set()
             for g in plan.group_by:
-                if isinstance(g, (Rollup, Cube, GroupingSets)):
-                    continue
-                sel.append(g.to_sql(d))
+                if isinstance(g, (Rollup, Cube)):
+                    members = list(g.exprs)
+                elif isinstance(g, GroupingSets):
+                    members = [e for s in g.sets for e in s]
+                else:
+                    members = [g]
+                for m in members:
+                    s = m.to_sql(d)
+                    key = (m.expr.to_sql(d) if isinstance(m, Alias) else s)
+                    if key not in seen:
+                        seen.add(key)
+                        sel.append(s)
             sel += [a.to_sql(d) for a in plan.aggregates]
             sh.select = sel
             if plan.having is not None:
