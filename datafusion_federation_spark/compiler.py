@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 from .expressions import Alias, Col, Cube, Expr, GroupingSets, Rollup, Star
 from .plans.nodes import (
-    Aggregate, Distinct, Filter, Join, Limit, Plan, Project, RemoteQueryNode,
-    Scan, SetOp, Sort, SubqueryAlias, Union, Window,
+    Aggregate, Analyze, Distinct, Filter, Join, Limit, Plan, Project,
+    RemoteQueryNode, Scan, SetOp, Sort, SubqueryAlias, Union, Window,
 )
 from .schema_cast import cast_dataframe
 
@@ -44,8 +44,16 @@ class Compiler:
 
     # ------------------------------------------------------------------
     def _c(self, p: Plan) -> DataFrame:
+        if isinstance(p, Analyze):
+            # AnalyzeExec analog: execution + metrics are driven by
+            # engine.explain(analyze=True); plain compilation runs the
+            # input (the Analyze wrapper itself is never federated)
+            return self._c(p.input)
+
         if isinstance(p, RemoteQueryNode):
-            df = p.provider.executor.execute(self.spark, p.sql,
+            sql = p.provider.executor.apply_runtime_filters(
+                p.sql, p.runtime_filters)
+            df = p.provider.executor.execute(self.spark, sql,
                                              schema=p.schema)
             if p.schema is not None:
                 # SchemaCastScanExec analog: cast the remote result to the
@@ -82,21 +90,33 @@ class Compiler:
 
         if isinstance(p, Project):
             df = self._c(p.input)
-            df, projs, _ = self._attach_scalar_subqueries(df, p.projections)
+            # SELECT * REPLACE (...) expands to in-place withColumn calls
+            if (len(p.projections) == 1
+                    and isinstance(p.projections[0], Star)
+                    and p.projections[0].replace):
+                st = p.projections[0]
+                if st.table is not None:
+                    raise ValueError(
+                        "qualified * REPLACE is not supported locally")
+                for e, name in st.replace:
+                    df = df.withColumn(name, e.to_spark())
+                return df
+            df, projs, _ = self._prepare_exprs(df, p.projections)
             return df.select(*[e.to_spark() for e in projs])
 
         if isinstance(p, Filter):
             from .expressions import (
                 Exists, InSubquery, ScalarSubquery, walk as walk_expr)
-            nodes = list(walk_expr(p.predicate))
+            pred = _rewrite_expr(p.predicate, self._rewrite_quantifier)
+            nodes = list(walk_expr(pred))
             if any(isinstance(n, (Exists, InSubquery)) for n in nodes):
-                return self._compile_subquery_filter(p)
+                return self._compile_subquery_filter(Filter(p.input, pred))
             df = self._c(p.input)
             if any(isinstance(n, ScalarSubquery) for n in nodes):
-                df, (pred,), cols = self._attach_scalar_subqueries(
-                    df, [p.predicate])
+                df, (pred,), cols = self._prepare_exprs(df, [pred])
                 return df.filter(pred.to_spark()).drop(*cols)
-            return df.filter(p.predicate.to_spark())
+            pred = _rewrite_expr(pred, self._resolve_scalar_variable)
+            return df.filter(pred.to_spark())
 
         if isinstance(p, Join):
             left = self._c(p.left)
@@ -110,7 +130,7 @@ class Compiler:
 
         if isinstance(p, Aggregate):
             df = self._c(p.input)
-            df, aggs_x, _ = self._attach_scalar_subqueries(df, p.aggregates)
+            df, aggs_x, _ = self._prepare_exprs(df, p.aggregates)
             aggs = [a.to_spark() for a in aggs_x]
             gb = self._grouping(df, p.group_by)
             out = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)))
@@ -157,6 +177,53 @@ class Compiler:
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
     # ------------------------------------------------------------------
+    def _prepare_exprs(self, df: DataFrame, exprs):
+        """Expression lowering for the local path: quantified comparisons
+        rewrite to IN / min-max scalar subqueries, session variables
+        resolve from the Spark conf, then scalar subqueries attach as
+        broadcast joins."""
+        exprs = [_rewrite_expr(e, self._rewrite_quantifier) for e in exprs]
+        exprs = [_rewrite_expr(e, self._resolve_scalar_variable)
+                 for e in exprs]
+        return self._attach_scalar_subqueries(df, exprs)
+
+    def _rewrite_quantifier(self, x: Expr) -> Expr:
+        """ANY/ALL (analyzer.rs:566-586) — local rewrite (SURVEY.md §2C):
+        ``= ANY`` -> IN, ``<> ALL`` -> NOT IN, ordered comparisons ->
+        min/max scalar aggregate of the subquery (e.g. ``x > ANY(s)`` <=>
+        ``x > (SELECT MIN(s))``). NULLs inside the subquery follow
+        min/max ignore-null semantics."""
+        from .expressions import (
+            AggFunc, Alias, BinaryOp, InSubquery, ScalarSubquery,
+            SetComparison)
+        if not isinstance(x, SetComparison):
+            return x
+        op, quant = x.op, x.quantifier.upper()
+        if (op, quant) == ("=", "ANY"):
+            return InSubquery(x.expr, x.plan)
+        if (op, quant) == ("<>", "ALL"):
+            return InSubquery(x.expr, x.plan, negated=True)
+        table = {(">", "ANY"): "min", (">=", "ANY"): "min",
+                 (">", "ALL"): "max", (">=", "ALL"): "max",
+                 ("<", "ANY"): "max", ("<=", "ANY"): "max",
+                 ("<", "ALL"): "min", ("<=", "ALL"): "min"}
+        name = table.get((op, quant))
+        if name is None:
+            raise NotImplementedError(
+                f"local {op} {quant} (subquery) has no simple aggregate "
+                "rewrite; run it federated")
+        out_col = _plan_output_col(x.plan)
+        agg_plan = Aggregate(x.plan, [],
+                             [Alias(AggFunc(name, [Col(out_col)]),
+                                    f"__{name}")])
+        return BinaryOp(op, x.expr, ScalarSubquery(agg_plan))
+
+    def _resolve_scalar_variable(self, x: Expr) -> Expr:
+        from .expressions import Lit, ScalarVariable
+        if isinstance(x, ScalarVariable):
+            return Lit(self.spark.conf.get(x.name, None))
+        return x
+
     def _attach_scalar_subqueries(self, df: DataFrame, exprs):
         """Inline each uncorrelated ScalarSubquery as a broadcast LEFT
         JOIN ON TRUE of its 0-or-1-row result. Keeps everything in ONE
@@ -224,6 +291,23 @@ class Compiler:
             return df.join(sub, on=pred.expr.to_spark() == sub[sub_col],
                            how=how)
         raise ValueError("subquery predicates must be top-level in a Filter")
+
+
+def _plan_output_col(p: Plan) -> str:
+    """First output column name of a sub-plan (for quantifier rewrites)."""
+    if isinstance(p, Project):
+        return p.projections[0].output_name()
+    if isinstance(p, Aggregate):
+        out = list(p.group_by) + list(p.aggregates)
+        return out[0].output_name()
+    if isinstance(p, Scan) and p.projection:
+        return p.projection[0]
+    if isinstance(p, RemoteQueryNode) and p.schema is not None:
+        return p.schema.fields[0].name
+    inputs = p.inputs()
+    if inputs:
+        return _plan_output_col(inputs[0])
+    raise ValueError(f"cannot infer output column of {type(p).__name__}")
 
 
 def _rewrite_expr(e: Expr, fn) -> Expr:

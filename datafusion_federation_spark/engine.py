@@ -67,14 +67,41 @@ class FederationEngine:
         return self.spark.sql(query)
 
     # -- execution ---------------------------------------------------------
-    def execute(self, plan: Plan) -> DataFrame:
+    def execute(self, plan: Plan, params: Optional[dict] = None) -> DataFrame:
+        """Execute a plan. ``params`` binds Placeholder expressions
+        (``$1`` / named) before federation, so bound values reach the
+        generated remote SQL as literals."""
+        if params:
+            from .expressions import bind_placeholders
+            bind_placeholders(plan, params)
         return self.compiler.compile(federate(plan))
 
-    def explain(self, plan: Plan) -> str:
+    def insert_into(self, table_name: str, df: DataFrame,
+                    mode: str = "append"):
+        """INSERT INTO passthrough (reference delegates to the fallback
+        provider, src/table_provider.rs:126-139): remote tables go
+        through the executor's insert hook; local parquet tables append
+        to their path."""
+        h = self.catalog.table(table_name)
+        if h.provider is not None and hasattr(h.provider, "executor"):
+            ref = h.remote.ref if h.remote is not None else table_name
+            return h.provider.executor.insert(self.spark, df, ref, mode)
+        if h.fallback_path is not None:
+            df.write.mode(mode).parquet(h.fallback_path)
+            return None
+        raise NotImplementedError(
+            f"table {table_name!r} supports no insert path")
+
+    def explain(self, plan: Plan, analyze: bool = False) -> str:
         """Staged explain like the reference's EXPLAIN output
         (src/sql/mod.rs:303-368): which subtrees federated, the base and
         rewritten SQL per federated node, and Spark's physical plan for
-        the residue."""
+        the residue. ``analyze=True`` also executes the plan and reports
+        row count + wall time (AnalyzeExec analog; the Analyze wrapper
+        itself is never federated — src/optimizer/mod.rs:194-209)."""
+        from .plans.nodes import Analyze
+        if isinstance(plan, Analyze):
+            plan, analyze = plan.input, True
         fed = federate(plan)
         lines = ["== Federated logical plan =="]
         lines += _render_plan(fed)
@@ -89,6 +116,12 @@ class FederationEngine:
         lines.append(df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution
             .ExplainMode.fromString("formatted")))
+        if analyze:
+            import time as _time
+            t0 = _time.time()
+            n = df.count()
+            lines.append("== Analyze ==")
+            lines.append(f"rows: {n}, elapsed: {_time.time() - t0:.3f}s")
         return "\n".join(lines)
 
 

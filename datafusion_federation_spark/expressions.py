@@ -148,14 +148,29 @@ class Lit(Expr):
 
 @dataclass(eq=False)
 class Star(Expr):
-    """Wildcard, optionally qualified (analyzer.rs:494-522)."""
+    """Wildcard, optionally qualified, with optional REPLACE items
+    (analyzer.rs:494-522: planned wildcard options)."""
 
     table: Optional[str] = None
+    #: REPLACE items: [(replacement_expr, column_name), ...]
+    replace: Sequence[tuple] = ()
+
+    def children(self):
+        return tuple(e for e, _ in self.replace)
 
     def to_sql(self, d) -> str:
-        return f"{d.quote(self.table)}.*" if self.table else "*"
+        s = f"{d.quote(self.table)}.*" if self.table else "*"
+        if self.replace:
+            items = ", ".join(f"{e.to_sql(d)} AS {d.quote(name)}"
+                              for e, name in self.replace)
+            s += f" REPLACE ({items})"
+        return s
 
     def to_spark(self) -> Column:
+        if self.replace:
+            raise ValueError(
+                "Star REPLACE has no single-Column form; the compiler "
+                "expands it to withColumn calls")
         return F.col(f"{self.table}.*" if self.table else "*")
 
     def output_name(self) -> str:
@@ -731,6 +746,117 @@ class OuterRef(Expr):
 
     def to_sql(self, d) -> str:
         return Col(self.name, self.table).to_sql(d)
+
+
+@dataclass(eq=False)
+class SetComparison(Expr):
+    """Quantified comparison ``expr op ANY/ALL (subquery)``
+    (analyzer.rs:566-586). Unparses verbatim for the remote path; the
+    local compiler rewrites to IN / NOT IN / min-max scalar aggregates
+    (SURVEY.md §2C)."""
+
+    expr: Expr
+    op: str             # = <> < <= > >=
+    quantifier: str     # ANY | ALL
+    plan: Any           # plans.nodes.Plan
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        from .unparser import Unparser
+        return (f"{self.expr.to_sql(d)} {self.op} {self.quantifier} ("
+                + Unparser(d).plan_to_sql(self.plan) + ")")
+
+    def to_spark(self) -> Column:
+        raise NotImplementedError(
+            "SetComparison compiles via the Compiler's quantifier rewrite")
+
+
+@dataclass(eq=False)
+class Unnest(Expr):
+    """UNNEST(array) (analyzer.rs:561-564) — Spark: explode()."""
+
+    expr: Expr
+
+    def children(self): return (self.expr,)
+
+    def to_sql(self, d) -> str:
+        return f"UNNEST({self.expr.to_sql(d)})"
+
+    def to_spark(self) -> Column:
+        return F.explode(self.expr.to_spark())
+
+    def output_name(self) -> str:
+        return "unnest"
+
+
+_UNBOUND = object()
+
+
+@dataclass(eq=False)
+class Placeholder(Expr):
+    """Parameter placeholder like ``$1`` (analyzer.rs:565). Unparses as
+    the marker while unbound (a remote engine with its own parameter
+    binding may receive it verbatim); once bound — engine.execute(...,
+    params=...) / bind_placeholders — it renders as the literal value."""
+
+    name: str                       # "$1", ":lo", ...
+    value: Any = _UNBOUND
+
+    def to_sql(self, d) -> str:
+        if self.value is _UNBOUND:
+            return self.name
+        return d.literal(self.value)
+
+    def to_spark(self) -> Column:
+        if self.value is _UNBOUND:
+            raise ValueError(f"unbound placeholder {self.name}; pass "
+                             "params={...} to execute()")
+        return F.lit(self.value)
+
+    def output_name(self) -> str:
+        return self.name
+
+
+@dataclass(eq=False)
+class ScalarVariable(Expr):
+    """Session variable ``@@name`` (analyzer.rs:565). The local compiler
+    resolves it from the Spark session conf at compile time."""
+
+    name: str
+
+    def to_sql(self, d) -> str:
+        return f"@@{self.name}"
+
+    def to_spark(self) -> Column:
+        raise NotImplementedError(
+            "ScalarVariable resolves via the Compiler (session conf)")
+
+
+def bind_placeholders(plan, params: dict) -> None:
+    """Bind Placeholder values across a plan in place (keys may be given
+    with or without their marker char: {'$1': 5} or {'1': 5})."""
+    from .plans.nodes import walk_plan
+    for node in walk_plan(plan):
+        for e in node.exprs():
+            for x in walk(e):
+                if isinstance(x, Placeholder):
+                    key = x.name
+                    stripped = key.lstrip("$:@")
+                    if key in params:
+                        x.value = params[key]
+                    elif stripped in params:
+                        x.value = params[stripped]
+        for x in _subquery_plans(node):
+            bind_placeholders(x, params)
+
+
+def _subquery_plans(node):
+    for e in node.exprs():
+        for x in walk(e):
+            if isinstance(x, (ScalarSubquery, Exists, InSubquery,
+                              SetComparison)):
+                yield x.plan
 
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Sequence, Tuple
 
 from .expressions import (
-    Exists, Expr, InSubquery, OuterRef, ScalarSubquery, walk,
+    Exists, Expr, InSubquery, OuterRef, ScalarSubquery, SetComparison, walk,
 )
 from .plans.nodes import (
     Plan, Project, RemoteQueryNode, Scan, walk_plan,
@@ -80,7 +80,10 @@ class ScanResult:
 def scan_expr(e: Expr) -> ScanResult:
     res = ScanResult.none()
     for node in walk(e):
-        if isinstance(node, ScalarSubquery):
+        if isinstance(node, (ScalarSubquery, SetComparison)):
+            # quantified comparisons carry a subquery plan too — its
+            # provider joins the lattice so a same-provider ANY/ALL
+            # federates with its parent query
             res = res.merge(scan_plan(node.plan))
         elif isinstance(node, (Exists, InSubquery)):
             # The reference refuses InSubquery federation
@@ -122,6 +125,14 @@ def federate(plan: Plan) -> Plan:
 
 
 def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
+    from .plans.nodes import Analyze
+    if isinstance(plan, Analyze):
+        # EXPLAIN ANALYZE is never federated as a whole — the unparser
+        # cannot emit it; only the inner query federates (reference
+        # src/optimizer/mod.rs:194-209, test src/sql/mod.rs:772-818).
+        new_input, changed = _optimize_recursively(plan.input, is_root=True)
+        return plan.with_inputs([new_input]), changed
+
     res = scan_plan(plan)
 
     if res.is_distinct() and res.provider.can_federate():
@@ -152,11 +163,11 @@ def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
 
 
 def _federate_subquery_exprs(plan: Plan) -> None:
-    """Each ScalarSubquery plan is federated independently as its own root
-    (optimizer/mod.rs:285-305). Mutates the subquery expr in place."""
+    """Each ScalarSubquery / SetComparison plan is federated independently
+    as its own root (optimizer/mod.rs:285-305). Mutates in place."""
     for e in plan.exprs():
         for node in walk(e):
-            if isinstance(node, ScalarSubquery):
+            if isinstance(node, (ScalarSubquery, SetComparison)):
                 node.plan = federate(node.plan)
 
 

