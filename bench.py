@@ -45,6 +45,11 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
+    # warmup: initialize executor threads, codegen, and the parquet
+    # reader path so the first timed query doesn't pay JVM startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     per_query = {}
     failures = {}
     for name, fn in entrymod.queries().items():

@@ -100,6 +100,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # Lossless pruning before the self-join: a shingle held by exactly
+    # one document can never contribute to an intersection, and most
+    # shingles of real text are unique — per-doc set sizes (the union
+    # term) still come from the unpruned `sizes`, so Jaccard is exact.
+    shared = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+                .filter(F.col("__df") >= 2).select("shingle"))
+    sh = sh.join(shared, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (a.join(b, on=[F.col(f"a.shingle") == F.col(f"b.shingle"),
@@ -126,10 +133,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3) -> F.Column:
     """MinHash signature as array<bigint>: for seed i, min over shingles of
     xxhash64(i-salted shingle). Entirely JVM-side (xxhash64 + transform +
-    array_min), no UDF, no shuffle."""
-    shingles = word_shingles(col, shingle_n)
+    array_min), no UDF, no shuffle.
+
+    NOTE: inlines the shingle build into each of the num_hashes min
+    expressions — callers on a hot path should materialize the shingle
+    array once and use minhash_signature_from_shingles."""
+    return minhash_signature_from_shingles(
+        word_shingles(col, shingle_n), num_hashes)
+
+
+def minhash_signature_from_shingles(shingles_col,
+                                    num_hashes: int = 32) -> F.Column:
+    """MinHash over an already-materialized shingle array column (compute
+    the array once per row; 32 salted-hash scans over it — not 32
+    rebuilds of the split/sequence/concat shingle expression)."""
     sigs = [F.array_min(F.transform(
-        shingles, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        shingles_col, lambda s, i=i: F.xxhash64(F.lit(i), s)))
         for i in range(num_hashes)]
     return F.array(*sigs)
 
@@ -146,8 +165,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    # two stacked projections: shingle array materializes once per row,
+    # then the 32 hash scans reference that column
+    with_sh = df.select(F.col(id_col),
+                        word_shingles(F.col(text_col), shingle_n)
+                        .alias("__sh"))
+    with_sig = with_sh.select(
+        F.col(id_col),
+        minhash_signature_from_shingles(F.col("__sh"), num_hashes)
+        .alias("sig"))
     band_entries = with_sig.select(
         id_col,
         F.explode(F.transform(
@@ -186,6 +212,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                      F.col("shingle").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"),
                      F.col("shingle").alias("sh_b"))
+    # candidates are a tiny fraction of the corpus: semi-join the shingle
+    # tables down to candidate ids before the expensive shingle-equality
+    # join (at 100 TB this is the difference between joining the corpus
+    # and joining the near-dup sliver)
+    sh_a = sh_a.join(cand.select("id_a").distinct(), "id_a", "left_semi")
+    sh_b = sh_b.join(cand.select("id_b").distinct(), "id_b", "left_semi")
     inter = (cand
              .join(sh_a, "id_a")
              .join(sh_b, on=[cand.id_b == sh_b.id_b,

@@ -340,6 +340,63 @@ class JDBCExecutor(SQLExecutor):
         return None
 
 
+class SQLiteExecutor(SQLExecutor):
+    """SQLite as a remote engine via the stdlib driver — the second live
+    engine of the reference's two-engine demo (examples/df-csv-advanced.rs
+    mocks sqlite + postgres). Results come back as rows and enter Spark
+    through createDataFrame with the declared schema."""
+
+    dialect = "sqlite"
+
+    def __init__(self, name: str = "sqlite",
+                 compute_context: Optional[str] = None,
+                 database: str = ":memory:"):
+        import sqlite3
+        self.name = name
+        self.compute_context = compute_context or database
+        self.conn = sqlite3.connect(database, check_same_thread=False)
+        self._tables: Dict[str, str] = {}
+
+    def load_rows(self, table: str, create_sql: str, rows: Sequence[tuple]):
+        """Create + populate a table (tests / small dims)."""
+        self.conn.execute(create_sql)
+        if rows:
+            ph = ", ".join("?" * len(rows[0]))
+            self.conn.executemany(
+                f"INSERT INTO {table} VALUES ({ph})", rows)
+        self.conn.commit()
+        self._tables[table] = create_sql
+
+    def table_names(self) -> List[str]:
+        cur = self.conn.execute(
+            "SELECT name FROM sqlite_master WHERE type IN ('table','view')")
+        return [r[0] for r in cur.fetchall()]
+
+    def get_table_schema(self, spark, table_name: str):
+        from pyspark.sql import types as T
+        cur = self.conn.execute(f'PRAGMA table_info("{table_name}")')
+        type_map = {"INTEGER": T.LongType(), "BIGINT": T.LongType(),
+                    "REAL": T.DoubleType(), "DOUBLE": T.DoubleType(),
+                    "TEXT": T.StringType(), "VARCHAR": T.StringType(),
+                    "DATE": T.DateType(), "BOOLEAN": T.BooleanType()}
+        fields = []
+        for _, name, decl, *_ in cur.fetchall():
+            base = (decl or "TEXT").split("(")[0].strip().upper()
+            fields.append(T.StructField(name,
+                                        type_map.get(base, T.StringType())))
+        return T.StructType(fields)
+
+    def execute(self, spark, sql: str, schema=None):
+        t0 = time.time()
+        cur = self.conn.execute(sql)
+        rows = cur.fetchall()
+        self._record(sql, time.time() - t0, len(rows))
+        if schema is not None:
+            return spark.createDataFrame(rows, schema)
+        cols = [d[0] for d in cur.description]
+        return spark.createDataFrame(rows, cols)
+
+
 class SparkSQLExecutor(SQLExecutor):
     """A (second) SparkSession acting as the remote engine — federation
     between two Spark clusters, or loop-back for testing."""

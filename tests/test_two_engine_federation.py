@@ -1,0 +1,90 @@
+"""Two-engine federation — the reference's flagship demo
+(examples/df-csv-advanced.rs: a join across a mock sqlite and a mock
+postgres engine). Here both engines are LIVE: DuckDB and stdlib SQLite.
+Each single-engine subtree must federate into its own remote query in
+its own dialect, with the join executing in Spark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_federation_spark.expressions import BinaryOp, agg, col, lit
+from datafusion_federation_spark.federation import federate
+from datafusion_federation_spark.plans.nodes import (
+    Join, RemoteQueryNode, walk_plan,
+)
+from datafusion_federation_spark.sources.provider import (
+    DuckDBExecutor, SQLiteExecutor, SQLProvider)
+from tests.conftest import TESTDATA
+
+
+@pytest.fixture()
+def two_engine(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+
+    duck = DuckDBExecutor(name="duck", compute_context="2eng")
+    duck.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+
+    lite = SQLiteExecutor(name="lite", compute_context="2eng")
+    lite.load_rows(
+        "priority_dim",
+        "CREATE TABLE priority_dim (prio TEXT, weight INTEGER)",
+        [("1-URGENT", 5), ("2-HIGH", 4), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 2), ("5-LOW", 1)])
+
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(duck), "orders")
+    eng.register_remote(SQLProvider(lite), "priority_dim")
+    return eng, duck, lite
+
+
+def test_cross_engine_join_two_remote_queries(two_engine):
+    eng, duck, lite = two_engine
+    b = (eng.table("orders")
+         .filter(col("o_totalprice") > lit(100000))
+         .join(eng.table("priority_dim"),
+               on=col("o_orderpriority") == col("prio"))
+         .group_by("weight")
+         .agg(agg("count").alias("n")))
+    fed = federate(b.plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 2, \
+        "each engine's subtree must federate separately"
+    by_provider = {n.provider.name: n for n in remotes}
+    assert set(by_provider) == {"duck", "lite"}
+    # the orders filter must ride inside the DuckDB SQL
+    assert "o_totalprice" in by_provider["duck"].sql
+    # the join itself stays in Spark
+    assert isinstance(fed, Join) or not isinstance(fed, RemoteQueryNode)
+
+    rows = {r["weight"]: r["n"] for r in b.to_df().collect()}
+    # oracle: run the equivalent directly on DuckDB (it has both sides
+    # via the parquet file + an inline VALUES dim)
+    import duckdb
+    conn = duckdb.connect()
+    want = {w: n for w, n in conn.execute(f"""
+        SELECT weight, COUNT(*) FROM
+          (SELECT * FROM read_parquet('{TESTDATA}/orders.parquet')
+           WHERE o_totalprice > 100000) o
+        JOIN (VALUES ('1-URGENT',5),('2-HIGH',4),('3-MEDIUM',3),
+                     ('4-NOT SPECIFIED',2),('5-LOW',1)) d(prio, weight)
+        ON o.o_orderpriority = d.prio GROUP BY weight""").fetchall()}
+    assert rows == want
+
+
+def test_sqlite_dialect_sql_shipped(two_engine):
+    eng, duck, lite = two_engine
+    b = (eng.table("priority_dim")
+         .filter(col("weight") >= lit(3))
+         .select("prio"))
+    out = sorted(r["prio"] for r in b.to_df().collect())
+    assert out == ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    assert "weight" in lite.metrics()["last_sql"]
+
+
+def test_sqlite_catalog_discovery(spark, two_engine):
+    eng, duck, lite = two_engine
+    assert "priority_dim" in lite.table_names()
+    schema = lite.get_table_schema(spark, "priority_dim")
+    assert [f.name for f in schema.fields] == ["prio", "weight"]
