@@ -274,13 +274,29 @@ class Compiler:
 
     def _compile_subquery_filter(self, p: Filter) -> DataFrame:
         """EXISTS / IN subqueries compile to LEFT SEMI / LEFT ANTI joins
-        (SURVEY.md §2C; the reference keeps them local too)."""
+        (SURVEY.md §2C; the reference keeps them local too — DataFusion
+        decorrelates before federation, src/lib.rs:39-52). Correlated
+        EXISTS decorrelates here: top-level correlated conjuncts hoist
+        out of the subquery's filters into the join condition."""
         from .expressions import Exists, InSubquery
         pred = p.predicate
         df = self._c(p.input)
         if isinstance(pred, Exists):
-            sub = self._c(pred.plan)
             how = "left_anti" if pred.negated else "left_semi"
+            conds, cleaned = _extract_correlated(pred.plan)
+            if conds:
+                # a semi/anti join never outputs right-side columns, so
+                # the subquery's projection is semantically irrelevant —
+                # strip it so hoisted join columns stay resolvable
+                while isinstance(cleaned, Project):
+                    cleaned = cleaned.input
+            sub = self._c(cleaned)
+            if conds:
+                on = None
+                for c in conds:
+                    sc = _corr_to_spark(c, df, sub)
+                    on = sc if on is None else (on & sc)
+                return df.join(sub, on=on, how=how)
             # uncorrelated EXISTS: keep-all or keep-none
             return df.join(sub.limit(1), how=how,
                            on=F.lit(True))
@@ -291,6 +307,81 @@ class Compiler:
             return df.join(sub, on=pred.expr.to_spark() == sub[sub_col],
                            how=how)
         raise ValueError("subquery predicates must be top-level in a Filter")
+
+
+def _has_outer_ref(e: Expr) -> bool:
+    from .expressions import OuterRef, walk
+    return any(isinstance(n, OuterRef) for n in walk(e))
+
+
+def _split_conjuncts(e: Expr):
+    from .expressions import BinaryOp
+    if isinstance(e, BinaryOp) and e.op.upper() == "AND":
+        yield from _split_conjuncts(e.left)
+        yield from _split_conjuncts(e.right)
+    else:
+        yield e
+
+
+def _extract_correlated(p: Plan):
+    """Hoist correlated conjuncts (those containing OuterRef) out of the
+    plan's Filter nodes. Returns (correlated_conjuncts, cleaned_plan) —
+    the simple decorrelation the reference gets from DataFusion's
+    rule pipeline before federation runs."""
+    from .expressions import BinaryOp
+    conds: List[Expr] = []
+
+    def visit(node: Plan) -> Plan:
+        if isinstance(node, Filter) and _has_outer_ref(node.predicate):
+            parts = list(_split_conjuncts(node.predicate))
+            keep = [c for c in parts if not _has_outer_ref(c)]
+            conds.extend(c for c in parts if _has_outer_ref(c))
+            child = visit(node.input)
+            if not keep:
+                return child
+            pred = keep[0]
+            for k in keep[1:]:
+                pred = BinaryOp("AND", pred, k)
+            return Filter(child, pred)
+        new_inputs = [visit(i) for i in node.inputs()]
+        if new_inputs and any(n is not o for n, o in
+                              zip(new_inputs, node.inputs())):
+            return node.with_inputs(new_inputs)
+        return node
+
+    return conds, visit(p)
+
+
+def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame):
+    """Render a correlated predicate as a Spark join condition: OuterRef
+    columns resolve against the outer DataFrame, plain columns against
+    the subquery DataFrame (disambiguates colliding names)."""
+    from .expressions import (
+        Between, BinaryOp, Col, InList, IsNotNull, IsNull, Lit, Not,
+        OuterRef)
+    if isinstance(e, OuterRef):
+        return outer_df[e.name]
+    if isinstance(e, Col):
+        return sub_df[e.name]
+    if isinstance(e, Lit):
+        return F.lit(e.value)
+    if isinstance(e, BinaryOp):
+        from .expressions import _SQL_TO_SPARK_BIN
+        return _SQL_TO_SPARK_BIN[e.op.upper()](
+            _corr_to_spark(e.left, outer_df, sub_df),
+            _corr_to_spark(e.right, outer_df, sub_df))
+    if isinstance(e, Not):
+        return ~_corr_to_spark(e.expr, outer_df, sub_df)
+    if isinstance(e, IsNull):
+        return _corr_to_spark(e.expr, outer_df, sub_df).isNull()
+    if isinstance(e, IsNotNull):
+        return _corr_to_spark(e.expr, outer_df, sub_df).isNotNull()
+    if isinstance(e, Between):
+        return _corr_to_spark(e.expr, outer_df, sub_df).between(
+            _corr_to_spark(e.low, outer_df, sub_df),
+            _corr_to_spark(e.high, outer_df, sub_df))
+    raise NotImplementedError(
+        f"correlated predicate form {type(e).__name__} not supported")
 
 
 def _plan_output_col(p: Plan) -> str:

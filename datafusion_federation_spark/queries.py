@@ -929,3 +929,59 @@ def q59(spark, sf):
                  agg("count", filter=col("p_name").like("%green%"))
                  .alias("n_green"))
             .to_df())
+
+
+@q("q60_correlated_exists", """
+SELECT c_custkey,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE)
+         AS acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+""")
+def q60(spark, sf):
+    """Correlated EXISTS through the engine's local path: the compiler
+    decorrelates (hoists the o_custkey = c_custkey conjunct into a LEFT
+    SEMI join condition) — the rewrite DataFusion's rule pipeline gives
+    the reference for free (src/lib.rs:39-52)."""
+    from . import FederationEngine
+    from .expressions import Cast, Exists, OuterRef, col, lit
+
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("customer", f"{sf}/customer.parquet")
+    eng.register_local_parquet("orders", f"{sf}/orders.parquet")
+    sub = (eng.table("orders")
+           .filter((col("o_custkey") == OuterRef("c_custkey"))
+                   & (col("o_totalprice") > lit(300000)))
+           .select("o_orderkey"))
+    acct = Cast(Cast(col("c_acctbal"), "decimal(12,2)"), "double")
+    return (eng.table("customer")
+            .filter(Exists(sub.plan))
+            .select(col("c_custkey"), acct.alias("acctbal"))
+            .order_by("c_custkey")
+            .to_df())
+
+
+@q("q61_correlated_not_exists", """
+SELECT COUNT(*) AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey)
+""")
+def q61(spark, sf):
+    """Correlated NOT EXISTS -> decorrelated LEFT ANTI join."""
+    from . import FederationEngine
+    from .expressions import Exists, OuterRef, agg, col
+
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("customer", f"{sf}/customer.parquet")
+    eng.register_local_parquet("orders", f"{sf}/orders.parquet")
+    sub = (eng.table("orders")
+           .filter(col("o_custkey") == OuterRef("c_custkey"))
+           .select("o_orderkey"))
+    return (eng.table("customer")
+            .filter(Exists(sub.plan, negated=True))
+            .group_by().agg(agg("count").alias("n_inactive"))
+            .to_df())
