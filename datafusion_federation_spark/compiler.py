@@ -34,9 +34,17 @@ _JOIN_HOW = {
 
 class Compiler:
     def __init__(self, spark: SparkSession,
-                 broadcast_threshold_rows: int = 1_000_000):
+                 broadcast_threshold_rows: int = 1_000_000,
+                 runtime_join_filters: bool = False):
         self.spark = spark
         self.broadcast_threshold_rows = broadcast_threshold_rows
+        #: opt-in: before executing a federated join input, compute
+        #: min/max of the other side's join key and inline the bounds
+        #: into the remote SQL (the automated form of the reference's
+        #: physical filter pushdown, src/sql/mod.rs:416-444) — costs one
+        #: small extra job on the local side, saves shipping the
+        #: unfiltered remote table
+        self.runtime_join_filters = runtime_join_filters
 
     # ------------------------------------------------------------------
     def compile(self, plan: Plan) -> DataFrame:
@@ -119,6 +127,8 @@ class Compiler:
             return df.filter(pred.to_spark())
 
         if isinstance(p, Join):
+            if self.runtime_join_filters and p.how in ("inner", "semi"):
+                p = self._push_runtime_join_filter(p)
             left = self._c(p.left)
             right = self._c(p.right)
             how = _JOIN_HOW[p.how]
@@ -177,6 +187,51 @@ class Compiler:
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
     # ------------------------------------------------------------------
+    def _push_runtime_join_filter(self, p: Join) -> Join:
+        """For an equi-join with exactly one federated input, bound the
+        remote side by the other side's join-key min/max before the
+        remote SQL executes. Only inner/semi joins (filtering a
+        preserved outer side would drop null-extended rows)."""
+        from .expressions import BinaryOp, Col
+        cond = p.condition
+        if not (isinstance(cond, BinaryOp) and cond.op == "="
+                and isinstance(cond.left, Col)
+                and isinstance(cond.right, Col)):
+            return p
+        sides = {"left": p.left, "right": p.right}
+        remote_side = None
+        for name, side in sides.items():
+            if isinstance(side, RemoteQueryNode):
+                if remote_side is not None:
+                    return p          # both remote: nothing local to probe
+                remote_side = name
+        if remote_side is None:
+            return p
+        remote = sides[remote_side]
+        other = sides["left" if remote_side == "right" else "right"]
+        rcols = _plan_output_cols(remote.plan)
+        if rcols is None:
+            return p
+        if cond.left.name in rcols and cond.right.name not in rcols:
+            rcol, ocol = cond.left.name, cond.right.name
+        elif cond.right.name in rcols and cond.left.name not in rcols:
+            rcol, ocol = cond.right.name, cond.left.name
+        else:
+            return p
+        other_df = self._c(other)
+        row = other_df.agg(F.min(ocol).alias("lo"),
+                           F.max(ocol).alias("hi")).collect()[0]
+        d = remote.provider.dialect
+        if row["lo"] is None:
+            filters = ["1 = 0"]       # other side empty -> empty join
+        else:
+            filters = [f"{d.quote(rcol)} >= {d.literal(row['lo'])}",
+                       f"{d.quote(rcol)} <= {d.literal(row['hi'])}"]
+        bounded = remote.with_runtime_filters(filters)
+        if remote_side == "left":
+            return Join(bounded, p.right, p.how, p.condition, p.using)
+        return Join(p.left, bounded, p.how, p.condition, p.using)
+
     def _prepare_exprs(self, df: DataFrame, exprs):
         """Expression lowering for the local path: quantified comparisons
         rewrite to IN / min-max scalar subqueries, session variables
@@ -382,6 +437,31 @@ def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame):
             _corr_to_spark(e.high, outer_df, sub_df))
     raise NotImplementedError(
         f"correlated predicate form {type(e).__name__} not supported")
+
+
+def _plan_output_cols(p: Plan):
+    """Output column names of a plan, or None if unknown (Star etc.)."""
+    if isinstance(p, Project):
+        names = [e.output_name() for e in p.projections]
+        if "*" not in names:
+            return names
+        if names == ["*"]:
+            # wrap_projection's SELECT * shell: expand through the input
+            return _plan_output_cols(p.input)
+        return None
+    if isinstance(p, Aggregate):
+        return [e.output_name()
+                for e in list(p.group_by) + list(p.aggregates)]
+    if isinstance(p, Scan):
+        if p.projection:
+            return list(p.projection)
+        if p.table.schema is not None:
+            return [f.name for f in p.table.schema.fields]
+        return None
+    if isinstance(p, (Union, SetOp)):
+        return _plan_output_cols(p.inputs()[0])
+    inputs = p.inputs()
+    return _plan_output_cols(inputs[0]) if inputs else None
 
 
 def _plan_output_col(p: Plan) -> str:

@@ -251,3 +251,52 @@ def test_insert_passthrough_duckdb(spark, duckdb_engine):
     assert ex.conn.execute("SELECT COUNT(*) FROM ins_target").fetchone()[0] == 2
     eng.insert_into("ins_target", df, mode="overwrite")
     assert ex.conn.execute("SELECT COUNT(*) FROM ins_target").fetchone()[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# automated runtime join filters (opt-in)
+# ---------------------------------------------------------------------------
+
+def test_runtime_join_filter_bounds_remote_side(duckdb_engine, spark):
+    eng, ex = duckdb_engine
+    eng.compiler.runtime_join_filters = True
+    try:
+        li = (eng.table("lineitem")
+              .filter(col("l_orderkey") < lit(50)))       # small local side
+        o = eng.table("orders")                            # remote fact
+        b = (li.join(o, on=col("l_orderkey") == col("o_orderkey"))
+             .group_by().agg(agg("count").alias("n")))
+        got = b.to_df().collect()[0]["n"]
+        sql = ex.metrics()["last_sql"]
+        # the remote SQL must carry the min/max bounds of the local keys
+        assert "__rf" in sql and "o_orderkey" in sql and ">=" in sql
+        want = _duck_count(spark)
+        assert got == want
+    finally:
+        eng.compiler.runtime_join_filters = False
+
+
+def _duck_count(spark):
+    import duckdb
+    conn = duckdb.connect()
+    return conn.execute(f"""
+        SELECT COUNT(*) FROM
+          (SELECT * FROM read_parquet('{TESTDATA}/lineitem.parquet')
+           WHERE l_orderkey < 50) l
+        JOIN read_parquet('{TESTDATA}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey""").fetchone()[0]
+
+
+def test_runtime_join_filter_empty_probe_side(duckdb_engine):
+    eng, ex = duckdb_engine
+    eng.compiler.runtime_join_filters = True
+    try:
+        li = (eng.table("lineitem")
+              .filter(col("l_orderkey") < lit(-1)))       # empty
+        o = eng.table("orders")
+        b = (li.join(o, on=col("l_orderkey") == col("o_orderkey"))
+             .group_by().agg(agg("count").alias("n")))
+        assert b.to_df().collect()[0]["n"] == 0
+        assert "1 = 0" in ex.metrics()["last_sql"]
+    finally:
+        eng.compiler.runtime_join_filters = False
