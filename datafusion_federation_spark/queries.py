@@ -985,3 +985,65 @@ def q61(spark, sf):
             .filter(Exists(sub.plan, negated=True))
             .group_by().agg(agg("count").alias("n_inactive"))
             .to_df())
+
+
+@q("q62_federated_any_all", """
+SELECT COUNT(*) AS n_above_any,
+       COUNT(*) FILTER (WHERE o_totalprice >
+         ALL (SELECT o_totalprice FROM orders
+              WHERE o_orderpriority = '5-LOW')) AS n_above_all
+FROM orders
+WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders
+                          WHERE o_orderpriority = '5-LOW')
+""")
+def q62(spark, sf):
+    """Quantified comparisons through the engine: the whole query —
+    including both ANY/ALL subqueries — collapses into ONE remote SQL
+    (same provider joins the lattice via the subquery plans)."""
+    from .expressions import SetComparison, agg, col, lit
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q62")
+    low = (eng.table("orders")
+           .filter(col("o_orderpriority") == lit("5-LOW"))
+           .select("o_totalprice"))
+    low2 = (eng.table("orders")
+            .filter(col("o_orderpriority") == lit("5-LOW"))
+            .select("o_totalprice"))
+    above_all = SetComparison(col("o_totalprice"), ">", "ALL", low2.plan)
+    return (eng.table("orders")
+            .filter(SetComparison(col("o_totalprice"), ">", "ANY",
+                                  low.plan))
+            .group_by()
+            .agg(agg("count").alias("n_above_any"),
+                 agg("count", filter=above_all).alias("n_above_all"))
+            .to_df())
+
+
+@q("q63_federated_unnest", """
+SELECT t.w AS word, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(o_orderpriority, '-')) AS w
+      FROM orders) t
+GROUP BY word
+ORDER BY n DESC, word
+""")
+def q63(spark, sf):
+    """UNNEST through the engine: the remote SQL splits and unnests the
+    priority string; DuckDB executes the flatten + aggregate."""
+    from .expressions import Alias, SortKey, Unnest, agg, col, func
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q63")
+    words = Unnest(func("string_split", col("o_orderpriority"),
+                        lit_("-")))
+    return (eng.table("orders")
+            .select(Alias(words, "w"))
+            .alias("t")
+            .group_by(Alias(col("w"), "word"))
+            .agg(agg("count").alias("n"))
+            .order_by(SortKey(col("n"), ascending=False),
+                      SortKey(col("word")))
+            .to_df())
+
+
+def lit_(v):
+    from .expressions import Lit
+    return Lit(v)
