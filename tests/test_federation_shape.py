@@ -247,3 +247,35 @@ def test_nonfederatable_provider_stays_local():
                                     fallback_path="/dev/null")), [Star()])
     fed = federate(plan)
     assert not remote_nodes(fed)
+
+
+def test_scalar_subquery_federates_independently():
+    """A local plan whose ScalarSubquery reads a remote table: the
+    subquery federates as its own root (optimize_plan_exprs analog,
+    reference optimizer/mod.rs:266-305)."""
+    from datafusion_federation_spark.expressions import ScalarSubquery, agg
+    prov = provider()
+    local = Scan(TableHandle(local_name="lineitem", provider=None,
+                             fallback_path="/dev/null"))
+    sub = Aggregate(abc_scan("orders", prov), [],
+                    [Alias(agg("avg", col("a")), "avg_a")])
+    sq = ScalarSubquery(sub)
+    plan = Filter(local, BinaryOp(">", col("x"), sq))
+    fed = federate(plan)
+    assert isinstance(fed, Filter)            # outer plan stays local
+    assert isinstance(sq.plan, RemoteQueryNode), \
+        "the subquery plan must have federated independently"
+    assert "AVG" in sq.plan.sql
+
+
+def test_set_comparison_subquery_federates_independently():
+    from datafusion_federation_spark.expressions import SetComparison
+    prov = provider()
+    local = Scan(TableHandle(local_name="lineitem", provider=None,
+                             fallback_path="/dev/null"))
+    sub = Project(abc_scan("orders", prov), [col("a")])
+    sc = SetComparison(col("x"), ">", "ANY", sub)
+    plan = Filter(local, sc)
+    fed = federate(plan)
+    assert isinstance(fed, Filter)
+    assert isinstance(sc.plan, RemoteQueryNode)
