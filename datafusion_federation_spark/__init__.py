@@ -17,13 +17,16 @@ from .engine import FederationEngine, PlanBuilder  # noqa: F401
 from .expressions import (  # noqa: F401
     agg, col, func, lit, AggFunc, Alias, Between, BinaryOp, Case, Cast, Col,
     Cube, Exists, Expr, Func, GroupingSets, InList, InSubquery, Like, Lit,
-    Rollup, ScalarSubquery, SimilarTo, SortKey, Star, WindowFrame, WindowFunc,
+    Placeholder, Rollup, ScalarSubquery, ScalarVariable, SetComparison,
+    SimilarTo, SortKey, Star, Unnest, WindowFrame, WindowFunc,
+    bind_placeholders,
 )
 from .federation import ScanResult, federate  # noqa: F401
+from .plans.nodes import Analyze  # noqa: F401
 from .sources import (  # noqa: F401
     DuckDBExecutor, FederatedCatalog, FederationProvider, JDBCExecutor,
-    LocalSparkProvider, RemoteTable, RemoteTableRef, SQLExecutor, SQLProvider,
-    SparkSQLExecutor, TableHandle,
+    LocalSparkProvider, RemoteTable, RemoteTableRef, SQLExecutor,
+    SQLiteExecutor, SQLProvider, SparkSQLExecutor, TableHandle,
 )
 from .unparser import Unparser  # noqa: F401
 
