@@ -82,6 +82,33 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload",
               .mapInPandas(_batches, schema=out_schema))
 
 
+def feature_extract_stub(df: DataFrame, payload_col: str = "payload",
+                         id_col: str = "doc_id",
+                         dim: int = 16) -> DataFrame:
+    """Media -> embedding plumbing: mapInPandas emitting a fixed-dim
+    float vector per payload (real impl: a vision/audio encoder per Arrow
+    batch). The fake is a deterministic byte-statistic projection so
+    downstream similarity-search operators can be tested end to end on
+    the produced array<float> column."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for b in pdf[payload_col]:
+                n = len(b)
+                embs.append([float((n * (i + 3) + (b[i % n] if n else 0))
+                                   % 97) / 97.0 for i in range(dim)])
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "embedding": embs})
+
+    return (df.select(id_col, payload_col)
+              .mapInPandas(_batches, schema=out_schema))
+
+
 def frame_sample_stub(df: DataFrame, payload_col: str = "payload",
                       every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explodes deterministic fake frame

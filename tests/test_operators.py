@@ -138,3 +138,43 @@ def test_cosine_topk_exact_match_first(spark):
                                  id_col="vec_id").collect()
     assert out[0]["vec_id"] == 1 and out[0]["score"] == 1.0
     assert out[1]["vec_id"] == 3
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_meta_and_features(spark):
+    from datafusion_federation_spark.operators import multimodal as mm
+    df = mm.attach_binary_payload(docs(spark).limit(50), "text")
+    meta = mm.extract_media_meta(df, "payload", "doc_id")
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r["n_bytes"] > 0 and 1 <= r["width"] <= 640 for r in rows)
+
+    emb = mm.feature_extract_stub(df, "payload", "doc_id", dim=16)
+    out = emb.collect()
+    assert len(out) == 50 and all(len(r["embedding"]) == 16 for r in out)
+    # deterministic: same payload -> same vector
+    out2 = mm.feature_extract_stub(df, "payload", "doc_id", dim=16).collect()
+    assert sorted(map(tuple, ((r["doc_id"], tuple(r["embedding"]))
+                              for r in out))) == \
+        sorted(map(tuple, ((r["doc_id"], tuple(r["embedding"]))
+                           for r in out2)))
+
+
+def test_multimodal_frame_sampling(spark):
+    from datafusion_federation_spark.operators import multimodal as mm
+    df = mm.attach_binary_payload(docs(spark).limit(10), "text")
+    frames = mm.frame_sample_stub(df, "payload", every_ms=500)
+    rows = frames.collect()
+    assert len(rows) >= 10
+    assert "payload" not in frames.columns   # payload never shuffles
+    assert all(r["frame_ts_ms"] == r["frame_idx"] * 500 for r in rows)
+
+
+def test_multimodal_real_decode_raises(spark):
+    from datafusion_federation_spark.operators import multimodal as mm
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        mm.real_decode(b"xx")
