@@ -347,3 +347,69 @@ def test_exists_fallback_executes_on_duckdb():
                 [Col("k", "orders_t")])
     rows = conn.execute(sql(p, "ansi")).fetchall()
     assert rows == [(1,), (2,)]
+
+
+# ---------------------------------------------------------------------------
+# remaining expression arms (Not/Negative, IS TRUE family, SimilarTo,
+# Cast/TryCast, null ordering)
+# ---------------------------------------------------------------------------
+
+def test_not_negative_golden():
+    from datafusion_federation_spark.expressions import Negative, Not
+    p = Project(scan(), [Not(col("a")), Negative(col("a"))])
+    assert sql(p) == 'SELECT (NOT "a"), (- "a") FROM "remote_table"'
+
+
+def test_is_true_family_golden():
+    from datafusion_federation_spark.expressions import IsTrue
+    p = Filter(scan(), IsTrue(col("a"), "TRUE"))
+    assert sql(p) == 'SELECT * FROM "remote_table" WHERE "a" IS TRUE'
+    p = Filter(scan(), IsTrue(col("a"), "UNKNOWN", negated=True))
+    assert sql(p) == 'SELECT * FROM "remote_table" WHERE "a" IS NOT UNKNOWN'
+
+
+def test_similar_to_per_dialect():
+    from datafusion_federation_spark.expressions import SimilarTo
+    e = SimilarTo(col("b"), lit("^a.*"))
+    p = Filter(scan(), e)
+    assert "REGEXP_MATCHES" in sql(p, "duckdb")
+    assert '"b" ~ ' in sql(p, "postgres")
+    assert "RLIKE" in sql(p, "spark")
+
+
+def test_cast_try_cast_golden():
+    from datafusion_federation_spark.expressions import Cast
+    p = Project(scan(), [Cast(col("a"), "string"),
+                         Cast(col("b"), "bigint", try_cast=True)])
+    assert sql(p) == ('SELECT CAST("a" AS VARCHAR), TRY_CAST("b" AS BIGINT) '
+                      'FROM "remote_table"')
+    # sqlite maps types differently
+    assert sql(p, "sqlite") == ('SELECT CAST("a" AS TEXT), '
+                                'TRY_CAST("b" AS INTEGER) '
+                                'FROM "remote_table"')
+
+
+def test_sort_null_ordering_golden():
+    p = Sort(Project(scan(), [col("a")]),
+             [SortKey(col("a"), ascending=False, nulls_first=True)])
+    out = sql(p)
+    assert "DESC" in out and "NULLS FIRST" in out
+
+
+def test_ilike_per_dialect():
+    from datafusion_federation_spark.expressions import Like
+    e = Like(col("b"), lit("x%"), case_insensitive=True)
+    p = Filter(scan(), e)
+    assert "ILIKE" in sql(p, "postgres")
+    assert "ILIKE" not in sql(p, "sqlite")   # sqlite LIKE is already CI
+
+
+def test_agg_filter_order_by_golden():
+    from datafusion_federation_spark.expressions import AggFunc
+    a = AggFunc("sum", [col("a")], filter=BinaryOp(">", col("a"), lit(0)))
+    p = Aggregate(scan(), [], [Alias(a, "s")])
+    assert sql(p) == ('SELECT SUM("a") FILTER (WHERE ("a" > 0)) AS "s" '
+                      'FROM "remote_table"')
+    d = AggFunc("count", [col("a")], distinct=True)
+    p = Aggregate(scan(), [], [Alias(d, "n")])
+    assert sql(p) == 'SELECT COUNT(DISTINCT "a") AS "n" FROM "remote_table"'
