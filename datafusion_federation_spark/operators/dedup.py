@@ -219,7 +219,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     # candidates are a tiny fraction of the corpus: semi-join the shingle
     # tables down to candidate ids before the expensive shingle-equality
     # join (at 100 TB this is the difference between joining the corpus
-    # and joining the near-dup sliver)
+    # and joining the near-dup sliver). A .cache()+prune-before-explode
+    # variant was measured net-negative here (the cache barrier breaks
+    # pipelining); the semi-join keeps one fused DAG.
     sh_a = sh_a.join(cand.select("id_a").distinct(), "id_a", "left_semi")
     sh_b = sh_b.join(cand.select("id_b").distinct(), "id_b", "left_semi")
     inter = (cand
