@@ -1047,3 +1047,56 @@ def q63(spark, sf):
 def lit_(v):
     from .expressions import Lit
     return Lit(v)
+
+
+@q("q64_federated_window_frame", """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_orderkey ASC
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS rolling3
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100
+""")
+def q64(spark, sf):
+    """Window FRAME spec through the engine: a 3-row rolling sum (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) rides inside the remote SQL."""
+    from .expressions import (
+        Cast, SortKey, WindowFrame, WindowFunc, agg, col, func, lit)
+
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q64")
+    rolling = WindowFunc(
+        agg("sum", Cast(col("o_totalprice"), "decimal(12,2)")),
+        partition_by=[col("o_orderpriority")],
+        order_by=[SortKey(col("o_orderkey"))],
+        frame=WindowFrame("ROWS", -2, 0))
+    r3 = Cast(func("round", rolling, lit(2)), "double")
+    return (eng.table("orders")
+            .window(r3.alias("rolling3"))
+            .select("o_orderkey", "o_orderpriority", "rolling3")
+            .order_by("o_orderkey")
+            .limit(100)
+            .to_df())
+
+
+@q("q65_federated_nulls_regex", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE REGEXP_MATCHES(c_name, 'Customer#0*1[0-9]$')
+ORDER BY c_custkey DESC NULLS LAST
+LIMIT 20
+""")
+def q65(spark, sf):
+    """SimilarTo (regex) + explicit null ordering through the engine."""
+    from .expressions import SimilarTo, SortKey, col, lit
+
+    eng = _fed_engine(spark, sf, ["customer"], "duck_q65")
+    return (eng.table("customer")
+            .filter(SimilarTo(col("c_name"), lit("Customer#0*1[0-9]$")))
+            .select("c_custkey", "c_name")
+            .order_by(SortKey(col("c_custkey"), ascending=False,
+                              nulls_first=False))
+            .limit(20)
+            .to_df())
