@@ -1,0 +1,89 @@
+"""Skew mitigation helpers for 100 TB-scale shuffles.
+
+AQE's skew-join splitting handles joins at runtime; these helpers cover
+the cases AQE does not: aggregation hot keys (one key owning a double-
+digit share of the data serializes into one reducer) and broadcast-less
+joins against a replicable small side.
+
+All rewrites are exact: salted two-phase aggregation only works for
+algebraic aggregates (partial results merge associatively), which is
+enforced by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: aggregate -> (partial fn, merge fn) for the two phases
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(df: DataFrame, keys: Sequence[str],
+                     aggs: Dict[str, Tuple[str, str]],
+                     n_salt: int = 32) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output column -> (agg_name, input_column) with agg_name
+    in {sum, count, min, max, avg}. Phase 1 groups by (keys..., salt) so
+    a hot key spreads over ``n_salt`` reducers; phase 2 merges the
+    partials per key. avg is decomposed into sum+count so both phases
+    stay algebraic.
+
+    Equivalent to ``df.groupBy(keys).agg(...)`` for any data; worth the
+    second (tiny) shuffle only when a key is hot enough to serialize a
+    reducer.
+    """
+    plan: Dict[str, Tuple[str, str]] = {}
+    avg_parts: Dict[str, Tuple[str, str]] = {}
+    for out, (name, col) in aggs.items():
+        if name == "avg":
+            plan[f"__{out}_sum"] = ("sum", col)
+            plan[f"__{out}_cnt"] = ("count", col)
+            avg_parts[out] = (f"__{out}_sum", f"__{out}_cnt")
+        elif name in _ALGEBRAIC:
+            plan[out] = (name, col)
+        else:
+            raise ValueError(
+                f"{name} is not algebraic; salting would change results")
+
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * n_salt).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(*[
+        _ALGEBRAIC[name][0](col).alias(out)
+        for out, (name, col) in plan.items()])
+    final = partial.groupBy(*keys).agg(*[
+        _ALGEBRAIC[name][1](out).alias(out)
+        for out, (name, col) in plan.items()])
+    for out, (s, c) in avg_parts.items():
+        final = final.withColumn(out, F.col(s) / F.col(c))
+    drop = [c for c in final.columns if c.startswith("__")]
+    return final.drop(*drop)
+
+
+def salted_join(skewed: DataFrame, small: DataFrame, key: str,
+                n_salt: int = 16, how: str = "inner") -> DataFrame:
+    """Join a skewed large side against a replicable smaller side without
+    broadcasting: the skewed side gets a random salt, the small side is
+    replicated once per salt value, and the join key becomes
+    (key, salt) — a hot key's rows spread over ``n_salt`` tasks.
+
+    Use when the small side is too big to broadcast but cheap to
+    replicate n_salt times; exact for inner/left joins on the skewed
+    side."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves only the skewed side: "
+                         "inner or left")
+    salted = skewed.withColumn(
+        "__salt", (F.rand(seed=42) * n_salt).cast("int"))
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    out = salted.join(replicated, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

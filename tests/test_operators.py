@@ -178,3 +178,49 @@ def test_multimodal_real_decode_raises(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
         mm.real_decode(b"xx")
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation (exactness of the salted rewrites)
+# ---------------------------------------------------------------------------
+
+def test_salted_aggregate_equals_plain(spark):
+    from datafusion_federation_spark.operators.skew import salted_aggregate
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    got = salted_aggregate(
+        li, ["l_returnflag"],
+        {"qty": ("sum", "l_quantity"), "n": ("count", "l_orderkey"),
+         "mx": ("max", "l_extendedprice"), "avg_q": ("avg", "l_quantity")},
+        n_salt=8)
+    want = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.count("l_orderkey").alias("n"),
+        F.max("l_extendedprice").alias("mx"),
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_q"))
+    g = {r["l_returnflag"]: (r["qty"], r["n"], r["mx"], round(r["avg_q"], 9))
+         for r in got.collect()}
+    w = {r["l_returnflag"]: (r["qty"], r["n"], r["mx"], round(r["avg_q"], 9))
+         for r in want.collect()}
+    assert g == w
+
+
+def test_salted_aggregate_rejects_nonalgebraic(spark):
+    from datafusion_federation_spark.operators.skew import salted_aggregate
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    with pytest.raises(ValueError, match="algebraic"):
+        salted_aggregate(li, ["l_returnflag"],
+                         {"m": ("median", "l_quantity")})
+
+
+def test_salted_join_equals_plain(spark):
+    from datafusion_federation_spark.operators.skew import salted_join
+    li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    o = (spark.read.parquet(f"{TESTDATA}/orders.parquet")
+         .select(F.col("o_orderkey").alias("l_orderkey"),
+                 "o_orderpriority"))
+    got = (salted_join(li, o, "l_orderkey", n_salt=4)
+           .groupBy("o_orderpriority").count())
+    want = (li.join(o, "l_orderkey")
+            .groupBy("o_orderpriority").count())
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
