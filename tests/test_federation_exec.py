@@ -115,3 +115,55 @@ def test_explain_shows_federated_sql(duckdb_engine):
     assert "Federated" in out
     assert "rewritten_sql" in out
     assert "o_orderkey" in out
+
+
+def test_catalog_discover_first_match_wins(spark):
+    """discover() registers every remote table; a name already present is
+    kept (MultiSchemaProvider first-match-wins, reference
+    src/sql/schema.rs:131-138)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+
+    ex1 = DuckDBExecutor(name="d1", compute_context="c1")
+    ex1.register_parquet("nation", f"{TESTDATA}/nation.parquet")
+    ex2 = DuckDBExecutor(name="d2", compute_context="c2")
+    ex2.register_parquet("nation", f"{TESTDATA}/nation.parquet")
+    ex2.register_parquet("region", f"{TESTDATA}/region.parquet")
+
+    eng = FederationEngine(spark)
+    got1 = eng.discover(SQLProvider(ex1))
+    got2 = eng.discover(SQLProvider(ex2))
+    assert [h.local_name for h in got1] == ["nation"]
+    assert [h.local_name for h in got2] == ["region"]   # nation kept on d1
+    assert eng.catalog.table("nation").provider.name == "d1"
+    assert eng.catalog.table("region").provider.name == "d2"
+
+
+def test_spark_sql_executor_loopback(spark):
+    """A second SparkSession acting as the remote engine: the federated
+    subtree unparses to Spark SQL and runs on the other session."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.expressions import agg, col, lit
+    from datafusion_federation_spark.sources.provider import (
+        SparkSQLExecutor, SQLProvider)
+
+    remote = spark.newSession()
+    remote.read.parquet(f"{TESTDATA}/orders.parquet") \
+        .createOrReplaceTempView("orders_remote")
+    ex = SparkSQLExecutor(remote, name="spark_b")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "orders_remote")
+
+    b = (eng.table("orders_remote")
+         .filter(col("o_totalprice") > lit(100000.0))
+         .group_by("o_orderpriority")
+         .agg(agg("count").alias("n")))
+    got = {r["o_orderpriority"]: r["n"] for r in b.to_df().collect()}
+    want = {r["o_orderpriority"]: r["n"]
+            for r in (spark.read.parquet(f"{TESTDATA}/orders.parquet")
+                      .filter(F.col("o_totalprice") > 100000.0)
+                      .groupBy("o_orderpriority").count()
+                      .withColumnRenamed("count", "n").collect())}
+    assert got == want
+    assert "orders_remote" in ex.metrics()["last_sql"]
