@@ -77,6 +77,12 @@ class Compiler:
             est = p.provider.executor.statistics(p.sql)
             if est is not None and est <= self.broadcast_threshold_rows:
                 df = F.broadcast(df)
+            # the claimed sub-plan's root alias was absorbed into the
+            # remote SQL; re-apply it on the DataFrame so local parents
+            # (joins above the federation cut) can still qualify columns
+            alias = _root_alias(p.plan)
+            if alias:
+                df = df.alias(alias)
             return df
 
         if isinstance(p, Scan):
@@ -437,6 +443,19 @@ def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame):
             _corr_to_spark(e.high, outer_df, sub_df))
     raise NotImplementedError(
         f"correlated predicate form {type(e).__name__} not supported")
+
+
+def _root_alias(p: Plan):
+    """Alias at a plan's root, looking through wrap_projection's
+    SELECT-* shell."""
+    if isinstance(p, SubqueryAlias):
+        return p.alias
+    if (isinstance(p, Project) and len(p.projections) == 1
+            and isinstance(p.projections[0], Star)
+            and p.projections[0].table is None
+            and not p.projections[0].replace):
+        return _root_alias(p.input)
+    return None
 
 
 def _plan_output_cols(p: Plan):

@@ -88,3 +88,44 @@ def test_sqlite_catalog_discovery(spark, two_engine):
     assert "priority_dim" in lite.table_names()
     schema = lite.get_table_schema(spark, "priority_dim")
     assert [f.name for f in schema.fields] == ["prio", "weight"]
+
+
+def test_reference_csv_demo_parity(spark, tmp_path):
+    """Replicates the reference's runnable demo (examples/df-csv.rs +
+    df-csv-advanced.rs): CSV-backed mock engines, a single-engine select
+    and a two-engine join on `foo`."""
+    csv1 = tmp_path / "test.csv"
+    csv1.write_text("foo,bar\na,1\nb,2\nc,3\n")
+    csv2 = tmp_path / "test2.csv"
+    csv2.write_text("foo,bar\na,10\nb,20\nc,30\nd,40\ne,50\nf,60\n")
+
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.expressions import col
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLiteExecutor, SQLProvider)
+
+    duck = DuckDBExecutor(name="sqlite_mock", compute_context="csv")
+    duck.register_csv("test", str(csv1))
+    lite = SQLiteExecutor(name="postgres_mock", compute_context="csv")
+    lite.load_rows("test2", "CREATE TABLE test2 (foo TEXT, bar INTEGER)",
+                   [("a", 10), ("b", 20), ("c", 30),
+                    ("d", 40), ("e", 50), ("f", 60)])
+
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(duck), "t", "test")
+    eng.register_remote(SQLProvider(lite), "a", "test2")
+
+    # single-engine select (df-csv.rs: SELECT * FROM t)
+    rows = (eng.table("t").select("foo", "bar").to_df()
+            .orderBy("foo").collect())
+    assert [(r["foo"], r["bar"]) for r in rows] == \
+        [("a", 1), ("b", 2), ("c", 3)]
+
+    # two-engine join (df-csv-advanced.rs: t JOIN a ON t.foo = a.foo)
+    j = (eng.table("t").alias("t")
+         .join(eng.table("a").alias("a"),
+               on=col("t.foo") == col("a.foo"))
+         .select(col("t.foo"), col("t.bar"), col("a.bar").alias("bar2")))
+    out = sorted((r["foo"], r["bar"], r["bar2"])
+                 for r in j.to_df().collect())
+    assert out == [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)]
