@@ -248,7 +248,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
             out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash per document via a vectorized pandas UDF
     (Arrow-batched; ~10-100x a row-at-a-time Python UDF). Signature is
-    deterministic (md5-derived word hashes)."""
+    deterministic (md5-derived word hashes).
+
+    Measured note: a pure-builtin formulation (xxhash64 word hashes +
+    64 bit-votes via aggregate/zip_with/getbit) was benchmarked SLOWER
+    than this UDF at sf0.1 (5.5 s vs 4.3 s) — per-word 64-wide array
+    arithmetic in codegen costs more than C md5 + Arrow transfer, so
+    the UDF is the deliberately chosen fast path here."""
     import hashlib
 
     from pyspark.sql.functions import pandas_udf
