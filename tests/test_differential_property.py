@@ -1,0 +1,93 @@
+"""Differential property tests: the same plan IR executed on the LOCAL
+path (compiler -> Catalyst) and on the FEDERATED path (unparser -> DuckDB)
+must produce identical results. Randomized over filters, aggregates,
+sorts and limits on integer/string columns (floats excluded — cross-engine
+float formatting is covered by the oracle queries instead).
+
+This is the net that catches unparser/compiler semantic drift the golden
+strings can't (SURVEY.md §7 hard-part #2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_federation_spark.expressions import (
+    Alias, BinaryOp, InList, IsNull, Not, SortKey, agg, col, lit,
+)
+from datafusion_federation_spark.plans.nodes import (
+    Aggregate, Filter, Limit, Plan, Project, Scan, Sort,
+)
+from tests.conftest import TESTDATA
+
+KEY_COLS = ["n_nationkey", "n_regionkey"]
+STR_COL = "n_name"
+OPS = ["=", "<>", "<", "<=", ">", ">="]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    """One engine with nation LOCAL, one with nation REMOTE (DuckDB)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+
+    local_eng = FederationEngine(spark)
+    local_eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+
+    ex = DuckDBExecutor(name="duck_prop", compute_context="prop")
+    ex.register_parquet("nation", f"{TESTDATA}/nation.parquet")
+    remote_eng = FederationEngine(spark)
+    remote_eng.register_remote(SQLProvider(ex), "nation")
+    return local_eng, remote_eng
+
+
+predicates = st.one_of(
+    st.tuples(st.sampled_from(KEY_COLS), st.sampled_from(OPS),
+              st.integers(-2, 30)).map(
+        lambda t: BinaryOp(t[1], col(t[0]), lit(t[2]))),
+    st.lists(st.integers(0, 30), min_size=1, max_size=4).map(
+        lambda vs: InList(col("n_nationkey"), [lit(v) for v in vs])),
+    st.sampled_from(KEY_COLS).map(lambda c: IsNull(col(c))),
+    st.tuples(st.sampled_from(KEY_COLS), st.integers(0, 25)).map(
+        lambda t: Not(BinaryOp("=", col(t[0]), lit(t[1])))),
+)
+
+
+def _rows(engine, plan: Plan):
+    df = engine.execute(plan)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _build(scan_of, pred, shape, limit_n):
+    p: Plan = Filter(scan_of, pred)
+    if shape == "agg":
+        return Aggregate(
+            p, [col("n_regionkey")],
+            [Alias(agg("count"), "n"),
+             Alias(agg("sum", col("n_nationkey")), "s"),
+             Alias(agg("min", col(STR_COL)), "mn"),
+             Alias(agg("max", col("n_nationkey")), "mx")])
+    if shape == "sort_limit":
+        return Limit(
+            Sort(Project(p, [col("n_nationkey"), col(STR_COL)]),
+                 [SortKey(col("n_nationkey"))]),
+            fetch=limit_n)
+    return Project(p, [col("n_nationkey"), col("n_regionkey")])
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(pred=predicates,
+       shape=st.sampled_from(["agg", "sort_limit", "project"]),
+       limit_n=st.integers(0, 10))
+def test_local_and_federated_agree(engines, pred, shape, limit_n):
+    local_eng, remote_eng = engines
+    lp = _build(Scan(local_eng.catalog.table("nation")), pred, shape,
+                limit_n)
+    rp = _build(Scan(remote_eng.catalog.table("nation")), pred, shape,
+                limit_n)
+    assert _rows(local_eng, lp) == _rows(remote_eng, rp)
