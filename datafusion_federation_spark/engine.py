@@ -54,12 +54,31 @@ class FederationEngine:
     def table(self, name: str) -> "PlanBuilder":
         return PlanBuilder(self, Scan(self.catalog.table(name)))
 
-    def sql(self, query: str) -> DataFrame:
-        """SQL front door: register every catalog table as a Spark view
-        (local parquet directly; remote tables as whole-table federated
-        reads) and let Spark's parser/Catalyst run the query. Remote scans
-        still benefit from per-table pushdown; cross-engine largest-subtree
-        grouping needs the builder API."""
+    def sql(self, query: str, params: Optional[dict] = None) -> DataFrame:
+        """SQL front door with FULL federation: the query is parsed into
+        plan IR (sqlfront covers the §2C surface), so single-provider
+        subtrees collapse into one remote SQL exactly like the builder
+        API — the reference's ctx.sql entry point (SURVEY.md §3).
+        Constructs outside the parser's surface fall back to Spark's
+        parser over per-table federated views (per-table pushdown only).
+        """
+        from .sqlfront import SqlParseError, parse_sql
+        try:
+            plan = parse_sql(query, self.catalog.table)
+        except (SqlParseError, KeyError):
+            return self._sql_via_views(query)
+        return self.execute(plan, params=params)
+
+    def sql_plan(self, query: str) -> "PlanBuilder":
+        """Parse SQL into a PlanBuilder (inspect/extend/explain before
+        executing)."""
+        from .sqlfront import parse_sql
+        return PlanBuilder(self, parse_sql(query, self.catalog.table))
+
+    def _sql_via_views(self, query: str) -> DataFrame:
+        """Fallback: register every catalog table as a Spark view (local
+        parquet directly; remote tables as whole-table federated reads)
+        and let Spark's parser/Catalyst run the query."""
         for name in self.catalog.tables():
             h = self.catalog.table(name)
             df = self.compiler._c(federate(Scan(h)))

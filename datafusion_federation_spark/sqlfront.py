@@ -1,0 +1,749 @@
+"""SQL front door: a self-contained parser for the §2C relational surface
+that builds our plan IR, so ``engine.sql(...)`` gets the SAME
+largest-subtree federation as the builder API.
+
+The reference's flagship entry point is ``ctx.sql(query)`` (SURVEY.md §3
+entry point 1) — DataFusion parses, then the federation rule finds
+single-provider subtrees. Our earlier sql() registered remote tables as
+whole-table federated views and let Spark parse, which loses the
+cross-table collapse (a join of two same-remote tables pulled both whole).
+This parser covers: SELECT [DISTINCT] with expressions/aliases, FROM with
+table aliases + derived tables, INNER/LEFT/RIGHT/FULL/CROSS JOIN ... ON,
+WHERE, GROUP BY (+ ROLLUP/CUBE/GROUPING SETS), HAVING, ORDER BY
+[ASC|DESC] [NULLS FIRST|LAST], LIMIT/OFFSET, UNION [ALL] / INTERSECT /
+EXCEPT, scalar/EXISTS/IN subqueries (with OuterRef detection for
+correlation), CASE, BETWEEN, [NOT] IN, [NOT] LIKE/ILIKE, IS [NOT] NULL,
+CAST/TRY_CAST, ANY/ALL, arithmetic/comparison/boolean operators, function
+calls incl. COUNT(DISTINCT ...) and FILTER (WHERE ...).
+
+Unsupported constructs raise SqlParseError — engine.sql() falls back to
+the Spark-parser path (per-table pushdown) for those.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+from .expressions import (
+    AggFunc, Alias, Between, BinaryOp, Case, Cast, Col, Cube, Exists, Expr,
+    Func, GroupingSets, InList, InSubquery, IsNull, Like, Lit, Not,
+    OuterRef, Rollup, ScalarSubquery, SetComparison, SortKey, Star,
+    WindowFrame, WindowFunc,
+)
+from .plans.nodes import (
+    Aggregate, Distinct, Filter, Join, Limit, Plan, Project, Scan, SetOp,
+    Sort, SubqueryAlias, Union,
+)
+
+AGG_NAMES = {"count", "sum", "avg", "min", "max", "stddev", "variance",
+             "first", "last", "collect_list", "collect_set", "median"}
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<num>\d+\.\d+|\d+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<qid>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
+    | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op><=|>=|<>|!=|\|\||[=<>+\-*/%(),.*])
+    )""", re.X)
+
+
+class SqlParseError(ValueError):
+    pass
+
+
+def tokenize(sql: str) -> List[Tuple[str, str]]:
+    out, pos = [], 0
+    sql = sql.strip().rstrip(";")
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m or m.end() == pos:
+            raise SqlParseError(f"cannot tokenize at: {sql[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "qid":
+            q = m.group("qid")
+            out.append(("id", q[1:-1].replace(q[0] * 2, q[0])))
+        elif m.lastgroup == "id":
+            out.append(("id", m.group("id")))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+class _Scope:
+    """FROM-clause aliases visible at one query level (for correlation
+    detection in subqueries)."""
+
+    def __init__(self, parent: Optional["_Scope"] = None):
+        self.names: set = set()
+        self.parent = parent
+
+    def add(self, name: str):
+        self.names.add(name.lower())
+
+    def is_local(self, qualifier: str) -> bool:
+        return qualifier.lower() in self.names
+
+    def is_outer(self, qualifier: str) -> bool:
+        s = self.parent
+        while s is not None:
+            if s.is_local(qualifier):
+                return True
+            s = s.parent
+        return False
+
+
+class Parser:
+    def __init__(self, sql: str, resolve_table: Callable[[str], Any]):
+        self.toks = tokenize(sql)
+        self.i = 0
+        self.resolve_table = resolve_table
+
+    # -- token helpers -----------------------------------------------------
+    def peek(self, k: int = 0) -> Optional[Tuple[str, str]]:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return (t is not None and t[0] == "id"
+                and t[1].upper() in kws)
+
+    def take(self) -> Tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise SqlParseError("unexpected end of input")
+        self.i += 1
+        return t
+
+    def expect_kw(self, kw: str):
+        if not self.at_kw(kw):
+            raise SqlParseError(f"expected {kw} at {self.peek()}")
+        self.take()
+
+    def accept_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.take()
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        t = self.take()
+        if t != ("op", op):
+            raise SqlParseError(f"expected {op!r}, got {t}")
+
+    def accept_op(self, op: str) -> bool:
+        if self.peek() == ("op", op):
+            self.take()
+            return True
+        return False
+
+    # -- entry -------------------------------------------------------------
+    def parse(self) -> Plan:
+        plan = self.parse_query(_Scope())
+        if self.peek() is not None:
+            raise SqlParseError(f"trailing tokens at {self.peek()}")
+        return plan
+
+    # query := select_stmt ((UNION [ALL]|INTERSECT [ALL]|EXCEPT [ALL])
+    #          select_stmt)* [ORDER BY ...] [LIMIT ...]
+    def parse_query(self, outer: _Scope) -> Plan:
+        plan = self.parse_select(outer)
+        while True:
+            if self.accept_kw("UNION"):
+                allq = self.accept_kw("ALL")
+                rhs = self.parse_select(outer)
+                if isinstance(plan, Union) and plan.all == allq:
+                    plan = Union([*plan.branches, rhs], all=allq)
+                else:
+                    plan = Union([plan, rhs], all=allq)
+            elif self.at_kw("INTERSECT", "EXCEPT"):
+                op = self.take()[1].upper()
+                allq = self.accept_kw("ALL")
+                rhs = self.parse_select(outer)
+                plan = SetOp(plan, rhs, op, allq)
+            else:
+                break
+        plan = self._order_limit(plan, outer)
+        return plan
+
+    def _order_limit(self, plan: Plan, scope: _Scope) -> Plan:
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            keys = [self.parse_sort_key(scope)]
+            while self.accept_op(","):
+                keys.append(self.parse_sort_key(scope))
+            plan = Sort(plan, keys)
+        fetch = skip = None
+        if self.accept_kw("LIMIT"):
+            fetch = int(self.take()[1])
+        if self.accept_kw("OFFSET"):
+            skip = int(self.take()[1])
+        if self.accept_kw("LIMIT"):        # OFFSET n LIMIT m order
+            fetch = int(self.take()[1])
+        if fetch is not None or skip is not None:
+            plan = Limit(plan, fetch=fetch, skip=skip)
+        return plan
+
+    def parse_sort_key(self, scope: _Scope) -> SortKey:
+        e = self.parse_expr(scope)
+        asc = True
+        if self.accept_kw("ASC"):
+            asc = True
+        elif self.accept_kw("DESC"):
+            asc = False
+        nulls = None
+        if self.accept_kw("NULLS"):
+            nulls = self.accept_kw("FIRST")
+            if not nulls:
+                self.expect_kw("LAST")
+                nulls = False
+        return SortKey(e, ascending=asc, nulls_first=nulls)
+
+    # select_stmt := SELECT [DISTINCT] items FROM ... [WHERE] [GROUP BY]
+    #                [HAVING]
+    def parse_select(self, outer: _Scope) -> Plan:
+        self.expect_kw("SELECT")
+        distinct = self.accept_kw("DISTINCT")
+        scope = _Scope(parent=outer)
+
+        # parse the select list AFTER FROM for scope, so stash tokens:
+        # simpler: parse items now (scope only matters for correlation in
+        # subqueries inside the select list — rare; accept the limit)
+        items = [self.parse_select_item(scope)]
+        while self.accept_op(","):
+            items.append(self.parse_select_item(scope))
+
+        self.expect_kw("FROM")
+        plan = self.parse_from(scope)
+
+        if self.accept_kw("WHERE"):
+            plan = Filter(plan, self.parse_expr(scope))
+
+        group_by: List[Expr] = []
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            group_by = [self.parse_group_item(scope)]
+            while self.accept_op(","):
+                group_by.append(self.parse_group_item(scope))
+
+        having = None
+        if self.accept_kw("HAVING"):
+            having = self.parse_expr(scope)
+
+        plan = self._assemble(plan, items, distinct, group_by, having)
+        return plan
+
+    def parse_group_item(self, scope: _Scope) -> Expr:
+        if self.accept_kw("ROLLUP"):
+            return Rollup(self._paren_expr_list(scope))
+        if self.accept_kw("CUBE"):
+            return Cube(self._paren_expr_list(scope))
+        if self.at_kw("GROUPING"):
+            self.take()
+            self.expect_kw("SETS")
+            self.expect_op("(")
+            sets = []
+            while True:
+                if self.peek() == ("op", "("):
+                    sets.append(self._paren_expr_list(scope))
+                else:
+                    sets.append([self.parse_expr(scope)])
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return GroupingSets(sets)
+        return self.parse_expr(scope)
+
+    def _paren_expr_list(self, scope: _Scope) -> List[Expr]:
+        self.expect_op("(")
+        if self.accept_op(")"):
+            return []
+        out = [self.parse_expr(scope)]
+        while self.accept_op(","):
+            out.append(self.parse_expr(scope))
+        self.expect_op(")")
+        return out
+
+    def _assemble(self, plan: Plan, items, distinct, group_by, having
+                  ) -> Plan:
+        has_agg = any(self._contains_agg(e) for e, _ in items) or group_by \
+            or (having is not None)
+        if has_agg:
+            # aggregates: every select item that contains an agg call;
+            # plain items must be group keys (validated loosely)
+            aggs = []
+            out_names = []
+            group_sql = {self._expr_key(g) for g in group_by
+                         if not isinstance(g, (Rollup, Cube, GroupingSets))}
+            for e, name in items:
+                out = name or e.output_name()
+                out_names.append(out)
+                if self._contains_agg(e):
+                    aggs.append(Alias(e, out))
+                else:
+                    # group key in the select list: alias it for output
+                    if (self._expr_key(e) not in group_sql
+                            and not self._in_grouping_sets(e, group_by)):
+                        raise SqlParseError(
+                            f"non-aggregated column {out!r} not in GROUP BY")
+            new_group = []
+            for g in group_by:
+                if isinstance(g, (Rollup, Cube, GroupingSets)):
+                    new_group.append(g)
+                    continue
+                # alias group keys with their select-list name when present
+                label = next((nm or e.output_name() for e, nm in items
+                              if self._expr_key(e) == self._expr_key(g)),
+                             None)
+                if label is not None and label != g.output_name():
+                    new_group.append(Alias(g, label))
+                else:
+                    new_group.append(g)
+            hidden = []
+            if having is not None:
+                having, hidden = self._extract_having_aggs(having, aggs)
+            plan = Aggregate(plan, new_group, aggs + hidden)
+            if having is not None:
+                plan = Filter(plan, having)
+            if hidden:
+                plan = Project(plan, [Col(n) for n in out_names])
+        else:
+            if len(items) == 1 and isinstance(items[0][0], Star) \
+                    and items[0][1] is None:
+                plan = Project(plan, [items[0][0]])
+            else:
+                plan = Project(plan, [
+                    Alias(e, name) if name else e for e, name in items])
+        if distinct:
+            plan = Distinct(plan)
+        return plan
+
+    def _extract_having_aggs(self, having: Expr, aggs: List[Alias]):
+        """Rewrite aggregate calls inside HAVING to references to output
+        aggregates (adding hidden ones when absent): the filter then
+        applies ABOVE the Aggregate, which both engines handle (derived
+        table + WHERE remotely; plain filter locally)."""
+        from .compiler import _rewrite_expr
+        existing = {self._expr_key(a.expr): a.name for a in aggs}
+        hidden: List[Alias] = []
+
+        def replace(x: Expr) -> Expr:
+            if isinstance(x, AggFunc):
+                key = self._expr_key(x)
+                if key in existing:
+                    return Col(existing[key])
+                name = f"__h{len(hidden)}"
+                hidden.append(Alias(x, name))
+                existing[key] = name
+                return Col(name)
+            return x
+
+        return _rewrite_expr(having, replace), hidden
+
+    def _in_grouping_sets(self, e: Expr, group_by) -> bool:
+        key = self._expr_key(e)
+        for g in group_by:
+            if isinstance(g, (Rollup, Cube)):
+                if any(self._expr_key(m) == key for m in g.exprs):
+                    return True
+            elif isinstance(g, GroupingSets):
+                if any(self._expr_key(m) == key
+                       for s in g.sets for m in s):
+                    return True
+        return False
+
+    @staticmethod
+    def _expr_key(e: Expr) -> str:
+        from .dialects import get_dialect
+        return e.to_sql(get_dialect("ansi"))
+
+    def _contains_agg(self, e: Expr) -> bool:
+        # a window function is NOT an aggregate for grouping purposes,
+        # even when its func is an AggFunc (SUM(x) OVER (...))
+        if isinstance(e, WindowFunc):
+            return False
+        if isinstance(e, AggFunc):
+            return True
+        return any(self._contains_agg(c) for c in e.children())
+
+    def parse_select_item(self, scope: _Scope):
+        if self.peek() == ("op", "*"):
+            self.take()
+            return Star(), None
+        e = self.parse_expr(scope)
+        name = None
+        if self.accept_kw("AS"):
+            name = self.take()[1]
+        elif (self.peek() is not None and self.peek()[0] == "id"
+              and not self.at_kw("FROM", "WHERE", "GROUP", "HAVING",
+                                 "ORDER", "LIMIT", "OFFSET", "UNION",
+                                 "INTERSECT", "EXCEPT", "JOIN", "ON",
+                                 "INNER", "LEFT", "RIGHT", "FULL",
+                                 "CROSS", "AND", "OR")):
+            name = self.take()[1]
+        return e, name
+
+    # -- FROM --------------------------------------------------------------
+    def parse_from(self, scope: _Scope) -> Plan:
+        plan = self.parse_relation(scope)
+        while True:
+            how = None
+            if self.accept_kw("CROSS"):
+                self.expect_kw("JOIN")
+                rhs = self.parse_relation(scope)
+                plan = Join(plan, rhs, how="cross")
+                continue
+            if self.accept_kw("INNER"):
+                how = "inner"
+                self.expect_kw("JOIN")
+            elif self.at_kw("LEFT", "RIGHT", "FULL"):
+                how = self.take()[1].lower()
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+            elif self.accept_kw("JOIN"):
+                how = "inner"
+            elif self.accept_op(","):
+                rhs = self.parse_relation(scope)
+                plan = Join(plan, rhs, how="cross")
+                continue
+            else:
+                break
+            rhs = self.parse_relation(scope)
+            self.expect_kw("ON")
+            cond = self.parse_expr(scope)
+            plan = Join(plan, rhs, how=how, condition=cond)
+        return plan
+
+    def parse_relation(self, scope: _Scope) -> Plan:
+        if self.accept_op("("):
+            sub = self.parse_query(scope)
+            self.expect_op(")")
+            alias = self._relation_alias()
+            if alias:
+                scope.add(alias)
+                return SubqueryAlias(sub, alias)
+            return sub
+        name = self.take()
+        if name[0] != "id":
+            raise SqlParseError(f"expected table name, got {name}")
+        tname = name[1]
+        while self.peek() == ("op", "."):
+            self.take()
+            tname += "." + self.take()[1]
+        handle = self.resolve_table(tname)
+        plan: Plan = Scan(handle)
+        alias = self._relation_alias()
+        scope.add(alias or handle.local_name)
+        if alias and alias != handle.local_name:
+            plan = SubqueryAlias(plan, alias)
+        return plan
+
+    def _relation_alias(self) -> Optional[str]:
+        if self.accept_kw("AS"):
+            return self.take()[1]
+        if (self.peek() is not None and self.peek()[0] == "id"
+                and not self.at_kw(
+                    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                    "UNION", "INTERSECT", "EXCEPT", "JOIN", "ON", "INNER",
+                    "LEFT", "RIGHT", "FULL", "CROSS", "AS")):
+            return self.take()[1]
+        return None
+
+    # -- expressions (precedence climbing) ---------------------------------
+    def parse_expr(self, scope: _Scope) -> Expr:
+        return self.parse_or(scope)
+
+    def parse_or(self, scope) -> Expr:
+        e = self.parse_and(scope)
+        while self.accept_kw("OR"):
+            e = BinaryOp("OR", e, self.parse_and(scope))
+        return e
+
+    def parse_and(self, scope) -> Expr:
+        e = self.parse_not(scope)
+        while self.accept_kw("AND"):
+            e = BinaryOp("AND", e, self.parse_not(scope))
+        return e
+
+    def parse_not(self, scope) -> Expr:
+        if self.accept_kw("NOT"):
+            if self.at_kw("EXISTS"):
+                return self._exists(scope, negated=True)
+            return Not(self.parse_not(scope))
+        if self.at_kw("EXISTS"):
+            return self._exists(scope, negated=False)
+        return self.parse_comparison(scope)
+
+    def _exists(self, scope, negated: bool) -> Exists:
+        self.expect_kw("EXISTS")
+        self.expect_op("(")
+        sub = self.parse_query(scope)
+        self.expect_op(")")
+        return Exists(sub, negated=negated)
+
+    def parse_comparison(self, scope) -> Expr:
+        e = self.parse_additive(scope)
+        while True:
+            neg = False
+            save = self.i
+            if self.accept_kw("NOT"):
+                neg = True
+            if self.accept_kw("BETWEEN"):
+                lo = self.parse_additive(scope)
+                self.expect_kw("AND")
+                hi = self.parse_additive(scope)
+                e = Between(e, lo, hi, negated=neg)
+                continue
+            if self.accept_kw("IN"):
+                self.expect_op("(")
+                if self.at_kw("SELECT"):
+                    sub = self.parse_query(scope)
+                    self.expect_op(")")
+                    e = InSubquery(e, sub, negated=neg)
+                else:
+                    vals = [self.parse_expr(scope)]
+                    while self.accept_op(","):
+                        vals.append(self.parse_expr(scope))
+                    self.expect_op(")")
+                    e = InList(e, vals, negated=neg)
+                continue
+            if self.at_kw("LIKE", "ILIKE"):
+                ci = self.take()[1].upper() == "ILIKE"
+                pat = self.parse_additive(scope)
+                e = Like(e, pat, negated=neg, case_insensitive=ci)
+                continue
+            if neg:
+                self.i = save          # lone NOT belongs to caller
+                break
+            if self.accept_kw("IS"):
+                n2 = self.accept_kw("NOT")
+                self.expect_kw("NULL")
+                from .expressions import IsNotNull
+                e = IsNotNull(e) if n2 else IsNull(e)
+                continue
+            t = self.peek()
+            if t is not None and t[0] == "op" and t[1] in (
+                    "=", "<>", "!=", "<", "<=", ">", ">="):
+                op = self.take()[1]
+                op = "<>" if op == "!=" else op
+                if self.at_kw("ANY", "ALL", "SOME"):
+                    quant = self.take()[1].upper()
+                    quant = "ANY" if quant == "SOME" else quant
+                    self.expect_op("(")
+                    sub = self.parse_query(scope)
+                    self.expect_op(")")
+                    e = SetComparison(e, op, quant, sub)
+                else:
+                    e = BinaryOp(op, e, self.parse_additive(scope))
+                continue
+            break
+        return e
+
+    def parse_additive(self, scope) -> Expr:
+        e = self.parse_multiplicative(scope)
+        while True:
+            t = self.peek()
+            if t is not None and t[0] == "op" and t[1] in ("+", "-", "||"):
+                op = self.take()[1]
+                rhs = self.parse_multiplicative(scope)
+                if op == "||":
+                    e = Func("concat", [e, rhs])
+                else:
+                    e = BinaryOp(op, e, rhs)
+            else:
+                break
+        return e
+
+    def parse_multiplicative(self, scope) -> Expr:
+        e = self.parse_unary(scope)
+        while True:
+            t = self.peek()
+            if t is not None and t[0] == "op" and t[1] in ("*", "/", "%"):
+                op = self.take()[1]
+                e = BinaryOp(op, e, self.parse_unary(scope))
+            else:
+                break
+        return e
+
+    def parse_unary(self, scope) -> Expr:
+        if self.accept_op("-"):
+            from .expressions import Negative
+            return Negative(self.parse_unary(scope))
+        if self.accept_op("+"):
+            return self.parse_unary(scope)
+        return self.parse_primary(scope)
+
+    def parse_primary(self, scope) -> Expr:
+        t = self.peek()
+        if t is None:
+            raise SqlParseError("unexpected end of expression")
+        if t[0] == "num":
+            self.take()
+            v = float(t[1]) if "." in t[1] else int(t[1])
+            return Lit(v)
+        if t[0] == "str":
+            self.take()
+            return Lit(t[1])
+        if self.accept_op("("):
+            if self.at_kw("SELECT"):
+                sub = self.parse_query(scope)
+                self.expect_op(")")
+                return ScalarSubquery(sub)
+            e = self.parse_expr(scope)
+            self.expect_op(")")
+            return e
+        if t[0] != "id":
+            raise SqlParseError(f"unexpected token {t}")
+        word = t[1]
+        up = word.upper()
+        if up == "CASE":
+            return self.parse_case(scope)
+        if up in ("CAST", "TRY_CAST"):
+            self.take()
+            self.expect_op("(")
+            e = self.parse_expr(scope)
+            self.expect_kw("AS")
+            dtype = self.parse_type()
+            self.expect_op(")")
+            return Cast(e, dtype, try_cast=(up == "TRY_CAST"))
+        if up in ("NULL",):
+            self.take()
+            return Lit(None)
+        if up in ("TRUE", "FALSE"):
+            self.take()
+            return Lit(up == "TRUE")
+        if up in ("DATE", "TIMESTAMP") and self.peek(1) is not None \
+                and self.peek(1)[0] == "str":
+            self.take()
+            import datetime as _dt
+            s = self.take()[1]
+            if up == "DATE":
+                return Lit(_dt.date.fromisoformat(s))
+            return Lit(_dt.datetime.fromisoformat(s))
+        # function call?
+        if self.peek(1) == ("op", "("):
+            return self.parse_func_call(scope)
+        # column ref (possibly qualified)
+        self.take()
+        if self.peek() == ("op", "."):
+            self.take()
+            if self.peek() == ("op", "*"):
+                self.take()
+                return Star(table=word)
+            col_name = self.take()[1]
+            if scope.is_local(word):
+                return Col(col_name, word)
+            if scope.is_outer(word):
+                return OuterRef(col_name, word)
+            return Col(col_name, word)
+        return Col(word)
+
+    def parse_type(self) -> str:
+        base = self.take()[1]
+        if self.accept_op("("):
+            args = [self.take()[1]]
+            while self.accept_op(","):
+                args.append(self.take()[1])
+            self.expect_op(")")
+            return f"{base}({','.join(args)})"
+        return base
+
+    def parse_case(self, scope) -> Expr:
+        self.expect_kw("CASE")
+        operand = None
+        if not self.at_kw("WHEN"):
+            operand = self.parse_expr(scope)
+        branches = []
+        while self.accept_kw("WHEN"):
+            w = self.parse_expr(scope)
+            self.expect_kw("THEN")
+            branches.append((w, self.parse_expr(scope)))
+        else_e = None
+        if self.accept_kw("ELSE"):
+            else_e = self.parse_expr(scope)
+        self.expect_kw("END")
+        return Case(branches, else_e, operand)
+
+    def parse_func_call(self, scope) -> Expr:
+        name = self.take()[1]
+        self.expect_op("(")
+        distinct = False
+        args: List[Expr] = []
+        star = False
+        if self.accept_op("*"):
+            star = True
+        elif not self.accept_op(")"):
+            distinct = self.accept_kw("DISTINCT")
+            args.append(self.parse_expr(scope))
+            while self.accept_op(","):
+                args.append(self.parse_expr(scope))
+        if not star and args:
+            self.expect_op(")")
+        elif star:
+            self.expect_op(")")
+        lname = name.lower()
+        if lname in AGG_NAMES:
+            if lname == "count" and star:
+                e: Expr = AggFunc("count", [], distinct=distinct)
+            else:
+                e = AggFunc(lname, args, distinct=distinct)
+            if self.accept_kw("FILTER"):
+                self.expect_op("(")
+                self.expect_kw("WHERE")
+                e.filter = self.parse_expr(scope)
+                self.expect_op(")")
+            if self.accept_kw("OVER"):
+                return self.parse_over(e, scope)
+            return e
+        f = Func(lname, args)
+        if self.accept_kw("OVER"):
+            return self.parse_over(f, scope)
+        return f
+
+    def parse_over(self, func_expr: Expr, scope) -> WindowFunc:
+        self.expect_op("(")
+        partition: List[Expr] = []
+        order: List[SortKey] = []
+        frame = None
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            partition.append(self.parse_expr(scope))
+            while self.accept_op(","):
+                partition.append(self.parse_expr(scope))
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            order.append(self.parse_sort_key(scope))
+            while self.accept_op(","):
+                order.append(self.parse_sort_key(scope))
+        if self.at_kw("ROWS", "RANGE"):
+            kind = self.take()[1].upper()
+            self.expect_kw("BETWEEN")
+            start = self._frame_bound()
+            self.expect_kw("AND")
+            end = self._frame_bound()
+            frame = WindowFrame(kind, start, end)
+        self.expect_op(")")
+        return WindowFunc(func_expr, partition, order, frame)
+
+    def _frame_bound(self):
+        if self.accept_kw("UNBOUNDED"):
+            kw = self.take()[1].upper()
+            return f"UNBOUNDED {kw}"
+        if self.accept_kw("CURRENT"):
+            self.expect_kw("ROW")
+            return 0
+        n = int(self.take()[1])
+        kw = self.take()[1].upper()
+        return -n if kw == "PRECEDING" else n
+
+
+def parse_sql(sql: str, resolve_table: Callable[[str], Any]) -> Plan:
+    """Parse a SQL string into plan IR. ``resolve_table`` maps a table
+    name to a catalog TableHandle."""
+    return Parser(sql, resolve_table).parse()

@@ -1,0 +1,203 @@
+"""SQL front door tests: parsing the §2C surface into plan IR, federated
+collapse through engine.sql() (the reference's ctx.sql entry point), and
+agreement with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from datafusion_federation_spark.federation import federate
+from datafusion_federation_spark.plans.nodes import (
+    Aggregate, Distinct, Filter, Join, Limit, Project, RemoteQueryNode,
+    Scan, SetOp, Sort, SubqueryAlias, Union, walk_plan,
+)
+from datafusion_federation_spark.sqlfront import SqlParseError, parse_sql
+from tests.conftest import TESTDATA
+from tests.test_unparser_goldens import h as mk_handle
+
+
+def resolve(name):
+    return mk_handle(name.split(".")[-1])
+
+
+def parse(sql):
+    return parse_sql(sql, resolve)
+
+
+# ---------------------------------------------------------------------------
+# parse-shape tests
+# ---------------------------------------------------------------------------
+
+def test_parse_select_where():
+    p = parse("SELECT a, b FROM t WHERE a > 5")
+    assert isinstance(p, Project)
+    assert isinstance(p.input, Filter)
+    assert isinstance(p.input.input, Scan)
+
+
+def test_parse_join_agg():
+    p = parse("SELECT c, COUNT(*) AS n FROM t JOIN u ON t.x = u.x "
+              "GROUP BY c")
+    assert isinstance(p, Aggregate)
+    assert isinstance(p.input, Join)
+    assert p.aggregates[0].name == "n"
+
+
+def test_parse_union_order_limit():
+    p = parse("SELECT a FROM t UNION ALL SELECT a FROM u "
+              "ORDER BY a DESC LIMIT 3 OFFSET 1")
+    assert isinstance(p, Limit)
+    assert p.fetch == 3 and p.skip == 1
+    assert isinstance(p.input, Sort)
+    assert isinstance(p.input.input, Union)
+
+
+def test_parse_having_hoists_aggs():
+    p = parse("SELECT c, SUM(a) AS s FROM t GROUP BY c "
+              "HAVING SUM(a) > 10 AND COUNT(*) > 2")
+    # HAVING becomes a Filter above the Aggregate; COUNT(*) not in the
+    # select list gets a hidden output + a restoring Project
+    assert isinstance(p, Project)
+    assert isinstance(p.input, Filter)
+    assert isinstance(p.input.input, Aggregate)
+    assert [a.name for a in p.input.input.aggregates][:1] == ["s"]
+
+
+def test_parse_case_between_in_like():
+    p = parse("SELECT CASE WHEN a BETWEEN 1 AND 5 THEN 'x' ELSE 'y' END "
+              "AS c FROM t WHERE a IN (1, 2) OR b LIKE 'z%'")
+    assert isinstance(p, Project)
+
+
+def test_parse_exists_correlated_outer_ref():
+    from datafusion_federation_spark.expressions import Exists, OuterRef, walk
+    p = parse("SELECT a FROM t WHERE EXISTS "
+              "(SELECT 1 FROM u WHERE u.x = t.x)")
+    f = p.input
+    assert isinstance(f, Filter) and isinstance(f.predicate, Exists)
+    sub_filter = f.predicate.plan.input        # Project(Filter(Scan))
+    refs = [n for n in walk(sub_filter.predicate)
+            if isinstance(n, OuterRef)]
+    assert refs and refs[0].table == "t"
+
+
+def test_parse_scalar_and_quantified_subqueries():
+    from datafusion_federation_spark.expressions import (
+        ScalarSubquery, SetComparison, walk)
+    p = parse("SELECT a FROM t WHERE a > (SELECT AVG(a) FROM t) "
+              "AND a < ANY (SELECT a FROM u)")
+    kinds = {type(n) for n in walk(p.input.predicate)}
+    assert ScalarSubquery in kinds and SetComparison in kinds
+
+
+def test_parse_window_function():
+    from datafusion_federation_spark.expressions import WindowFunc
+    p = parse("SELECT a, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) "
+              "AS rk FROM t")
+    assert isinstance(p, Project)          # window fn is NOT a group agg
+    assert isinstance(p.projections[1].expr, WindowFunc)
+
+
+def test_parse_rollup_distinct():
+    p = parse("SELECT DISTINCT b FROM t")
+    assert isinstance(p, Distinct)
+    p = parse("SELECT b, COUNT(*) AS n FROM t GROUP BY ROLLUP (b)")
+    assert isinstance(p, Aggregate)
+
+
+def test_parse_rejects_unsupported():
+    with pytest.raises(SqlParseError):
+        parse("SELECT a FROM t PIVOT (SUM(b) FOR c IN (1,2))")
+    with pytest.raises(SqlParseError):
+        parse("WITH x AS (SELECT 1) SELECT * FROM x")
+
+
+def test_parse_nonaggregated_column_rejected():
+    with pytest.raises(SqlParseError, match="GROUP BY"):
+        parse("SELECT a, COUNT(*) FROM t GROUP BY b")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: engine.sql federates across the whole query
+# ---------------------------------------------------------------------------
+
+def _oracle(sql):
+    conn = duckdb.connect()
+    for t in ("orders", "customer", "nation", "lineitem"):
+        conn.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                     f"read_parquet('{TESTDATA}/{t}.parquet')")
+    return sorted(map(tuple, conn.execute(sql).fetchall()))
+
+
+def test_engine_sql_collapses_join_to_one_remote_query(duckdb_engine):
+    eng, ex = duckdb_engine
+    sql = ("SELECT c_mktsegment, COUNT(*) AS n FROM orders "
+           "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment")
+    plan = eng.sql_plan(sql).plan
+    fed = federate(plan)
+    assert isinstance(fed, RemoteQueryNode), \
+        "SQL join of two same-remote tables must collapse to ONE query"
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_engine_sql_mixed_local_remote(duckdb_engine):
+    eng, ex = duckdb_engine
+    sql = ("SELECT o_orderpriority, COUNT(*) AS n FROM lineitem "
+           "JOIN orders ON l_orderkey = o_orderkey "
+           "WHERE o_totalprice > 100000 GROUP BY o_orderpriority")
+    plan = eng.sql_plan(sql).plan
+    fed = federate(plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1               # orders side only
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total "
+    "FROM orders GROUP BY o_orderpriority",
+
+    "SELECT o_orderkey FROM orders WHERE o_totalprice "
+    "BETWEEN 100000 AND 200000 ORDER BY o_orderkey LIMIT 10",
+
+    "SELECT c_mktsegment, c_nationkey FROM customer WHERE "
+    "c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 0 "
+    "ORDER BY c_nationkey, c_mktsegment LIMIT 25",
+
+    "SELECT n_name FROM nation WHERE n_regionkey = 2 "
+    "UNION ALL SELECT n_name FROM nation WHERE n_regionkey = 3 "
+    "ORDER BY n_name",
+
+    "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) "
+    "ORDER BY o_orderkey LIMIT 50",
+
+    "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > "
+    "(SELECT AVG(o_totalprice) FROM orders)",
+
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+    "GROUP BY o_orderpriority HAVING COUNT(*) > 100 "
+    "ORDER BY o_orderpriority",
+
+    "SELECT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign, "
+    "COUNT(*) AS n FROM customer GROUP BY sign ORDER BY sign",
+])
+def test_engine_sql_matches_duckdb(duckdb_engine, sql):
+    eng, _ = duckdb_engine
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_engine_sql_fallback_for_unsupported(duckdb_engine):
+    eng, _ = duckdb_engine
+    # CTEs are outside the parser surface -> Spark-view fallback path
+    df = eng.sql("WITH big AS (SELECT * FROM orders "
+                 "WHERE o_totalprice > 200000) "
+                 "SELECT COUNT(*) AS n FROM big")
+    want = _oracle("SELECT COUNT(*) AS n FROM orders "
+                   "WHERE o_totalprice > 200000")
+    assert [tuple(r) for r in df.collect()] == want
