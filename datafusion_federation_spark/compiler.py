@@ -120,17 +120,34 @@ class Compiler:
 
         if isinstance(p, Filter):
             from .expressions import (
-                Exists, InSubquery, ScalarSubquery, walk as walk_expr)
+                BinaryOp, Exists, InSubquery, ScalarSubquery,
+                walk as walk_expr)
             pred = _rewrite_expr(p.predicate, self._rewrite_quantifier)
             nodes = list(walk_expr(pred))
             if any(isinstance(n, (Exists, InSubquery)) for n in nodes):
-                return self._compile_subquery_filter(Filter(p.input, pred))
-            df = self._c(p.input)
-            if any(isinstance(n, ScalarSubquery) for n in nodes):
-                df, (pred,), cols = self._prepare_exprs(df, [pred])
-                return df.filter(pred.to_spark()).drop(*cols)
-            pred = _rewrite_expr(pred, self._resolve_scalar_variable)
-            return df.filter(pred.to_spark())
+                # EXISTS / IN-subquery predicates compile as joins; they
+                # may appear as AND-conjuncts mixed with plain predicates
+                conj = list(_split_conjuncts(pred))
+                subq = [c for c in conj
+                        if isinstance(c, (Exists, InSubquery))]
+                plain = [c for c in conj
+                         if not isinstance(c, (Exists, InSubquery))]
+                for c in plain:
+                    if any(isinstance(n, (Exists, InSubquery))
+                           for n in walk_expr(c)):
+                        raise ValueError(
+                            "subquery predicates must be top-level "
+                            "conjuncts in a Filter")
+                df = self._c(p.input)
+                if plain:
+                    pp = plain[0]
+                    for k in plain[1:]:
+                        pp = BinaryOp("AND", pp, k)
+                    df = self._filter_plain(df, pp)
+                for c in subq:
+                    df = self._apply_subquery_pred(df, c)
+                return df
+            return self._filter_plain(self._c(p.input), pred)
 
         if isinstance(p, Join):
             if self.runtime_join_filters and p.how in ("inner", "semi"):
@@ -333,15 +350,23 @@ class Compiler:
         sets = [[e.to_spark() for e in one] for one in s.sets]
         return df.groupingSets(sets)
 
-    def _compile_subquery_filter(self, p: Filter) -> DataFrame:
+    def _filter_plain(self, df: DataFrame, pred: Expr) -> DataFrame:
+        """Filter with a predicate free of EXISTS/IN subqueries (scalar
+        subqueries and session variables are lowered here)."""
+        from .expressions import ScalarSubquery, walk as walk_expr
+        if any(isinstance(n, ScalarSubquery) for n in walk_expr(pred)):
+            df, (pred,), cols = self._prepare_exprs(df, [pred])
+            return df.filter(pred.to_spark()).drop(*cols)
+        pred = _rewrite_expr(pred, self._resolve_scalar_variable)
+        return df.filter(pred.to_spark())
+
+    def _apply_subquery_pred(self, df: DataFrame, pred: Expr) -> DataFrame:
         """EXISTS / IN subqueries compile to LEFT SEMI / LEFT ANTI joins
         (SURVEY.md §2C; the reference keeps them local too — DataFusion
         decorrelates before federation, src/lib.rs:39-52). Correlated
         EXISTS decorrelates here: top-level correlated conjuncts hoist
         out of the subquery's filters into the join condition."""
         from .expressions import Exists, InSubquery
-        pred = p.predicate
-        df = self._c(p.input)
         if isinstance(pred, Exists):
             how = "left_anti" if pred.negated else "left_semi"
             conds, cleaned = _extract_correlated(pred.plan)
@@ -367,7 +392,7 @@ class Compiler:
             how = "left_anti" if pred.negated else "left_semi"
             return df.join(sub, on=pred.expr.to_spark() == sub[sub_col],
                            how=how)
-        raise ValueError("subquery predicates must be top-level in a Filter")
+        raise ValueError("unsupported subquery predicate form")
 
 
 def _has_outer_ref(e: Expr) -> bool:

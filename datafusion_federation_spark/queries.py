@@ -1100,3 +1100,46 @@ def q65(spark, sf):
                               nulls_first=False))
             .limit(20)
             .to_df())
+
+
+_Q66_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@q("q66_sql_front_door", _Q66_SQL)
+def q66(spark, sf):
+    """The reference's flagship entry point: engine.sql() — the SAME SQL
+    string is the oracle. The parser builds plan IR, the federation pass
+    collapses the join+agg into ONE remote DuckDB query."""
+    eng = _fed_engine(spark, sf, ["orders", "customer"], "duck_q66")
+    return eng.sql(_Q66_SQL)
+
+
+_Q67_SQL = """
+SELECT c.c_custkey, COUNT(*) AS n_big
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_totalprice > 250000
+  AND EXISTS (SELECT 1 FROM orders o2
+              WHERE o2.o_custkey = c.c_custkey
+                AND o2.o_orderpriority = '1-URGENT')
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@q("q67_sql_correlated", _Q67_SQL)
+def q67(spark, sf):
+    """SQL front door with a correlated EXISTS (OuterRef detected from
+    FROM-scope) on LOCAL tables: the compiler decorrelates into a semi
+    join."""
+    from . import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("customer", f"{sf}/customer.parquet")
+    eng.register_local_parquet("orders", f"{sf}/orders.parquet")
+    return eng.sql(_Q67_SQL)
