@@ -91,3 +91,50 @@ def test_local_and_federated_agree(engines, pred, shape, limit_n):
     rp = _build(Scan(remote_eng.catalog.table("nation")), pred, shape,
                 limit_n)
     assert _rows(local_eng, lp) == _rows(remote_eng, rp)
+
+
+# ---------------------------------------------------------------------------
+# SQL-string differential: random SQL through engine.sql() (parse ->
+# federate -> DuckDB) vs the same string run directly on DuckDB
+# ---------------------------------------------------------------------------
+
+_sql_preds = st.one_of(
+    st.tuples(st.sampled_from(KEY_COLS), st.sampled_from(OPS),
+              st.integers(-2, 30)).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.lists(st.integers(0, 30), min_size=1, max_size=4).map(
+        lambda vs: f"n_nationkey IN ({', '.join(map(str, vs))})"),
+    st.tuples(st.integers(0, 10), st.integers(10, 30)).map(
+        lambda t: f"n_regionkey BETWEEN {t[0]} AND {t[1]}"),
+    st.sampled_from(["n_name LIKE 'A%'", "n_name LIKE '%IA'",
+                     "NOT n_regionkey = 2"]),
+)
+
+
+@st.composite
+def _sql_queries(draw):
+    pred = draw(_sql_preds)
+    shape = draw(st.sampled_from(["agg", "proj", "sort"]))
+    if shape == "agg":
+        return ("SELECT n_regionkey, COUNT(*) AS n, "
+                "SUM(n_nationkey) AS s, MAX(n_name) AS mx "
+                f"FROM nation WHERE {pred} GROUP BY n_regionkey")
+    if shape == "sort":
+        n = draw(st.integers(0, 10))
+        return (f"SELECT n_nationkey, n_name FROM nation WHERE {pred} "
+                f"ORDER BY n_nationkey LIMIT {n}")
+    return (f"SELECT n_nationkey, n_regionkey FROM nation WHERE {pred}")
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_sql_queries())
+def test_sql_front_door_matches_duckdb(engines, sql):
+    import duckdb
+    _, remote_eng = engines
+    got = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = sorted(map(tuple, conn.execute(sql).fetchall()))
+    assert got == want
