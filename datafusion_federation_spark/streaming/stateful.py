@@ -1,0 +1,81 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The built-in windows (windows.py) cover time-bucketed aggregation; these
+operators need arbitrary per-key state the built-ins can't express:
+
+- streaming_dedup: exactly-once emission per key across the whole stream
+  (the streaming form of exact_dedup — state is one flag per key, so a
+  100 TB/day stream holds |distinct keys| booleans in the state store,
+  sharded by key like any keyed state).
+- running_totals: per-key running count/sum emitted once per micro-batch
+  (monoid state: merges associatively, so state size is O(keys), not
+  O(events)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(events: DataFrame, key_col: str = "event_id",
+                    payload_cols: Tuple[str, ...] = ("event_type", "value")
+                    ) -> DataFrame:
+    """Emit the FIRST occurrence of each key, drop every later duplicate
+    — across micro-batches, not just within one. State: a single seen
+    flag per key."""
+    out_schema = T.StructType(
+        [events.schema[key_col]] + [events.schema[c] for c in payload_cols])
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return                       # key already emitted, drop all
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]][[key_col, *payload_cols]]
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def running_totals(events: DataFrame, key_col: str = "user_id",
+                   value_col: str = "value") -> DataFrame:
+    """Per-key running (count, sum) updated each micro-batch — monoid
+    state, so restarts and batch boundaries merge exactly."""
+    out_schema = T.StructType([
+        events.schema[key_col],
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        got = False
+        for pdf in pdfs:
+            got = got or len(pdf) > 0
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        if got:
+            state.update((n, s))
+            yield pd.DataFrame({key_col: [key[0]], "n_events": [n],
+                                "total": [s]})
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

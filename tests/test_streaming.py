@@ -87,3 +87,48 @@ def test_streaming_sessionization_runs(spark, tmp_path, events):
     # run and the stream must report session_window state
     assert q.lastProgress is not None
     q.stop()
+
+
+def test_stateful_streaming_dedup(spark, tmp_path, events):
+    """applyInPandasWithState exact dedup: duplicated keys across the
+    stream emit exactly once."""
+    from datafusion_federation_spark.streaming.stateful import (
+        streaming_dedup)
+    src = str(tmp_path / "dedup_src")
+    base = events.limit(500).select("event_id", "event_type", "value")
+    # plant duplicates: every event twice
+    base.union(base).write.parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    out = streaming_dedup(stream, "event_id")
+    q = (out.writeStream.format("memory").queryName("dedup_state")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d "
+                    "FROM dedup_state").collect()[0]
+    assert got["n"] == got["d"] == 500
+    q.stop()
+
+
+def test_stateful_running_totals(spark, tmp_path, events):
+    from datafusion_federation_spark.streaming.stateful import (
+        running_totals)
+    from pyspark.sql import functions as F
+    src = str(tmp_path / "totals_src")
+    base = events.limit(2000).select("user_id", "value")
+    base.write.parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    out = running_totals(stream, "user_id", "value")
+    q = (out.writeStream.format("memory").queryName("totals_state")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # the LAST emission per user equals the batch aggregate
+    got = {r["user_id"]: (r["n_events"], round(r["total"], 6))
+           for r in spark.sql(
+               "SELECT user_id, n_events, total FROM totals_state t "
+               "WHERE n_events = (SELECT MAX(n_events) FROM totals_state "
+               "WHERE user_id = t.user_id)").collect()}
+    want = {r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in base.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("s")).collect()}
+    assert got == want
