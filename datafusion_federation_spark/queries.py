@@ -1143,3 +1143,23 @@ def q67(spark, sf):
     eng.register_local_parquet("customer", f"{sf}/customer.parquet")
     eng.register_local_parquet("orders", f"{sf}/orders.parquet")
     return eng.sql(_Q67_SQL)
+
+
+_Q68_SQL = """
+SELECT o_orderpriority, o_orderkey, rk
+FROM (SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rk
+      FROM orders) w
+WHERE rk <= 2
+ORDER BY o_orderpriority, rk
+"""
+
+
+@q("q68_sql_window", _Q68_SQL)
+def q68(spark, sf):
+    """Window function + derived table through the SQL front door; the
+    whole query federates into one remote SQL."""
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q68")
+    return eng.sql(_Q68_SQL)

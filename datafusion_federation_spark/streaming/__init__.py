@@ -8,6 +8,7 @@ user can point the engine at a live stream instead of parquet and keep
 the semantics.
 """
 
+from .stateful import running_totals, streaming_dedup
 from .windows import (
     hourly_event_aggregation,
     sessionize_stream,
@@ -16,6 +17,8 @@ from .windows import (
 
 __all__ = [
     "hourly_event_aggregation",
+    "running_totals",
     "sessionize_stream",
     "sliding_event_counts",
+    "streaming_dedup",
 ]
