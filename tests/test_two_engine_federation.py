@@ -129,3 +129,25 @@ def test_reference_csv_demo_parity(spark, tmp_path):
     out = sorted((r["foo"], r["bar"], r["bar2"])
                  for r in j.to_df().collect())
     assert out == [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)]
+
+
+def test_sqlite_semi_join_exists_fallback_executes(spark, two_engine):
+    """A semi join whose subtree federates to SQLite must ship the EXISTS
+    spelling (SQLite has no SEMI JOIN) and run correctly."""
+    from datafusion_federation_spark.expressions import col, lit
+    eng, duck, lite = two_engine
+    lite.load_rows("allowed",
+                   "CREATE TABLE allowed (prio TEXT)",
+                   [("1-URGENT",), ("2-HIGH",)])
+    from datafusion_federation_spark.sources.provider import SQLProvider
+    prov = eng.catalog.table("priority_dim").provider
+    eng.register_remote(prov, "allowed")
+
+    b = (eng.table("priority_dim")
+         .join(eng.table("allowed"),
+               on=col("priority_dim.prio") == col("allowed.prio"),
+               how="semi")
+         .select("prio", "weight"))
+    out = sorted((r["prio"], r["weight"]) for r in b.to_df().collect())
+    assert out == [("1-URGENT", 5), ("2-HIGH", 4)]
+    assert "EXISTS" in lite.metrics()["last_sql"]
