@@ -1163,3 +1163,17 @@ def q68(spark, sf):
     whole query federates into one remote SQL."""
     eng = _fed_engine(spark, sf, ["orders"], "duck_q68")
     return eng.sql(_Q68_SQL)
+
+
+_Q69_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@q("q69_sql_grouping_sets", _Q69_SQL)
+def q69(spark, sf):
+    """GROUPING SETS through the SQL front door -> one remote SQL."""
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q69")
+    return eng.sql(_Q69_SQL)

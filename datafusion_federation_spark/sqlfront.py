@@ -53,8 +53,25 @@ class SqlParseError(ValueError):
     pass
 
 
+def _strip_line_comment(line: str) -> str:
+    in_q = None
+    for i, ch in enumerate(line):
+        if in_q:
+            if ch == in_q:
+                in_q = None
+        elif ch in ("'", '"'):
+            in_q = ch
+        elif ch == "-" and line[i:i + 2] == "--":
+            return line[:i]
+    return line
+
+
 def tokenize(sql: str) -> List[Tuple[str, str]]:
     out, pos = [], 0
+    # strip -- line comments and /* */ block comments (not inside strings:
+    # handled by removing comments only outside quote spans)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
+    sql = "\n".join(_strip_line_comment(ln) for ln in sql.splitlines())
     sql = sql.strip().rstrip(";")
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)

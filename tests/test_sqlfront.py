@@ -201,3 +201,18 @@ def test_engine_sql_fallback_for_unsupported(duckdb_engine):
     want = _oracle("SELECT COUNT(*) AS n FROM orders "
                    "WHERE o_totalprice > 200000")
     assert [tuple(r) for r in df.collect()] == want
+
+
+def test_parse_strips_comments():
+    p = parse("SELECT a -- trailing comment\n"
+              "FROM t /* block\ncomment */ WHERE a > 1")
+    assert isinstance(p, Project)
+    assert isinstance(p.input, Filter)
+
+
+def test_comment_chars_inside_strings_survive():
+    p = parse("SELECT a FROM t WHERE b = 'x--y'")
+    from datafusion_federation_spark.expressions import Lit, walk
+    lits = [n.value for n in walk(p.input.predicate)
+            if isinstance(n, Lit)]
+    assert "x--y" in lits
