@@ -120,6 +120,7 @@ class Parser:
         self.toks = tokenize(sql)
         self.i = 0
         self.resolve_table = resolve_table
+        self.ctes: dict = {}          # name -> Plan (WITH clauses)
 
     # -- token helpers -----------------------------------------------------
     def peek(self, k: int = 0) -> Optional[Tuple[str, str]]:
@@ -162,6 +163,15 @@ class Parser:
 
     # -- entry -------------------------------------------------------------
     def parse(self) -> Plan:
+        if self.accept_kw("WITH"):
+            while True:
+                name = self.take()[1]
+                self.expect_kw("AS")
+                self.expect_op("(")
+                self.ctes[name.lower()] = self.parse_query(_Scope())
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
         plan = self.parse_query(_Scope())
         if self.peek() is not None:
             raise SqlParseError(f"trailing tokens at {self.peek()}")
@@ -248,6 +258,12 @@ class Parser:
             group_by = [self.parse_group_item(scope)]
             while self.accept_op(","):
                 group_by.append(self.parse_group_item(scope))
+            # GROUP BY ordinals (1-based positions into the select list)
+            group_by = [
+                items[g.value - 1][0]
+                if isinstance(g, Lit) and isinstance(g.value, int)
+                and 1 <= g.value <= len(items) else g
+                for g in group_by]
 
         having = None
         if self.accept_kw("HAVING"):
@@ -453,6 +469,10 @@ class Parser:
         while self.peek() == ("op", "."):
             self.take()
             tname += "." + self.take()[1]
+        if tname.lower() in self.ctes:
+            alias = self._relation_alias() or tname
+            scope.add(alias)
+            return SubqueryAlias(self.ctes[tname.lower()], alias)
         handle = self.resolve_table(tname)
         plan: Plan = Scan(handle)
         alias = self._relation_alias()

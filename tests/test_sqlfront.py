@@ -111,7 +111,21 @@ def test_parse_rejects_unsupported():
     with pytest.raises(SqlParseError):
         parse("SELECT a FROM t PIVOT (SUM(b) FOR c IN (1,2))")
     with pytest.raises(SqlParseError):
-        parse("WITH x AS (SELECT 1) SELECT * FROM x")
+        parse("SELECT a FROM t TABLESAMPLE (10 PERCENT)")
+
+
+def test_parse_cte():
+    p = parse("WITH big AS (SELECT a, b FROM t WHERE a > 5) "
+              "SELECT b, COUNT(*) AS n FROM big GROUP BY b")
+    assert isinstance(p, Aggregate)
+    assert isinstance(p.input, SubqueryAlias)
+    assert p.input.alias == "big"
+
+
+def test_parse_group_by_ordinal():
+    p = parse("SELECT b, COUNT(*) AS n FROM t GROUP BY 1")
+    assert isinstance(p, Aggregate)
+    assert p.group_by[0].name == "b"
 
 
 def test_parse_nonaggregated_column_rejected():
@@ -192,15 +206,23 @@ def test_engine_sql_matches_duckdb(duckdb_engine, sql):
     assert got == _oracle(sql)
 
 
+def test_engine_sql_cte_federates(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("WITH big AS (SELECT o_custkey FROM orders "
+           "WHERE o_totalprice > 200000) "
+           "SELECT COUNT(*) AS n FROM big")
+    plan = eng.sql_plan(sql).plan
+    fed = federate(plan)
+    assert isinstance(fed, RemoteQueryNode)   # CTE collapses remotely too
+    assert [tuple(r) for r in eng.sql(sql).collect()] == _oracle(sql)
+
+
 def test_engine_sql_fallback_for_unsupported(duckdb_engine):
     eng, _ = duckdb_engine
-    # CTEs are outside the parser surface -> Spark-view fallback path
-    df = eng.sql("WITH big AS (SELECT * FROM orders "
-                 "WHERE o_totalprice > 200000) "
-                 "SELECT COUNT(*) AS n FROM big")
-    want = _oracle("SELECT COUNT(*) AS n FROM orders "
-                   "WHERE o_totalprice > 200000")
-    assert [tuple(r) for r in df.collect()] == want
+    # lateral joins are outside the parser surface -> Spark-view fallback
+    df = eng.sql("SELECT COUNT(*) AS n FROM "
+                 "(SELECT o_orderkey FROM orders LIMIT 10) tmp")
+    assert df.collect()[0]["n"] == 10
 
 
 def test_parse_strips_comments():
