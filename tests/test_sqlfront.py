@@ -219,10 +219,12 @@ def test_engine_sql_cte_federates(duckdb_engine):
 
 def test_engine_sql_fallback_for_unsupported(duckdb_engine):
     eng, _ = duckdb_engine
-    # lateral joins are outside the parser surface -> Spark-view fallback
-    df = eng.sql("SELECT COUNT(*) AS n FROM "
-                 "(SELECT o_orderkey FROM orders LIMIT 10) tmp")
-    assert df.collect()[0]["n"] == 10
+    # LATERAL VIEW is Spark-only syntax: sqlfront rejects it, the
+    # Spark-parser fallback over per-table federated views runs it
+    df = eng.sql("SELECT nk, x FROM (SELECT n_nationkey AS nk FROM nation "
+                 "WHERE n_nationkey < 2) "
+                 "LATERAL VIEW explode(array(1, 2)) t AS x")
+    assert df.count() == 4
 
 
 def test_parse_strips_comments():
