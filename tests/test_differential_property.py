@@ -113,7 +113,8 @@ _sql_preds = st.one_of(
 @st.composite
 def _sql_queries(draw):
     pred = draw(_sql_preds)
-    shape = draw(st.sampled_from(["agg", "proj", "sort"]))
+    shape = draw(st.sampled_from(
+        ["agg", "proj", "sort", "having", "union", "cte"]))
     if shape == "agg":
         return ("SELECT n_regionkey, COUNT(*) AS n, "
                 "SUM(n_nationkey) AS s, MAX(n_name) AS mx "
@@ -122,6 +123,19 @@ def _sql_queries(draw):
         n = draw(st.integers(0, 10))
         return (f"SELECT n_nationkey, n_name FROM nation WHERE {pred} "
                 f"ORDER BY n_nationkey LIMIT {n}")
+    if shape == "having":
+        k = draw(st.integers(0, 5))
+        return ("SELECT n_regionkey, COUNT(*) AS n FROM nation "
+                f"WHERE {pred} GROUP BY n_regionkey "
+                f"HAVING COUNT(*) > {k}")
+    if shape == "union":
+        pred2 = draw(_sql_preds)
+        return (f"SELECT n_nationkey FROM nation WHERE {pred} "
+                f"UNION ALL SELECT n_nationkey FROM nation WHERE {pred2}")
+    if shape == "cte":
+        return (f"WITH f AS (SELECT * FROM nation WHERE {pred}) "
+                "SELECT n_regionkey, COUNT(*) AS n FROM f "
+                "GROUP BY n_regionkey")
     return (f"SELECT n_nationkey, n_regionkey FROM nation WHERE {pred}")
 
 
