@@ -109,6 +109,48 @@ def ann_lsh_topk(df: DataFrame, vec_col: str, query: Sequence[float],
                     .limit(k))
 
 
+def ivf_topk(df: DataFrame, vec_col: str, query: Sequence[float],
+             k: int = 10, id_col: str = "vec_id",
+             n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+             round_digits: Optional[int] = 6) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into k-means cells,
+    probe only the ``n_probe`` cells whose centroids are nearest to the
+    query, exact cosine rerank inside them.
+
+    Scale path: the cell id is a partition key — a 100 TB corpus is
+    clustered once (model persisted, data written partitioned by cell),
+    then each query scans n_probe/n_clusters of the data with partition
+    pruning. Here the model is fit per call (the fixture is small);
+    recall is probabilistic like any ANN, the in-cell rerank is exact.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__v",
+                   predictionCol="__cell").fit(feats)
+    assigned = model.transform(feats)
+
+    # nearest n_probe centroids to the query (tiny, driver-side)
+    import math
+    qn = math.sqrt(sum(x * x for x in query))
+    sims = []
+    for i, c in enumerate(model.clusterCenters()):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        dot = sum(a * b for a, b in zip(c, query))
+        sims.append((dot / (cn * qn), i))
+    probes = [i for _, i in sorted(sims, reverse=True)[:n_probe]]
+
+    score = cosine_score(F.col(vec_col), query)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (assigned.filter(F.col("__cell").isin(probes))
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
 def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                           dim: int,
                           threshold: float = 0.9,

@@ -224,3 +224,28 @@ def test_salted_join_equals_plain(spark):
             .groupBy("o_orderpriority").count())
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    query = [((i * 37) % 19 - 9) / 9.0 for i in range(64)]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(
+        emb, "embedding", query, k=10, id_col="vec_id").collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(
+        emb, "embedding", query, k=10, id_col="vec_id",
+        n_clusters=8, n_probe=4).collect()]
+    # probing half the cells must recover at least half the true top-10,
+    # and every returned id must be a real row
+    assert len(set(exact) & set(approx)) >= 5
+    assert len(approx) == 10
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    query = [((i * 11) % 13 - 6) / 6.0 for i in range(64)]
+    exact = similarity.cosine_topk(
+        emb, "embedding", query, k=10, id_col="vec_id").collect()
+    full = similarity.ivf_topk(
+        emb, "embedding", query, k=10, id_col="vec_id",
+        n_clusters=8, n_probe=8).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in full]
