@@ -362,3 +362,14 @@ def d13(spark, sf):
     with_payload = multimodal.attach_binary_payload(docs, "text")
     meta = multimodal.extract_media_meta(with_payload, "payload", "doc_id")
     return meta.select("doc_id", "media_type", "n_bytes", "width", "height")
+
+
+@q("d14_ivf_ann")  # k-means model -> rows-only (recall pinned in tests)
+def d14(spark, sf):
+    """IVF ANN top-10: k-means cells, probe the 4 nearest of 8 cells,
+    exact cosine rerank inside (tests pin recall >= 50% vs brute force
+    and exact equality at full probe)."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, "embedding", QUERY_VEC, k=10,
+                               id_col="vec_id", n_clusters=8, n_probe=4,
+                               seed=42)
