@@ -1,1 +1,1 @@
-from . import dedup, multimodal, similarity, skew, text  # noqa: F401
+from . import bucketing, dedup, multimodal, similarity, skew, text  # noqa: F401

@@ -249,3 +249,56 @@ def test_ivf_full_probe_equals_brute_force(spark):
         emb, "embedding", query, k=10, id_col="vec_id",
         n_clusters=8, n_probe=8).collect()
     assert [tuple(r) for r in exact] == [tuple(r) for r in full]
+
+
+# ---------------------------------------------------------------------------
+# bucketing: co-located joins and partition-pruned LSH probes
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from datafusion_federation_spark.operators import bucketing
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    li = (spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"))
+    o = (spark.read.parquet(f"{TESTDATA}/orders.parquet")
+         .select(F.col("o_orderkey").alias("l_orderkey"),
+                 "o_orderpriority"))
+    bucketing.write_bucketed(li, "li_b", "l_orderkey", n_buckets=8,
+                             sort_col="l_orderkey")
+    bucketing.write_bucketed(o, "o_b", "l_orderkey", n_buckets=8,
+                             sort_col="l_orderkey")
+    # force the shuffle-join path (at fixture size Spark would broadcast,
+    # which hides bucketing; at 100 TB neither side broadcasts)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketing.colocated_join(spark, "li_b", "o_b", "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, \
+            "identically-bucketed join must not shuffle"
+        assert "Bucketed: true" in plan
+        want = li.join(o, "l_orderkey").count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_lsh_partitioned_probe_prunes(spark, tmp_path):
+    from datafusion_federation_spark.operators import bucketing, similarity
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    planes = similarity.random_hyperplanes(64, 8, seed=42)
+    bucketed = emb.withColumn(
+        "bucket", similarity.lsh_signature(F.col("embedding"), planes))
+    path = str(tmp_path / "emb_lsh")
+    bucketing.write_lsh_partitioned(bucketed, path, "bucket")
+    probed = bucketing.read_probed(spark, path, "bucket", [3, 7, 11])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    got = sorted(r["vec_id"] for r in probed.select("vec_id").collect())
+    want = sorted(r["vec_id"] for r in bucketed
+                  .filter(F.col("bucket").isin([3, 7, 11]))
+                  .select("vec_id").collect())
+    assert got == want
