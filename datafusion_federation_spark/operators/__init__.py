@@ -1,1 +1,1 @@
-from . import bucketing, dedup, multimodal, similarity, skew, text  # noqa: F401
+from . import bucketing, dedup, multimodal, pipeline, similarity, skew, text  # noqa: F401

@@ -302,3 +302,25 @@ def test_lsh_partitioned_probe_prunes(spark, tmp_path):
                   .filter(F.col("bucket").isin([3, 7, 11]))
                   .select("vec_id").collect())
     assert got == want
+
+
+def test_training_corpus_pipeline(spark):
+    from datafusion_federation_spark.operators.pipeline import (
+        CorpusPrepConfig, corpus_report, prepare_training_corpus)
+    raw = docs(spark)
+    out = prepare_training_corpus(
+        raw, CorpusPrepConfig(min_quality=0.3, near_dup_threshold=0.85))
+    n_in, n_out = raw.count(), out.count()
+    assert 0 < n_out < n_in                 # something survived AND dropped
+    cols = set(out.columns)
+    assert {"quality", "lang_pred", "n_tokens"} <= cols
+    # survivors pass the quality gate, are exact-unique, and have no
+    # near-duplicate pair remaining above the threshold
+    assert out.filter(F.col("quality") < 0.3).count() == 0
+    assert out.select("text").distinct().count() == n_out
+    from datafusion_federation_spark.operators import dedup
+    left = dedup.minhash_dedup_pairs(out, "text", "doc_id",
+                                     threshold=0.85).count()
+    assert left == 0
+    rep = corpus_report(raw, out).collect()[0]
+    assert rep["n_input"] == n_in and rep["n_output"] == n_out
