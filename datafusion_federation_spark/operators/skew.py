@@ -68,6 +68,49 @@ def salted_aggregate(df: DataFrame, keys: Sequence[str],
     return final.drop(*drop)
 
 
+def two_phase_sessionization(events: DataFrame, user_col: str = "user_id",
+                             ts_col: str = "ts", gap_ms: int = 1800000,
+                             chunk: str = "1 day") -> DataFrame:
+    """Per-user session counts without a single per-user window — the
+    scale path for sessionization when one hot user would serialize into
+    one task.
+
+    Phase 1 windows over (user, time-chunk): a chunk is the salt, so a
+    hot user's events spread across as many tasks as they span chunks.
+    Sessions are exact within a chunk; only each chunk's FIRST event is
+    uncertain (its predecessor lives in the previous chunk). Phase 2
+    fixes exactly that with a window over the per-(user, chunk)
+    aggregates — thousands of times smaller — subtracting one session
+    for every chunk boundary whose gap is within the threshold.
+
+    Returns (user_col, n_sessions, n_events); exactly equal to the
+    single-window LAG formulation (tested against q42).
+    """
+    from pyspark.sql import Window as W
+    ts_ms = F.unix_millis(F.col(ts_col))
+    chunked = events.withColumn(
+        "__chunk", F.window(F.col(ts_col), chunk)["start"])
+    intra = W.partitionBy(user_col, "__chunk").orderBy(ts_ms)
+    gap = ts_ms - F.lag(ts_ms).over(intra)
+    per_event = chunked.withColumn(
+        "__new_sess",
+        F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0))
+    per_chunk = (per_event.groupBy(user_col, "__chunk")
+                 .agg(F.sum("__new_sess").alias("__n_sess"),
+                      F.count(F.lit(1)).alias("__n_events"),
+                      F.min(ts_ms).alias("__first_ts"),
+                      F.max(ts_ms).alias("__last_ts")))
+    by_user = W.partitionBy(user_col).orderBy("__chunk")
+    boundary_gap = (F.col("__first_ts")
+                    - F.lag("__last_ts").over(by_user))
+    merged = per_chunk.withColumn(
+        "__merge", F.when(boundary_gap <= gap_ms, 1).otherwise(0))
+    return (merged.groupBy(user_col)
+            .agg((F.sum("__n_sess") - F.sum("__merge"))
+                 .cast("bigint").alias("n_sessions"),
+                 F.sum("__n_events").cast("bigint").alias("n_events")))
+
+
 def salted_join(skewed: DataFrame, small: DataFrame, key: str,
                 n_salt: int = 16, how: str = "inner") -> DataFrame:
     """Join a skewed large side against a replicable smaller side without

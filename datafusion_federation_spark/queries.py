@@ -648,7 +648,9 @@ FROM gaps GROUP BY user_id
 """)
 def q42(spark, sf):
     """Sessionization via LAG gap detection (30-min inactivity) — the
-    batch analog of a session window; scale path partitions by user_id."""
+    batch analog of a session window. A single hot user serializes into
+    one task here; the exact two-phase salted form for that case is
+    operators.skew.two_phase_sessionization (tested equal to this)."""
     e = t(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (F.unix_millis(F.col("ts")) -

@@ -324,3 +324,33 @@ def test_training_corpus_pipeline(spark):
     assert left == 0
     rep = corpus_report(raw, out).collect()[0]
     assert rep["n_input"] == n_in and rep["n_output"] == n_out
+
+
+def test_two_phase_sessionization_equals_single_window(spark):
+    from datafusion_federation_spark.operators.skew import (
+        two_phase_sessionization)
+    from datafusion_federation_spark.queries import REGISTRY, t
+    events = t(spark, TESTDATA, "events")
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in two_phase_sessionization(events, chunk="6 hours")
+           .collect()}
+    q42 = REGISTRY["q42_sessionization"][0]
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in q42(spark, TESTDATA).collect()}
+    assert got == want
+
+
+def test_two_phase_sessionization_tiny_chunks_still_exact(spark):
+    # pathological salt: chunks smaller than the gap force many boundary
+    # merges; result must still be exact
+    from datafusion_federation_spark.operators.skew import (
+        two_phase_sessionization)
+    from datafusion_federation_spark.queries import REGISTRY, t
+    events = t(spark, TESTDATA, "events")
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in two_phase_sessionization(events, chunk="10 minutes")
+           .collect()}
+    q42 = REGISTRY["q42_sessionization"][0]
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in q42(spark, TESTDATA).collect()}
+    assert got == want
