@@ -240,3 +240,32 @@ def test_comment_chars_inside_strings_survive():
     lits = [n.value for n in walk(p.input.predicate)
             if isinstance(n, Lit)]
     assert "x--y" in lits
+
+
+def test_qualified_star_select(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT n.* FROM nation n WHERE n.n_regionkey = 1 "
+           "ORDER BY n.n_nationkey")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle("SELECT * FROM nation WHERE n_regionkey = 1 "
+                          "ORDER BY n_nationkey")
+
+
+def test_table_alias_and_self_join(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT a.n_name, b.n_name AS other FROM nation a "
+           "JOIN nation b ON a.n_regionkey = b.n_regionkey "
+           "AND a.n_nationkey < b.n_nationkey "
+           "ORDER BY a.n_name, other LIMIT 20")
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    conn_rows = _oracle(sql)
+    assert sorted(got) == conn_rows
+
+
+def test_arithmetic_and_concat(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT n_nationkey * 2 + 1 AS k, "
+           "n_name || '-' || 'X' AS tag FROM nation "
+           "WHERE n_nationkey % 2 = 0 ORDER BY k")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
