@@ -413,3 +413,13 @@ def test_agg_filter_order_by_golden():
     d = AggFunc("count", [col("a")], distinct=True)
     p = Aggregate(scan(), [], [Alias(d, "n")])
     assert sql(p) == 'SELECT COUNT(DISTINCT "a") AS "n" FROM "remote_table"'
+
+
+def test_scalar_function_name_mapping_per_dialect():
+    from datafusion_federation_spark.expressions import func
+    e = func("substring", col("b"), lit(1), lit(3))
+    p = Project(scan(), [e.alias("s")])
+    assert 'substr("b", 1, 3)' in sql(p, "duckdb")       # renamed
+    assert 'substring("b", 1, 3)' in sql(p, "postgres")  # untouched
+    e2 = func("locate", lit("x"), col("b"))
+    assert "strpos" in sql(Project(scan(), [e2.alias("p")]), "duckdb")
