@@ -65,15 +65,27 @@ def fingerprint(df: DataFrame, text_col: str,
 # ---------------------------------------------------------------------------
 
 def word_shingles(col, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a text column — pure built-ins
-    (split / sequence / transform), evaluated inside codegen."""
+    """Distinct word n-gram shingles of a text column — pure built-ins,
+    evaluated inside codegen.
+
+    Built as (n-1) zip_with passes over shifted copies of the word array:
+    a higher-order function's ARRAY INPUT is evaluated once per row, only
+    the lambda runs per element. The previous formulation indexed
+    ``words`` via element_at inside a transform lambda, which re-ran the
+    whole normalize+split expression per gram index — measured 10.6 s of
+    a 12.7 s MinHash pass at sf0.1; this shape computes the word array a
+    constant number of times per row.
+
+    Output is unchanged: full n-grams only, except texts shorter than n
+    words yield one partial gram (concat_ws skips the null padding)."""
     words = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int"))
-                   for j in range(n)]))
-    return F.array_distinct(grams)
+    g = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1,
+                          F.greatest(F.size(words) - j, F.lit(0)))
+        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.array_distinct(full)
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str,
