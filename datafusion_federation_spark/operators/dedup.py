@@ -315,15 +315,28 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     chunks = chunks.select(id_col, "simhash",
                            F.col("c.chunk").alias("chunk"),
                            F.col("c.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (a.join(b, on=[F.col("a.chunk") == F.col("b.chunk"),
-                           F.col("a.val") == F.col("b.val"),
-                           F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-              .select(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"),
-                      F.col("a.simhash").alias("h_a"),
-                      F.col("b.simhash").alias("h_b"))
-              .distinct())
+    # pair generation via groupBy + in-bucket combinations, NOT a
+    # self-join: a self-join re-executes the whole signature lineage
+    # (the pandas UDF) for both sides — measured 2x the cost of the
+    # entire rest of the operator. Buckets are small (near-dup
+    # clusters), so the per-bucket pair expansion is tiny; `mem` below
+    # is an attribute reference, cheap to reference inside lambdas.
+    buckets = (chunks.groupBy("chunk", "val")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("simhash").alias("h")))).alias("mem"))
+               .filter(F.size("mem") >= 2))
+    mem = F.col("mem")
+    pair_arr = F.flatten(F.transform(
+        mem, lambda x, i: F.transform(
+            F.slice(mem, i + 2, F.size(mem)),
+            lambda y: F.struct(x["id"].alias("id_a"),
+                               y["id"].alias("id_b"),
+                               x["h"].alias("h_a"),
+                               y["h"].alias("h_b")))))
+    pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+             .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
+             .distinct())
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (pairs.withColumn("hamming", hamming)
                  .filter(F.col("hamming") <= max_hamming)
