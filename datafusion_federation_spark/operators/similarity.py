@@ -112,6 +112,7 @@ def ann_lsh_topk(df: DataFrame, vec_col: str, query: Sequence[float],
 def ivf_topk(df: DataFrame, vec_col: str, query: Sequence[float],
              k: int = 10, id_col: str = "vec_id",
              n_clusters: int = 16, n_probe: int = 4, seed: int = 42,
+             max_iter: int = 8,
              round_digits: Optional[int] = 6) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into k-means cells,
     probe only the ``n_probe`` cells whose centroids are nearest to the
@@ -129,7 +130,7 @@ def ivf_topk(df: DataFrame, vec_col: str, query: Sequence[float],
     feats = df.withColumn(
         "__v", array_to_vector(F.col(vec_col).cast("array<double>")))
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__v",
-                   predictionCol="__cell").fit(feats)
+                   predictionCol="__cell", maxIter=max_iter).fit(feats)
     assigned = model.transform(feats)
 
     # nearest n_probe centroids to the query (tiny, driver-side)
