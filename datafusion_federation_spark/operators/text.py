@@ -103,17 +103,28 @@ def language_id(df: DataFrame, text_col: str,
     stopword list, pick the argmax (ties -> lexicographically first lang,
     deterministic). 'und' when nothing hits."""
     c = F.col(text_col)
+    # tokenize ONCE into a materialized column; each language's hit count
+    # references the attribute (stopword_hits inline would re-split the
+    # text per language)
+    d = df.withColumn("__lid_words", F.split(F.lower(F.trim(c)), r"\s+"))
+
+    def hits(lang):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(F.col("__lid_words"),
+                               lambda w: F.array_contains(sw, w)))
+
     # array_max on struct compares (hits, lang) lexicographically -> ties
     # resolve to the LAST lang alphabetically; flip lang ordering for
     # deterministic first-wins instead
     scored_rev = F.array(*[
-        F.struct(stopword_hits(c, STOPWORDS[lang]).alias("hits"),
+        F.struct(hits(lang).alias("hits"),
                  F.lit(chr(255 - i)).alias("ord"),
                  F.lit(lang).alias("lang"))
         for i, lang in enumerate(sorted(STOPWORDS))])
     best = F.array_max(F.filter(scored_rev, lambda s: s["hits"] > 0))
-    return df.withColumn(out_col,
+    return (d.withColumn(out_col,
                          F.coalesce(best["lang"], F.lit("und")))
+            .drop("__lid_words"))
 
 
 def rolling_hash_fingerprint(df: DataFrame, text_col: str,
