@@ -78,7 +78,7 @@ def _build(scan_of, pred, shape, limit_n):
     return Project(p, [col("n_nationkey"), col("n_regionkey")])
 
 
-@settings(max_examples=30, deadline=None, derandomize=True,
+@settings(max_examples=50, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(pred=predicates,
@@ -139,7 +139,7 @@ def _sql_queries(draw):
     return (f"SELECT n_nationkey, n_regionkey FROM nation WHERE {pred}")
 
 
-@settings(max_examples=30, deadline=None, derandomize=True,
+@settings(max_examples=50, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(sql=_sql_queries())
