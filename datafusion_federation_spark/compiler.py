@@ -166,7 +166,14 @@ class Compiler:
             df, aggs_x, _ = self._prepare_exprs(df, p.aggregates)
             aggs = [a.to_spark() for a in aggs_x]
             gb = self._grouping(df, p.group_by)
-            out = gb.agg(*aggs) if aggs else gb.agg(F.count(F.lit(1)))
+            if aggs:
+                out = gb.agg(*aggs)
+            else:
+                # GROUP BY with no aggregates (SELECT a FROM t GROUP BY
+                # a): Spark's agg() needs >= 1 expression — use a dummy
+                # and drop it so the output schema matches the SQL
+                out = gb.agg(F.count(F.lit(1)).alias("__dummy")) \
+                        .drop("__dummy")
             if p.having is not None:
                 out = out.filter(p.having.to_spark())
             return out
@@ -189,10 +196,13 @@ class Compiler:
             return df
 
         if isinstance(p, Union):
+            # positional union — SQL UNION semantics (the federated path
+            # unparses positional UNION ALL; by-name would diverge when
+            # branch output names differ)
             dfs = [self._c(b) for b in p.branches]
             out = dfs[0]
             for d in dfs[1:]:
-                out = out.unionByName(d, allowMissingColumns=False)
+                out = out.union(d)
             return out if p.all else out.distinct()
 
         if isinstance(p, SetOp):
@@ -345,10 +355,20 @@ class Compiler:
             return df.rollup(*[e.to_spark() for e in s.exprs])
         if isinstance(s, Cube):
             return df.cube(*[e.to_spark() for e in s.exprs])
-        # GROUPING SETS has no DataFrame API — compile via groupingSets
-        # column-set form (Spark >= 4.0) if available, else SQL fallback.
+        # GROUPING SETS via the DataFrame API (Spark >= 4.0): the
+        # trailing *cols must list the union of grouping columns, or the
+        # key columns are missing from the aggregated output
+        from .dialects import get_dialect
+        d = get_dialect("ansi")
         sets = [[e.to_spark() for e in one] for one in s.sets]
-        return df.groupingSets(sets)
+        seen, all_cols = set(), []
+        for one in s.sets:
+            for e in one:
+                key = e.to_sql(d)
+                if key not in seen:
+                    seen.add(key)
+                    all_cols.append(e.to_spark())
+        return df.groupingSets(sets, *all_cols)
 
     def _filter_plain(self, df: DataFrame, pred: Expr) -> DataFrame:
         """Filter with a predicate free of EXISTS/IN subqueries (scalar
@@ -388,9 +408,13 @@ class Compiler:
                            on=F.lit(True))
         if isinstance(pred, InSubquery):
             sub = self._c(pred.plan)
-            sub_col = sub.columns[0]
+            # rename the subquery's output column to a unique name: the
+            # common `id IN (SELECT id FROM s)` shape would otherwise
+            # make the bare outer reference ambiguous
+            sub = sub.select(sub[sub.columns[0]].alias("__in_sq"))
             how = "left_anti" if pred.negated else "left_semi"
-            return df.join(sub, on=pred.expr.to_spark() == sub[sub_col],
+            return df.join(sub,
+                           on=pred.expr.to_spark() == sub["__in_sq"],
                            how=how)
         raise ValueError("unsupported subquery predicate form")
 
@@ -413,8 +437,13 @@ def _extract_correlated(p: Plan):
     """Hoist correlated conjuncts (those containing OuterRef) out of the
     plan's Filter nodes. Returns (correlated_conjuncts, cleaned_plan) —
     the simple decorrelation the reference gets from DataFusion's
-    rule pipeline before federation runs."""
-    from .expressions import BinaryOp
+    rule pipeline before federation runs.
+
+    Only the Filter/Project/SubqueryAlias spine is traversed: hoisting a
+    filter out from BELOW an Aggregate/Distinct/Limit would change which
+    rows participate, i.e. silently wrong results. A correlated
+    reference below such a node raises instead."""
+    from .expressions import BinaryOp, OuterRef, walk
     conds: List[Expr] = []
 
     def visit(node: Plan) -> Plan:
@@ -429,10 +458,21 @@ def _extract_correlated(p: Plan):
             for k in keep[1:]:
                 pred = BinaryOp("AND", pred, k)
             return Filter(child, pred)
-        new_inputs = [visit(i) for i in node.inputs()]
-        if new_inputs and any(n is not o for n, o in
-                              zip(new_inputs, node.inputs())):
-            return node.with_inputs(new_inputs)
+        if isinstance(node, (Filter, Project, SubqueryAlias)):
+            new_inputs = [visit(i) for i in node.inputs()]
+            if any(n is not o for n, o in zip(new_inputs, node.inputs())):
+                return node.with_inputs(new_inputs)
+            return node
+        # below any other node (Aggregate/Distinct/Limit/Join/...) a
+        # correlated reference cannot be hoisted soundly
+        from .plans.nodes import walk_plan
+        for sub in walk_plan(node):
+            for e in sub.exprs():
+                if any(isinstance(x, OuterRef) for x in walk(e)):
+                    raise NotImplementedError(
+                        "correlated reference below a "
+                        f"{type(node).__name__} cannot be decorrelated "
+                        "by conjunct hoisting")
         return node
 
     return conds, visit(p)
@@ -504,6 +544,11 @@ def _plan_output_cols(p: Plan):
         return None
     if isinstance(p, (Union, SetOp)):
         return _plan_output_cols(p.inputs()[0])
+    if isinstance(p, Join):
+        # a join outputs BOTH sides; returning one side would let the
+        # runtime-filter optimizer misattribute a key column — unknown
+        # is the safe answer
+        return None
     inputs = p.inputs()
     return _plan_output_cols(inputs[0]) if inputs else None
 

@@ -53,25 +53,44 @@ class SqlParseError(ValueError):
     pass
 
 
-def _strip_line_comment(line: str) -> str:
-    in_q = None
-    for i, ch in enumerate(line):
+def _strip_comments(sql: str) -> str:
+    """Remove -- line and /* */ block comments, quote-aware: comment
+    markers inside ' " ` quoted spans are preserved verbatim."""
+    out = []
+    i, n = 0, len(sql)
+    in_q: Optional[str] = None
+    while i < n:
+        ch = sql[i]
         if in_q:
+            out.append(ch)
             if ch == in_q:
                 in_q = None
-        elif ch in ("'", '"'):
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
             in_q = ch
-        elif ch == "-" and line[i:i + 2] == "--":
-            return line[:i]
-    return line
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j == -1 else j        # keep the newline
+            continue
+        if ch == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            if j == -1:
+                raise SqlParseError("unterminated block comment")
+            out.append(" ")
+            i = j + 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def tokenize(sql: str) -> List[Tuple[str, str]]:
     out, pos = [], 0
-    # strip -- line comments and /* */ block comments (not inside strings:
-    # handled by removing comments only outside quote spans)
-    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
-    sql = "\n".join(_strip_line_comment(ln) for ln in sql.splitlines())
+    sql = _strip_comments(sql)
     sql = sql.strip().rstrip(";")
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)
@@ -725,6 +744,11 @@ class Parser:
         elif star:
             self.expect_op(")")
         lname = name.lower()
+        if distinct and lname not in AGG_NAMES:
+            # Func has no DISTINCT form; dropping it silently would
+            # return duplicates — reject so engine.sql falls back
+            raise SqlParseError(
+                f"DISTINCT inside {name}() is outside the parser surface")
         if lname in AGG_NAMES:
             if lname == "count" and star:
                 e: Expr = AggFunc("count", [], distinct=distinct)
@@ -780,7 +804,52 @@ class Parser:
         return -n if kw == "PRECEDING" else n
 
 
+def _validate_supported(plan: Plan) -> None:
+    """Reject parsed shapes the COMPILER cannot execute, so engine.sql
+    falls back to the Spark parser instead of failing at execution time
+    (when remote queries may already have fired). Currently: EXISTS/IN
+    subqueries are only supported as top-level AND-conjuncts of a
+    Filter."""
+    from .expressions import Exists, InSubquery, walk
+    from .plans.nodes import walk_plan
+
+    def conjuncts(e):
+        from .expressions import BinaryOp
+        if isinstance(e, BinaryOp) and e.op.upper() == "AND":
+            yield from conjuncts(e.left)
+            yield from conjuncts(e.right)
+        else:
+            yield e
+
+    for node in walk_plan(plan):
+        for e in node.exprs():
+            if isinstance(node, Filter):
+                for c in conjuncts(node.predicate):
+                    if isinstance(c, (Exists, InSubquery)):
+                        _validate_supported(c.plan)
+                        continue
+                    if any(isinstance(x, (Exists, InSubquery))
+                           for x in walk(c)):
+                        raise SqlParseError(
+                            "EXISTS/IN under OR/NOT is outside the "
+                            "compiler surface")
+            else:
+                if any(isinstance(x, (Exists, InSubquery))
+                       for x in walk(e)):
+                    raise SqlParseError(
+                        "EXISTS/IN outside a WHERE clause is outside "
+                        "the compiler surface")
+
+
 def parse_sql(sql: str, resolve_table: Callable[[str], Any]) -> Plan:
     """Parse a SQL string into plan IR. ``resolve_table`` maps a table
-    name to a catalog TableHandle."""
-    return Parser(sql, resolve_table).parse()
+    name to a catalog TableHandle. Any parse-stage failure surfaces as
+    SqlParseError so callers can fall back."""
+    try:
+        plan = Parser(sql, resolve_table).parse()
+    except SqlParseError:
+        raise
+    except (ValueError, IndexError) as e:
+        raise SqlParseError(str(e)) from e
+    _validate_supported(plan)
+    return plan

@@ -269,3 +269,104 @@ def test_arithmetic_and_concat(duckdb_engine):
            "WHERE n_nationkey % 2 = 0 ORDER BY k")
     got = sorted(map(tuple, eng.sql(sql).collect()))
     assert got == _oracle(sql)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_in_subquery_same_column_name(duckdb_engine):
+    # `x IN (SELECT x ...)` — the subquery output is renamed internally,
+    # so the outer reference is unambiguous
+    eng, _ = duckdb_engine
+    sql = ("SELECT COUNT(*) AS n FROM customer WHERE c_custkey IN "
+           "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)")
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    assert got == _oracle(sql)
+
+
+def test_group_by_no_aggregates(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = "SELECT c_mktsegment FROM customer GROUP BY c_mktsegment"
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+    # exactly one column in the output
+    assert len(got[0]) == 1
+
+
+def test_union_positional_different_names(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT n_nationkey FROM nation WHERE n_regionkey = 0 "
+           "UNION ALL SELECT n_regionkey FROM nation WHERE n_nationkey < 3")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_block_comment_inside_string_preserved():
+    from datafusion_federation_spark.expressions import Lit, walk
+    p = parse("SELECT a FROM t WHERE b = 'x/*not a comment*/y'")
+    lits = [n.value for n in walk(p.input.predicate) if isinstance(n, Lit)]
+    assert "x/*not a comment*/y" in lits
+
+
+def test_parse_errors_are_sql_parse_errors():
+    # bad DATE literal and unterminated comment must surface as
+    # SqlParseError (so engine.sql can fall back), never bare ValueError
+    with pytest.raises(SqlParseError):
+        parse("SELECT a FROM t WHERE c = DATE '2024-13-99'")
+    with pytest.raises(SqlParseError):
+        parse("SELECT a /* unterminated FROM t")
+
+
+def test_exists_under_or_rejected_at_parse():
+    with pytest.raises(SqlParseError, match="OR/NOT"):
+        parse("SELECT a FROM t WHERE a = 1 OR EXISTS "
+              "(SELECT 1 FROM u WHERE u.x = t.x)")
+
+
+def test_distinct_in_unknown_function_rejected():
+    with pytest.raises(SqlParseError, match="DISTINCT"):
+        parse("SELECT array_agg(DISTINCT a) AS v FROM t GROUP BY b")
+
+
+def test_correlated_below_aggregate_rejected(duckdb_engine):
+    # hoisting a filter from under an aggregate would change group
+    # membership — must refuse, not silently mis-answer
+    from datafusion_federation_spark.expressions import Exists, OuterRef, col
+    from datafusion_federation_spark.plans.nodes import Aggregate as Agg
+    eng, _ = duckdb_engine
+    sub = (eng.table("orders")
+           .filter(col("o_custkey") == OuterRef("c_custkey"))
+           .group_by("o_orderpriority")
+           .agg(__import__("datafusion_federation_spark.expressions",
+                           fromlist=["agg"]).agg("count").alias("n")))
+    b = eng.table("customer").filter(Exists(sub.plan)).select("c_custkey")
+    with pytest.raises(Exception, match="decorrelated|correlated"):
+        b.to_df().collect()
+
+
+def test_grouping_sets_local_path_has_key_columns(spark):
+    """The LOCAL groupingSets compile must output the grouping key
+    columns (federated q54/q69 never exercised this branch)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.expressions import agg, col
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders_l", f"{TESTDATA}/orders.parquet")
+    out = (eng.table("orders_l")
+           .grouping_sets([col("o_orderpriority")], [col("o_orderstatus")])
+           .agg(agg("count").alias("n"))
+           .to_df())
+    assert {"o_orderpriority", "o_orderstatus", "n"} <= set(out.columns)
+    import duckdb
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/orders.parquet')")
+    def key(row):
+        return tuple((v is None, v) for v in row)
+
+    want = sorted(map(tuple, conn.execute(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))"
+    ).fetchall()), key=key)
+    got = sorted(map(tuple, out.collect()), key=key)
+    assert got == want
