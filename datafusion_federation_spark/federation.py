@@ -139,7 +139,10 @@ def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
         if is_root:
             # whole plan belongs to one federatable provider
             return _claim(res.provider, plan), True
-        # not root: parent decides; signal "federatable as a whole"
+        # not root: parent decides; signal "federatable as a whole".
+        # (With the current call sites this branch is only reachable via
+        # Analyze inputs — children are pre-checked by the parent loop —
+        # but it keeps the recursion faithful to the reference's shape.)
         return plan, False
 
     # mixed/ambiguous node: federate each maximal single-provider input
@@ -163,11 +166,16 @@ def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
 
 
 def _federate_subquery_exprs(plan: Plan) -> None:
-    """Each ScalarSubquery / SetComparison plan is federated independently
-    as its own root (optimizer/mod.rs:285-305). Mutates in place."""
+    """Each subquery-bearing expression's plan is federated independently
+    as its own root (optimizer/mod.rs:285-305) — including EXISTS/IN:
+    they stay LOCAL as predicates (ambiguous in the lattice), but the
+    remote portions INSIDE them must still push down, or a
+    'WHERE EXISTS (SELECT .. FROM remote WHERE f)' degrades to a
+    whole-table remote read. Mutates in place."""
     for e in plan.exprs():
         for node in walk(e):
-            if isinstance(node, (ScalarSubquery, SetComparison)):
+            if isinstance(node, (Exists, InSubquery, ScalarSubquery,
+                                 SetComparison)):
                 node.plan = federate(node.plan)
 
 

@@ -41,7 +41,11 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     shuffle moves (digest, id), not the payload; the surviving ids are
     joined back (broadcast when small, AQE otherwise).
     """
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    # digest over the JSON encoding of the key struct: null-safe and
+    # unambiguous (concat_ws would DROP nulls, colliding
+    # ('x', NULL) with (NULL, 'x'), and a separator char appearing in
+    # the data could shift field boundaries)
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
     keep = (df.select(F.col(id_col), digest.alias("__digest"))
               .groupBy("__digest").agg(F.min(id_col).alias(id_col)))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
@@ -186,6 +190,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     with_sh = df.select(F.col(id_col),
                         word_shingles(F.col(text_col), shingle_n)
                         .alias("__sh"))
+    # null/empty texts all hash to the same bucket in every band, which
+    # would emit a quadratic k*(k-1)/2 spurious candidate pairs on a
+    # dirty corpus — they cannot be near-duplicates of anything, drop
+    with_sh = with_sh.filter(F.size("__sh") > 0)
     with_sig = with_sh.select(
         F.col(id_col),
         minhash_signature_from_shingles(F.col("__sh"), num_hashes)

@@ -26,11 +26,8 @@ from .plans.nodes import (
     Scan, SetOp, Sort, SubqueryAlias, Union, Window, walk_plan,
 )
 
-_JOIN_SQL = {
-    "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
-    "full": "FULL JOIN", "cross": "CROSS JOIN",
-    "semi": "LEFT SEMI JOIN", "anti": "LEFT ANTI JOIN",
-}
+# join keywords live on the Dialect (dialects.py join_keywords) — the
+# spelling varies per engine (semi/anti especially)
 
 
 @dataclass
@@ -91,38 +88,42 @@ class Unparser:
             kw = f" {plan.op}{' ALL' if plan.all else ''} "
             return kw.join([self._branch_query(plan.left),
                             self._branch_query(plan.right)])
-        if isinstance(plan, (Sort, Limit)) and isinstance(
-                self._skip_orderlimit(plan), (Union, SetOp)):
-            # ORDER BY / LIMIT applied over a set operation
-            inner = self._skip_orderlimit(plan)
+        # Bare ORDER BY / LIMIT over a set operation — ONLY for the two
+        # shapes whose SQL spelling has the same meaning: Sort(setop) and
+        # Limit(Sort(setop)) / Limit(setop). Anything else (Sort above
+        # Limit = "take N then sort", stacked limits) falls through to
+        # the shell path, which nests derived tables and preserves
+        # semantics.
+        simple = None
+        if isinstance(plan, Sort) and isinstance(plan.input, (Union, SetOp)):
+            simple = (plan, None, plan.input)
+        elif isinstance(plan, Limit):
+            if isinstance(plan.input, (Union, SetOp)):
+                simple = (None, plan, plan.input)
+            elif (isinstance(plan.input, Sort)
+                  and isinstance(plan.input.input, (Union, SetOp))):
+                simple = (plan.input, plan, plan.input.input)
+        if simple is not None:
+            sort_n, limit_n, inner = simple
             sql = self._to_query(inner)
-            node: Plan = plan
-            order, lim = None, None
-            while isinstance(node, (Sort, Limit)):
-                if isinstance(node, Sort) and order is None:
-                    order = ", ".join(k.to_sql(self.dialect) for k in node.keys)
-                if isinstance(node, Limit) and lim is None:
-                    lim = self.dialect.limit_clause(node.fetch, node.skip)
-                node = node.inputs()[0]
-            if order:
-                sql += " ORDER BY " + order
-            if lim:
-                sql += " " + lim
+            if sort_n is not None:
+                sql += " ORDER BY " + ", ".join(
+                    k.to_sql(self.dialect) for k in sort_n.keys)
+            if limit_n is not None:
+                sql += " " + self.dialect.limit_clause(limit_n.fetch,
+                                                       limit_n.skip)
             return sql
         shell = self._build_shell(plan)
         return shell.render()
 
-    @staticmethod
-    def _skip_orderlimit(plan: Plan) -> Plan:
-        while isinstance(plan, (Sort, Limit)):
-            plan = plan.inputs()[0]
-        return plan
-
     def _branch_query(self, b: Plan) -> str:
         """A set-operation branch carrying its own ORDER BY/LIMIT must be
-        scoped, or the LIMIT binds to the whole union. Wrap it as a derived
-        table (bare parens around a SELECT are rejected by SQLite)."""
-        if isinstance(b, (Sort, Limit)):
+        scoped, or the LIMIT binds to the whole union; a NESTED set
+        operation must be scoped too, or standard precedence (INTERSECT
+        binds tighter; left associativity) silently re-groups the
+        expression. Wrap as a derived table (bare parens around a SELECT
+        are rejected by SQLite)."""
+        if isinstance(b, (Sort, Limit, Union, SetOp)):
             a = self.dialect.quote(self._fresh_alias())
             return f"SELECT * FROM ({self._to_query(b)}) AS {a}"
         return self._to_query(b)
@@ -218,8 +219,7 @@ class Unparser:
                     f"{neg}EXISTS (SELECT 1 FROM {rrel} WHERE {cond})")
                 return lsh
             sh = lsh
-            kw = d.join_keyword(plan.how) if hasattr(d, "join_keyword") \
-                else _JOIN_SQL[plan.how]
+            kw = d.join_keyword(plan.how)
             if plan.how == "cross":
                 sh.joins.append(f"CROSS JOIN {rrel}")
             elif plan.using:
@@ -233,7 +233,9 @@ class Unparser:
         if isinstance(plan, Aggregate):
             sh = self._build_shell(plan.input)
             if (sh.select is not None or sh.group_by is not None or sh.limit
-                    or sh.distinct):
+                    or sh.distinct or sh.order_by):
+                # order_by too: GROUP BY + an inherited ORDER BY over a
+                # non-grouped column is rejected by ANSI/PostgreSQL
                 sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
             # GROUP BY keys: bare expressions (an aliased key renders its
             # underlying expr — `GROUP BY x AS y` is a syntax error)
@@ -270,7 +272,10 @@ class Unparser:
 
         if isinstance(plan, Window):
             sh = self._build_shell(plan.input)
-            if sh.select is not None or sh.group_by is not None or sh.limit:
+            if (sh.select is not None or sh.group_by is not None
+                    or sh.limit or sh.distinct):
+                # distinct too: SELECT DISTINCT *, win OVER(...) would
+                # dedup AFTER the window instead of before
                 sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
             sh.select = ["*"] + [e.to_sql(d) for e in plan.window_exprs]
             return sh
@@ -291,7 +296,8 @@ class Unparser:
 
         if isinstance(plan, Distinct):
             sh = self._build_shell(plan.input)
-            if sh.group_by is not None or sh.limit or sh.distinct:
+            if (sh.group_by is not None or sh.limit or sh.distinct
+                    or sh.order_by):
                 sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
             sh.distinct = True
             return sh
@@ -305,16 +311,35 @@ class Unparser:
     def _build_shell_as_relation(self, plan: Plan,
                                  wrap_where: bool = False) -> _Shell:
         """Left side of a join: reuse the shell if it is still a bare
-        relation chain (scan/filter), else wrap as derived table."""
+        relation chain (scan/filter), else wrap as derived table. The
+        derived table takes the subtree's NATURAL alias (SubqueryAlias
+        name, or the single underlying scan's local name) so join/EXISTS
+        conditions qualified by the original table name stay resolvable;
+        a fresh __qN alias is the last resort."""
         sh = self._build_shell(plan)
         if (sh.select is not None or sh.group_by is not None or sh.limit
                 or sh.order_by or sh.distinct or sh.having
                 or (wrap_where and sh.where)):
+            a = self._natural_alias(plan) or self._fresh_alias()
             return _Shell(from_sql=(f"({sh.render()}) AS "
-                                    f"{self.dialect.quote(self._fresh_alias())}"))
+                                    f"{self.dialect.quote(a)}"))
         return sh
 
     def _relation_sql_for_join(self, plan: Plan) -> str:
         if isinstance(plan, (Scan, SubqueryAlias)):
             return self._relation_sql(plan)
-        return f"({self._to_query(plan)}) AS {self.dialect.quote(self._fresh_alias())}"
+        a = self._natural_alias(plan) or self._fresh_alias()
+        return (f"({self._to_query(plan)}) AS "
+                f"{self.dialect.quote(a)}")
+
+    @staticmethod
+    def _natural_alias(plan: Plan) -> Optional[str]:
+        """The name column references inside this subtree are qualified
+        with: an explicit SubqueryAlias, or — when exactly one scan lies
+        underneath — that scan's local name."""
+        if isinstance(plan, SubqueryAlias):
+            return plan.alias
+        scans = [n for n in walk_plan(plan) if isinstance(n, Scan)]
+        if len(scans) == 1:
+            return scans[0].table.local_name
+        return None

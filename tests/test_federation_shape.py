@@ -279,3 +279,21 @@ def test_set_comparison_subquery_federates_independently():
     fed = federate(plan)
     assert isinstance(fed, Filter)
     assert isinstance(sc.plan, RemoteQueryNode)
+
+
+def test_exists_subquery_plan_federates_inside():
+    """The EXISTS predicate stays local, but the remote subtree INSIDE
+    it must federate (else it degrades to a whole-table remote read)."""
+    from datafusion_federation_spark.expressions import Exists, lit
+    prov = provider()
+    local = Scan(TableHandle(local_name="lineitem", provider=None,
+                             fallback_path="/dev/null"))
+    sub = Project(Filter(abc_scan("orders", prov),
+                         BinaryOp(">", col("o_totalprice"), lit(100))),
+                  [col("o_orderkey")])
+    ex = Exists(sub)
+    plan = Filter(local, ex)
+    fed = federate(plan)
+    assert isinstance(fed, Filter)
+    assert isinstance(ex.plan, RemoteQueryNode)
+    assert "o_totalprice" in ex.plan.sql      # the filter pushed down

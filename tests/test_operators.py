@@ -354,3 +354,23 @@ def test_two_phase_sessionization_tiny_chunks_still_exact(spark):
     want = {r["user_id"]: (r["n_sessions"], r["n_events"])
             for r in q42(spark, TESTDATA).collect()}
     assert got == want
+
+
+def test_exact_dedup_null_safe(spark):
+    # ('x', NULL) and (NULL, 'x') are DIFFERENT rows — a concat_ws digest
+    # would collide them (concat_ws drops nulls)
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", None)],
+        "id long, a string, b string")
+    kept = sorted(r["id"] for r in
+                  dedup.exact_dedup(df, ["a", "b"], "id").collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_null_text_no_spurious_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "real text here with words"),
+         (5, "")],
+        "doc_id long, text string")
+    cand = dedup.minhash_lsh_candidates(df, "text", "doc_id").collect()
+    assert cand == []      # null/empty docs pair with nothing

@@ -423,3 +423,88 @@ def test_scalar_function_name_mapping_per_dialect():
     assert 'substring("b", 1, 3)' in sql(p, "postgres")  # untouched
     e2 = func("locate", lit("x"), col("b"))
     assert "strpos" in sql(Project(scan(), [e2.alias("p")]), "duckdb")
+
+
+# ---------------------------------------------------------------------------
+# second review-pass regressions
+# ---------------------------------------------------------------------------
+
+def test_nested_set_ops_scoped():
+    a = Project(scan("t0"), [col("x")])
+    b = Project(scan("t1"), [col("x")])
+    c = Project(scan("t2"), [col("x")])
+    # (A UNION B) INTERSECT C must not re-associate to A UNION (B ∩ C)
+    p = SetOp(Union([a, b], all=False), c, "INTERSECT")
+    out = sql(p)
+    assert out.startswith('SELECT * FROM (SELECT "x" FROM "t0" UNION ')
+    # UNION of (UNION ALL) keeps the inner ALL scoped
+    p2 = Union([a, Union([b, c], all=True)], all=False)
+    assert "(SELECT" in sql(p2)
+
+
+def test_sort_above_limit_over_union_not_flattened():
+    u = Union([Project(scan("t0"), [col("x")]),
+               Project(scan("t1"), [col("x")])], all=True)
+    # "take 5 rows, then sort them" — must NOT become ORDER BY .. LIMIT 5
+    p = Sort(Limit(u, fetch=5), [SortKey(col("x"))])
+    out = sql(p)
+    assert "LIMIT 5" in out and out.index("LIMIT 5") < out.index("ORDER BY")
+
+
+def test_stacked_limits_inner_wins():
+    u = Union([Project(scan("t0"), [col("x")]),
+               Project(scan("t1"), [col("x")])], all=True)
+    p = Limit(Limit(u, fetch=3), fetch=5)
+    out = sql(p)
+    # both limits survive in nested scopes
+    assert "LIMIT 3" in out and "LIMIT 5" in out
+
+
+def test_aggregate_over_sort_drops_inherited_order():
+    ag = Aggregate(Sort(scan(), [SortKey(col("c"))]), [col("b")],
+                   [Alias(agg("sum", col("a")), "s")])
+    out = sql(ag)
+    # the inherited ORDER BY over a non-grouped column must be scoped
+    # inside a derived table, not attached to the GROUP BY shell
+    assert not out.endswith('ORDER BY "c" ASC')
+
+
+def test_window_over_distinct_dedups_first():
+    from datafusion_federation_spark.expressions import WindowFunc, func
+    from datafusion_federation_spark.plans.nodes import Window as WinNode
+    rk = Alias(WindowFunc(func("row_number"),
+                          order_by=[SortKey(col("a"))]), "rn")
+    p = WinNode(Distinct(Project(scan(), [col("a")])), [rk])
+    out = sql(p)
+    assert "FROM (SELECT DISTINCT" in out
+
+
+def test_wrapped_join_input_keeps_natural_alias():
+    # a projected left side that must wrap keeps its table name as the
+    # derived-table alias, so the qualified ON condition still resolves
+    l = Project(scan("orders"), [Col("o_orderkey", "orders"),
+                                 Col("o_custkey", "orders")])
+    r = scan("customer")
+    cond = BinaryOp("=", Col("o_custkey", "orders"),
+                    Col("c_custkey", "customer"))
+    p = Project(Join(l, r, condition=cond), [Col("o_orderkey", "orders")])
+    out = sql(p)
+    assert 'AS "orders"' in out
+    assert "__q" not in out
+    # and it actually runs
+    conn = _duck()
+    conn.execute('CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT)')
+    conn.execute('CREATE TABLE customer(c_custkey BIGINT)')
+    conn.execute(out)
+
+
+def test_exists_fallback_wrapped_left_side_runs():
+    conn = _duck()
+    conn.execute("CREATE TABLE ord2(id BIGINT, k BIGINT)")
+    conn.execute("INSERT INTO ord2 VALUES (1, 1), (2, 9)")
+    l = Project(scan("ord2"), [Col("id", "ord2"), Col("k", "ord2")])
+    r = scan("customer_t")
+    cond = BinaryOp("=", Col("k", "ord2"), Col("k", "customer_t"))
+    p = Project(Join(l, r, how="semi", condition=cond), [Col("id", "ord2")])
+    rows = conn.execute(sql(p, "ansi")).fetchall()
+    assert rows == [(1,)]
