@@ -66,7 +66,7 @@ class FederationEngine:
         try:
             plan = parse_sql(query, self.catalog.table)
         except (SqlParseError, KeyError):
-            return self._sql_via_views(query)
+            return self._sql_via_views(query, params)
         return self.execute(plan, params=params)
 
     def sql_plan(self, query: str) -> "PlanBuilder":
@@ -75,14 +75,26 @@ class FederationEngine:
         from .sqlfront import parse_sql
         return PlanBuilder(self, parse_sql(query, self.catalog.table))
 
-    def _sql_via_views(self, query: str) -> DataFrame:
-        """Fallback: register every catalog table as a Spark view (local
+    def _sql_via_views(self, query: str,
+                       params: Optional[dict] = None) -> DataFrame:
+        """Fallback: register catalog tables as Spark views (local
         parquet directly; remote tables as whole-table federated reads)
-        and let Spark's parser/Catalyst run the query."""
+        and let Spark's parser/Catalyst run the query. Only tables whose
+        names appear in the query text are registered — registering a
+        remote view materializes the whole table, so unreferenced
+        tables must not be touched. ``params`` flow to spark.sql(args=)
+        (named :param markers)."""
+        import re as _re
+        words = {w.lower()
+                 for w in _re.findall(r"[A-Za-z_][A-Za-z_0-9]*", query)}
         for name in self.catalog.tables():
+            if name.lower() not in words:
+                continue
             h = self.catalog.table(name)
             df = self.compiler._c(federate(Scan(h)))
             df.createOrReplaceTempView(name)
+        if params:
+            return self.spark.sql(query, args=params)
         return self.spark.sql(query)
 
     # -- execution ---------------------------------------------------------

@@ -20,6 +20,7 @@ pushdown / column pruning at any data size.
 from __future__ import annotations
 
 import datetime as _dt
+import re
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
@@ -484,7 +485,13 @@ class Func(Expr):
     def to_spark(self) -> Column:
         fn = getattr(F, self.name, None)
         if fn is not None:
-            return fn(*[a.to_spark() for a in self.args])
+            try:
+                return fn(*[a.to_spark() for a in self.args])
+            except TypeError:
+                # the pyspark counterpart wants non-Column args (e.g.
+                # F.log's float base, date_trunc's literal unit) — fall
+                # through to the SQL-expression builder
+                pass
         # Fall back to Spark's SQL expression builder for anything
         # pyspark.sql.functions does not expose under the same name.
         return F.expr(self.to_sql(_SPARK_DIALECT))
@@ -522,6 +529,13 @@ class AggFunc(Expr):
         return s
 
     def to_spark(self) -> Column:
+        if self.order_by:
+            # silently dropping the ordering would make order-sensitive
+            # aggregates (collect_list ORDER BY ...) nondeterministic on
+            # the local path while the remote SQL honors it
+            raise NotImplementedError(
+                f"{self.name}(... ORDER BY ...) has no local Spark "
+                "aggregate form; run it federated")
         args = list(self.args)
         if self.filter is not None:
             # FILTER (WHERE cond) -> agg(when(cond, arg)); count(*) filter ->
@@ -608,10 +622,19 @@ class WindowFrame:
         from pyspark.sql import Window as W
         if isinstance(b, int):
             return b
-        b = str(b).upper()
+        b = str(b).upper().strip()
         if "UNBOUNDED" in b:
             return W.unboundedPreceding if is_start else W.unboundedFollowing
-        return W.currentRow
+        if "CURRENT" in b:
+            return W.currentRow
+        # "5 PRECEDING" / "3 FOLLOWING" string forms (the to_sql side
+        # renders these; the local side must agree, not silently use
+        # CURRENT ROW)
+        m = re.match(r"(\d+)\s+(PRECEDING|FOLLOWING)$", b)
+        if m:
+            n = int(m.group(1))
+            return -n if m.group(2) == "PRECEDING" else n
+        raise ValueError(f"unsupported window frame bound {b!r}")
 
 
 @dataclass(eq=False)

@@ -45,15 +45,20 @@ def cast_dataframe(df: DataFrame, expected: T.StructType,
             f"column count mismatch: got {len(actual.fields)}, "
             f"expected {len(expected.fields)} "
             "(casting is positional, like the reference)")
+    # rename to unique positional names first: genuinely positional access
+    # (a remote join result may carry duplicate column names, which
+    # by-name F.col() cannot address)
+    tmp = df.toDF(*[f"__pc{i}" for i in range(len(actual.fields))])
     cols = []
-    for src, dst in zip(actual.fields, expected.fields):
-        c = cast_column(F.col(src.name), src.dataType, dst.dataType)
+    for i, (src, dst) in enumerate(zip(actual.fields, expected.fields)):
+        pc = F.col(f"__pc{i}")
+        c = cast_column(pc, src.dataType, dst.dataType)
         if fixed_size_lists and dst.name in fixed_size_lists:
             n = fixed_size_lists[dst.name]
-            c = F.when(F.col(src.name).isNull(), F.lit(None).cast(dst.dataType)) \
+            c = F.when(pc.isNull(), F.lit(None).cast(dst.dataType)) \
                  .otherwise(_assert_size(c, n, dst.name))
         cols.append(c.alias(dst.name))
-    return df.select(*cols)
+    return tmp.select(*cols)
 
 
 def cast_column(col: Column, src: T.DataType, dst: T.DataType) -> Column:

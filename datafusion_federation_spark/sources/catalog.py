@@ -38,8 +38,11 @@ class FederatedCatalog:
         remote = RemoteTable.named(remote_name or local_name, schema=schema)
         if schema is None:
             try:
+                # full dotted name: introspecting only the last part would
+                # read a same-named table from the default search path on
+                # schema-qualified remotes
                 remote.schema = provider.executor.get_table_schema(
-                    self.spark, remote.ref.name)
+                    self.spark, ".".join(remote.ref.parts))
             except NotImplementedError:
                 pass
         h = TableHandle(local_name=local_name, provider=provider,

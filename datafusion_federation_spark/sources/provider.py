@@ -165,7 +165,34 @@ class SQLProvider(FederationProvider):
             if t.remote is not None and t.remote.sql_query_rewriter is not None:
                 sql = t.remote.sql_query_rewriter(sql)
         return RemoteQueryNode(plan=plan, provider=self, sql=sql,
-                               base_sql=base_sql)
+                               base_sql=base_sql,
+                               schema=_expected_schema(plan))
+
+
+def _expected_schema(plan):
+    """Best-effort expected output schema of a claimed sub-plan, used to
+    drive the schema-cast layer (SchemaCastScanExec analog). Known when
+    the plan is a whole-table shape (scan / SELECT * / alias) over a
+    single table whose handle carries a schema; None otherwise (the
+    remote's native types flow through and the cast is skipped)."""
+    from ..expressions import Star
+    from ..plans.nodes import Project, Scan, SubqueryAlias
+
+    node = plan
+    while True:
+        if isinstance(node, SubqueryAlias):
+            node = node.input
+            continue
+        if (isinstance(node, Project) and len(node.projections) == 1
+                and isinstance(node.projections[0], Star)
+                and node.projections[0].table is None
+                and not node.projections[0].replace):
+            node = node.input
+            continue
+        break
+    if isinstance(node, Scan) and not node.projection:
+        return node.table.schema
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -217,8 +244,9 @@ class DuckDBExecutor(SQLExecutor):
         reference's mock infers via `limit 1`; LIMIT 0 is enough since
         Arrow carries the types)."""
         t0 = time.time()
+        ref = ".".join(f'"{p}"' for p in table_name.split("."))
         tbl = self.conn.execute(
-            f'SELECT * FROM "{table_name}" LIMIT 0').fetch_arrow_table()
+            f"SELECT * FROM {ref} LIMIT 0").fetch_arrow_table()
         from pyspark.sql.pandas.types import from_arrow_schema
         schema = from_arrow_schema(tbl.schema)
         self._record(f"schema:{table_name}", time.time() - t0)
@@ -340,6 +368,26 @@ class JDBCExecutor(SQLExecutor):
         return None
 
 
+def _sqlite_affinity(decl):
+    """SQLite type affinity rules (INT* -> integer, CHAR/CLOB/TEXT ->
+    text, BLOB -> binary, REAL/FLOA/DOUB -> real, else numeric)."""
+    from pyspark.sql import types as T
+    d = (decl or "").upper()
+    if "INT" in d:
+        return T.LongType()
+    if any(k in d for k in ("CHAR", "CLOB", "TEXT")):
+        return T.StringType()
+    if "BLOB" in d or not d:
+        return T.BinaryType() if d else T.StringType()
+    if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+        return T.DoubleType()
+    if "BOOL" in d:
+        return T.BooleanType()
+    if "DATE" in d:
+        return T.DateType()
+    return T.DoubleType()       # NUMERIC/DECIMAL affinity
+
+
 class SQLiteExecutor(SQLExecutor):
     """SQLite as a remote engine via the stdlib driver — the second live
     engine of the reference's two-engine demo (examples/df-csv-advanced.rs
@@ -374,16 +422,12 @@ class SQLiteExecutor(SQLExecutor):
 
     def get_table_schema(self, spark, table_name: str):
         from pyspark.sql import types as T
-        cur = self.conn.execute(f'PRAGMA table_info("{table_name}")')
-        type_map = {"INTEGER": T.LongType(), "BIGINT": T.LongType(),
-                    "REAL": T.DoubleType(), "DOUBLE": T.DoubleType(),
-                    "TEXT": T.StringType(), "VARCHAR": T.StringType(),
-                    "DATE": T.DateType(), "BOOLEAN": T.BooleanType()}
+        # single-part names only (PRAGMA table_info has no schema syntax)
+        bare = table_name.split(".")[-1]
+        cur = self.conn.execute(f'PRAGMA table_info("{bare}")')
         fields = []
         for _, name, decl, *_ in cur.fetchall():
-            base = (decl or "TEXT").split("(")[0].strip().upper()
-            fields.append(T.StructField(name,
-                                        type_map.get(base, T.StringType())))
+            fields.append(T.StructField(name, _sqlite_affinity(decl)))
         return T.StructType(fields)
 
     def execute(self, spark, sql: str, schema=None):
@@ -394,6 +438,14 @@ class SQLiteExecutor(SQLExecutor):
         if schema is not None:
             return spark.createDataFrame(rows, schema)
         cols = [d[0] for d in cur.description]
+        if not rows:
+            # createDataFrame cannot infer from zero rows; an all-string
+            # empty frame keeps the column names (the schema-cast layer
+            # fixes types when an expected schema is known upstream)
+            from pyspark.sql import types as T
+            empty = T.StructType(
+                [T.StructField(c, T.StringType()) for c in cols])
+            return spark.createDataFrame([], empty)
         return spark.createDataFrame(rows, cols)
 
 

@@ -167,3 +167,46 @@ def test_spark_sql_executor_loopback(spark):
                       .withColumnRenamed("count", "n").collect())}
     assert got == want
     assert "orders_remote" in ex.metrics()["last_sql"]
+
+
+def test_whole_table_federated_read_carries_schema(duckdb_engine):
+    """SQLProvider.claim populates the expected schema for whole-table
+    shapes, engaging the schema-cast layer (review finding: it was dead
+    on the federation path)."""
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import Scan
+    eng, ex = duckdb_engine
+    h = eng.catalog.table("nation")
+    fed = federate(Scan(h))
+    assert isinstance(fed, RemoteQueryNode)
+    assert fed.schema is not None
+    assert [f.name for f in fed.schema.fields] == \
+        [f.name for f in h.schema.fields]
+
+
+def test_sqlite_empty_result_no_crash(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.expressions import col, lit
+    from datafusion_federation_spark.sources.provider import (
+        SQLiteExecutor, SQLProvider)
+    lite = SQLiteExecutor(name="lite_empty", compute_context="e")
+    lite.load_rows("t_small", "CREATE TABLE t_small (a INT, b TEXT)",
+                   [(1, "x")])
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(lite), "t_small")
+    out = (eng.table("t_small").filter(col("a") > lit(99))
+           .select("a", "b").to_df())
+    assert out.count() == 0
+    assert set(out.columns) == {"a", "b"}
+
+
+def test_sqlite_int_float_affinity(spark):
+    from datafusion_federation_spark.sources.provider import SQLiteExecutor
+    from pyspark.sql import types as T
+    lite = SQLiteExecutor(name="lite_aff", compute_context="a")
+    lite.load_rows("aff", "CREATE TABLE aff (x INT, y FLOAT, z NUMERIC)",
+                   [(1, 2.5, 3.5)])
+    sch = lite.get_table_schema(spark, "aff")
+    assert sch["x"].dataType == T.LongType()
+    assert sch["y"].dataType == T.DoubleType()
+    assert sch["z"].dataType == T.DoubleType()

@@ -127,3 +127,18 @@ def test_empty_dataframe_cast_keeps_schema(spark):
     out = cast_dataframe(df, expected)
     assert out.count() == 0
     assert out.schema == expected
+
+
+def test_cast_dataframe_duplicate_column_names(spark):
+    # a remote join result may carry duplicate names; positional casting
+    # must not fall over on by-name ambiguity
+    df = (spark.createDataFrame([(1, "a")], "id int, v string")
+          .crossJoin(spark.createDataFrame([(2,)], "id int")))
+    assert df.columns == ["id", "v", "id"]
+    expected = T.StructType([
+        T.StructField("left_id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("right_id", T.LongType()),
+    ])
+    rows = cast_dataframe(df, expected).collect()
+    assert rows[0]["left_id"] == 1 and rows[0]["right_id"] == 2
