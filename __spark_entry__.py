@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datafusion_federation_spark.queries import REGISTRY
+from datafusion_federation_spark.queries import REGISTRY, SECONDARY
 import datafusion_federation_spark.queries_pipeline  # noqa: F401 (registers)
 
 
@@ -27,10 +27,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return fn(spark, "/root/testdata/sf0.001")
 
 
+def _ordered_names() -> list[str]:
+    """Primaries first (plain q's, then the d-suite, then the q50+
+    engine-path suite), secondaries last. The driver's correctness file
+    records a window of the first 50 entries; the 50 primaries are
+    exactly the set whose operator has no other recorded evidence."""
+    names = list(REGISTRY)
+    prim = [n for n in names if n not in SECONDARY]
+    plain = [n for n in prim if n.startswith("q") and n < "q50"]
+    dsuite = [n for n in prim if n.startswith("d")]
+    engine = [n for n in prim if n.startswith("q") and n >= "q50"]
+    other = [n for n in prim if n not in set(plain + dsuite + engine)]
+    sec = [n for n in names if n in SECONDARY]
+    return plain + dsuite + engine + other + sec
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (fn, sql) in REGISTRY.items()
-            if sql is not None}
+    return {name: REGISTRY[name][1] for name in _ordered_names()
+            if REGISTRY[name][1] is not None}
