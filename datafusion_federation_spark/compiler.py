@@ -61,12 +61,20 @@ class Compiler:
         if isinstance(p, RemoteQueryNode):
             sql = p.provider.executor.apply_runtime_filters(
                 p.sql, p.runtime_filters)
+            schema = p.schema
+            if schema is None:
+                # claim() ran without an active SparkSession; infer the
+                # plan's output schema here so the cast layer engages
+                # universally (reference wraps EVERY VirtualExecutionPlan
+                # in SchemaCastScanExec — src/sql/mod.rs:143-161)
+                from .schema_infer import infer_plan_schema
+                schema = infer_plan_schema(self.spark, p.plan)
             df = p.provider.executor.execute(self.spark, sql,
-                                             schema=p.schema)
-            if p.schema is not None:
+                                             schema=schema)
+            if schema is not None:
                 # SchemaCastScanExec analog: cast the remote result to the
                 # plan's expected schema right after the read.
-                df = cast_dataframe(df, p.schema)
+                df = cast_dataframe(df, schema)
             # statistics-driven broadcast posture: a known-small federated
             # result is a broadcast candidate for downstream joins
             # (reference statistics hook, src/sql/executor.rs:61-63).

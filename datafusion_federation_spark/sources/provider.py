@@ -164,17 +164,21 @@ class SQLProvider(FederationProvider):
         for t in tables:
             if t.remote is not None and t.remote.sql_query_rewriter is not None:
                 sql = t.remote.sql_query_rewriter(sql)
+        cache_key = f"{self.name}|{self.compute_context}|{base_sql}"
         return RemoteQueryNode(plan=plan, provider=self, sql=sql,
                                base_sql=base_sql,
-                               schema=_expected_schema(plan))
+                               schema=_expected_schema(plan, cache_key))
 
 
-def _expected_schema(plan):
-    """Best-effort expected output schema of a claimed sub-plan, used to
-    drive the schema-cast layer (SchemaCastScanExec analog). Known when
-    the plan is a whole-table shape (scan / SELECT * / alias) over a
-    single table whose handle carries a schema; None otherwise (the
-    remote's native types flow through and the cast is skipped)."""
+def _expected_schema(plan, cache_key=None):
+    """Expected output schema of a claimed sub-plan, driving the
+    schema-cast layer. The reference wraps EVERY VirtualExecutionPlan in
+    SchemaCastScanExec using the plan's own DFSchema
+    (src/sql/mod.rs:143-161); we match that universally: whole-table
+    shapes read the handle's registered schema directly, everything else
+    infers through Catalyst over empty frames (schema_infer). None only
+    when no SparkSession is active AND the shape is not a whole table
+    (the compiler re-infers at execution time as a backstop)."""
     from ..expressions import Star
     from ..plans.nodes import Project, Scan, SubqueryAlias
 
@@ -190,9 +194,15 @@ def _expected_schema(plan):
             node = node.input
             continue
         break
-    if isinstance(node, Scan) and not node.projection:
+    if (isinstance(node, Scan) and not node.projection
+            and node.table.schema is not None):
         return node.table.schema
-    return None
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    from ..schema_infer import infer_plan_schema
+    return infer_plan_schema(spark, plan, cache_key=cache_key)
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +263,12 @@ class DuckDBExecutor(SQLExecutor):
         return schema
 
     def execute(self, spark, sql: str, schema=None):
+        """``schema`` is the plan's EXPECTED schema, not a strict
+        constructor schema: non-empty results enter Spark in DuckDB's
+        native Arrow types and the caller's schema-cast projection
+        coerces them (SchemaCastScanExec posture); only the zero-row
+        case needs the expected schema up front, because nothing can be
+        inferred from an empty frame."""
         t0 = time.time()
         arrow = self.conn.execute(sql).fetch_arrow_table()
         self._record(sql, time.time() - t0, arrow.num_rows)
@@ -261,12 +277,9 @@ class DuckDBExecutor(SQLExecutor):
             return spark.createDataFrame([], schema)
         try:
             # Spark 4: Arrow table -> DataFrame directly (no pandas hop)
-            df = (spark.createDataFrame(arrow, schema=schema)
-                  if schema is not None else spark.createDataFrame(arrow))
+            df = spark.createDataFrame(arrow)
         except Exception:
-            pdf = arrow.to_pandas()
-            df = (spark.createDataFrame(pdf, schema=schema)
-                  if schema is not None else spark.createDataFrame(pdf))
+            df = spark.createDataFrame(arrow.to_pandas())
         return df
 
     def statistics(self, sql: str) -> Optional[int]:
@@ -431,13 +444,24 @@ class SQLiteExecutor(SQLExecutor):
         return T.StructType(fields)
 
     def execute(self, spark, sql: str, schema=None):
+        """``schema`` is the plan's EXPECTED schema (see DuckDBExecutor).
+        SQLite's wire types follow column affinity, so a computed column
+        can come back as a Python type the expected Spark type rejects
+        (e.g. int where the plan says double) — construct with the
+        expected schema when the values verify, else fall back to native
+        types and let the caller's schema-cast projection coerce."""
         t0 = time.time()
         cur = self.conn.execute(sql)
         rows = cur.fetchall()
         self._record(sql, time.time() - t0, len(rows))
-        if schema is not None:
-            return spark.createDataFrame(rows, schema)
         cols = [d[0] for d in cur.description]
+        if schema is not None:
+            if not rows:
+                return spark.createDataFrame([], schema)
+            try:
+                return spark.createDataFrame(rows, schema)
+            except Exception:
+                pass        # type verification failed -> native path
         if not rows:
             # createDataFrame cannot infer from zero rows; an all-string
             # empty frame keeps the column names (the schema-cast layer

@@ -151,3 +151,66 @@ def test_sqlite_semi_join_exists_fallback_executes(spark, two_engine):
     out = sorted((r["prio"], r["weight"]) for r in b.to_df().collect())
     assert out == [("1-URGENT", 5), ("2-HIGH", 4)]
     assert "EXISTS" in lite.metrics()["last_sql"]
+
+
+def test_sqlite_computed_result_gets_declared_types(spark, two_engine):
+    """Universal schema-cast (reference src/sql/mod.rs:143-161): a
+    federated SQLite join/agg — NOT a whole-table shape — must come back
+    in the types Catalyst declares for the plan, not SQLite's affinity
+    types. SQLite returns AVG as float and SUM(int) as int; the
+    Spark-declared schema for sum(bigint) is bigint and for avg is
+    double — the cast layer must enforce both."""
+    from pyspark.sql import types as T
+    eng, duck, lite = two_engine
+    b = (eng.table("priority_dim")
+         .group_by()
+         .agg(agg("sum", col("weight")).alias("total_w"),
+              agg("avg", col("weight")).alias("avg_w"),
+              agg("count").alias("n")))
+    fed = federate(b.plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1 and remotes[0].provider.name == "lite"
+    assert remotes[0].schema is not None, \
+        "claim() must set the inferred schema on every federated node"
+    df = b.to_df()
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(by_name["total_w"], T.LongType)
+    assert isinstance(by_name["avg_w"], T.DoubleType)
+    assert isinstance(by_name["n"], T.LongType)
+    row = df.collect()[0]
+    assert (row["total_w"], row["n"]) == (15, 5)
+    assert row["avg_w"] == 3.0
+
+
+def test_sqlite_empty_result_keeps_declared_types(spark, two_engine):
+    """The all-string empty-frame degradation (provider.py SQLite
+    executor) must be unreachable on the federated path: a zero-row
+    computed result still carries the plan's declared types, so a
+    downstream typed join works in the empty case too."""
+    from pyspark.sql import types as T
+    eng, duck, lite = two_engine
+    b = (eng.table("priority_dim")
+         .filter(col("weight") > lit(1000))      # empty
+         .group_by("prio")
+         .agg(agg("sum", col("weight")).alias("total_w")))
+    df = b.to_df()
+    assert df.count() == 0
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(by_name["prio"], T.StringType)
+    assert isinstance(by_name["total_w"], T.LongType)
+    # downstream typed arithmetic on the empty frame must analyze fine
+    assert df.selectExpr("total_w + 1").count() == 0
+
+
+def test_cross_engine_join_on_empty_sqlite_side(spark, two_engine):
+    """Typed empty-path consistency: joining a typed local frame to an
+    EMPTY federated SQLite result must behave exactly like the non-empty
+    case (this failed with all-string frames before schema inference)."""
+    eng, duck, lite = two_engine
+    b = (eng.table("orders")
+         .join(eng.table("priority_dim")
+               .filter(col("weight") > lit(1000)),   # empty remote side
+               on=col("o_orderpriority") == col("prio"))
+         .group_by("weight")
+         .agg(agg("count").alias("n")))
+    assert b.to_df().count() == 0
