@@ -286,11 +286,13 @@ class Compiler:
     def _rewrite_quantifier(self, x: Expr) -> Expr:
         """ANY/ALL (analyzer.rs:566-586) — local rewrite (SURVEY.md §2C):
         ``= ANY`` -> IN, ``<> ALL`` -> NOT IN, ordered comparisons ->
-        min/max scalar aggregate of the subquery (e.g. ``x > ANY(s)`` <=>
-        ``x > (SELECT MIN(s))``). NULLs inside the subquery follow
-        min/max ignore-null semantics."""
+        min/max scalar aggregate of the subquery guarded by its COUNT so
+        the SQL empty-set identities hold: ``x > ALL({})`` is TRUE
+        (cnt = 0 OR cmp), ``x > ANY({})`` is FALSE (cnt <> 0 AND cmp).
+        NULLs inside the subquery follow min/max ignore-null semantics
+        (a documented divergence from full three-valued ALL/ANY)."""
         from .expressions import (
-            AggFunc, Alias, BinaryOp, InSubquery, ScalarSubquery,
+            AggFunc, Alias, BinaryOp, InSubquery, Lit, ScalarSubquery,
             SetComparison)
         if not isinstance(x, SetComparison):
             return x
@@ -312,7 +314,13 @@ class Compiler:
         agg_plan = Aggregate(x.plan, [],
                              [Alias(AggFunc(name, [Col(out_col)]),
                                     f"__{name}")])
-        return BinaryOp(op, x.expr, ScalarSubquery(agg_plan))
+        cnt_plan = Aggregate(x.plan, [],
+                             [Alias(AggFunc("count", []), "__cnt")])
+        cmp = BinaryOp(op, x.expr, ScalarSubquery(agg_plan))
+        cnt = ScalarSubquery(cnt_plan)
+        if quant == "ALL":
+            return BinaryOp("OR", BinaryOp("=", cnt, Lit(0)), cmp)
+        return BinaryOp("AND", BinaryOp("<>", cnt, Lit(0)), cmp)
 
     def _resolve_scalar_variable(self, x: Expr) -> Expr:
         from .expressions import Lit, ScalarVariable

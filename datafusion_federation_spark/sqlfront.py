@@ -196,26 +196,37 @@ class Parser:
             raise SqlParseError(f"trailing tokens at {self.peek()}")
         return plan
 
-    # query := select_stmt ((UNION [ALL]|INTERSECT [ALL]|EXCEPT [ALL])
-    #          select_stmt)* [ORDER BY ...] [LIMIT ...]
+    # query := intersect_chain ((UNION [ALL]|EXCEPT [ALL])
+    #          intersect_chain)* [ORDER BY ...] [LIMIT ...]
+    # INTERSECT binds TIGHTER than UNION/EXCEPT (standard SQL, matched by
+    # Spark and DuckDB): A UNION B INTERSECT C = A UNION (B INTERSECT C).
     def parse_query(self, outer: _Scope) -> Plan:
-        plan = self.parse_select(outer)
+        plan = self._parse_intersect_chain(outer)
         while True:
             if self.accept_kw("UNION"):
                 allq = self.accept_kw("ALL")
-                rhs = self.parse_select(outer)
+                rhs = self._parse_intersect_chain(outer)
                 if isinstance(plan, Union) and plan.all == allq:
                     plan = Union([*plan.branches, rhs], all=allq)
                 else:
                     plan = Union([plan, rhs], all=allq)
-            elif self.at_kw("INTERSECT", "EXCEPT"):
-                op = self.take()[1].upper()
+            elif self.at_kw("EXCEPT"):
+                self.take()
                 allq = self.accept_kw("ALL")
-                rhs = self.parse_select(outer)
-                plan = SetOp(plan, rhs, op, allq)
+                rhs = self._parse_intersect_chain(outer)
+                plan = SetOp(plan, rhs, "EXCEPT", allq)
             else:
                 break
         plan = self._order_limit(plan, outer)
+        return plan
+
+    def _parse_intersect_chain(self, outer: _Scope) -> Plan:
+        plan = self.parse_select(outer)
+        while self.at_kw("INTERSECT"):
+            self.take()
+            allq = self.accept_kw("ALL")
+            rhs = self.parse_select(outer)
+            plan = SetOp(plan, rhs, "INTERSECT", allq)
         return plan
 
     def _order_limit(self, plan: Plan, scope: _Scope) -> Plan:
@@ -258,15 +269,38 @@ class Parser:
         distinct = self.accept_kw("DISTINCT")
         scope = _Scope(parent=outer)
 
-        # parse the select list AFTER FROM for scope, so stash tokens:
-        # simpler: parse items now (scope only matters for correlation in
-        # subqueries inside the select list — rare; accept the limit)
+        # Two-pass: the FROM clause populates the scope BEFORE the select
+        # list parses, so a subquery alias that shadows an outer alias
+        # resolves locally instead of becoming a bogus OuterRef (which
+        # would mis-mark the query correlated and block federation).
+        # Scan ahead to the top-level FROM (subquery/function FROMs sit
+        # inside parens), parse FROM, rewind for the items, then jump
+        # past the FROM clause again.
+        i_items = self.i
+        depth = 0
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SqlParseError("expected FROM")
+            if t == ("op", "("):
+                depth += 1
+            elif t == ("op", ")"):
+                depth -= 1
+            elif depth == 0 and t[0] == "id" and t[1].upper() == "FROM":
+                break
+            self.i += 1
+        self.expect_kw("FROM")
+        plan = self.parse_from(scope)
+        i_after_from = self.i
+
+        self.i = i_items
         items = [self.parse_select_item(scope)]
         while self.accept_op(","):
             items.append(self.parse_select_item(scope))
-
-        self.expect_kw("FROM")
-        plan = self.parse_from(scope)
+        if not self.at_kw("FROM"):
+            raise SqlParseError(
+                f"select list ended at {self.peek()}, expected FROM")
+        self.i = i_after_from
 
         if self.accept_kw("WHERE"):
             plan = Filter(plan, self.parse_expr(scope))
@@ -363,7 +397,27 @@ class Parser:
             plan = Aggregate(plan, new_group, aggs + hidden)
             if having is not None:
                 plan = Filter(plan, having)
-            if hidden:
+            # The Aggregate node outputs group-keys-then-aggregates; when
+            # the select list interleaves them differently (SELECT
+            # COUNT(*), a FROM t GROUP BY a) a reorder projection
+            # restores the written order — positional consumers (UNION
+            # branches, INSERT) depend on it.
+            natural = []
+            for g in new_group:
+                if isinstance(g, (Rollup, Cube)):
+                    natural += [e.output_name() for e in g.exprs]
+                elif isinstance(g, GroupingSets):
+                    seen = set()
+                    for s in g.sets:
+                        for e in s:
+                            n = e.output_name()
+                            if n not in seen:
+                                seen.add(n)
+                                natural.append(n)
+                else:
+                    natural.append(g.output_name())
+            natural += [a.name for a in aggs]
+            if hidden or natural != out_names:
                 plan = Project(plan, [Col(n) for n in out_names])
         else:
             if len(items) == 1 and isinstance(items[0][0], Star) \

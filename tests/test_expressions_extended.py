@@ -300,3 +300,30 @@ def test_runtime_join_filter_empty_probe_side(duckdb_engine):
         assert "1 = 0" in ex.metrics()["last_sql"]
     finally:
         eng.compiler.runtime_join_filters = False
+
+
+def test_all_over_empty_set_is_true(local_engine, spark):
+    """SQL defines x > ALL({}) as TRUE — the min/max rewrite alone gives
+    NULL and silently drops every row (advisor r3)."""
+    eng = local_engine
+    sub = (eng.table("orders")
+           .filter(col("o_orderpriority") == lit("no-such-priority"))
+           .select("o_totalprice"))
+    b = (eng.table("orders")
+         .filter(SetComparison(col("o_totalprice"), ">", "ALL", sub.plan))
+         .group_by().agg(agg("count").alias("n")))
+    got = b.to_df().collect()[0]["n"]
+    want = spark.read.parquet(f"{TESTDATA}/orders.parquet").count()
+    assert got == want, "every row qualifies against an empty ALL set"
+
+
+def test_any_over_empty_set_is_false(local_engine, spark):
+    eng = local_engine
+    sub = (eng.table("orders")
+           .filter(col("o_orderpriority") == lit("no-such-priority"))
+           .select("o_totalprice"))
+    b = (eng.table("orders")
+         .filter(SetComparison(col("o_totalprice"), ">", "ANY", sub.plan))
+         .group_by().agg(agg("count").alias("n")))
+    assert b.to_df().collect()[0]["n"] == 0, \
+        "no row qualifies against an empty ANY set"

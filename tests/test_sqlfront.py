@@ -370,3 +370,87 @@ def test_grouping_sets_local_path_has_key_columns(spark):
     ).fetchall()), key=key)
     got = sorted(map(tuple, out.collect()), key=key)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-3 advisor regressions
+# ---------------------------------------------------------------------------
+
+def test_intersect_binds_tighter_than_union(duckdb_engine):
+    """A UNION B INTERSECT C must parse as A UNION (B INTERSECT C) —
+    standard SQL precedence, matched by Spark and DuckDB."""
+    p = parse("SELECT a FROM t UNION SELECT a FROM u "
+              "INTERSECT SELECT a FROM v")
+    assert isinstance(p, Union), "top node must be the UNION"
+    assert isinstance(p.branches[1], SetOp)
+    assert p.branches[1].op == "INTERSECT"
+    # end-to-end against the DuckDB oracle: values chosen so the two
+    # precedences give different answers
+    eng, ex = duckdb_engine
+    sql = ("SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 150000 "
+           "UNION SELECT o_orderpriority AS p FROM orders "
+           "INTERSECT SELECT o_orderpriority AS p FROM orders "
+           "WHERE o_orderpriority LIKE '1%'")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_except_left_associative_with_union():
+    p = parse("SELECT a FROM t EXCEPT SELECT a FROM u "
+              "UNION SELECT a FROM v")
+    # (t EXCEPT u) UNION v
+    assert isinstance(p, Union)
+    assert isinstance(p.branches[0], SetOp) and p.branches[0].op == "EXCEPT"
+
+
+def test_aggregate_select_list_order_preserved(duckdb_engine):
+    """SELECT COUNT(*) AS n, a ... GROUP BY a must output (n, a) in that
+    order, not group-keys-first."""
+    p = parse("SELECT COUNT(*) AS n, b FROM t GROUP BY b")
+    assert isinstance(p, Project), "reorder projection expected"
+    assert [e.name if hasattr(e, 'name') else e.output_name()
+            for e in p.projections] == ["n", "b"]
+    eng, ex = duckdb_engine
+    sql = ("SELECT COUNT(*) AS n, o_orderpriority FROM orders "
+           "GROUP BY o_orderpriority")
+    df = eng.sql(sql)
+    assert df.columns == ["n", "o_orderpriority"]
+    assert sorted(map(tuple, df.collect())) == _oracle(sql)
+
+
+def test_aggregate_keys_first_needs_no_reorder():
+    p = parse("SELECT b, COUNT(*) AS n FROM t GROUP BY b")
+    assert isinstance(p, Aggregate), \
+        "keys-then-aggs order must not grow a reorder Project"
+
+
+def test_inner_alias_shadowing_outer_not_correlated():
+    """A subquery whose FROM alias shadows an outer alias must resolve
+    its qualified refs locally — not as OuterRef (which would mis-mark
+    the query correlated and block federation)."""
+    from datafusion_federation_spark.expressions import OuterRef, walk
+    p = parse("SELECT c.a FROM t c WHERE c.a IN "
+              "(SELECT c.x FROM u c WHERE c.x > 5)")
+    for node in walk_plan(p):
+        for e in node.exprs():
+            assert not any(isinstance(n, OuterRef) for n in walk(e)), \
+                "shadowed alias wrongly resolved as outer reference"
+
+
+def test_shadowed_alias_query_federates_subquery(duckdb_engine):
+    """IN-subqueries stay local by design (reference refuses InSubquery
+    federation), but with the shadowing fix the inner query is
+    UNcorrelated, so it federates independently — before the fix the
+    bogus OuterRef forced a correlated decorrelation path instead."""
+    from datafusion_federation_spark.expressions import InSubquery, walk
+    eng, ex = duckdb_engine
+    sql = ("SELECT c.o_orderkey FROM orders c WHERE c.o_custkey IN "
+           "(SELECT c.c_custkey FROM customer c WHERE c.c_acctbal > 1000)")
+    plan = eng.sql_plan(sql).plan
+    fed = federate(plan)
+    in_subs = [n for node in walk_plan(fed) for e in node.exprs()
+               for n in walk(e) if isinstance(n, InSubquery)]
+    assert in_subs and isinstance(in_subs[0].plan, RemoteQueryNode), \
+        "uncorrelated shadowed subquery must federate independently"
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
