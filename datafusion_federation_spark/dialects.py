@@ -13,13 +13,71 @@ import datetime as _dt
 from typing import Any, Dict, Sequence
 
 
+#: Java SimpleDateFormat tokens (the Spark canonical format language) ->
+#: per-engine format tokens. Longest-match scan; untranslatable alpha
+#: tokens raise so a wrong format never ships silently.
+_STRFTIME_FMT = {"yyyy": "%Y", "yy": "%y", "MM": "%m", "dd": "%d",
+                 "HH": "%H", "hh": "%I", "mm": "%M", "ss": "%S"}
+_MYSQL_FMT = {"yyyy": "%Y", "yy": "%y", "MM": "%m", "dd": "%d",
+              "HH": "%H", "hh": "%h", "mm": "%i", "ss": "%s"}
+_PG_FMT = {"yyyy": "YYYY", "yy": "YY", "MM": "MM", "dd": "DD",
+           "HH": "HH24", "hh": "HH12", "mm": "MI", "ss": "SS"}
+
+
+def translate_time_format(fmt: str, mapping: Dict[str, str]) -> str:
+    """Translate a Java SimpleDateFormat pattern (Spark's canonical
+    format language: yyyy-MM-dd HH:mm:ss) into the target engine's
+    tokens. Raises on alpha tokens with no mapping — shipping an
+    untranslated pattern would silently produce wrong strings."""
+    out, i, toks = [], 0, sorted(mapping, key=len, reverse=True)
+    while i < len(fmt):
+        for t in toks:
+            if fmt.startswith(t, i):
+                out.append(mapping[t])
+                i += len(t)
+                break
+        else:
+            ch = fmt[i]
+            if ch.isalpha():
+                raise ValueError(
+                    f"cannot translate format token {ch!r} in {fmt!r}")
+            if ch == "%" and any(v.startswith("%") for v in
+                                 mapping.values()):
+                out.append("%%")      # literal % in strftime-style targets
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _fmt_literal(arg_sql: str, mapping: Dict[str, str]) -> str:
+    """Translate a RENDERED format-string literal ('yyyy-MM-dd' with the
+    quotes on). Non-literal format expressions cannot be translated at
+    plan time — refuse rather than mistranslate."""
+    if not (arg_sql.startswith("'") and arg_sql.endswith("'")):
+        raise ValueError(
+            f"format argument must be a string literal to translate "
+            f"for this dialect, got {arg_sql}")
+    return "'" + translate_time_format(arg_sql[1:-1], mapping) + "'"
+
+
+def _unit_of(arg_sql: str) -> str:
+    """Lower-cased unit from a rendered literal like 'MONTH'."""
+    return arg_sql.strip().strip("'").lower()
+
+
 class Dialect:
     name = "ansi"
     quote_char = '"'
     ilike_op = "ILIKE"               # dialects without ILIKE override
     supports_filter_clause = True    # FILTER (WHERE ...) on aggregates
-    #: scalar function renames: our canonical name -> dialect name
-    function_map: Dict[str, str] = {}
+    #: scalar function specs: canonical (Spark) name -> one of
+    #:   str without braces  — plain rename: "substr"
+    #:   str with braces     — template over rendered args:
+    #:                         "strpos({1}, {0})"
+    #:   callable(args)->str — full control (format translation,
+    #:                         unit dispatch)
+    function_map: Dict[str, Any] = {}
     #: Spark type name -> dialect type name
     type_map: Dict[str, str] = {
         "string": "VARCHAR", "long": "BIGINT", "bigint": "BIGINT",
@@ -61,11 +119,24 @@ class Dialect:
         return self.type_map.get(t, spark_type.upper())
 
     def scalar_function(self, name: str, args: Sequence[str]) -> str:
-        name = self.function_map.get(name.lower(), name)
-        return f"{name}({', '.join(args)})"
+        spec = self.function_map.get(name.lower())
+        if spec is None:
+            return f"{name}({', '.join(args)})"
+        if callable(spec):
+            return spec(list(args))
+        if "{" in spec:
+            return spec.format(*args)
+        return f"{spec}({', '.join(args)})"
+
+    def concat_op(self, left: str, right: str) -> str:
+        """The || operator (MySQL needs CONCAT: || is logical OR there)."""
+        return f"({left} || {right})"
 
     def agg_function(self, name: str) -> str:
-        return self.function_map.get(name.lower(), name).upper()
+        spec = self.function_map.get(name.lower())
+        if isinstance(spec, str) and "{" not in spec:
+            return spec.upper()
+        return name.upper()
 
     def regex_match(self, expr: str, pattern: str, negated: bool) -> str:
         s = f"REGEXP_MATCHES({expr}, {pattern})"
@@ -96,21 +167,71 @@ class Dialect:
         return " ".join(parts)
 
 
+def _sqlite_date_trunc(args):
+    unit = _unit_of(args[0])
+    if unit == "day":
+        return f"date({args[1]})"
+    starts = {"year": "start of year", "month": "start of month"}
+    if unit not in starts:
+        raise ValueError(f"sqlite date_trunc cannot express unit {unit!r}")
+    return f"date({args[1]}, '{starts[unit]}')"
+
+
+def _mysql_date_trunc(args):
+    unit = _unit_of(args[0])
+    forms = {"year": "DATE_FORMAT({0}, '%Y-01-01')",
+             "month": "DATE_FORMAT({0}, '%Y-%m-01')",
+             "day": "DATE({0})"}
+    if unit not in forms:
+        raise ValueError(f"mysql date_trunc cannot express unit {unit!r}")
+    return forms[unit].format(args[1])
+
+
+def _sqlite_part(token):
+    """SQLite date parts go through strftime + int cast (no year()/
+    month()/... functions)."""
+    return lambda a: f"CAST(strftime('{token}', {a[0]}) AS INTEGER)"
+
+
+def _pg_extract(field):
+    return lambda a: f"CAST(EXTRACT({field} FROM {a[0]}) AS INTEGER)"
+
+
 class DuckDBDialect(Dialect):
     name = "duckdb"
     supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
     function_map = {
-        # Spark canonical -> DuckDB
-        "substring": "substr",
-        "locate": "strpos",
-        "dayofmonth": "dayofmonth",
-        "date_format": "strftime",
-        "to_timestamp": "CAST",  # handled via CAST in practice
+        # Spark canonical -> DuckDB. date_trunc / year / month / day /
+        # hour / minute / second / substring / instr / concat / trim
+        # family are native under the same names.
+        "substr": "substring",
+        "locate": "strpos({1}, {0})",          # locate(sub, s) arg swap
+        "dayofmonth": "day",
+        "dayofweek": "dayofweek",
+        "weekofyear": "weekofyear",
+        # Spark date_format(ts, javafmt) -> strftime(ts, cfmt)
+        "date_format":
+            lambda a: f"strftime({a[0]}, {_fmt_literal(a[1], _STRFTIME_FMT)})",
+        "log": "ln",                           # Spark log(x) is natural
+        "power": "pow",
+        "current_timestamp": lambda a: "now()",
     }
 
 
 class PostgresDialect(Dialect):
     name = "postgres"
+    function_map = {
+        "year": _pg_extract("YEAR"), "quarter": _pg_extract("QUARTER"),
+        "month": _pg_extract("MONTH"), "day": _pg_extract("DAY"),
+        "dayofmonth": _pg_extract("DAY"),
+        "hour": _pg_extract("HOUR"), "minute": _pg_extract("MINUTE"),
+        "second": _pg_extract("SECOND"),
+        "date_format":
+            lambda a: f"to_char({a[0]}, {_fmt_literal(a[1], _PG_FMT)})",
+        "instr": "strpos({0}, {1})",
+        "locate": "strpos({1}, {0})",
+        "log": "ln",
+    }
 
     def regex_match(self, expr, pattern, negated):
         op = "!~" if negated else "~"
@@ -124,6 +245,24 @@ class SQLiteDialect(Dialect):
     supports_filter_clause = True
     type_map = dict(Dialect.type_map, string="TEXT", double="REAL",
                     long="INTEGER", bigint="INTEGER")
+    function_map = {
+        "year": _sqlite_part("%Y"), "month": _sqlite_part("%m"),
+        "day": _sqlite_part("%d"), "dayofmonth": _sqlite_part("%d"),
+        "hour": _sqlite_part("%H"), "minute": _sqlite_part("%M"),
+        "second": _sqlite_part("%S"),
+        "date_trunc": _sqlite_date_trunc,
+        # sqlite strftime(format, time) — note the flipped arg order
+        "date_format":
+            lambda a: f"strftime({_fmt_literal(a[1], _STRFTIME_FMT)}, {a[0]})",
+        "substring": "substr",
+        "locate": "instr({1}, {0})",           # instr(haystack, needle)
+        # concat() only exists in very recent sqlite; || is universal and
+        # NULL-propagating like Spark's concat
+        "concat": lambda a: "(" + " || ".join(a) + ")",
+        "power": "pow",
+        "pow": "pow",
+        "log": "ln",
+    }
 
     def regex_match(self, expr, pattern, negated):
         s = f"{expr} REGEXP {pattern}"
@@ -153,6 +292,18 @@ class MySQLDialect(Dialect):
     quote_char = "`"
     ilike_op = "LIKE"  # MySQL LIKE is case-insensitive by default collation
     supports_filter_clause = False
+    function_map = {
+        # year/month/day/hour/minute/second/instr/locate/substring are
+        # native MySQL; log(x) is already the natural log
+        "date_trunc": _mysql_date_trunc,
+        "date_format":
+            lambda a: f"DATE_FORMAT({a[0]}, {_fmt_literal(a[1], _MYSQL_FMT)})",
+        "ln": "ln",
+    }
+
+    def concat_op(self, left: str, right: str) -> str:
+        # MySQL || is logical OR under default sql_mode
+        return f"CONCAT({left}, {right})"
 
     def limit_clause(self, fetch, skip) -> str:
         # MySQL has no bare OFFSET; the documented idiom is a huge LIMIT

@@ -232,6 +232,9 @@ class BinaryOp(Expr):
     def children(self): return (self.left, self.right)
 
     def to_sql(self, d) -> str:
+        if self.op == "||":
+            # string concat spelling is dialect-owned (MySQL: CONCAT)
+            return d.concat_op(self.left.to_sql(d), self.right.to_sql(d))
         return f"({self.left.to_sql(d)} {self.op} {self.right.to_sql(d)})"
 
     def to_spark(self) -> Column:

@@ -419,10 +419,12 @@ def test_scalar_function_name_mapping_per_dialect():
     from datafusion_federation_spark.expressions import func
     e = func("substring", col("b"), lit(1), lit(3))
     p = Project(scan(), [e.alias("s")])
-    assert 'substr("b", 1, 3)' in sql(p, "duckdb")       # renamed
+    assert 'substring("b", 1, 3)' in sql(p, "duckdb")    # native
+    assert 'substr("b", 1, 3)' in sql(p, "sqlite")       # renamed
     assert 'substring("b", 1, 3)' in sql(p, "postgres")  # untouched
     e2 = func("locate", lit("x"), col("b"))
-    assert "strpos" in sql(Project(scan(), [e2.alias("p")]), "duckdb")
+    assert "strpos(\"b\", 'x')" in \
+        sql(Project(scan(), [e2.alias("p")]), "duckdb")  # arg swap
 
 
 # ---------------------------------------------------------------------------
@@ -508,3 +510,140 @@ def test_exists_fallback_wrapped_left_side_runs():
     p = Project(Join(l, r, how="semi", condition=cond), [Col("id", "ord2")])
     rows = conn.execute(sql(p, "ansi")).fetchall()
     assert rows == [(1,)]
+
+
+# ---------------------------------------------------------------------------
+# dialect function maps — every mapping EXECUTED live on DuckDB and/or
+# SQLite with value assertions (round-3 item: date/time + string breadth)
+# ---------------------------------------------------------------------------
+
+def _func_plan(fname, *args):
+    from datafusion_federation_spark.expressions import Func
+    return Project(scan("ft"), [Alias(Func(fname, list(args)), "r")])
+
+
+def _run_duck(plan):
+    conn = duckdb.connect()
+    conn.execute("CREATE TABLE ft(ts TIMESTAMP, s VARCHAR, x DOUBLE)")
+    conn.execute("INSERT INTO ft VALUES "
+                 "(TIMESTAMP '2024-03-07 14:05:09', 'hello world', 100.0)")
+    return conn.execute(sql(plan, "duckdb")).fetchall()[0][0]
+
+
+def _run_sqlite(plan):
+    import sqlite3
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE ft(ts TEXT, s TEXT, x REAL)")
+    conn.execute("INSERT INTO ft VALUES "
+                 "('2024-03-07 14:05:09', 'hello world', 100.0)")
+    return conn.execute(sql(plan, "sqlite")).fetchall()[0][0]
+
+
+@pytest.mark.parametrize("fname,want", [
+    ("year", 2024), ("month", 3), ("day", 7), ("dayofmonth", 7),
+    ("hour", 14), ("minute", 5), ("second", 9),
+])
+def test_datepart_functions_duckdb_and_sqlite(fname, want):
+    p = _func_plan(fname, col("ts"))
+    assert _run_duck(p) == want
+    assert _run_sqlite(p) == want
+
+
+def test_date_format_translates_java_pattern():
+    p = _func_plan("date_format", col("ts"), lit("yyyy-MM-dd HH:mm:ss"))
+    assert _run_duck(p) == "2024-03-07 14:05:09"
+    assert _run_sqlite(p) == "2024-03-07 14:05:09"
+    # spelling goldens: DuckDB strftime(ts, fmt); sqlite strftime(fmt, ts)
+    assert sql(p, "duckdb") == (
+        "SELECT strftime(\"ts\", '%Y-%m-%d %H:%M:%S') AS \"r\" "
+        'FROM "ft"')
+    assert sql(p, "sqlite") == (
+        "SELECT strftime('%Y-%m-%d %H:%M:%S', \"ts\") AS \"r\" "
+        'FROM "ft"')
+    assert sql(p, "mysql") == (
+        "SELECT DATE_FORMAT(`ts`, '%Y-%m-%d %H:%i:%s') AS `r` "
+        "FROM `ft`")
+    assert sql(p, "postgres") == (
+        "SELECT to_char(\"ts\", 'YYYY-MM-DD HH24:MI:SS') AS \"r\" "
+        'FROM "ft"')
+
+
+def test_date_format_refuses_nonliteral_format():
+    p = _func_plan("date_format", col("ts"), col("s"))
+    with pytest.raises(ValueError, match="literal"):
+        sql(p, "duckdb")
+
+
+def test_date_format_refuses_untranslatable_token():
+    p = _func_plan("date_format", col("ts"), lit("QQ"))
+    with pytest.raises(ValueError, match="translate"):
+        sql(p, "duckdb")
+
+
+def test_date_trunc_duckdb_sqlite_mysql():
+    p = _func_plan("date_trunc", lit("month"), col("ts"))
+    assert str(_run_duck(p)).startswith("2024-03-01")
+    assert _run_sqlite(p) == "2024-03-01"
+    assert sql(p, "mysql") == (
+        "SELECT DATE_FORMAT(`ts`, '%Y-%m-01') AS `r` FROM `ft`")
+    p = _func_plan("date_trunc", lit("year"), col("ts"))
+    assert _run_sqlite(p) == "2024-01-01"
+    with pytest.raises(ValueError, match="unit"):
+        sql(_func_plan("date_trunc", lit("week"), col("ts")), "sqlite")
+
+
+@pytest.mark.parametrize("args,want", [
+    ((lit("world"), col("s")), 7),      # locate(sub, str) -> position
+])
+def test_locate_arg_swap(args, want):
+    p = _func_plan("locate", *args)
+    assert _run_duck(p) == want
+    assert _run_sqlite(p) == want
+    assert sql(p, "duckdb") == (
+        "SELECT strpos(\"s\", 'world') AS \"r\" FROM \"ft\"")
+    assert sql(p, "sqlite") == (
+        "SELECT instr(\"s\", 'world') AS \"r\" FROM \"ft\"")
+
+
+def test_instr_substring_executed():
+    p = _func_plan("instr", col("s"), lit("world"))
+    assert _run_duck(p) == 7
+    assert _run_sqlite(p) == 7
+    assert sql(p, "postgres") == (
+        "SELECT strpos(\"s\", 'world') AS \"r\" FROM \"ft\"")
+    p = _func_plan("substring", col("s"), lit(1), lit(5))
+    assert _run_duck(p) == "hello"
+    assert _run_sqlite(p) == "hello"
+
+
+def test_concat_and_pipes_executed():
+    from datafusion_federation_spark.expressions import Func
+    p = _func_plan("concat", col("s"), lit("!"))
+    assert _run_duck(p) == "hello world!"
+    assert _run_sqlite(p) == "hello world!"      # || chain spelling
+    assert sql(p, "sqlite") == (
+        "SELECT (\"s\" || '!') AS \"r\" FROM \"ft\"")
+    # the || operator itself: MySQL must spell it CONCAT
+    p2 = Project(scan("ft"),
+                 [Alias(BinaryOp("||", col("s"), lit("!")), "r")])
+    assert _run_duck(p2) == "hello world!"
+    assert _run_sqlite(p2) == "hello world!"
+    assert sql(p2, "mysql") == (
+        "SELECT CONCAT(`s`, '!') AS `r` FROM `ft`")
+
+
+def test_math_functions_executed():
+    p = _func_plan("log", col("x"))          # Spark log(x) = natural log
+    import math
+    assert abs(_run_duck(p) - math.log(100.0)) < 1e-12
+    assert abs(_run_sqlite(p) - math.log(100.0)) < 1e-12
+    p = _func_plan("power", col("x"), lit(2))
+    assert _run_duck(p) == 10000.0
+    assert _run_sqlite(p) == 10000.0
+
+
+def test_pg_extract_spelling():
+    p = _func_plan("year", col("ts"))
+    assert sql(p, "postgres") == (
+        'SELECT CAST(EXTRACT(YEAR FROM "ts") AS INTEGER) AS "r" '
+        'FROM "ft"')
