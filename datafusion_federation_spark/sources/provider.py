@@ -307,6 +307,39 @@ class DuckDBExecutor(SQLExecutor):
         return arrow.num_rows
 
 
+#: Catalog-discovery SQL per dialect (SQLSchemaProvider analog — the
+#: reference discovers any remote via executor.table_names(),
+#: src/sql/schema.rs:19-48). Standard information_schema where the engine
+#: has it; engine-specific catalogs otherwise. Each returns rows of
+#: (schema_or_null, table_name).
+_DISCOVERY_SQL = {
+    "ansi": ("SELECT table_schema, table_name FROM "
+             "information_schema.tables "
+             "WHERE table_type IN ('BASE TABLE', 'VIEW')"),
+    "duckdb": ("SELECT table_schema, table_name FROM "
+               "information_schema.tables "
+               "WHERE table_type IN ('BASE TABLE', 'VIEW')"),
+    "postgres": ("SELECT table_schema, table_name FROM "
+                 "information_schema.tables "
+                 "WHERE table_type IN ('BASE TABLE', 'VIEW') "
+                 "AND table_schema NOT IN "
+                 "('pg_catalog', 'information_schema')"),
+    "mysql": ("SELECT table_schema, table_name FROM "
+              "information_schema.tables "
+              "WHERE table_type IN ('BASE TABLE', 'VIEW') "
+              "AND table_schema NOT IN "
+              "('mysql', 'sys', 'performance_schema', "
+              "'information_schema')"),
+    "sqlite": ("SELECT NULL AS table_schema, name AS table_name "
+               "FROM sqlite_master WHERE type IN ('table', 'view')"),
+}
+
+
+def discovery_sql(dialect_name: str) -> str:
+    """The catalog query a remote engine answers with its table list."""
+    return _DISCOVERY_SQL.get(dialect_name, _DISCOVERY_SQL["ansi"])
+
+
 @dataclass
 class JDBCPartitioning:
     """Partitioned JDBC read spec — splits the remote result across
@@ -364,11 +397,24 @@ class JDBCExecutor(SQLExecutor):
         return df
 
     def table_names(self) -> List[str]:
-        raise NotImplementedError("JDBC catalog discovery needs a live DB")
+        """Catalog discovery over the remote's information_schema (or its
+        engine-specific catalog), shipped through the same JDBC query
+        path as any federated query — mirroring SQLSchemaProvider
+        (reference src/sql/schema.rs:19-48). Returns dotted
+        schema-qualified names when the engine reports a schema."""
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "JDBC catalog discovery needs an active SparkSession")
+        rows = self.execute(spark, discovery_sql(self.dialect)).collect()
+        return [f"{r[0]}.{r[1]}" if r[0] else str(r[1]) for r in rows]
 
     def get_table_schema(self, spark, table_name: str):
+        d = get_dialect(self.dialect)
+        ref = d.quote_table(table_name)
         return self.execute(
-            spark, f"SELECT * FROM {table_name} WHERE 1=0").schema
+            spark, f"SELECT * FROM {ref} WHERE 1=0").schema
 
     def insert(self, spark, df, table_ref, mode: str = "append"):
         """INSERT passthrough via Spark's JDBC writer (distributed —
