@@ -112,18 +112,8 @@ class Compiler:
 
         if isinstance(p, Project):
             df = self._c(p.input)
-            # SELECT * REPLACE (...) expands to in-place withColumn calls
-            if (len(p.projections) == 1
-                    and isinstance(p.projections[0], Star)
-                    and p.projections[0].replace):
-                st = p.projections[0]
-                if st.table is not None:
-                    raise ValueError(
-                        "qualified * REPLACE is not supported locally")
-                for e, name in st.replace:
-                    df = df.withColumn(name, e.to_spark())
-                return df
-            df, projs, _ = self._prepare_exprs(df, p.projections)
+            projections = self._expand_star_options(df, p.projections)
+            df, projs, _ = self._prepare_exprs(df, projections)
             return df.select(*[e.to_spark() for e in projs])
 
         if isinstance(p, Filter):
@@ -272,6 +262,45 @@ class Compiler:
         if remote_side == "left":
             return Join(bounded, p.right, p.how, p.condition, p.using)
         return Join(p.left, bounded, p.how, p.condition, p.using)
+
+    @staticmethod
+    def _expand_star_options(df: DataFrame, projections):
+        """SELECT [t.]* EXCEPT (cols) / REPLACE (expr AS col): expand into
+        an explicit projection over the input DataFrame's columns. A
+        qualified star resolves against that alias's own column set via
+        Spark's `t.*` expansion, so `t.* REPLACE` compiles locally too
+        (DataFusion plans wildcard options the same bind-time way,
+        reference analyzer.rs:494-522)."""
+        if not any(isinstance(e, Star) and (e.replace or e.exclude)
+                   for e in projections):
+            return projections
+        out: List[Any] = []
+        for e in projections:
+            if not (isinstance(e, Star) and (e.replace or e.exclude)):
+                out.append(e)
+                continue
+            cols = (df.select(f"{e.table}.*").columns if e.table
+                    else df.columns)
+            repl = {name.lower(): (x, name) for x, name in e.replace}
+            excl = {c.lower() for c in e.exclude}
+            known = {c.lower() for c in cols}
+            bad = sorted((set(repl) | excl) - known)
+            if bad:
+                raise ValueError(f"* options reference unknown columns {bad}")
+            both = sorted(set(repl) & excl)
+            if both:
+                raise ValueError(
+                    f"columns {both} appear in both EXCEPT and REPLACE")
+            for c in cols:
+                lc = c.lower()
+                if lc in excl:
+                    continue
+                if lc in repl:
+                    x, _ = repl[lc]
+                    out.append(Alias(x, c))
+                else:
+                    out.append(Col(c, e.table))
+        return out
 
     def _prepare_exprs(self, df: DataFrame, exprs):
         """Expression lowering for the local path: quantified comparisons
@@ -542,13 +571,24 @@ def _root_alias(p: Plan):
 def _plan_output_cols(p: Plan):
     """Output column names of a plan, or None if unknown (Star etc.)."""
     if isinstance(p, Project):
-        names = [e.output_name() for e in p.projections]
-        if "*" not in names:
-            return names
-        if names == ["*"]:
-            # wrap_projection's SELECT * shell: expand through the input
-            return _plan_output_cols(p.input)
-        return None
+        names = []
+        for e in p.projections:
+            if isinstance(e, Star):
+                if e.table is not None:
+                    # per-relation column lists aren't tracked
+                    return None
+                inner = _plan_output_cols(p.input)
+                if inner is None:
+                    return None
+                excl = {c.lower() for c in e.exclude}
+                # REPLACE keeps names/positions; EXCEPT drops columns
+                names += [c for c in inner if c.lower() not in excl]
+            else:
+                n = e.output_name()
+                if n == "*":
+                    return None
+                names.append(n)
+        return names
     if isinstance(p, Aggregate):
         return [e.output_name()
                 for e in list(p.group_by) + list(p.aggregates)]

@@ -146,6 +146,16 @@ class Dialect:
     #: unparser rewrites semi/anti joins to (NOT) EXISTS
     supports_semi_anti_join = False
 
+    #: keyword for `SELECT * <kw> (cols)` column exclusion — DuckDB spells
+    #: it EXCLUDE, Spark/Databricks/BigQuery spell it EXCEPT; None means
+    #: the engine has no such syntax and the unparser must expand the star
+    #: into an explicit column list (or refuse when columns are unknown)
+    star_exclude_kw: Any = None
+    #: whether the engine supports `SELECT * REPLACE (expr AS col)`.
+    #: The base (ansi) dialect renders it optimistically — it is our
+    #: canonical display syntax; engines known to reject it get expansion.
+    supports_star_replace = True
+
     #: join keywords; semi/anti spellings vary per engine
     join_keywords = {
         "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
@@ -200,6 +210,8 @@ def _pg_extract(field):
 class DuckDBDialect(Dialect):
     name = "duckdb"
     supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
+    star_exclude_kw = "EXCLUDE"     # SELECT * EXCLUDE (a, b)
+    supports_star_replace = True    # SELECT * REPLACE (x*2 AS x)
     function_map = {
         # Spark canonical -> DuckDB. date_trunc / year / month / day /
         # hour / minute / second / substring / instr / concat / trim
@@ -220,6 +232,7 @@ class DuckDBDialect(Dialect):
 
 class PostgresDialect(Dialect):
     name = "postgres"
+    supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     function_map = {
         "year": _pg_extract("YEAR"), "quarter": _pg_extract("QUARTER"),
         "month": _pg_extract("MONTH"), "day": _pg_extract("DAY"),
@@ -240,6 +253,7 @@ class PostgresDialect(Dialect):
 
 class SQLiteDialect(Dialect):
     name = "sqlite"
+    supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     quote_char = '"'
     ilike_op = "LIKE"  # sqlite LIKE is case-insensitive for ASCII already
     supports_filter_clause = True
@@ -276,6 +290,8 @@ class SparkSQLDialect(Dialect):
     name = "spark"
     quote_char = "`"
     supports_semi_anti_join = True  # LEFT SEMI / LEFT ANTI JOIN
+    star_exclude_kw = "EXCEPT"      # SELECT * EXCEPT (a, b), Spark >= 3.4
+    supports_star_replace = False   # open-source Spark has no * REPLACE
     join_keywords = dict(Dialect.join_keywords,
                          semi="LEFT SEMI JOIN", anti="LEFT ANTI JOIN")
 
@@ -289,6 +305,7 @@ class SparkSQLDialect(Dialect):
 
 class MySQLDialect(Dialect):
     name = "mysql"
+    supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     quote_char = "`"
     ilike_op = "LIKE"  # MySQL LIKE is case-insensitive by default collation
     supports_filter_clause = False

@@ -149,29 +149,44 @@ class Lit(Expr):
 
 @dataclass(eq=False)
 class Star(Expr):
-    """Wildcard, optionally qualified, with optional REPLACE items
-    (analyzer.rs:494-522: planned wildcard options)."""
+    """Wildcard, optionally qualified, with optional REPLACE items and
+    EXCEPT/EXCLUDE columns (analyzer.rs:494-522: planned wildcard
+    options)."""
 
     table: Optional[str] = None
     #: REPLACE items: [(replacement_expr, column_name), ...]
     replace: Sequence[tuple] = ()
+    #: EXCEPT/EXCLUDE column names dropped from the expansion
+    exclude: Sequence[str] = ()
 
     def children(self):
         return tuple(e for e, _ in self.replace)
 
     def to_sql(self, d) -> str:
         s = f"{d.quote(self.table)}.*" if self.table else "*"
+        if self.exclude:
+            kw = getattr(d, "star_exclude_kw", None)
+            if kw is None:
+                raise ValueError(
+                    f"dialect {d.name!r} has no * EXCEPT/EXCLUDE syntax; "
+                    "compile this projection locally")
+            cols = ", ".join(d.quote(c) for c in self.exclude)
+            s += f" {kw} ({cols})"
         if self.replace:
+            if not getattr(d, "supports_star_replace", True):
+                raise ValueError(
+                    f"dialect {d.name!r} has no * REPLACE syntax; "
+                    "the unparser expands it to an explicit column list")
             items = ", ".join(f"{e.to_sql(d)} AS {d.quote(name)}"
                               for e, name in self.replace)
             s += f" REPLACE ({items})"
         return s
 
     def to_spark(self) -> Column:
-        if self.replace:
+        if self.replace or self.exclude:
             raise ValueError(
-                "Star REPLACE has no single-Column form; the compiler "
-                "expands it to withColumn calls")
+                "Star REPLACE/EXCEPT has no single-Column form; the "
+                "compiler expands it to an explicit projection")
         return F.col(f"{self.table}.*" if self.table else "*")
 
     def output_name(self) -> str:

@@ -35,7 +35,8 @@ SECONDARY = {
     "q20_rollup",                 # q53 (federated ROLLUP)
     "q22_grouping_sets",          # q54, q69 (GROUPING SETS)
     "q23_window_rank",            # q52, q68 (window rank)
-    "q24_window_running",         # q64 (window frames)
+    "q24_window_running",         # q64/q70 (window frames)
+    "q64_federated_window_frame",  # q70 (frame via named WINDOW, engine.sql)
     "q25_union_all",              # q56 (UNION ALL)
     "q27_except",                 # q58 (EXCEPT)
     "q28_exists_semi",            # q60 (correlated EXISTS)
@@ -1202,3 +1203,31 @@ def q69(spark, sf):
     """GROUPING SETS through the SQL front door -> one remote SQL."""
     eng = _fed_engine(spark, sf, ["orders"], "duck_q69")
     return eng.sql(_Q69_SQL)
+
+
+_Q70_BODY = """
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2)
+            AS DOUBLE) AS rolling3
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+LIMIT 200
+"""
+# our parser takes the Spark/BigQuery EXCEPT spelling; DuckDB (the
+# oracle engine) spells the same star option EXCLUDE
+_Q70_SQL = ("SELECT * EXCEPT (o_orderstatus, o_orderdate, "
+            "o_orderpriority)," + _Q70_BODY)
+_Q70_ORACLE = ("SELECT * EXCLUDE (o_orderstatus, o_orderdate, "
+               "o_orderpriority)," + _Q70_BODY)
+
+
+@q("q70_sql_named_window", _Q70_ORACLE)
+def q70(spark, sf):
+    """Named WINDOW clause + `* EXCEPT (cols)` through the SQL front
+    door (round-3 sqlfront breadth): the named spec inlines into each
+    OVER, the star option renders as DuckDB EXCLUDE, and the whole
+    query — frame spec included — collapses to ONE remote SQL."""
+    eng = _fed_engine(spark, sf, ["orders"], "duck_q70")
+    return eng.sql(_Q70_SQL)

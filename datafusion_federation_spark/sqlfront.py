@@ -322,8 +322,39 @@ class Parser:
         if self.accept_kw("HAVING"):
             having = self.parse_expr(scope)
 
+        # WINDOW w AS (spec) [, w2 AS (spec)] — standard clause position is
+        # between HAVING and ORDER BY; the `OVER w` references were parsed
+        # earlier (in the select list) as placeholders and resolve here
+        windows: dict = {}
+        if self.accept_kw("WINDOW"):
+            while True:
+                wname = self.take()[1].lower()
+                self.expect_kw("AS")
+                self.expect_op("(")
+                windows[wname] = self._window_spec(scope)
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
+        self._resolve_named_windows(items, having, windows)
+
         plan = self._assemble(plan, items, distinct, group_by, having)
         return plan
+
+    def _resolve_named_windows(self, items, having, windows) -> None:
+        from .expressions import walk
+        roots = [e for e, _ in items]
+        if having is not None:
+            roots.append(having)
+        for root in roots:
+            for x in walk(root):
+                name = getattr(x, "_named_ref", None)
+                if not (isinstance(x, WindowFunc) and name):
+                    continue
+                if name not in windows:
+                    raise SqlParseError(f"unknown window name {name!r}")
+                part, order, frame = windows[name]
+                x.partition_by, x.order_by, x.frame = part, order, frame
+                x._named_ref = None
 
     def parse_group_item(self, scope: _Scope) -> Expr:
         if self.accept_kw("ROLLUP"):
@@ -481,8 +512,12 @@ class Parser:
     def parse_select_item(self, scope: _Scope):
         if self.peek() == ("op", "*"):
             self.take()
-            return Star(), None
+            return self._star_suffixes(Star(), scope), None
         e = self.parse_expr(scope)
+        if isinstance(e, Star):
+            # qualified t.* — may carry EXCEPT/EXCLUDE/REPLACE options;
+            # a star never takes an alias
+            return self._star_suffixes(e, scope), None
         name = None
         if self.accept_kw("AS"):
             name = self.take()[1]
@@ -494,6 +529,46 @@ class Parser:
                                  "CROSS", "AND", "OR")):
             name = self.take()[1]
         return e, name
+
+    def _star_suffixes(self, st: Star, scope: _Scope) -> Star:
+        """`[t.]* [EXCEPT|EXCLUDE (col, ...)] [REPLACE (expr AS col, ...)]`
+        wildcard options (DuckDB/Spark star modifiers). EXCEPT here is
+        unambiguous: the select list ends at FROM, so a set-operation
+        EXCEPT can never directly follow `*` — and we additionally require
+        the parenthesized-list shape."""
+        exclude: List[str] = []
+        replace: List[Tuple[Expr, str]] = []
+        while True:
+            if (self.at_kw("EXCEPT", "EXCLUDE")
+                    and self.peek(1) == ("op", "(")):
+                self.take()
+                self.expect_op("(")
+                while True:
+                    t = self.take()
+                    if t[0] != "id":
+                        raise SqlParseError(
+                            f"expected column name in * EXCEPT, got {t}")
+                    exclude.append(t[1])
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                continue
+            if self.at_kw("REPLACE") and self.peek(1) == ("op", "("):
+                self.take()
+                self.expect_op("(")
+                while True:
+                    x = self.parse_expr(scope)
+                    self.expect_kw("AS")
+                    replace.append((x, self.take()[1]))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                continue
+            break
+        if exclude or replace:
+            return Star(table=st.table, replace=tuple(replace),
+                        exclude=tuple(exclude))
+        return st
 
     # -- FROM --------------------------------------------------------------
     def parse_from(self, scope: _Scope) -> Plan:
@@ -559,9 +634,9 @@ class Parser:
             return self.take()[1]
         if (self.peek() is not None and self.peek()[0] == "id"
                 and not self.at_kw(
-                    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
-                    "UNION", "INTERSECT", "EXCEPT", "JOIN", "ON", "INNER",
-                    "LEFT", "RIGHT", "FULL", "CROSS", "AS")):
+                    "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER", "LIMIT",
+                    "OFFSET", "UNION", "INTERSECT", "EXCEPT", "JOIN", "ON",
+                    "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "AS")):
             return self.take()[1]
         return None
 
@@ -822,7 +897,23 @@ class Parser:
         return f
 
     def parse_over(self, func_expr: Expr, scope) -> WindowFunc:
+        t = self.peek()
+        if t is not None and t[0] == "id":
+            # OVER w — named window reference; the WINDOW clause appears
+            # later in the statement, so record a placeholder and resolve
+            # in parse_select once the clause has parsed
+            wf = WindowFunc(func_expr)
+            wf._named_ref = self.take()[1].lower()
+            return wf
         self.expect_op("(")
+        partition, order, frame = self._window_spec(scope)
+        self.expect_op(")")
+        return WindowFunc(func_expr, partition, order, frame)
+
+    def _window_spec(self, scope):
+        """The body of a window specification: [PARTITION BY ...]
+        [ORDER BY ...] [ROWS|RANGE BETWEEN ...] (shared by OVER (...) and
+        the named WINDOW clause)."""
         partition: List[Expr] = []
         order: List[SortKey] = []
         frame = None
@@ -843,8 +934,7 @@ class Parser:
             self.expect_kw("AND")
             end = self._frame_bound()
             frame = WindowFrame(kind, start, end)
-        self.expect_op(")")
-        return WindowFunc(func_expr, partition, order, frame)
+        return partition, order, frame
 
     def _frame_bound(self):
         if self.accept_kw("UNBOUNDED"):
@@ -875,8 +965,14 @@ def _validate_supported(plan: Plan) -> None:
         else:
             yield e
 
+    from .expressions import WindowFunc as _WF
     for node in walk_plan(plan):
         for e in node.exprs():
+            for x in walk(e):
+                if isinstance(x, _WF) and getattr(x, "_named_ref", None):
+                    raise SqlParseError(
+                        "named window referenced outside the select "
+                        "list/HAVING is outside the parser surface")
             if isinstance(node, Filter):
                 for c in conjuncts(node.predicate):
                     if isinstance(c, (Exists, InSubquery)):

@@ -128,6 +128,64 @@ class Unparser:
             return f"SELECT * FROM ({self._to_query(b)}) AS {a}"
         return self._to_query(b)
 
+    def _expand_stars(self, projections: Sequence[Expr], input_plan: Plan
+                      ) -> Sequence[Expr]:
+        """Expand `* EXCEPT/EXCLUDE (...)` / `* REPLACE (...)` into an
+        explicit column list when the target dialect has no native syntax
+        for the option (DuckDB: EXCLUDE+REPLACE; Spark: EXCEPT only;
+        Postgres/SQLite/MySQL: neither). Mirrors DataFusion's bind-time
+        wildcard-options expansion (reference analyzer posture,
+        datafusion expand_wildcard_rule); DuckDB itself macro-expands
+        EXCLUDE the same way."""
+        d = self.dialect
+
+        def needs_expansion(e: Expr) -> bool:
+            return isinstance(e, Star) and (
+                (bool(e.exclude)
+                 and getattr(d, "star_exclude_kw", None) is None)
+                or (bool(e.replace)
+                    and not getattr(d, "supports_star_replace", True)))
+
+        if not any(needs_expansion(e) for e in projections):
+            return projections
+        out: List[Expr] = []
+        for e in projections:
+            if not needs_expansion(e):
+                out.append(e)
+                continue
+            if e.table is not None:
+                raise ValueError(
+                    f"dialect {d.name!r} cannot render qualified "
+                    f"{d.quote(e.table)}.* with EXCEPT/REPLACE options and "
+                    "per-relation column lists are not tracked; compile "
+                    "this projection locally")
+            from .compiler import _plan_output_cols
+            cols = _plan_output_cols(input_plan)
+            if cols is None:
+                raise ValueError(
+                    f"dialect {d.name!r} has no * EXCEPT/REPLACE syntax and "
+                    "the input columns are unknown; compile this "
+                    "projection locally")
+            repl = {name.lower(): (x, name) for x, name in e.replace}
+            excl = {c.lower() for c in e.exclude}
+            known = {c.lower() for c in cols}
+            bad = sorted((set(repl) | excl) - known)
+            if bad:
+                raise ValueError(f"* options reference unknown columns {bad}")
+            both = sorted(set(repl) & excl)
+            if both:
+                raise ValueError(
+                    f"columns {both} appear in both EXCEPT and REPLACE")
+            for c in cols:
+                if c.lower() in excl:
+                    continue
+                if c.lower() in repl:
+                    x, name = repl[c.lower()]
+                    out.append(Alias(x, c))
+                else:
+                    out.append(Col(c))
+        return out
+
     # ------------------------------------------------------------------
     def _relation_sql(self, plan: Plan, alias: Optional[str] = None) -> str:
         """Render `plan` as a FROM-clause relation (table ref or derived
@@ -180,7 +238,9 @@ class Unparser:
             sh = self._build_shell(plan.input)
             if sh.select is not None or sh.distinct:
                 sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
-            sh.select = [e.to_sql(d) for e in plan.projections]
+            sh.select = [e.to_sql(d)
+                         for e in self._expand_stars(plan.projections,
+                                                     plan.input)]
             return sh
 
         if isinstance(plan, Filter):

@@ -454,3 +454,140 @@ def test_shadowed_alias_query_federates_subquery(duckdb_engine):
         "uncorrelated shadowed subquery must federate independently"
     got = sorted(map(tuple, eng.sql(sql).collect()))
     assert got == _oracle(sql)
+
+
+# ---------------------------------------------------------------------------
+# wildcard options (* EXCEPT/EXCLUDE/REPLACE) + named WINDOW clause
+# ---------------------------------------------------------------------------
+
+def test_parse_star_except_and_replace_shapes():
+    from datafusion_federation_spark.expressions import Star
+    p = parse("SELECT * EXCEPT (a, b) FROM t")
+    st = p.projections[0]
+    assert isinstance(st, Star) and list(st.exclude) == ["a", "b"]
+    p = parse("SELECT * EXCLUDE (a) REPLACE (x * 2 AS x) FROM t")
+    st = p.projections[0]
+    assert list(st.exclude) == ["a"]
+    assert [name for _, name in st.replace] == ["x"]
+    p = parse("SELECT t.* EXCEPT (a) FROM t")
+    st = p.projections[0]
+    assert st.table == "t" and list(st.exclude) == ["a"]
+    # a set-operation EXCEPT after FROM still parses as a set op
+    p = parse("SELECT * FROM t EXCEPT SELECT * FROM u")
+    assert isinstance(p, SetOp) and p.op == "EXCEPT"
+
+
+def test_star_except_federated_duckdb(duckdb_engine):
+    eng, ex = duckdb_engine
+    sql = "SELECT * EXCEPT (n_name) FROM nation ORDER BY n_nationkey"
+    plan = federate(eng.sql_plan(sql).plan)
+    assert isinstance(plan, RemoteQueryNode), \
+        "star-EXCEPT must still federate (DuckDB renders EXCLUDE natively)"
+    df = eng.sql(sql)
+    assert df.columns == ["n_nationkey", "n_regionkey"]
+    got = sorted(map(tuple, df.collect()))
+    assert got == _oracle(
+        "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey")
+
+
+def test_star_replace_federated_duckdb(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT * REPLACE (n_nationkey * 10 AS n_nationkey) "
+           "FROM nation WHERE n_regionkey = 1")
+    df = eng.sql(sql)
+    got = sorted(map(tuple, df.collect()))
+    assert got == _oracle(sql)          # DuckDB supports * REPLACE natively
+
+
+def test_star_options_local_path(duckdb_engine):
+    # lineitem is a LOCAL parquet table in this fixture - exercises the
+    # compiler's explicit-projection expansion rather than the unparser
+    eng, _ = duckdb_engine
+    sql = ("SELECT * EXCEPT (l_returnflag, l_linestatus) "
+           "REPLACE (l_quantity * 2 AS l_quantity) "
+           "FROM lineitem WHERE l_orderkey < 10")
+    df = eng.sql(sql)
+    assert "l_returnflag" not in df.columns
+    assert "l_linestatus" not in df.columns
+    got = sorted(map(tuple, df.collect()))
+    assert got == _oracle(
+        "SELECT * EXCLUDE (l_returnflag, l_linestatus) "
+        "REPLACE (l_quantity * 2 AS l_quantity) "
+        "FROM lineitem WHERE l_orderkey < 10")
+
+
+def test_qualified_star_replace_local(duckdb_engine):
+    # closes the round-2 partial: qualified t.* REPLACE compiles locally
+    eng, _ = duckdb_engine
+    sql = ("SELECT l.* REPLACE (l_quantity * 2 AS l_quantity) "
+           "FROM lineitem l WHERE l_orderkey < 10")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(
+        "SELECT l.* REPLACE (l_quantity * 2 AS l_quantity) "
+        "FROM lineitem l WHERE l_orderkey < 10")
+
+
+def test_star_except_expansion_for_dialects_without_syntax():
+    # sqlite/postgres have no EXCLUDE/REPLACE: the unparser expands the
+    # star against the scan schema into an explicit column list
+    from pyspark.sql.types import LongType, StructField, StructType
+    from datafusion_federation_spark.sources.table import (
+        RemoteTable, TableHandle)
+    from datafusion_federation_spark.unparser import Unparser
+    sch = StructType([StructField(c, LongType()) for c in ("a", "b", "x")])
+    handle = TableHandle(local_name="t", provider=None,
+                         remote=RemoteTable.named("t"), schema=sch)
+    p = parse_sql("SELECT * EXCEPT (a) REPLACE (x * 2 AS x) FROM t",
+                  lambda name: handle)
+    assert Unparser("sqlite").plan_to_sql(p) == \
+        'SELECT "b", ("x" * 2) AS "x" FROM "t"'
+    assert Unparser("duckdb").plan_to_sql(p) == \
+        'SELECT * EXCLUDE ("a") REPLACE (("x" * 2) AS "x") FROM "t"'
+    assert Unparser("spark").plan_to_sql(
+        parse_sql("SELECT * EXCEPT (a) FROM t", lambda name: handle)) == \
+        "SELECT * EXCEPT (`a`) FROM `t`"
+
+
+def test_named_window_federates(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT o_custkey, o_totalprice, "
+           "SUM(o_totalprice) OVER w AS running, "
+           "AVG(o_totalprice) OVER w AS avg_so_far "
+           "FROM orders WHERE o_custkey < 50 "
+           "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    plan = federate(eng.sql_plan(sql).plan)
+    assert isinstance(plan, RemoteQueryNode), \
+        "named-window query must federate (spec inlined into OVER)"
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    oracle = [(r[0], r[1], round(r[2], 4), round(r[3], 4))
+              for r in _oracle(sql)]
+    got = [(r[0], r[1], round(r[2], 4), round(r[3], 4)) for r in got]
+    assert got == oracle
+
+
+def test_named_window_local_path(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT l_orderkey, l_linenumber, "
+           "SUM(l_quantity) OVER w AS cum_qty FROM lineitem "
+           "WHERE l_orderkey < 20 "
+           "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_named_window_shared_by_two_functions_once():
+    from datafusion_federation_spark.expressions import WindowFunc, walk
+    p = parse("SELECT k, SUM(v) OVER w AS s, COUNT(v) OVER w AS c "
+              "FROM t WINDOW w AS (PARTITION BY k ORDER BY v)")
+    wfs = [x for e in p.projections for x in walk(e)
+           if isinstance(x, WindowFunc)]
+    assert len(wfs) == 2
+    for wf in wfs:
+        assert wf.partition_by and wf.order_by
+        assert not getattr(wf, "_named_ref", None)
+
+
+def test_unknown_window_name_rejected():
+    with pytest.raises(SqlParseError):
+        parse("SELECT SUM(v) OVER w FROM t")
