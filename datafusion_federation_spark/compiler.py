@@ -45,6 +45,11 @@ class Compiler:
         #: small extra job on the local side, saves shipping the
         #: unfiltered remote table
         self.runtime_join_filters = runtime_join_filters
+        #: one-shot reuse of DataFrames compiled during runtime-filter
+        #: probing: the min/max probe already compiled the non-remote
+        #: join input, and compiling it again would re-fire any remote
+        #: sub-queries inside it (and re-plan the whole subtree)
+        self._probe_reuse: dict = {}
 
     # ------------------------------------------------------------------
     def compile(self, plan: Plan) -> DataFrame:
@@ -52,6 +57,9 @@ class Compiler:
 
     # ------------------------------------------------------------------
     def _c(self, p: Plan) -> DataFrame:
+        reused = self._probe_reuse.pop(id(p), None)
+        if reused is not None:
+            return reused
         if isinstance(p, Analyze):
             # AnalyzeExec analog: execution + metrics are driven by
             # engine.explain(analyze=True); plain compilation runs the
@@ -250,6 +258,11 @@ class Compiler:
         else:
             return p
         other_df = self._c(other)
+        # the Join branch will compile `other` again right after this
+        # returns — hand it the already-compiled frame (one compile, one
+        # remote execution of any federated node inside the probe side;
+        # the bounds job itself scans only the pruned key column)
+        self._probe_reuse[id(other)] = other_df
         row = other_df.agg(F.min(ocol).alias("lo"),
                            F.max(ocol).alias("hi")).collect()[0]
         d = remote.provider.dialect

@@ -130,3 +130,43 @@ def salted_join(skewed: DataFrame, small: DataFrame, key: str,
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     out = salted.join(replicated, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", order_cols: Sequence[str] = (),
+               gap_ms: int = 1800000, hot_user_threshold: int = 0,
+               sample_fraction: float = 0.01,
+               chunk: str = "1 day") -> DataFrame:
+    """Sessionization front door: single-window LAG form by default, the
+    exact two-phase salted form (``two_phase_sessionization``) when a
+    hot user is detected.
+
+    ``hot_user_threshold`` <= 0 disables detection (always simple).
+    Otherwise a seeded sample of the user column estimates the max
+    per-user event count (one column-pruned job — cheap relative to the
+    session window itself); if the scaled estimate exceeds the
+    threshold, the per-user window would serialize a multi-million-row
+    task and the chunk-salted form runs instead. Both forms return
+    (user_col, n_sessions, n_events) and are tested equal.
+    """
+    use_two_phase = False
+    if hot_user_threshold > 0:
+        est = (events.select(user_col)
+               .sample(fraction=sample_fraction, seed=42)
+               .groupBy(user_col).count()
+               .agg(F.max("count").alias("m")).collect()[0]["m"])
+        est_max = (est or 0) / sample_fraction
+        use_two_phase = est_max > hot_user_threshold
+    if use_two_phase:
+        return two_phase_sessionization(events, user_col, ts_col,
+                                        gap_ms, chunk)
+    from pyspark.sql import Window as W
+    w = W.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    ts_ms = F.unix_millis(F.col(ts_col))
+    gap = ts_ms - F.lag(ts_ms).over(w)
+    return (events.withColumn("__new_sess",
+                              F.when(gap > gap_ms, 1).otherwise(0))
+            .groupBy(user_col)
+            .agg((1 + F.sum("__new_sess")).cast("bigint")
+                 .alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -671,20 +671,19 @@ SELECT user_id,
 FROM gaps GROUP BY user_id
 """)
 def q42(spark, sf):
-    """Sessionization via LAG gap detection (30-min inactivity) — the
-    batch analog of a session window. A single hot user serializes into
-    one task here; the exact two-phase salted form for that case is
-    operators.skew.two_phase_sessionization (tested equal to this)."""
+    """Sessionization (30-min inactivity gap) through the skew-aware
+    front door: the LAG single-window form by default; when the sampled
+    max per-user event count exceeds the hot-user threshold (conf
+    ``spark.graft.sessionization.hotUserThreshold``, default 5M — a
+    single user above it would serialize one multi-million-row task),
+    the exact two-phase chunk-salted form runs instead
+    (operators.skew.two_phase_sessionization, tested hash-equal)."""
+    from .operators.skew import sessionize
     e = t(spark, sf, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_millis(F.col("ts")) -
-           F.lag(F.unix_millis(F.col("ts"))).over(w))
-    return (e.withColumn("new_session",
-                         F.when(gap > 1800000, 1).otherwise(0))
-            .groupBy("user_id")
-            .agg((1 + F.sum("new_session")).cast("bigint")
-                 .alias("n_sessions"),
-                 F.count(F.lit(1)).alias("n_events")))
+    thr = int(spark.conf.get(
+        "spark.graft.sessionization.hotUserThreshold", "5000000"))
+    return sessionize(e, "user_id", "ts", order_cols=("event_id",),
+                      gap_ms=1800000, hot_user_threshold=thr)
 
 
 # ===========================================================================

@@ -118,13 +118,18 @@ class SQLExecutor:
         """Estimated row count for a federated query (default unknown)."""
         return None
 
+    @property
+    def _metrics(self) -> Dict[str, Any]:
+        # per-INSTANCE metrics store, created lazily (subclasses define
+        # their own __init__ and need not call super().__init__; a
+        # class-level dict here would be shared across executors)
+        return self.__dict__.setdefault("_metrics_store", {})
+
     def metrics(self) -> Dict[str, Any]:
         return dict(self._metrics)
 
-    _metrics: Dict[str, Any] = {}
-
     def _record(self, sql: str, seconds: float, rows: Optional[int] = None):
-        m = self.__dict__.setdefault("_metrics", {})
+        m = self._metrics
         m["queries"] = m.get("queries", 0) + 1
         m["elapsed_s"] = m.get("elapsed_s", 0.0) + seconds
         m["last_sql"] = sql

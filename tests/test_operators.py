@@ -374,3 +374,34 @@ def test_minhash_null_text_no_spurious_candidates(spark):
         "doc_id long, text string")
     cand = dedup.minhash_lsh_candidates(df, "text", "doc_id").collect()
     assert cand == []      # null/empty docs pair with nothing
+
+
+def test_sessionize_dispatch_hot_user_threshold(spark):
+    """q42's front door: default threshold keeps the simple single-window
+    plan; a forced tiny threshold flips to the two-phase chunk-salted
+    plan (visible as the __chunk salt column) with identical results."""
+    import contextlib
+    import io
+
+    from datafusion_federation_spark.queries import REGISTRY, t as load
+
+    q42 = REGISTRY["q42_sessionization"][0]
+    base = {tuple(r) for r in q42(spark, TESTDATA).collect()}
+
+    old = spark.conf.get("spark.graft.sessionization.hotUserThreshold",
+                         None)
+    spark.conf.set("spark.graft.sessionization.hotUserThreshold", "1")
+    try:
+        df = q42(spark, TESTDATA)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        assert "__chunk" in buf.getvalue(), \
+            "hot-user threshold must engage the two-phase salted plan"
+        assert {tuple(r) for r in df.collect()} == base
+    finally:
+        if old is None:
+            spark.conf.unset("spark.graft.sessionization.hotUserThreshold")
+        else:
+            spark.conf.set(
+                "spark.graft.sessionization.hotUserThreshold", old)
