@@ -72,8 +72,9 @@ class _ShellCompiler:
             def _c(inner, p):  # noqa: N805 - nested subclass
                 from .plans.nodes import RemoteQueryNode, Scan
                 if isinstance(p, Scan):
+                    from .sources.provider import empty_dataframe
                     schema = _shell_schema(p.table, inner.spark)
-                    df = inner.spark.createDataFrame([], schema)
+                    df = empty_dataframe(inner.spark, schema)
                     if p.projection:
                         df = df.select(*p.projection)
                     return df.alias(p.table.local_name)
@@ -81,7 +82,8 @@ class _ShellCompiler:
                     if p.schema is None:
                         raise ValueError(
                             "nested federated node without schema")
-                    return inner.spark.createDataFrame([], p.schema)
+                    from .sources.provider import empty_dataframe
+                    return empty_dataframe(inner.spark, p.schema)
                 return super()._c(p)
 
         self._compiler = _Shell(spark, runtime_join_filters=False)

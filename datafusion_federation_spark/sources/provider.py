@@ -30,6 +30,22 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 from ..dialects import get_dialect
 
 
+def empty_dataframe(spark, schema):
+    """Zero-row DataFrame with `schema` as a pure-JVM LocalTableScan.
+
+    ``spark.createDataFrame([], schema)`` builds a pickled-RDD-backed
+    frame whose very first collect launches one Python worker per core
+    (32 cold workers ~= 2.7 s measured) just to deserialize empty
+    partitions. Empty federated results are common (EXCEPT queries,
+    selective filters), so synthesize the frame in SQL instead: a
+    zero-row LocalTableScan collects with no job at all."""
+    cols = ", ".join(
+        "CAST(NULL AS {}) AS `{}`".format(
+            f.dataType.simpleString(), f.name.replace("`", "``"))
+        for f in schema.fields)
+    return spark.sql(f"SELECT {cols} WHERE 1 = 0")
+
+
 class FederationProvider:
     """Identity + self-determined optimizer (reference src/lib.rs:56-90)."""
 
@@ -279,7 +295,7 @@ class DuckDBExecutor(SQLExecutor):
         self._record(sql, time.time() - t0, arrow.num_rows)
         self._row_cache[sql] = arrow.num_rows
         if arrow.num_rows == 0 and schema is not None:
-            return spark.createDataFrame([], schema)
+            return empty_dataframe(spark, schema)
         try:
             # Spark 4: Arrow table -> DataFrame directly (no pandas hop)
             df = spark.createDataFrame(arrow)
@@ -508,7 +524,7 @@ class SQLiteExecutor(SQLExecutor):
         cols = [d[0] for d in cur.description]
         if schema is not None:
             if not rows:
-                return spark.createDataFrame([], schema)
+                return empty_dataframe(spark, schema)
             try:
                 return spark.createDataFrame(rows, schema)
             except Exception:
@@ -520,7 +536,7 @@ class SQLiteExecutor(SQLExecutor):
             from pyspark.sql import types as T
             empty = T.StructType(
                 [T.StructField(c, T.StringType()) for c in cols])
-            return spark.createDataFrame([], empty)
+            return empty_dataframe(spark, empty)
         return spark.createDataFrame(rows, cols)
 
 
