@@ -53,7 +53,13 @@ class Compiler:
 
     # ------------------------------------------------------------------
     def compile(self, plan: Plan) -> DataFrame:
-        return self._c(plan)
+        try:
+            return self._c(plan)
+        finally:
+            # a probe failure mid-compile must not leave stale id()-keyed
+            # entries behind: a later plan node allocated at the same
+            # address would silently reuse the wrong DataFrame
+            self._probe_reuse.clear()
 
     # ------------------------------------------------------------------
     def _c(self, p: Plan) -> DataFrame:
@@ -284,6 +290,7 @@ class Compiler:
         Spark's `t.*` expansion, so `t.* REPLACE` compiles locally too
         (DataFusion plans wildcard options the same bind-time way,
         reference analyzer.rs:494-522)."""
+        from .expressions import expand_star_options
         if not any(isinstance(e, Star) and (e.replace or e.exclude)
                    for e in projections):
             return projections
@@ -294,25 +301,7 @@ class Compiler:
                 continue
             cols = (df.select(f"{e.table}.*").columns if e.table
                     else df.columns)
-            repl = {name.lower(): (x, name) for x, name in e.replace}
-            excl = {c.lower() for c in e.exclude}
-            known = {c.lower() for c in cols}
-            bad = sorted((set(repl) | excl) - known)
-            if bad:
-                raise ValueError(f"* options reference unknown columns {bad}")
-            both = sorted(set(repl) & excl)
-            if both:
-                raise ValueError(
-                    f"columns {both} appear in both EXCEPT and REPLACE")
-            for c in cols:
-                lc = c.lower()
-                if lc in excl:
-                    continue
-                if lc in repl:
-                    x, _ = repl[lc]
-                    out.append(Alias(x, c))
-                else:
-                    out.append(Col(c, e.table))
+            out.extend(expand_star_options(cols, e))
         return out
 
     def _prepare_exprs(self, df: DataFrame, exprs):
@@ -353,13 +342,18 @@ class Compiler:
                 f"local {op} {quant} (subquery) has no simple aggregate "
                 "rewrite; run it federated")
         out_col = _plan_output_col(x.plan)
+        # ONE shared aggregate plan emits both the extremum and the
+        # count: both ScalarSubquery nodes point at the SAME object, so
+        # _attach_scalar_subqueries compiles (and a federated subquery
+        # executes remotely) exactly once, and the two values are
+        # consistent even against a changing remote
         agg_plan = Aggregate(x.plan, [],
                              [Alias(AggFunc(name, [Col(out_col)]),
-                                    f"__{name}")])
-        cnt_plan = Aggregate(x.plan, [],
-                             [Alias(AggFunc("count", []), "__cnt")])
-        cmp = BinaryOp(op, x.expr, ScalarSubquery(agg_plan))
-        cnt = ScalarSubquery(cnt_plan)
+                                    f"__{name}"),
+                              Alias(AggFunc("count", []), "__cnt")])
+        cmp = BinaryOp(op, x.expr,
+                       ScalarSubquery(agg_plan, column=f"__{name}"))
+        cnt = ScalarSubquery(agg_plan, column="__cnt")
         if quant == "ALL":
             return BinaryOp("OR", BinaryOp("=", cnt, Lit(0)), cmp)
         return BinaryOp("AND", BinaryOp("<>", cnt, Lit(0)), cmp)
@@ -382,18 +376,28 @@ class Compiler:
         Returns (df_with_joins, rewritten_exprs, helper_col_names).
         """
         from .expressions import Col, ScalarSubquery
-        state = {"df": df, "n": 0, "cols": []}
+        state = {"df": df, "n": 0, "cols": [], "plans": {}}
 
         def replace(x: Expr) -> Expr:
             if isinstance(x, ScalarSubquery):
-                name = f"__sq{state['n']}"
-                state["n"] += 1
-                sub = self._c(x.plan)
-                sub = sub.select(F.col(sub.columns[0]).alias(name))
-                state["df"] = state["df"].join(
-                    F.broadcast(sub), on=F.lit(True), how="left")
-                state["cols"].append(name)
-                return Col(name)
+                key = id(x.plan)
+                if key not in state["plans"]:
+                    n = state["n"]
+                    state["n"] += 1
+                    sub = self._c(x.plan)
+                    names = {c: f"__sq{n}_{i}" if i else f"__sq{n}"
+                             for i, c in enumerate(sub.columns)}
+                    sub = sub.select(*[F.col(c).alias(h)
+                                       for c, h in names.items()])
+                    state["df"] = state["df"].join(
+                        F.broadcast(sub), on=F.lit(True), how="left")
+                    state["cols"].extend(names.values())
+                    # plans sharing one object join (and execute) once
+                    state["plans"][key] = names
+                names = state["plans"][key]
+                col = (names[x.column] if x.column is not None
+                       else next(iter(names.values())))
+                return Col(col)
             return x
 
         new = [_rewrite_expr(e, replace) for e in exprs]
@@ -576,7 +580,8 @@ def _root_alias(p: Plan):
     if (isinstance(p, Project) and len(p.projections) == 1
             and isinstance(p.projections[0], Star)
             and p.projections[0].table is None
-            and not p.projections[0].replace):
+            and not p.projections[0].replace
+            and not p.projections[0].exclude):
         return _root_alias(p.input)
     return None
 

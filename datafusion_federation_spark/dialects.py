@@ -10,7 +10,18 @@ support, scalar-function name mapping, and type names.
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from typing import Any, Dict, Sequence
+
+
+class UnsupportedUnparse(ValueError):
+    """This dialect cannot express the construct (no syntax for it, or
+    translating it would change semantics). The federation pass catches
+    this and compiles the enclosing subtree locally instead of shipping
+    wrong SQL — mirroring DataFusion's posture of only claiming plans
+    its unparser supports. Genuine contract violations (double
+    federation, malformed plans) stay plain ValueError and do NOT
+    degrade."""
 
 
 #: Java SimpleDateFormat tokens (the Spark canonical format language) ->
@@ -39,7 +50,7 @@ def translate_time_format(fmt: str, mapping: Dict[str, str]) -> str:
         else:
             ch = fmt[i]
             if ch.isalpha():
-                raise ValueError(
+                raise UnsupportedUnparse(
                     f"cannot translate format token {ch!r} in {fmt!r}")
             if ch == "%" and any(v.startswith("%") for v in
                                  mapping.values()):
@@ -55,7 +66,7 @@ def _fmt_literal(arg_sql: str, mapping: Dict[str, str]) -> str:
     quotes on). Non-literal format expressions cannot be translated at
     plan time — refuse rather than mistranslate."""
     if not (arg_sql.startswith("'") and arg_sql.endswith("'")):
-        raise ValueError(
+        raise UnsupportedUnparse(
             f"format argument must be a string literal to translate "
             f"for this dialect, got {arg_sql}")
     return "'" + translate_time_format(arg_sql[1:-1], mapping) + "'"
@@ -125,6 +136,15 @@ class Dialect:
         if callable(spec):
             return spec(list(args))
         if "{" in spec:
+            # str.format silently DROPS surplus arguments — a 3-arg
+            # locate(sub, s, pos) rendered through "strpos({1}, {0})"
+            # would lose the start position and return wrong rows
+            idx = [int(m) for m in _re.findall(r"\{(\d+)\}", spec)]
+            need = max(idx) + 1 if idx else 0
+            if len(args) != need:
+                raise UnsupportedUnparse(
+                    f"{name}() with {len(args)} args has no "
+                    f"{self.name} translation (template takes {need})")
             return spec.format(*args)
         return f"{spec}({', '.join(args)})"
 
@@ -183,7 +203,8 @@ def _sqlite_date_trunc(args):
         return f"date({args[1]})"
     starts = {"year": "start of year", "month": "start of month"}
     if unit not in starts:
-        raise ValueError(f"sqlite date_trunc cannot express unit {unit!r}")
+        raise UnsupportedUnparse(
+            f"sqlite date_trunc cannot express unit {unit!r}")
     return f"date({args[1]}, '{starts[unit]}')"
 
 
@@ -193,7 +214,8 @@ def _mysql_date_trunc(args):
              "month": "DATE_FORMAT({0}, '%Y-%m-01')",
              "day": "DATE({0})"}
     if unit not in forms:
-        raise ValueError(f"mysql date_trunc cannot express unit {unit!r}")
+        raise UnsupportedUnparse(
+            f"mysql date_trunc cannot express unit {unit!r}")
     return forms[unit].format(args[1])
 
 
@@ -201,6 +223,17 @@ def _sqlite_part(token):
     """SQLite date parts go through strftime + int cast (no year()/
     month()/... functions)."""
     return lambda a: f"CAST(strftime('{token}', {a[0]}) AS INTEGER)"
+
+
+def _log_fn(a):
+    """Spark log(x) is the NATURAL log; log(b, x) is base-b. The ln-ratio
+    form is exact in double on every engine (Postgres' native log(b,x)
+    is numeric-only; DuckDB's log(x) is log10)."""
+    if len(a) == 1:
+        return f"ln({a[0]})"
+    if len(a) == 2:
+        return f"(ln({a[1]}) / ln({a[0]}))"
+    raise UnsupportedUnparse("log() takes 1 or 2 arguments")
 
 
 def _pg_extract(field):
@@ -224,7 +257,7 @@ class DuckDBDialect(Dialect):
         # Spark date_format(ts, javafmt) -> strftime(ts, cfmt)
         "date_format":
             lambda a: f"strftime({a[0]}, {_fmt_literal(a[1], _STRFTIME_FMT)})",
-        "log": "ln",                           # Spark log(x) is natural
+        "log": _log_fn,                        # Spark log(x) is natural
         "power": "pow",
         "current_timestamp": lambda a: "now()",
     }
@@ -243,7 +276,7 @@ class PostgresDialect(Dialect):
             lambda a: f"to_char({a[0]}, {_fmt_literal(a[1], _PG_FMT)})",
         "instr": "strpos({0}, {1})",
         "locate": "strpos({1}, {0})",
-        "log": "ln",
+        "log": _log_fn,
     }
 
     def regex_match(self, expr, pattern, negated):
@@ -275,7 +308,7 @@ class SQLiteDialect(Dialect):
         "concat": lambda a: "(" + " || ".join(a) + ")",
         "power": "pow",
         "pow": "pow",
-        "log": "ln",
+        "log": _log_fn,
     }
 
     def regex_match(self, expr, pattern, negated):

@@ -165,16 +165,18 @@ class Star(Expr):
     def to_sql(self, d) -> str:
         s = f"{d.quote(self.table)}.*" if self.table else "*"
         if self.exclude:
+            from .dialects import UnsupportedUnparse
             kw = getattr(d, "star_exclude_kw", None)
             if kw is None:
-                raise ValueError(
+                raise UnsupportedUnparse(
                     f"dialect {d.name!r} has no * EXCEPT/EXCLUDE syntax; "
                     "compile this projection locally")
             cols = ", ".join(d.quote(c) for c in self.exclude)
             s += f" {kw} ({cols})"
         if self.replace:
+            from .dialects import UnsupportedUnparse
             if not getattr(d, "supports_star_replace", True):
-                raise ValueError(
+                raise UnsupportedUnparse(
                     f"dialect {d.name!r} has no * REPLACE syntax; "
                     "the unparser expands it to an explicit column list")
             items = ", ".join(f"{e.to_sql(d)} AS {d.quote(name)}"
@@ -191,6 +193,34 @@ class Star(Expr):
 
     def output_name(self) -> str:
         return "*"
+
+
+def expand_star_options(cols: Sequence[str], star: "Star"):
+    """Expand a Star with EXCEPT/EXCLUDE/REPLACE options against the
+    input's column list into explicit expressions (validated: unknown
+    names and EXCEPT∩REPLACE overlap raise). Shared by the compiler
+    (local path, columns from the DataFrame) and the unparser (remote
+    path, columns from the plan) so the two expansions cannot drift."""
+    repl = {name.lower(): (x, name) for x, name in star.replace}
+    excl = {c.lower() for c in star.exclude}
+    known = {c.lower() for c in cols}
+    bad = sorted((set(repl) | excl) - known)
+    if bad:
+        raise ValueError(f"* options reference unknown columns {bad}")
+    both = sorted(set(repl) & excl)
+    if both:
+        raise ValueError(
+            f"columns {both} appear in both EXCEPT and REPLACE")
+    out = []
+    for c in cols:
+        lc = c.lower()
+        if lc in excl:
+            continue
+        if lc in repl:
+            out.append(Alias(repl[lc][0], c))
+        else:
+            out.append(Col(c, star.table))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -732,13 +762,24 @@ class GroupingSets(Expr):
 
 @dataclass(eq=False)
 class ScalarSubquery(Expr):
-    """Scalar subquery; federated independently (optimizer/mod.rs:285-305)."""
+    """Scalar subquery; federated independently (optimizer/mod.rs:285-305).
+
+    ``column`` selects one output column of a MULTI-column 1-row plan
+    (None = first). Two ScalarSubquery nodes sharing one plan object
+    compile that plan ONCE (the quantifier rewrite emits min/max and
+    count from a single shared Aggregate so a federated subquery
+    executes remotely once, and both values come from the same read)."""
 
     plan: Any  # plans.nodes.Plan (late-bound to avoid a cycle)
+    column: Optional[str] = None
 
     def to_sql(self, d) -> str:
         from .unparser import Unparser
-        return "(" + Unparser(d).plan_to_sql(self.plan) + ")"
+        sql = Unparser(d).plan_to_sql(self.plan)
+        if self.column is not None:
+            a = d.quote("__sq")
+            return (f"(SELECT {d.quote(self.column)} FROM ({sql}) AS {a})")
+        return "(" + sql + ")"
 
     def to_spark(self) -> Column:
         raise NotImplementedError(

@@ -133,17 +133,30 @@ def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
         new_input, changed = _optimize_recursively(plan.input, is_root=True)
         return plan.with_inputs([new_input]), changed
 
+    from .dialects import UnsupportedUnparse
+
     res = scan_plan(plan)
 
     if res.is_distinct() and res.provider.can_federate():
         if is_root:
-            # whole plan belongs to one federatable provider
-            return _claim(res.provider, plan), True
-        # not root: parent decides; signal "federatable as a whole".
-        # (With the current call sites this branch is only reachable via
-        # Analyze inputs — children are pre-checked by the parent loop —
-        # but it keeps the recursion faithful to the reference's shape.)
-        return plan, False
+            try:
+                # whole plan belongs to one federatable provider
+                return _claim(res.provider, plan), True
+            except UnsupportedUnparse:
+                # the dialect cannot express this plan's root operators
+                # (e.g. * EXCEPT on an engine without the syntax and
+                # unknown columns): fall through and federate the
+                # largest subtrees the unparser CAN express — the
+                # residue compiles locally. This mirrors DataFusion
+                # only claiming plans its unparser supports.
+                pass
+        else:
+            # not root: parent decides; signal "federatable as a whole".
+            # (With the current call sites this branch is only reachable
+            # via Analyze inputs — children are pre-checked by the parent
+            # loop — but it keeps the recursion faithful to the
+            # reference's shape.)
+            return plan, False
 
     # mixed/ambiguous node: federate each maximal single-provider input
     new_inputs = []
@@ -151,12 +164,15 @@ def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
     for child in plan.inputs():
         child_res = scan_plan(child)
         if child_res.is_distinct() and child_res.provider.can_federate():
-            new_inputs.append(_claim(child_res.provider, child))
-            changed = True
-        else:
-            new_child, ch = _optimize_recursively(child, is_root=False)
-            new_inputs.append(new_child)
-            changed = changed or ch
+            try:
+                new_inputs.append(_claim(child_res.provider, child))
+                changed = True
+                continue
+            except UnsupportedUnparse:
+                pass        # claim smaller pieces of this child instead
+        new_child, ch = _optimize_recursively(child, is_root=True)
+        new_inputs.append(new_child)
+        changed = changed or ch
     # subquery expressions federate independently as their own roots
     # (optimize_plan_exprs — optimizer/mod.rs:266-305)
     _federate_subquery_exprs(plan)

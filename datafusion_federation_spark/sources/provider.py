@@ -211,7 +211,8 @@ def _expected_schema(plan, cache_key=None):
         if (isinstance(node, Project) and len(node.projections) == 1
                 and isinstance(node.projections[0], Star)
                 and node.projections[0].table is None
-                and not node.projections[0].replace):
+                and not node.projections[0].replace
+                and not node.projections[0].exclude):
             node = node.input
             continue
         break
@@ -389,14 +390,14 @@ class JDBCExecutor(SQLExecutor):
         self.partitioning = partitioning
         self.fetchsize = fetchsize
 
-    def _reader(self, spark, sql: str):
+    def _reader(self, spark, sql: str, partitioned: bool = True):
         r = (spark.read.format("jdbc")
              .option("url", self.url)
              .option("query", sql)
              .option("fetchsize", str(self.fetchsize)))
         for k, v in self.properties.items():
             r = r.option(k, v)
-        p = self.partitioning
+        p = self.partitioning if partitioned else None
         if p is not None:
             # partitioned read: swap `query` for dbtable + bounds
             r = (spark.read.format("jdbc")
@@ -411,9 +412,10 @@ class JDBCExecutor(SQLExecutor):
                 r = r.option(k, v)
         return r
 
-    def execute(self, spark, sql: str, schema=None):
+    def execute(self, spark, sql: str, schema=None,
+                partitioned: bool = True):
         t0 = time.time()
-        df = self._reader(spark, sql).load()
+        df = self._reader(spark, sql, partitioned=partitioned).load()
         self._record(sql, time.time() - t0)
         return df
 
@@ -428,14 +430,19 @@ class JDBCExecutor(SQLExecutor):
         if spark is None:
             raise RuntimeError(
                 "JDBC catalog discovery needs an active SparkSession")
-        rows = self.execute(spark, discovery_sql(self.dialect)).collect()
+        # catalog/introspection queries must NOT go through the
+        # partitioned reader: its partitionColumn does not exist in an
+        # information_schema result and the remote would error
+        rows = self.execute(spark, discovery_sql(self.dialect),
+                            partitioned=False).collect()
         return [f"{r[0]}.{r[1]}" if r[0] else str(r[1]) for r in rows]
 
     def get_table_schema(self, spark, table_name: str):
         d = get_dialect(self.dialect)
         ref = d.quote_table(table_name)
         return self.execute(
-            spark, f"SELECT * FROM {ref} WHERE 1=0").schema
+            spark, f"SELECT * FROM {ref} WHERE 1=0",
+            partitioned=False).schema
 
     def insert(self, spark, df, table_ref, mode: str = "append"):
         """INSERT passthrough via Spark's JDBC writer (distributed —

@@ -17,7 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
-from .dialects import Dialect, get_dialect
+from .dialects import Dialect, UnsupportedUnparse, get_dialect
 from .expressions import (
     Alias, Col, Cube, Expr, GroupingSets, Rollup, SortKey, Star,
 )
@@ -154,36 +154,20 @@ class Unparser:
                 out.append(e)
                 continue
             if e.table is not None:
-                raise ValueError(
+                raise UnsupportedUnparse(
                     f"dialect {d.name!r} cannot render qualified "
                     f"{d.quote(e.table)}.* with EXCEPT/REPLACE options and "
                     "per-relation column lists are not tracked; compile "
                     "this projection locally")
             from .compiler import _plan_output_cols
+            from .expressions import expand_star_options
             cols = _plan_output_cols(input_plan)
             if cols is None:
-                raise ValueError(
+                raise UnsupportedUnparse(
                     f"dialect {d.name!r} has no * EXCEPT/REPLACE syntax and "
                     "the input columns are unknown; compile this "
                     "projection locally")
-            repl = {name.lower(): (x, name) for x, name in e.replace}
-            excl = {c.lower() for c in e.exclude}
-            known = {c.lower() for c in cols}
-            bad = sorted((set(repl) | excl) - known)
-            if bad:
-                raise ValueError(f"* options reference unknown columns {bad}")
-            both = sorted(set(repl) & excl)
-            if both:
-                raise ValueError(
-                    f"columns {both} appear in both EXCEPT and REPLACE")
-            for c in cols:
-                if c.lower() in excl:
-                    continue
-                if c.lower() in repl:
-                    x, name = repl[c.lower()]
-                    out.append(Alias(x, c))
-                else:
-                    out.append(Col(c))
+            out.extend(expand_star_options(cols, e))
         return out
 
     # ------------------------------------------------------------------
@@ -269,7 +253,7 @@ class Unparser:
                 # Dialects without native SEMI/ANTI JOIN syntax
                 # (ANSI/Postgres/MySQL/SQLite) get the EXISTS spelling.
                 if plan.using:
-                    raise ValueError(
+                    raise UnsupportedUnparse(
                         "semi/anti USING join needs a dialect with native "
                         "SEMI JOIN syntax; use an ON condition instead")
                 cond = (plan.condition.to_sql(d)

@@ -359,3 +359,33 @@ def test_runtime_join_filter_compiles_probe_side_once(duckdb_engine, spark):
         assert n >= 0
     finally:
         eng.compiler.runtime_join_filters = False
+
+
+def test_quantifier_rewrite_executes_subquery_once(duckdb_engine):
+    """The ordered ANY/ALL rewrite needs the subquery's extremum AND its
+    count; both must come from ONE shared aggregate plan so a federated
+    subquery executes remotely once (review r3 finding)."""
+    from datafusion_federation_spark.expressions import SetComparison
+    eng, ex = duckdb_engine
+    sub = (eng.table("orders")
+           .filter(col("o_orderpriority") == lit("1-URGENT"))
+           .select("o_totalprice"))
+    b = (eng.table("lineitem")            # LOCAL side -> local rewrite
+         .filter(SetComparison(col("l_extendedprice"), ">", "ALL",
+                               sub.plan))
+         .group_by().agg(agg("count").alias("n")))
+    q0 = ex.metrics().get("queries", 0)
+    n = b.to_df().collect()[0]["n"]
+    q1 = ex.metrics().get("queries", 0)
+    assert q1 - q0 == 1, \
+        f"quantifier subquery executed {q1 - q0}x remotely (must be 1)"
+    # cross-check the value against DuckDB end to end
+    import duckdb as _dd
+    conn = _dd.connect()
+    want = conn.execute(f"""
+        SELECT COUNT(*) FROM read_parquet('{TESTDATA}/lineitem.parquet')
+        WHERE l_extendedprice > (
+          SELECT MAX(o_totalprice)
+          FROM read_parquet('{TESTDATA}/orders.parquet')
+          WHERE o_orderpriority = '1-URGENT')""").fetchone()[0]
+    assert n == want

@@ -53,7 +53,9 @@ class _FakeJDBC(JDBCExecutor):
                          dialect="duckdb")
         self._conn = conn
 
-    def execute(self, spark, sql, schema=None):
+    def execute(self, spark, sql, schema=None, partitioned=True):
+        self.partitioned_calls = getattr(self, "partitioned_calls", [])
+        self.partitioned_calls.append(partitioned)
         arrow = self._conn.execute(sql).fetch_arrow_table()
         self._record(sql, 0.0, arrow.num_rows)
         if arrow.num_rows == 0 and schema is not None:
@@ -136,3 +138,21 @@ def test_multi_provider_first_match_wins(spark):
     assert [r["src"] for r in rows] == [1], "first provider's data wins"
     rows = eng.table("only2").select("v").to_df().collect()
     assert [r["v"] for r in rows] == [42]
+
+
+def test_discovery_bypasses_partitioned_reader(spark):
+    """A partitioning-configured JDBC executor must NOT route catalog /
+    introspection queries through the partitioned reader: the
+    partitionColumn does not exist in an information_schema result."""
+    from datafusion_federation_spark.sources.provider import (
+        JDBCPartitioning)
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/orders.parquet')")
+    ex = _FakeJDBC(conn)
+    ex.partitioning = JDBCPartitioning("o_orderkey", 0, 1000, 4)
+    names = ex.table_names()
+    assert any(n.endswith("orders") for n in names)
+    sch = ex.get_table_schema(spark, "orders")
+    assert "o_orderkey" in [f.name for f in sch.fields]
+    assert ex.partitioned_calls == [False, False]

@@ -214,3 +214,53 @@ def test_cross_engine_join_on_empty_sqlite_side(spark, two_engine):
          .group_by("weight")
          .agg(agg("count").alias("n")))
     assert b.to_df().count() == 0
+
+
+def test_unsupported_unparse_degrades_to_smaller_claims(two_engine):
+    """A construct the remote dialect cannot express (qualified
+    t.* EXCEPT on SQLite) must not crash federation: the scan below
+    still federates whole-table and the projection compiles locally
+    (review r3: the advertised 'compile locally' fallback now exists)."""
+    eng, duck, lite = two_engine
+    sql = "SELECT p.* EXCEPT (weight) FROM priority_dim p"
+    plan = federate(eng.sql_plan(sql).plan)
+    assert not isinstance(plan, RemoteQueryNode), \
+        "the star-EXCEPT projection must stay local"
+    remotes = [n for n in walk_plan(plan) if isinstance(n, RemoteQueryNode)]
+    assert remotes and remotes[0].provider.name == "lite", \
+        "the scan below the unsupported projection must still federate"
+    df = eng.sql(sql)
+    assert df.columns == ["prio"]
+    assert df.count() == 5
+
+
+def test_unqualified_star_except_expands_for_sqlite(two_engine):
+    """Unqualified * EXCEPT against a SQLite remote: the unparser knows
+    the scan schema, so it expands to an explicit column list and the
+    whole query STILL federates."""
+    eng, duck, lite = two_engine
+    sql = "SELECT * EXCEPT (weight) FROM priority_dim"
+    plan = federate(eng.sql_plan(sql).plan)
+    assert isinstance(plan, RemoteQueryNode)
+    assert '"prio"' in plan.sql and "weight" not in plan.sql.split("FROM")[0]
+    assert sorted(r[0] for r in eng.sql(sql).collect()) == sorted(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+
+
+def test_untranslatable_function_degrades_not_wrong(two_engine):
+    """3-arg locate has no SQLite translation (template is 2-arg);
+    shipping it through str.format would silently DROP the position
+    argument. It must instead compile locally with correct semantics."""
+    from datafusion_federation_spark.expressions import col, func, lit
+    eng, duck, lite = two_engine
+    b = (eng.table("priority_dim")
+         .select(col("prio"),
+                 func("locate", lit("H"), col("prio"), lit(4))
+                 .alias("pos")))
+    plan = federate(b.plan)
+    assert not isinstance(plan, RemoteQueryNode), \
+        "untranslatable function must keep the projection local"
+    got = {(r["prio"], r["pos"]) for r in b.to_df().collect()}
+    # Spark semantics: search starts at position 4 (1-based)
+    assert ("2-HIGH", 6) in got          # 'H' at 3 skipped, 'H' at 6 found
+    assert ("3-MEDIUM", 0) in got        # no 'H' at/after pos 4
