@@ -84,9 +84,19 @@ class FederationEngine:
         remote view materializes the whole table, so unreferenced
         tables must not be touched. ``params`` flow to spark.sql(args=)
         (named :param markers)."""
-        import re as _re
-        words = {w.lower()
-                 for w in _re.findall(r"[A-Za-z_][A-Za-z_0-9]*", query)}
+        # identifier tokens only: a table name inside a string literal
+        # or comment must NOT trigger registration (the tokenizer strips
+        # comments and folds quoted strings into non-id tokens). Queries
+        # the tokenizer cannot lex (e.g. :param markers, $$ quoting)
+        # fall back to the permissive word scan — over-registration is
+        # lazy-cost only, never wrong results.
+        from .sqlfront import tokenize
+        try:
+            words = {t[1].lower() for t in tokenize(query) if t[0] == "id"}
+        except ValueError:
+            import re as _re
+            words = {w.lower()
+                     for w in _re.findall(r"[A-Za-z_][A-Za-z_0-9]*", query)}
         for name in self.catalog.tables():
             if name.lower() not in words:
                 continue

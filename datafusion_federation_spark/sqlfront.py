@@ -999,7 +999,10 @@ def parse_sql(sql: str, resolve_table: Callable[[str], Any]) -> Plan:
         plan = Parser(sql, resolve_table).parse()
     except SqlParseError:
         raise
-    except (ValueError, IndexError) as e:
+    except (ValueError, IndexError, AttributeError, TypeError) as e:
+        # any parse-stage defect degrades to the Spark-parser fallback
+        # rather than crashing engine.sql (KeyError passes through: the
+        # caller treats unknown-table lookups as its own fallback signal)
         raise SqlParseError(str(e)) from e
     _validate_supported(plan)
     return plan

@@ -591,3 +591,20 @@ def test_named_window_shared_by_two_functions_once():
 def test_unknown_window_name_rejected():
     with pytest.raises(SqlParseError):
         parse("SELECT SUM(v) OVER w FROM t")
+
+
+def test_view_fallback_ignores_names_in_strings_and_comments(duckdb_engine):
+    """The Spark-parser fallback registers only tables whose names appear
+    as identifier tokens — 'orders' inside a string literal or comment
+    must not build a whole-table remote view (r2 verdict wrong-item 3)."""
+    eng, ex = duckdb_engine
+    q0 = ex.metrics().get("queries", 0)
+    # LATERAL VIEW is outside our parser -> Spark-view fallback path;
+    # references lineitem (local) only, mentions orders in a comment+string
+    df = eng.sql(
+        "-- orders should not register\n"
+        "SELECT l_returnflag, 'orders' AS tag, x FROM lineitem "
+        "LATERAL VIEW explode(sequence(1, 2)) t AS x")
+    assert df.count() > 0
+    assert ex.metrics().get("queries", 0) == q0, \
+        "remote 'orders' view must not have executed"
