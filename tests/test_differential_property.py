@@ -114,7 +114,8 @@ _sql_preds = st.one_of(
 def _sql_queries(draw):
     pred = draw(_sql_preds)
     shape = draw(st.sampled_from(
-        ["agg", "proj", "sort", "having", "union", "cte"]))
+        ["agg", "proj", "sort", "having", "union", "cte",
+         "star_exclude", "named_window"]))
     if shape == "agg":
         return ("SELECT n_regionkey, COUNT(*) AS n, "
                 "SUM(n_nationkey) AS s, MAX(n_name) AS mx "
@@ -132,6 +133,18 @@ def _sql_queries(draw):
         pred2 = draw(_sql_preds)
         return (f"SELECT n_nationkey FROM nation WHERE {pred} "
                 f"UNION ALL SELECT n_nationkey FROM nation WHERE {pred2}")
+    if shape == "star_exclude":
+        # EXCLUDE spelling runs verbatim on BOTH engines (DuckDB has no
+        # EXCEPT form; our parser accepts either)
+        cols = draw(st.sampled_from(["n_name", "n_regionkey"]))
+        return f"SELECT * EXCLUDE ({cols}) FROM nation WHERE {pred}"
+    if shape == "named_window":
+        return ("SELECT n_nationkey, SUM(n_nationkey) OVER w AS s, "
+                "COUNT(*) OVER w AS c "
+                f"FROM nation WHERE {pred} "
+                "WINDOW w AS (PARTITION BY n_regionkey "
+                "ORDER BY n_nationkey "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     if shape == "cte":
         return (f"WITH f AS (SELECT * FROM nation WHERE {pred}) "
                 "SELECT n_regionkey, COUNT(*) AS n FROM f "

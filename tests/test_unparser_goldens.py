@@ -647,3 +647,30 @@ def test_pg_extract_spelling():
     assert sql(p, "postgres") == (
         'SELECT CAST(EXTRACT(YEAR FROM "ts") AS INTEGER) AS "r" '
         'FROM "ft"')
+
+
+def test_two_arg_log_executed():
+    """Spark log(b, x) = base-b logarithm; the ln-ratio translation is
+    exact in double everywhere (Postgres native log(b,x) is
+    numeric-only; DuckDB's bare log(x) is log10 — r3 review finding)."""
+    import math
+    p = _func_plan("log", lit(2), col("x"))
+    assert abs(_run_duck(p) - math.log2(100.0)) < 1e-12
+    assert abs(_run_sqlite(p) - math.log2(100.0)) < 1e-12
+    assert sql(p, "postgres") == (
+        'SELECT (ln("x") / ln(2)) AS "r" FROM "ft"')
+
+
+def test_template_function_arity_mismatch_refuses():
+    """str.format silently drops surplus args — a 3-arg locate through a
+    2-arg template would lose the position argument and return wrong
+    rows. The dialect must refuse (degrading to local compilation)."""
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    p = _func_plan("locate", lit("o"), col("s"), lit(6))
+    for d in ("duckdb", "sqlite", "postgres"):
+        with pytest.raises(UnsupportedUnparse):
+            sql(p, d)
+    # the 2-arg form still translates and executes
+    p2 = _func_plan("locate", lit("world"), col("s"))
+    assert _run_duck(p2) == 7
+    assert _run_sqlite(p2) == 7
