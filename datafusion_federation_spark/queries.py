@@ -14,7 +14,6 @@ Numeric determinism contract (both sides, always):
 
 from __future__ import annotations
 
-import random
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -63,8 +62,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # raw longs, then rebuild a microsecond timestamp. Integer `div`
         # (not `/`): ns epochs ~1.7e18 exceed double's 2^53 mantissa, so
         # float division would corrupt the low microseconds.
+        # scoped: the conf matters only while the relation is created
+        # (schema capture); restoring it keeps session-wide parquet
+        # semantics unchanged for every other read (review r3). The
+        # returned DataFrame stays valid after restore - verified.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import types as T
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn(
@@ -1054,11 +1065,11 @@ ORDER BY n DESC, word
 def q63(spark, sf):
     """UNNEST through the engine: the remote SQL splits and unnests the
     priority string; DuckDB executes the flatten + aggregate."""
-    from .expressions import Alias, SortKey, Unnest, agg, col, func
+    from .expressions import Alias, SortKey, Unnest, agg, col, func, lit
 
     eng = _fed_engine(spark, sf, ["orders"], "duck_q63")
     words = Unnest(func("string_split", col("o_orderpriority"),
-                        lit_("-")))
+                        lit("-")))
     return (eng.table("orders")
             .select(Alias(words, "w"))
             .alias("t")
@@ -1068,10 +1079,6 @@ def q63(spark, sf):
                       SortKey(col("word")))
             .to_df())
 
-
-def lit_(v):
-    from .expressions import Lit
-    return Lit(v)
 
 
 @q("q64_federated_window_frame", """

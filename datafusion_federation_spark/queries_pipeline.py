@@ -17,11 +17,14 @@ import random
 from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity, text
-from .queries import DEC, REGISTRY, q, t
+from .queries import q, t
 
 # deterministic fixtures (seeded; no runtime entropy)
 EMB_DIM = 64
-QUERY_VEC = [random.Random(7).gauss(0.0, 1.0) for _ in range(EMB_DIM)]
+# one RNG reused across components (a fresh Random(7) per element would
+# make every component identical — a degenerate rank-1 query; review r3)
+_QRNG = random.Random(7)
+QUERY_VEC = [_QRNG.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
 N_PLANES = 8
 PLANES = similarity.random_hyperplanes(EMB_DIM, N_PLANES, seed=42)
 
@@ -240,8 +243,9 @@ def d08(spark, sf):
 
 @q("d09_token_stats", f"""
 SELECT lang,
-       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
-         AS total_tokens,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END)
+            AS BIGINT) AS total_tokens,
        CAST(SUM(len(regexp_extract_all(text,
            '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS BIGINT)
          AS total_bpeish_tokens,

@@ -25,9 +25,15 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 def streaming_dedup(events: DataFrame, key_col: str = "event_id",
                     payload_cols: Tuple[str, ...] = ("event_type", "value")
                     ) -> DataFrame:
-    """Emit the FIRST occurrence of each key, drop every later duplicate
-    — across micro-batches, not just within one. State: a single seen
-    flag per key."""
+    """Emit ONE row per key, drop every later duplicate — across
+    micro-batches, not just within one. State: a single seen flag per
+    key.
+
+    Within a micro-batch the representative is the payload-wise SMALLEST
+    duplicate (like exact_dedup's min-id pick, operators/dedup.py): rows
+    arrive in unspecified post-shuffle order, and a failure-recovery
+    re-execution of the batch must emit the same row a downstream sink
+    may already have consumed."""
     out_schema = T.StructType(
         [events.schema[key_col]] + [events.schema[c] for c in payload_cols])
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
@@ -36,13 +42,14 @@ def streaming_dedup(events: DataFrame, key_col: str = "event_id",
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             return                       # key already emitted, drop all
-        first = None
-        for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[[0]][[key_col, *payload_cols]]
-        if first is not None:
-            state.update((True,))
-            yield first
+        chunks = [pdf[[key_col, *payload_cols]]
+                  for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True)   # dups of ONE key
+        rows = rows.sort_values(list(payload_cols), kind="mergesort")
+        state.update((True,))
+        yield rows.iloc[[0]]
 
     return (events.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,

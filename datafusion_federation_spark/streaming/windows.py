@@ -16,7 +16,6 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,7 +66,13 @@ def sessionize_stream(events: DataFrame,
     """Session windows per user with a 30-minute inactivity gap — the
     streaming form of q42's LAG-based batch sessionization. State lives
     in the state store keyed by (user_id, open session); the watermark
-    finalizes sessions."""
+    finalizes sessions.
+
+    Boundary semantics match the batch form exactly: session_window
+    merges an event landing ON the window end (inclusive), so a gap of
+    exactly 30:00.000000 stays one session — same as the batch LAG
+    form's `gap_ms > 1800000` split test (pinned in
+    test_session_boundary_gap_matches_batch)."""
     e = events
     if events.isStreaming:
         e = e.withWatermark("ts", watermark)

@@ -132,3 +132,53 @@ def test_stateful_running_totals(spark, tmp_path, events):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("value").alias("s")).collect()}
     assert got == want
+
+
+def test_session_boundary_gap_matches_batch(spark):
+    """A gap of EXACTLY 30:00.000000 stays one session in the batch LAG
+    form (`> 1800000` is false); session_window's merge is INCLUSIVE of
+    the window end, so the plain 30-minute gap already agrees — pinned
+    here so a Spark semantics change or a gap-arithmetic edit cannot
+    silently diverge the two forms (review r3: finding refuted by
+    execution, behavior pinned instead)."""
+    import datetime as dt
+
+    from datafusion_federation_spark.streaming.windows import (
+        sessionize_stream)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("u1", t0, 1.0),
+            ("u1", t0 + dt.timedelta(minutes=30), 1.0),          # == gap
+            ("u1", t0 + dt.timedelta(minutes=60, seconds=0,
+                                     microseconds=1), 1.0)]      # > gap
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, "
+                                     "value double")
+    got = sessionize_stream(df).collect()
+    assert len(got) == 2, \
+        f"expected [2-event session, 1-event session], got {got}"
+    assert sorted(r["n_events"] for r in got) == [1, 2]
+
+
+def test_streaming_dedup_picks_deterministic_representative(spark,
+                                                            tmp_path):
+    """Duplicates of one key inside a single micro-batch must yield the
+    payload-wise smallest row regardless of arrival order (replay
+    determinism on failure recovery)."""
+    from datafusion_federation_spark.streaming.stateful import (
+        streaming_dedup)
+
+    rows = [(1, "z-type", 9.0), (1, "a-type", 5.0), (1, "m-type", 7.0)]
+    src = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double")
+    # batch-mode applyInPandasWithState is not supported; drive one
+    # micro-batch through a stream
+    path = str(tmp_path / "in")
+    src.repartition(3).write.parquet(path)
+    stream = (spark.readStream.schema(src.schema).parquet(path))
+    out = streaming_dedup(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_det")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = [tuple(r) for r in spark.sql(
+        "SELECT * FROM dedup_det").collect()]
+    assert got == [(1, "a-type", 5.0)], got
