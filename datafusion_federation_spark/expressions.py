@@ -195,6 +195,33 @@ class Star(Expr):
         return "*"
 
 
+@dataclass(eq=False)
+class IntervalLit(Expr):
+    """Interval literal `INTERVAL '7' DAY` (analyzer.rs literal surface).
+    Units are normalized singular uppercase. SQLite has no interval
+    type, so unparsing there refuses (UnsupportedUnparse -> the
+    enclosing expression compiles locally)."""
+
+    n: int
+    unit: str                            # DAY / MONTH / YEAR / HOUR / ...
+
+    def to_sql(self, d) -> str:
+        from .dialects import UnsupportedUnparse
+        if d.name == "sqlite":
+            raise UnsupportedUnparse(
+                "sqlite has no INTERVAL type; compile date arithmetic "
+                "locally (or use datetime(ts, ...) via a raw query)")
+        if d.name == "mysql":
+            return f"INTERVAL {self.n} {self.unit}"
+        return f"INTERVAL '{self.n}' {self.unit}"
+
+    def to_spark(self) -> Column:
+        return F.expr(f"INTERVAL {self.n} {self.unit}")
+
+    def output_name(self) -> str:
+        return f"interval_{self.n}_{self.unit.lower()}"
+
+
 def expand_star_options(cols: Sequence[str], star: "Star"):
     """Expand a Star with EXCEPT/EXCLUDE/REPLACE options against the
     input's column list into explicit expressions (validated: unknown

@@ -317,6 +317,18 @@ class Parser:
                 if isinstance(g, Lit) and isinstance(g.value, int)
                 and 1 <= g.value <= len(items) else g
                 for g in group_by]
+            # GROUP BY select-list alias (Spark/DuckDB both allow it):
+            # a bare name matching an item alias groups by that item's
+            # expression. (If a real input column shadows the alias the
+            # engines prefer the column; that pathological shadowing case
+            # is accepted as alias-first here.)
+            alias_map = {name.lower(): e for e, name in items
+                         if name and not isinstance(e, AggFunc)}
+            group_by = [
+                alias_map[g.name.lower()]
+                if isinstance(g, Col) and g.table is None
+                and g.name.lower() in alias_map else g
+                for g in group_by]
 
         having = None
         if self.accept_kw("HAVING"):
@@ -596,6 +608,14 @@ class Parser:
             else:
                 break
             rhs = self.parse_relation(scope)
+            if self.accept_kw("USING"):
+                self.expect_op("(")
+                using = [self.take()[1]]
+                while self.accept_op(","):
+                    using.append(self.take()[1])
+                self.expect_op(")")
+                plan = Join(plan, rhs, how=how, using=using)
+                continue
             self.expect_kw("ON")
             cond = self.parse_expr(scope)
             plan = Join(plan, rhs, how=how, condition=cond)
@@ -797,12 +817,38 @@ class Parser:
             dtype = self.parse_type()
             self.expect_op(")")
             return Cast(e, dtype, try_cast=(up == "TRY_CAST"))
+        if up == "EXTRACT" and self.peek(1) == ("op", "("):
+            # EXTRACT(YEAR FROM x) -> the canonical field function, which
+            # each dialect's function_map spells natively on unparse
+            self.take()
+            self.expect_op("(")
+            fld = self.take()[1].lower()
+            self.expect_kw("FROM")
+            e = self.parse_expr(scope)
+            self.expect_op(")")
+            fmap = {"year": "year", "quarter": "quarter", "month": "month",
+                    "day": "day", "hour": "hour", "minute": "minute",
+                    "second": "second", "week": "weekofyear",
+                    "dow": "dayofweek"}
+            if fld not in fmap:
+                raise SqlParseError(f"EXTRACT field {fld!r} unsupported")
+            return Func(fmap[fld], [e])
         if up in ("NULL",):
             self.take()
             return Lit(None)
         if up in ("TRUE", "FALSE"):
             self.take()
             return Lit(up == "TRUE")
+        if up == "INTERVAL" and self.peek(1) is not None \
+                and self.peek(1)[0] in ("num", "str"):
+            from .expressions import IntervalLit
+            self.take()
+            n = int(self.take()[1])
+            unit = self.take()[1].upper().rstrip("S")   # DAYS -> DAY
+            if unit not in ("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+                            "HOUR", "MINUTE", "SECOND"):
+                raise SqlParseError(f"INTERVAL unit {unit!r} unsupported")
+            return IntervalLit(n, unit)
         if up in ("DATE", "TIMESTAMP") and self.peek(1) is not None \
                 and self.peek(1)[0] == "str":
             self.take()

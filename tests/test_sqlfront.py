@@ -608,3 +608,70 @@ def test_view_fallback_ignores_names_in_strings_and_comments(duckdb_engine):
     assert df.count() > 0
     assert ex.metrics().get("queries", 0) == q0, \
         "remote 'orders' view must not have executed"
+
+
+def test_join_using_federates_and_matches(duckdb_engine):
+    eng, ex = duckdb_engine
+    sql = ("SELECT c_mktsegment, COUNT(*) AS n "
+           "FROM orders JOIN customer USING (o_custkey) ")
+    # orders/customer share no column name; use a real USING pair via
+    # derived tables instead
+    sql = ("SELECT c_mktsegment, COUNT(*) AS n FROM "
+           "(SELECT o_custkey AS ck, o_totalprice FROM orders) o "
+           "JOIN (SELECT c_custkey AS ck, c_mktsegment FROM customer) c "
+           "USING (ck) WHERE o_totalprice > 100000 "
+           "GROUP BY c_mktsegment")
+    plan = federate(eng.sql_plan(sql).plan)
+    assert isinstance(plan, RemoteQueryNode), \
+        "USING join over one provider must collapse to one remote SQL"
+    assert "USING" in plan.sql
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_join_using_local_path(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT k, n FROM "
+           "(SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem "
+           " GROUP BY l_orderkey) a "
+           "JOIN (SELECT l_orderkey AS k FROM lineitem "
+           "      WHERE l_linenumber = 1) b USING (k) "
+           "ORDER BY k LIMIT 20")
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    assert got == sorted(_oracle(sql))
+
+
+def test_extract_parses_and_federates(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT EXTRACT(YEAR FROM o_orderdate) AS y, COUNT(*) AS n "
+           "FROM orders GROUP BY y ORDER BY y")
+    plan = federate(eng.sql_plan(sql).plan)
+    assert isinstance(plan, RemoteQueryNode)
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    want = _oracle("SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) "
+                   "AS y, COUNT(*) AS n FROM orders GROUP BY y ORDER BY y")
+    assert got == want
+
+
+def test_interval_arithmetic_federates(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT COUNT(*) AS n FROM orders "
+           "WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+           "- INTERVAL '90' DAY")
+    plan = federate(eng.sql_plan(sql).plan)
+    assert isinstance(plan, RemoteQueryNode)
+    assert "INTERVAL '90' DAY" in plan.sql
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    assert got == _oracle(sql)
+
+
+def test_interval_arithmetic_local(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT COUNT(*) AS n FROM lineitem "
+           "WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+           "+ INTERVAL 30 DAYS")
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    assert got == _oracle(
+        "SELECT COUNT(*) AS n FROM lineitem "
+        "WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+        "+ INTERVAL 30 DAY")
