@@ -32,11 +32,19 @@ def _ordered_names() -> list[str]:
     engine-path suite), secondaries last. The driver's correctness file
     records a window of the first 50 entries; the 50 primaries are
     exactly the set whose operator has no other recorded evidence."""
+    import re
+
+    def qnum(n):
+        m = re.match(r"q(\d+)", n)
+        return int(m.group(1)) if m else None
+
     names = list(REGISTRY)
     prim = [n for n in names if n not in SECONDARY]
-    plain = [n for n in prim if n.startswith("q") and n < "q50"]
+    # numeric parse, NOT string compare: 'q100_x' < 'q50' lexically
+    # would misfile future 3-digit queries into the plain suite
+    plain = [n for n in prim if qnum(n) is not None and qnum(n) < 50]
     dsuite = [n for n in prim if n.startswith("d")]
-    engine = [n for n in prim if n.startswith("q") and n >= "q50"]
+    engine = [n for n in prim if qnum(n) is not None and qnum(n) >= 50]
     other = [n for n in prim if n not in set(plain + dsuite + engine)]
     sec = [n for n in names if n in SECONDARY]
     return plain + dsuite + engine + other + sec

@@ -56,10 +56,13 @@ def main() -> None:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()  # force full execution without driver collect
+            # noop sink: materializes EVERY column of every row (count()
+            # lets Catalyst prune computed projections entirely, timing
+            # little more than the scan for projection-only queries)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             per_query[name] = round(dt, 3)
-            log(f"bench {name}: {dt:.2f}s ({n} rows)")
+            log(f"bench {name}: {dt:.2f}s")
         except Exception as e:  # noqa: BLE001 - record and continue
             failures[name] = str(e)[:200]
             log(f"bench {name}: FAILED {str(e)[:200]}")
@@ -72,9 +75,14 @@ def main() -> None:
         "sf": sf,
     }
     if failures:
+        # a crashed query must not read as a speedup: surface the count
+        # in the headline object and exit nonzero so the driver flags it
         out["failures"] = failures
+        out["failed"] = len(failures)
     print(json.dumps(out), flush=True)
     spark.stop()
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -227,12 +227,21 @@ def apply_table_hooks(plan: Plan):
     """Gather the TableHandles under `plan`, apply their logical optimizers
     (schema must not change — checked like src/sql/mod.rs:272-282), and
     return (plan, tables) for the SQL/AST rewriter stages."""
+    from .expressions import _subquery_plans
     tables = []
     seen = set()
-    for n in walk_plan(plan):
-        if isinstance(n, Scan) and id(n.table) not in seen:
-            seen.add(id(n.table))
-            tables.append(n.table)
+    stack = [plan]
+    while stack:
+        # walk_plan alone never descends into expression-embedded
+        # subquery plans — a table appearing only inside a claimed
+        # ScalarSubquery/EXISTS/IN/ANY would silently skip its hooks
+        root = stack.pop()
+        for n in walk_plan(root):
+            for sub in _subquery_plans(n):
+                stack.append(sub)
+            if isinstance(n, Scan) and id(n.table) not in seen:
+                seen.add(id(n.table))
+                tables.append(n.table)
     for t in tables:
         opt = t.remote.logical_optimizer if t.remote is not None else None
         if opt is not None:

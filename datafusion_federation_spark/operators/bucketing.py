@@ -46,8 +46,15 @@ def write_lsh_partitioned(df: DataFrame, path: str, bucket_col: str,
                           fmt: str = "parquet") -> None:
     """Write a corpus physically partitioned by its (already computed)
     LSH bucket column: each probe then reads only the probed partitions
-    (partition pruning at file-listing time)."""
-    (df.write.mode("overwrite").format(fmt)
+    (partition pruning at file-listing time).
+
+    The shuffle on the bucket column first is load-bearing at scale:
+    without it every input task opens a writer for every bucket it sees,
+    emitting up to tasks x buckets files — a small-files explosion at
+    corpus scale. Repartitioned, each bucket's rows land in one task and
+    the output is ~one file per bucket."""
+    (df.repartition(F.col(bucket_col))
+     .write.mode("overwrite").format(fmt)
      .partitionBy(bucket_col).save(path))
 
 

@@ -34,7 +34,16 @@ def infer_plan_schema(spark, plan, cache_key: Optional[str] = None
     """Best-effort output schema of a plan. Returns a pyspark StructType,
     or None when inference is impossible (a scan with no registered
     schema, or a construct the local compiler refuses)."""
-    full_key = (id(spark), cache_key) if cache_key is not None else None
+    if cache_key is not None:
+        # applicationId, not id(spark): a torn-down session's address can
+        # be reused by a new allocation, which would serve stale schemas
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:
+            app = id(spark)
+        full_key = (app, cache_key)
+    else:
+        full_key = None
     if full_key is not None and full_key in _CACHE:
         return _CACHE[full_key]
     try:

@@ -185,7 +185,11 @@ class SQLProvider(FederationProvider):
         for t in tables:
             if t.remote is not None and t.remote.sql_query_rewriter is not None:
                 sql = t.remote.sql_query_rewriter(sql)
-        cache_key = f"{self.name}|{self.compute_context}|{base_sql}"
+        # keyed by THIS provider object, not (name, context): two
+        # same-identity providers over different databases (both
+        # DuckDB ':memory:', say) must not share inferred schemas —
+        # a stale hit would make the cast layer corrupt values silently
+        cache_key = f"{id(self)}|{base_sql}"
         return RemoteQueryNode(plan=plan, provider=self, sql=sql,
                                base_sql=base_sql,
                                schema=_expected_schema(plan, cache_key))

@@ -297,3 +297,41 @@ def test_exists_subquery_plan_federates_inside():
     assert isinstance(fed, Filter)
     assert isinstance(ex.plan, RemoteQueryNode)
     assert "o_totalprice" in ex.plan.sql      # the filter pushed down
+
+
+def test_table_hooks_reach_subquery_embedded_tables(spark):
+    """A table appearing ONLY inside a scalar subquery of a claimed plan
+    must still contribute its sql_query_rewriter/ast hooks (review r3:
+    walk_plan never descends into expression-embedded plans)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.expressions import (
+        ScalarSubquery, agg, col, lit)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    from tests.conftest import TESTDATA
+
+    hits = []
+
+    def rewriter(sql):
+        hits.append(sql)
+        return sql
+
+    ex = DuckDBExecutor(name="hookduck", compute_context="subqhook")
+    for t in ("orders", "customer"):
+        ex.register_parquet(t, f"{TESTDATA}/{t}.parquet")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "orders")
+    eng.register_remote(prov, "customer")
+    eng.catalog.table("customer").remote.sql_query_rewriter = rewriter
+
+    sub = eng.table("customer").group_by().agg(
+        agg("max", col("c_acctbal")).alias("m"))
+    b = (eng.table("orders")
+         .filter(col("o_totalprice") > ScalarSubquery(sub.plan))
+         .group_by().agg(agg("count").alias("n")))
+    n = b.to_df().collect()[0]["n"]
+    assert n >= 0
+    assert hits, ("customer's sql_query_rewriter must run for the "
+                  "claimed plan embedding it in a subquery")
+    assert "c_acctbal" in hits[0]

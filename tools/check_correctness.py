@@ -24,9 +24,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)   # +0.0 folds -0.0 into 0.0
     if isinstance(v, Decimal):
-        return repr(round(float(v), 9))
+        return repr(round(float(v), 9) + 0.0)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -34,12 +34,17 @@ def norm_cell(v):
     return str(v)
 
 
-def value_hash(cols, rows):
+def norm_lines(cols, rows):
+    """Shared normalization for hashing AND the first-diffs display, so
+    the printed diff can never disagree with the hash verdict."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
+    return sorted(
         "\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def value_hash(cols, rows):
     h = hashlib.sha256()
-    for line in lines:
+    for line in norm_lines(cols, rows):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
@@ -109,15 +114,9 @@ def main():
             h1 = value_hash(cols, rows)
             h2 = value_hash(ocols, orows)
             if h1 != h2:
-                # show first diffs
-                s1 = sorted("\x1f".join(
-                    norm_cell(r[i]) for i in
-                    sorted(range(len(cols)), key=lambda i: cols[i]))
-                    for r in rows)
-                s2 = sorted("\x1f".join(
-                    norm_cell(r[i]) for i in
-                    sorted(range(len(ocols)), key=lambda i: ocols[i]))
-                    for r in orows)
+                # show first diffs (same normalization as the hash)
+                s1 = norm_lines(cols, rows)
+                s2 = norm_lines(ocols, orows)
                 diffs = [(a, b) for a, b in zip(s1, s2) if a != b][:3]
                 problems.append(f"value hash; first diffs: {diffs}")
         if problems:
