@@ -161,3 +161,40 @@ def rolling_hash_fingerprint(df: DataFrame, text_col: str,
                     F.greatest(F.col("__n") - window, F.lit(0))))
     return (mins.groupBy(id_col)
             .agg(F.array_sort(F.collect_set("__min")).alias(out_col)))
+
+
+# -- PII detection / redaction ----------------------------------------------
+# Patterns are written in the COMMON subset of Java regex (Spark) and
+# RE2 (DuckDB): char classes, {m,n}, \b, \s — no backrefs/lookaround —
+# so the same string is usable on both sides of a differential oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-row PII/link counts: emails, phone-like numbers, URLs —
+    the scrub-stage feature columns of a training-data pipeline. All
+    JVM-side regexp_extract_all; no UDFs, scales with the scan."""
+    c = F.col(text_col)
+    # idx=0 (whole match): Spark's regexp_extract_all defaults to
+    # capture group 1, which errors on group-free patterns
+    return df.withColumns({
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE),
+                                                F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE),
+                                                F.lit(0))),
+        "n_urls": F.size(F.regexp_extract_all(c, F.lit(URL_RE),
+                                              F.lit(0))),
+    })
+
+
+def pii_redact(col) -> F.Column:
+    """Replace every email / phone-like / URL span with a typed token.
+    Order matters: emails first (an email would otherwise survive inside
+    a redacted URL's tail? no — but a URL containing an @ would be
+    half-eaten by the email pass if URLs went second), so URLs redact
+    FIRST, then emails, then phones."""
+    out = F.regexp_replace(col, URL_RE, "<URL>")
+    out = F.regexp_replace(out, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")

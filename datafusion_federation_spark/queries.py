@@ -43,6 +43,9 @@ SECONDARY = {
     "q30_in_subquery",            # q57 (semi join / IN)
     "q33_limit_offset",           # q55 (LIMIT+OFFSET)
     "q36_distinct",               # q19 (DISTINCT agg), q26 (INTERSECT)
+    # beyond-window north-star additions: bench + local tool + pytest
+    # cover them; the 50 recorded primaries stay the no-other-evidence set
+    "d15_pii_scrub",
 }
 
 DEC = "decimal(12,2)"

@@ -377,3 +377,83 @@ def d14(spark, sf):
     return similarity.ivf_topk(emb, "embedding", QUERY_VEC, k=10,
                                id_col="vec_id", n_clusters=8, n_probe=4,
                                seed=42)
+
+
+# ===========================================================================
+# PII scrub (training-data pipeline scrub stage)
+# ===========================================================================
+
+# The synthetic corpus contains no PII-shaped strings (verified), so the
+# query INJECTS deterministic PII derived from doc_id — identically on
+# both sides — and the operator under test extracts and redacts it.
+_PII_INJECT_SQL = """
+SELECT doc_id, lang,
+       text || CASE WHEN doc_id % 7 = 0
+                    THEN ' reach doc' || CAST(doc_id AS VARCHAR)
+                         || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS
+                         VARCHAR), 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' see https://example.org/doc/'
+                         || CAST(doc_id AS VARCHAR) ELSE '' END AS text
+FROM documents
+"""
+
+_D15_ORACLE = f"""
+WITH injected AS ({_PII_INJECT_SQL})
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')))
+           AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(text, '\\b555-[0-9]{{4}}\\b')))
+           AS BIGINT) AS n_phones,
+       CAST(SUM(len(regexp_extract_all(text, 'https?://[^\\s]+')))
+           AS BIGINT) AS n_urls,
+       CAST(SUM(len(text) - len(
+           regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+               '\\b555-[0-9]{{4}}\\b', '<PHONE>', 'g'))) AS BIGINT)
+           AS redacted_delta,
+       COUNT(*) AS n_docs
+FROM injected
+GROUP BY lang
+"""
+
+
+@q("d15_pii_scrub", _D15_ORACLE)
+def d15(spark, sf):
+    """PII scrub stage: inject deterministic emails/phones/URLs, then
+    count and redact them with the JVM-side regex operators
+    (operators/text.py pii_stats/pii_redact)."""
+    docs = t(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" reach doc"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call 555-"),
+                            F.lpad((F.col("doc_id") % 10000)
+                                   .cast("string"), 4, "0"))
+                   ).otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" see https://example.org/doc/"),
+                            F.col("doc_id").cast("string"))).otherwise("")
+        ).alias("text"))
+    stats = text.pii_stats(injected, "text")
+    stats = stats.withColumn(
+        "redacted_delta",
+        F.length("text") - F.length(text.pii_redact(F.col("text"))))
+    return (stats.groupBy("lang")
+            .agg(F.sum("n_emails").cast("bigint").alias("n_emails"),
+                 F.sum("n_phones").cast("bigint").alias("n_phones"),
+                 F.sum("n_urls").cast("bigint").alias("n_urls"),
+                 F.sum("redacted_delta").cast("bigint")
+                 .alias("redacted_delta"),
+                 F.count(F.lit(1)).alias("n_docs")))

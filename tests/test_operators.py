@@ -405,3 +405,23 @@ def test_sessionize_dispatch_hot_user_threshold(spark):
         else:
             spark.conf.set(
                 "spark.graft.sessionization.hotUserThreshold", old)
+
+
+def test_pii_stats_and_redact(spark):
+    from datafusion_federation_spark.operators import text as T
+
+    rows = [(1, "mail a.b+c@ex-ample.org or x@y.io, call 555-0199, "
+                "see https://ex.org/a?b=1 now"),
+            (2, "clean text, no pii; 555-12 is not a phone"),
+            (3, "edge: a@b.co at end https://z.dev")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["n_emails"], r["n_phones"], r["n_urls"])
+           for r in T.pii_stats(df, "text").collect()}
+    assert got == {1: (2, 1, 1), 2: (0, 0, 0), 3: (1, 0, 1)}
+
+    red = {r["id"]: r["red"] for r in df.select(
+        "id", T.pii_redact(df.text).alias("red")).collect()}
+    assert red[1] == ("mail <EMAIL> or <EMAIL>, call <PHONE>, "
+                      "see <URL> now")
+    assert red[2] == "clean text, no pii; 555-12 is not a phone"
+    assert red[3] == "edge: <EMAIL> at end <URL>"
