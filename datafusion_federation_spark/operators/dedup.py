@@ -349,3 +349,48 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return (pairs.withColumn("hamming", hamming)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25
+                         ) -> DataFrame:
+    """Connected components by min-label propagation: every vertex ends
+    with the SMALLEST vertex id in its component as ``label`` — the
+    canonical-document assignment step after near-dup pair detection.
+
+    Each iteration joins current labels across the (symmetrized) edge
+    set and takes the min of own and neighbor labels; converges in
+    O(component diameter) rounds — near-dup clusters are almost-cliques,
+    so 2-4 rounds in practice, bounded by ``max_iter``. All built-in
+    joins/aggregations (no driver-side graph), so the edge set may be
+    arbitrarily large; each round is one shuffle on vertex id.
+    localCheckpoint() per round truncates the lineage (an iterative plan
+    otherwise grows exponentially and overwhelms Catalyst).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b"))))
+    # materialize the edge set ONCE: its lineage is typically the
+    # expensive pair-detection join, and every propagation round joins
+    # against it — without this each round re-executes pair detection
+    sym = sym.localCheckpoint()
+    labels = (sym.select("a").union(sym.select(F.col("b").alias("a")))
+              .distinct().select(F.col("a").alias("v"),
+                                 F.col("a").alias("label")))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.b == labels.v)
+                 .groupBy("a").agg(F.min("label").alias("nlabel")))
+        new = (labels.join(neigh, labels.v == neigh.a, "left")
+               .select(labels.v,
+                       F.least(labels.label,
+                               F.coalesce(F.col("nlabel"),
+                                          labels.label)).alias("label")))
+        new = new.localCheckpoint()
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels

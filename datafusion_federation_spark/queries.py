@@ -46,6 +46,7 @@ SECONDARY = {
     # beyond-window north-star additions: bench + local tool + pytest
     # cover them; the 50 recorded primaries stay the no-other-evidence set
     "d15_pii_scrub",
+    "d16_dup_clusters",
 }
 
 DEC = "decimal(12,2)"

@@ -457,3 +457,63 @@ def d15(spark, sf):
                  F.sum("redacted_delta").cast("bigint")
                  .alias("redacted_delta"),
                  F.count(F.lit(1)).alias("n_docs")))
+
+
+# ===========================================================================
+# dup-cluster formation (connected components over near-dup pairs)
+# ===========================================================================
+
+_D16_ORACLE = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws
+  FROM documents WHERE doc_id % 2 = 0),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+         FOR i IN generate_series(1, greatest(len(ws)-2, 1))])) AS shingle
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+closure(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT closure.src, s.b FROM closure JOIN sym s ON closure.dst = s.a),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+labels AS (
+  SELECT verts.v AS v,
+         LEAST(verts.v, COALESCE(MIN(closure.dst), verts.v)) AS label
+  FROM verts LEFT JOIN closure ON closure.src = verts.v
+  GROUP BY verts.v),
+clusters AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             FROM labels GROUP BY label)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM clusters GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@q("d16_dup_clusters", _D16_ORACLE)
+def d16(spark, sf):
+    """Dup-CLUSTER formation: exact-Jaccard near-dup pairs (>= 0.8, on
+    the doc_id-even half of the corpus to bound the self-join) feed
+    min-label connected components; output is the cluster-size
+    histogram. The oracle computes the same components via a recursive
+    transitive-closure CTE — an exact cross-engine check of an
+    ITERATIVE distributed algorithm."""
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 2 == 0)
+    edges = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      n=3, threshold=0.8)
+    labels = dedup.connected_components(edges)
+    clusters = (labels.groupBy("label")
+                .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (clusters.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("cluster_size"))

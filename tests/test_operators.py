@@ -425,3 +425,23 @@ def test_pii_stats_and_redact(spark):
                       "see <URL> now")
     assert red[2] == "clean text, no pii; 555-12 is not a phone"
     assert red[3] == "edge: <EMAIL> at end <URL>"
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must handle a CHAIN (diameter > 1, needs
+    multiple rounds), a separate clique, and leave labels = component
+    minimum."""
+    from datafusion_federation_spark.operators.dedup import (
+        connected_components)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),           # triangle 10-11-12
+         (20, 21)],                              # pair
+        "id_a long, id_b long")
+    got = {(r["v"], r["label"])
+           for r in connected_components(edges).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
