@@ -92,7 +92,15 @@ class FederationEngine:
         # lazy-cost only, never wrong results.
         from .sqlfront import tokenize
         try:
-            words = {t[1].lower() for t in tokenize(query) if t[0] == "id"}
+            toks = tokenize(query)
+            words = {t[1].lower() for t in toks if t[0] == "id"}
+            # Spark's IDENTIFIER('name') references a table via a STRING
+            # token — include those so the fallback still registers them
+            for j, tok in enumerate(toks):
+                if (tok[0] == "id" and tok[1].upper() == "IDENTIFIER"
+                        and toks[j + 1:j + 2] == [("op", "(")]
+                        and j + 2 < len(toks) and toks[j + 2][0] == "str"):
+                    words.add(toks[j + 2][1].lower())
         except ValueError:
             import re as _re
             words = {w.lower()

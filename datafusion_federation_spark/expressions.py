@@ -213,6 +213,10 @@ class IntervalLit(Expr):
                 "locally (or use datetime(ts, ...) via a raw query)")
         if d.name == "mysql":
             return f"INTERVAL {self.n} {self.unit}"
+        if d.name == "postgres":
+            # PG's string form takes any unit it knows (incl. week);
+            # its SQL-standard qualifier form does not
+            return f"INTERVAL '{self.n} {self.unit.lower()}'"
         return f"INTERVAL '{self.n}' {self.unit}"
 
     def to_spark(self) -> Column:

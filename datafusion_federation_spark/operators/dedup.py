@@ -378,6 +378,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .distinct().select(F.col("a").alias("v"),
                                  F.col("a").alias("label")))
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.b == labels.v)
                  .groupBy("a").agg(F.min("label").alias("nlabel")))
@@ -393,4 +394,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # returning partially-propagated labels would silently report
+        # one component as several clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter "
+            "for graphs with diameter beyond it")
     return labels

@@ -155,10 +155,17 @@ class SQLProvider(FederationProvider):
     """Federation provider backed by a SQLExecutor
     (SQLFederationProvider analog, src/sql/mod.rs:52-61)."""
 
+    _cache_seq = 0
+
     def __init__(self, executor: SQLExecutor):
         super().__init__(executor.name, executor.compute_context)
         self.executor = executor
         self.dialect = get_dialect(executor.dialect)
+        # monotonic token for the schema-inference cache key: id(self)
+        # can be reused by a later allocation after this provider dies,
+        # which would serve ITS schemas to the newcomer
+        SQLProvider._cache_seq += 1
+        self._cache_token = SQLProvider._cache_seq
 
     def can_federate(self) -> bool:
         return True
@@ -189,7 +196,7 @@ class SQLProvider(FederationProvider):
         # same-identity providers over different databases (both
         # DuckDB ':memory:', say) must not share inferred schemas —
         # a stale hit would make the cast layer corrupt values silently
-        cache_key = f"{id(self)}|{base_sql}"
+        cache_key = f"p{self._cache_token}|{base_sql}"
         return RemoteQueryNode(plan=plan, provider=self, sql=sql,
                                base_sql=base_sql,
                                schema=_expected_schema(plan, cache_key))

@@ -324,11 +324,28 @@ class Parser:
             # is accepted as alias-first here.)
             alias_map = {name.lower(): e for e, name in items
                          if name and not isinstance(e, AggFunc)}
-            group_by = [
-                alias_map[g.name.lower()]
-                if isinstance(g, Col) and g.table is None
-                and g.name.lower() in alias_map else g
-                for g in group_by]
+
+            def _sub_alias(g: Expr) -> Expr:
+                if not (isinstance(g, Col) and g.table is None
+                        and g.name.lower() in alias_map):
+                    return g
+                from .expressions import walk
+                e = alias_map[g.name.lower()]
+                if isinstance(e, Col) and e.name.lower() == g.name.lower():
+                    return e            # trivial self-alias: identical
+                if any(isinstance(x, Col)
+                       and x.name.lower() == g.name.lower()
+                       for x in walk(e)):
+                    # `substr(c,1,1) AS c ... GROUP BY c`: engines
+                    # resolve the COLUMN first; substituting the alias
+                    # would silently change the grouping — refuse so
+                    # the Spark parser handles it with its own rules
+                    raise SqlParseError(
+                        f"GROUP BY {g.name!r} is ambiguous: the alias "
+                        "shadows a column its own expression references")
+                return e
+
+            group_by = [_sub_alias(g) for g in group_by]
 
         having = None
         if self.accept_kw("HAVING"):
@@ -826,10 +843,13 @@ class Parser:
             self.expect_kw("FROM")
             e = self.parse_expr(scope)
             self.expect_op(")")
+            # no 'dow': Spark dayofweek is Sunday=1..7 but DuckDB's is
+            # 0..6 — the same query would differ by one depending on
+            # whether it federates; refusing sends it to the Spark
+            # parser with consistent (local) semantics
             fmap = {"year": "year", "quarter": "quarter", "month": "month",
                     "day": "day", "hour": "hour", "minute": "minute",
-                    "second": "second", "week": "weekofyear",
-                    "dow": "dayofweek"}
+                    "second": "second", "week": "weekofyear"}
             if fld not in fmap:
                 raise SqlParseError(f"EXTRACT field {fld!r} unsupported")
             return Func(fmap[fld], [e])
@@ -845,7 +865,9 @@ class Parser:
             self.take()
             n = int(self.take()[1])
             unit = self.take()[1].upper().rstrip("S")   # DAYS -> DAY
-            if unit not in ("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+            # no QUARTER: Spark's interval-literal grammar has no such
+            # unit, so the local path would crash instead of degrading
+            if unit not in ("YEAR", "MONTH", "WEEK", "DAY",
                             "HOUR", "MINUTE", "SECOND"):
                 raise SqlParseError(f"INTERVAL unit {unit!r} unsupported")
             return IntervalLit(n, unit)

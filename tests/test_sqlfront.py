@@ -612,10 +612,8 @@ def test_view_fallback_ignores_names_in_strings_and_comments(duckdb_engine):
 
 def test_join_using_federates_and_matches(duckdb_engine):
     eng, ex = duckdb_engine
-    sql = ("SELECT c_mktsegment, COUNT(*) AS n "
-           "FROM orders JOIN customer USING (o_custkey) ")
-    # orders/customer share no column name; use a real USING pair via
-    # derived tables instead
+    # orders/customer share no column name; a USING pair needs derived
+    # tables that rename both sides' keys to one name
     sql = ("SELECT c_mktsegment, COUNT(*) AS n FROM "
            "(SELECT o_custkey AS ck, o_totalprice FROM orders) o "
            "JOIN (SELECT c_custkey AS ck, c_mktsegment FROM customer) c "
@@ -675,3 +673,27 @@ def test_interval_arithmetic_local(duckdb_engine):
         "SELECT COUNT(*) AS n FROM lineitem "
         "WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
         "+ INTERVAL 30 DAY")
+
+
+def test_group_by_shadowing_alias_falls_back(duckdb_engine):
+    """`substr(c,1,1) AS c ... GROUP BY c`: engines resolve the COLUMN
+    first; our parser refuses (SqlParseError -> Spark fallback) rather
+    than silently grouping by the alias expression."""
+    with pytest.raises(SqlParseError, match="ambiguous"):
+        parse("SELECT SUBSTRING(n_name, 1, 1) AS n_name, COUNT(*) AS n "
+              "FROM nation GROUP BY n_name")
+    # and end-to-end the fallback produces the column-first answer
+    eng, _ = duckdb_engine
+    sql = ("SELECT SUBSTRING(c_mktsegment, 1, 1) AS c_mktsegment, "
+           "COUNT(*) AS n FROM customer GROUP BY c_mktsegment")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_identifier_function_table_still_registers(duckdb_engine):
+    """Spark's IDENTIFIER('t') names a table via a string token; the
+    view-fallback tokenizer must still register it."""
+    eng, ex = duckdb_engine
+    sql = "SELECT COUNT(*) AS n FROM IDENTIFIER('nation')"
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    assert got == _oracle("SELECT COUNT(*) AS n FROM nation")
