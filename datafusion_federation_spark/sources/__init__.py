@@ -1,6 +1,7 @@
 from .table import RemoteTable, RemoteTableRef, TableHandle  # noqa: F401
 from .provider import (  # noqa: F401
-    DuckDBExecutor, FederationProvider, JDBCExecutor, LocalSparkProvider,
-    SQLExecutor, SQLiteExecutor, SQLProvider, SparkSQLExecutor,
+    DuckDBExecutor, FederationProvider, FlightSQLExecutor, JDBCExecutor,
+    LocalSparkProvider, SQLExecutor, SQLiteExecutor, SQLProvider,
+    SparkSQLExecutor,
 )
 from .catalog import FederatedCatalog  # noqa: F401

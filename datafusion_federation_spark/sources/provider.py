@@ -46,6 +46,21 @@ def empty_dataframe(spark, schema):
     return spark.sql(f"SELECT {cols} WHERE 1 = 0")
 
 
+def arrow_to_spark(spark, arrow, schema=None):
+    """Arrow result table -> Spark DataFrame (shared by every executor
+    that speaks Arrow on the wire). Non-empty results enter in native
+    Arrow types — the caller's schema-cast projection coerces them
+    (SchemaCastScanExec posture); a zero-row result takes the expected
+    schema since nothing can be inferred from an empty frame."""
+    if arrow.num_rows == 0 and schema is not None:
+        return empty_dataframe(spark, schema)
+    try:
+        # Spark 4: Arrow table -> DataFrame directly (no pandas hop)
+        return spark.createDataFrame(arrow)
+    except Exception:
+        return spark.createDataFrame(arrow.to_pandas())
+
+
 class FederationProvider:
     """Identity + self-determined optimizer (reference src/lib.rs:56-90)."""
 
@@ -306,14 +321,7 @@ class DuckDBExecutor(SQLExecutor):
         arrow = self.conn.execute(sql).fetch_arrow_table()
         self._record(sql, time.time() - t0, arrow.num_rows)
         self._row_cache[sql] = arrow.num_rows
-        if arrow.num_rows == 0 and schema is not None:
-            return empty_dataframe(spark, schema)
-        try:
-            # Spark 4: Arrow table -> DataFrame directly (no pandas hop)
-            df = spark.createDataFrame(arrow)
-        except Exception:
-            df = spark.createDataFrame(arrow.to_pandas())
-        return df
+        return arrow_to_spark(spark, arrow, schema)
 
     def statistics(self, sql: str) -> Optional[int]:
         """Cheap statistics hook (reference src/sql/executor.rs:61-63
@@ -556,6 +564,62 @@ class SQLiteExecutor(SQLExecutor):
                 [T.StructField(c, T.StringType()) for c in cols])
             return empty_dataframe(spark, empty)
         return spark.createDataFrame(rows, cols)
+
+
+class FlightSQLExecutor(SQLExecutor):
+    """Remote engine reached over Arrow Flight — the reference's third
+    named executor dialect ('flight', src/sql/executor.rs:32-33, used
+    for Flight SQL services). Protocol (the common Flight-as-SQL-
+    transport shape):
+
+    - execute:   do_get(Ticket(sql-bytes)) -> Arrow stream
+    - discovery: list_flights() descriptors carry table names
+    - schema:    get_schema(FlightDescriptor.for_path(name))
+
+    Results enter Spark through the shared Arrow path, so schema-cast
+    and empty-result handling behave exactly like the other executors.
+    """
+
+    def __init__(self, location: str, name: str = "flight",
+                 dialect: str = "ansi",
+                 compute_context: Optional[str] = None):
+        self.location = location
+        self.name = name
+        self.dialect = dialect
+        self.compute_context = compute_context or location
+        self._conn = None
+
+    def _client(self):
+        if self._conn is None:
+            import pyarrow.flight as fl
+            self._conn = fl.connect(self.location)
+        return self._conn
+
+    def execute(self, spark, sql: str, schema=None):
+        import pyarrow.flight as fl
+        t0 = time.time()
+        reader = self._client().do_get(fl.Ticket(sql.encode("utf-8")))
+        arrow = reader.read_all()
+        self._record(sql, time.time() - t0, arrow.num_rows)
+        return arrow_to_spark(spark, arrow, schema)
+
+    def table_names(self) -> List[str]:
+        names = []
+        for info in self._client().list_flights():
+            parts = [p.decode("utf-8") if isinstance(p, bytes) else p
+                     for p in info.descriptor.path]
+            names.append(".".join(parts))
+        return names
+
+    def get_table_schema(self, spark, table_name: str):
+        import pyarrow.flight as fl
+        from pyspark.sql.pandas.types import from_arrow_schema
+        t0 = time.time()
+        res = self._client().get_schema(
+            fl.FlightDescriptor.for_path(table_name))
+        schema = from_arrow_schema(res.schema)
+        self._record(f"schema:{table_name}", time.time() - t0)
+        return schema
 
 
 class SparkSQLExecutor(SQLExecutor):
