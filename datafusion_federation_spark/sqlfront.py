@@ -351,22 +351,31 @@ class Parser:
         if self.accept_kw("HAVING"):
             having = self.parse_expr(scope)
 
-        # WINDOW w AS (spec) [, w2 AS (spec)] — standard clause position is
-        # between HAVING and ORDER BY; the `OVER w` references were parsed
-        # earlier (in the select list) as placeholders and resolve here
+        # WINDOW w AS (spec) and QUALIFY sit between HAVING and ORDER BY
+        # (either order accepted); `OVER w` references were parsed
+        # earlier as placeholders and resolve once both have been read
         windows: dict = {}
-        if self.accept_kw("WINDOW"):
-            while True:
-                wname = self.take()[1].lower()
-                self.expect_kw("AS")
-                self.expect_op("(")
-                windows[wname] = self._window_spec(scope)
-                self.expect_op(")")
-                if not self.accept_op(","):
-                    break
-        self._resolve_named_windows(items, having, windows)
+        qualify: Optional[Expr] = None
+        while True:
+            if qualify is None and self.accept_kw("QUALIFY"):
+                qualify = self.parse_expr(scope)
+                continue
+            if not windows and self.accept_kw("WINDOW"):
+                while True:
+                    wname = self.take()[1].lower()
+                    self.expect_kw("AS")
+                    self.expect_op("(")
+                    windows[wname] = self._window_spec(scope)
+                    self.expect_op(")")
+                    if not self.accept_op(","):
+                        break
+                continue
+            break
+        qitems = items + ([(qualify, None)] if qualify is not None else [])
+        self._resolve_named_windows(qitems, having, windows)
 
-        plan = self._assemble(plan, items, distinct, group_by, having)
+        plan = self._assemble(plan, items, distinct, group_by, having,
+                              qualify)
         return plan
 
     def _resolve_named_windows(self, items, having, windows) -> None:
@@ -416,8 +425,8 @@ class Parser:
         self.expect_op(")")
         return out
 
-    def _assemble(self, plan: Plan, items, distinct, group_by, having
-                  ) -> Plan:
+    def _assemble(self, plan: Plan, items, distinct, group_by, having,
+                  qualify: Optional[Expr] = None) -> Plan:
         has_agg = any(self._contains_agg(e) for e, _ in items) or group_by \
             or (having is not None)
         if has_agg:
@@ -486,9 +495,51 @@ class Parser:
             else:
                 plan = Project(plan, [
                     Alias(e, name) if name else e for e, name in items])
+        if qualify is not None:
+            plan = self._apply_qualify(plan, items, qualify)
         if distinct:
-            plan = Distinct(plan)
+            plan = Distinct(plan)          # QUALIFY filters BEFORE DISTINCT
         return plan
+
+    def _apply_qualify(self, plan: Plan, items, qualify: Expr) -> Plan:
+        """QUALIFY (DuckDB/Snowflake): filter applied AFTER window
+        functions evaluate. Window calls inside the predicate that match
+        a select item collapse to its alias; unmatched ones become
+        hidden projection columns dropped by a restoring Project (the
+        HAVING hidden-aggregate pattern). Remotely the shape unparses as
+        a derived table + WHERE — semantically identical."""
+        from .compiler import _rewrite_expr
+        existing = {self._expr_key(e): (name or e.output_name())
+                    for e, name in items}
+        hidden: List[Alias] = []
+
+        def replace(x: Expr) -> Expr:
+            if isinstance(x, WindowFunc):
+                key = self._expr_key(x)
+                if key in existing:
+                    return Col(existing[key])
+                name = f"__q{len(hidden)}"
+                hidden.append(Alias(x, name))
+                existing[key] = name
+                return Col(name)
+            return x
+
+        pred = _rewrite_expr(qualify, replace)
+        if hidden:
+            if any(isinstance(e, Star) for e, _ in items):
+                # a Star in the outer restoring projection would
+                # re-expand the hidden columns back in
+                raise SqlParseError(
+                    "QUALIFY with a window call not in the select list "
+                    "cannot combine with `*`; alias the window instead")
+            if not isinstance(plan, Project):
+                raise SqlParseError(
+                    "QUALIFY over this query shape is unsupported")
+            out_names = [name or e.output_name() for e, name in items]
+            plan = Project(plan.input, list(plan.projections) + hidden)
+            plan = Filter(plan, pred)
+            return Project(plan, [Col(n) for n in out_names])
+        return Filter(plan, pred)
 
     def _extract_having_aggs(self, having: Expr, aggs: List[Alias]):
         """Rewrite aggregate calls inside HAVING to references to output
@@ -671,9 +722,10 @@ class Parser:
             return self.take()[1]
         if (self.peek() is not None and self.peek()[0] == "id"
                 and not self.at_kw(
-                    "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER", "LIMIT",
-                    "OFFSET", "UNION", "INTERSECT", "EXCEPT", "JOIN", "ON",
-                    "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "AS")):
+                    "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+                    "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT",
+                    "EXCEPT", "JOIN", "ON", "INNER", "LEFT", "RIGHT",
+                    "FULL", "CROSS", "AS", "USING")):
             return self.take()[1]
         return None
 

@@ -697,3 +697,50 @@ def test_identifier_function_table_still_registers(duckdb_engine):
     sql = "SELECT COUNT(*) AS n FROM IDENTIFIER('nation')"
     got = [tuple(r) for r in eng.sql(sql).collect()]
     assert got == _oracle("SELECT COUNT(*) AS n FROM nation")
+
+
+def test_qualify_alias_federates(duckdb_engine):
+    """QUALIFY over a window alias: federates (derived table + WHERE in
+    the remote SQL — DuckDB's own QUALIFY semantics) and matches the
+    oracle running literal QUALIFY."""
+    eng, _ = duckdb_engine
+    sql = ("SELECT o_custkey, o_orderkey, o_totalprice, "
+           "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+           "ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+           "FROM orders QUALIFY rk <= 2 ORDER BY o_custkey, rk")
+    plan = federate(eng.sql_plan(sql).plan)
+    assert isinstance(plan, RemoteQueryNode)
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql)
+
+
+def test_qualify_direct_window_hidden_column(duckdb_engine):
+    """A window call directly in QUALIFY (not in the select list) uses a
+    hidden projection column and a restoring Project."""
+    eng, _ = duckdb_engine
+    sql = ("SELECT o_custkey, o_orderkey FROM orders "
+           "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey "
+           "ORDER BY o_orderkey) = 1 ORDER BY o_custkey")
+    df = eng.sql(sql)
+    assert df.columns == ["o_custkey", "o_orderkey"]
+    got = sorted(map(tuple, df.collect()))
+    assert got == _oracle(sql)
+
+
+def test_qualify_with_named_window(duckdb_engine):
+    eng, _ = duckdb_engine
+    sql = ("SELECT o_custkey, o_orderkey, "
+           "SUM(o_totalprice) OVER w AS running "
+           "FROM orders WHERE o_custkey < 100 "
+           "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) "
+           "QUALIFY running > 200000 ORDER BY o_custkey, o_orderkey")
+    got = [tuple((r[0], r[1], round(r[2], 2))) for r in
+           eng.sql(sql).collect()]
+    want = [(a, b, round(c, 2)) for a, b, c in _oracle(sql)]
+    assert sorted(got) == want
+
+
+def test_qualify_star_with_hidden_window_rejected():
+    with pytest.raises(SqlParseError, match="QUALIFY"):
+        parse("SELECT * FROM t QUALIFY ROW_NUMBER() OVER "
+              "(ORDER BY a) = 1")
