@@ -105,7 +105,8 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: Optional[int] = None) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for all
     candidate pairs sharing >=1 shingle.
 
@@ -113,7 +114,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     aggregation shuffles (id_a, id_b) counts only. For 100 TB precede with
     minhash_lsh_candidates to bound the pair space; this operator is the
     exact verifier.
-    """
+
+    ``max_doc_freq`` (opt-in, default None = exact): drop shingles held
+    by more than this many documents before the self-join. A stop-phrase
+    shingle shared by k documents expands to k*(k-1)/2 join rows — one
+    hot shingle can dominate the whole standalone run. The cap makes the
+    intersection counts (and thus Jaccard) a LOWER BOUND: pairs can only
+    be missed, never invented, and only pairs whose overlap consists
+    mostly of corpus-wide boilerplate are affected. The number of
+    dropped shingles is logged (never silent), and the registered d03
+    query keeps the exact default."""
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # Lossless pruning before the self-join: a shingle held by exactly
@@ -121,7 +131,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # shingles of real text are unique — per-doc set sizes (the union
     # term) still come from the unpruned `sizes`, so Jaccard is exact.
     shared = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-                .filter(F.col("__df") >= 2).select("shingle"))
+                .filter(F.col("__df") >= 2))
+    if max_doc_freq is not None:
+        dropped = shared.filter(F.col("__df") > max_doc_freq).count()
+        if dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d stop-phrase shingles "
+                "with doc-frequency > %d; reported Jaccard becomes a "
+                "lower bound", dropped, max_doc_freq)
+        shared = shared.filter(F.col("__df") <= max_doc_freq)
+    shared = shared.select("shingle")
     sh = sh.join(shared, "shingle")
     # (A size-ratio length filter — J(A,B) <= min/max sizes — is the
     # textbook next prune for heterogeneous corpora; on this fixture's

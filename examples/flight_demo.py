@@ -1,0 +1,79 @@
+"""Federation over Arrow Flight (the reference's 'flight' executor
+dialect): an in-process Flight server fronts a DuckDB database; the
+engine discovers its tables over gRPC and ships ONE SQL statement per
+federated subtree.
+
+Run: python examples/flight_demo.py [testdata_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+
+
+def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
+    import duckdb
+    import pyarrow.flight as fl
+
+    from datafusion_federation_spark import (
+        FederationEngine, FlightSQLExecutor, SQLProvider)
+
+    conn = duckdb.connect()
+    for t in ("orders", "customer"):
+        conn.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                     f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    class Server(fl.FlightServerBase):
+        def __init__(self):
+            super().__init__("grpc://127.0.0.1:0")
+            self._lock = threading.Lock()
+
+        def do_get(self, context, ticket):
+            with self._lock:
+                tbl = conn.execute(
+                    ticket.ticket.decode()).fetch_arrow_table()
+            return fl.RecordBatchStream(tbl)
+
+        def list_flights(self, context, criteria):
+            for name in ("orders", "customer"):
+                with self._lock:
+                    sch = conn.execute(
+                        f"SELECT * FROM {name} LIMIT 0"
+                    ).fetch_arrow_table().schema
+                yield fl.FlightInfo(
+                    sch, fl.FlightDescriptor.for_path(name), [], -1, -1)
+
+        def get_schema(self, context, descriptor):
+            name = descriptor.path[0].decode()
+            with self._lock:
+                sch = conn.execute(
+                    f"SELECT * FROM {name} LIMIT 0"
+                ).fetch_arrow_table().schema
+            return fl.SchemaResult(sch)
+
+    server = Server()
+    try:
+        ex = FlightSQLExecutor(f"grpc://127.0.0.1:{server.port}",
+                               name="flight_demo", dialect="duckdb")
+        eng = FederationEngine(spark)
+        eng.discover(SQLProvider(ex))
+        df = eng.sql("""
+            SELECT c_mktsegment, COUNT(*) AS n FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY n DESC""")
+        rows = df.collect()
+        print("flight SQL:", ex.metrics()["last_sql"])
+        for r in rows:
+            print(tuple(r))
+        return rows
+    finally:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+    main(spark, sys.argv[1] if len(sys.argv) > 1 else
+         "/root/testdata/sf0.001")

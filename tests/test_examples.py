@@ -1,0 +1,28 @@
+"""Every example script's main() runs against the shared session — the
+examples are living documentation and must not rot."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "examples")
+
+from tests.conftest import TESTDATA
+
+
+def test_two_engine_demo(spark):
+    from two_engine_demo import main
+    rows = main(spark, TESTDATA)
+    assert rows and rows[0]["weight"] == 5
+
+
+def test_flight_demo(spark):
+    from flight_demo import main
+    rows = main(spark, TESTDATA)
+    assert rows and sum(r["n"] for r in rows) > 0
+
+
+def test_corpus_pipeline_demo(spark):
+    from corpus_pipeline_demo import main
+    final = main(spark, TESTDATA)
+    assert "text" in final.columns

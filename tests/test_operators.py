@@ -445,3 +445,29 @@ def test_connected_components_chain_and_cliques(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20)}
     assert got == want
+
+
+def test_ngram_jaccard_max_doc_freq_cap(spark):
+    """The opt-in doc-frequency cap drops stop-phrase shingles (logged,
+    lower-bound semantics) while the default stays exact."""
+    from datafusion_federation_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = ([(i, f"{boiler} unique{i} filler{i} pad{i}")
+             for i in range(8)]                # share ONLY boilerplate
+            + [(100, "alpha beta gamma delta epsilon zeta"),
+               (101, "alpha beta gamma delta epsilon zeta")])  # true dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5)
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5,
+                                 max_doc_freq=4)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the true duplicate pair survives the cap (its shingles are rare)
+    assert (100, 101) in capped_pairs
+    # capped results are a subset of exact (lower bound, never invents)
+    assert capped_pairs <= exact_pairs
+    # and the boilerplate-only pairs are what gets dropped
+    assert all(a >= 100 for a, _ in capped_pairs)

@@ -182,3 +182,38 @@ def test_streaming_dedup_picks_deterministic_representative(spark,
     got = [tuple(r) for r in spark.sql(
         "SELECT * FROM dedup_det").collect()]
     assert got == [(1, "a-type", 5.0)], got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path,
+                                                   events):
+    """view->purchase attribution: the STREAM-STREAM interval join over
+    file-sourced micro-batches must produce exactly the batch join's
+    rows (watermark generous enough that nothing is dropped)."""
+    from datafusion_federation_spark.streaming.joins import (
+        view_to_purchase_attribution)
+
+    batch = {tuple(r) for r in
+             view_to_purchase_attribution(events).collect()}
+    assert batch, "fixture must contain at least one attributed purchase"
+
+    path = str(tmp_path / "ev")
+    events.write.parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    out = view_to_purchase_attribution(stream, watermark="10 days")
+    q = (out.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == batch
+
+
+def test_stream_static_enrich_broadcast(spark, events):
+    from datafusion_federation_spark.streaming.joins import (
+        stream_static_enrich)
+
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(200)],
+        "user_id long, tier string")
+    out = stream_static_enrich(events, dim)
+    assert "tier" in out.columns
+    assert out.count() == events.count()   # left join preserves stream
