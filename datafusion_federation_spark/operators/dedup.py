@@ -133,6 +133,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     shared = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
                 .filter(F.col("__df") >= 2))
     if max_doc_freq is not None:
+        # materialize the doc-frequency aggregate once: the logging
+        # count would otherwise re-run the full shingle explode+groupBy
+        # a second time for the main pipeline
+        shared = shared.localCheckpoint()
         dropped = shared.filter(F.col("__df") > max_doc_freq).count()
         if dropped:
             import logging

@@ -615,8 +615,10 @@ class FlightSQLExecutor(SQLExecutor):
         import pyarrow.flight as fl
         from pyspark.sql.pandas.types import from_arrow_schema
         t0 = time.time()
+        # split dotted names back into path segments: for_path("a.b")
+        # would be ONE segment [b'a.b'], not the [a, b] the server listed
         res = self._client().get_schema(
-            fl.FlightDescriptor.for_path(table_name))
+            fl.FlightDescriptor.for_path(*table_name.split(".")))
         schema = from_arrow_schema(res.schema)
         self._record(f"schema:{table_name}", time.time() - t0)
         return schema

@@ -429,6 +429,14 @@ class Parser:
                   qualify: Optional[Expr] = None) -> Plan:
         has_agg = any(self._contains_agg(e) for e, _ in items) or group_by \
             or (having is not None)
+        if qualify is not None and has_agg:
+            # windows-over-aggregates need the HAVING hidden-agg
+            # treatment inside the window spec; rejecting BOTH select
+            # orders consistently beats accepting one and shipping
+            # invalid remote SQL (review r3)
+            raise SqlParseError(
+                "QUALIFY over aggregate queries is outside the parser "
+                "surface")
         if has_agg:
             # aggregates: every select item that contains an agg call;
             # plain items must be group keys (validated loosely)
@@ -504,11 +512,13 @@ class Parser:
     def _apply_qualify(self, plan: Plan, items, qualify: Expr) -> Plan:
         """QUALIFY (DuckDB/Snowflake): filter applied AFTER window
         functions evaluate. Window calls inside the predicate that match
-        a select item collapse to its alias; unmatched ones become
-        hidden projection columns dropped by a restoring Project (the
-        HAVING hidden-aggregate pattern). Remotely the shape unparses as
-        a derived table + WHERE — semantically identical."""
+        a select item collapse to its alias; unmatched windows AND input
+        columns not in the select list become hidden projection columns
+        dropped by a restoring Project (the HAVING hidden-aggregate
+        pattern). Remotely the shape unparses as a derived table +
+        WHERE — semantically identical."""
         from .compiler import _rewrite_expr
+        from .expressions import walk
         existing = {self._expr_key(e): (name or e.output_name())
                     for e, name in items}
         hidden: List[Alias] = []
@@ -525,8 +535,20 @@ class Parser:
             return x
 
         pred = _rewrite_expr(qualify, replace)
+        has_star = any(isinstance(e, Star) for e, _ in items)
+        out_names = [name or e.output_name() for e, name in items]
+        if not has_star:
+            # a QUALIFY may reference FROM columns the select list does
+            # not expose; Filter above the narrowed Project would fail
+            # remotely with "column not found" — carry them as hidden
+            missing = [x.name for x in walk(pred)
+                       if isinstance(x, Col) and x.table is None
+                       and x.name not in out_names
+                       and x.name not in {h.name for h in hidden}]
+            for m in dict.fromkeys(missing):
+                hidden.append(Alias(Col(m), m))
         if hidden:
-            if any(isinstance(e, Star) for e, _ in items):
+            if has_star:
                 # a Star in the outer restoring projection would
                 # re-expand the hidden columns back in
                 raise SqlParseError(
@@ -535,7 +557,6 @@ class Parser:
             if not isinstance(plan, Project):
                 raise SqlParseError(
                     "QUALIFY over this query shape is unsupported")
-            out_names = [name or e.output_name() for e, name in items]
             plan = Project(plan.input, list(plan.projections) + hidden)
             plan = Filter(plan, pred)
             return Project(plan, [Col(n) for n in out_names])

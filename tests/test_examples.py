@@ -3,9 +3,11 @@ examples are living documentation and must not rot."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "examples")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "examples"))
 
 from tests.conftest import TESTDATA
 

@@ -744,3 +744,26 @@ def test_qualify_star_with_hidden_window_rejected():
     with pytest.raises(SqlParseError, match="QUALIFY"):
         parse("SELECT * FROM t QUALIFY ROW_NUMBER() OVER "
               "(ORDER BY a) = 1")
+
+
+def test_qualify_references_unprojected_column(duckdb_engine):
+    """QUALIFY may reference FROM columns the select list does not
+    expose (valid DuckDB); they ride as hidden projection columns and
+    are dropped by the restoring Project (review r3)."""
+    eng, _ = duckdb_engine
+    sql = ("SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+           "ORDER BY o_orderkey) AS rk FROM orders "
+           "QUALIFY rk = 1 AND o_totalprice > 100000 ORDER BY o_orderkey")
+    df = eng.sql(sql)
+    assert df.columns == ["o_orderkey", "rk"]
+    got = sorted(map(tuple, df.collect()))
+    assert got == _oracle(sql)
+
+
+def test_qualify_over_aggregates_rejected_both_orders():
+    for sql in ("SELECT c, COUNT(*) AS n FROM t GROUP BY c "
+                "QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC) <= 2",
+                "SELECT COUNT(*) AS n, c FROM t GROUP BY c "
+                "QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC) <= 2"):
+        with pytest.raises(SqlParseError, match="QUALIFY"):
+            parse(sql)
