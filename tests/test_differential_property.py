@@ -115,7 +115,7 @@ def _sql_queries(draw):
     pred = draw(_sql_preds)
     shape = draw(st.sampled_from(
         ["agg", "proj", "sort", "having", "union", "cte",
-         "star_exclude", "named_window"]))
+         "star_exclude", "named_window", "qualify", "using"]))
     if shape == "agg":
         return ("SELECT n_regionkey, COUNT(*) AS n, "
                 "SUM(n_nationkey) AS s, MAX(n_name) AS mx "
@@ -145,6 +145,17 @@ def _sql_queries(draw):
                 "WINDOW w AS (PARTITION BY n_regionkey "
                 "ORDER BY n_nationkey "
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    if shape == "qualify":
+        k = draw(st.integers(1, 3))
+        return ("SELECT n_nationkey, n_regionkey, "
+                "ROW_NUMBER() OVER (PARTITION BY n_regionkey "
+                "ORDER BY n_nationkey) AS rk "
+                f"FROM nation WHERE {pred} QUALIFY rk <= {k}")
+    if shape == "using":
+        return ("SELECT a.n_nationkey, b.n_nationkey AS other "
+                f"FROM (SELECT * FROM nation WHERE {pred}) a "
+                "JOIN nation b USING (n_regionkey) "
+                "WHERE a.n_nationkey < b.n_nationkey")
     if shape == "cte":
         return (f"WITH f AS (SELECT * FROM nation WHERE {pred}) "
                 "SELECT n_regionkey, COUNT(*) AS n FROM f "
