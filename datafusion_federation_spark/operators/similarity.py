@@ -175,3 +175,23 @@ def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                         _norm(F.col(f"r.{vec_col}")))).alias("cos")))
     return (pairs.filter(F.col("cos") >= threshold)
                  .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
+
+
+def dimension_means(df: DataFrame, vec_col: str,
+                    dim: int) -> DataFrame:
+    """Per-dimension mean of an embedding column (the centroid — the
+    building block of mean-pooling, recentering, and drift monitoring).
+
+    posexplode -> groupBy(dim) with map-side partial aggregation: the
+    shuffle carries one partial (sum, count) pair per (partition, dim),
+    so cost scales with the scan, not with rows x dims. Sums run over
+    DECIMAL(20,10) so the result is order-independent (a double sum
+    would differ between engines/partitionings in the low bits)."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    return (exploded
+            .groupBy("dim")
+            .agg(F.round((F.sum(F.col("v").cast("decimal(20,10)"))
+                          / F.count(F.lit(1))).cast("double"), 8)
+                 .alias("mean_v"))
+            .filter(F.col("dim") < dim))

@@ -47,6 +47,7 @@ SECONDARY = {
     # cover them; the 50 recorded primaries stay the no-other-evidence set
     "d15_pii_scrub",
     "d16_dup_clusters",
+    "d17_embedding_centroid",
 }
 
 DEC = "decimal(12,2)"

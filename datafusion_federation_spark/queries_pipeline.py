@@ -517,3 +517,18 @@ def d16(spark, sf):
     return (clusters.groupBy("cluster_size")
             .agg(F.count(F.lit(1)).alias("n_clusters"))
             .orderBy("cluster_size"))
+
+
+@q("d17_embedding_centroid", """
+SELECT i AS dim,
+       CAST(ROUND(SUM(CAST(embedding[i + 1] AS DECIMAL(20,10)))
+                  / COUNT(*), 8) AS DOUBLE) AS mean_v
+FROM embeddings, range(64) t(i)
+GROUP BY i ORDER BY dim
+""")
+def d17(spark, sf):
+    """Embedding centroid: per-dimension decimal-exact mean over the
+    corpus (mean-pooling / drift-monitoring primitive)."""
+    emb = t(spark, sf, "embeddings")
+    return (similarity.dimension_means(emb, "embedding", dim=64)
+            .orderBy("dim"))
