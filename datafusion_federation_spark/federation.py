@@ -118,8 +118,14 @@ def scan_plan(p: Plan) -> ScanResult:
 # ---------------------------------------------------------------------------
 
 def federate(plan: Plan) -> Plan:
-    """Entry point: replace maximal single-provider subtrees with
-    RemoteQueryNode leaves; everything else stays for the Spark compiler."""
+    """Entry point: push filters toward the scans (the reference's
+    optimizer runs standard passes before the federation rule — without
+    this a WHERE above a cross-provider join pulls whole remote
+    tables), then replace maximal single-provider subtrees with
+    RemoteQueryNode leaves; everything else stays for the Spark
+    compiler."""
+    from .optimizer import push_filters
+    plan = push_filters(plan)
     new_plan, _ = _optimize_recursively(plan, is_root=True)
     return new_plan
 

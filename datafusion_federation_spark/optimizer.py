@@ -1,0 +1,248 @@
+"""Pre-federation logical optimization: filter pushdown.
+
+The reference gets this for free — DataFusion's optimizer pushes filters
+into scans BEFORE SQLFederationOptimizerRule claims subtrees, so a WHERE
+above a cross-provider join still rides inside each provider's SQL
+(reference optimizer pipeline order; src/optimizer/mod.rs registers the
+federation rule after the standard passes). Our federation pass runs on
+the raw plan IR, and a RemoteQueryNode executes its SQL eagerly at
+compile time — Catalyst never gets a chance to push the filter — so
+without this pass a SQL-front query like
+
+    SELECT ... FROM duck_orders o JOIN lite_dim p ON ...
+    WHERE o.o_totalprice > 50000
+
+pulls the ENTIRE remote orders table. At 100 TB that is the difference
+between shipping a filtered aggregate and shipping the fact table.
+
+Conservative by construction: only provably-safe moves —
+- split a Filter into AND-conjuncts;
+- push a conjunct below an INNER/CROSS join to the single side whose
+  output columns cover every referenced name (name must be unambiguous
+  across sides, qualifier-aware);
+- push through SubqueryAlias (stripping the alias qualifier) and
+  through Project when every referenced name maps to a plain column;
+- merge adjacent Filters.
+A conjunct containing a subquery, window, aggregate, outer reference,
+placeholder, or a nondeterministic function never moves.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from .expressions import (
+    AggFunc, Alias, BinaryOp, Col, Exists, Expr, Func, InSubquery,
+    OuterRef, Placeholder, ScalarSubquery, ScalarVariable, SetComparison,
+    Star, WindowFunc, walk,
+)
+from .plans.nodes import (
+    Filter, Join, Plan, Project, SubqueryAlias,
+)
+
+_NONDETERMINISTIC = {"rand", "random", "randn", "uuid", "shuffle",
+                     "monotonically_increasing_id"}
+
+
+def _conjuncts(e: Expr):
+    if isinstance(e, BinaryOp) and e.op.upper() == "AND":
+        yield from _conjuncts(e.left)
+        yield from _conjuncts(e.right)
+    else:
+        yield e
+
+
+def _and_all(conjs: Sequence[Expr]) -> Expr:
+    out = conjs[0]
+    for c in conjs[1:]:
+        out = BinaryOp("AND", out, c)
+    return out
+
+
+def _movable(e: Expr) -> bool:
+    """A conjunct is movable iff relocating it cannot change results."""
+    for x in walk(e):
+        if isinstance(x, (Exists, InSubquery, ScalarSubquery,
+                          SetComparison, WindowFunc, AggFunc, OuterRef,
+                          Placeholder, ScalarVariable, Star)):
+            return False
+        if isinstance(x, Func) and x.name.lower() in _NONDETERMINISTIC:
+            return False
+    return True
+
+
+def _refs(e: Expr) -> List[Col]:
+    return [x for x in walk(e) if isinstance(x, Col)]
+
+
+def _aliases_of(p: Plan) -> set:
+    """Relation qualifiers a side answers to (its root alias plus scan
+    local names), lowercased."""
+    from .plans.nodes import Scan, walk_plan
+    names = set()
+    if isinstance(p, SubqueryAlias):
+        # an alias SHADOWS the names beneath it
+        return {p.alias.lower()}
+    for n in walk_plan(p):
+        if isinstance(n, Scan):
+            names.add(n.table.local_name.lower())
+        elif isinstance(n, SubqueryAlias):
+            names.add(n.alias.lower())
+    return names
+
+
+def _side_covers(refs: Sequence[Col], cols: Optional[Sequence[str]],
+                 own_aliases: set, other_cols: Optional[Sequence[str]],
+                 other_aliases: set) -> bool:
+    """Every referenced column resolves to THIS side and unambiguously
+    so: qualified refs must name one of this side's relations; bare refs
+    must exist here and — when the other side's columns are known — not
+    exist there too."""
+    if cols is None:
+        return False
+    colset = {c.lower() for c in cols}
+    otherset = ({c.lower() for c in other_cols}
+                if other_cols is not None else None)
+    for r in refs:
+        name = r.name.lower()
+        if r.table is not None:
+            q = r.table.lower()
+            if q not in own_aliases:
+                return False
+            if q in other_aliases:
+                return False        # qualifier ambiguous across sides
+            if name not in colset:
+                return False
+            continue
+        if name not in colset:
+            return False
+        if otherset is None or name in otherset:
+            # unknown other side, or the name exists on both: ambiguous
+            return False
+    return True
+
+
+def push_filters(plan: Plan) -> Plan:
+    """Recursively push Filter conjuncts toward the scans. Returns a new
+    plan; unknown node shapes pass through untouched (children still
+    optimized)."""
+    # optimize children first so stacked filters cascade in one call
+    kids = [push_filters(k) for k in plan.inputs()]
+    if kids:
+        plan = plan.with_inputs(kids)
+
+    if not isinstance(plan, Filter):
+        return plan
+
+    conjs = list(_conjuncts(plan.predicate))
+    target = plan.input
+    kept: List[Expr] = []
+    changed = False
+
+    for c in conjs:
+        if not _movable(c):
+            kept.append(c)
+            continue
+        pushed = _push_one(target, c)
+        if pushed is None:
+            kept.append(c)
+        else:
+            target = pushed
+            changed = True
+
+    if not changed:
+        return plan
+    # re-run on the rewritten subtree so a conjunct pushed below a join
+    # continues down through further joins/projects
+    target = push_filters(target)
+    if kept:
+        return Filter(target, _and_all(kept))
+    return target
+
+
+def _push_one(p: Plan, c: Expr) -> Optional[Plan]:
+    """Try to push conjunct `c` one level into `p`; None = cannot."""
+    if isinstance(p, Filter):
+        # merge into the existing filter (then both push further on the
+        # caller's recursive pass)
+        return Filter(p.input, BinaryOp("AND", p.predicate, c))
+
+    if isinstance(p, SubqueryAlias):
+        alias = p.alias.lower()
+        inner_cols = _plan_cols(p.input)
+        refs = _refs(c)
+        for r in refs:
+            if r.table is not None and r.table.lower() != alias:
+                return None
+            if inner_cols is not None and \
+                    r.name.lower() not in {x.lower() for x in inner_cols}:
+                return None
+        if inner_cols is None:
+            return None
+        from .compiler import _rewrite_expr
+
+        def strip(x: Expr) -> Expr:
+            if isinstance(x, Col) and x.table is not None:
+                return Col(x.name)
+            return x
+
+        return SubqueryAlias(Filter(p.input, _rewrite_expr(c, strip)),
+                             p.alias)
+
+    if isinstance(p, Project):
+        # NEVER push below a projection computing window functions (or
+        # stray aggregates): they aggregate over the projection's row
+        # set, so filtering first changes their values — this is exactly
+        # the QUALIFY evaluation order
+        if any(isinstance(x, (WindowFunc, AggFunc))
+               for e in p.projections for x in walk(e)):
+            return None
+        # push through only when every referenced name maps to a PLAIN
+        # column of the input (alias-of-Col or passthrough Col); a lone
+        # unqualified Star passes everything through unchanged
+        if (len(p.projections) == 1
+                and isinstance(p.projections[0], Star)
+                and p.projections[0].table is None
+                and not p.projections[0].replace
+                and not p.projections[0].exclude):
+            return Project(Filter(p.input, c), p.projections)
+        mapping = {}
+        for e in p.projections:
+            if isinstance(e, Col):
+                mapping[e.output_name().lower()] = e
+            elif isinstance(e, Alias) and isinstance(e.expr, Col):
+                mapping[e.name.lower()] = e.expr
+        refs = _refs(c)
+        if not all(r.table is None and r.name.lower() in mapping
+                   for r in refs):
+            return None
+        from .compiler import _rewrite_expr
+
+        def sub(x: Expr) -> Expr:
+            if isinstance(x, Col) and x.table is None:
+                return mapping[x.name.lower()]
+            return x
+
+        return Project(Filter(p.input, _rewrite_expr(c, sub)),
+                       p.projections)
+
+    if isinstance(p, Join) and p.how in ("inner", "cross"):
+        refs = _refs(c)
+        if not refs:
+            return None
+        lcols, rcols = _plan_cols(p.left), _plan_cols(p.right)
+        la, ra = _aliases_of(p.left), _aliases_of(p.right)
+        if _side_covers(refs, lcols, la, rcols, ra):
+            return Join(Filter(p.left, c), p.right, p.how,
+                        p.condition, p.using)
+        if _side_covers(refs, rcols, ra, lcols, la):
+            return Join(p.left, Filter(p.right, c), p.how,
+                        p.condition, p.using)
+        return None
+
+    return None
+
+
+def _plan_cols(p: Plan):
+    from .compiler import _plan_output_cols
+    return _plan_output_cols(p)

@@ -72,6 +72,8 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
 
 
 if __name__ == "__main__":
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[4]")
              .config("spark.sql.shuffle.partitions", "4").getOrCreate())

@@ -1,0 +1,134 @@
+"""Pre-federation filter pushdown (optimizer.py): the reference gets
+this from DataFusion's standard passes running before the federation
+rule; without it a WHERE above a cross-provider join pulls whole remote
+tables."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from datafusion_federation_spark.expressions import (
+    BinaryOp, Col, Lit, col, lit)
+from datafusion_federation_spark.federation import federate
+from datafusion_federation_spark.optimizer import push_filters
+from datafusion_federation_spark.plans.nodes import (
+    Filter, Join, Project, RemoteQueryNode, Scan, SubqueryAlias,
+    walk_plan)
+from tests.conftest import TESTDATA
+from tests.test_unparser_goldens import h as mk_handle
+
+
+def _scan(name, cols):
+    from pyspark.sql.types import LongType, StructField, StructType
+    handle = mk_handle(name)
+    handle.schema = StructType(
+        [StructField(c, LongType()) for c in cols])
+    return Scan(handle)
+
+
+def test_conjunct_splits_to_both_join_sides():
+    a = _scan("ta", ["k", "x"])
+    b = _scan("tb", ["k2", "y"])
+    j = Join(a, b, "inner", BinaryOp("=", Col("k"), Col("k2")))
+    pred = BinaryOp("AND",
+                    BinaryOp(">", Col("x"), Lit(1)),
+                    BinaryOp("<", Col("y"), Lit(9)))
+    out = push_filters(Filter(j, pred))
+    assert isinstance(out, Join), "both conjuncts must leave the top"
+    assert isinstance(out.left, Filter) and isinstance(out.right, Filter)
+
+
+def test_ambiguous_name_stays_above():
+    a = _scan("ta", ["k", "x"])
+    b = _scan("tb", ["k", "y"])          # k exists on BOTH sides
+    j = Join(a, b, "cross")
+    out = push_filters(Filter(j, BinaryOp(">", Col("k"), Lit(1))))
+    assert isinstance(out, Filter), "ambiguous column must not move"
+
+
+def test_left_join_predicate_never_pushes():
+    a = _scan("ta", ["k", "x"])
+    b = _scan("tb", ["k2", "y"])
+    j = Join(a, b, "left", BinaryOp("=", Col("k"), Col("k2")))
+    out = push_filters(Filter(j, BinaryOp(">", Col("y"), Lit(0))))
+    assert isinstance(out, Filter), \
+        "filtering the null-supplying side below a LEFT join would " \
+        "change null-extension semantics"
+
+
+def test_qualified_ref_pushes_through_alias():
+    a = SubqueryAlias(_scan("ta", ["k", "x"]), "aa")
+    b = _scan("tb", ["k2", "y"])
+    j = Join(a, b, "inner", BinaryOp("=", Col("k", "aa"), Col("k2")))
+    out = push_filters(
+        Filter(j, BinaryOp(">", Col("x", "aa"), Lit(5))))
+    assert isinstance(out, Join)
+    side = out.left
+    assert isinstance(side, SubqueryAlias) and \
+        isinstance(side.input, Filter), \
+        "alias-qualified conjunct must land INSIDE the aliased subtree"
+
+
+def test_nondeterministic_conjunct_stays():
+    from datafusion_federation_spark.expressions import func
+    a = _scan("ta", ["k", "x"])
+    b = _scan("tb", ["k2", "y"])
+    j = Join(a, b, "inner", BinaryOp("=", Col("k"), Col("k2")))
+    out = push_filters(
+        Filter(j, BinaryOp("<", func("rand"), Lit(0.5))))
+    assert isinstance(out, Filter), \
+        "rand() filtered before vs after the join differs"
+
+
+def test_cross_engine_where_rides_into_remote_sql(spark):
+    """End to end: SQL-front WHERE above a cross-engine join lands
+    inside the owning engine's SQL and results match DuckDB."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLiteExecutor, SQLProvider)
+
+    duck = DuckDBExecutor(name="pushduck", compute_context="pd")
+    duck.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+    lite = SQLiteExecutor(name="pushlite", compute_context="pd")
+    lite.load_rows(
+        "prio_dim", "CREATE TABLE prio_dim (prio TEXT, weight INTEGER)",
+        [("1-URGENT", 5), ("2-HIGH", 4), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 2), ("5-LOW", 1)])
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(duck), "orders")
+    eng.register_remote(SQLProvider(lite), "prio_dim")
+
+    sql = ("SELECT p.weight, COUNT(*) AS n FROM orders o "
+           "JOIN prio_dim p ON o.o_orderpriority = p.prio "
+           "WHERE o.o_totalprice > 200000 AND p.weight >= 3 "
+           "GROUP BY p.weight")
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert "o_totalprice" in duck.metrics()["last_sql"], \
+        "orders-side conjunct must ride inside the DuckDB SQL"
+    assert "weight" in lite.metrics()["last_sql"], \
+        "dim-side conjunct must ride inside the SQLite SQL"
+
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/orders.parquet')")
+    conn.execute("CREATE TABLE prio_dim AS SELECT * FROM (VALUES "
+                 "('1-URGENT',5),('2-HIGH',4),('3-MEDIUM',3),"
+                 "('4-NOT SPECIFIED',2),('5-LOW',1)) v(prio, weight)")
+    want = sorted(map(tuple, conn.execute(sql).fetchall()))
+    assert got == want
+
+
+def test_no_push_below_window_projection():
+    """Filtering before a window function changes its row set (QUALIFY
+    evaluation order) — the conjunct must stay above."""
+    from datafusion_federation_spark.expressions import (
+        SortKey, WindowFunc, func)
+    inner = _scan("ta", ["k", "x"])
+    proj = Project(inner, [
+        Col("k"), Col("x"),
+        WindowFunc(func("row_number"),
+                   order_by=[SortKey(Col("x"))]).alias("rk")])
+    out = push_filters(Filter(proj, BinaryOp(">", Col("x"), Lit(5))))
+    assert isinstance(out, Filter), \
+        "push below a window projection changes window results"
