@@ -124,8 +124,9 @@ def federate(plan: Plan) -> Plan:
     tables), then replace maximal single-provider subtrees with
     RemoteQueryNode leaves; everything else stays for the Spark
     compiler."""
-    from .optimizer import push_filters
+    from .optimizer import prune_scans, push_filters
     plan = push_filters(plan)
+    plan = prune_scans(plan)
     new_plan, _ = _optimize_recursively(plan, is_root=True)
     return new_plan
 

@@ -246,3 +246,130 @@ def _push_one(p: Plan, c: Expr) -> Optional[Plan]:
 def _plan_cols(p: Plan):
     from .compiler import _plan_output_cols
     return _plan_output_cols(p)
+
+
+# ---------------------------------------------------------------------------
+# column pruning (the projection-pushdown half of the standard passes)
+# ---------------------------------------------------------------------------
+
+def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
+                ) -> Plan:
+    """Thread required-column sets top-down and set ``Scan.projection``
+    wherever the set is fully determined — so a federated whole-table
+    child ships `SELECT needed, cols` instead of `SELECT *`, and a local
+    parquet scan prunes at the reader. A 100 TB fact table joined on two
+    columns must not ship its full width.
+
+    ``required=None`` means "everything / unknown" — the pass bails to
+    None whenever any construct makes the set uncertain (Star
+    projections, set operations' positional semantics, unknown side
+    attribution in joins, expression subqueries), so pruning is only
+    ever applied when provably safe. HOW a requirement is discharged:
+    every referenced name in projections/predicates/keys joins the set
+    flowing to children."""
+    req = (None if required is None
+           else {c.lower() for c in required})
+
+    def bare_refs(exprs: Sequence[Expr]):
+        """Referenced column names; None if a Star makes them unknown."""
+        out = set()
+        for e in exprs:
+            for x in walk(e):
+                if isinstance(x, Star):
+                    return None
+                if isinstance(x, Col):
+                    out.add(x.name.lower())
+                if isinstance(x, (Exists, InSubquery, ScalarSubquery,
+                                  SetComparison)):
+                    # correlated refs inside reach parent columns we
+                    # cannot attribute — give up on pruning this subtree
+                    return None
+        return out
+
+    from .plans.nodes import (
+        Aggregate, Distinct, Filter as _F, Limit, Scan, SetOp, Sort,
+        Union, Window,
+    )
+
+    if isinstance(plan, Scan):
+        if req is None or plan.projection:
+            return plan
+        cols = _plan_cols(plan)
+        if cols is None:
+            return plan
+        keep = [c for c in cols if c.lower() in req]
+        if not keep or len(keep) == len(cols):
+            return plan
+        return Scan(plan.table, projection=keep)
+
+    if isinstance(plan, Project):
+        below = bare_refs(plan.projections)
+        return plan.with_inputs([prune_scans(plan.input, below)])
+
+    if isinstance(plan, _F):
+        below = bare_refs([plan.predicate])
+        if below is not None and req is not None:
+            below = below | req
+        elif req is None:
+            below = None
+        return plan.with_inputs([prune_scans(plan.input, below)])
+
+    if isinstance(plan, SubqueryAlias):
+        return plan.with_inputs([prune_scans(plan.input, req)])
+
+    if isinstance(plan, Sort):
+        below = bare_refs([k.expr for k in plan.keys])
+        if below is not None and req is not None:
+            below = below | req
+        elif req is None:
+            below = None
+        return plan.with_inputs([prune_scans(plan.input, below)])
+
+    if isinstance(plan, (Limit, Distinct)):
+        return plan.with_inputs([prune_scans(plan.inputs()[0], req)])
+
+    if isinstance(plan, Aggregate):
+        from .expressions import Cube, GroupingSets, Rollup
+        flat = []
+        for g in plan.group_by:
+            if isinstance(g, (Rollup, Cube)):
+                flat.extend(g.exprs)
+            elif isinstance(g, GroupingSets):
+                for s in g.sets:
+                    flat.extend(s)
+            else:
+                flat.append(g)
+        below = bare_refs(list(flat) + list(plan.aggregates))
+        return plan.with_inputs([prune_scans(plan.input, below)])
+
+    if isinstance(plan, Join):
+        cond_refs = (bare_refs([plan.condition])
+                     if plan.condition is not None
+                     else set(plan.using or []))
+        if cond_refs is None or req is None:
+            l, r = None, None
+        else:
+            need = {c.lower() for c in cond_refs} | req
+            lcols, rcols = _plan_cols(plan.left), _plan_cols(plan.right)
+            if lcols is None or rcols is None:
+                l, r = None, None
+            else:
+                lset = {c.lower() for c in lcols}
+                rset = {c.lower() for c in rcols}
+                if lset & rset & need:
+                    # a needed name exists on both sides: attribution
+                    # ambiguous, keep both sides whole
+                    l, r = None, None
+                else:
+                    l = need & lset
+                    r = need & rset
+        return plan.with_inputs([prune_scans(plan.left, l),
+                                 prune_scans(plan.right, r)])
+
+    if isinstance(plan, (Union, SetOp, Window)):
+        # positional semantics / whole-row windows: no pruning below
+        return plan.with_inputs(
+            [prune_scans(k, None) for k in plan.inputs()])
+
+    kids = [prune_scans(k, None) for k in plan.inputs()]
+    return plan.with_inputs(kids) if kids else plan

@@ -44,6 +44,10 @@ class _Shell:
     order_by: Optional[List[str]] = None
     limit: Optional[str] = None
     distinct: bool = False
+    #: select list came from a Scan's column pruning (plain quoted
+    #: columns, no aliases) — a WHERE can share the shell because SQL
+    #: predicates see the TABLE's columns, not the select list
+    select_is_scan_projection: bool = False
 
     def render(self) -> str:
         sel = ", ".join(self.select) if self.select else "*"
@@ -216,6 +220,7 @@ class Unparser:
             sh = _Shell(from_sql=self._relation_sql(plan))
             if isinstance(plan, Scan) and plan.projection:
                 sh.select = [d.quote(c) for c in plan.projection]
+                sh.select_is_scan_projection = True
             return sh
 
         if isinstance(plan, Project):
@@ -225,13 +230,15 @@ class Unparser:
             sh.select = [e.to_sql(d)
                          for e in self._expand_stars(plan.projections,
                                                      plan.input)]
+            sh.select_is_scan_projection = False
             return sh
 
         if isinstance(plan, Filter):
             sh = self._build_shell(plan.input)
             pred = plan.predicate.to_sql(d)
-            if (sh.group_by is not None or sh.select is not None or sh.limit
-                    or sh.having):
+            if (sh.group_by is not None or sh.limit or sh.having
+                    or (sh.select is not None
+                        and not sh.select_is_scan_projection)):
                 # A filter above an aggregation/projection wraps it as a
                 # derived table and uses WHERE: the predicate may reference
                 # SELECT-list aliases, which is legal against a derived

@@ -132,3 +132,54 @@ def test_no_push_below_window_projection():
     out = push_filters(Filter(proj, BinaryOp(">", Col("x"), Lit(5))))
     assert isinstance(out, Filter), \
         "push below a window projection changes window results"
+
+
+def test_column_pruning_reaches_remote_scan(spark):
+    """A cross-engine join selecting 2 of orders' 6 columns must ship a
+    2-column remote SQL, not SELECT * (the brief's 'scan that reads all
+    columns for a 2-column projection is wrong')."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLiteExecutor, SQLProvider)
+
+    duck = DuckDBExecutor(name="pruneduck", compute_context="pr")
+    duck.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+    lite = SQLiteExecutor(name="prunelite", compute_context="pr")
+    lite.load_rows(
+        "prio_dim2", "CREATE TABLE prio_dim2 (prio TEXT, weight INTEGER)",
+        [("1-URGENT", 5), ("5-LOW", 1)])
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(duck), "orders")
+    eng.register_remote(SQLProvider(lite), "prio_dim2")
+
+    df = eng.sql(
+        "SELECT p.weight, COUNT(*) AS n FROM orders o "
+        "JOIN prio_dim2 p ON o.o_orderpriority = p.prio "
+        "WHERE o.o_totalprice > 100000 GROUP BY p.weight")
+    assert df.count() >= 1
+    sql = duck.metrics()["last_sql"]
+    assert "o_totalprice" in sql and "o_orderpriority" in sql
+    for unneeded in ("o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderstatus"):
+        assert unneeded not in sql, \
+            f"{unneeded} must be pruned from the remote scan: {sql}"
+
+
+def test_pruned_plan_results_unchanged(spark):
+    """Prune + push must be result-invariant on a local plan."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.optimizer import (
+        prune_scans, push_filters)
+
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("lineitem", f"{TESTDATA}/lineitem.parquet")
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    sql = ("SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS q "
+           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+           "WHERE o_totalprice > 150000 AND l_discount < 0.05 "
+           "GROUP BY l_returnflag")
+    raw = eng.sql_plan(sql).plan
+    plain = {tuple(r) for r in eng.compiler.compile(raw).collect()}
+    optimized = prune_scans(push_filters(eng.sql_plan(sql).plan))
+    opt = {tuple(r) for r in eng.compiler.compile(optimized).collect()}
+    assert plain == opt
