@@ -45,11 +45,8 @@ _NONDETERMINISTIC = {"rand", "random", "randn", "uuid", "shuffle",
 
 
 def _conjuncts(e: Expr):
-    if isinstance(e, BinaryOp) and e.op.upper() == "AND":
-        yield from _conjuncts(e.left)
-        yield from _conjuncts(e.right)
-    else:
-        yield e
+    from .compiler import _split_conjuncts
+    return _split_conjuncts(e)
 
 
 def _and_all(conjs: Sequence[Expr]) -> Expr:
@@ -325,8 +322,13 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
             below = None
         return plan.with_inputs([prune_scans(plan.input, below)])
 
-    if isinstance(plan, (Limit, Distinct)):
+    if isinstance(plan, Limit):
         return plan.with_inputs([prune_scans(plan.inputs()[0], req)])
+
+    if isinstance(plan, Distinct):
+        # DISTINCT dedupes WHOLE rows: pruning below changes the row
+        # multiplicities a parent projection sees — keep every column
+        return plan.with_inputs([prune_scans(plan.inputs()[0], None)])
 
     if isinstance(plan, Aggregate):
         from .expressions import Cube, GroupingSets, Rollup
@@ -339,7 +341,9 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
                     flat.extend(s)
             else:
                 flat.append(g)
-        below = bare_refs(list(flat) + list(plan.aggregates))
+        extra = ([plan.having] if getattr(plan, "having", None) is not None
+                 else [])
+        below = bare_refs(list(flat) + list(plan.aggregates) + extra)
         return plan.with_inputs([prune_scans(plan.input, below)])
 
     if isinstance(plan, Join):
@@ -356,13 +360,12 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
             else:
                 lset = {c.lower() for c in lcols}
                 rset = {c.lower() for c in rcols}
-                if lset & rset & need:
-                    # a needed name exists on both sides: attribution
-                    # ambiguous, keep both sides whole
-                    l, r = None, None
-                else:
-                    l = need & lset
-                    r = need & rset
+                # a name on both sides (USING keys, same-named equi
+                # keys) is kept on BOTH — over-approximation is safe
+                # for pruning, and bailing entirely would leave wide
+                # tables unpruned for every USING join
+                l = need & lset
+                r = need & rset
         return plan.with_inputs([prune_scans(plan.left, l),
                                  prune_scans(plan.right, r)])
 

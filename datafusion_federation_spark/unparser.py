@@ -183,6 +183,13 @@ class Unparser:
             ref = plan.table.remote_sql_ref(d)
             if alias is None:
                 alias = self._scan_auto_alias(plan)
+            if plan.projection:
+                # a pruned scan used AS A RELATION must keep its column
+                # list (the expected schema counts the pruned width) —
+                # render as a derived table
+                cols = ", ".join(d.quote(c) for c in plan.projection)
+                a = alias or plan.table.local_name
+                return f"(SELECT {cols} FROM {ref}) AS {d.quote(a)}"
             if alias:
                 ref += f" AS {d.quote(alias)}"
             return ref
@@ -237,6 +244,7 @@ class Unparser:
             sh = self._build_shell(plan.input)
             pred = plan.predicate.to_sql(d)
             if (sh.group_by is not None or sh.limit or sh.having
+                    or sh.distinct
                     or (sh.select is not None
                         and not sh.select_is_scan_projection)):
                 # A filter above an aggregation/projection wraps it as a

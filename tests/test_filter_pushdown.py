@@ -183,3 +183,59 @@ def test_pruned_plan_results_unchanged(spark):
     optimized = prune_scans(push_filters(eng.sql_plan(sql).plan))
     opt = {tuple(r) for r in eng.compiler.compile(optimized).collect()}
     assert plain == opt
+
+
+def test_pruned_aliased_scan_keeps_projection_in_remote_sql(spark):
+    """A pruned scan used as an ALIASED relation (no pushed filter) must
+    render its column list — dropping it made the remote return 6
+    columns against a 1-column expected schema (review r3 crash)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLiteExecutor, SQLProvider)
+
+    duck = DuckDBExecutor(name="aliasduck", compute_context="ap")
+    duck.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+    lite = SQLiteExecutor(name="aliaslite", compute_context="ap")
+    lite.load_rows(
+        "prio_dim3", "CREATE TABLE prio_dim3 (prio TEXT, weight INTEGER)",
+        [("1-URGENT", 5), ("5-LOW", 1)])
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(duck), "orders")
+    eng.register_remote(SQLProvider(lite), "prio_dim3")
+
+    # no WHERE on orders -> pruned scan flows through SubqueryAlias
+    df = eng.sql("SELECT p.weight, COUNT(*) AS n FROM orders o "
+                 "JOIN prio_dim3 p ON o.o_orderpriority = p.prio "
+                 "GROUP BY p.weight")
+    assert df.count() >= 1
+    sql = duck.metrics()["last_sql"]
+    assert "o_orderpriority" in sql and "o_orderkey" not in sql
+
+
+def test_distinct_blocks_pruning():
+    """DISTINCT dedupes whole rows; pruning below it changes
+    multiplicities (review r3)."""
+    from datafusion_federation_spark.plans.nodes import Distinct
+    a = _scan("ta", ["a", "b"])
+    out = push_filters(Project(Distinct(a), [Col("a")]))
+    from datafusion_federation_spark.optimizer import prune_scans
+    pruned = prune_scans(Project(Distinct(a), [Col("a")]))
+    scans = [n for n in walk_plan(pruned) if isinstance(n, Scan)]
+    assert scans[0].projection is None, \
+        "scan below DISTINCT must keep all columns"
+
+
+def test_using_join_prunes_with_shared_key():
+    from datafusion_federation_spark.optimizer import prune_scans
+    from datafusion_federation_spark.plans.nodes import Aggregate
+    from datafusion_federation_spark.expressions import AggFunc, Alias
+    a = _scan("ta", ["k", "x", "junk1"])
+    b = _scan("tb", ["k", "y", "junk2"])
+    j = Join(a, b, "inner", using=["k"])
+    agg = Aggregate(j, [Col("y")],
+                    [Alias(AggFunc("sum", [Col("x")]), "s")])
+    pruned = prune_scans(agg)
+    scans = {n.table.local_name: n.projection
+             for n in walk_plan(pruned) if isinstance(n, Scan)}
+    assert scans["ta"] == ["k", "x"], scans
+    assert scans["tb"] == ["k", "y"], scans
