@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_federation_spark.queries import REGISTRY, SECONDARY
 import datafusion_federation_spark.queries_pipeline  # noqa: F401 (registers)
+import datafusion_federation_spark.queries_tpch  # noqa: F401 (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

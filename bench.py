@@ -67,19 +67,35 @@ def main() -> None:
             failures[name] = str(e)[:200]
             log(f"bench {name}: FAILED {str(e)[:200]}")
 
+    # The driver records only the tail of stdout (~2 KB): the r03 line at
+    # full key length (~2.1 KB) overflowed it and parsed as null. Emit
+    # short ids (the q01/d01 prefix) and compact separators so the line
+    # stays well under the buffer even as the registry grows; the full
+    # mapping is written to BENCH_FULL.json alongside for human readers.
+    short = {}
+    for name, sec in per_query.items():
+        key = name.split("_", 1)[0]
+        short[name if key in short else key] = sec
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
-        "queries": per_query,
+        "queries": short,
         "sf": sf,
     }
     if failures:
         # a crashed query must not read as a speedup: surface the count
         # in the headline object and exit nonzero so the driver flags it
-        out["failures"] = failures
+        out["failures"] = {k.split("_", 1)[0]: v[:80] for k, v in failures.items()}
         out["failed"] = len(failures)
-    print(json.dumps(out), flush=True)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump({"queries": per_query, "failures": failures, "sf": sf},
+                      f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out, separators=(",", ":")), flush=True)
     spark.stop()
     if failures:
         sys.exit(1)

@@ -14,7 +14,7 @@ the SchemaCastScanExec analog (reference src/schema_cast/mod.rs:27-146).
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any, Dict, List, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -187,7 +187,14 @@ class Compiler:
                 out = gb.agg(F.count(F.lit(1)).alias("__dummy")) \
                         .drop("__dummy")
             if p.having is not None:
-                out = out.filter(p.having.to_spark())
+                from .expressions import ScalarSubquery, walk as walk_expr
+                if any(isinstance(x, ScalarSubquery)
+                       for x in walk_expr(p.having)):
+                    # HAVING against a scalar subquery (TPC-H Q11 shape):
+                    # route through the subquery-attaching filter path
+                    out = self._filter_plain(out, p.having)
+                else:
+                    out = out.filter(p.having.to_spark())
             return out
 
         if isinstance(p, Window):
@@ -373,9 +380,13 @@ class Compiler:
         (optimizer/mod.rs:285-305); correlated ones are refused upstream
         (optimizer/mod.rs:114-120).
 
+        Correlated scalar subqueries decorrelate instead: the ungrouped
+        aggregate becomes a GROUP BY over the correlation keys LEFT-joined
+        on those keys (see _attach_correlated_scalar).
+
         Returns (df_with_joins, rewritten_exprs, helper_col_names).
         """
-        from .expressions import Col, ScalarSubquery
+        from .expressions import ScalarSubquery
         state = {"df": df, "n": 0, "cols": [], "plans": {}}
 
         def replace(x: Expr) -> Expr:
@@ -384,24 +395,110 @@ class Compiler:
                 if key not in state["plans"]:
                     n = state["n"]
                     state["n"] += 1
-                    sub = self._c(x.plan)
-                    names = {c: f"__sq{n}_{i}" if i else f"__sq{n}"
-                             for i, c in enumerate(sub.columns)}
-                    sub = sub.select(*[F.col(c).alias(h)
-                                       for c, h in names.items()])
-                    state["df"] = state["df"].join(
-                        F.broadcast(sub), on=F.lit(True), how="left")
-                    state["cols"].extend(names.values())
-                    # plans sharing one object join (and execute) once
-                    state["plans"][key] = names
+                    if _plan_has_outer_ref(x.plan):
+                        # name -> Expr mapping (counts wrap in coalesce)
+                        state["plans"][key] = \
+                            self._attach_correlated_scalar(state, x.plan, n)
+                    else:
+                        from .expressions import Col
+                        sub = self._c(x.plan)
+                        names = {c: f"__sq{n}_{i}" if i else f"__sq{n}"
+                                 for i, c in enumerate(sub.columns)}
+                        sub = sub.select(*[F.col(c).alias(h)
+                                           for c, h in names.items()])
+                        state["df"] = state["df"].join(
+                            F.broadcast(sub), on=F.lit(True), how="left")
+                        state["cols"].extend(names.values())
+                        # plans sharing one object join (and execute) once
+                        state["plans"][key] = {c: Col(h)
+                                               for c, h in names.items()}
                 names = state["plans"][key]
-                col = (names[x.column] if x.column is not None
-                       else next(iter(names.values())))
-                return Col(col)
+                return (names[x.column] if x.column is not None
+                        else next(iter(names.values())))
             return x
 
         new = [_rewrite_expr(e, replace) for e in exprs]
         return state["df"], new, state["cols"]
+
+    def _attach_correlated_scalar(self, state, plan: Plan, n: int):
+        """Decorrelate a correlated scalar aggregate subquery. The shape
+        ``(SELECT agg(e) FROM t WHERE t.k = outer.k [AND local preds])``
+        rewrites to ``t.groupBy(k).agg(...)`` LEFT-joined to the outer
+        frame on the correlation keys — the standard aggregate
+        decorrelation DataFusion's analyzer applies before the federation
+        rule sees the plan (the reference forces correlated subtrees
+        local, optimizer/mod.rs:114-120; the grouped form is how Spark's
+        own analyzer lowers the SQL-literal equivalent). At scale this is
+        one shuffle of the inner table on the correlation key followed by
+        a key equi-join — AQE picks broadcast when the grouped side is
+        small; nothing touches the driver.
+
+        COUNT aggregates coalesce to 0 on no-match (SQL: a count over an
+        empty correlated set is 0, not NULL). Only equi-correlation
+        (bare inner column = bare outer column) is supported; anything
+        else raises rather than risking silently-wrong hoisting.
+
+        Returns a mapping: aggregate output name -> replacement Expr.
+        """
+        from .expressions import (
+            AggFunc, Alias, BinaryOp, Col, Func, Lit, OuterRef)
+        node = plan
+        while isinstance(node, SubqueryAlias):
+            node = node.input
+        if (not isinstance(node, Aggregate) or node.group_by
+                or node.having is not None):
+            raise NotImplementedError(
+                "correlated scalar subquery must be a single ungrouped "
+                "aggregate (SELECT agg(...) FROM ... WHERE correlation)")
+        conds, cleaned = _extract_correlated(node.input)
+        keys: List[Tuple[str, str]] = []   # (outer column, inner column)
+        for c in conds:
+            pair = None
+            if isinstance(c, BinaryOp) and c.op == "=":
+                left, right = c.left, c.right
+                if isinstance(left, OuterRef) and isinstance(right, Col):
+                    pair = (left.name, right.name)
+                elif isinstance(right, OuterRef) and isinstance(left, Col):
+                    pair = (right.name, left.name)
+            if pair is None:
+                raise NotImplementedError(
+                    "correlated scalar subquery: only equi-correlation "
+                    "(inner column = outer column) decorrelates to a "
+                    "grouped aggregate")
+            keys.append(pair)
+        if not keys:
+            raise NotImplementedError(
+                "correlated scalar subquery has no correlation predicate "
+                "in its Filter spine")
+        inner_keys: List[str] = []
+        for _, ik in keys:
+            if ik not in inner_keys:
+                inner_keys.append(ik)
+        grouped = Aggregate(cleaned, [Col(k) for k in inner_keys],
+                            node.aggregates)
+        sub = self._c(grouped)
+        key_helper = {k: f"__sq{n}_k{i}" for i, k in enumerate(inner_keys)}
+        val_cols = sub.columns[len(inner_keys):]
+        val_helper = {c: f"__sq{n}_{i}" if i else f"__sq{n}"
+                      for i, c in enumerate(val_cols)}
+        sub = sub.select(
+            *[F.col(k).alias(h) for k, h in key_helper.items()],
+            *[F.col(c).alias(h) for c, h in val_helper.items()])
+        on = None
+        for outer_name, ik in keys:
+            cond = state["df"][outer_name] == sub[key_helper[ik]]
+            on = cond if on is None else (on & cond)
+        state["df"] = state["df"].join(sub, on=on, how="left")
+        state["cols"].extend(list(key_helper.values())
+                             + list(val_helper.values()))
+        out: Dict[str, Expr] = {}
+        for item, (cname, h) in zip(node.aggregates, val_helper.items()):
+            e = item.expr if isinstance(item, Alias) else item
+            if isinstance(e, AggFunc) and e.name.lower() == "count":
+                out[cname] = Func("coalesce", [Col(h), Lit(0)])
+            else:
+                out[cname] = Col(h)
+        return out
 
     def _grouping(self, df: DataFrame, group_by):
         plain = [g for g in group_by
@@ -484,6 +581,12 @@ class Compiler:
 def _has_outer_ref(e: Expr) -> bool:
     from .expressions import OuterRef, walk
     return any(isinstance(n, OuterRef) for n in walk(e))
+
+
+def _plan_has_outer_ref(p: Plan) -> bool:
+    from .plans.nodes import walk_plan
+    return any(_has_outer_ref(e) for node in walk_plan(p)
+               for e in node.exprs())
 
 
 def _split_conjuncts(e: Expr):

@@ -48,6 +48,25 @@ SECONDARY = {
     "d15_pii_scrub",
     "d16_dup_clusters",
     "d17_embedding_centroid",
+    # round 4: CASE shapes have primary evidence in q32/q59; the slots
+    # freed go to the correlated-scalar h-queries (new operator)
+    "q12_priority_shipping",
+    "q14_promo_share",
+    # TPC-H h-suite (queries_tpch.py): composite shapes whose operators
+    # all have primary evidence; h02/h17 stay primary (correlated scalar
+    # subquery decorrelation has no other driver-recorded row)
+    "h04_priority_check",
+    "h07_volume_shipping",
+    "h08_market_share",
+    "h09_product_profit",
+    "h11_important_stock",
+    "h13_customer_distribution",
+    "h15_top_supplier",
+    "h16_parts_supplier_cnt",
+    "h19_disjunctive_join",
+    "h20_potential_promotion",
+    "h21_waiting_supplier",
+    "h22_global_sales",
 }
 
 DEC = "decimal(12,2)"
@@ -85,6 +104,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # driver fixtures have also shipped ts as TIMESTAMP(MICROS,
+            # isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ;
+            # normalize to TIMESTAMP so time functions (unix_millis,
+            # window, ...) apply uniformly. Session tz is UTC everywhere
+            # (tests, bench, driver), so the reinterpretation is exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -1,0 +1,125 @@
+"""Correlated scalar-subquery decorrelation (TPC-H Q2/Q17/Q22 shapes).
+
+The reference forces correlated subtrees to stay local
+(optimizer/mod.rs:114-120) and relies on DataFusion's analyzer to
+decorrelate; our compiler lowers the ungrouped correlated aggregate to a
+GROUP BY over the correlation keys + LEFT join (compiler.py
+_attach_correlated_scalar). These tests pin the rewrite against DuckDB
+running the identical SQL.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import TESTDATA
+
+
+def _engine(spark, tables):
+    from datafusion_federation_spark import FederationEngine
+    eng = FederationEngine(spark)
+    for t in tables:
+        eng.register_local_parquet(t, f"{TESTDATA}/{t}.parquet")
+    return eng
+
+
+def _duck(sql, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{TESTDATA}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_correlated_max_equality(spark):
+    """s_acctbal = (SELECT MAX(...) WHERE inner.k = outer.k): every
+    supplier row survives iff it holds its nation's max balance."""
+    sql = """
+    SELECT s.s_suppkey
+    FROM supplier s
+    WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s.s_suppkey
+    """
+    got = [r[0] for r in _engine(spark, ["supplier"]).sql(sql).collect()]
+    want = [r[0] for r in _duck(sql, ["supplier"])]
+    assert got == want and len(got) > 0
+
+
+def test_correlated_avg_arithmetic(spark):
+    """Arithmetic over the correlated aggregate (0.5 * AVG) — the Q17
+    shape; the computed expression rides through the grouped rewrite."""
+    sql = """
+    SELECT COUNT(*) AS n
+    FROM lineitem l
+    WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """
+    got = _engine(spark, ["lineitem"]).sql(sql).collect()[0][0]
+    want = _duck(sql, ["lineitem"])[0][0]
+    assert got == want and got > 0
+
+
+def test_correlated_count_coalesces_to_zero(spark):
+    """COUNT over an empty correlated set must be 0, not NULL (the LEFT
+    join produces NULL; the rewrite coalesces count aggregates)."""
+    from pyspark.sql import functions as F
+    eng = _engine(spark, ["customer", "orders"])
+    df = eng.sql("""
+    SELECT c.c_custkey,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    """)
+    assert df.filter(F.col("n_orders").isNull()).count() == 0
+    # spot-check totals against the plain grouped aggregate
+    total = df.agg(F.sum("n_orders")).collect()[0][0]
+    n_orders = spark.read.parquet(f"{TESTDATA}/orders.parquet").count()
+    # every order belongs to an existing customer in the fixture
+    assert total == n_orders
+
+
+def test_correlated_scalar_executes_subquery_once(spark):
+    """Two references to one subquery object join (and execute) once."""
+    eng = _engine(spark, ["supplier"])
+    df = eng.sql("""
+    SELECT s.s_suppkey
+    FROM supplier s
+    WHERE s.s_acctbal >= (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                          WHERE s2.s_nationkey = s.s_nationkey)
+    """)
+    # exactly one helper-join of the grouped subquery in the plan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("__sq0") > 0 and "__sq1" not in plan
+
+
+def test_correlated_non_equi_refused(spark):
+    """A non-equi correlated scalar (inner.k > outer.k) cannot group —
+    must raise, never silently mis-answer."""
+    eng = _engine(spark, ["supplier"])
+    with pytest.raises(NotImplementedError):
+        eng.sql("""
+        SELECT s.s_suppkey FROM supplier s
+        WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey > s.s_nationkey)
+        """).collect()
+
+
+def test_having_uncorrelated_scalar_subquery(spark):
+    """HAVING SUM(...) > (SELECT ...) — the Q11 shape — attaches the
+    subquery on the aggregated frame."""
+    sql = """
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l
+    GROUP BY l.l_partkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT)) >
+           (SELECT 0.001 * SUM(CAST(l2.l_quantity AS BIGINT))
+            FROM lineitem l2)
+    ORDER BY l.l_partkey
+    """
+    got = [(r[0], r[1]) for r in
+           _engine(spark, ["lineitem"]).sql(sql).collect()]
+    want = [(r[0], r[1]) for r in _duck(sql, ["lineitem"])]
+    assert got == want and len(got) > 0
