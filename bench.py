@@ -86,7 +86,11 @@ def main() -> None:
     if failures:
         # a crashed query must not read as a speedup: surface the count
         # in the headline object and exit nonzero so the driver flags it
-        out["failures"] = {k.split("_", 1)[0]: v[:80] for k, v in failures.items()}
+        fshort = {}
+        for k, v in failures.items():
+            fk = k.split("_", 1)[0]
+            fshort[k if fk in fshort else fk] = v[:80]
+        out["failures"] = fshort
         out["failed"] = len(failures)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

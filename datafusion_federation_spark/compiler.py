@@ -433,10 +433,12 @@ class Compiler:
         a key equi-join — AQE picks broadcast when the grouped side is
         small; nothing touches the driver.
 
-        COUNT aggregates coalesce to 0 on no-match (SQL: a count over an
-        empty correlated set is 0, not NULL). Only equi-correlation
-        (bare inner column = bare outer column) is supported; anything
-        else raises rather than risking silently-wrong hoisting.
+        Aggregate items containing COUNT coalesce to their empty-set
+        value on no-match (SQL: the subquery over an empty correlated set
+        still evaluates the expression — COUNT()=0, so COUNT(*)+1 = 1;
+        SUM over empty stays NULL). Only equi-correlation (bare inner
+        column = bare outer column) is supported; anything else raises
+        rather than risking silently-wrong hoisting.
 
         Returns a mapping: aggregate output name -> replacement Expr.
         """
@@ -451,15 +453,15 @@ class Compiler:
                 "correlated scalar subquery must be a single ungrouped "
                 "aggregate (SELECT agg(...) FROM ... WHERE correlation)")
         conds, cleaned = _extract_correlated(node.input)
-        keys: List[Tuple[str, str]] = []   # (outer column, inner column)
+        keys: List[Tuple[OuterRef, str]] = []  # (outer ref, inner column)
         for c in conds:
             pair = None
             if isinstance(c, BinaryOp) and c.op == "=":
                 left, right = c.left, c.right
                 if isinstance(left, OuterRef) and isinstance(right, Col):
-                    pair = (left.name, right.name)
+                    pair = (left, right.name)
                 elif isinstance(right, OuterRef) and isinstance(left, Col):
-                    pair = (right.name, left.name)
+                    pair = (right, left.name)
             if pair is None:
                 raise NotImplementedError(
                     "correlated scalar subquery: only equi-correlation "
@@ -474,6 +476,10 @@ class Compiler:
         for _, ik in keys:
             if ik not in inner_keys:
                 inner_keys.append(ik)
+        # the subquery's own projection may have dropped the correlation
+        # keys (quantifier rewrites project only the compared column):
+        # widen explicit Projects on the spine so the grouping resolves
+        cleaned = _widen_projects(cleaned, inner_keys)
         grouped = Aggregate(cleaned, [Col(k) for k in inner_keys],
                             node.aggregates)
         sub = self._c(grouped)
@@ -485,17 +491,42 @@ class Compiler:
             *[F.col(k).alias(h) for k, h in key_helper.items()],
             *[F.col(c).alias(h) for c, h in val_helper.items()])
         on = None
-        for outer_name, ik in keys:
-            cond = state["df"][outer_name] == sub[key_helper[ik]]
+        for outer_ref, ik in keys:
+            cond = (_resolve_outer(state["df"], outer_ref)
+                    == sub[key_helper[ik]])
             on = cond if on is None else (on & cond)
         state["df"] = state["df"].join(sub, on=on, how="left")
         state["cols"].extend(list(key_helper.values())
                              + list(val_helper.values()))
+
+        def empty_set_value(e: Expr) -> Expr:
+            """The aggregate expression evaluated over an empty input:
+            COUNT-family -> 0, every other aggregate -> NULL, with the
+            surrounding arithmetic kept (NULL propagates through it
+            exactly as SQL evaluates the empty-set subquery)."""
+            def repl(x: Expr) -> Expr:
+                if isinstance(x, AggFunc):
+                    if x.name.lower() in ("count", "count_if",
+                                          "approx_count_distinct"):
+                        return Lit(0)
+                    return Lit(None)
+                return x
+            return _rewrite_expr(e, repl)
+
+        def has_count(e: Expr) -> bool:
+            from .expressions import walk as walk_expr
+            return any(isinstance(x, AggFunc)
+                       and x.name.lower() in ("count", "count_if",
+                                              "approx_count_distinct")
+                       for x in walk_expr(e))
+
         out: Dict[str, Expr] = {}
         for item, (cname, h) in zip(node.aggregates, val_helper.items()):
             e = item.expr if isinstance(item, Alias) else item
-            if isinstance(e, AggFunc) and e.name.lower() == "count":
-                out[cname] = Func("coalesce", [Col(h), Lit(0)])
+            if has_count(e):
+                # only COUNT-bearing items have a non-NULL empty-set
+                # value; for the rest coalesce(col, NULL) is a no-op
+                out[cname] = Func("coalesce", [Col(h), empty_set_value(e)])
             else:
                 out[cname] = Col(h)
         return out
@@ -589,6 +620,70 @@ def _plan_has_outer_ref(p: Plan) -> bool:
                for e in node.exprs())
 
 
+def _widen_projects(p: Plan, needed: List[str]) -> Plan:
+    """Append missing columns to explicit Projects on the
+    Filter/Project/SubqueryAlias spine so a grouping over `needed`
+    resolves (a subquery's own projection legitimately drops the
+    correlation key — e.g. the ALL/ANY quantifier rewrite projects only
+    the compared column). Star projections already pass everything
+    through, so they are left alone."""
+    from .expressions import Alias, Col as ColE, Star
+
+    def names_of(projs):
+        out = []
+        for e in projs:
+            if isinstance(e, Alias):
+                out.append(e.name)
+            elif isinstance(e, ColE):
+                out.append(e.name)
+            elif hasattr(e, "output_name"):
+                try:
+                    out.append(e.output_name())
+                except Exception:  # noqa: BLE001 - name unknown is fine
+                    pass
+        return out
+
+    if isinstance(p, Project):
+        child = _widen_projects(p.input, needed)
+        if any(isinstance(e, Star) for e in p.projections):
+            return p if child is p.input else Project(child, p.projections)
+        have = set(names_of(p.projections))
+        missing = [k for k in needed if k not in have]
+        if not missing and child is p.input:
+            return p
+        return Project(child,
+                       list(p.projections) + [ColE(k) for k in missing])
+    if isinstance(p, (Filter, SubqueryAlias)):
+        new_inputs = [_widen_projects(i, needed) for i in p.inputs()]
+        if all(n is o for n, o in zip(new_inputs, p.inputs())):
+            return p
+        return p.with_inputs(new_inputs)
+    return p
+
+
+def _resolve_outer(outer_df: DataFrame, ref) -> Any:
+    """Resolve an OuterRef against the immediate outer frame. Qualified
+    references try their alias first — if the alias does not exist on
+    this frame the reference belongs to a FARTHER scope (multi-level
+    correlation), which a single hoist cannot express: raise instead of
+    silently binding a same-named column of the wrong scope."""
+    if getattr(ref, "table", None):
+        try:
+            return outer_df[f"{ref.table}.{ref.name}"]
+        except Exception as exc:  # noqa: BLE001 - analysis failure
+            try:
+                unqual = outer_df[ref.name]
+            except Exception:
+                raise NotImplementedError(
+                    f"correlated reference {ref.table}.{ref.name} does "
+                    "not resolve against the immediate outer scope "
+                    "(multi-level correlation is not supported)") from exc
+            # alias lost (e.g. the frame passed through an aggregate)
+            # but the name is unambiguous on this frame: safe to bind
+            return unqual
+    return outer_df[ref.name]
+
+
 def _split_conjuncts(e: Expr):
     from .expressions import BinaryOp
     if isinstance(e, BinaryOp) and e.op.upper() == "AND":
@@ -651,7 +746,7 @@ def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame):
         Between, BinaryOp, Col, InList, IsNotNull, IsNull, Lit, Not,
         OuterRef)
     if isinstance(e, OuterRef):
-        return outer_df[e.name]
+        return _resolve_outer(outer_df, e)
     if isinstance(e, Col):
         return sub_df[e.name]
     if isinstance(e, Lit):

@@ -205,7 +205,7 @@ ORDER BY part_value DESC, l.l_partkey
 
 @q("h11_important_stock", _H11_SQL)
 def h11(spark, sf):
-    """TPC-H Q11: parts whose NATION_5-supplied value exceeds a fraction
+    """TPC-H Q11: parts whose NATION_19-supplied value exceeds a fraction
     of the nation's total — HAVING against an uncorrelated scalar
     subquery (attached as a broadcast join on the aggregated frame;
     the inner total is one extra scan, shared nothing with the outer

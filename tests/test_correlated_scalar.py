@@ -80,18 +80,83 @@ def test_correlated_count_coalesces_to_zero(spark):
     assert total == n_orders
 
 
-def test_correlated_scalar_executes_subquery_once(spark):
-    """Two references to one subquery object join (and execute) once."""
-    eng = _engine(spark, ["supplier"])
-    df = eng.sql("""
+def test_correlated_quantified_all_shares_one_subquery(spark):
+    """`>= ALL (correlated)` rewrites to TWO ScalarSubquery references
+    (max + count) over ONE shared Aggregate plan; the decorrelation must
+    join that grouped plan once — and the quantifier's internal Project
+    (only the compared column) must be widened with the correlation key.
+    Values pinned against DuckDB running the identical SQL."""
+    sql = """
     SELECT s.s_suppkey
     FROM supplier s
-    WHERE s.s_acctbal >= (SELECT MAX(s2.s_acctbal) FROM supplier s2
-                          WHERE s2.s_nationkey = s.s_nationkey)
-    """)
-    # exactly one helper-join of the grouped subquery in the plan
+    WHERE s.s_acctbal >= ALL (SELECT s2.s_acctbal FROM supplier s2
+                              WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s.s_suppkey
+    """
+    df = _engine(spark, ["supplier"]).sql(sql)
+    got = [r[0] for r in df.collect()]
+    want = [r[0] for r in _duck(sql, ["supplier"])]
+    assert got == want and len(got) > 0
+    # exactly one helper-join of the shared grouped subquery in the plan
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("__sq0") > 0 and "__sq1" not in plan
+    assert plan.count("__sq0_k0") > 0 and "__sq1" not in plan
+
+
+def test_correlated_count_nested_in_expression(spark):
+    """COUNT nested inside arithmetic (COUNT(*) + 1) must evaluate the
+    whole expression over the empty set on no-match (=1), not NULL."""
+    sql = """
+    SELECT c.c_custkey,
+           (SELECT COUNT(*) + 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice < 0.0) AS n_plus
+    FROM customer c
+    ORDER BY c.c_custkey
+    """
+    df = _engine(spark, ["customer", "orders"]).sql(sql)
+    got = [(r[0], r[1]) for r in df.collect()]
+    want = [(r[0], r[1]) for r in _duck(sql, ["customer", "orders"])]
+    assert got == want
+    assert all(v == 1 for _, v in got)   # empty set -> COUNT(*)+1 = 1
+
+
+def test_builder_having_scalar_subquery(spark):
+    """Aggregate.having with a scalar subquery through the BUILDER path
+    (sqlfront lowers HAVING to a Filter, so this branch is only
+    reachable from hand-built plans)."""
+    from datafusion_federation_spark.compiler import Compiler
+    from datafusion_federation_spark.expressions import (
+        AggFunc, Alias, BinaryOp, Col, ScalarSubquery)
+    from datafusion_federation_spark.plans.nodes import Aggregate, Scan
+    from datafusion_federation_spark.sources.table import TableHandle
+
+    spark.read.parquet(f"{TESTDATA}/orders.parquet") \
+        .createOrReplaceTempView("orders_b")
+    t = TableHandle(local_name="orders_b", provider=None)
+    inner = Aggregate(Scan(t), [],
+                      [Alias(AggFunc("avg", [Col("o_totalprice")]),
+                             "avg_tp")])
+    # builder contract: HAVING references the aggregate's OUTPUT columns
+    # (sqlfront rewrites agg calls to aliases before it gets here)
+    plan = Aggregate(
+        Scan(t), [Col("o_custkey")],
+        [Alias(AggFunc("sum", [Col("o_totalprice")]), "tot")],
+        having=BinaryOp(">", Col("tot"),
+                        ScalarSubquery(inner, column="avg_tp")))
+    df = Compiler(spark).compile(plan)
+    rows = df.collect()
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{TESTDATA}/orders.parquet'")
+    want = con.execute(
+        "SELECT o_custkey, SUM(o_totalprice) AS tot FROM orders "
+        "GROUP BY o_custkey "
+        "HAVING SUM(o_totalprice) > (SELECT AVG(o_totalprice) "
+        "FROM orders)").fetchall()
+    assert sorted((r["o_custkey"], round(r["tot"], 6)) for r in rows) \
+        == sorted((k, round(v, 6)) for k, v in want)
+    assert len(rows) > 0
 
 
 def test_correlated_non_equi_refused(spark):
