@@ -1,0 +1,113 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines: hash-stratified sampling, per-group quotas (class balancing),
+train/val/test splits, and a deterministic corpus shuffle.
+
+Everything here is driven by a content hash, never an RNG: rerunning the
+pipeline on the same corpus (or on a re-partitioned copy — partition
+layout must not matter at 100 TB) selects the same rows. Two hash
+backends:
+
+- ``xxhash64`` (default): one JVM long op per row, no materialized
+  strings — the 100 TB path.
+- ``md5`` prefix: engine-portable (DuckDB computes the identical hex),
+  used by the oracle-checked d18-d20 queries. The sampling threshold is
+  a hex-string PREFIX comparison, so both engines agree without any
+  int(hex) conversion.
+
+All four operators are narrow (no shuffle) except quota_per_group, whose
+single window shuffle is inherent to "k per group"; for a skewed group
+key combine with operators/skew.py salting.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: 2-hex-digit thresholds give frac granularity of 1/256 — plenty for
+#: corpus sampling, and exactly reproducible in any engine with md5.
+_HEX2_SPACE = 256
+
+
+def _hash_col(key: Column, method: str) -> Column:
+    if method == "xxhash64":
+        return F.xxhash64(key)
+    if method == "md5":
+        return F.md5(key.cast("string"))
+    raise ValueError(f"unknown hash method {method!r}")
+
+
+def hash_sample(df: DataFrame, key: str, frac: float,
+                method: str = "xxhash64") -> DataFrame:
+    """Deterministic ~frac sample keyed on `key`'s hash. Narrow (a
+    filter — no shuffle, no RNG, independent of partitioning), so at
+    100 TB it is a free predicate on the scan. md5 mode rounds frac to
+    1/256 granularity (hex-prefix threshold, engine-portable)."""
+    k = F.col(key)
+    if method == "md5":
+        bound = format(max(0, min(_HEX2_SPACE, round(frac * _HEX2_SPACE))),
+                       "02x")
+        return df.filter(F.substring(_hash_col(k, "md5"), 1, 2) < bound)
+    # xxhash64: fold the signed 64-bit hash into [0, 1<<32)
+    bucket = F.pmod(_hash_col(k, "xxhash64"), F.lit(1 << 32))
+    return df.filter(bucket < int(frac * (1 << 32)))
+
+
+def quota_per_group(df: DataFrame, group: str, k: int, key: str,
+                    method: str = "xxhash64") -> DataFrame:
+    """Class-balanced selection: at most k rows per `group`, chosen in
+    deterministic hash order of `key` (ties broken by the key itself so
+    the pick is total-ordered). One shuffle on the group key — the
+    unavoidable cost of an exact per-group quota. Adds no columns."""
+    h = _hash_col(F.col(key), method)
+    w = W.partitionBy(group).orderBy(h, F.col(key))
+    return (df.withColumn("__qr", F.row_number().over(w))
+              .filter(F.col("__qr") <= k).drop("__qr"))
+
+
+def assign_splits(df: DataFrame, key: str, splits: Dict[str, float],
+                  method: str = "xxhash64",
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: cumulative hash-bucket
+    thresholds in the given split order. Weights must sum to 1 (small
+    float slack tolerated; the LAST split absorbs the remainder so every
+    row is assigned). Narrow — a single CASE column."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    names = list(splits)
+    if method == "md5":
+        h2 = F.substring(_hash_col(F.col(key), "md5"), 1, 2)
+        acc, expr = 0.0, None
+        for name in names[:-1]:
+            acc += splits[name]
+            bound = format(min(_HEX2_SPACE, round(acc * _HEX2_SPACE)), "02x")
+            cond = h2 < bound
+            expr = (F.when(cond, name) if expr is None
+                    else expr.when(cond, name))
+    else:
+        bucket = F.pmod(_hash_col(F.col(key), "xxhash64"), F.lit(1 << 32))
+        acc, expr = 0.0, None
+        for name in names[:-1]:
+            acc += splits[name]
+            cond = bucket < int(acc * (1 << 32))
+            expr = (F.when(cond, name) if expr is None
+                    else expr.when(cond, name))
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, last)
+
+
+def deterministic_shuffle(df: DataFrame, key: str,
+                          num_partitions: int | None = None) -> DataFrame:
+    """Stable global shuffle for training-order randomization: range-
+    partition + sort by the key hash. Same corpus -> same order, any
+    input partitioning. At 100 TB this is one range-exchange (sampled
+    boundaries), the same cost as any global sort; downstream writers
+    should write partition-per-file to keep the order addressable."""
+    h = F.xxhash64(F.col(key))
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, h) \
+                 .sortWithinPartitions(h, F.col(key))
+    return df.orderBy(h, F.col(key))

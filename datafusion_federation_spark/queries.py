@@ -67,6 +67,11 @@ SECONDARY = {
     "h20_potential_promotion",
     "h21_waiting_supplier",
     "h22_global_sales",
+    # round 4: sampling/splitting operators (oracle-checked by the local
+    # tool + bench; window stays the 50 no-other-evidence primaries)
+    "d18_hash_sample",
+    "d19_quota_per_group",
+    "d20_train_split",
 }
 
 DEC = "decimal(12,2)"

@@ -532,3 +532,77 @@ def d17(spark, sf):
     emb = t(spark, sf, "embeddings")
     return (similarity.dimension_means(emb, "embedding", dim=64)
             .orderBy("dim"))
+
+
+# ===========================================================================
+# deterministic sampling / splitting (operators/sampling.py)
+# ===========================================================================
+
+@q("d18_hash_sample", """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+GROUP BY lang ORDER BY lang
+""")
+def d18(spark, sf):
+    """Deterministic ~20% corpus sample (md5-prefix threshold, the
+    engine-portable mode of operators/sampling.hash_sample), profiled
+    per language. Narrow op: a filter on the scan, no shuffle beyond
+    the profiling groupBy."""
+    from .operators import sampling
+    docs = t(spark, sf, "documents")
+    s = sampling.hash_sample(docs, "doc_id", 51 / 256, method="md5")
+    return (s.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").cast("bigint").alias("chars"))
+            .orderBy("lang"))
+
+
+@q("d19_quota_per_group", """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) ranked
+WHERE rn <= 5
+ORDER BY lang, doc_id
+""")
+def d19(spark, sf):
+    """Class-balanced quota: 5 documents per language in deterministic
+    hash order (operators/sampling.quota_per_group, md5 mode). The one
+    shuffle is the per-language window."""
+    from .operators import sampling
+    docs = t(spark, sf, "documents")
+    return (sampling.quota_per_group(docs, "lang", 5, "doc_id",
+                                     method="md5")
+            .select("doc_id", "lang").orderBy("lang", "doc_id"))
+
+
+@q("d20_train_split", """
+SELECT split, source, COUNT(*) AS n
+FROM (SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+                    THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents) assigned
+GROUP BY split, source ORDER BY split, source
+""")
+def d20(spark, sf):
+    """Deterministic train/val/test split (~10/10/80 via cumulative
+    md5-prefix thresholds: '1a'=26/256, '33'=51/256), audited per
+    source. Rerunning on the same corpus — at any partitioning —
+    assigns every document identically (operators/sampling.
+    assign_splits)."""
+    from .operators import sampling
+    docs = t(spark, sf, "documents")
+    a = sampling.assign_splits(docs, "doc_id",
+                               {"test": 26 / 256, "val": 25 / 256,
+                                "train": 205 / 256},
+                               method="md5")
+    return (a.groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("split", "source"))

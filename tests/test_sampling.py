@@ -1,0 +1,101 @@
+"""Deterministic sampling / splitting operators (operators/sampling.py).
+
+Key properties pinned: partitioning-invariance (the whole point — a
+100 TB corpus is sampled identically however it is laid out), exact
+quotas, complete+disjoint splits, stable shuffle order.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_federation_spark.operators import sampling
+from tests.conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet")
+
+
+def test_hash_sample_partitioning_invariant(spark, docs):
+    """Same sample ids regardless of input partitioning (both hash
+    backends) — no RNG, no partition-index dependence."""
+    for method in ("xxhash64", "md5"):
+        a = sampling.hash_sample(docs, "doc_id", 0.25, method=method)
+        b = sampling.hash_sample(docs.repartition(13), "doc_id", 0.25,
+                                 method=method)
+        ids_a = sorted(r[0] for r in a.select("doc_id").collect())
+        ids_b = sorted(r[0] for r in b.select("doc_id").collect())
+        assert ids_a == ids_b
+        n = docs.count()
+        assert 0 < len(ids_a) < n
+        # hash uniformity: within a loose band of the target fraction
+        assert 0.1 * n < len(ids_a) < 0.45 * n
+
+
+def test_hash_sample_is_subset_and_idempotent(spark, docs):
+    s1 = sampling.hash_sample(docs, "doc_id", 0.3)
+    s2 = sampling.hash_sample(s1, "doc_id", 0.3)
+    # sampling a sample at the same frac with the same key is a no-op
+    # (the predicate is deterministic per key)
+    assert s2.count() == s1.count()
+
+
+def test_quota_per_group_exact(spark, docs):
+    out = sampling.quota_per_group(docs, "lang", 3, "doc_id")
+    per = dict(out.groupBy("lang").count().collect())
+    full = dict(docs.groupBy("lang").count().collect())
+    for lang, n in full.items():
+        assert per.get(lang, 0) == min(3, n)
+    # deterministic pick: same rows on a different partitioning
+    out2 = sampling.quota_per_group(docs.repartition(7), "lang", 3,
+                                    "doc_id")
+    assert sorted(r[0] for r in out.select("doc_id").collect()) \
+        == sorted(r[0] for r in out2.select("doc_id").collect())
+
+
+def test_assign_splits_complete_and_disjoint(spark, docs):
+    out = sampling.assign_splits(
+        docs, "doc_id", {"test": 0.1, "val": 0.1, "train": 0.8})
+    assert out.filter(F.col("split").isNull()).count() == 0
+    counts = dict((r[0], r[1]) for r in
+                  out.groupBy("split").count().collect())
+    n = docs.count()
+    assert sum(counts.values()) == n          # complete, one split each
+    assert counts["train"] > counts.get("test", 0)
+    # weights must sum to 1
+    with pytest.raises(ValueError):
+        sampling.assign_splits(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_assign_splits_stable_across_runs(spark, docs):
+    a = sampling.assign_splits(docs, "doc_id",
+                               {"val": 0.2, "train": 0.8})
+    b = sampling.assign_splits(docs.repartition(5), "doc_id",
+                               {"val": 0.2, "train": 0.8})
+    da = {r[0]: r[1] for r in a.select("doc_id", "split").collect()}
+    db = {r[0]: r[1] for r in b.select("doc_id", "split").collect()}
+    assert da == db
+
+
+def test_deterministic_shuffle_stable_order(spark, docs):
+    a = [r[0] for r in sampling.deterministic_shuffle(docs, "doc_id")
+         .select("doc_id").collect()]
+    b = [r[0] for r in sampling.deterministic_shuffle(
+            docs.repartition(9), "doc_id").select("doc_id").collect()]
+    assert a == b
+    assert a != sorted(a)      # actually shuffled, not id order
+    assert sorted(a) == sorted(set(a))   # a permutation, no dup/loss
+
+
+def test_deterministic_shuffle_partitioned_variant(spark, docs):
+    out = sampling.deterministic_shuffle(docs, "doc_id",
+                                         num_partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    # per-partition sortedness by the hash
+    hashes = out.select(F.xxhash64("doc_id").alias("h")) \
+        .rdd.mapPartitions(lambda it: [[r["h"] for r in it]]).collect()
+    for part in hashes:
+        assert part == sorted(part)
