@@ -833,8 +833,12 @@ class Exists(Expr):
 
 @dataclass(eq=False)
 class InSubquery(Expr):
-    """IN subquery; the reference refuses to federate it
-    (optimizer/mod.rs:113,302) — we keep it local as a LEFT SEMI join."""
+    """IN subquery. The reference's federation rule refuses the raw form
+    (optimizer/mod.rs:113,302) because DataFusion's analyzer decorrelates
+    it to a semi join before the rule runs; we reach the same observable
+    directly — a same-provider IN (subquery) joins the enclosing claim
+    and renders natively in the one remote SQL (round 4), while mixed
+    providers compile it locally as a LEFT SEMI join."""
 
     expr: Expr
     plan: Any

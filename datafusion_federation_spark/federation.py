@@ -77,27 +77,35 @@ class ScanResult:
 # scan_expr_recursively — reference src/optimizer/mod.rs:63-126)
 # ---------------------------------------------------------------------------
 
-def scan_expr(e: Expr) -> ScanResult:
+def scan_expr(e: Expr, in_subquery: bool = False) -> ScanResult:
+    """`in_subquery=True` evaluates the expression as part of an
+    ENCLOSING claim whose outer scope rides along — there an OuterRef is
+    just a column of the same remote SQL. At the top level (or when a
+    subquery root is considered for INDEPENDENT federation) an OuterRef
+    still forces Ambiguous: the subquery cannot leave its outer scope
+    behind (reference posture, optimizer/mod.rs:114-120 — though the
+    reference's analyzer decorrelates before its rule runs, so the
+    observable behavior of collapsing a same-provider correlated query
+    into one SQL matches DataFusion+federation end to end)."""
     res = ScanResult.none()
     for node in walk(e):
         if isinstance(node, (ScalarSubquery, SetComparison)):
             # quantified comparisons carry a subquery plan too — its
             # provider joins the lattice so a same-provider ANY/ALL
             # federates with its parent query
-            res = res.merge(scan_plan(node.plan))
+            res = res.merge(scan_plan(node.plan, in_subquery=True))
         elif isinstance(node, (Exists, InSubquery)):
-            # The reference refuses InSubquery federation
-            # (not_impl_err at optimizer/mod.rs:113,302); Exists/In stay
-            # local -> force Ambiguous so federation happens lower.
-            res = res.merge(ScanResult.ambiguous())
-        elif isinstance(node, OuterRef):
-            # Correlated outer reference: force local
-            # (optimizer/mod.rs:114-120).
+            # the subquery's scans join the lattice: a same-provider
+            # EXISTS/IN renders natively inside the one remote SQL
+            # (correlation included); mixed providers -> Ambiguous via
+            # the merge, and federation happens lower as before
+            res = res.merge(scan_plan(node.plan, in_subquery=True))
+        elif isinstance(node, OuterRef) and not in_subquery:
             res = res.merge(ScanResult.ambiguous())
     return res
 
 
-def scan_plan(p: Plan) -> ScanResult:
+def scan_plan(p: Plan, in_subquery: bool = False) -> ScanResult:
     res = ScanResult.none()
     if isinstance(p, Scan):
         prov = p.table.provider or _LOCAL
@@ -107,9 +115,9 @@ def scan_plan(p: Plan) -> ScanResult:
         # (optimizer/mod.rs:142-147)
         return ScanResult.ambiguous()
     for e in p.exprs():
-        res = res.merge(scan_expr(e))
+        res = res.merge(scan_expr(e, in_subquery=in_subquery))
     for i in p.inputs():
-        res = res.merge(scan_plan(i))
+        res = res.merge(scan_plan(i, in_subquery=in_subquery))
     return res
 
 

@@ -69,6 +69,7 @@ SECONDARY = {
     "h22_global_sales",
     # round 4: sampling/splitting operators (oracle-checked by the local
     # tool + bench; window stays the 50 no-other-evidence primaries)
+    "q71_federated_correlated_exists",
     "d18_hash_sample",
     "d19_quota_per_group",
     "d20_train_split",
@@ -1273,3 +1274,28 @@ def q70(spark, sf):
     query — frame spec included — collapses to ONE remote SQL."""
     eng = _fed_engine(spark, sf, ["orders"], "duck_q70")
     return eng.sql(_Q70_SQL)
+
+
+_Q71_SQL = """
+SELECT c.c_custkey, COUNT(*) AS n_big
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_totalprice > 250000
+  AND EXISTS (SELECT 1 FROM orders o2
+              WHERE o2.o_custkey = c.c_custkey
+                AND o2.o_orderpriority = '1-URGENT')
+  AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) * 0.0 FROM customer c2)
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@q("q71_federated_correlated_exists", _Q71_SQL)
+def q71(spark, sf):
+    """Round 4: a correlated EXISTS plus an uncorrelated scalar
+    subquery on ONE provider collapse — correlation included — into a
+    single remote SQL (the reference reaches the same observable
+    through DataFusion's pre-federation decorrelation; we unparse the
+    correlated form natively). One remote round-trip instead of three
+    whole-table pulls."""
+    eng = _fed_engine(spark, sf, ["customer", "orders"], "duck_q71")
+    return eng.sql(_Q71_SQL)

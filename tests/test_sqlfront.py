@@ -329,12 +329,17 @@ def test_distinct_in_unknown_function_rejected():
         parse("SELECT array_agg(DISTINCT a) AS v FROM t GROUP BY b")
 
 
-def test_correlated_below_aggregate_rejected(duckdb_engine):
+def test_correlated_below_aggregate_rejected_locally(spark):
     # hoisting a filter from under an aggregate would change group
-    # membership — must refuse, not silently mis-answer
+    # membership — the LOCAL compile must refuse, not silently
+    # mis-answer (on a single remote the same shape federates and the
+    # engine executes it natively — see
+    # test_correlated_below_aggregate_federates_remotely)
+    from datafusion_federation_spark.engine import FederationEngine
     from datafusion_federation_spark.expressions import Exists, OuterRef, col
-    from datafusion_federation_spark.plans.nodes import Aggregate as Agg
-    eng, _ = duckdb_engine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    eng.register_local_parquet("customer", f"{TESTDATA}/customer.parquet")
     sub = (eng.table("orders")
            .filter(col("o_custkey") == OuterRef("c_custkey"))
            .group_by("o_orderpriority")
@@ -343,6 +348,32 @@ def test_correlated_below_aggregate_rejected(duckdb_engine):
     b = eng.table("customer").filter(Exists(sub.plan)).select("c_custkey")
     with pytest.raises(Exception, match="decorrelated|correlated"):
         b.to_df().collect()
+
+
+def test_correlated_below_aggregate_federates_remotely(duckdb_engine):
+    """The same correlated-below-aggregate EXISTS that the local path
+    refuses is perfectly valid SQL on ONE provider: since round 4 the
+    claim carries the correlated subquery, so the query collapses to a
+    single remote SQL and executes correctly (checked against DuckDB
+    running it directly)."""
+    from datafusion_federation_spark.expressions import Exists, OuterRef, col
+    eng, ex = duckdb_engine
+    sub = (eng.table("orders")
+           .filter(col("o_custkey") == OuterRef("c_custkey"))
+           .group_by("o_orderpriority")
+           .agg(__import__("datafusion_federation_spark.expressions",
+                           fromlist=["agg"]).agg("count").alias("n")))
+    b = eng.table("customer").filter(Exists(sub.plan)).select("c_custkey")
+    fed = federate(b.plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1 and "EXISTS" in remotes[0].sql
+    got = sorted(r[0] for r in b.to_df().collect())
+    want = sorted(r[0] for r in ex.conn.execute(
+        "SELECT c_custkey FROM customer c WHERE EXISTS "
+        "(SELECT o_orderpriority, COUNT(*) FROM orders "
+        " WHERE o_custkey = c.c_custkey GROUP BY o_orderpriority)")
+        .fetchall())
+    assert got == want and len(got) > 0
 
 
 def test_grouping_sets_local_path_has_key_columns(spark):
@@ -438,20 +469,22 @@ def test_inner_alias_shadowing_outer_not_correlated():
 
 
 def test_shadowed_alias_query_federates_subquery(duckdb_engine):
-    """IN-subqueries stay local by design (reference refuses InSubquery
-    federation), but with the shadowing fix the inner query is
-    UNcorrelated, so it federates independently — before the fix the
-    bogus OuterRef forced a correlated decorrelation path instead."""
+    """With the shadowing fix the inner query is UNcorrelated; since
+    round 4 a same-provider IN (subquery) joins the enclosing claim's
+    lattice, so the WHOLE query — subquery included — collapses into
+    one remote SQL (no local InSubquery node survives)."""
     from datafusion_federation_spark.expressions import InSubquery, walk
     eng, ex = duckdb_engine
     sql = ("SELECT c.o_orderkey FROM orders c WHERE c.o_custkey IN "
            "(SELECT c.c_custkey FROM customer c WHERE c.c_acctbal > 1000)")
     plan = eng.sql_plan(sql).plan
     fed = federate(plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1, "same-provider IN must fully federate"
+    assert " IN (" in remotes[0].sql
     in_subs = [n for node in walk_plan(fed) for e in node.exprs()
                for n in walk(e) if isinstance(n, InSubquery)]
-    assert in_subs and isinstance(in_subs[0].plan, RemoteQueryNode), \
-        "uncorrelated shadowed subquery must federate independently"
+    assert not in_subs
     got = sorted(map(tuple, eng.sql(sql).collect()))
     assert got == _oracle(sql)
 
