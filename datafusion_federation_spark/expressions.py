@@ -855,8 +855,13 @@ class InSubquery(Expr):
 
 @dataclass(eq=False)
 class OuterRef(Expr):
-    """Correlated outer-reference column (analyzer.rs:551-560); forces the
-    containing subtree to stay local (optimizer/mod.rs:114-120)."""
+    """Correlated outer-reference column (analyzer.rs:551-560). A
+    subquery root considered on its own stays local because of it (the
+    reference's posture, optimizer/mod.rs:114-120) — but since round 4 a
+    QUALIFIED outer reference whose scope rides inside the same
+    single-provider claim federates natively with the enclosing query
+    (federation.py:_subquery_outer_ok); unqualified or out-of-claim
+    references still force the local compile."""
 
     name: str
     table: Optional[str] = None

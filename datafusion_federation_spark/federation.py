@@ -77,35 +77,78 @@ class ScanResult:
 # scan_expr_recursively — reference src/optimizer/mod.rs:63-126)
 # ---------------------------------------------------------------------------
 
-def scan_expr(e: Expr, in_subquery: bool = False) -> ScanResult:
-    """`in_subquery=True` evaluates the expression as part of an
-    ENCLOSING claim whose outer scope rides along — there an OuterRef is
-    just a column of the same remote SQL. At the top level (or when a
-    subquery root is considered for INDEPENDENT federation) an OuterRef
-    still forces Ambiguous: the subquery cannot leave its outer scope
-    behind (reference posture, optimizer/mod.rs:114-120 — though the
-    reference's analyzer decorrelates before its rule runs, so the
-    observable behavior of collapsing a same-provider correlated query
-    into one SQL matches DataFusion+federation end to end)."""
+def _bound_aliases(p: Plan) -> frozenset:
+    """Alias names a plan's FROM spine binds in the generated SQL: scan
+    auto-aliases (the local table name) and explicit SubqueryAliases.
+    Shallow — subquery plans hanging off expressions bind their OWN
+    scopes and are resolved level by level in _subquery_outer_ok."""
+    out = set()
+    for node in walk_plan(p):
+        if isinstance(node, Scan):
+            out.add(node.table.local_name)
+        from .plans.nodes import SubqueryAlias as _SA
+        if isinstance(node, _SA):
+            out.add(node.alias)
+    return frozenset(out)
+
+
+def _subquery_outer_ok(subplan: Plan, enclosing: frozenset) -> bool:
+    """True iff every outer reference in `subplan` (at any nesting
+    depth) is QUALIFIED and its qualifier resolves, SQL-lexically, to a
+    scope inside the claim: depth-1 refs against `enclosing`, deeper
+    refs against enclosing + the intermediate subquery scopes. An
+    unqualified OuterRef cannot be scope-checked (and a bare name in
+    the rendered SQL would bind the INNERMOST scope — a self-join
+    tautology), so it keeps the subquery out of the claim; the local
+    compile path binds those explicitly and stays correct."""
+    own = _bound_aliases(subplan)
+    for node in walk_plan(subplan):
+        for e in node.exprs():
+            for x in walk(e):
+                if isinstance(x, OuterRef):
+                    if not x.table or x.table in own \
+                            or x.table not in enclosing:
+                        return False
+                elif isinstance(x, (Exists, InSubquery, ScalarSubquery,
+                                    SetComparison)):
+                    if not _subquery_outer_ok(x.plan, enclosing | own):
+                        return False
+    return True
+
+
+def scan_expr(e: Expr, enclosing: frozenset = frozenset(),
+              outer_vetted: bool = False) -> ScanResult:
+    """`enclosing` holds the aliases bound by the candidate claim the
+    expression lives in. A subquery whose outer references all resolve
+    within the claim (checked to full nesting depth by
+    _subquery_outer_ok) joins the lattice — a same-provider correlated
+    EXISTS/IN/scalar renders natively inside the one remote SQL; its
+    inner OuterRefs are then scanned with `outer_vetted=True`. A
+    subquery that would have to leave a referenced scope behind — or a
+    bare OuterRef on an UNvetted path (the candidate is itself a
+    correlated subquery root) — forces Ambiguous, the reference's
+    posture (optimizer/mod.rs:114-120; its analyzer decorrelates first,
+    so the collapse observable matches DataFusion+federation)."""
     res = ScanResult.none()
     for node in walk(e):
-        if isinstance(node, (ScalarSubquery, SetComparison)):
-            # quantified comparisons carry a subquery plan too — its
-            # provider joins the lattice so a same-provider ANY/ALL
-            # federates with its parent query
-            res = res.merge(scan_plan(node.plan, in_subquery=True))
-        elif isinstance(node, (Exists, InSubquery)):
-            # the subquery's scans join the lattice: a same-provider
-            # EXISTS/IN renders natively inside the one remote SQL
-            # (correlation included); mixed providers -> Ambiguous via
-            # the merge, and federation happens lower as before
-            res = res.merge(scan_plan(node.plan, in_subquery=True))
-        elif isinstance(node, OuterRef) and not in_subquery:
+        if isinstance(node, (ScalarSubquery, SetComparison, Exists,
+                             InSubquery)):
+            if outer_vetted or _subquery_outer_ok(node.plan, enclosing):
+                res = res.merge(
+                    scan_plan(node.plan,
+                              enclosing | _bound_aliases(node.plan),
+                              outer_vetted=True))
+            else:
+                res = res.merge(ScanResult.ambiguous())
+        elif isinstance(node, OuterRef) and not outer_vetted:
             res = res.merge(ScanResult.ambiguous())
     return res
 
 
-def scan_plan(p: Plan, in_subquery: bool = False) -> ScanResult:
+def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
+              outer_vetted: bool = False) -> ScanResult:
+    if enclosing is None:
+        enclosing = _bound_aliases(p)
     res = ScanResult.none()
     if isinstance(p, Scan):
         prov = p.table.provider or _LOCAL
@@ -115,9 +158,9 @@ def scan_plan(p: Plan, in_subquery: bool = False) -> ScanResult:
         # (optimizer/mod.rs:142-147)
         return ScanResult.ambiguous()
     for e in p.exprs():
-        res = res.merge(scan_expr(e, in_subquery=in_subquery))
+        res = res.merge(scan_expr(e, enclosing, outer_vetted))
     for i in p.inputs():
-        res = res.merge(scan_plan(i, in_subquery=in_subquery))
+        res = res.merge(scan_plan(i, enclosing, outer_vetted))
     return res
 
 

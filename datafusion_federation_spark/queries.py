@@ -67,9 +67,11 @@ SECONDARY = {
     "h20_potential_promotion",
     "h21_waiting_supplier",
     "h22_global_sales",
+    # round 4: same-provider correlated-subquery collapse (evidence also
+    # in test_sqlfront + the q60/q67 primaries)
+    "q71_federated_correlated_exists",
     # round 4: sampling/splitting operators (oracle-checked by the local
     # tool + bench; window stays the 50 no-other-evidence primaries)
-    "q71_federated_correlated_exists",
     "d18_hash_sample",
     "d19_quota_per_group",
     "d20_train_split",

@@ -336,15 +336,15 @@ def test_correlated_below_aggregate_rejected_locally(spark):
     # engine executes it natively — see
     # test_correlated_below_aggregate_federates_remotely)
     from datafusion_federation_spark.engine import FederationEngine
-    from datafusion_federation_spark.expressions import Exists, OuterRef, col
+    from datafusion_federation_spark.expressions import (
+        Exists, OuterRef, agg, col)
     eng = FederationEngine(spark)
     eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
     eng.register_local_parquet("customer", f"{TESTDATA}/customer.parquet")
     sub = (eng.table("orders")
            .filter(col("o_custkey") == OuterRef("c_custkey"))
            .group_by("o_orderpriority")
-           .agg(__import__("datafusion_federation_spark.expressions",
-                           fromlist=["agg"]).agg("count").alias("n")))
+           .agg(agg("count").alias("n")))
     b = eng.table("customer").filter(Exists(sub.plan)).select("c_custkey")
     with pytest.raises(Exception, match="decorrelated|correlated"):
         b.to_df().collect()
@@ -353,16 +353,19 @@ def test_correlated_below_aggregate_rejected_locally(spark):
 def test_correlated_below_aggregate_federates_remotely(duckdb_engine):
     """The same correlated-below-aggregate EXISTS that the local path
     refuses is perfectly valid SQL on ONE provider: since round 4 the
-    claim carries the correlated subquery, so the query collapses to a
-    single remote SQL and executes correctly (checked against DuckDB
-    running it directly)."""
-    from datafusion_federation_spark.expressions import Exists, OuterRef, col
+    claim carries the correlated subquery — the outer reference must be
+    QUALIFIED so the scope vet can prove it resolves inside the claim
+    (an unqualified one stays local, see
+    test_unqualified_self_correlation_stays_local) — and the query
+    collapses to a single remote SQL that executes correctly (checked
+    against DuckDB running it directly)."""
+    from datafusion_federation_spark.expressions import (
+        Exists, OuterRef, agg, col)
     eng, ex = duckdb_engine
     sub = (eng.table("orders")
-           .filter(col("o_custkey") == OuterRef("c_custkey"))
+           .filter(col("o_custkey") == OuterRef("c_custkey", "customer"))
            .group_by("o_orderpriority")
-           .agg(__import__("datafusion_federation_spark.expressions",
-                           fromlist=["agg"]).agg("count").alias("n")))
+           .agg(agg("count").alias("n")))
     b = eng.table("customer").filter(Exists(sub.plan)).select("c_custkey")
     fed = federate(b.plan)
     remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
@@ -800,3 +803,43 @@ def test_qualify_over_aggregates_rejected_both_orders():
                 "QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC) <= 2"):
         with pytest.raises(SqlParseError, match="QUALIFY"):
             parse(sql)
+
+
+def test_unqualified_self_correlation_stays_local(duckdb_engine):
+    """An UNqualified OuterRef rendered into remote SQL would bind the
+    innermost scope — `o_custkey = o_custkey`, a tautology. The claim
+    vet refuses it; the local path binds the outer frame explicitly and
+    answers correctly (every order's custkey exists -> all rows)."""
+    from datafusion_federation_spark.expressions import (
+        Exists, OuterRef, col)
+    eng, ex = duckdb_engine
+    sub = (eng.table("orders")
+           .filter(col("o_custkey") == OuterRef("o_custkey")))
+    b = eng.table("orders").filter(Exists(sub.plan)).select("o_orderkey")
+    fed = federate(b.plan)
+    claimed = [n.sql for n in walk_plan(fed)
+               if isinstance(n, RemoteQueryNode)]
+    assert not any("EXISTS" in s for s in claimed), \
+        "unqualified correlation must not render into a remote claim"
+    n_orders = ex.conn.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert b.to_df().count() == n_orders
+
+
+def test_out_of_claim_outer_ref_never_ships(duckdb_engine):
+    """A subquery referencing an alias OUTSIDE the candidate claim
+    (local lineitem `l` from a remote-only nested EXISTS chain) must
+    not federate: no remote SQL may mention the foreign alias — the
+    depth-recursive vet in _subquery_outer_ok rejects it even when the
+    reference sits below ANOTHER subquery level."""
+    eng, ex = duckdb_engine
+    sql = """
+    SELECT l.l_orderkey FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = l.l_suppkey))
+    """
+    fed = federate(eng.sql_plan(sql).plan)
+    for n in walk_plan(fed):
+        if isinstance(n, RemoteQueryNode):
+            assert '"l"' not in n.sql, \
+                f"out-of-claim alias shipped remotely: {n.sql}"
