@@ -115,7 +115,24 @@ def _sql_queries(draw):
     pred = draw(_sql_preds)
     shape = draw(st.sampled_from(
         ["agg", "proj", "sort", "having", "union", "cte",
-         "star_exclude", "named_window", "qualify", "using"]))
+         "star_exclude", "named_window", "qualify", "using",
+         "corr_exists", "corr_scalar"]))
+    if shape == "corr_exists":
+        # correlated (NOT) EXISTS: decorrelates to semi/anti locally,
+        # renders natively when the provider claims the whole query
+        neg = "NOT " if draw(st.booleans()) else ""
+        return (f"SELECT a.n_nationkey FROM nation a WHERE {pred} "
+                f"AND {neg}EXISTS (SELECT 1 FROM nation b "
+                "WHERE b.n_regionkey = a.n_regionkey "
+                "AND b.n_nationkey < a.n_nationkey)")
+    if shape == "corr_scalar":
+        # correlated scalar aggregate (round-4 decorrelation / native
+        # render): per-region extremum compared against each row
+        fn = draw(st.sampled_from(["MAX", "MIN"]))
+        return ("SELECT a.n_nationkey FROM nation a "
+                f"WHERE {pred} AND a.n_nationkey = "
+                f"(SELECT {fn}(b.n_nationkey) FROM nation b "
+                "WHERE b.n_regionkey = a.n_regionkey)")
     if shape == "agg":
         return ("SELECT n_regionkey, COUNT(*) AS n, "
                 "SUM(n_nationkey) AS s, MAX(n_name) AS mx "
