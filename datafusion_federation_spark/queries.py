@@ -73,6 +73,7 @@ SECONDARY = {
     # round 4: sampling/splitting operators (oracle-checked by the local
     # tool + bench; window stays the 50 no-other-evidence primaries)
     "d18_hash_sample",
+    "d21_stream_hourly",
     "d19_quota_per_group",
     "d20_train_split",
 }

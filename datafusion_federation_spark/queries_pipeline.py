@@ -606,3 +606,44 @@ def d20(spark, sf):
     return (a.groupBy("split", "source")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("split", "source"))
+
+
+# ===========================================================================
+# streaming entry: an ACTUAL Structured Streaming job with a batch oracle
+# ===========================================================================
+
+@q("d21_stream_hourly", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'click')
+GROUP BY hour, event_type
+""")
+def d21(spark, sf):
+    """Structured Streaming, for real: the events table is consumed as
+    a file STREAM (availableNow trigger — one bounded pass, the
+    backfill pattern), aggregated with streaming/windows.
+    hourly_event_aggregation in complete mode into a memory sink, and
+    the finalized result must match the batch SQL oracle bit for bit.
+    At scale this same topology runs unbounded with the watermark
+    bounding state; availableNow is how the identical job replays
+    history."""
+    from .streaming.windows import hourly_event_aggregation
+
+    batch = t(spark, sf, "events")
+    name = "d21_stream_hourly_mem"
+    for qq in spark.streams.active:
+        if qq.name == name:
+            qq.stop()
+    # file streams take a DIRECTORY; glob down to the one events file
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf))
+    # the batch loader normalized ts (nanos/NTZ fixtures); mirror it on
+    # the stream if the raw file differs from the normalized schema
+    agg = hourly_event_aggregation(stream)
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination(120)
+    return spark.table(name)
