@@ -111,3 +111,29 @@ def deterministic_shuffle(df: DataFrame, key: str,
         return df.repartitionByRange(num_partitions, h) \
                  .sortWithinPartitions(h, F.col(key))
     return df.orderBy(h, F.col(key))
+
+
+def write_training_shards(df: DataFrame, path: str, key: str,
+                          num_shards: int, fmt: str = "parquet",
+                          compression: str | None = None) -> None:
+    """Materialize a training corpus as `num_shards` deterministic
+    shards: rows land in shard ``pmod(xxhash64(key), num_shards)`` and
+    are sorted by the key hash WITHIN each shard, so the written layout
+    (shard membership AND intra-shard order) is a pure function of the
+    data — rerunning on the same corpus rewrites identical shards, and
+    a trainer streaming shard-by-shard sees a stable, shuffled order.
+
+    One repartition on the shard id is the only wide stage; the sort is
+    per-partition (no global exchange). At 100 TB pick num_shards so a
+    shard is a few hundred MB: small enough to stream, large enough to
+    amortize file overhead. partitionBy writes shard=N subdirectories
+    so a reader can parallelize or subset by shard."""
+    h = F.pmod(F.xxhash64(F.col(key)), F.lit(num_shards))
+    w = (df.withColumn("shard", h)
+           .repartition(num_shards, "shard")
+           .sortWithinPartitions("shard", F.xxhash64(F.col(key)),
+                                 F.col(key))
+           .write.mode("overwrite").partitionBy("shard").format(fmt))
+    if compression:
+        w = w.option("compression", compression)
+    w.save(path)

@@ -99,3 +99,23 @@ def test_deterministic_shuffle_partitioned_variant(spark, docs):
         .rdd.mapPartitions(lambda it: [[r["h"] for r in it]]).collect()
     for part in hashes:
         assert part == sorted(part)
+
+
+def test_write_training_shards_deterministic(spark, docs, tmp_path):
+    from pyspark.sql import functions as F
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    sampling.write_training_shards(docs, p1, "doc_id", 4)
+    sampling.write_training_shards(docs.repartition(11), p2, "doc_id", 4)
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    # identical shard membership regardless of input partitioning
+    sa = sorted(map(tuple, a.select("doc_id", "shard").collect()))
+    sb = sorted(map(tuple, b.select("doc_id", "shard").collect()))
+    assert sa == sb
+    assert a.count() == docs.count()
+    # every shard id present, membership matches the hash contract
+    shards = {r[0] for r in a.select("shard").distinct().collect()}
+    assert shards == {0, 1, 2, 3}
+    bad = a.filter(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) != F.col("shard"))
+    assert bad.count() == 0
