@@ -20,7 +20,7 @@ from .expressions import (
     Exists, Expr, InSubquery, OuterRef, ScalarSubquery, SetComparison, walk,
 )
 from .plans.nodes import (
-    Plan, Project, RemoteQueryNode, Scan, walk_plan,
+    Plan, Project, RemoteQueryNode, Scan, SubqueryAlias, walk_plan,
 )
 from .expressions import Col, Star
 from .sources.provider import FederationProvider, LocalSparkProvider
@@ -77,18 +77,28 @@ class ScanResult:
 # scan_expr_recursively — reference src/optimizer/mod.rs:63-126)
 # ---------------------------------------------------------------------------
 
-def _bound_aliases(p: Plan) -> frozenset:
-    """Alias names a plan's FROM spine binds in the generated SQL: scan
-    auto-aliases (the local table name) and explicit SubqueryAliases.
-    Shallow — subquery plans hanging off expressions bind their OWN
-    scopes and are resolved level by level in _subquery_outer_ok."""
-    out = set()
-    for node in walk_plan(p):
-        if isinstance(node, Scan):
-            out.add(node.table.local_name)
-        from .plans.nodes import SubqueryAlias as _SA
-        if isinstance(node, _SA):
-            out.add(node.alias)
+def _visible_aliases(p: Plan) -> frozenset:
+    """Relation qualifiers visible to expressions AT this plan's level
+    in the generated SQL, lowercased (qualifier comparison is
+    case-insensitive, matching sqlfront scope resolution and SQL
+    engines): scan auto-aliases (the local table name) and derived-
+    table aliases — a SubqueryAlias SHADOWS everything beneath it, so
+    its subtree's names are NOT visible. Subquery plans hanging off
+    expressions bind their OWN scopes, resolved level by level in
+    _subquery_outer_ok."""
+    out: set = set()
+
+    def visit(n: Plan) -> None:
+        if isinstance(n, SubqueryAlias):
+            out.add(n.alias.lower())       # shadows its whole subtree
+            return
+        if isinstance(n, Scan):
+            out.add(n.table.local_name.lower())
+            return
+        for i in n.inputs():
+            visit(i)
+
+    visit(p)
     return frozenset(out)
 
 
@@ -96,18 +106,19 @@ def _subquery_outer_ok(subplan: Plan, enclosing: frozenset) -> bool:
     """True iff every outer reference in `subplan` (at any nesting
     depth) is QUALIFIED and its qualifier resolves, SQL-lexically, to a
     scope inside the claim: depth-1 refs against `enclosing`, deeper
-    refs against enclosing + the intermediate subquery scopes. An
-    unqualified OuterRef cannot be scope-checked (and a bare name in
-    the rendered SQL would bind the INNERMOST scope — a self-join
-    tautology), so it keeps the subquery out of the claim; the local
-    compile path binds those explicitly and stays correct."""
-    own = _bound_aliases(subplan)
+    refs against enclosing + the intermediate subquery scopes
+    (comparisons lowercased). An unqualified OuterRef cannot be
+    scope-checked (and a bare name in the rendered SQL would bind the
+    INNERMOST scope — a self-join tautology), so it keeps the subquery
+    out of the claim; the local compile path binds those explicitly and
+    stays correct."""
+    own = _visible_aliases(subplan)
     for node in walk_plan(subplan):
         for e in node.exprs():
             for x in walk(e):
                 if isinstance(x, OuterRef):
-                    if not x.table or x.table in own \
-                            or x.table not in enclosing:
+                    qual = x.table.lower() if x.table else None
+                    if not qual or qual in own or qual not in enclosing:
                         return False
                 elif isinstance(x, (Exists, InSubquery, ScalarSubquery,
                                     SetComparison)):
@@ -136,7 +147,7 @@ def scan_expr(e: Expr, enclosing: frozenset = frozenset(),
             if outer_vetted or _subquery_outer_ok(node.plan, enclosing):
                 res = res.merge(
                     scan_plan(node.plan,
-                              enclosing | _bound_aliases(node.plan),
+                              enclosing | _visible_aliases(node.plan),
                               outer_vetted=True))
             else:
                 res = res.merge(ScanResult.ambiguous())
@@ -148,7 +159,7 @@ def scan_expr(e: Expr, enclosing: frozenset = frozenset(),
 def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
               outer_vetted: bool = False) -> ScanResult:
     if enclosing is None:
-        enclosing = _bound_aliases(p)
+        enclosing = _visible_aliases(p)
     res = ScanResult.none()
     if isinstance(p, Scan):
         prov = p.table.provider or _LOCAL

@@ -47,8 +47,13 @@ def hash_sample(df: DataFrame, key: str, frac: float,
     1/256 granularity (hex-prefix threshold, engine-portable)."""
     k = F.col(key)
     if method == "md5":
-        bound = format(max(0, min(_HEX2_SPACE, round(frac * _HEX2_SPACE))),
-                       "02x")
+        idx = max(0, round(frac * _HEX2_SPACE))
+        if idx >= _HEX2_SPACE:
+            # frac ~ 1.0: format(256,'02x') is the THREE-char '100' and
+            # the 2-char prefix comparison is lexicographic ('ff'<'100'
+            # is False) — the whole corpus is the sample, skip the filter
+            return df
+        bound = format(idx, "02x")
         return df.filter(F.substring(_hash_col(k, "md5"), 1, 2) < bound)
     # xxhash64: fold the signed 64-bit hash into [0, 1<<32)
     bucket = F.pmod(_hash_col(k, "xxhash64"), F.lit(1 << 32))
@@ -83,8 +88,16 @@ def assign_splits(df: DataFrame, key: str, splits: Dict[str, float],
         acc, expr = 0.0, None
         for name in names[:-1]:
             acc += splits[name]
-            bound = format(min(_HEX2_SPACE, round(acc * _HEX2_SPACE)), "02x")
-            cond = h2 < bound
+            idx = round(acc * _HEX2_SPACE)
+            if idx >= _HEX2_SPACE:
+                # cumulative weight reached 1.0: a 2-hex prefix is
+                # always < the 3-char '100' string lexicographically
+                # ONLY for '0x'/'10' prefixes — use an always-true
+                # condition instead so this and earlier splits absorb
+                # everything as the weights demand
+                cond = F.lit(True)
+            else:
+                cond = h2 < format(idx, "02x")
             expr = (F.when(cond, name) if expr is None
                     else expr.when(cond, name))
     else:
@@ -127,10 +140,17 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     per-partition (no global exchange). At 100 TB pick num_shards so a
     shard is a few hundred MB: small enough to stream, large enough to
     amortize file overhead. partitionBy writes shard=N subdirectories
-    so a reader can parallelize or subset by shard."""
+    so a reader can parallelize or subset by shard.
+
+    The exchange hashes the shard id into 4x num_shards partitions:
+    hashing n distinct ids into exactly n buckets leaves ~1/e of the
+    write tasks empty and stacks 2-3 shards on others (stragglers);
+    4x over-partitioning keeps each shard in ONE task (the order
+    guarantee) while cutting the collision rate to ~10% — empty tasks
+    cost microseconds, multi-shard stragglers cost wall-clock."""
     h = F.pmod(F.xxhash64(F.col(key)), F.lit(num_shards))
     w = (df.withColumn("shard", h)
-           .repartition(num_shards, "shard")
+           .repartition(num_shards * 4, "shard")
            .sortWithinPartitions("shard", F.xxhash64(F.col(key)),
                                  F.col(key))
            .write.mode("overwrite").partitionBy("shard").format(fmt))

@@ -630,6 +630,8 @@ def d21(spark, sf):
     At scale this same topology runs unbounded with the watermark
     bounding state; availableNow is how the identical job replays
     history."""
+    from pyspark.sql import types as T
+
     from .streaming.windows import hourly_event_aggregation
 
     batch = t(spark, sf, "events")
@@ -637,13 +639,40 @@ def d21(spark, sf):
     for qq in spark.streams.active:
         if qq.name == name:
             qq.stop()
-    # file streams take a DIRECTORY; glob down to the one events file
-    stream = (spark.readStream.schema(batch.schema)
-              .option("pathGlobFilter", "events.parquet").parquet(sf))
-    # the batch loader normalized ts (nanos/NTZ fixtures); mirror it on
-    # the stream if the raw file differs from the normalized schema
-    agg = hourly_event_aggregation(stream)
-    query = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
-    query.awaitTermination(120)
+    # mirror t()'s fixture normalization on the STREAM: the raw file has
+    # shipped ts as TIMESTAMP(NANOS) (read as long + rebuilt) and as
+    # micros/NTZ (cast); batch.schema is already normalized, so read the
+    # stream with ts widened to the raw representation and re-normalize
+    import pyarrow.parquet as pq
+    raw_ts = str(pq.read_schema(f"{sf}/events.parquet").field("ts").type)
+    nanos = raw_ts == "timestamp[ns]"
+    schema = T.StructType([
+        T.StructField("ts", T.LongType() if nanos else f.dataType,
+                      f.nullable) if f.name == "ts" else f
+        for f in batch.schema.fields])
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # file streams take a DIRECTORY; glob down to the one events file
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet").parquet(sf))
+        if nanos:
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = hourly_event_aggregation(stream)
+        query = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("complete").trigger(availableNow=True).start())
+        if not query.awaitTermination(300):
+            query.stop()
+            raise RuntimeError(
+                "d21 stream did not finish within 300s — refusing to "
+                "return a partially-populated memory sink")
+    finally:
+        if nanos:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(name)

@@ -119,3 +119,26 @@ def test_write_training_shards_deterministic(spark, docs, tmp_path):
     bad = a.filter(
         F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)) != F.col("shard"))
     assert bad.count() == 0
+
+
+def test_hash_sample_md5_full_fraction(spark, docs):
+    """frac ~ 1.0 in md5 mode: format(256,'02x') is the 3-char '100'
+    which lexicographically excludes most 2-hex prefixes — the operator
+    must return the whole corpus instead."""
+    n = docs.count()
+    assert sampling.hash_sample(docs, "doc_id", 1.0, method="md5") \
+        .count() == n
+    assert sampling.hash_sample(docs, "doc_id", 0.999, method="md5") \
+        .count() == n
+
+
+def test_assign_splits_md5_cumulative_one(spark, docs):
+    """A non-final cumulative weight reaching 1.0 must absorb everything
+    up to it (the '100' hex-bound case), leaving later splits empty."""
+    out = sampling.assign_splits(
+        docs, "doc_id", {"train": 0.999, "val": 0.001}, method="md5")
+    counts = dict((r[0], r[1]) for r in
+                  out.groupBy("split").count().collect())
+    n = docs.count()
+    # 0.999*256 rounds to 256 -> train takes all rows
+    assert counts.get("train", 0) == n and counts.get("val", 0) == 0

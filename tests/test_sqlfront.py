@@ -843,3 +843,43 @@ def test_out_of_claim_outer_ref_never_ships(duckdb_engine):
         if isinstance(n, RemoteQueryNode):
             assert '"l"' not in n.sql, \
                 f"out-of-claim alias shipped remotely: {n.sql}"
+
+
+def test_correlated_federation_case_insensitive_alias(duckdb_engine):
+    """Mixed-case outer alias: qualifier comparison must be
+    case-insensitive (engines and sqlfront both are), or the collapse
+    silently degrades to per-table pulls."""
+    eng, ex = duckdb_engine
+    sql = ("SELECT C.c_custkey FROM customer C "
+           "WHERE EXISTS (SELECT 1 FROM orders o "
+           "WHERE o.o_custkey = C.c_custkey) "
+           "ORDER BY C.c_custkey LIMIT 3")
+    fed = federate(eng.sql_plan(sql).plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1 and "EXISTS" in remotes[0].sql
+    got = [r[0] for r in eng.sql(sql).collect()]
+    assert got == [0, 1, 2]
+
+
+def test_shadowed_table_name_not_vetted_as_outer_scope(duckdb_engine):
+    """A SubqueryAlias SHADOWS the table name beneath it: an OuterRef
+    qualified by the hidden name must NOT pass the claim vet (the
+    rendered SQL would reference an unbound relation) — it stays local
+    and the compiler binds the outer frame explicitly."""
+    from datafusion_federation_spark.expressions import Exists, OuterRef, col
+    eng, ex = duckdb_engine
+    # outer: customer AS c (the name 'customer' is shadowed);
+    # subquery references OuterRef('c_acctbal', 'customer')
+    sub = (eng.table("orders")
+           .filter(col("o_totalprice") > OuterRef("c_acctbal", "customer")))
+    outer = eng.table("customer").alias("c") if hasattr(
+        eng.table("customer"), "alias") else None
+    if outer is None:
+        import pytest
+        pytest.skip("builder has no alias()")
+    b = outer.filter(Exists(sub.plan)).select("c_custkey")
+    fed = federate(b.plan)
+    for n in walk_plan(fed):
+        if isinstance(n, RemoteQueryNode):
+            assert "EXISTS" not in n.sql, \
+                "shadow-qualified correlation must not claim"
