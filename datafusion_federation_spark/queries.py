@@ -70,10 +70,13 @@ SECONDARY = {
     # round 4: same-provider correlated-subquery collapse (evidence also
     # in test_sqlfront + the q60/q67 primaries)
     "q71_federated_correlated_exists",
+    "q72_federated_correlated_scalar",
     # round 4: sampling/splitting operators (oracle-checked by the local
     # tool + bench; window stays the 50 no-other-evidence primaries)
     "d18_hash_sample",
     "d21_stream_hourly",
+    "d22_value_quantiles",
+    "d23_top_tokens",
     "d19_quota_per_group",
     "d20_train_split",
 }
@@ -1302,3 +1305,22 @@ def q71(spark, sf):
     whole-table pulls."""
     eng = _fed_engine(spark, sf, ["customer", "orders"], "duck_q71")
     return eng.sql(_Q71_SQL)
+
+
+_Q72_SQL = """
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                     WHERE s2.s_nationkey = s.s_nationkey)
+ORDER BY s.s_suppkey
+"""
+
+
+@q("q72_federated_correlated_scalar", _Q72_SQL)
+def q72(spark, sf):
+    """Round 4: a correlated SCALAR aggregate subquery on one provider
+    renders natively in the single remote SQL (the ScalarSubquery arm
+    of the same-provider collapse; q71 covers the EXISTS arm). Locally
+    the identical shape decorrelates to a grouped join (h02)."""
+    eng = _fed_engine(spark, sf, ["supplier"], "duck_q72")
+    return eng.sql(_Q72_SQL)

@@ -676,3 +676,53 @@ def d21(spark, sf):
                 spark.conf.set(
                     "spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(name)
+
+
+# ===========================================================================
+# corpus statistics: exact quantiles + token frequencies
+# ===========================================================================
+
+@q("d22_value_quantiles", """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type ORDER BY event_type
+""")
+def d22(spark, sf):
+    """Exact per-type value quantiles (monitoring / outlier-threshold
+    primitive). Spark's percentile and DuckDB's quantile_cont use the
+    same sorted-linear interpolation, so the doubles match bit for bit.
+    At 100 TB swap percentile for percentile_approx (t-digest sketch,
+    mergeable across partitions) — the exact form is the oracle-able
+    correctness anchor."""
+    e = t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.5D)").alias("p50"),
+                 F.expr("percentile(value, 0.95D)").alias("p95"),
+                 F.expr("percentile(value, 0.99D)").alias("p99"))
+            .orderBy("event_type"))
+
+
+@q("d23_top_tokens", """
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents) toks
+WHERE w <> ''
+GROUP BY w
+ORDER BY n DESC, w
+LIMIT 20
+""")
+def d23(spark, sf):
+    """Corpus token frequencies (vocabulary building / stopword
+    discovery): explode whitespace tokens, count, top-20 with a total
+    tie-break order. One shuffle on the token; at 100 TB add a
+    partial-aggregate salt only if a single token dominates (the
+    map-side combine Spark already does absorbs normal skew)."""
+    d = t(spark, sf, "documents")
+    return (d.select(F.explode(F.split(F.lower("text"), " "))
+                     .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "word").limit(20))
