@@ -72,3 +72,24 @@ def corpus_report(before: DataFrame, after: DataFrame,
     return spark.createDataFrame(
         [(n_in, n_out, round(n_out / max(n_in, 1), 4))],
         "n_input long, n_output long, retention double")
+
+
+def prepare_and_split(df: DataFrame,
+                      config: Optional[CorpusPrepConfig] = None,
+                      splits: Optional[dict] = None,
+                      sample_frac: Optional[float] = None) -> DataFrame:
+    """The full corpus flow ending in deterministic splits: optional
+    hash-sample -> prepare_training_corpus -> train/val/test `split`
+    column. Sampling runs FIRST (a narrow filter — at 100 TB a 10%
+    ablation run should read 10% of the data through every later
+    shuffle, not sample at the end); the split column lands LAST so
+    leakage across splits is impossible for exact/near duplicates —
+    dedup already collapsed them to one survivor with one assignment."""
+    from . import sampling
+    cfg = config or CorpusPrepConfig()
+    if sample_frac is not None:
+        df = sampling.hash_sample(df, cfg.id_col, sample_frac)
+    out = prepare_training_corpus(df, cfg)
+    return sampling.assign_splits(
+        out, cfg.id_col, splits or {"test": 0.05, "val": 0.05,
+                                    "train": 0.9})

@@ -28,3 +28,9 @@ def test_corpus_pipeline_demo(spark):
     from corpus_pipeline_demo import main
     final = main(spark, TESTDATA)
     assert "text" in final.columns
+
+
+def test_training_data_demo(spark):
+    from training_data_demo import main
+    split_sizes = main(spark, TESTDATA)
+    assert split_sizes.get("train", 0) > 0

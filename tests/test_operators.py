@@ -471,3 +471,29 @@ def test_ngram_jaccard_max_doc_freq_cap(spark):
     assert capped_pairs <= exact_pairs
     # and the boilerplate-only pairs are what gets dropped
     assert all(a >= 100 for a, _ in capped_pairs)
+
+
+def test_prepare_and_split_funnel_and_assignment(spark):
+    """End-to-end corpus flow with splits: survivors are a subset of
+    the prepared corpus, every survivor gets exactly one split, and
+    assignments are stable across input partitionings."""
+    from datafusion_federation_spark.operators.pipeline import (
+        CorpusPrepConfig, prepare_and_split, prepare_training_corpus)
+    from tests.conftest import TESTDATA
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    cfg = CorpusPrepConfig(min_quality=0.3)
+    out = prepare_and_split(docs, cfg, sample_frac=0.5)
+    base = prepare_training_corpus(docs, cfg)
+    n_out, n_base = out.count(), base.count()
+    assert 0 < n_out < n_base          # sampling really reduced input
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert set(r[0] for r in out.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+    out2 = prepare_and_split(docs.repartition(7), cfg, sample_frac=0.5)
+    a = {(r["doc_id"], r["split"]) for r in
+         out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         out2.select("doc_id", "split").collect()}
+    assert a == b
