@@ -246,6 +246,52 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
              .distinct())
 
 
+def minhash_md5_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3) -> DataFrame:
+    """ENGINE-PORTABLE MinHash+LSH candidates: h_i(shingle) =
+    md5(i || ':' || shingle) compared AS HEX STRINGS — MIN over strings
+    is total-ordered and bit-identical in every engine with md5, so the
+    whole pipeline (signatures, band hashes, buckets) is reproducible
+    in plain SQL and oracle-checkable cross-engine (see d24). The
+    xxhash64 variant (minhash_lsh_candidates) is the fast path — one
+    JVM long op per hash vs an md5 over a materialized string — with
+    identical structure; this one is the cross-engine correctness
+    anchor. Same 100 TB shape: bucket join on (band, band_hash)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    with_sh = df.select(F.col(id_col),
+                        word_shingles(F.col(text_col), shingle_n)
+                        .alias("__sh"))
+    with_sh = with_sh.filter(F.size("__sh") > 0)
+    sigs = [F.array_min(F.transform(
+        F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)]
+    with_sig = with_sh.select(F.col(id_col), F.array(*sigs).alias("sig"))
+    band_entries = with_sig.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(F.concat_ws(
+                    "|", F.slice(F.col("sig"),
+                                 (b * rows_per_band + 1).cast("int"),
+                                 rows_per_band))).alias("bucket"))))
+        .alias("bb"))
+    band_entries = band_entries.select(
+        id_col, F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"))
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                          F.col("a.bucket") == F.col("b.bucket"),
+                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         num_hashes: int = 32, bands: int = 8,
                         shingle_n: int = 3,
@@ -254,6 +300,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     two-stage near-dup pipeline)."""
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
                                   shingle_n)
+    return verify_candidates(df, cand, text_col, id_col, shingle_n,
+                             threshold)
+
+
+def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
+                      id_col: str, shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs."""
     sh = shingle_table(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"),

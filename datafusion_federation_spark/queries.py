@@ -77,6 +77,7 @@ SECONDARY = {
     "d21_stream_hourly",
     "d22_value_quantiles",
     "d23_top_tokens",
+    "d24_minhash_md5",
     "d19_quota_per_group",
     "d20_train_split",
 }

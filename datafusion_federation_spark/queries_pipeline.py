@@ -726,3 +726,53 @@ def d23(spark, sf):
             .filter(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "word").limit(20))
+
+
+_D24_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+         FOR i IN generate_series(1, greatest(len(ws)-2, 1))])) AS shingle
+  FROM w),
+hs AS (
+  SELECT doc_id, i, MIN(md5(i::VARCHAR || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN generate_series(0, 15) t(i)
+  GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS bucket
+  FROM hs GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i_n
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i_n AS DOUBLE) / (sa.n_sh + sb.n_sh - i_n), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i_n AS DOUBLE) / (sa.n_sh + sb.n_sh - i_n) >= 0.7
+"""
+
+
+@q("d24_minhash_md5", _D24_ORACLE)
+def d24(spark, sf):
+    """MinHash+LSH with a FULL cross-engine oracle: md5-string hashing
+    makes signatures, band hashes, and buckets bit-reproducible in
+    DuckDB SQL, so the entire two-stage pipeline — candidate generation
+    THROUGH exact-Jaccard verification — is oracle-checked, not just
+    pinned (the xxhash64 twin d04 stays the fast path)."""
+    docs = t(spark, sf, "documents")
+    cand = dedup.minhash_md5_candidates(docs, "text", "doc_id",
+                                        num_hashes=16, bands=4)
+    return (dedup.verify_candidates(docs, cand, "text", "doc_id",
+                                    shingle_n=3, threshold=0.7)
+            .orderBy("id_a", "id_b"))
