@@ -480,3 +480,29 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             f"rounds ({changed} labels still changing); raise max_iter "
             "for graphs with diameter beyond it")
     return labels
+
+
+def simhash_md5_signatures(df: DataFrame, text_col: str, id_col: str,
+                           bits: int = 16) -> DataFrame:
+    """ENGINE-PORTABLE SimHash signatures: per-bit majority vote over
+    md5-derived token hashes (h(t) = int of the first 15 hex chars of
+    md5(t) — 60 bits, sign-safe in BIGINT on every engine). DISTINCT
+    tokens vote (set semantics), so the signature is reproducible in
+    plain SQL and oracle-checkable (d25); the xxhash64/pandas-UDF twin
+    (simhash/simhash_near_pairs) stays the measured fast path. One
+    shuffle: the explode + per-doc re-aggregation."""
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.array_distinct(
+                          F.split(normalize_text(F.col(text_col)), " ")))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+         .cast("bigint")
+    votes = [F.sum(2 * F.shiftright(h, j).bitwiseAND(F.lit(1)) - 1)
+             .alias(f"v{j}") for j in range(bits)]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+        sig = bit if sig is None else (sig + bit)
+    return voted.select(F.col(id_col), sig.cast("bigint").alias("sig"))

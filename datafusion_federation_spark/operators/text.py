@@ -198,3 +198,35 @@ def pii_redact(col) -> F.Column:
     out = F.regexp_replace(col, URL_RE, "<URL>")
     out = F.regexp_replace(out, PII_EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def winnow_md5_profile(df: DataFrame, text_col: str,
+                       id_col: str = "doc_id",
+                       k: int = 4, window: int = 8) -> DataFrame:
+    """ENGINE-PORTABLE winnowing profile: md5-string k-gram hashes in
+    position order (no dedup — winnowing is positional), sliding-window
+    MIN over the hex strings (total-ordered, identical in any engine
+    with md5), then per-document fingerprint-set size and smallest
+    fingerprint. Oracle-checkable in plain SQL (d26); the xxhash64 twin
+    rolling_hash_fingerprint stays the fast path. Same plan shape: one
+    explode + per-doc window, shuffle key = document id."""
+    from pyspark.sql import Window as W
+    from .dedup import normalize_text
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    g = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1,
+                          F.greatest(F.size(words) - j, F.lit(0)))
+        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(g, 1, F.greatest(F.size(words) - (k - 1), F.lit(1)))
+    hashes = F.transform(grams, lambda s: F.md5(s))
+    ex = df.select(F.col(id_col), F.posexplode(hashes).alias("__pos", "__h"))
+    per_doc = W.partitionBy(id_col)
+    sliding = per_doc.orderBy("__pos").rowsBetween(W.currentRow, window - 1)
+    mins = (ex.withColumn("__n", F.count(F.lit(1)).over(per_doc))
+            .withColumn("__min", F.min("__h").over(sliding))
+            .filter(F.col("__pos") <=
+                    F.greatest(F.col("__n") - window, F.lit(0))))
+    return (mins.groupBy(id_col)
+            .agg(F.countDistinct("__min").alias("n_fp"),
+                 F.min("__min").alias("min_fp")))

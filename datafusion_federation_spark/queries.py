@@ -78,6 +78,8 @@ SECONDARY = {
     "d22_value_quantiles",
     "d23_top_tokens",
     "d24_minhash_md5",
+    "d25_simhash_md5",
+    "d26_winnow_md5",
     "d19_quota_per_group",
     "d20_train_split",
 }

@@ -776,3 +776,73 @@ def d24(spark, sf):
     return (dedup.verify_candidates(docs, cand, "text", "doc_id",
                                     shingle_n=3, threshold=0.7)
             .orderBy("id_a", "id_b"))
+
+
+_D25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL_WORDS}, ' ')))
+         AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks WHERE tok <> ''),
+voted AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(2 * ((h >> {j}) & 1) - 1) AS v{j}"
+                    for j in range(16))}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id,
+       CAST({' + '.join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+                        for j in range(16))} AS BIGINT) AS sig
+FROM voted
+ORDER BY doc_id
+"""
+
+
+@q("d25_simhash_md5", _D25_ORACLE)
+def d25(spark, sf):
+    """SimHash signature computation with a FULL cross-engine oracle:
+    md5-derived 60-bit token hashes + per-bit majority votes reproduce
+    bit-identically in DuckDB SQL (the xxhash64/pandas twin d05 keeps
+    the pair machinery, pinned). Every document's 16-bit signature is
+    hash-compared."""
+    docs = t(spark, sf, "documents")
+    return (dedup.simhash_md5_signatures(docs, "text", "doc_id", bits=16)
+            .orderBy("doc_id"))
+
+
+_D26_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, u.s.i AS i, u.s.gram AS gram, u.ng AS ng
+  FROM (SELECT doc_id, greatest(len(ws) - 3, 1) AS ng,
+               unnest([{{'i': i, 'gram': concat_ws(' ', ws[i], ws[i+1],
+                                                  ws[i+2], ws[i+3])}}
+                       FOR i IN generate_series(1, greatest(len(ws) - 3,
+                                                            1))]) AS s
+        FROM w) u),
+m AS (
+  SELECT doc_id, i, ng,
+         MIN(md5(gram)) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+           AS mn
+  FROM g),
+f AS (SELECT doc_id, mn FROM m WHERE i <= greatest(ng - 8, 0) + 1)
+SELECT doc_id, COUNT(DISTINCT mn) AS n_fp, MIN(mn) AS min_fp
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@q("d26_winnow_md5", _D26_ORACLE)
+def d26(spark, sf):
+    """Winnowing fingerprints with a FULL cross-engine oracle: md5
+    hex-string k-gram hashes and window minima are total-ordered
+    strings, so every document's fingerprint-set size and smallest
+    fingerprint reproduce bit-identically in DuckDB SQL (the xxhash64
+    twin d12 stays pinned)."""
+    docs = t(spark, sf, "documents")
+    return (text.winnow_md5_profile(docs, "text", "doc_id",
+                                    k=4, window=8)
+            .orderBy("doc_id"))
