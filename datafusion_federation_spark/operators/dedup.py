@@ -68,9 +68,10 @@ def fingerprint(df: DataFrame, text_col: str,
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------
 
-def word_shingles(col, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a text column — pure built-ins,
-    evaluated inside codegen.
+def word_grams(col, n: int = 3) -> F.Column:
+    """POSITION-ORDERED word n-grams (duplicates kept — winnowing and
+    other positional fingerprints need them) — pure built-ins, evaluated
+    inside codegen.
 
     Built as (n-1) zip_with passes over shifted copies of the word array:
     a higher-order function's ARRAY INPUT is evaluated once per row, only
@@ -80,16 +81,21 @@ def word_shingles(col, n: int = 3) -> F.Column:
     a 12.7 s MinHash pass at sf0.1; this shape computes the word array a
     constant number of times per row.
 
-    Output is unchanged: full n-grams only, except texts shorter than n
-    words yield one partial gram (concat_ws skips the null padding)."""
+    Full n-grams only, except texts shorter than n words yield one
+    partial gram (concat_ws skips the null padding)."""
     words = F.split(normalize_text(col), " ")
     g = words
     for j in range(1, n):
         shifted = F.slice(words, j + 1,
                           F.greatest(F.size(words) - j, F.lit(0)))
         g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    full = F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    return F.array_distinct(full)
+    return F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(1)))
+
+
+def word_shingles(col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles (set semantics — the dedup/Jaccard
+    input). See word_grams for the evaluation-shape rationale."""
+    return F.array_distinct(word_grams(col, n))
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str,
@@ -197,87 +203,39 @@ def minhash_signature_from_shingles(shingles_col,
     return F.array(*sigs)
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
-                           num_hashes: int = 32, bands: int = 8,
-                           shingle_n: int = 3) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding over MinHash signatures.
-
-    rows = bands partitions of the signature; documents agreeing on ALL
-    rows of any band land in the same bucket. Shuffle key = (band_idx,
-    band_hash): uniformly distributed, skew-resistant; pair generation is
-    per-bucket, so cost scales with bucket sizes, not N^2.
-    """
+def _lsh_candidates(df: DataFrame, text_col: str, id_col: str,
+                    num_hashes: int, bands: int, shingle_n: int,
+                    sig_fn, bucket_fn) -> DataFrame:
+    """Shared LSH-banding skeleton: shingle -> signature (sig_fn) ->
+    per-band bucket hash (bucket_fn over the band's signature slice) ->
+    self-join on (band, bucket). Shuffle key = (band_idx, band_hash):
+    uniformly distributed, skew-resistant; pair generation is
+    per-bucket, so cost scales with bucket sizes, not N^2."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     # two stacked projections: shingle array materializes once per row,
-    # then the 32 hash scans reference that column
+    # then the hash scans reference that column
     with_sh = df.select(F.col(id_col),
                         word_shingles(F.col(text_col), shingle_n)
                         .alias("__sh"))
-    # null/empty texts all hash to the same bucket in every band, which
+    # null/blank texts all hash to the same bucket in every band, which
     # would emit a quadratic k*(k-1)/2 spurious candidate pairs on a
-    # dirty corpus — they cannot be near-duplicates of anything, drop
-    with_sh = with_sh.filter(F.size("__sh") > 0)
+    # dirty corpus — they cannot be near-duplicates of anything, drop.
+    # A blank text's shingle array is [''] (size 1), not empty: test
+    # the single element too, not just the size.
+    with_sh = with_sh.filter(
+        (F.size("__sh") > 1) | (F.element_at("__sh", 1) != ""))
     with_sig = with_sh.select(
-        F.col(id_col),
-        minhash_signature_from_shingles(F.col("__sh"), num_hashes)
-        .alias("sig"))
+        F.col(id_col), sig_fn(F.col("__sh"), num_hashes).alias("sig"))
     band_entries = with_sig.select(
         id_col,
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.slice(F.col("sig"),
-                                 (b * rows_per_band + 1).cast("int"),
-                                 rows_per_band).cast("array<string>")))
-                 .alias("bucket")))).alias("bb"))
-    band_entries = band_entries.select(
-        id_col, F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"))
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    return (a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                          F.col("a.bucket") == F.col("b.bucket"),
-                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
-
-
-def minhash_md5_candidates(df: DataFrame, text_col: str, id_col: str,
-                           num_hashes: int = 16, bands: int = 4,
-                           shingle_n: int = 3) -> DataFrame:
-    """ENGINE-PORTABLE MinHash+LSH candidates: h_i(shingle) =
-    md5(i || ':' || shingle) compared AS HEX STRINGS — MIN over strings
-    is total-ordered and bit-identical in every engine with md5, so the
-    whole pipeline (signatures, band hashes, buckets) is reproducible
-    in plain SQL and oracle-checkable cross-engine (see d24). The
-    xxhash64 variant (minhash_lsh_candidates) is the fast path — one
-    JVM long op per hash vs an md5 over a materialized string — with
-    identical structure; this one is the cross-engine correctness
-    anchor. Same 100 TB shape: bucket join on (band, band_hash)."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    with_sh = df.select(F.col(id_col),
-                        word_shingles(F.col(text_col), shingle_n)
-                        .alias("__sh"))
-    with_sh = with_sh.filter(F.size("__sh") > 0)
-    sigs = [F.array_min(F.transform(
-        F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)]
-    with_sig = with_sh.select(F.col(id_col), F.array(*sigs).alias("sig"))
-    band_entries = with_sig.select(
-        id_col,
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.md5(F.concat_ws(
-                    "|", F.slice(F.col("sig"),
-                                 (b * rows_per_band + 1).cast("int"),
-                                 rows_per_band))).alias("bucket"))))
+                bucket_fn(F.slice(F.col("sig"),
+                                  (b * rows_per_band + 1).cast("int"),
+                                  rows_per_band)).alias("bucket"))))
         .alias("bb"))
     band_entries = band_entries.select(
         id_col, F.col("bb.band").alias("band"),
@@ -290,6 +248,43 @@ def minhash_md5_candidates(df: DataFrame, text_col: str, id_col: str,
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"))
              .distinct())
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding over xxhash64 MinHash
+    signatures (the fast path: one JVM long op per hash)."""
+    return _lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        sig_fn=minhash_signature_from_shingles,
+        bucket_fn=lambda sl: F.xxhash64(
+            F.concat_ws(",", sl.cast("array<string>"))))
+
+
+def minhash_md5_candidates(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3) -> DataFrame:
+    """ENGINE-PORTABLE MinHash+LSH candidates: h_i(shingle) =
+    md5(i || ':' || shingle) compared AS HEX STRINGS — MIN over strings
+    is total-ordered and bit-identical in every engine with md5, so the
+    whole pipeline (signatures, band hashes, buckets) is reproducible
+    in plain SQL and oracle-checkable cross-engine (see d24). The
+    xxhash64 variant (minhash_lsh_candidates) is the fast path — one
+    JVM long op per hash vs an md5 over a materialized string — sharing
+    the same _lsh_candidates skeleton; this one is the cross-engine
+    correctness anchor. Same 100 TB shape: bucket join on
+    (band, band_hash)."""
+    def md5_sig(sh_col, n_hashes):
+        sigs = [F.array_min(F.transform(
+            sh_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(n_hashes)]
+        return F.array(*sigs)
+
+    return _lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        sig_fn=md5_sig,
+        bucket_fn=lambda sl: F.md5(F.concat_ws("|", sl)))
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -488,8 +483,10 @@ def simhash_md5_signatures(df: DataFrame, text_col: str, id_col: str,
     md5-derived token hashes (h(t) = int of the first 15 hex chars of
     md5(t) — 60 bits, sign-safe in BIGINT on every engine). DISTINCT
     tokens vote (set semantics), so the signature is reproducible in
-    plain SQL and oracle-checkable (d25); the xxhash64/pandas-UDF twin
-    (simhash/simhash_near_pairs) stays the measured fast path. One
+    plain SQL and oracle-checkable (d25); the pandas-UDF twin
+    (simhash/simhash_near_pairs — also md5-derived, but bit-packed
+    inside an Arrow batch, not SQL-expressible) stays the measured
+    fast path and keeps the pair machinery. One
     shuffle: the explode + per-doc re-aggregation."""
     toks = (df.select(F.col(id_col),
                       F.explode(F.array_distinct(

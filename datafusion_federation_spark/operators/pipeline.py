@@ -90,6 +90,6 @@ def prepare_and_split(df: DataFrame,
     if sample_frac is not None:
         df = sampling.hash_sample(df, cfg.id_col, sample_frac)
     out = prepare_training_corpus(df, cfg)
-    return sampling.assign_splits(
-        out, cfg.id_col, splits or {"test": 0.05, "val": 0.05,
-                                    "train": 0.9})
+    if splits is None:
+        splits = {"test": 0.05, "val": 0.05, "train": 0.9}
+    return sampling.assign_splits(out, cfg.id_col, splits)

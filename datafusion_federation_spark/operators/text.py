@@ -211,15 +211,9 @@ def winnow_md5_profile(df: DataFrame, text_col: str,
     rolling_hash_fingerprint stays the fast path. Same plan shape: one
     explode + per-doc window, shuffle key = document id."""
     from pyspark.sql import Window as W
-    from .dedup import normalize_text
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    g = words
-    for j in range(1, k):
-        shifted = F.slice(words, j + 1,
-                          F.greatest(F.size(words) - j, F.lit(0)))
-        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(g, 1, F.greatest(F.size(words) - (k - 1), F.lit(1)))
-    hashes = F.transform(grams, lambda s: F.md5(s))
+    from .dedup import word_grams
+    hashes = F.transform(word_grams(F.col(text_col), k),
+                         lambda s: F.md5(s))
     ex = df.select(F.col(id_col), F.posexplode(hashes).alias("__pos", "__h"))
     per_doc = W.partitionBy(id_col)
     sliding = per_doc.orderBy("__pos").rowsBetween(W.currentRow, window - 1)

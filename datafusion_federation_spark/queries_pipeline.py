@@ -730,7 +730,8 @@ def d23(spark, sf):
 
 _D24_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents),
+  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL AND {_NORM_SQL_WORDS} <> ''),
 sh AS (
   SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
          FOR i IN generate_series(1, greatest(len(ws)-2, 1))])) AS shingle
@@ -814,7 +815,8 @@ def d25(spark, sf):
 
 _D26_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents),
+  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL),
 g AS (
   SELECT doc_id, u.s.i AS i, u.s.gram AS gram, u.ng AS ng
   FROM (SELECT doc_id, greatest(len(ws) - 3, 1) AS ng,
