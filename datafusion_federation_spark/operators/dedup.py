@@ -194,13 +194,29 @@ def minhash_signature(col, num_hashes: int = 32, shingle_n: int = 3) -> F.Column
 
 def minhash_signature_from_shingles(shingles_col,
                                     num_hashes: int = 32) -> F.Column:
-    """MinHash over an already-materialized shingle array column (compute
-    the array once per row; 32 salted-hash scans over it — not 32
-    rebuilds of the split/sequence/concat shingle expression)."""
-    sigs = [F.array_min(F.transform(
-        shingles_col, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)]
-    return F.array(*sigs)
+    """MinHash over an already-materialized shingle array column: ONE
+    transform emits all K salted hashes per element, then ONE aggregate
+    folds an elementwise min across elements.
+
+    The previous formulation — K sibling array_min(transform(..,
+    lambda s, i=i: hash(lit(i), s))) projections — was SILENTLY WRONG:
+    a two-parameter lambda selects F.transform's optional
+    (element, INDEX) form, so the captured ``i`` default was overridden
+    by the array-index Column and the salt became the element POSITION,
+    identical in every sibling — one effective hash function instead of
+    K, a degenerate LSH. Exact-Jaccard verification kept emitted pairs
+    correct, but candidate recall was silently damaged; the md5 oracle
+    twin (d24) exposed the divergence. Single-argument lambdas
+    everywhere now; the fold computes the textbook signature."""
+    hashed = F.transform(
+        shingles_col,
+        lambda s: F.array(*[F.xxhash64(F.lit(i), s)
+                            for i in range(num_hashes)]))
+    init = F.array(*[F.lit(9223372036854775807).cast("bigint")
+                     for _ in range(num_hashes)])
+    return F.aggregate(hashed, init,
+                       lambda acc, x: F.zip_with(
+                           acc, x, lambda a, b: F.least(a, b)))
 
 
 def _lsh_candidates(df: DataFrame, text_col: str, id_col: str,
@@ -276,10 +292,17 @@ def minhash_md5_candidates(df: DataFrame, text_col: str, id_col: str,
     correctness anchor. Same 100 TB shape: bucket join on
     (band, band_hash)."""
     def md5_sig(sh_col, n_hashes):
-        sigs = [F.array_min(F.transform(
-            sh_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-            for i in range(n_hashes)]
-        return F.array(*sigs)
+        # one transform + one fold with SINGLE-ARG lambdas — see
+        # minhash_signature_from_shingles for the (element, index)
+        # two-parameter-lambda trap this avoids
+        hashed = F.transform(
+            sh_col,
+            lambda s: F.array(*[F.md5(F.concat(F.lit(f"{i}:"), s))
+                                for i in range(n_hashes)]))
+        init = F.array(*[F.lit("g") for _ in range(n_hashes)])  # 'g'>hex
+        return F.aggregate(hashed, init,
+                           lambda acc, x: F.zip_with(
+                               acc, x, lambda a, b: F.least(a, b)))
 
     return _lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n,

@@ -738,7 +738,7 @@ sh AS (
   FROM w),
 hs AS (
   SELECT doc_id, i, MIN(md5(i::VARCHAR || ':' || shingle)) AS mh
-  FROM sh CROSS JOIN generate_series(0, 15) t(i)
+  FROM sh CROSS JOIN generate_series(0, 7) t(i)
   GROUP BY doc_id, i),
 bands AS (
   SELECT doc_id, i // 4 AS band,
@@ -773,7 +773,7 @@ def d24(spark, sf):
     pinned (the xxhash64 twin d04 stays the fast path)."""
     docs = t(spark, sf, "documents")
     cand = dedup.minhash_md5_candidates(docs, "text", "doc_id",
-                                        num_hashes=16, bands=4)
+                                        num_hashes=8, bands=2)
     return (dedup.verify_candidates(docs, cand, "text", "doc_id",
                                     shingle_n=3, threshold=0.7)
             .orderBy("id_a", "id_b"))

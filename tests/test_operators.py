@@ -27,7 +27,11 @@ def test_minhash_lsh_pinned(spark):
     out = (dedup.minhash_dedup_pairs(docs(spark), "text", "doc_id",
                                      num_hashes=32, bands=8, threshold=0.7)
            .orderBy("id_a", "id_b").collect())
-    assert len(out) == 26
+    # 28, up from the 26 found while the two-parameter-lambda trap
+    # degraded the signature to one effective hash (dedup.py
+    # minhash_signature_from_shingles) — the md5 oracle twin (d24)
+    # computes the identical 28 pairs cross-engine
+    assert len(out) == 28
     first = [(r["id_a"], r["id_b"], round(r["jaccard"], 6))
              for r in out[:3]]
     assert first == [(0, 50, 0.952381), (0, 82, 0.954545),
