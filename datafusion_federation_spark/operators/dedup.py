@@ -263,14 +263,23 @@ def _lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     band_entries = band_entries.select(
         id_col, F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"))
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    return (a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                          F.col("a.bucket") == F.col("b.bucket"),
-                          F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+    # pair generation via groupBy + in-bucket combinations, NOT a
+    # self-join: the self-join re-executes the whole signature lineage
+    # (explode + K minima) for BOTH sides — the same lesson the SimHash
+    # operator learned (simhash_near_pairs below). Buckets are small
+    # (near-dup clusters), so per-bucket pair expansion is tiny.
+    buckets = (band_entries.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_list(F.col(id_col)))
+                    .alias("mem"))
+               .filter(F.size("mem") >= 2))
+    mem = F.col("mem")
+    pair_arr = F.flatten(F.transform(
+        mem, lambda x, i: F.transform(
+            F.slice(mem, i + 2, F.size(mem)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct())
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
@@ -320,6 +329,14 @@ def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
                       id_col: str, shingle_n: int = 3,
                       threshold: float = 0.5) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs."""
+    # the candidate list is referenced three times below (two semi-join
+    # prunes + the intersection join); without a lineage break each use
+    # re-executes the ENTIRE candidate pipeline (signatures included).
+    # Candidates are a tiny near-dup sliver, so an eager localCheckpoint
+    # costs one small materialization and removes 2x-4x re-computation
+    # (the r2 note about a cache barrier being net-negative applied to
+    # the BIG shingle table, not to this small frame).
+    cand = cand.localCheckpoint(eager=True)
     sh = shingle_table(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"),
