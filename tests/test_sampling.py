@@ -142,3 +142,44 @@ def test_assign_splits_md5_cumulative_one(spark, docs):
     n = docs.count()
     # 0.999*256 rounds to 256 -> train takes all rows
     assert counts.get("train", 0) == n and counts.get("val", 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis; tiny frame, few examples — each
+# draw runs Spark jobs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(f1=st.floats(0.05, 0.95), f2=st.floats(0.05, 0.95),
+       method=st.sampled_from(["xxhash64", "md5"]))
+def test_hash_sample_monotone(spark, f1, f2, method):
+    """frac1 <= frac2 implies sample(frac1) is a SUBSET of sample(frac2)
+    (thresholded hashes are monotone) — the property that makes nested
+    ablation runs consistent (a 10% corpus is inside the 20% corpus)."""
+    lo, hi = sorted([f1, f2])
+    df = spark.range(200).withColumnRenamed("id", "k")
+    a = {r[0] for r in sampling.hash_sample(df, "k", lo, method=method)
+         .collect()}
+    b = {r[0] for r in sampling.hash_sample(df, "k", hi, method=method)
+         .collect()}
+    assert a <= b
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=4),
+       method=st.sampled_from(["xxhash64", "md5"]))
+def test_assign_splits_partition_property(spark, w, method):
+    """For any normalized weight vector the splits PARTITION the corpus:
+    every row assigned, assignments drawn only from the split names."""
+    total = sum(w)
+    splits = {f"s{i}": v / total for i, v in enumerate(w)}
+    df = spark.range(100).withColumnRenamed("id", "k")
+    out = sampling.assign_splits(df, "k", splits, method=method)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r["split"] for r in rows} <= set(splits)
