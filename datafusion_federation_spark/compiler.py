@@ -395,8 +395,14 @@ class Compiler:
                 if key not in state["plans"]:
                     n = state["n"]
                     state["n"] += 1
-                    if _plan_has_outer_ref(x.plan):
-                        # name -> Expr mapping (counts wrap in coalesce)
+                    if _plan_has_external_outer_ref(x.plan):
+                        # name -> Expr mapping (empty-set values wrap in
+                        # coalesce). External-ref detection descends into
+                        # nested subqueries with scope accounting, so a
+                        # scalar whose OuterRef hides inside an inner
+                        # EXISTS routes here (and raises honestly if its
+                        # correlation cannot be hoisted) instead of
+                        # silently compiling as uncorrelated
                         state["plans"][key] = \
                             self._attach_correlated_scalar(state, x.plan, n)
                     else:
@@ -513,22 +519,15 @@ class Compiler:
                 return x
             return _rewrite_expr(e, repl)
 
-        def has_count(e: Expr) -> bool:
-            from .expressions import walk as walk_expr
-            return any(isinstance(x, AggFunc)
-                       and x.name.lower() in ("count", "count_if",
-                                              "approx_count_distinct")
-                       for x in walk_expr(e))
-
         out: Dict[str, Expr] = {}
         for item, (cname, h) in zip(node.aggregates, val_helper.items()):
             e = item.expr if isinstance(item, Alias) else item
-            if has_count(e):
-                # only COUNT-bearing items have a non-NULL empty-set
-                # value; for the rest coalesce(col, NULL) is a no-op
-                out[cname] = Func("coalesce", [Col(h), empty_set_value(e)])
-            else:
-                out[cname] = Col(h)
+            # ALWAYS wrap: the empty-set value is non-NULL not only for
+            # COUNT but for any non-strict wrapper — COALESCE(SUM(x),0)
+            # over an empty correlated set is 0, not NULL. For plain
+            # strict aggregates the computed fallback is NULL and the
+            # coalesce is a no-op.
+            out[cname] = Func("coalesce", [Col(h), empty_set_value(e)])
         return out
 
     def _grouping(self, df: DataFrame, group_by):
@@ -602,10 +601,21 @@ class Compiler:
             # common `id IN (SELECT id FROM s)` shape would otherwise
             # make the bare outer reference ambiguous
             sub = sub.select(sub[sub.columns[0]].alias("__in_sq"))
-            how = "left_anti" if pred.negated else "left_semi"
+            if pred.negated:
+                # NULL-AWARE anti join: SQL three-valued NOT IN keeps a
+                # row only when there is NO match AND no NULL on either
+                # side of any comparison (one NULL in the subquery
+                # empties the result; an outer NULL survives only an
+                # EMPTY subquery). A plain equality anti-join would keep
+                # rows SQL says are UNKNOWN — and would diverge from the
+                # remote engines running the same query federated.
+                e = pred.expr.to_spark()
+                cond = ((e == sub["__in_sq"]) | e.isNull()
+                        | sub["__in_sq"].isNull())
+                return df.join(sub, on=cond, how="left_anti")
             return df.join(sub,
                            on=pred.expr.to_spark() == sub["__in_sq"],
-                           how=how)
+                           how="left_semi")
         raise ValueError("unsupported subquery predicate form")
 
 
@@ -618,6 +628,38 @@ def _plan_has_outer_ref(p: Plan) -> bool:
     from .plans.nodes import walk_plan
     return any(_has_outer_ref(e) for node in walk_plan(p)
                for e in node.exprs())
+
+
+def _plan_has_external_outer_ref(p: Plan) -> bool:
+    """True iff `p` contains an outer reference that points OUTSIDE the
+    plan itself — at any subquery nesting depth, with SQL-lexical scope
+    accounting: a nested subquery's OuterRef that resolves to an alias
+    bound by an enclosing scope WITHIN `p` is internal correlation
+    (handled when that subquery compiles), not external. Unqualified
+    nested refs are treated as external (unknowable — must not take the
+    uncorrelated broadcast path, where they could silently bind a
+    same-named column of the wrong frame)."""
+    from .expressions import (
+        Exists, InSubquery, OuterRef, ScalarSubquery, SetComparison, walk)
+    from .federation import _visible_aliases  # late: avoids module cycle
+    from .plans.nodes import walk_plan
+
+    def visit(plan: Plan, enclosing: frozenset) -> bool:
+        own = _visible_aliases(plan)
+        for node in walk_plan(plan):
+            for e in node.exprs():
+                for x in walk(e):
+                    if isinstance(x, OuterRef):
+                        qual = x.table.lower() if x.table else None
+                        if qual is None or qual not in enclosing:
+                            return True
+                    elif isinstance(x, (Exists, InSubquery,
+                                        ScalarSubquery, SetComparison)):
+                        if visit(x.plan, enclosing | own):
+                            return True
+        return False
+
+    return visit(p, frozenset())
 
 
 def _widen_projects(p: Plan, needed: List[str]) -> Plan:

@@ -63,8 +63,11 @@ def hash_sample(df: DataFrame, key: str, frac: float,
 def quota_per_group(df: DataFrame, group: str, k: int, key: str,
                     method: str = "xxhash64") -> DataFrame:
     """Class-balanced selection: at most k rows per `group`, chosen in
-    deterministic hash order of `key` (ties broken by the key itself so
-    the pick is total-ordered). One shuffle on the group key — the
+    deterministic hash order of `key` (ties broken by the key itself).
+    ``key`` must be ROW-UNIQUE (a document/primary id): with duplicate
+    key values the (hash, key) order cannot total-order the rows and
+    the picked rows may vary across runs — exactly the nondeterminism
+    this module exists to prevent. One shuffle on the group key — the
     unavoidable cost of an exact per-group quota. Adds no columns."""
     h = _hash_col(F.col(key), method)
     w = W.partitionBy(group).orderBy(h, F.col(key))
@@ -148,6 +151,10 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     4x over-partitioning keeps each shard in ONE task (the order
     guarantee) while cutting the collision rate to ~10% — empty tasks
     cost microseconds, multi-shard stragglers cost wall-clock."""
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column; rename or drop it — "
+            "write_training_shards would silently overwrite it")
     h = F.pmod(F.xxhash64(F.col(key)), F.lit(num_shards))
     w = (df.withColumn("shard", h)
            .repartition(num_shards * 4, "shard")

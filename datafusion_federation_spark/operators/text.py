@@ -145,9 +145,14 @@ def rolling_hash_fingerprint(df: DataFrame, text_col: str,
     and the only shuffle is by document id — exactly how it parallelizes
     on a real cluster."""
     from pyspark.sql import Window as W
-    from .dedup import word_shingles
-    grams = word_shingles(F.col(text_col), k)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    from .dedup import word_grams
+    # POSITIONAL grams (duplicates kept): winnowing windows slide over
+    # gram positions, so deduplicating first (the old word_shingles
+    # input) shifted windows and dropped repeated-gram fingerprints;
+    # now structurally identical to the md5 oracle twin
+    # winnow_md5_profile below
+    hashes = F.transform(word_grams(F.col(text_col), k),
+                         lambda g: F.xxhash64(g))
     ex = df.select(
         F.col(id_col),
         F.posexplode(hashes).alias("__pos", "__h"))

@@ -188,3 +188,86 @@ def test_having_uncorrelated_scalar_subquery(spark):
            _engine(spark, ["lineitem"]).sql(sql).collect()]
     want = [(r[0], r[1]) for r in _duck(sql, ["lineitem"])]
     assert got == want and len(got) > 0
+
+
+def test_correlated_ref_inside_nested_exists_refused(spark):
+    """An outer reference hidden INSIDE a nested EXISTS must not take
+    the uncorrelated broadcast path (it would silently rebind to a
+    same-named column of the inner frame — verified against DuckDB,
+    which returns per-customer 0/150 where the old path returned a
+    constant). Until true multi-level decorrelation exists, this
+    raises."""
+    eng = _engine(spark, ["customer", "orders"])
+    with pytest.raises(Exception, match="correlat"):
+        eng.sql("""
+        SELECT c.c_custkey,
+               (SELECT COUNT(*) FROM customer c2
+                WHERE EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderkey < 100)) AS n
+        FROM customer c
+        """).collect()
+
+
+def test_correlated_scalar_with_internal_subquery_still_works(spark):
+    """A scalar subquery whose ONLY correlation is internal (the nested
+    EXISTS binds the scalar's own scope) stays on the uncorrelated
+    path and matches DuckDB."""
+    sql = """
+    SELECT (SELECT COUNT(*) FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c2
+                          WHERE c2.c_custkey = o.o_custkey
+                            AND c2.c_acctbal > 5000.0)) AS n
+    """
+    got = _engine(spark, ["customer", "orders"]).sql(sql).collect()[0][0]
+    want = _duck(sql, ["customer", "orders"])[0][0]
+    assert got == want and got > 0
+
+
+def test_correlated_scalar_nonstrict_wrapper_empty_set(spark):
+    """COALESCE(SUM(x), 0) over an empty correlated set is 0, not NULL
+    (the empty-set value of the WHOLE item is computed, not only for
+    bare COUNTs)."""
+    sql = """
+    SELECT c.c_custkey,
+           (SELECT COALESCE(SUM(o.o_totalprice), 0.0) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice < 0.0) AS guarded
+    FROM customer c
+    ORDER BY c.c_custkey
+    """
+    df = _engine(spark, ["customer", "orders"]).sql(sql)
+    got = [(r[0], r[1]) for r in df.collect()]
+    want = [(r[0], r[1]) for r in _duck(sql, ["customer", "orders"])]
+    assert got == want
+    assert all(v == 0.0 for _, v in got)
+
+
+def test_not_in_subquery_null_aware(spark):
+    """Three-valued NOT IN: one NULL in the subquery empties the result
+    — matching both SQL semantics and what a federated remote engine
+    computes for the identical query."""
+    from pyspark.sql import Row
+    spark.createDataFrame([Row(k=1), Row(k=2), Row(k=3)]) \
+        .createOrReplaceTempView("nin_a")
+    spark.createDataFrame([Row(k=1), Row(k=None)]) \
+        .createOrReplaceTempView("nin_b")
+    # compile the plan IR directly over the temp views
+    from datafusion_federation_spark.compiler import Compiler
+    from datafusion_federation_spark.expressions import Col, InSubquery
+    from datafusion_federation_spark.plans.nodes import (
+        Filter, Project, Scan)
+    from datafusion_federation_spark.sources.table import TableHandle
+    ta = TableHandle(local_name="nin_a", provider=None)
+    tb = TableHandle(local_name="nin_b", provider=None)
+    plan = Project(
+        Filter(Scan(ta),
+               InSubquery(Col("k"), Project(Scan(tb), [Col("k")]),
+                          negated=True)),
+        [Col("k")])
+    rows = Compiler(spark).compile(plan).collect()
+    assert rows == []          # NULL in subquery -> empty result
+    # and without the NULL, the anti join behaves classically
+    spark.createDataFrame([Row(k=1)]).createOrReplaceTempView("nin_b")
+    rows2 = sorted(r[0] for r in Compiler(spark).compile(plan).collect())
+    assert rows2 == [2, 3]

@@ -21,10 +21,13 @@ def _plan(spark, name):
 
 
 #: queries whose ONLY nested-loop join is the broadcast of a 1-row
-#: uncorrelated scalar-subquery result (ON TRUE): a constant-size build
-#: side, not a data-sized cross product
+#: uncorrelated scalar-subquery result (ON TRUE) — a constant-size
+#: build side — or, for h16, the null-aware NOT IN anti join (the
+#: disjunctive null-check condition cannot be an equi-join; Spark SQL's
+#: own NOT IN lowers to the same broadcast nested-loop shape, and the
+#: build side is the small subquery result)
 _SCALAR_BNL_OK = {"h11_important_stock", "h20_potential_promotion",
-                  "h22_global_sales"}
+                  "h22_global_sales", "h16_parts_supplier_cnt"}
 
 _ALL_H = [
     "h02_min_cost_supplier", "h04_priority_check", "h07_volume_shipping",
