@@ -419,6 +419,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     max_hamming < 4; for larger radii this is a high-recall heuristic) —
     the join key is the chunk value, never O(N^2).
     """
+    # null/blank texts all hash to signature 0 and would share EVERY
+    # chunk bucket — k blank docs emit k*(k-1)/2 hamming-0 "near-dup"
+    # pairs on a dirty corpus (the same blowup the MinHash candidate
+    # path guards against); they cannot be near-duplicates of anything
+    df = df.filter(F.col(text_col).isNotNull()
+                   & (F.trim(F.col(text_col)) != ""))
     sh = simhash(df, text_col, id_col).select(id_col, "simhash")
     chunks = sh.select(
         id_col, "simhash",

@@ -501,3 +501,22 @@ def test_prepare_and_split_funnel_and_assignment(spark):
     b = {(r["doc_id"], r["split"]) for r in
          out2.select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_near_dup_ops_drop_blank_docs(spark):
+    """k blank/whitespace docs must NOT emit k*(k-1)/2 spurious pairs
+    from any near-dup path (they share every LSH bucket / hash to
+    signature 0)."""
+    from pyspark.sql import Row
+    base = [Row(doc_id=i, text=t) for i, t in enumerate(
+        ["alpha beta gamma delta epsilon zeta", "", "   ", None,
+         "alpha beta gamma delta epsilon zet"])]
+    df = spark.createDataFrame(base)
+    mh = dedup.minhash_dedup_pairs(df, "text", "doc_id",
+                                   num_hashes=8, bands=2, threshold=0.5)
+    assert all({r["id_a"], r["id_b"]} <= {0, 4} for r in mh.collect())
+    sp = dedup.simhash_near_pairs(df, "text", "doc_id", max_hamming=10)
+    assert all({r["id_a"], r["id_b"]} <= {0, 4} for r in sp.collect())
+    md = dedup.minhash_md5_candidates(df, "text", "doc_id",
+                                      num_hashes=8, bands=2)
+    assert all({r["id_a"], r["id_b"]} <= {0, 4} for r in md.collect())
