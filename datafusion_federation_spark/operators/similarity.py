@@ -152,6 +152,59 @@ def ivf_topk(df: DataFrame, vec_col: str, query: Sequence[float],
             .limit(k))
 
 
+def ivf_fixed_topk(df: DataFrame, vec_col: str, query: Sequence[float],
+                   k: int = 10, id_col: str = "vec_id",
+                   n_clusters: int = 8, n_probe: int = 4,
+                   round_digits: Optional[int] = 6) -> DataFrame:
+    """IVF ANN with DETERMINISTIC centroids — the oracle twin of
+    ``ivf_topk``. K-means centroids are model-dependent (seed + iteration
+    order), so ivf_topk can only be checked rows-only; this variant seeds
+    the cells with the embeddings of the ``n_clusters`` lowest-id rows and
+    runs ONE assignment pass, making the whole pipeline a pure function of
+    the data that any SQL engine reproduces exactly (same IEEE double
+    accumulation order as cosine_topk's oracle).
+
+    Same physical skeleton as the ivf_topk scale path: centroids are a
+    tiny broadcast; the assignment cross join produces K rows per vector
+    that collapse MAP-SIDE (max_by partial aggregation), so the one
+    shuffle carries a single pre-aggregated row per vector; probed cells
+    prune before the exact rerank. At 100 TB the assignment output is
+    written partitioned by cell once, and each query scans
+    n_probe/n_clusters of the corpus via partition pruning."""
+    from pyspark.sql import Window as W
+
+    cent = (df.orderBy(id_col).limit(n_clusters)
+              .select(F.col(id_col).alias("__cid"),
+                      F.col(vec_col).alias("__cvec")))
+    cos_c = (_dot(F.col(vec_col), F.col("__cvec"))
+             / (_norm(F.col(vec_col)) * _norm(F.col("__cvec"))))
+    # nearest centroid per vector: max_by over (cos desc, cid asc) —
+    # the struct's second slot negates cid so struct-max picks the
+    # LOWEST cid on a cosine tie (mirrors the oracle's ROW_NUMBER
+    # ORDER BY cos DESC, cid ASC)
+    assigned = (df.crossJoin(F.broadcast(cent))
+                .groupBy(id_col)
+                .agg(F.max_by(
+                         F.col("__cid"),
+                         F.struct(cos_c.alias("c"),
+                                  (-F.col("__cid")).alias("t")))
+                     .alias("__cell"),
+                     F.first(F.col(vec_col)).alias(vec_col)))
+    probes = (cent.withColumn("__qcos", cosine_score(F.col("__cvec"), query))
+                  .withColumn("__rn", F.row_number().over(
+                      W.partitionBy().orderBy(F.col("__qcos").desc(),
+                                              F.col("__cid"))))
+                  .filter(F.col("__rn") <= n_probe)
+                  .select(F.col("__cid").alias("__cell")))
+    score = cosine_score(F.col(vec_col), query)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (assigned.join(F.broadcast(probes), on="__cell", how="left_semi")
+            .select(F.col(id_col), score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
 def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                           dim: int,
                           threshold: float = 0.9,

@@ -77,11 +77,18 @@ SECONDARY = {
     "d21_stream_hourly",
     "d22_value_quantiles",
     "d23_top_tokens",
-    "d24_minhash_md5",
-    "d25_simhash_md5",
-    "d26_winnow_md5",
     "d19_quota_per_group",
     "d20_train_split",
+    # round 5: the oracle-checked md5 twins (d24/d25/d26/d27) take the
+    # recorded-window slots; the xxhash64/k-means fast paths keep bench,
+    # pinned tests, and tools/check_correctness.py as their evidence —
+    # their ALGORITHMS are proven by the twins, their engine-specific
+    # hashes can't be (driver contract: first 50 queries() entries are
+    # the recorded correctness window, VERDICT r4 item 1)
+    "d04_minhash_lsh",      # twin d24 (full-pipeline md5 oracle)
+    "d05_simhash",          # twin d25 (signature md5 oracle)
+    "d12_winnow_fingerprint",  # twin d26 (fingerprint md5 oracle)
+    "d14_ivf_ann",          # twin d27 (fixed-centroid IVF oracle)
 }
 
 DEC = "decimal(12,2)"

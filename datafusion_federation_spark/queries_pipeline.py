@@ -848,3 +848,60 @@ def d26(spark, sf):
     return (text.winnow_md5_profile(docs, "text", "doc_id",
                                     k=4, window=8)
             .orderBy("doc_id"))
+
+
+def _ivf_fixed_oracle(n_clusters: int = 8, n_probe: int = 4,
+                      k: int = 10) -> str:
+    """Deterministic-centroid IVF: cells seeded with the n_clusters
+    lowest-id embeddings, one assignment pass, exact rerank inside the
+    probed cells — the same explicit left-associated double sums as the
+    d06 oracle, so every cosine matches Spark bit for bit."""
+    dot_ec = _sql_dot2("e.embedding", "c.cvec", EMB_DIM)
+    enorm = _sql_sqnorm("e.embedding", EMB_DIM)
+    cnorm = _sql_sqnorm("c.cvec", EMB_DIM)
+    qdot_c = _sql_dot("cvec", QUERY_VEC)
+    cnorm2 = _sql_sqnorm("cvec", EMB_DIM)
+    qnorm = _sql_const_sqnorm(QUERY_VEC)
+    qdot_e = _sql_dot("e2.embedding", QUERY_VEC)
+    enorm2 = _sql_sqnorm("e2.embedding", EMB_DIM)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_clusters}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ({dot_ec}) / (sqrt({enorm}) * sqrt({cnorm})) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c) a WHERE rn = 1),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid,
+           ROW_NUMBER() OVER (
+             ORDER BY ({qdot_c}) / (sqrt({cnorm2}) * sqrt({qnorm})) DESC,
+                      cid) AS rn
+    FROM cent) p WHERE rn <= {n_probe})
+SELECT e2.vec_id,
+       ROUND(({qdot_e}) / (sqrt({enorm2}) * sqrt({qnorm})), 6) AS score
+FROM embeddings e2
+JOIN assign a ON a.vec_id = e2.vec_id
+JOIN probe p ON p.cid = a.cid
+ORDER BY score DESC, e2.vec_id
+LIMIT {k}
+"""
+
+
+@q("d27_ivf_md5", _ivf_fixed_oracle())
+def d27(spark, sf):
+    """IVF ANN with a FULL cross-engine oracle: deterministic centroids
+    (the 8 lowest-id embeddings), one assignment pass, exact cosine
+    rerank in the 4 probed cells — the whole inverted-file pipeline is
+    a pure function of the data, so DuckDB reproduces it bit for bit
+    (the k-means twin d14 stays the adaptive path, recall-pinned in
+    tests)."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.ivf_fixed_topk(emb, "embedding", QUERY_VEC, k=10,
+                                     id_col="vec_id", n_clusters=8,
+                                     n_probe=4)

@@ -244,6 +244,31 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(approx) == 10
 
 
+def test_ivf_fixed_full_probe_equals_brute_force(spark):
+    # the deterministic-centroid twin (d27): probing ALL cells must be
+    # exactly brute force — assignment only partitions, never drops
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    query = [((i * 11) % 13 - 6) / 6.0 for i in range(64)]
+    exact = similarity.cosine_topk(
+        emb, "embedding", query, k=10, id_col="vec_id").collect()
+    full = similarity.ivf_fixed_topk(
+        emb, "embedding", query, k=10, id_col="vec_id",
+        n_clusters=8, n_probe=8).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in full]
+
+
+def test_ivf_fixed_recall_and_validity(spark):
+    emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
+    query = [((i * 37) % 19 - 9) / 9.0 for i in range(64)]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(
+        emb, "embedding", query, k=10, id_col="vec_id").collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_fixed_topk(
+        emb, "embedding", query, k=10, id_col="vec_id",
+        n_clusters=8, n_probe=4).collect()]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 5
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     emb = spark.read.parquet(f"{TESTDATA}/embeddings.parquet")
     query = [((i * 11) % 13 - 6) / 6.0 for i in range(64)]
