@@ -14,6 +14,13 @@ backends:
   a hex-string PREFIX comparison, so both engines agree without any
   int(hex) conversion.
 
+Hashes are PURPOSE-SALTED where decisions compose: two thresholded
+decisions on the same unsalted hash are fully correlated (a 10% sample
+followed by a 5/5/90 split on the same hash leaves train EMPTY — every
+surviving row sits below the 10th percentile). assign_splits therefore
+salts with 'split' by default; pass distinct salts to any further
+hash-keyed stages you add.
+
 All four operators are narrow (no shuffle) except quota_per_group, whose
 single window shuffle is inherent to "k per group"; for a skewed group
 key combine with operators/skew.py salting.
@@ -31,20 +38,36 @@ from pyspark.sql import functions as F
 _HEX2_SPACE = 256
 
 
-def _hash_col(key: Column, method: str) -> Column:
+def _hash_col(key: Column, method: str, salt: str | None = None) -> Column:
+    """Purpose-salted content hash. Two operators applied to the same
+    corpus MUST NOT share an unsalted hash: a sample that keeps
+    ``hash < t`` followed by a split that thresholds the SAME hash is
+    fully correlated (ADVICE r4: frac=0.1 sampling left the 90% train
+    split EMPTY). The salt prefixes the hashed bytes, so each purpose
+    draws an independent uniform."""
     if method == "xxhash64":
+        if salt is not None:
+            return F.xxhash64(F.lit(salt), key)
         return F.xxhash64(key)
     if method == "md5":
-        return F.md5(key.cast("string"))
+        s = key.cast("string")
+        if salt is not None:
+            s = F.concat(F.lit(salt + ":"), s)
+        return F.md5(s)
     raise ValueError(f"unknown hash method {method!r}")
 
 
 def hash_sample(df: DataFrame, key: str, frac: float,
-                method: str = "xxhash64") -> DataFrame:
+                method: str = "xxhash64",
+                salt: str | None = None) -> DataFrame:
     """Deterministic ~frac sample keyed on `key`'s hash. Narrow (a
     filter — no shuffle, no RNG, independent of partitioning), so at
     100 TB it is a free predicate on the scan. md5 mode rounds frac to
-    1/256 granularity (hex-prefix threshold, engine-portable)."""
+    1/256 granularity (hex-prefix threshold, engine-portable).
+    ``salt`` decorrelates this sample from any other hash-keyed decision
+    on the same corpus (unsalted default kept for oracle compatibility —
+    assign_splits salts itself, so the common sample->split compose is
+    safe without one)."""
     k = F.col(key)
     if method == "md5":
         idx = max(0, round(frac * _HEX2_SPACE))
@@ -54,14 +77,16 @@ def hash_sample(df: DataFrame, key: str, frac: float,
             # is False) — the whole corpus is the sample, skip the filter
             return df
         bound = format(idx, "02x")
-        return df.filter(F.substring(_hash_col(k, "md5"), 1, 2) < bound)
+        return df.filter(
+            F.substring(_hash_col(k, "md5", salt), 1, 2) < bound)
     # xxhash64: fold the signed 64-bit hash into [0, 1<<32)
-    bucket = F.pmod(_hash_col(k, "xxhash64"), F.lit(1 << 32))
+    bucket = F.pmod(_hash_col(k, "xxhash64", salt), F.lit(1 << 32))
     return df.filter(bucket < int(frac * (1 << 32)))
 
 
 def quota_per_group(df: DataFrame, group: str, k: int, key: str,
-                    method: str = "xxhash64") -> DataFrame:
+                    method: str = "xxhash64",
+                    salt: str | None = None) -> DataFrame:
     """Class-balanced selection: at most k rows per `group`, chosen in
     deterministic hash order of `key` (ties broken by the key itself).
     ``key`` must be ROW-UNIQUE (a document/primary id): with duplicate
@@ -69,7 +94,7 @@ def quota_per_group(df: DataFrame, group: str, k: int, key: str,
     the picked rows may vary across runs — exactly the nondeterminism
     this module exists to prevent. One shuffle on the group key — the
     unavoidable cost of an exact per-group quota. Adds no columns."""
-    h = _hash_col(F.col(key), method)
+    h = _hash_col(F.col(key), method, salt)
     w = W.partitionBy(group).orderBy(h, F.col(key))
     return (df.withColumn("__qr", F.row_number().over(w))
               .filter(F.col("__qr") <= k).drop("__qr"))
@@ -77,17 +102,25 @@ def quota_per_group(df: DataFrame, group: str, k: int, key: str,
 
 def assign_splits(df: DataFrame, key: str, splits: Dict[str, float],
                   method: str = "xxhash64",
-                  out_col: str = "split") -> DataFrame:
+                  out_col: str = "split",
+                  salt: str | None = "split") -> DataFrame:
     """Deterministic train/val/test assignment: cumulative hash-bucket
     thresholds in the given split order. Weights must sum to 1 (small
     float slack tolerated; the LAST split absorbs the remainder so every
-    row is assigned). Narrow — a single CASE column."""
+    row is assigned). Narrow — a single CASE column.
+
+    Salted with 'split' BY DEFAULT: an upstream hash_sample keeps only
+    low unsalted-hash rows, and thresholding that same hash here would
+    stack every sampled row into the first splits (ADVICE r4: the 90%
+    train split came back EMPTY after 10% sampling). The salt makes the
+    assignment an independent uniform draw; pass salt=None only to
+    reproduce the legacy correlated layout."""
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"split weights sum to {total}, expected 1.0")
     names = list(splits)
     if method == "md5":
-        h2 = F.substring(_hash_col(F.col(key), "md5"), 1, 2)
+        h2 = F.substring(_hash_col(F.col(key), "md5", salt), 1, 2)
         acc, expr = 0.0, None
         for name in names[:-1]:
             acc += splits[name]
@@ -104,7 +137,8 @@ def assign_splits(df: DataFrame, key: str, splits: Dict[str, float],
             expr = (F.when(cond, name) if expr is None
                     else expr.when(cond, name))
     else:
-        bucket = F.pmod(_hash_col(F.col(key), "xxhash64"), F.lit(1 << 32))
+        bucket = F.pmod(_hash_col(F.col(key), "xxhash64", salt),
+                        F.lit(1 << 32))
         acc, expr = 0.0, None
         for name in names[:-1]:
             acc += splits[name]

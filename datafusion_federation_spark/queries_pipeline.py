@@ -583,9 +583,11 @@ def d19(spark, sf):
 @q("d20_train_split", """
 SELECT split, source, COUNT(*) AS n
 FROM (SELECT source,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                              1, 2) < '1a'
                     THEN 'test'
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                              1, 2) < '33'
                     THEN 'val'
                   ELSE 'train' END AS split
       FROM documents) assigned
@@ -593,10 +595,12 @@ GROUP BY split, source ORDER BY split, source
 """)
 def d20(spark, sf):
     """Deterministic train/val/test split (~10/10/80 via cumulative
-    md5-prefix thresholds: '1a'=26/256, '33'=51/256), audited per
-    source. Rerunning on the same corpus — at any partitioning —
-    assigns every document identically (operators/sampling.
-    assign_splits)."""
+    md5-prefix thresholds: '1a'=26/256, '33'=51/256) over the
+    'split'-salted content hash — salted so the assignment is
+    independent of any upstream hash_sample on the same ids (ADVICE r4)
+    — audited per source. Rerunning on the same corpus — at any
+    partitioning — assigns every document identically
+    (operators/sampling.assign_splits)."""
     from .operators import sampling
     docs = t(spark, sf, "documents")
     a = sampling.assign_splits(docs, "doc_id",

@@ -70,6 +70,47 @@ def test_assign_splits_complete_and_disjoint(spark, docs):
         sampling.assign_splits(docs, "doc_id", {"a": 0.5, "b": 0.2})
 
 
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_sample_then_split_proportions(spark, method):
+    """ADVICE r4 (high): hash_sample then assign_splits on the SAME
+    unsalted hash were fully correlated — frac=0.1 sampling followed by
+    a {test:.05, val:.05, train:.9} split left train EMPTY (every
+    sampled row sits below the 10th hash percentile, all swallowed by
+    test/val). The per-purpose 'split' salt makes the assignment an
+    independent draw: proportions must track the nominal weights."""
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    s = sampling.hash_sample(df, "k", 0.1, method=method)
+    out = sampling.assign_splits(
+        s, "k", {"test": 0.05, "val": 0.05, "train": 0.9}, method=method)
+    counts = dict((r[0], r[1]) for r in
+                  out.groupBy("split").count().collect())
+    n = sum(counts.values())
+    assert n > 1000                      # the sample itself is ~2000
+    # train takes ~90%; the correlated bug gave it exactly 0
+    assert counts.get("train", 0) > 0.8 * n
+    for small in ("test", "val"):
+        assert 0.01 * n < counts.get(small, 0) < 0.12 * n
+
+
+def test_prepare_and_split_proportions(spark):
+    """End-to-end repro of the ADVICE scenario through the composed
+    corpus pipeline: sample_frac + splits must yield all three splits
+    at roughly their nominal weights."""
+    from datafusion_federation_spark.operators.pipeline import (
+        CorpusPrepConfig, prepare_and_split)
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    out = prepare_and_split(
+        docs, CorpusPrepConfig(min_quality=0.0), sample_frac=0.5,
+        splits={"test": 0.1, "val": 0.1, "train": 0.8})
+    counts = dict((r[0], r[1]) for r in
+                  out.groupBy("split").count().collect())
+    n = sum(counts.values())
+    assert n > 50
+    assert counts.get("train", 0) > 0.6 * n
+    assert counts.get("test", 0) > 0
+    assert counts.get("val", 0) > 0
+
+
 def test_assign_splits_stable_across_runs(spark, docs):
     a = sampling.assign_splits(docs, "doc_id",
                                {"val": 0.2, "train": 0.8})
