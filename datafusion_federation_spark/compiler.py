@@ -127,7 +127,7 @@ class Compiler:
         if isinstance(p, Project):
             df = self._c(p.input)
             projections = self._expand_star_options(df, p.projections)
-            df, projs, _ = self._prepare_exprs(df, projections)
+            df, projs, _ = self._prepare_exprs(df, projections, p.input)
             return df.select(*[e.to_spark() for e in projs])
 
         if isinstance(p, Filter):
@@ -155,11 +155,11 @@ class Compiler:
                     pp = plain[0]
                     for k in plain[1:]:
                         pp = BinaryOp("AND", pp, k)
-                    df = self._filter_plain(df, pp)
+                    df = self._filter_plain(df, pp, p.input)
                 for c in subq:
-                    df = self._apply_subquery_pred(df, c)
+                    df = self._apply_subquery_pred(df, c, p.input)
                 return df
-            return self._filter_plain(self._c(p.input), pred)
+            return self._filter_plain(self._c(p.input), pred, p.input)
 
         if isinstance(p, Join):
             if self.runtime_join_filters and p.how in ("inner", "semi"):
@@ -175,7 +175,7 @@ class Compiler:
 
         if isinstance(p, Aggregate):
             df = self._c(p.input)
-            df, aggs_x, _ = self._prepare_exprs(df, p.aggregates)
+            df, aggs_x, _ = self._prepare_exprs(df, p.aggregates, p.input)
             aggs = [a.to_spark() for a in aggs_x]
             gb = self._grouping(df, p.group_by)
             if aggs:
@@ -192,7 +192,9 @@ class Compiler:
                        for x in walk_expr(p.having)):
                     # HAVING against a scalar subquery (TPC-H Q11 shape):
                     # route through the subquery-attaching filter path
-                    out = self._filter_plain(out, p.having)
+                    # (outer plan = the aggregate itself: aliases bound
+                    # below it are this scope's provenance domain)
+                    out = self._filter_plain(out, p.having, p)
                 else:
                     out = out.filter(p.having.to_spark())
             return out
@@ -311,15 +313,16 @@ class Compiler:
             out.extend(expand_star_options(cols, e))
         return out
 
-    def _prepare_exprs(self, df: DataFrame, exprs):
+    def _prepare_exprs(self, df: DataFrame, exprs, outer_plan: Plan = None):
         """Expression lowering for the local path: quantified comparisons
         rewrite to IN / min-max scalar subqueries, session variables
         resolve from the Spark conf, then scalar subqueries attach as
-        broadcast joins."""
+        broadcast joins. ``outer_plan`` is the plan that produced `df`,
+        used to prove alias provenance when binding correlated refs."""
         exprs = [_rewrite_expr(e, self._rewrite_quantifier) for e in exprs]
         exprs = [_rewrite_expr(e, self._resolve_scalar_variable)
                  for e in exprs]
-        return self._attach_scalar_subqueries(df, exprs)
+        return self._attach_scalar_subqueries(df, exprs, outer_plan)
 
     def _rewrite_quantifier(self, x: Expr) -> Expr:
         """ANY/ALL (analyzer.rs:566-586) — local rewrite (SURVEY.md §2C):
@@ -371,7 +374,8 @@ class Compiler:
             return Lit(self.spark.conf.get(x.name, None))
         return x
 
-    def _attach_scalar_subqueries(self, df: DataFrame, exprs):
+    def _attach_scalar_subqueries(self, df: DataFrame, exprs,
+                                  outer_plan: Plan = None):
         """Inline each uncorrelated ScalarSubquery as a broadcast LEFT
         JOIN ON TRUE of its 0-or-1-row result. Keeps everything in ONE
         Catalyst plan (no driver collect, no second job), and an empty
@@ -387,7 +391,8 @@ class Compiler:
         Returns (df_with_joins, rewritten_exprs, helper_col_names).
         """
         from .expressions import ScalarSubquery
-        state = {"df": df, "n": 0, "cols": [], "plans": {}}
+        state = {"df": df, "n": 0, "cols": [], "plans": {},
+                 "outer_plan": outer_plan}
 
         def replace(x: Expr) -> Expr:
             if isinstance(x, ScalarSubquery):
@@ -498,7 +503,8 @@ class Compiler:
             *[F.col(c).alias(h) for c, h in val_helper.items()])
         on = None
         for outer_ref, ik in keys:
-            cond = (_resolve_outer(state["df"], outer_ref)
+            cond = (_resolve_outer(state["df"], outer_ref,
+                                   state["outer_plan"])
                     == sub[key_helper[ik]])
             on = cond if on is None else (on & cond)
         state["df"] = state["df"].join(sub, on=on, how="left")
@@ -559,17 +565,19 @@ class Compiler:
                     all_cols.append(e.to_spark())
         return df.groupingSets(sets, *all_cols)
 
-    def _filter_plain(self, df: DataFrame, pred: Expr) -> DataFrame:
+    def _filter_plain(self, df: DataFrame, pred: Expr,
+                      outer_plan: Plan = None) -> DataFrame:
         """Filter with a predicate free of EXISTS/IN subqueries (scalar
         subqueries and session variables are lowered here)."""
         from .expressions import ScalarSubquery, walk as walk_expr
         if any(isinstance(n, ScalarSubquery) for n in walk_expr(pred)):
-            df, (pred,), cols = self._prepare_exprs(df, [pred])
+            df, (pred,), cols = self._prepare_exprs(df, [pred], outer_plan)
             return df.filter(pred.to_spark()).drop(*cols)
         pred = _rewrite_expr(pred, self._resolve_scalar_variable)
         return df.filter(pred.to_spark())
 
-    def _apply_subquery_pred(self, df: DataFrame, pred: Expr) -> DataFrame:
+    def _apply_subquery_pred(self, df: DataFrame, pred: Expr,
+                             outer_plan: Plan = None) -> DataFrame:
         """EXISTS / IN subqueries compile to LEFT SEMI / LEFT ANTI joins
         (SURVEY.md §2C; the reference keeps them local too — DataFusion
         decorrelates before federation, src/lib.rs:39-52). Correlated
@@ -589,7 +597,7 @@ class Compiler:
             if conds:
                 on = None
                 for c in conds:
-                    sc = _corr_to_spark(c, df, sub)
+                    sc = _corr_to_spark(c, df, sub, outer_plan)
                     on = sc if on is None else (on & sc)
                 return df.join(sub, on=on, how=how)
             # uncorrelated EXISTS: keep-all or keep-none
@@ -602,17 +610,35 @@ class Compiler:
             # make the bare outer reference ambiguous
             sub = sub.select(sub[sub.columns[0]].alias("__in_sq"))
             if pred.negated:
-                # NULL-AWARE anti join: SQL three-valued NOT IN keeps a
-                # row only when there is NO match AND no NULL on either
-                # side of any comparison (one NULL in the subquery
-                # empties the result; an outer NULL survives only an
-                # EMPTY subquery). A plain equality anti-join would keep
-                # rows SQL says are UNKNOWN — and would diverge from the
-                # remote engines running the same query federated.
+                # NULL-AWARE NOT IN, kept EQUI-KEYED (ADVICE r4): the
+                # naive encoding — anti join on (equality OR either side
+                # IS NULL) — is a non-equi condition Spark can only plan
+                # as a broadcast-nested-loop, O(outer x sub) when the
+                # subquery side is large. Three-valued NOT IN decomposes
+                # into equi-friendly facts instead:
+                #   - EMPTY subquery      -> keep every row (even NULL
+                #     outer values: NOT IN over zero rows is TRUE);
+                #   - any NULL in the sub -> keep NO row (match gives
+                #     FALSE, everything else UNKNOWN);
+                #   - else                -> keep non-NULL outer rows
+                #     with no equality match.
+                # The subquery collapses to ONE broadcast row of
+                # (row count, non-null count) gating a plain equality
+                # anti join — hash-joinable at any scale. The subquery
+                # plan is referenced twice (counts + values); both are
+                # the same scan and orders of magnitude cheaper than the
+                # nested loop they replace.
                 e = pred.expr.to_spark()
-                cond = ((e == sub["__in_sq"]) | e.isNull()
-                        | sub["__in_sq"].isNull())
-                return df.join(sub, on=cond, how="left_anti")
+                counts = sub.agg(
+                    F.count(F.lit(1)).alias("__in_n"),
+                    F.count("__in_sq").alias("__in_nn"))
+                gated = (df.crossJoin(F.broadcast(counts))
+                         .filter((F.col("__in_n") == 0)
+                                 | ((F.col("__in_n") == F.col("__in_nn"))
+                                    & e.isNotNull())))
+                return (gated.join(sub, on=e == sub["__in_sq"],
+                                   how="left_anti")
+                        .drop("__in_n", "__in_nn"))
             return df.join(sub,
                            on=pred.expr.to_spark() == sub["__in_sq"],
                            how="left_semi")
@@ -703,25 +729,79 @@ def _widen_projects(p: Plan, needed: List[str]) -> Plan:
     return p
 
 
-def _resolve_outer(outer_df: DataFrame, ref) -> Any:
+def _alias_provenance(p: Plan) -> Dict[str, Any]:
+    """Every alias bound anywhere in `p`'s relational tree (subquery
+    aliases AND scan table names — including below aggregates, where the
+    compiled frame has lost its qualifiers), mapped to the column names
+    its subtree outputs, or None when they are not statically known.
+    Subquery plans inside expressions are a different scope and are NOT
+    visited (their aliases must not masquerade as outer bindings)."""
+    out: Dict[str, Any] = {}
+
+    def visit(node: Plan) -> None:
+        if isinstance(node, SubqueryAlias):
+            out[node.alias.lower()] = _plan_output_cols(node.input)
+        if isinstance(node, Scan):
+            out.setdefault(node.table.local_name.lower(),
+                           _plan_output_cols(node))
+        for i in node.inputs():
+            visit(i)
+
+    visit(p)
+    return out
+
+
+def _resolve_outer(outer_df: DataFrame, ref, outer_plan: Plan = None) -> Any:
     """Resolve an OuterRef against the immediate outer frame. Qualified
     references try their alias first — if the alias does not exist on
     this frame the reference belongs to a FARTHER scope (multi-level
     correlation), which a single hoist cannot express: raise instead of
-    silently binding a same-named column of the wrong scope."""
+    silently binding a same-named column of the wrong scope.
+
+    When the qualified lookup fails but the bare name is unique on the
+    frame (qualifiers are lost when a frame passes through an
+    aggregate), uniqueness alone is NOT provenance (ADVICE r4): the one
+    surviving column could originate from a different alias than
+    ref.table. The fallback binds only when the outer PLAN proves it —
+    ref.table is bound in this scope, its subtree can produce ref.name,
+    and no other alias in the scope is known to produce that name."""
     if getattr(ref, "table", None):
         try:
             return outer_df[f"{ref.table}.{ref.name}"]
         except Exception as exc:  # noqa: BLE001 - analysis failure
+
+            def bail(why: str):
+                raise NotImplementedError(
+                    f"correlated reference {ref.table}.{ref.name} "
+                    f"cannot bind against the immediate outer scope: "
+                    f"{why}") from exc
+
             try:
                 unqual = outer_df[ref.name]
             except Exception:
-                raise NotImplementedError(
-                    f"correlated reference {ref.table}.{ref.name} does "
-                    "not resolve against the immediate outer scope "
-                    "(multi-level correlation is not supported)") from exc
-            # alias lost (e.g. the frame passed through an aggregate)
-            # but the name is unambiguous on this frame: safe to bind
+                bail("the name does not resolve on the outer frame "
+                     "(multi-level correlation is not supported)")
+            if outer_plan is None:
+                bail("no outer-plan provenance available to prove which "
+                     "alias the bare column binding originates from")
+            prov = _alias_provenance(outer_plan)
+            alias = ref.table.lower()
+            if alias not in prov:
+                bail(f"alias {ref.table!r} is not bound in this scope "
+                     "(farther-scope correlation)")
+            name = ref.name.lower()
+            mine = prov[alias]
+            if mine is not None and name not in {c.lower() for c in mine}:
+                bail(f"alias {ref.table!r} does not produce a column "
+                     f"named {ref.name!r}")
+            others = sorted(
+                a for a, cols in prov.items()
+                if a != alias and cols is not None
+                and name in {c.lower() for c in cols})
+            if others:
+                bail(f"column {ref.name!r} is also produced by "
+                     f"alias(es) {others}; the surviving unqualified "
+                     "column's provenance cannot be proven")
             return unqual
     return outer_df[ref.name]
 
@@ -780,7 +860,8 @@ def _extract_correlated(p: Plan):
     return conds, visit(p)
 
 
-def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame):
+def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame,
+                   outer_plan: Plan = None):
     """Render a correlated predicate as a Spark join condition: OuterRef
     columns resolve against the outer DataFrame, plain columns against
     the subquery DataFrame (disambiguates colliding names)."""
@@ -788,7 +869,7 @@ def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame):
         Between, BinaryOp, Col, InList, IsNotNull, IsNull, Lit, Not,
         OuterRef)
     if isinstance(e, OuterRef):
-        return _resolve_outer(outer_df, e)
+        return _resolve_outer(outer_df, e, outer_plan)
     if isinstance(e, Col):
         return sub_df[e.name]
     if isinstance(e, Lit):
@@ -796,18 +877,19 @@ def _corr_to_spark(e: Expr, outer_df: DataFrame, sub_df: DataFrame):
     if isinstance(e, BinaryOp):
         from .expressions import _SQL_TO_SPARK_BIN
         return _SQL_TO_SPARK_BIN[e.op.upper()](
-            _corr_to_spark(e.left, outer_df, sub_df),
-            _corr_to_spark(e.right, outer_df, sub_df))
+            _corr_to_spark(e.left, outer_df, sub_df, outer_plan),
+            _corr_to_spark(e.right, outer_df, sub_df, outer_plan))
     if isinstance(e, Not):
-        return ~_corr_to_spark(e.expr, outer_df, sub_df)
+        return ~_corr_to_spark(e.expr, outer_df, sub_df, outer_plan)
     if isinstance(e, IsNull):
-        return _corr_to_spark(e.expr, outer_df, sub_df).isNull()
+        return _corr_to_spark(e.expr, outer_df, sub_df, outer_plan).isNull()
     if isinstance(e, IsNotNull):
-        return _corr_to_spark(e.expr, outer_df, sub_df).isNotNull()
+        return _corr_to_spark(
+            e.expr, outer_df, sub_df, outer_plan).isNotNull()
     if isinstance(e, Between):
-        return _corr_to_spark(e.expr, outer_df, sub_df).between(
-            _corr_to_spark(e.low, outer_df, sub_df),
-            _corr_to_spark(e.high, outer_df, sub_df))
+        return _corr_to_spark(e.expr, outer_df, sub_df, outer_plan).between(
+            _corr_to_spark(e.low, outer_df, sub_df, outer_plan),
+            _corr_to_spark(e.high, outer_df, sub_df, outer_plan))
     raise NotImplementedError(
         f"correlated predicate form {type(e).__name__} not supported")
 

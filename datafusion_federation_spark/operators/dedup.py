@@ -237,7 +237,12 @@ def _lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     (band, band_hash) for the bucket join — uniformly distributed,
     skew-resistant; pair generation is per-bucket, so cost scales with
     bucket sizes, not N^2."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # a contract check, not a debug assert: must survive python -O
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}) — each band hashes num_hashes/bands signature "
+            "rows")
     rows_per_band = num_hashes // bands
     # exploding DISTINCT shingles; blank docs shingle to [''] only — the
     # '' shingle is dropped so they exit the candidate space entirely

@@ -19,6 +19,7 @@ rules.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Optional
 
 #: (id(spark), cache_key) -> StructType. The unparsed SQL of a claimed
@@ -47,7 +48,8 @@ def infer_plan_schema(spark, plan, cache_key: Optional[str] = None
     if full_key is not None and full_key in _CACHE:
         return _CACHE[full_key]
     try:
-        schema = _ShellCompiler(spark).compile(plan).schema
+        with _quiet_analysis_errors(spark):
+            schema = _ShellCompiler(spark).compile(plan).schema
     except Exception:
         return None
     if full_key is not None:
@@ -55,6 +57,30 @@ def infer_plan_schema(spark, plan, cache_key: Optional[str] = None
             _CACHE.clear()
         _CACHE[full_key] = schema
     return schema
+
+
+@contextmanager
+def _quiet_analysis_errors(spark):
+    """Silence PySpark's query-context error loggers for the duration
+    of a probe whose failure is EXPECTED (remote-only functions like
+    DuckDB's string_split fail Catalyst analysis by design; the caller
+    returns None and the query proceeds federated). PySpark 4 logs
+    every captured AnalysisException as a full ERROR-level JSON stack
+    trace through the plain-Python loggers below
+    (pyspark/errors/exceptions/base.py:_log_exception) — an operational
+    page magnet when it fires on a healthy path at scale."""
+    import logging
+
+    names = ("SQLQueryContextLogger", "DataFrameQueryContextLogger")
+    loggers = [logging.getLogger(n) for n in names]
+    prev = [lg.level for lg in loggers]
+    for lg in loggers:
+        lg.setLevel(logging.CRITICAL)
+    try:
+        yield
+    finally:
+        for lg, lv in zip(loggers, prev):
+            lg.setLevel(lv)
 
 
 def _shell_schema(handle, spark):

@@ -243,6 +243,74 @@ def test_correlated_scalar_nonstrict_wrapper_empty_set(spark):
     assert all(v == 0.0 for _, v in got)
 
 
+def test_correlated_ref_foreign_alias_raises(spark):
+    """ADVICE r4 (provenance): when the qualified outer lookup fails and
+    the bare name is unique on the frame, the old fallback bound it even
+    if the reference's alias was never in scope — silently correlating
+    on the WRONG column. The guard must raise instead."""
+    from pyspark.sql import Row
+    spark.createDataFrame([Row(k=1, v=2)]) \
+        .createOrReplaceTempView("prov_a")
+    spark.createDataFrame([Row(k=1)]) \
+        .createOrReplaceTempView("prov_b")
+    from datafusion_federation_spark.compiler import Compiler
+    from datafusion_federation_spark.expressions import (
+        AggFunc, Alias, BinaryOp, Col, Exists, OuterRef)
+    from datafusion_federation_spark.plans.nodes import (
+        Aggregate, Filter, Project, Scan, SubqueryAlias)
+    from datafusion_federation_spark.sources.table import TableHandle
+    ta = TableHandle(local_name="prov_a", provider=None)
+    tb = TableHandle(local_name="prov_b", provider=None)
+    # outer frame passes through an aggregate, so alias qualifiers are
+    # lost; the subquery correlates on zz.k but no alias 'zz' is bound
+    # anywhere in this scope — the surviving bare 'k' belongs to 'a'
+    outer = Aggregate(SubqueryAlias(Scan(ta), "a"), [Col("k")],
+                      [Alias(AggFunc("count", []), "n")])
+    sub = Filter(Scan(tb),
+                 BinaryOp("=", Col("k"), OuterRef("k", table="zz")))
+    plan = Filter(outer, Exists(Project(sub, [Col("k")])))
+    with pytest.raises(NotImplementedError, match="zz"):
+        Compiler(spark).compile(plan).collect()
+    # the SAME shape with the alias actually in scope still decorrelates
+    ok = Filter(outer, Exists(Project(
+        Filter(Scan(tb),
+               BinaryOp("=", Col("k"), OuterRef("k", table="a"))),
+        [Col("k")])))
+    rows = Compiler(spark).compile(ok).collect()
+    assert [tuple(r) for r in rows] == [(1, 1)]
+
+
+def test_not_in_subquery_plans_equi_anti(spark):
+    """100 TB posture (ADVICE r4): null-aware NOT IN must compile to an
+    EQUALITY anti join (hash-joinable), not a broadcast-nested-loop over
+    the whole subquery. The only nested loop allowed is the 1-row
+    (count, non-null count) gate — a LeftAnti BNL is the O(outer x sub)
+    shape this rewrite exists to avoid."""
+    from pyspark.sql import Row
+    spark.createDataFrame([Row(k=i) for i in range(100)]) \
+        .createOrReplaceTempView("ninp_a")
+    spark.createDataFrame([Row(k=i) for i in range(50)]) \
+        .createOrReplaceTempView("ninp_b")
+    from datafusion_federation_spark.compiler import Compiler
+    from datafusion_federation_spark.expressions import Col, InSubquery
+    from datafusion_federation_spark.plans.nodes import (
+        Filter, Project, Scan)
+    from datafusion_federation_spark.sources.table import TableHandle
+    ta = TableHandle(local_name="ninp_a", provider=None)
+    tb = TableHandle(local_name="ninp_b", provider=None)
+    plan = Project(
+        Filter(Scan(ta),
+               InSubquery(Col("k"), Project(Scan(tb), [Col("k")]),
+                          negated=True)),
+        [Col("k")])
+    df = Compiler(spark).compile(plan)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    for line in physical.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "LeftAnti" not in line, physical
+    assert sorted(r[0] for r in df.collect()) == list(range(50, 100))
+
+
 def test_not_in_subquery_null_aware(spark):
     """Three-valued NOT IN: one NULL in the subquery empties the result
     — matching both SQL semantics and what a federated remote engine

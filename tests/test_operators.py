@@ -244,6 +244,16 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(approx) == 10
 
 
+def test_lsh_bands_divisibility_is_value_error(spark):
+    # contract check must be a real exception (an assert is stripped
+    # under python -O)
+    from datafusion_federation_spark.operators import dedup
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_dedup_pairs(docs, "text", "doc_id",
+                                  num_hashes=10, bands=4)
+
+
 def test_ivf_fixed_full_probe_equals_brute_force(spark):
     # the deterministic-centroid twin (d27): probing ALL cells must be
     # exactly brute force — assignment only partitions, never drops
