@@ -366,9 +366,50 @@ class MySQLDialect(Dialect):
         return f"(NOT {s})" if negated else s
 
 
+class DerbyDialect(Dialect):
+    """Apache Derby (the pure-Java embedded engine Spark already ships
+    for its Hive metastore) — the live-JDBC integration target: a real
+    DriverManager/JDBC round-trip with zero extra jars. Conservative
+    surface: constructs Derby cannot run raise UnsupportedUnparse, so
+    federation vetting keeps them local instead of shipping bad SQL."""
+
+    name = "derby"
+    supports_star_replace = False   # no * REPLACE/EXCLUDE syntax
+    supports_filter_clause = False  # no FILTER (WHERE ...) on aggregates
+    # CAST to unbounded VARCHAR is a syntax error in Derby: every string
+    # cast needs an explicit length (32672 is Derby's VARCHAR maximum)
+    type_map = dict(Dialect.type_map, string="VARCHAR(32672)")
+    function_map = {
+        # year/month/day/hour/minute/second/locate/substr/mod are native
+        "ln": "ln",
+        "log": _log_fn,
+    }
+
+    @property
+    def ilike_op(self):
+        # Derby LIKE is case-sensitive and there is no ILIKE; raising
+        # here (instead of silently degrading to LIKE) makes the
+        # federation pass compile case-insensitive matches locally
+        raise UnsupportedUnparse(
+            "derby has no case-insensitive LIKE (ILIKE)")
+
+    def limit_clause(self, fetch, skip) -> str:
+        # Derby has no LIMIT/OFFSET keywords; it uses the SQL-standard
+        # OFFSET ... ROWS / FETCH FIRST ... ROWS ONLY forms
+        parts = []
+        if skip is not None:
+            parts.append(f"OFFSET {skip} ROWS")
+        if fetch is not None:
+            parts.append(f"FETCH FIRST {fetch} ROWS ONLY")
+        return " ".join(parts)
+
+    def regex_match(self, expr, pattern, negated):
+        raise UnsupportedUnparse("derby has no regex operator")
+
+
 DIALECTS = {d.name: d for d in
             (Dialect(), DuckDBDialect(), PostgresDialect(), SQLiteDialect(),
-             SparkSQLDialect(), MySQLDialect())}
+             SparkSQLDialect(), MySQLDialect(), DerbyDialect())}
 
 
 def get_dialect(name) -> Dialect:

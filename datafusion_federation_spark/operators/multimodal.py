@@ -42,7 +42,13 @@ def attach_binary_payload(df: DataFrame, src_col: str,
 
 
 def real_decode(payload: bytes) -> dict:
-    """The genuine decode step — requires PIL/ffmpeg, absent here."""
+    """The genuine decode step — requires PIL/ffmpeg, absent here.
+
+    Sandbox probe (r5): none of PIL / cv2 / imageio / av / soundfile /
+    librosa / libmagic import in this environment, so the decode stays
+    an honest stub; the Spark-side plumbing (Arrow batching via
+    mapInPandas, schema, partitioning) is real and oracle-tested (d13).
+    Wiring a real decoder is a one-function swap behind this seam."""
     raise NotImplementedError(
         "media decoding requires PIL/ffmpeg which are not installed; "
         "use fake_decode_meta for deterministic testing")

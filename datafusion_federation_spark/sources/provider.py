@@ -373,6 +373,13 @@ _DISCOVERY_SQL = {
               "'information_schema')"),
     "sqlite": ("SELECT NULL AS table_schema, name AS table_name "
                "FROM sqlite_master WHERE type IN ('table', 'view')"),
+    # Derby has no information_schema; its catalog lives in the SYS
+    # schema (tabletype 'T' = user tables, 'V' = views)
+    "derby": ("SELECT s.schemaname AS table_schema, "
+              "t.tablename AS table_name "
+              "FROM sys.systables t "
+              "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+              "WHERE t.tabletype IN ('T', 'V')"),
 }
 
 
