@@ -116,7 +116,38 @@ def _sql_queries(draw):
     shape = draw(st.sampled_from(
         ["agg", "proj", "sort", "having", "union", "cte",
          "star_exclude", "named_window", "qualify", "using",
-         "corr_exists", "corr_scalar"]))
+         "corr_exists", "corr_scalar", "corr_in", "deep_join",
+         "scalar_select"]))
+    if shape == "corr_in":
+        # correlated (NOT) IN: null-aware 3VL path locally; keys here are
+        # non-null so the equi-keyed fast path (r5) must engage and agree
+        neg = "NOT " if draw(st.booleans()) else ""
+        k = draw(st.integers(0, 25))
+        return (f"SELECT a.n_nationkey FROM nation a WHERE {pred} "
+                f"AND a.n_nationkey {neg}IN (SELECT b.n_nationkey "
+                "FROM nation b WHERE b.n_regionkey = a.n_regionkey "
+                f"AND b.n_nationkey <= {k})")
+    if shape == "deep_join":
+        # h-suite-depth join chain: 4 relations, mixed equi keys, agg on
+        # top — exercises join reordering + multi-alias scope resolution
+        k = draw(st.integers(0, 25))
+        return ("SELECT a.n_regionkey, COUNT(*) AS n, "
+                "SUM(d.n_nationkey) AS s "
+                f"FROM (SELECT * FROM nation WHERE {pred}) a "
+                "JOIN nation b ON a.n_regionkey = b.n_regionkey "
+                "JOIN nation c ON b.n_nationkey = c.n_nationkey "
+                "JOIN nation d ON c.n_regionkey = d.n_regionkey "
+                f"WHERE d.n_nationkey <= {k} "
+                "GROUP BY a.n_regionkey")
+    if shape == "scalar_select":
+        # scalar subquery in the SELECT list (correlated + uncorrelated)
+        if draw(st.booleans()):
+            sub = ("(SELECT MAX(b.n_nationkey) FROM nation b "
+                   "WHERE b.n_regionkey = a.n_regionkey)")
+        else:
+            sub = "(SELECT MIN(b.n_nationkey) FROM nation b)"
+        return (f"SELECT a.n_nationkey, {sub} AS s "
+                f"FROM nation a WHERE {pred}")
     if shape == "corr_exists":
         # correlated (NOT) EXISTS: decorrelates to semi/anti locally,
         # renders natively when the provider claims the whole query
@@ -180,7 +211,7 @@ def _sql_queries(draw):
     return (f"SELECT n_nationkey, n_regionkey FROM nation WHERE {pred}")
 
 
-@settings(max_examples=50, deadline=None, derandomize=True,
+@settings(max_examples=90, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(sql=_sql_queries())
