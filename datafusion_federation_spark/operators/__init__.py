@@ -1,1 +1,2 @@
-from . import bucketing, dedup, multimodal, pipeline, similarity, skew, text  # noqa: F401
+from . import (bucketing, curation, dedup, multimodal, pipeline,  # noqa: F401
+               similarity, skew, text)

@@ -1,0 +1,217 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, document chunking, repetition scrubbing, and
+sequence packing.
+
+Beyond the reference's surface (BASELINE.json north star) — these are the
+ops a 100 TB pretraining pipeline runs between dedup and the shard writer:
+
+- decontamination: n-gram overlap between the train corpus and a (small)
+  eval/benchmark set. The eval side is distinct-gram-reduced then
+  BROADCAST into the train-side gram stream, so the only shuffle is the
+  per-doc overlap count — the 100 TB train text itself never moves.
+- chunking: fixed-size overlapping windows via sequence()+explode +
+  substring — pure codegen, narrow (no shuffle at all).
+- repetition stats: the Gopher-style "fraction of duplicate n-grams"
+  quality signal, one map-side gram explode + per-doc aggregate.
+- unit dedup: first-occurrence line/paragraph dedup within a document,
+  reassembled in original order — groupBy (id, unit) then windowless
+  re-concat via sort_array of (pos, unit) structs; per-doc data only.
+- sequence packing: greedy next-fit packing of docs into token-budget
+  training sequences. Inherently sequential PER BUCKET, so the corpus is
+  hash-bucketed and each bucket packs independently inside one
+  applyInPandas group — O(N/B) per task, no global order, no driver
+  loop. Bucket count scales with the cluster; packing quality is
+  per-bucket next-fit, which is the standard trade at scale.
+
+All hot paths are built-in pyspark.sql.functions; only the per-bucket
+packing scan (a cumulative reset, inexpressible in window algebra) drops
+to an Arrow-batched applyInPandas.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+# module-level so PySpark's pandas type-hint resolution can see `pd`
+import pandas as pd  # noqa: F401
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _word_grams(text_col: str, n: int, normalized: bool = False):
+    """Distinct word n-grams of a text column as an array<string>.
+
+    Built-in-only: split -> transform(sequence) -> slice -> concat_ws.
+    Docs shorter than n grams yield an empty array (not null).
+    """
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(ws) - F.lit(n))
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), n)))
+    out = F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+    return F.array_distinct(out)
+
+
+def decontaminate(train: DataFrame, eval_set: DataFrame, text_col: str,
+                  id_col: str, n: int = 8) -> DataFrame:
+    """Benchmark decontamination: per-train-doc count of distinct word
+    n-grams that also appear in the eval/benchmark set.
+
+    Returns (id_col, n_hits) for contaminated docs only (n_hits >= 1);
+    join anti-style against this to drop them.
+
+    Scale: the eval set is a benchmark — thousands of docs, not
+    terabytes — so its distinct grams are broadcast; the train side
+    explodes grams map-side and the only shuffle is the (id, count)
+    aggregate. n=13 is the common pretraining choice; default 8 here
+    because the synthetic fixture docs average ~54 words.
+    """
+    ev = (eval_set
+          .select(F.explode(_word_grams(text_col, n)).alias("gram"))
+          .distinct())
+    tr = train.select(F.col(id_col),
+                      F.explode(_word_grams(text_col, n)).alias("gram"))
+    return (tr.join(F.broadcast(ev), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_chars: int = 120,
+                    overlap: int = 24) -> DataFrame:
+    """Split each document into fixed-size character windows with overlap
+    (stride = chunk_chars - overlap). Returns one row per chunk:
+    (id_col, chunk_idx, chunk_text).
+
+    Scale: narrow op — sequence()+explode+substring inside whole-stage
+    codegen, no shuffle; the natural pre-tokenization step for context-
+    window-bounded training. The final (short) chunk is kept.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    idx = F.explode(F.sequence(
+        F.lit(0),
+        F.floor((F.length(F.col(text_col)) - F.lit(1)) / F.lit(stride))
+        .cast("int")))
+    out = df.select(F.col(id_col), idx.alias("chunk_idx"),
+                    F.col(text_col))
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.expr(f"substring({text_col}, chunk_idx * {stride} + 1, "
+               f"{chunk_chars})").alias("chunk_text"))
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str,
+                     n: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signal: per-doc fraction of word
+    n-gram occurrences that are duplicates of an earlier occurrence.
+
+    Returns (id_col, n_grams, n_distinct, dup_frac) for every doc with at
+    least one n-gram. dup_frac = 1 - n_distinct/n_grams, rounded to 6
+    places (cross-engine double stability).
+
+    Scale: one map-side gram explode + a single per-doc aggregate keyed
+    on the doc id — the same shuffle any per-doc stat costs.
+    """
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.size(ws) - F.lit(n))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(starts,
+                    lambda i: F.concat_ws(" ",
+                                          F.slice(ws, i + F.lit(1), n)))
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    return (g.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.countDistinct("gram").alias("n_distinct"))
+            .withColumn(
+                "dup_frac",
+                F.round(F.lit(1.0) - F.col("n_distinct") /
+                        F.col("n_grams"), 6)))
+
+
+def dedup_units(df: DataFrame, text_col: str, id_col: str,
+                delimiter: str = "\n") -> DataFrame:
+    """First-occurrence unit (line/paragraph) dedup within each document,
+    reassembled in original order — the C4-style "dedup repeated lines"
+    cleanup. Returns (id_col, clean_text, n_units, n_kept).
+
+    Scale: per-doc only. posexplode -> min(pos) per (id, unit) ->
+    sort_array over collected (pos, unit) structs -> re-concat. The only
+    shuffle is keyed on the doc id; no cross-doc state.
+    """
+    units = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter)))
+        .alias("pos", "unit"))
+    firsts = (units.groupBy(id_col, "unit")
+              .agg(F.min("pos").alias("pos"),
+                   F.count(F.lit(1)).alias("n_occ")))
+    return (firsts.groupBy(id_col)
+            .agg(F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("pos", "unit"))),
+                        lambda s: s["unit"]),
+                    delimiter).alias("clean_text"),
+                 F.sum("n_occ").cast("bigint").alias("n_units"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_kept")))
+
+
+_PACK_SCHEMA = T.StructType([
+    T.StructField("bucket", T.LongType()),
+    T.StructField("seq_id", T.LongType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("total_tokens", T.LongType()),
+])
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   budget: int, bucket_expr: Optional[F.Column] = None,
+                   n_buckets: int = 32) -> DataFrame:
+    """Greedy next-fit sequence packing: within each bucket, walk docs in
+    id order and start a new sequence whenever adding the next doc would
+    exceed the token budget. Returns one row per packed sequence:
+    (bucket, seq_id, n_docs, total_tokens).
+
+    A doc larger than the budget gets a sequence of its own (packing
+    never splits docs — split upstream with chunk_documents if needed).
+
+    Scale: the cumulative-reset scan is inherently sequential, so it is
+    sharded: bucket = pmod(id, n_buckets) by default (deterministic,
+    layout-invariant), one Arrow-batched applyInPandas group per bucket.
+    Each task is O(bucket size); n_buckets scales with the cluster. The
+    same-bucket constraint costs a bounded amount of padding vs global
+    next-fit — the standard trade for a shuffle-parallel packer.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    bucket = (bucket_expr if bucket_expr is not None
+              else F.pmod(F.col(id_col), F.lit(n_buckets)))
+    rows = df.select(bucket.cast("long").alias("bucket"),
+                     F.col(id_col).alias("_id"),
+                     F.col(token_col).cast("long").alias("_tok"))
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_id")
+        seqs, acc, seq = [], 0, -1
+        for tok in pdf["_tok"]:
+            if seq < 0 or acc + tok > budget:
+                seq += 1
+                acc = int(tok)
+                seqs.append([seq, 1, int(tok)])
+            else:
+                acc += int(tok)
+                seqs[-1][1] += 1
+                seqs[-1][2] += int(tok)
+        b = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            [(b, s, nd, tt) for s, nd, tt in seqs],
+            columns=["bucket", "seq_id", "n_docs", "total_tokens"])
+
+    return rows.groupBy("bucket").applyInPandas(_pack, _PACK_SCHEMA)

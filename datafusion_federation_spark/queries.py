@@ -89,6 +89,14 @@ SECONDARY = {
     "d05_simhash",          # twin d25 (signature md5 oracle)
     "d12_winnow_fingerprint",  # twin d26 (fingerprint md5 oracle)
     "d14_ivf_ann",          # twin d27 (fixed-centroid IVF oracle)
+    # round 5: the four curation operators (d28-d31) are new and have no
+    # other driver evidence, so they take window slots; the four demoted
+    # here each keep an in-window twin for every operator they carry
+    # (q70 stays primary — it is the only explicit-frame window row)
+    "q66_sql_front_door",   # front door exercised by q67/q68 (+q69/q70)
+    "q69_sql_grouping_sets",  # GROUPING SETS via q21 (CUBE) + q54
+    "h02_min_cost_supplier",   # correlated scalar via q67 + q31
+    "h17_small_quantity_revenue",  # correlated scalar via q67 + q31
 }
 
 DEC = "decimal(12,2)"

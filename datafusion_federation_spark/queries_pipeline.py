@@ -16,7 +16,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import curation, dedup, multimodal, similarity, text
 from .queries import q, t
 
 # deterministic fixtures (seeded; no runtime entropy)
@@ -909,3 +909,116 @@ def d27(spark, sf):
     return similarity.ivf_fixed_topk(emb, "embedding", QUERY_VEC, k=10,
                                      id_col="vec_id", n_clusters=8,
                                      n_probe=4)
+
+
+# ===========================================================================
+# corpus curation (round 5): decontamination, chunking, repetition,
+# sequence packing — operators/curation.py
+# ===========================================================================
+
+def _sql_word_grams(n: int) -> str:
+    """Distinct word n-grams as a DuckDB list comprehension over ws."""
+    parts = ", ".join(f"ws[i+{j}]" for j in range(n))
+    return (f"list_distinct([concat_ws(' ', {parts}) "
+            f"FOR i IN generate_series(1, len(ws)-{n-1})])")
+
+
+_D28_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, source, unnest({_sql_word_grams(8)}) AS gram FROM w),
+ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src18')
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM g a JOIN ev USING (gram)
+WHERE a.source <> 'src18'
+GROUP BY a.doc_id
+"""
+
+
+@q("d28_decontaminate", _D28_ORACLE)
+def d28(spark, sf):
+    """Benchmark decontamination: train docs sharing any distinct word
+    8-gram with the eval set (source='src18'). The eval gram set is
+    BROADCAST (benchmarks are small; the 100 TB train text never
+    shuffles) — only (doc_id, count) aggregates move."""
+    docs = t(spark, sf, "documents")
+    ev = docs.filter(F.col("source") == "src18")
+    tr = docs.filter(F.col("source") != "src18")
+    return curation.decontaminate(tr, ev, "text", "doc_id", n=8)
+
+
+_D29_ORACLE = """
+SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+       substring(text, CAST(idx * 96 + 1 AS INTEGER), 120) AS chunk_text
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, (len(text) - 1) // 96)) AS idx
+      FROM documents)
+"""
+
+
+@q("d29_chunking", _D29_ORACLE)
+def d29(spark, sf):
+    """Fixed-window chunking (120 chars, 24 overlap -> stride 96): the
+    pre-tokenization step for context-bounded training. Narrow op —
+    sequence+explode+substring, zero shuffle."""
+    docs = t(spark, sf, "documents")
+    return curation.chunk_documents(docs, "text", "doc_id",
+                                    chunk_chars=120, overlap=24)
+
+
+_D30_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                 FOR i IN generate_series(1, len(ws)-2)]) AS gram
+  FROM w)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6)
+         AS dup_frac
+FROM g GROUP BY doc_id
+"""
+
+
+@q("d30_repetition_stats", _D30_ORACLE)
+def d30(spark, sf):
+    """Gopher-style repetition signal: per-doc fraction of duplicate
+    word trigrams (filter-quality feature for boilerplate/spam). One
+    map-side explode + one per-doc aggregate."""
+    docs = t(spark, sf, "documents")
+    return curation.repetition_stats(docs, "text", "doc_id", n=3)
+
+
+_D31_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id % 8 AS bucket, doc_id,
+         len(string_split(text, ' ')) AS tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+pack AS (
+  SELECT bucket, doc_id, tok, rn, tok AS acc, 0 AS seq
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.doc_id, t.tok, t.rn,
+         CASE WHEN p.acc + t.tok > 512 THEN t.tok ELSE p.acc + t.tok END,
+         CASE WHEN p.acc + t.tok > 512 THEN p.seq + 1 ELSE p.seq END
+  FROM pack p JOIN toks t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+SELECT bucket, CAST(seq AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM pack GROUP BY bucket, seq
+"""
+
+
+@q("d31_seq_packing", _D31_ORACLE)
+def d31(spark, sf):
+    """Greedy next-fit sequence packing into 512-token training
+    sequences, sharded over 8 deterministic buckets (pmod(doc_id, 8)) so
+    each bucket packs independently in one applyInPandas task. The
+    oracle reproduces the same walk with a recursive CTE."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    return curation.pack_sequences(docs, "doc_id", "n_tokens",
+                                   budget=512, n_buckets=8)

@@ -1,0 +1,123 @@
+"""Corpus-curation operators (operators/curation.py): decontamination,
+chunking, repetition stats, unit dedup, sequence packing.
+
+Pinned properties: exact overlap counts on known fixtures, chunk boundary
+arithmetic (incl. the final short chunk), first-occurrence order in unit
+dedup, next-fit packing semantics (incl. oversize docs), and partition-
+layout invariance of the packer (buckets are keyed on ids, not layout).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_federation_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "a b c d e f", "train"),
+        (2, "a b c d e f g h", "train"),      # shares 6-gram with doc 1
+        (3, "x y z w v u", "train"),
+        (4, "a b c d e f q r", "eval"),       # eval doc overlapping 1+2
+        (5, "m n o p q r", "eval"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "split"])
+
+
+def test_decontaminate_exact_hits(spark, corpus):
+    train = corpus.filter(F.col("split") == "train")
+    ev = corpus.filter(F.col("split") == "eval")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in curation.decontaminate(train, ev, "text", "doc_id",
+                                           n=6).collect()}
+    # docs 1 and 2 share 'a b c d e f' with eval doc 4; doc 2 also has
+    # 'b c d e f g' / 'c d e f g h' which eval lacks -> still 1 hit each
+    assert got == {1: 1, 2: 1}
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    train = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    # n=6 grams don't exist on 2-word docs: no rows, no crash (and no
+    # descending-sequence blowup from size-n < 0)
+    assert curation.decontaminate(train, ev, "text", "doc_id",
+                                  n=6).count() == 0
+
+
+def test_chunk_boundaries(spark):
+    text = "".join(chr(ord("a") + i % 26) for i in range(25))
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    out = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in curation.chunk_documents(df, "text", "doc_id",
+                                          chunk_chars=10,
+                                          overlap=2).collect())
+    # stride 8: starts at 0, 8, 16, 24 (last start 24 <= 25)
+    assert out == [(0, text[0:10]), (1, text[8:18]), (2, text[16:25]),
+                   (3, text[24:25])]
+
+
+def test_chunk_overlap_validation(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, "text", "doc_id",
+                                 chunk_chars=5, overlap=5)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct
+         (2, "p q r s t")],          # 3 trigrams, all distinct
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["dup_frac"])
+           for r in curation.repetition_stats(df, "text", "doc_id",
+                                              n=3).collect()}
+    assert got[1] == (7, 3, round(1 - 3 / 7, 6))
+    assert got[2] == (3, 3, 0.0)
+
+
+def test_dedup_units_first_occurrence_order(spark):
+    df = spark.createDataFrame(
+        [(1, "keep\ndup\nkeep2\ndup\nkeep3"),
+         (2, "only\nlines")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["n_units"], r["n_kept"])
+           for r in curation.dedup_units(df, "text", "doc_id",
+                                         "\n").collect()}
+    assert got[1] == ("keep\ndup\nkeep2\nkeep3", 5, 4)
+    assert got[2] == ("only\nlines", 2, 2)
+
+
+def _pack(spark, rows, budget, n_buckets=1):
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = curation.pack_sequences(df, "doc_id", "n_tokens",
+                                  budget=budget, n_buckets=n_buckets)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_pack_next_fit_semantics(spark):
+    # budget 10, one bucket, id order: 4+5 fit (9); +3 overflows -> new
+    # seq [3, 6]; 12 is oversize -> its own seq; 2 follows alone
+    rows = [(1, 4), (2, 5), (3, 3), (4, 6), (5, 12), (6, 2)]
+    assert _pack(spark, rows, 10) == [
+        (0, 0, 2, 9), (0, 1, 2, 9), (0, 2, 1, 12), (0, 3, 1, 2)]
+
+
+def test_pack_budget_validation(spark):
+    df = spark.createDataFrame([(1, 3)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError):
+        curation.pack_sequences(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_pack_layout_invariant(spark):
+    rows = [(i, (i * 7) % 23 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    a = curation.pack_sequences(df, "doc_id", "n_tokens",
+                                budget=64, n_buckets=8)
+    b = curation.pack_sequences(df.repartition(13), "doc_id", "n_tokens",
+                                budget=64, n_buckets=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple,
+                                                         b.collect()))
