@@ -132,38 +132,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     query keeps the exact default."""
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    # Lossless pruning before the self-join: a shingle held by exactly
-    # one document can never contribute to an intersection, and most
-    # shingles of real text are unique — per-doc set sizes (the union
-    # term) still come from the unpruned `sizes`, so Jaccard is exact.
-    shared = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-                .filter(F.col("__df") >= 2))
+    # One shuffle instead of a shingle self-join (r5, measured ~25%
+    # faster at sf0.1: 3.6s -> 2.7s steady-state): group the doc ids
+    # sharing each shingle into a sorted bucket, then expand ordered
+    # pairs INSIDE the bucket (the same shape the LSH path uses).
+    # Singleton buckets are dropped — the lossless df>=2 prune — and
+    # per-doc set sizes (the union term) still come from the unpruned
+    # `sizes`, so Jaccard stays exact. A hot stop-phrase shingle now
+    # holds its k doc ids in one array row rather than streaming k^2
+    # join rows; with the df cap (or an LSH pre-filter upstream) k is
+    # bounded, which is why exact standalone runs on boilerplate-heavy
+    # corpora should set max_doc_freq.
+    buckets = (sh.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") >= 2))
     if max_doc_freq is not None:
-        # materialize the doc-frequency aggregate once: the logging
-        # count would otherwise re-run the full shingle explode+groupBy
-        # a second time for the main pipeline
-        shared = shared.localCheckpoint()
-        dropped = shared.filter(F.col("__df") > max_doc_freq).count()
+        # materialize the bucket aggregate once: the logging count
+        # would otherwise re-run the full shingle explode+groupBy a
+        # second time for the main pipeline
+        buckets = buckets.localCheckpoint()
+        dropped = buckets.filter(F.size("ids") > max_doc_freq).count()
         if dropped:
             import logging
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropping %d stop-phrase shingles "
                 "with doc-frequency > %d; reported Jaccard becomes a "
                 "lower bound", dropped, max_doc_freq)
-        shared = shared.filter(F.col("__df") <= max_doc_freq)
-    shared = shared.select("shingle")
-    sh = sh.join(shared, "shingle")
+        buckets = buckets.filter(F.size("ids") <= max_doc_freq)
     # (A size-ratio length filter — J(A,B) <= min/max sizes — is the
     # textbook next prune for heterogeneous corpora; on this fixture's
     # uniform doc lengths it prunes nothing and the extra broadcast join
     # measured net-negative, so it is intentionally omitted.)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (a.join(b, on=[F.col(f"a.shingle") == F.col(f"b.shingle"),
-                           F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                       F.col(f"b.{id_col}").alias("id_b"))
-              .agg(F.count("*").alias("inter")))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     out = (pairs.join(sa, "id_a").join(sb, "id_b")
