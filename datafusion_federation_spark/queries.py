@@ -97,6 +97,11 @@ SECONDARY = {
     "q69_sql_grouping_sets",  # GROUPING SETS via q21 (CUBE) + q54
     "h02_min_cost_supplier",   # correlated scalar via q67 + q31
     "h17_small_quantity_revenue",  # correlated scalar via q67 + q31
+    # round 5: d32 (streaming session windows) takes a window slot —
+    # streaming previously had NO in-window row (d21 is secondary); q59's
+    # expression surface is covered by q32 (CASE/LIKE/BETWEEN), q19
+    # (FILTER/DISTINCT aggregates) and the executed unparser goldens
+    "q59_federated_expr_surface",
 }
 
 DEC = "decimal(12,2)"

@@ -634,19 +634,27 @@ def d21(spark, sf):
     At scale this same topology runs unbounded with the watermark
     bounding state; availableNow is how the identical job replays
     history."""
+    from .streaming.windows import hourly_event_aggregation
+    return _run_events_stream(spark, sf, hourly_event_aggregation,
+                              "d21_stream_hourly_mem", "complete")
+
+
+def _run_events_stream(spark, sf, topology, name, output_mode):
+    """Run `topology(stream_df) -> DataFrame` over the events table read
+    as a FILE STREAM (availableNow trigger — one bounded backfill pass)
+    into a memory sink, and return the finalized table.
+
+    Mirrors t()'s fixture normalization on the STREAM: the raw file has
+    shipped ts as TIMESTAMP(NANOS) (read as long + rebuilt) and as
+    micros/NTZ (cast); batch.schema is already normalized, so the
+    stream reads ts widened to the raw representation, re-normalized
+    here."""
     from pyspark.sql import types as T
 
-    from .streaming.windows import hourly_event_aggregation
-
     batch = t(spark, sf, "events")
-    name = "d21_stream_hourly_mem"
     for qq in spark.streams.active:
         if qq.name == name:
             qq.stop()
-    # mirror t()'s fixture normalization on the STREAM: the raw file has
-    # shipped ts as TIMESTAMP(NANOS) (read as long + rebuilt) and as
-    # micros/NTZ (cast); batch.schema is already normalized, so read the
-    # stream with ts widened to the raw representation and re-normalize
     import pyarrow.parquet as pq
     raw_ts = str(pq.read_schema(f"{sf}/events.parquet").field("ts").type)
     nanos = raw_ts == "timestamp[ns]"
@@ -664,14 +672,15 @@ def d21(spark, sf):
         if nanos:
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        agg = hourly_event_aggregation(stream)
+        agg = topology(stream)
         query = (agg.writeStream.format("memory").queryName(name)
-                 .outputMode("complete").trigger(availableNow=True).start())
+                 .outputMode(output_mode)
+                 .trigger(availableNow=True).start())
         if not query.awaitTermination(300):
             query.stop()
             raise RuntimeError(
-                "d21 stream did not finish within 300s — refusing to "
-                "return a partially-populated memory sink")
+                f"{name} stream did not finish within 300s — refusing "
+                "to return a partially-populated memory sink")
     finally:
         if nanos:
             if prev is None:
@@ -1022,3 +1031,40 @@ def d31(spark, sf):
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
     return curation.pack_sequences(docs, "doc_id", "n_tokens",
                                    budget=512, n_buckets=8)
+
+
+_D32_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@q("d32_stream_sessions", _D32_ORACLE)
+def d32(spark, sf):
+    """Streaming SESSION WINDOWS, for real: the events table consumed
+    as a file stream (availableNow backfill) through
+    streaming/windows.sessionize_stream — F.session_window state-store
+    sessions with a 30-minute gap — and the finalized sessions must
+    match the batch gaps-and-islands oracle bit for bit (split strictly
+    when gap > 30:00; session_end = last event + gap; decimal-exact
+    value sums). The stateful twin of the batch q42; at scale the same
+    topology runs unbounded with the watermark bounding state."""
+    from .streaming.windows import sessionize_stream
+    return _run_events_stream(spark, sf, sessionize_stream,
+                              "d32_stream_sessions_mem", "complete")

@@ -217,3 +217,20 @@ def test_stream_static_enrich_broadcast(spark, events):
     out = stream_static_enrich(events, dim)
     assert "tier" in out.columns
     assert out.count() == events.count()   # left join preserves stream
+
+
+def test_d32_stream_matches_batch_sessions(spark):
+    """The registered d32 query (file stream -> session_window state ->
+    memory sink, availableNow) finalizes the SAME session set as the
+    batch form of sessionize_stream — the streaming/batch parity the
+    DuckDB gaps-and-islands oracle then checks cross-engine."""
+    import datafusion_federation_spark.queries_pipeline  # noqa: F401
+    from datafusion_federation_spark.queries import REGISTRY, t
+    from datafusion_federation_spark.streaming.windows import (
+        sessionize_stream)
+    d32 = REGISTRY["d32_stream_sessions"][0]
+    got = sorted(map(tuple, d32(spark, TESTDATA).collect()))
+    want = sorted(map(tuple,
+                      sessionize_stream(t(spark, TESTDATA,
+                                          "events")).collect()))
+    assert got == want and len(got) > 0
