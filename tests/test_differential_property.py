@@ -117,7 +117,23 @@ def _sql_queries(draw):
         ["agg", "proj", "sort", "having", "union", "cte",
          "star_exclude", "named_window", "qualify", "using",
          "corr_exists", "corr_scalar", "corr_in", "deep_join",
-         "scalar_select"]))
+         "scalar_select", "notin_null"]))
+    if shape == "notin_null":
+        # three-valued NOT IN with REAL nulls (nation has none, so they
+        # are derived): any NULL in the subquery empties the result;
+        # a NULL probe never matches. Exercises the r5 equi-keyed
+        # null-aware anti-join rewrite on both its branches.
+        j = draw(st.integers(0, 30))
+        k = draw(st.integers(-1, 30))
+        m = draw(st.integers(0, 30))
+        probe = (f"CASE WHEN a.n_nationkey > {j} THEN NULL "
+                 "ELSE a.n_regionkey END"
+                 if draw(st.booleans()) else "a.n_regionkey")
+        return (f"SELECT a.n_nationkey FROM nation a WHERE {pred} "
+                f"AND {probe} NOT IN "
+                f"(SELECT CASE WHEN b.n_nationkey > {k} THEN NULL "
+                "ELSE b.n_regionkey END FROM nation b "
+                f"WHERE b.n_nationkey < {m})")
     if shape == "corr_in":
         # correlated (NOT) IN: null-aware 3VL path locally; keys here are
         # non-null so the equi-keyed fast path (r5) must engage and agree
