@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datafusion_federation_spark.operators import curation
+from tests.conftest import TESTDATA
 
 
 @pytest.fixture(scope="module")
@@ -121,3 +122,59 @@ def test_pack_layout_invariant(spark):
                                 budget=64, n_buckets=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple,
                                                          b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# invariant properties on pseudo-random corpora (fixed seeds)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_pack_invariants(spark, seed):
+    """(a) every doc lands in exactly one sequence; (b) no sequence
+    exceeds the budget unless it holds a single oversize doc; (c) seq
+    ids are contiguous from 0 within each bucket."""
+    import random
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(1, 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = curation.pack_sequences(df, "doc_id", "n_tokens",
+                                  budget=25, n_buckets=7).collect()
+    assert sum(r["n_docs"] for r in out) == 300
+    for r in out:
+        assert r["total_tokens"] <= 25 or r["n_docs"] == 1
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["seq_id"])
+    for b, seqs in by_bucket.items():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_chunk_reassembly_roundtrip(spark):
+    """Stripping the overlap prefix from every chunk after the first and
+    concatenating in chunk order reconstructs the document exactly."""
+    docs = (spark.read.parquet(f"{TESTDATA}/documents.parquet")
+            .limit(20).collect())
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in docs], ["doc_id", "text"])
+    chunks = {}
+    for r in curation.chunk_documents(df, "text", "doc_id",
+                                      chunk_chars=50,
+                                      overlap=10).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    for r in docs:
+        parts = chunks[r["doc_id"]]
+        text = "".join(
+            parts[i] if i == 0 else parts[i][10:]
+            for i in sorted(parts))
+        assert text == r["text"]
+
+
+def test_decontaminate_self_flags_everything(spark):
+    """Decontaminating a corpus against itself flags every doc that has
+    at least one n-gram (train != eval rows excluded by id)."""
+    docs = (spark.read.parquet(f"{TESTDATA}/documents.parquet")
+            .select("doc_id", "text").limit(40))
+    hit = curation.decontaminate(docs, docs, "text", "doc_id", n=5)
+    n_grammable = docs.filter(
+        F.size(F.split("text", " ")) >= 5).count()
+    assert hit.count() == n_grammable
