@@ -554,3 +554,58 @@ def simhash_md5_signatures(df: DataFrame, text_col: str, id_col: str,
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
         sig = bit if sig is None else (sig + bit)
     return voted.select(F.col(id_col), sig.cast("bigint").alias("sig"))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(new: DataFrame, corpus: DataFrame, text_col: str,
+                      id_col: str, n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Admit only the rows of a NEW batch that survive dedup against an
+    EXISTING corpus — the steady-state ingestion op of a production
+    pipeline (the corpus is never re-deduped; only the delta is):
+
+    1. exact within the batch: keep the min-id row per normalized-md5
+       fingerprint;
+    2. exact vs the corpus: anti-join on the fingerprint;
+    3. near-dup vs the corpus: word-n-gram Jaccard >= threshold against
+       any corpus doc drops the batch row (batch-internal near-dups are
+       ngram_jaccard_pairs/minhash territory, intentionally out of
+       scope here).
+
+    Returns the surviving `new` rows with their original columns.
+
+    Scale: the corpus side contributes only (fingerprint) and
+    (shingle, id) streams — it is never self-joined and its text never
+    moves. Every join is keyed on fingerprint/shingle with the batch
+    side small by construction (a delta), so AQE broadcasts the batch
+    side; corpus shingles a batch shingle never touches are dropped by
+    the join's runtime filter. Jaccard here is exact (the same
+    bucket-count shape as ngram_jaccard_pairs, batch x corpus instead
+    of corpus x corpus)."""
+    fp_new = fingerprint(new, text_col)
+    keep = (fp_new.groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col)))
+    s1 = fp_new.join(keep, [id_col, "fingerprint"], "left_semi")
+    corpus_fp = (fingerprint(corpus, text_col)
+                 .select("fingerprint").distinct())
+    s2 = s1.join(corpus_fp, "fingerprint", "left_anti")
+
+    bs = (shingle_table(s2, text_col, id_col, n)
+          .withColumnRenamed(id_col, "__b_id"))
+    cs = (shingle_table(corpus, text_col, id_col, n)
+          .withColumnRenamed(id_col, "__c_id"))
+    nb = bs.groupBy("__b_id").agg(F.count("*").alias("__nb"))
+    nc = cs.groupBy("__c_id").agg(F.count("*").alias("__nc"))
+    inter = (bs.join(cs, "shingle")
+             .groupBy("__b_id", "__c_id")
+             .agg(F.count("*").alias("__inter")))
+    dupped = (inter.join(nb, "__b_id").join(nc, "__c_id")
+              .filter(F.col("__inter") /
+                      (F.col("__nb") + F.col("__nc") - F.col("__inter"))
+                      >= threshold)
+              .select(F.col("__b_id").alias(id_col)).distinct())
+    return (s2.join(dupped, id_col, "left_anti")
+            .drop("fingerprint"))

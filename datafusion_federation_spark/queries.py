@@ -102,6 +102,9 @@ SECONDARY = {
     # expression surface is covered by q32 (CASE/LIKE/BETWEEN), q19
     # (FILTER/DISTINCT aggregates) and the executed unparser goldens
     "q59_federated_expr_surface",
+    # round 5: composition queries whose component operators all hold
+    # in-window rows (exact dedup d01, Jaccard d03, anti-join q57/q61)
+    "d33_incremental_dedup",
 }
 
 DEC = "decimal(12,2)"

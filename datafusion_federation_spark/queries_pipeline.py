@@ -1068,3 +1068,51 @@ def d32(spark, sf):
     from .streaming.windows import sessionize_stream
     return _run_events_stream(spark, sf, sessionize_stream,
                               "d32_stream_sessions_mem", "complete")
+
+
+_D33_ORACLE = f"""
+WITH batch AS (SELECT * FROM documents WHERE source = 'src18'),
+corpus AS (SELECT * FROM documents WHERE source <> 'src18'),
+bf AS (SELECT *, md5({_NORM_SQL_WORDS}) AS fp FROM batch),
+s1 AS (SELECT * FROM bf
+       WHERE doc_id IN (SELECT MIN(doc_id) FROM bf GROUP BY fp)),
+s2 AS (SELECT * FROM s1
+       WHERE fp NOT IN (SELECT md5({_NORM_SQL_WORDS}) FROM corpus)),
+bs AS (SELECT doc_id AS b_id,
+              unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                FOR i IN generate_series(1, greatest(len(ws)-2, 1))]))
+                AS shingle
+       FROM (SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws
+             FROM s2)),
+cs AS (SELECT doc_id AS c_id,
+              unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                FOR i IN generate_series(1, greatest(len(ws)-2, 1))]))
+                AS shingle
+       FROM (SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws
+             FROM corpus)),
+nb AS (SELECT b_id, COUNT(*) AS n FROM bs GROUP BY 1),
+nc AS (SELECT c_id, COUNT(*) AS n FROM cs GROUP BY 1),
+dup AS (
+  SELECT DISTINCT b_id FROM (
+    SELECT i.b_id, i.c_id, i.i, nb.n AS n_b, nc.n AS n_c
+    FROM (SELECT b_id, c_id, COUNT(*) AS i
+          FROM bs JOIN cs USING (shingle) GROUP BY 1, 2) i
+    JOIN nb USING (b_id) JOIN nc USING (c_id))
+  WHERE CAST(i AS DOUBLE) / (n_b + n_c - i) >= 0.8)
+SELECT doc_id, text, lang, source, n_chars FROM s2
+WHERE doc_id NOT IN (SELECT b_id FROM dup)
+"""
+
+
+@q("d33_incremental_dedup", _D33_ORACLE)
+def d33(spark, sf):
+    """Incremental ingestion dedup: the src18 slice plays the NEW batch
+    against the rest of the corpus — exact-within-batch, exact-vs-corpus
+    (fingerprint anti-join), then exact 3-gram Jaccard >= 0.8 vs any
+    corpus doc. Only the delta is deduped; the corpus contributes
+    (fingerprint) and (shingle, id) streams, never its text."""
+    docs = t(spark, sf, "documents")
+    batch = docs.filter(F.col("source") == "src18")
+    corpus = docs.filter(F.col("source") != "src18")
+    return dedup.incremental_dedup(batch, corpus, "text", "doc_id",
+                                   n=3, threshold=0.8)

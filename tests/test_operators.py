@@ -555,3 +555,25 @@ def test_near_dup_ops_drop_blank_docs(spark):
     md = dedup.minhash_md5_candidates(df, "text", "doc_id",
                                       num_hashes=8, bands=2)
     assert all({r["id_a"], r["id_b"]} <= {0, 4} for r in md.collect())
+
+
+def test_incremental_dedup_stages(spark):
+    """Each stage drops what it should: within-batch exact dup (keep
+    min id), exact corpus dup, near-dup vs corpus; distinct docs
+    survive with original columns."""
+    from datafusion_federation_spark.operators import dedup as dd
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dogs"),
+         (2, "completely different corpus text here")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "THE  quick   brown fox jumps over dogs"),  # exact (norm) vs corpus
+         (11, "fresh novel content alpha beta gamma delta"),
+         (12, "fresh novel content alpha beta gamma delta"),  # exact within batch
+         (13, "the quick brown fox jumps over cats"),     # near-dup of 1
+         (14, "entirely unrelated writing about spark")],
+        ["doc_id", "text"])
+    out = dd.incremental_dedup(batch, corpus, "text", "doc_id",
+                               n=3, threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 14]
+    assert out.columns == ["doc_id", "text"]
