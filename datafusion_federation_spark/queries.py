@@ -105,6 +105,12 @@ SECONDARY = {
     # round 5: composition queries whose component operators all hold
     # in-window rows (exact dedup d01, Jaccard d03, anti-join q57/q61)
     "d33_incremental_dedup",
+    # round 5: stream-stream interval join — streaming runner + oracle
+    # pattern carried in-window by d32; parity test + local tool cover it
+    "d34_stream_attribution",
+    # round 5: multimodal one-to-many plumbing — mapInPandas meta path
+    # carried in-window by d13; frame explode is pure built-ins
+    "d35_frame_sample",
 }
 
 DEC = "decimal(12,2)"

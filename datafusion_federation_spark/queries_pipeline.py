@@ -1116,3 +1116,60 @@ def d33(spark, sf):
     corpus = docs.filter(F.col("source") != "src18")
     return dedup.incremental_dedup(batch, corpus, "text", "doc_id",
                                    n=3, threshold=0.8)
+
+
+_D34_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       p.value AS purchase_value
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts > p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+"""
+
+
+@q("d34_stream_attribution", _D34_ORACLE)
+def d34(spark, sf):
+    """STREAM-STREAM interval join in the oracle gate: each purchase
+    attributed to the same user's views in the preceding 30 minutes,
+    both sides watermarked so state provably evicts (joins.py
+    view_to_purchase_attribution). Consumed as a file stream
+    (availableNow backfill, append mode) and the emitted pairs must
+    match the batch interval-join SQL exactly."""
+    from .streaming.joins import view_to_purchase_attribution
+    out = _run_events_stream(spark, sf, view_to_purchase_attribution,
+                             "d34_stream_attribution_mem", "append")
+    return out.select(
+        "user_id", "purchase_id", "view_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("purchase_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        "purchase_value")
+
+
+_D35_ORACLE = """
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 1000 AS INTEGER) AS frame_ts_ms
+FROM (SELECT doc_id,
+             unnest(generate_series(0, strlen(text) % 10)) AS f
+      FROM documents)
+"""
+
+
+@q("d35_frame_sample", _D35_ORACLE)
+def d35(spark, sf):
+    """Multimodal frame-sampling plumbing: one payload row explodes to
+    its sampled frame offsets (deterministic fake frame count from the
+    byte length; a real decoder slots into the same one-to-many shape).
+    Pure built-ins — sequence+explode — with the payload dropped before
+    the explode so frames, not media bytes, flow downstream."""
+    docs = t(spark, sf, "documents")
+    with_payload = multimodal.attach_binary_payload(docs, "text")
+    frames = multimodal.frame_sample_stub(with_payload, "payload",
+                                          every_ms=1000)
+    return frames.select("doc_id",
+                         F.col("frame_idx").cast("int").alias("frame_idx"),
+                         F.col("frame_ts_ms").cast("int")
+                         .alias("frame_ts_ms"))

@@ -234,3 +234,23 @@ def test_d32_stream_matches_batch_sessions(spark):
                       sessionize_stream(t(spark, TESTDATA,
                                           "events")).collect()))
     assert got == want and len(got) > 0
+
+
+def test_d34_stream_matches_batch_attribution(spark):
+    """The registered d34 query (stream-stream interval join via
+    availableNow append) emits exactly the batch interval-join pairs."""
+    import datafusion_federation_spark.queries_pipeline  # noqa: F401
+    from datafusion_federation_spark.queries import REGISTRY, t
+    from datafusion_federation_spark.streaming.joins import (
+        view_to_purchase_attribution)
+    d34 = REGISTRY["d34_stream_attribution"][0]
+    got = sorted(map(tuple, d34(spark, TESTDATA).collect()))
+    want = sorted(map(tuple, view_to_purchase_attribution(
+        t(spark, TESTDATA, "events")).select(
+            "user_id", "purchase_id", "view_id",
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("purchase_ts"),
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss")
+            .alias("view_ts"),
+            "purchase_value").collect()))
+    assert got == want and len(got) > 0
