@@ -111,6 +111,9 @@ SECONDARY = {
     # round 5: multimodal one-to-many plumbing — mapInPandas meta path
     # carried in-window by d13; frame explode is pure built-ins
     "d35_frame_sample",
+    # round 5: multimodal->embedding->ANN composition — components hold
+    # in-window rows (d13 mapInPandas plumbing, d06 cosine top-k)
+    "d36_multimodal_ann",
 }
 
 DEC = "decimal(12,2)"

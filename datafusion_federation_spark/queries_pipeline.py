@@ -1173,3 +1173,43 @@ def d35(spark, sf):
                          F.col("frame_idx").cast("int").alias("frame_idx"),
                          F.col("frame_ts_ms").cast("int")
                          .alias("frame_ts_ms"))
+
+
+def _d36_oracle(dim: int = 16, k: int = 10) -> str:
+    """Rebuild feature_extract_stub's deterministic fake embedding in
+    SQL — ((n*(i+3) + byte[i%n]) % 97)/97 cast to REAL reproduces the
+    float32 rounding bit for bit (ASCII fixture: ord == byte) — then
+    the same explicit left-associated cosine as the d06 oracle."""
+    elems = ", ".join(
+        f"CAST(CAST((strlen(text)*({i}+3) + ord(substring(text, "
+        f"(({i}) % strlen(text))+1, 1))) % 97 AS DOUBLE)/97.0 AS REAL)"
+        for i in range(dim))
+    qv = QUERY_VEC[:dim]
+    dot = _sql_dot("embedding", qv)
+    vnorm = _sql_sqnorm("embedding", dim)
+    qnorm = _sql_const_sqnorm(qv)
+    return f"""
+WITH emb AS (SELECT doc_id, [{elems}] AS embedding FROM documents)
+SELECT doc_id,
+       ROUND(({dot}) / (sqrt({vnorm}) * sqrt({qnorm})), 6) AS score
+FROM emb
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+@q("d36_multimodal_ann", _d36_oracle())
+def d36(spark, sf):
+    """Multimodal -> embedding -> similarity, end to end: binary payload
+    -> Arrow-batched feature_extract_stub (16-dim deterministic fake
+    encoder; a real vision encoder slots into the same mapInPandas
+    seam) -> brute-force cosine top-10 against a fixed query vector.
+    The whole pipeline — byte-derived float32 features included — is
+    reproduced in SQL, so the oracle checks the plumbing bit for bit."""
+    docs = t(spark, sf, "documents")
+    with_payload = multimodal.attach_binary_payload(docs, "text")
+    emb = multimodal.feature_extract_stub(with_payload, "payload",
+                                          "doc_id", dim=16)
+    return similarity.cosine_topk(emb, "embedding", QUERY_VEC[:16],
+                                  k=10, id_col="doc_id",
+                                  round_digits=6)
