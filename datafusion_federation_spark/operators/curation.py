@@ -92,10 +92,13 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     if overlap >= chunk_chars:
         raise ValueError("overlap must be < chunk_chars")
     stride = chunk_chars - overlap
-    idx = F.explode(F.sequence(
-        F.lit(0),
-        F.floor((F.length(F.col(text_col)) - F.lit(1)) / F.lit(stride))
-        .cast("int")))
+    # guard empty docs: sequence(0, -1) would DESCEND and emit two
+    # spurious rows; an empty document has zero chunks
+    last = F.floor((F.length(F.col(text_col)) - F.lit(1)) /
+                   F.lit(stride)).cast("int")
+    idx = F.explode(F.when(F.length(F.col(text_col)) >= 1,
+                           F.sequence(F.lit(0), last))
+                    .otherwise(F.array().cast("array<int>")))
     out = df.select(F.col(id_col), idx.alias("chunk_idx"),
                     F.col(text_col))
     return out.select(

@@ -229,3 +229,35 @@ def winnow_md5_profile(df: DataFrame, text_col: str,
     return (mins.groupBy(id_col)
             .agg(F.countDistinct("__min").alias("n_fp"),
                  F.min("__min").alias("min_fp")))
+
+
+def token_rarity_scores(df: DataFrame, text_col: str,
+                        id_col: str) -> DataFrame:
+    """Corpus-relative token-rarity score per document: the mean corpus
+    frequency ratio of the doc's tokens —
+    score = SUM(corpus_count(tok)) / (n_tokens(doc) * total_tokens).
+    Low scores mean rare-token-heavy documents (gibberish / OOV noise),
+    high scores stop-word-heavy boilerplate — a KenLM-free cousin of
+    perplexity filtering whose arithmetic stays EXACT integer until one
+    final double division (bit-identical cross-engine; no float-sum
+    order dependence, unlike a log-prob mean).
+
+    Scale: token counts are one map-side-combined groupBy; the corpus
+    total is a 1-row broadcast; the per-doc aggregate shuffles
+    (id, count) pairs only — the document text never moves twice."""
+    from .dedup import normalize_text
+    tok = df.select(F.col(id_col),
+                    F.explode(F.split(normalize_text(F.col(text_col)),
+                                      " ")).alias("__tok"))
+    freq = tok.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__total"))
+    return (tok.join(freq, "__tok")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("__cnt").alias("__s"))
+            .crossJoin(F.broadcast(total))
+            .select(F.col(id_col),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    (F.col("__s").cast("double") /
+                     (F.col("n_tokens") * F.col("__total")))
+                    .alias("rarity_score")))

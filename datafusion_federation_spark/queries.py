@@ -114,6 +114,9 @@ SECONDARY = {
     # round 5: multimodal->embedding->ANN composition — components hold
     # in-window rows (d13 mapInPandas plumbing, d06 cosine top-k)
     "d36_multimodal_ann",
+    # round 5: rarity score — component evidence in d09 (token stats,
+    # in-window) + d23 (corpus token frequencies)
+    "d37_token_rarity",
 }
 
 DEC = "decimal(12,2)"

@@ -1213,3 +1213,26 @@ def d36(spark, sf):
     return similarity.cosine_topk(emb, "embedding", QUERY_VEC[:16],
                                   k=10, id_col="doc_id",
                                   round_digits=6)
+
+
+_D37_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL_WORDS}, ' ')) AS tok
+  FROM documents),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT SUM(cnt) AS total FROM freq)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(f.cnt) AS DOUBLE) / (COUNT(*) * MAX(total.total))
+         AS rarity_score
+FROM tok t JOIN freq f USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
+@q("d37_token_rarity", _D37_ORACLE)
+def d37(spark, sf):
+    """Corpus-relative token rarity per doc (perplexity-proxy quality
+    signal): exact-integer sums with one final double division, so the
+    score is bit-identical cross-engine with no float-order terms."""
+    docs = t(spark, sf, "documents")
+    return text.token_rarity_scores(docs, "text", "doc_id")

@@ -178,3 +178,14 @@ def test_decontaminate_self_flags_everything(spark):
     n_grammable = docs.filter(
         F.size(F.split("text", " ")) >= 5).count()
     assert hit.count() == n_grammable
+
+
+def test_chunk_empty_doc_yields_no_chunks(spark):
+    """Empty text must produce ZERO chunks (regression: sequence(0,-1)
+    descends and emitted two spurious empty rows)."""
+    df = spark.createDataFrame([(1, ""), (2, "ab")], ["doc_id", "text"])
+    out = sorted((r["doc_id"], r["chunk_idx"], r["chunk_text"])
+                 for r in curation.chunk_documents(
+                     df, "text", "doc_id", chunk_chars=10,
+                     overlap=2).collect())
+    assert out == [(2, 0, "ab")]

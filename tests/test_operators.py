@@ -577,3 +577,16 @@ def test_incremental_dedup_stages(spark):
                                n=3, threshold=0.5)
     assert sorted(r["doc_id"] for r in out.collect()) == [11, 14]
     assert out.columns == ["doc_id", "text"]
+
+
+def test_token_rarity_exact_values(spark):
+    """score = sum(corpus_count)/(n_tokens*total) on a corpus with
+    hand-computed counts (a=3, b=1, c=1, total=5)."""
+    from datafusion_federation_spark.operators import text as tx
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["rarity_score"])
+           for r in tx.token_rarity_scores(df, "text",
+                                           "doc_id").collect()}
+    assert got[1] == (3, 7 / 15)
+    assert got[2] == (2, 4 / 10)
