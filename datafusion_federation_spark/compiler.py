@@ -604,6 +604,8 @@ class Compiler:
             return df.join(sub.limit(1), how=how,
                            on=F.lit(True))
         if isinstance(pred, InSubquery):
+            if _plan_has_outer_ref(pred.plan):
+                return self._apply_correlated_in(df, pred, outer_plan)
             sub = self._c(pred.plan)
             # rename the subquery's output column to a unique name: the
             # common `id IN (SELECT id FROM s)` shape would otherwise
@@ -643,6 +645,67 @@ class Compiler:
                            on=pred.expr.to_spark() == sub["__in_sq"],
                            how="left_semi")
         raise ValueError("unsupported subquery predicate form")
+
+    def _apply_correlated_in(self, df: DataFrame, pred,
+                             outer_plan: Plan = None) -> DataFrame:
+        """Correlated (NOT) IN decorrelation (r5 — the local-path gap
+        the SQL fuzzer exposed once subquery shapes ran locally).
+
+        Positive IN is EXISTS with the membership equality added to the
+        hoisted correlation condition: one LEFT SEMI join, equi-keyed
+        whenever the correlation is.
+
+        NOT IN keeps full three-valued semantics per correlation group
+        S(row) = {y : corr}: keep a row iff S is empty, or (x is not
+        null, S holds no null, x not in S). Decomposed into three LEFT
+        ANTI joins against the same compiled subquery — each condition
+        carries the correlation conjuncts plus one extra fact, so the
+        hot path stays hash-joinable:
+          1. anti on (corr AND y = x)        — membership match
+          2. anti on (corr AND y IS NULL)    — a null in S poisons all
+          3. anti on (corr AND x IS NULL)    — null x only passes when
+             S is empty (no corr match at all)
+        """
+        from .expressions import Alias as AliasE, Col as ColE
+        conds, cleaned = _extract_correlated(pred.plan)
+        if not conds:
+            raise NotImplementedError(
+                "IN subquery has outer references below an "
+                "aggregate/limit — cannot hoist without changing "
+                "semantics")
+        # the membership column must survive projection stripping (the
+        # hoisted correlation conjuncts reference base columns a
+        # projection may hide): accept bare/renamed columns, refuse
+        # computed membership expressions
+        y_name = None
+        probe = cleaned
+        while isinstance(probe, Project):
+            e = probe.projections[0]
+            if isinstance(e, ColE):
+                y_name = e.name
+            elif isinstance(e, AliasE) and isinstance(e.expr, ColE):
+                y_name = e.expr.name
+            else:
+                raise NotImplementedError(
+                    "correlated IN over a computed subquery column")
+            probe = probe.input
+        stripped = cleaned
+        while isinstance(stripped, Project):
+            stripped = stripped.input
+        sub = self._c(stripped)
+        if y_name is None:
+            y_name = sub.columns[0]
+        y = sub[y_name]
+        corr = None
+        for c in conds:
+            sc = _corr_to_spark(c, df, sub, outer_plan)
+            corr = sc if corr is None else (corr & sc)
+        x = pred.expr.to_spark()
+        if not pred.negated:
+            return df.join(sub, on=corr & (y == x), how="left_semi")
+        out = df.join(sub, on=corr & (y == x), how="left_anti")
+        out = out.join(sub, on=corr & y.isNull(), how="left_anti")
+        return out.join(sub, on=corr & x.isNull(), how="left_anti")
 
 
 def _has_outer_ref(e: Expr) -> bool:
@@ -744,6 +807,11 @@ def _alias_provenance(p: Plan) -> Dict[str, Any]:
         if isinstance(node, Scan):
             out.setdefault(node.table.local_name.lower(),
                            _plan_output_cols(node))
+        if isinstance(node, RemoteQueryNode):
+            # a federated claim is still THIS scope: aliases inside it
+            # must stay visible to the provenance guard (inputs() is
+            # empty on the opaque leaf, so descend explicitly)
+            visit(node.plan)
         for i in node.inputs():
             visit(i)
 
@@ -945,6 +1013,25 @@ def _plan_output_cols(p: Plan):
         # runtime-filter optimizer misattribute a key column — unknown
         # is the safe answer
         return None
+    if isinstance(p, Window):
+        # window APPENDS its aliased columns to the input's output —
+        # falling through to inputs[0] would hide them from the
+        # provenance guard (review r5: both false rejection of
+        # window-produced refs and wrong-scope binding were possible)
+        inner = _plan_output_cols(p.input)
+        if inner is None:
+            return None
+        names = list(inner)
+        for e in p.window_exprs:
+            try:
+                n = e.output_name()
+            except Exception:  # noqa: BLE001 - unnamed window expr
+                return None
+            names.append(n)
+        return names
+    if isinstance(p, RemoteQueryNode):
+        # opaque federated leaf: its output is the claimed sub-plan's
+        return _plan_output_cols(p.plan)
     inputs = p.inputs()
     return _plan_output_cols(inputs[0]) if inputs else None
 

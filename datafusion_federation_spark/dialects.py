@@ -385,6 +385,31 @@ class DerbyDialect(Dialect):
         "log": _log_fn,
     }
 
+    #: Derby's actual built-in scalar functions (Derby 10.x reference,
+    #: "Built-in functions") — the base class renders UNMAPPED names
+    #: verbatim, which for Derby's tiny surface shipped SQL it cannot
+    #: run (round(), power(), date_format() all vetted clean and then
+    #: failed at JDBC execution — review r5). Anything outside this
+    #: whitelist or function_map now refuses, so federation vetting
+    #: compiles it locally, matching the class contract above.
+    _NATIVE = frozenset({
+        "abs", "acos", "asin", "atan", "atan2", "bigint", "ceil",
+        "ceiling", "char", "coalesce", "cos", "cosh", "cot", "date",
+        "day", "degrees", "double", "exp", "floor", "hour", "integer",
+        "lcase", "length", "ln", "locate", "log10", "lower", "ltrim",
+        "minute", "mod", "month", "nullif", "pi", "radians", "rtrim",
+        "second", "sign", "sin", "sinh", "smallint", "sqrt", "substr",
+        "tan", "tanh", "time", "timestamp", "trim", "ucase", "upper",
+        "varchar", "year",
+    })
+
+    def scalar_function(self, name: str, args: Sequence[str]) -> str:
+        if (name.lower() not in self.function_map
+                and name.lower() not in self._NATIVE):
+            raise UnsupportedUnparse(
+                f"derby has no {name}() built-in — compiled locally")
+        return super().scalar_function(name, args)
+
     @property
     def ilike_op(self):
         # Derby LIKE is case-sensitive and there is no ILIKE; raising

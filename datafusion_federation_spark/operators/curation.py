@@ -39,8 +39,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _word_grams(text_col: str, n: int, normalized: bool = False):
-    """Distinct word n-grams of a text column as an array<string>.
+def _word_grams(text_col: str, n: int, distinct: bool = True):
+    """Word n-grams of a text column as an array<string> (distinct set
+    semantics by default; positional duplicates kept for counting when
+    distinct=False).
 
     Built-in-only: split -> transform(sequence) -> slice -> concat_ws.
     Docs shorter than n grams yield an empty array (not null).
@@ -51,7 +53,7 @@ def _word_grams(text_col: str, n: int, normalized: bool = False):
         starts, lambda i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), n)))
     out = F.when(F.size(ws) >= n, grams).otherwise(
         F.array().cast("array<string>"))
-    return F.array_distinct(out)
+    return F.array_distinct(out) if distinct else out
 
 
 def decontaminate(train: DataFrame, eval_set: DataFrame, text_col: str,
@@ -120,15 +122,9 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     Scale: one map-side gram explode + a single per-doc aggregate keyed
     on the doc id — the same shuffle any per-doc stat costs.
     """
-    ws = F.split(F.col(text_col), " ")
-    starts = F.sequence(F.lit(0), F.size(ws) - F.lit(n))
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(starts,
-                    lambda i: F.concat_ws(" ",
-                                          F.slice(ws, i + F.lit(1), n)))
-    ).otherwise(F.array().cast("array<string>"))
-    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    g = df.select(F.col(id_col),
+                  F.explode(_word_grams(text_col, n, distinct=False))
+                  .alias("gram"))
     return (g.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),
                  F.countDistinct("gram").alias("n_distinct"))
@@ -148,9 +144,14 @@ def dedup_units(df: DataFrame, text_col: str, id_col: str,
     sort_array over collected (pos, unit) structs -> re-concat. The only
     shuffle is keyed on the doc id; no cross-doc state.
     """
+    # F.split takes a Java REGEX while array_join reassembles with the
+    # LITERAL delimiter: escape regex metachars so a '.' or '|' unit
+    # delimiter splits literally instead of matching any char (review
+    # r5 — the mismatch silently emptied every document)
+    pattern = "".join(c if c.isalnum() else "\\" + c for c in delimiter)
     units = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(delimiter)))
+        F.posexplode(F.split(F.col(text_col), pattern))
         .alias("pos", "unit"))
     firsts = (units.groupBy(id_col, "unit")
               .agg(F.min("pos").alias("pos"),
@@ -201,6 +202,10 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
                      F.col(token_col).cast("long").alias("_tok"))
 
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if pdf["_tok"].isna().any():
+            raise ValueError(
+                "pack_sequences: token_col contains NULL token counts "
+                "— fill or filter them upstream")
         pdf = pdf.sort_values("_id")
         seqs, acc, seq = [], 0, -1
         for tok in pdf["_tok"]:

@@ -258,6 +258,11 @@ def token_rarity_scores(df: DataFrame, text_col: str,
             .crossJoin(F.broadcast(total))
             .select(F.col(id_col),
                     F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                    (F.col("__s").cast("double") /
-                     (F.col("n_tokens") * F.col("__total")))
+                    # divide twice rather than multiplying the bigint
+                    # denominators: n_tokens * total overflows int64 at
+                    # ~20T corpus tokens x 1M-token docs (review r5);
+                    # the two-step double division is still one
+                    # deterministic expression per row
+                    (F.col("__s").cast("double") / F.col("__total") /
+                     F.col("n_tokens"))
                     .alias("rarity_score")))

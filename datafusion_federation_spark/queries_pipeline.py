@@ -1222,7 +1222,7 @@ WITH tok AS (
 freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
 total AS (SELECT SUM(cnt) AS total FROM freq)
 SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(f.cnt) AS DOUBLE) / (COUNT(*) * MAX(total.total))
+       CAST(SUM(f.cnt) AS DOUBLE) / MAX(total.total) / COUNT(*)
          AS rarity_score
 FROM tok t JOIN freq f USING (tok) CROSS JOIN total
 GROUP BY t.doc_id

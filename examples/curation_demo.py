@@ -71,9 +71,11 @@ def main(spark=None, sf_dir: str = SF_DIR):
 
     # 5. pack chunks into 128-token sequences (8 independent buckets)
     # chunk id derived from (doc, idx) — monotonically_increasing_id
-    # would vary with partition layout and break replay determinism
+    # would vary with partition layout and break replay determinism.
+    # 1e6 bound: a doc would need >200M chars at stride 200 to collide
     toks = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx"))
+        .alias("chunk_id"),
         F.size(F.split("chunk_text", " ")).alias("n_tokens"))
     packed = curation.pack_sequences(toks, "chunk_id", "n_tokens",
                                      budget=128, n_buckets=8)

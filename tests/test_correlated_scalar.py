@@ -339,3 +339,34 @@ def test_not_in_subquery_null_aware(spark):
     spark.createDataFrame([Row(k=1)]).createOrReplaceTempView("nin_b")
     rows2 = sorted(r[0] for r in Compiler(spark).compile(plan).collect())
     assert rows2 == [2, 3]
+
+
+def test_correlated_not_in_three_valued(spark):
+    """Correlated NOT IN per-group 3VL (r5, the local-path gap the SQL
+    fuzzer exposed): a NULL in the row's OWN group poisons it, a
+    different row's group is unaffected, an empty group keeps the row.
+    The subquery column stays bare so the decorrelation path (three
+    equi-keyed anti joins) engages."""
+    sql = """
+    SELECT a.n_nationkey FROM nation a
+    WHERE a.n_nationkey + 30 NOT IN
+      (SELECT b.n_nationkey FROM nation b
+       WHERE b.n_regionkey = a.n_regionkey AND b.n_nationkey > 20)
+    ORDER BY a.n_nationkey
+    """
+    got = [r[0] for r in _engine(spark, ["nation"]).sql(sql).collect()]
+    want = [r[0] for r in _duck(sql, ["nation"])]
+    assert got == want and len(got) > 0
+
+
+def test_correlated_in_positive(spark):
+    sql = """
+    SELECT a.n_nationkey FROM nation a
+    WHERE a.n_nationkey IN
+      (SELECT b.n_nationkey FROM nation b
+       WHERE b.n_regionkey = a.n_regionkey AND b.n_nationkey <= 10)
+    ORDER BY a.n_nationkey
+    """
+    got = [r[0] for r in _engine(spark, ["nation"]).sql(sql).collect()]
+    want = [r[0] for r in _duck(sql, ["nation"])]
+    assert got == want and len(got) > 0

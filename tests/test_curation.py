@@ -189,3 +189,22 @@ def test_chunk_empty_doc_yields_no_chunks(spark):
                      df, "text", "doc_id", chunk_chars=10,
                      overlap=2).collect())
     assert out == [(2, 0, "ab")]
+
+
+def test_dedup_units_regex_metachar_delimiter(spark):
+    """A '.' delimiter must split literally, not as match-any-char
+    (regression: F.split regex vs array_join literal mismatch)."""
+    df = spark.createDataFrame([(1, "one.two.one.three")],
+                               ["doc_id", "text"])
+    got = curation.dedup_units(df, "text", "doc_id", ".").collect()[0]
+    assert got["clean_text"] == "one.two.three"
+    assert (got["n_units"], got["n_kept"]) == (4, 3)
+
+
+def test_pack_null_tokens_clear_error(spark):
+    df = spark.createDataFrame([(1, 3), (2, None)],
+                               "doc_id long, n_tokens long")
+    import pytest as _pt
+    with _pt.raises(Exception, match="NULL token counts"):
+        curation.pack_sequences(df, "doc_id", "n_tokens",
+                                budget=10, n_buckets=1).collect()

@@ -233,10 +233,17 @@ def _sql_queries(draw):
 @given(sql=_sql_queries())
 def test_sql_front_door_matches_duckdb(engines, sql):
     import duckdb
-    _, remote_eng = engines
+    local_eng, remote_eng = engines
     got = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     conn = duckdb.connect()
     conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
                  f"read_parquet('{TESTDATA}/nation.parquet')")
     want = sorted(map(tuple, conn.execute(sql).fetchall()))
     assert got == want
+    if "(SELECT" in sql.replace("( SELECT", "(SELECT"):
+        # subquery shapes ALSO run on the LOCAL engine: with nation
+        # remote the whole query federates and DuckDB executes its own
+        # NOT IN / EXISTS — only the local path exercises the compiler's
+        # decorrelation and the r5 equi-keyed null-aware NOT IN rewrite
+        got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
+        assert got_local == want

@@ -588,5 +588,5 @@ def test_token_rarity_exact_values(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["rarity_score"])
            for r in tx.token_rarity_scores(df, "text",
                                            "doc_id").collect()}
-    assert got[1] == (3, 7 / 15)
-    assert got[2] == (2, 4 / 10)
+    assert got[1] == (3, 7 / 5 / 3)
+    assert got[2] == (2, 4 / 5 / 2)

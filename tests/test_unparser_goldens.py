@@ -674,3 +674,18 @@ def test_template_function_arity_mismatch_refuses():
     p2 = _func_plan("locate", lit("world"), col("s"))
     assert _run_duck(p2) == 7
     assert _run_sqlite(p2) == 7
+
+
+def test_derby_refuses_unsupported_functions():
+    """Derby has no round()/power()/date_format(); the dialect must
+    refuse (keeping the expression local) instead of shipping SQL that
+    fails at JDBC execution — while true built-ins render verbatim."""
+    import pytest
+    from datafusion_federation_spark.dialects import (DIALECTS,
+                                                      UnsupportedUnparse)
+    d = DIALECTS["derby"]
+    for bad in ("round", "power", "date_format", "concat"):
+        with pytest.raises(UnsupportedUnparse):
+            d.scalar_function(bad, ["x", "2"])
+    assert d.scalar_function("abs", ["x"]) == "abs(x)"
+    assert d.scalar_function("sqrt", ["x"]) == "sqrt(x)"
