@@ -370,3 +370,20 @@ def test_correlated_in_positive(spark):
     got = [r[0] for r in _engine(spark, ["nation"]).sql(sql).collect()]
     want = [r[0] for r in _duck(sql, ["nation"])]
     assert got == want and len(got) > 0
+
+
+def test_correlated_not_in_plans_hash_anti_joins(spark):
+    """The 3VL correlated NOT IN must stay hash-joinable: three LEFT
+    ANTI hash joins, zero nested loops (100 TB posture for the r5
+    decorrelation)."""
+    sql = """
+    SELECT a.n_nationkey FROM nation a
+    WHERE a.n_nationkey NOT IN
+      (SELECT b.n_nationkey FROM nation b
+       WHERE b.n_regionkey = a.n_regionkey AND b.n_nationkey > 20)
+    """
+    p = (_engine(spark, ["nation"]).sql(sql)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("LeftAnti") == 3
