@@ -111,6 +111,9 @@ SECONDARY = {
     # round 5: multimodal one-to-many plumbing — mapInPandas meta path
     # carried in-window by d13; frame explode is pure built-ins
     "d35_frame_sample",
+    # round 5: federated correlated NOT IN — same-provider collapse
+    # carried in-window by q71/q72; local 3VL path pinned in tests
+    "q73_federated_correlated_not_in",
     # round 5: multimodal->embedding->ANN composition — components hold
     # in-window rows (d13 mapInPandas plumbing, d06 cosine top-k)
     "d36_multimodal_ann",
@@ -1362,3 +1365,25 @@ def q72(spark, sf):
     the identical shape decorrelates to a grouped join (h02)."""
     eng = _fed_engine(spark, sf, ["supplier"], "duck_q72")
     return eng.sql(_Q72_SQL)
+
+
+_Q73_SQL = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE c.c_custkey NOT IN
+  (SELECT o.o_custkey FROM orders o
+   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 320000.0)
+ORDER BY c.c_custkey
+LIMIT 50
+"""
+
+
+@q("q73_federated_correlated_not_in", _Q73_SQL)
+def q73(spark, sf):
+    """Round 5: correlated NOT IN on one provider renders natively in
+    the single remote SQL (the InSubquery arm of the same-provider
+    collapse, completing q71 EXISTS / q72 scalar). Locally the
+    identical shape decorrelates to three equi-keyed anti joins
+    (compiler._apply_correlated_in, fuzzer-verified both paths)."""
+    eng = _fed_engine(spark, sf, ["customer", "orders"], "duck_q73")
+    return eng.sql(_Q73_SQL)

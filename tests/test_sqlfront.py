@@ -883,3 +883,18 @@ def test_shadowed_table_name_not_vetted_as_outer_scope(duckdb_engine):
         if isinstance(n, RemoteQueryNode):
             assert "EXISTS" not in n.sql, \
                 "shadow-qualified correlation must not claim"
+
+
+def test_correlated_not_in_collapses_to_one_remote(duckdb_engine):
+    """Same-provider correlated NOT IN (the q73 shape) rides the claim
+    and renders natively in ONE remote SQL — no local anti joins."""
+    eng, ex = duckdb_engine
+    sql = ("SELECT c_custkey FROM customer c "
+           "WHERE c.c_custkey NOT IN "
+           "(SELECT o.o_custkey FROM orders o "
+           "WHERE o.o_custkey = c.c_custkey "
+           "AND o.o_totalprice > 320000.0)")
+    fed = federate(eng.sql_plan(sql).plan)
+    assert isinstance(fed, RemoteQueryNode)
+    got = sorted(map(tuple, eng.sql(sql).collect()))
+    assert got == _oracle(sql) and len(got) > 0
