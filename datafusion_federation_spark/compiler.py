@@ -670,24 +670,43 @@ class Compiler:
         conds, cleaned = _extract_correlated(pred.plan)
         if not conds:
             raise NotImplementedError(
-                "IN subquery has outer references below an "
-                "aggregate/limit — cannot hoist without changing "
-                "semantics")
+                "IN subquery's outer references could not be hoisted "
+                "from its filter spine (they may sit below an "
+                "aggregate/limit, or in the SELECT list) — cannot "
+                "decorrelate without changing semantics")
         # the membership column must survive projection stripping (the
         # hoisted correlation conjuncts reference base columns a
-        # projection may hide): accept bare/renamed columns, refuse
-        # computed membership expressions
+        # projection may hide): follow the FIRST output column of the
+        # OUTERMOST projection through each inner projection's rename
+        # chain; refuse computed membership expressions
+        def _src_col(e):
+            if isinstance(e, ColE):
+                return e.name
+            if isinstance(e, AliasE) and isinstance(e.expr, ColE):
+                return e.expr.name
+            raise NotImplementedError(
+                "correlated IN over a computed subquery column")
+
+        def _out_name(e):
+            try:
+                return e.output_name().lower()
+            except Exception:  # noqa: BLE001 - unnamed projection
+                return None
+
         y_name = None
         probe = cleaned
         while isinstance(probe, Project):
-            e = probe.projections[0]
-            if isinstance(e, ColE):
-                y_name = e.name
-            elif isinstance(e, AliasE) and isinstance(e.expr, ColE):
-                y_name = e.expr.name
+            if y_name is None:
+                y_name = _src_col(probe.projections[0])
             else:
-                raise NotImplementedError(
-                    "correlated IN over a computed subquery column")
+                e = next((pe for pe in probe.projections
+                          if _out_name(pe) == y_name.lower()), None)
+                if e is None:
+                    raise NotImplementedError(
+                        "correlated IN: membership column "
+                        f"{y_name!r} is not produced by an inner "
+                        "projection")
+                y_name = _src_col(e)
             probe = probe.input
         stripped = cleaned
         while isinstance(stripped, Project):
@@ -696,16 +715,23 @@ class Compiler:
         if y_name is None:
             y_name = sub.columns[0]
         y = sub[y_name]
+        # materialize the probe on the OUTER frame first: an unqualified
+        # probe column sharing its name with a subquery column would be
+        # AMBIGUOUS in the join condition otherwise (the same hazard the
+        # uncorrelated arm renames __in_sq for — review r5, reproduced)
+        df2 = df.withColumn("__in_probe", pred.expr.to_spark())
+        x = df2["__in_probe"]
         corr = None
         for c in conds:
-            sc = _corr_to_spark(c, df, sub, outer_plan)
+            sc = _corr_to_spark(c, df2, sub, outer_plan)
             corr = sc if corr is None else (corr & sc)
-        x = pred.expr.to_spark()
         if not pred.negated:
-            return df.join(sub, on=corr & (y == x), how="left_semi")
-        out = df.join(sub, on=corr & (y == x), how="left_anti")
+            return (df2.join(sub, on=corr & (y == x), how="left_semi")
+                    .drop("__in_probe"))
+        out = df2.join(sub, on=corr & (y == x), how="left_anti")
         out = out.join(sub, on=corr & y.isNull(), how="left_anti")
-        return out.join(sub, on=corr & x.isNull(), how="left_anti")
+        return (out.join(sub, on=corr & x.isNull(), how="left_anti")
+                .drop("__in_probe"))
 
 
 def _has_outer_ref(e: Expr) -> bool:
@@ -1022,12 +1048,15 @@ def _plan_output_cols(p: Plan):
         if inner is None:
             return None
         names = list(inner)
+        from .expressions import Alias as _AliasE
         for e in p.window_exprs:
-            try:
-                n = e.output_name()
-            except Exception:  # noqa: BLE001 - unnamed window expr
+            if not isinstance(e, _AliasE):
+                # a bare window expr has no reliable name — the base
+                # output_name() fallback returns the literal "expr",
+                # which would poison provenance; unknown is the safe
+                # answer (review r5)
                 return None
-            names.append(n)
+            names.append(e.name)
         return names
     if isinstance(p, RemoteQueryNode):
         # opaque federated leaf: its output is the claimed sub-plan's

@@ -392,9 +392,12 @@ class DerbyDialect(Dialect):
     #: failed at JDBC execution — review r5). Anything outside this
     #: whitelist or function_map now refuses, so federation vetting
     #: compiles it locally, matching the class contract above.
+    #: NOTE "char" is deliberately ABSENT: Spark's char(65) is the
+    #: chr() code-point function while Derby's CHAR(65) is a string
+    #: cast returning '65' — same name, different data (review r5)
     _NATIVE = frozenset({
         "abs", "acos", "asin", "atan", "atan2", "bigint", "ceil",
-        "ceiling", "char", "coalesce", "cos", "cosh", "cot", "date",
+        "ceiling", "coalesce", "cos", "cosh", "cot", "date",
         "day", "degrees", "double", "exp", "floor", "hour", "integer",
         "lcase", "length", "ln", "locate", "log10", "lower", "ltrim",
         "minute", "mod", "month", "nullif", "pi", "radians", "rtrim",

@@ -147,8 +147,10 @@ def dedup_units(df: DataFrame, text_col: str, id_col: str,
     # F.split takes a Java REGEX while array_join reassembles with the
     # LITERAL delimiter: escape regex metachars so a '.' or '|' unit
     # delimiter splits literally instead of matching any char (review
-    # r5 — the mismatch silently emptied every document)
-    pattern = "".join(c if c.isalnum() else "\\" + c for c in delimiter)
+    # r5 — the mismatch silently emptied every document). re.escape
+    # only escapes regex-special ASCII (3.7+), which is Java-compatible
+    import re
+    pattern = re.escape(delimiter)
     units = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), pattern))

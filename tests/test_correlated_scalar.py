@@ -387,3 +387,19 @@ def test_correlated_not_in_plans_hash_anti_joins(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("LeftAnti") == 3
+
+
+def test_correlated_not_in_unqualified_probe(spark):
+    """Unqualified probe column sharing its name with a subquery column
+    (regression: the join condition was AMBIGUOUS_REFERENCE; the probe
+    is now materialized on the outer frame first)."""
+    sql = """
+    SELECT n_nationkey FROM nation a
+    WHERE n_nationkey NOT IN
+      (SELECT b.n_nationkey FROM nation b
+       WHERE b.n_regionkey = a.n_regionkey AND b.n_nationkey > 20)
+    ORDER BY n_nationkey
+    """
+    got = [r[0] for r in _engine(spark, ["nation"]).sql(sql).collect()]
+    want = [r[0] for r in _duck(sql, ["nation"])]
+    assert got == want and len(got) > 0

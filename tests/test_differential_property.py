@@ -139,8 +139,11 @@ def _sql_queries(draw):
         # non-null so the equi-keyed fast path (r5) must engage and agree
         neg = "NOT " if draw(st.booleans()) else ""
         k = draw(st.integers(0, 25))
+        # sometimes UNQUALIFIED: the probe then collides with the
+        # subquery's column name (r5 AMBIGUOUS_REFERENCE regression)
+        lhs = "a.n_nationkey" if draw(st.booleans()) else "n_nationkey"
         return (f"SELECT a.n_nationkey FROM nation a WHERE {pred} "
-                f"AND a.n_nationkey {neg}IN (SELECT b.n_nationkey "
+                f"AND {lhs} {neg}IN (SELECT b.n_nationkey "
                 "FROM nation b WHERE b.n_regionkey = a.n_regionkey "
                 f"AND b.n_nationkey <= {k})")
     if shape == "deep_join":
