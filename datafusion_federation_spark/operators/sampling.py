@@ -198,3 +198,23 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     if compression:
         w = w.option("compression", compression)
     w.save(path)
+
+
+def shard_manifest(spark, path: str, key: str) -> DataFrame:
+    """Audit manifest for a shard directory written by
+    write_training_shards: one row per shard with its row count and an
+    order-insensitive content digest (the BIGINT sum of xxhash64(key)
+    — addition commutes, so the digest is identical however the shard
+    is read back). Diffing two manifests verifies byte-stable shard
+    membership across rewrites without comparing payloads.
+
+    Scale: one scan of the key column only (columnar prune) + one
+    per-shard aggregate — the payload never loads."""
+    df = spark.read.parquet(path)
+    # decimal(38,0) sum: exact and order-insensitive; a bigint sum of
+    # 64-bit hashes overflows (ANSI ArithmeticException)
+    return (df.groupBy("shard")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.xxhash64(F.col(key)).cast("decimal(38,0)"))
+                 .alias("content_digest"))
+            .orderBy("shard"))

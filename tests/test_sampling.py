@@ -224,3 +224,26 @@ def test_assign_splits_partition_property(spark, w, method):
     rows = out.collect()
     assert len(rows) == 100
     assert {r["split"] for r in rows} <= set(splits)
+
+
+def test_shard_manifest_detects_change(spark, docs, tmp_path):
+    """Manifests of identical writes match; dropping one row changes
+    exactly that row's shard (count + digest) and nothing else."""
+    p1, p2, p3 = (str(tmp_path / d) for d in ("w1", "w2", "w3"))
+    sampling.write_training_shards(docs, p1, "doc_id", 4)
+    sampling.write_training_shards(docs, p2, "doc_id", 4)
+    one = docs.limit(1).collect()[0]["doc_id"]
+    sampling.write_training_shards(
+        docs.filter(F.col("doc_id") != one), p3, "doc_id", 4)
+    m1 = sorted(map(tuple,
+                    sampling.shard_manifest(spark, p1,
+                                            "doc_id").collect()))
+    m2 = sorted(map(tuple,
+                    sampling.shard_manifest(spark, p2,
+                                            "doc_id").collect()))
+    m3 = sorted(map(tuple,
+                    sampling.shard_manifest(spark, p3,
+                                            "doc_id").collect()))
+    assert m1 == m2
+    assert m1 != m3
+    assert sum(a != b for a, b in zip(m1, m3)) == 1
