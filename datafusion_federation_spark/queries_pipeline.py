@@ -639,7 +639,8 @@ def d21(spark, sf):
                               "d21_stream_hourly_mem", "complete")
 
 
-def _run_events_stream(spark, sf, topology, name, output_mode):
+def _run_events_stream(spark, sf, topology, name, output_mode,
+                       state_partitions: int = 8):
     """Run `topology(stream_df) -> DataFrame` over the events table read
     as a FILE STREAM (availableNow trigger — one bounded backfill pass)
     into a memory sink, and return the finalized table.
@@ -648,7 +649,17 @@ def _run_events_stream(spark, sf, topology, name, output_mode):
     shipped ts as TIMESTAMP(NANOS) (read as long + rebuilt) and as
     micros/NTZ (cast); batch.schema is already normalized, so the
     stream reads ts widened to the raw representation, re-normalized
-    here."""
+    here.
+
+    ``state_partitions`` sizes the stream's STATE STORE: each shuffle
+    partition opens its own state-store instance per stateful operator,
+    so a streaming job must size this to its KEY CARDINALITY AND
+    THROUGHPUT, not inherit the batch session's CPU-count default —
+    at 32 the bounded backfill spent 3x longer opening/committing
+    near-empty state stores than joining (measured 5.2s -> 1.9s at
+    sf0.1). At production scale set it to keep per-partition state in
+    memory, exactly as one would for any streaming job. The session
+    conf is restored afterwards; the sink table keeps the result."""
     from pyspark.sql import types as T
 
     batch = t(spark, sf, "events")
@@ -663,6 +674,8 @@ def _run_events_stream(spark, sf, topology, name, output_mode):
                       f.nullable) if f.name == "ts" else f
         for f in batch.schema.fields])
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -682,6 +695,10 @@ def _run_events_stream(spark, sf, topology, name, output_mode):
                 f"{name} stream did not finish within 300s — refusing "
                 "to return a partially-populated memory sink")
     finally:
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if nanos:
             if prev is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
