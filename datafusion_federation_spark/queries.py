@@ -114,6 +114,9 @@ SECONDARY = {
     # round 5: federated correlated NOT IN — same-provider collapse
     # carried in-window by q71/q72; local 3VL path pinned in tests
     "q73_federated_correlated_not_in",
+    # round 5: embedding dedup composition — components hold in-window
+    # rows (d08 near-pairs; CC proven by d16's recursive-CTE oracle)
+    "d38_embedding_dedup",
     # round 5: multimodal->embedding->ANN composition — components hold
     # in-window rows (d13 mapInPandas plumbing, d06 cosine top-k)
     "d36_multimodal_ann",

@@ -1253,3 +1253,63 @@ def d37(spark, sf):
     score is bit-identical cross-engine with no float-order terms."""
     docs = t(spark, sf, "documents")
     return text.token_rarity_scores(docs, "text", "doc_id")
+
+
+def _d38_oracle(threshold: float = 0.4) -> str:
+    """Embedding near-dup DEDUP: the d08 bucketed near-pairs as edges,
+    d16-style recursive closure for components, keep the min-id
+    representative per component, count survivors per class label."""
+    bits = " + ".join(
+        f"(CASE WHEN ({_sql_dot('embedding', PLANES[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES))
+    dot = _sql_dot2("l.embedding", "r.embedding", EMB_DIM)
+    lnorm = _sql_sqnorm("l.embedding", EMB_DIM)
+    rnorm = _sql_sqnorm("r.embedding", EMB_DIM)
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding,
+         CAST({bits} AS INTEGER) AS bucket FROM embeddings),
+edges AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE ({dot}) / (sqrt({lnorm}) * sqrt({rnorm})) >= {threshold!r}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+closure(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT closure.src, s.b FROM closure JOIN sym s ON closure.dst = s.a),
+verts AS (SELECT DISTINCT a AS v FROM sym),
+labels AS (
+  SELECT verts.v AS v,
+         LEAST(verts.v, COALESCE(MIN(closure.dst), verts.v)) AS comp
+  FROM verts LEFT JOIN closure ON closure.src = verts.v
+  GROUP BY verts.v),
+dropped AS (SELECT v FROM labels WHERE v <> comp)
+SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT v FROM dropped)
+GROUP BY e.label ORDER BY e.label
+"""
+
+
+@q("d38_embedding_dedup", _d38_oracle())
+def d38(spark, sf):
+    """Embedding-cosine near-dup DEDUP end to end (completes the d08
+    pair detection into a dedup): LSH-bucketed cosine pairs -> min-label
+    connected components -> keep the min-id representative per cluster
+    -> survivor counts per class label. Edges and propagation are all
+    bucket/key joins — no all-pairs stage at any scale."""
+    emb = t(spark, sf, "embeddings")
+    pairs = similarity.pairwise_cosine_pairs(
+        emb, "embedding", "vec_id", dim=EMB_DIM, threshold=0.4,
+        n_planes=N_PLANES, seed=42)
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"),
+                                      "id_a", "id_b")
+    drop = (comp.filter(F.col("v") != F.col("label"))
+            .select(F.col("v").alias("vec_id")))
+    kept = emb.join(drop, "vec_id", "left_anti")
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("label"))
