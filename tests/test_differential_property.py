@@ -250,3 +250,81 @@ def test_sql_front_door_matches_duckdb(engines, sql):
         # decorrelation and the r5 equi-keyed null-aware NOT IN rewrite
         got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
         assert got_local == want
+
+
+# ---------------------------------------------------------------------------
+# two-table differential: correlated shapes over a real FK (customer ->
+# orders), LOCAL and FEDERATED both compared to DuckDB
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def engines2(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+
+    local_eng = FederationEngine(spark)
+    for t in ("orders", "customer"):
+        local_eng.register_local_parquet(t, f"{TESTDATA}/{t}.parquet")
+    ex = DuckDBExecutor(name="duck_prop2", compute_context="prop2")
+    for t in ("orders", "customer"):
+        ex.register_parquet(t, f"{TESTDATA}/{t}.parquet")
+    remote_eng = FederationEngine(spark)
+    remote_eng.register_remote(SQLProvider(ex), "orders")
+    remote_eng.register_remote(SQLProvider(ex), "customer")
+    return local_eng, remote_eng
+
+
+@st.composite
+def _fk_queries(draw):
+    price = draw(st.sampled_from([50000, 150000, 300000, 450000]))
+    shape = draw(st.sampled_from(
+        ["exists", "not_exists", "in", "not_in", "scalar_cmp",
+         "scalar_sel", "join_agg"]))
+    if shape in ("exists", "not_exists"):
+        neg = "NOT " if shape == "not_exists" else ""
+        return (f"SELECT c.c_custkey FROM customer c WHERE {neg}EXISTS "
+                "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+                f"AND o.o_totalprice > {price})")
+    if shape in ("in", "not_in"):
+        neg = "NOT " if shape == "not_in" else ""
+        return (f"SELECT c.c_custkey FROM customer c "
+                f"WHERE c.c_custkey {neg}IN "
+                "(SELECT o.o_custkey FROM orders o "
+                "WHERE o.o_custkey = c.c_custkey "
+                f"AND o.o_totalprice > {price})")
+    if shape == "scalar_cmp":
+        fn = draw(st.sampled_from(["MAX", "MIN", "COUNT"]))
+        k = draw(st.integers(0, 4))
+        return ("SELECT c.c_custkey FROM customer c WHERE "
+                f"(SELECT {fn}(o.o_orderkey) FROM orders o "
+                "WHERE o.o_custkey = c.c_custkey "
+                f"AND o.o_totalprice > {price}) > {k}")
+    if shape == "scalar_sel":
+        return ("SELECT c.c_custkey, "
+                "(SELECT COUNT(*) FROM orders o "
+                f"WHERE o.o_custkey = c.c_custkey "
+                f"AND o.o_totalprice > {price}) AS n "
+                "FROM customer c")
+    return ("SELECT c.c_mktsegment, COUNT(*) AS n "
+            "FROM customer c JOIN orders o "
+            "ON o.o_custkey = c.c_custkey "
+            f"WHERE o.o_totalprice > {price} GROUP BY c.c_mktsegment")
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_fk_queries())
+def test_fk_shapes_local_and_federated_match_duckdb(engines2, sql):
+    import duckdb
+    local_eng, remote_eng = engines2
+    conn = duckdb.connect()
+    for t in ("orders", "customer"):
+        conn.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                     f"read_parquet('{TESTDATA}/{t}.parquet')")
+    want = sorted(map(tuple, conn.execute(sql).fetchall()))
+    got_remote = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_remote == want
+    got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want
