@@ -117,6 +117,9 @@ SECONDARY = {
     # round 5: embedding dedup composition — components hold in-window
     # rows (d08 near-pairs; CC proven by d16's recursive-CTE oracle)
     "d38_embedding_dedup",
+    # round 5: unit dedup — per-doc groupBy/agg shapes carried in-window
+    # by d01/d02; order pinned by the md5 of the reassembled text
+    "d39_unit_dedup",
     # round 5: multimodal->embedding->ANN composition — components hold
     # in-window rows (d13 mapInPandas plumbing, d06 cosine top-k)
     "d36_multimodal_ann",

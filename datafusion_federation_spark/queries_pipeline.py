@@ -1313,3 +1313,36 @@ def d38(spark, sf):
     return (kept.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_kept"))
             .orderBy("label"))
+
+
+_D39_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws
+           FROM documents),
+e AS (SELECT doc_id,
+             unnest([struct_pack(u := ws[i], p := i)
+                     FOR i IN generate_series(1, len(ws))]) AS s
+      FROM w),
+f AS (SELECT doc_id, s.u AS unit, MIN(s.p) AS pos, COUNT(*) AS c
+      FROM e GROUP BY doc_id, s.u)
+SELECT doc_id,
+       md5(string_agg(unit, ' ' ORDER BY pos)) AS clean_md5,
+       CAST(SUM(c) AS BIGINT) AS n_units,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM f GROUP BY doc_id
+"""
+
+
+@q("d39_unit_dedup", _D39_ORACLE)
+def d39(spark, sf):
+    """First-occurrence unit dedup in the oracle gate: with ' ' as the
+    unit delimiter every repeated word collapses to its first
+    occurrence, preserving original order — the C4-style repeated-line
+    cleanup exercised at word granularity (the fixture has no newlines).
+    The md5 of the reassembled text pins the ORDER, not just the set."""
+    from .operators.dedup import normalize_text
+    docs = t(spark, sf, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text"))
+    out = curation.dedup_units(docs, "text", "doc_id", " ")
+    return out.select("doc_id",
+                      F.md5(F.col("clean_text")).alias("clean_md5"),
+                      "n_units", "n_kept")
