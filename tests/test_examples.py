@@ -34,3 +34,9 @@ def test_training_data_demo(spark):
     from training_data_demo import main
     split_sizes = main(spark, TESTDATA)
     assert split_sizes.get("train", 0) > 0
+
+
+def test_curation_demo(spark):
+    from curation_demo import main
+    n_sequences = main(spark, TESTDATA)
+    assert n_sequences > 0
