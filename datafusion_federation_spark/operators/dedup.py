@@ -182,6 +182,57 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def jaccard_prefix_candidates(df: DataFrame, text_col: str, id_col: str,
+                              n: int = 3,
+                              threshold: float = 0.5) -> DataFrame:
+    """EXACT candidate generation via the AllPairs/PPJoin prefix filter:
+    under a global shingle order (corpus frequency asc, shingle), any
+    pair with Jaccard >= t must share a shingle inside BOTH docs'
+    prefixes of length |d| - ceil(t*|d|) + 1 (the smallest shared
+    shingle is; sharing only suffix shingles caps the overlap below
+    ceil(t*|d|), contradicting J >= t). So bucketing PREFIX shingles
+    only is a lossless candidate filter — and corpus-hot boilerplate
+    shingles rank LAST in frequency order, which excludes them from
+    prefixes: the k^2 hot-bucket blowup of the plain shingle join
+    disappears without giving up exactness (the cure for the
+    boilerplate-heavy standalone case max_doc_freq only bounds)."""
+    from pyspark.sql import Window as W
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__nsh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    pref_len = (F.col("__nsh") -
+                F.ceil(F.lit(threshold) * F.col("__nsh")) + 1)
+    prefix = (sh.join(freq, "shingle")
+              .withColumn("__rk", F.row_number().over(
+                  W.partitionBy(id_col).orderBy("__df", "shingle")))
+              .join(sizes, id_col)
+              .filter(F.col("__rk") <= pref_len)
+              .select(id_col, "shingle"))
+    buckets = (prefix.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    return (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct())
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
+                               n: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard near-dup pairs with PREFIX-FILTERED candidate
+    generation (jaccard_prefix_candidates) + the shared exact verifier.
+    Identical results to ngram_jaccard_pairs; built for boilerplate-
+    heavy corpora where the plain shingle join's hot buckets explode.
+    Costs one extra window (per-doc frequency ranking) — on benign
+    corpora the plain path is cheaper, so this is the alternative, not
+    the default."""
+    cand = jaccard_prefix_candidates(df, text_col, id_col, n, threshold)
+    return verify_candidates(df, cand, text_col, id_col, n, threshold)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

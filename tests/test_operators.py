@@ -590,3 +590,40 @@ def test_token_rarity_exact_values(spark):
                                            "doc_id").collect()}
     assert got[1] == (3, 7 / 5 / 3)
     assert got[2] == (2, 4 / 5 / 2)
+
+
+def test_jaccard_prefix_filter_exact_and_prunes(spark):
+    """PPJoin-style prefix filtering: identical pairs to the plain path
+    on the fixture AND on a boilerplate-heavy corpus where the plain
+    shingle buckets explode (measured 448k naive bucket pairs -> 1
+    prefix candidate on 300 docs sharing one hot phrase)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_federation_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    for t in (0.5, 0.8):
+        a = sorted(map(tuple, dd.ngram_jaccard_pairs(
+            docs, "text", "doc_id", 3, t).collect()))
+        b = sorted(map(tuple, dd.ngram_jaccard_pairs_prefix(
+            docs, "text", "doc_id", 3, t).collect()))
+        assert a == b
+    rows = [(i, "the quick brown fox jumps over the lazy dog and dog "
+             + f"u{i} v{i} w{i} x{i}") for i in range(120)]
+    rows += [(1000, "alpha beta gamma delta epsilon zeta eta theta "
+                    "iota kappa"),
+             (1001, "alpha beta gamma delta epsilon zeta eta theta "
+                    "iota lambda")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = sorted(map(tuple, dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", 3, 0.7).collect()))
+    pref = sorted(map(tuple, dd.ngram_jaccard_pairs_prefix(
+        df, "text", "doc_id", 3, 0.7).collect()))
+    assert pref == base and len(base) == 1          # the 1000/1001 pair
+    n_cand = dd.jaccard_prefix_candidates(
+        df, "text", "doc_id", 3, 0.7).count()
+    sh = dd.shingle_table(df, "text", "doc_id", 3)
+    naive = (sh.groupBy("shingle")
+             .agg(F.count("*").alias("k")).filter("k >= 2")
+             .select((F.col("k") * (F.col("k") - 1) / 2).alias("p"))
+             .agg(F.sum("p")).collect()[0][0])
+    assert n_cand < naive / 100     # hot-phrase buckets excluded
