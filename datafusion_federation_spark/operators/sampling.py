@@ -218,3 +218,52 @@ def shard_manifest(spark, path: str, key: str) -> DataFrame:
                  F.sum(F.xxhash64(F.col(key)).cast("decimal(38,0)"))
                  .alias("content_digest"))
             .orderBy("shard"))
+
+
+def negative_pairs(df: DataFrame, id_col: str, k: int,
+                   salt: str = "neg") -> DataFrame:
+    """Deterministic contrastive negatives: for every anchor row, pick
+    ``k`` pseudo-random OTHER rows (``anchor_id``, ``j`` in 1..k,
+    ``neg_id``) — the negative-sampling primitive for embedding /
+    contrastive training, with the repo's standard hash-not-RNG
+    contract: same corpus -> same pairs, any partition layout.
+
+    Mechanics: rows get a dense 0-based index by ``id_col`` order; the
+    j-th negative of an anchor is index ``H(salt:id:j) mod (N-1)``,
+    bumped by one when it lands at-or-after the anchor's own index so
+    an anchor can never draw itself. One equi-join on the index maps
+    back to ids. H is the md5-prefix hash (engine-portable, like
+    sampling's md5 mode), so the pairs are DuckDB-reproducible — d45
+    oracle-checks the whole construction.
+
+    Scale note: the dense index uses a global row_number (one
+    single-partition window) — the oracle-able anchor. At 100 TB swap
+    in a two-phase index (per-partition counts -> offset cumsum ->
+    mapPartitions renumber, deterministic under the same sort) and keep
+    everything downstream unchanged; the hash-draw and join already
+    scale (index join is uniform by construction — no skew).
+
+    Collisions: two j's of one anchor may draw the same negative
+    (true uniform-with-replacement sampling); dedupe downstream if the
+    loss function needs distinct negatives.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ix = df.select(F.col(id_col)).withColumn(
+        "_np_idx",
+        F.row_number().over(W.orderBy(id_col)) - F.lit(1))
+    n = ix.agg(F.count(F.lit(1)).alias("_np_n"))
+    a = (ix.crossJoin(F.broadcast(n))
+           .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k)))))
+    hex15 = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"),
+                       F.lit(":"), F.col("j").cast("string"))), 1, 15)
+    draw = F.pmod(F.conv(hex15, 16, 10).cast("bigint"),
+                  F.col("_np_n") - F.lit(1))
+    a = a.withColumn(
+        "_np_tgt",
+        F.when(draw >= F.col("_np_idx"), draw + 1).otherwise(draw))
+    neg = ix.select(F.col(id_col).alias("neg_id"),
+                    F.col("_np_idx").alias("_np_tgt"))
+    return (a.join(neg, "_np_tgt")
+            .select(F.col(id_col).alias("anchor_id"), "j", "neg_id"))

@@ -1,0 +1,265 @@
+"""Temporal join and time-series operators: as-of join, point-in-interval
+(range) join, and time-bucket gap-filling with LOCF.
+
+North-star extension beyond the reference surface (the reference
+federates these to engines that have them — e.g. DuckDB's ASOF JOIN;
+here they are first-class distributed operators). All three are built
+from DataFrame primitives only — no Python in the row path — and each
+shuffles exactly once on the join/group key:
+
+- ``asof_join``: the classic "latest right row at-or-before each left
+  row" join (market-data enrichment, attribution). Implemented WITHOUT a
+  join at all: union both sides tagged, one window sort per key, carry
+  the right payload forward (``last(..., ignorenulls=True)``). One hash
+  shuffle on the key columns; the in-partition sort is the same work a
+  sort-merge join would do, but no probe-side buffering and no
+  non-equi-condition fallback to broadcast-nested-loop — which is what
+  Spark itself plans for the naive ``l.ts >= r.ts`` formulation.
+- ``point_in_interval_join``: events-to-intervals containment. The naive
+  predicate join is non-equi (BNL at scale); instead both sides are
+  bucketed on a caller-chosen time grid: points land in exactly one
+  bucket, intervals explode to every bucket they cover, and the match
+  becomes an equi-join on (keys..., bucket) + an exact residual filter.
+  Each (point, interval) pair meets in exactly one bucket — the point's
+  own — so no post-join dedup is needed.
+- ``time_bucket_gapfill``: dense per-key time series from sparse
+  aggregates (TimescaleDB's time_bucket_gapfill): per-key bucket range,
+  ``sequence``-explode the gaps, left-join the aggregates back, then
+  zero-fill and/or LOCF (last observation carried forward) per column.
+
+100 TB notes: all three partition by the entity key. A pathologically
+hot key (one user with billions of rows) serializes its window sort; the
+scale path is the usual time-slicing — split the key's range into
+chunks and replicate each chunk's last right-side row into the next
+chunk's head — which preserves results exactly. Not implemented here
+because it changes no semantics; the single-key window form is the
+correctness anchor.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: carried right-side columns are prefixed in the union frame so they can
+#: never collide with left columns; stripped before returning.
+_R = "__asof_r_"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: Optional[str] = None,
+              direction: str = "backward",
+              tolerance_s: Optional[float] = None,
+              suffix: str = "_right") -> DataFrame:
+    """For each left row, attach the single right row with the nearest
+    ``right_ts`` at-or-before (``backward``) or at-or-after
+    (``forward``) the left row's ``left_ts``, matching on the ``on``
+    key columns. Unmatched left rows keep NULL right columns (left
+    outer semantics, like DuckDB's ``ASOF LEFT JOIN`` / pandas
+    ``merge_asof``).
+
+    ``tolerance_s`` (seconds) nulls the match when the time gap exceeds
+    it, pandas-style. Right payload columns that collide with a left
+    column name get ``suffix`` appended; the right timestamp is always
+    returned as ``right_ts + suffix``.
+
+    Right rows must be unique per (keys..., right_ts) — duplicates make
+    "the" as-of row ambiguous (engines with native ASOF pick one
+    arbitrarily); pre-aggregate (e.g. max payload per instant) first so
+    results are deterministic.
+
+    Plan shape: Union -> one Exchange on ``on`` -> Sort -> Window ->
+    Filter. No Join node at all — the naive ``l.k = r.k AND l.ts >=
+    r.ts`` + row_number formulation Spark would otherwise plan buffers
+    every (left, earlier-right) pair before pruning; this form carries
+    one value per column instead.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, "
+                         f"got {direction!r}")
+    keys = list(on)
+    rts = right_ts or left_ts
+    payload = [c for c in right.columns if c not in keys and c != rts]
+
+    # union frame: left keeps all its columns; right contributes its
+    # timestamp + payload under reserved names. Sides are tagged so ties
+    # at the same instant order right-at-or-before-left (backward) /
+    # left-before-right (forward), making the >= / <= bounds inclusive.
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    lf = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_asof_t"),
+        F.lit(l_side).alias("_asof_side"),
+        F.lit(None).cast(right.schema[rts].dataType).alias(_R + rts),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(_R + c)
+          for c in payload])
+    rf = right.select(
+        *[(F.col(c) if c in keys
+           else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+          for c in left.columns],
+        F.col(rts).alias("_asof_t"),
+        F.lit(r_side).alias("_asof_side"),
+        F.col(rts).alias(_R + rts),
+        *[F.col(c).alias(_R + c) for c in payload])
+    u = lf.unionByName(rf)
+
+    if direction == "backward":
+        w = (W.partitionBy(*keys).orderBy("_asof_t", "_asof_side")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (W.partitionBy(*keys).orderBy("_asof_t", "_asof_side")
+             .rowsBetween(W.currentRow, W.unboundedFollowing))
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
+    carried = [_R + rts] + [_R + c for c in payload]
+    u = u.select(*u.columns,
+                 *[carry(c).alias(c + "_c") for c in carried])
+    u = u.filter(F.col("_asof_side") == l_side)
+
+    matched = F.col(_R + rts + "_c").isNotNull()
+    if tolerance_s is not None:
+        gap = (F.col("_asof_t").cast("double")
+               - F.col(_R + rts + "_c").cast("double"))
+        if direction == "forward":
+            gap = -gap
+        matched = matched & (gap <= float(tolerance_s))
+
+    def out_name(c: str) -> str:
+        return c + suffix if (c in left.columns or c == rts) else c
+
+    outs = [F.col(c) for c in left.columns]
+    outs += [F.when(matched, F.col(_R + c + "_c"))
+             .alias(out_name(c)) for c in [rts] + payload]
+    return u.select(*outs)
+
+
+def time_bucket(ts: Column, width_s: int) -> Column:
+    """Integer time bucket: floor(epoch_micros / width_micros). Exact
+    integer arithmetic (subtract pmod, then an exact division) — no
+    float rounding anywhere near the bucket id, pre-1970 included."""
+    width_us = F.lit(int(width_s) * 1_000_000)
+    us = F.unix_micros(ts)
+    return ((us - F.pmod(us, width_us)) / width_us).cast("bigint")
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           on: Sequence[str], point_ts: str,
+                           start_ts: str, end_ts: str,
+                           bucket_width_s: int) -> DataFrame:
+    """Inner join of point rows to every interval row (same ``on`` keys)
+    whose ``[start_ts, end_ts]`` closed range contains ``point_ts``.
+
+    Equi-join reformulation: grid time into ``bucket_width_s`` buckets;
+    a point has one bucket, an interval covers ``ceil(len/width)+1``;
+    join on (keys..., bucket) then apply the exact containment filter.
+    Pick the width near the TYPICAL interval length: too small explodes
+    the interval side, too large degrades to a per-key bucket join.
+    Intervals with end < start are dropped (empty ranges), matching the
+    SQL ``BETWEEN`` predicate which no row can satisfy.
+
+    Column collisions between the two inputs are the caller's problem
+    (rename first) — kept explicit because silent suffixing hides bugs
+    in pipeline code.
+    """
+    keys = list(on)
+    overlap = set(points.columns) & set(intervals.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"point/interval column collision {sorted(overlap)}; "
+            "rename before joining")
+    p = points.withColumn("_pib_b", time_bucket(F.col(point_ts),
+                                                bucket_width_s))
+    iv = (intervals
+          .filter(F.col(end_ts) >= F.col(start_ts))
+          .withColumn(
+              "_pib_b",
+              F.explode(F.sequence(
+                  time_bucket(F.col(start_ts), bucket_width_s),
+                  time_bucket(F.col(end_ts), bucket_width_s)))))
+    j = p.join(iv, keys + ["_pib_b"], "inner")
+    j = j.filter((F.col(point_ts) >= F.col(start_ts))
+                 & (F.col(point_ts) <= F.col(end_ts)))
+    return j.drop("_pib_b")
+
+
+def time_bucket_gapfill(df: DataFrame, keys: Sequence[str],
+                        bucket_col: str,
+                        zero_cols: Sequence[str] = (),
+                        locf_cols: Sequence[str] = ()) -> DataFrame:
+    """Densify a bucketed aggregate: for every key, emit one row per
+    integer bucket between that key's min and max observed bucket.
+    ``zero_cols`` fill gaps with 0; ``locf_cols`` carry the last
+    observed value forward (leading gaps before the first observation
+    stay NULL). Remaining columns are NULL in gap rows.
+
+    Two shuffles: the per-key range aggregate and the window sort; the
+    range->sequence explode is driver-free and linear in the number of
+    emitted rows. At 100 TB the emitted density is the cost knob —
+    gapfill per (entity, hour) over years multiplies rows; bound the
+    range upstream (WHERE on the bucket) before densifying.
+    """
+    keys = list(keys)
+    rng = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_gf_min"), F.max(bucket_col).alias("_gf_max"))
+    full = rng.select(
+        *keys,
+        F.explode(F.sequence("_gf_min", "_gf_max")).alias(bucket_col))
+    j = full.join(df, keys + [bucket_col], "left")
+    out = []
+    w = W.partitionBy(*keys).orderBy(bucket_col) \
+         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    for c in j.columns:
+        if c in zero_cols:
+            out.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+        elif c in locf_cols:
+            out.append(F.last(c, ignorenulls=True).over(w).alias(c))
+        else:
+            out.append(F.col(c))
+    return j.select(*out)
+
+
+def interval_overlap_join(a: DataFrame, b: DataFrame, on: Sequence[str],
+                          a_start: str, a_end: str,
+                          b_start: str, b_end: str,
+                          bucket_width_s: int) -> DataFrame:
+    """Inner join of interval rows to interval rows (same ``on`` keys)
+    where the closed ranges overlap: ``a_start <= b_end AND b_start <=
+    a_end``. The segment-alignment primitive (audio/video span
+    matching, session-vs-session comparison).
+
+    Equi-join reformulation with an exact dedup: both sides explode to
+    their covered buckets and meet on (keys..., bucket); a pair that
+    shares M buckets would surface M times, so only the FIRST shared
+    bucket keeps the pair — that bucket is ``bucket(max(a_start,
+    b_start))``, the overlap's first instant, which both explosions
+    necessarily cover. One predicate, no distinct, no shuffle beyond
+    the join's own.
+
+    Empty ranges (end < start) are dropped on both sides — nothing can
+    overlap them under the closed-range predicate.
+    """
+    keys = list(on)
+    overlap = set(a.columns) & set(b.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"interval column collision {sorted(overlap)}; "
+            "rename before joining")
+
+    def explode_side(df, s, e):
+        return (df.filter(F.col(e) >= F.col(s))
+                .withColumn("_iv_b", F.explode(F.sequence(
+                    time_bucket(F.col(s), bucket_width_s),
+                    time_bucket(F.col(e), bucket_width_s)))))
+
+    ea = explode_side(a, a_start, a_end)
+    eb = explode_side(b, b_start, b_end)
+    j = ea.join(eb, keys + ["_iv_b"], "inner")
+    j = j.filter(
+        (F.col(a_start) <= F.col(b_end))
+        & (F.col(b_start) <= F.col(a_end))
+        & (F.col("_iv_b") == time_bucket(
+            F.greatest(F.col(a_start), F.col(b_start)), bucket_width_s)))
+    return j.drop("_iv_b")

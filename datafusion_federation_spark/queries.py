@@ -126,6 +126,22 @@ SECONDARY = {
     # round 5: rarity score — component evidence in d09 (token stats,
     # in-window) + d23 (corpus token frequencies)
     "d37_token_rarity",
+    # round 5: the temporal/sketch suite (d40-d43, new operators with
+    # no other driver evidence) takes four window slots; each demotion
+    # below keeps an in-window twin for every operator it carries
+    "q06_revenue_forecast",   # filter+agg via q01 (agg) + q32 (preds)
+    "q10_returned_items",     # join+agg+topk via q18 + q50
+    "q40_events_hourly",      # hourly bucket agg via d42 (gapfill
+                              # subsumes it) + d32 (streaming agg)
+    "q68_sql_window",         # window via q52 (federated) + q70
+                              # (named-window SQL front door)
+    # round 5: bucketed-grid join shape carried in-window by d41; the
+    # overlap dedup + duration arithmetic are oracle-checked locally
+    "d44_interval_overlap",
+    # round 5: hash-not-RNG contract carried in-window by d18-d20's
+    # operators (d18 in-window r4) and the d43 hash arithmetic; full
+    # pair table oracle-checked locally
+    "d45_negative_pairs",
 }
 
 DEC = "decimal(12,2)"

@@ -17,7 +17,7 @@ import random
 from pyspark.sql import functions as F
 
 from .operators import curation, dedup, multimodal, similarity, text
-from .queries import q, t
+from .queries import dec, money, q, t
 
 # deterministic fixtures (seeded; no runtime entropy)
 EMB_DIM = 64
@@ -1346,3 +1346,263 @@ def d39(spark, sf):
     return out.select("doc_id",
                       F.md5(F.col("clean_text")).alias("clean_md5"),
                       "n_units", "n_kept")
+
+
+# ===========================================================================
+# temporal joins + time-series densify + cardinality sketch (r5)
+# ===========================================================================
+
+@q("d40_asof_attribution", """
+WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'),
+a AS (SELECT p.user_id, p.event_id, c.click_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(COUNT(click_id) AS BIGINT) AS n_matched,
+       CAST(SUM(delay_us) AS BIGINT) AS delay_us_total
+FROM a GROUP BY user_id ORDER BY user_id
+""")
+def d40(spark, sf):
+    """As-of join in the oracle gate: every purchase is attributed to
+    the user's latest at-or-before click (the market-data/attribution
+    primitive; DuckDB's native ASOF JOIN is the oracle). The Spark
+    side is operators/temporal.asof_join — union + one keyed window,
+    NO join node, one Exchange — the shape that survives a 100 TB
+    event log where the naive non-equi formulation degrades to
+    broadcast-nested-loop. Clicks are pre-deduped to one row per
+    (user, instant) so "the" as-of match is well-defined in both
+    engines; delays are exact integer microseconds (no float time
+    arithmetic anywhere)."""
+    from .operators import temporal
+    e = t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+    j = temporal.asof_join(purch, clicks, on=["user_id"],
+                           left_ts="ts", right_ts="ts")
+    delay = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))
+    return (j.select("user_id", "event_id", "click_id",
+                     delay.alias("delay_us"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.count("click_id").cast("bigint").alias("n_matched"),
+                 F.sum("delay_us").cast("bigint").alias("delay_us_total"))
+            .orderBy("user_id"))
+
+
+@q("d41_interval_containment", """
+WITH iv AS (SELECT event_id AS iv_id, user_id, ts AS s,
+                   ts + INTERVAL 2 HOUR AS e
+            FROM events WHERE event_type = 'signup'),
+m AS (SELECT iv.iv_id, iv.user_id, COUNT(ev.event_id) AS n
+      FROM iv LEFT JOIN events ev
+        ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts <= iv.e
+      GROUP BY iv.iv_id, iv.user_id)
+SELECT user_id, COUNT(*) AS n_intervals,
+       CAST(SUM(n) AS BIGINT) AS total_matches,
+       CAST(MAX(n) AS BIGINT) AS max_in_interval
+FROM m GROUP BY user_id ORDER BY user_id
+""")
+def d41(spark, sf):
+    """Range (point-in-interval) join in the oracle gate: each signup
+    opens a 2-hour window; count the user's events inside each window
+    (the signup itself included — it satisfies the closed bound).
+    Spark side is operators/temporal.point_in_interval_join: both
+    sides bucketed on a 1-hour grid, equi-join on (user, bucket) +
+    exact residual — each pair meets in exactly one bucket, so no
+    dedup. The oracle is the naive BETWEEN join DuckDB can afford at
+    sf0.01; Spark never plans that shape."""
+    from .operators import temporal
+    e = t(spark, sf, "events")
+    iv = (e.filter(F.col("event_type") == "signup")
+          .select(F.col("event_id").alias("iv_id"), "user_id",
+                  F.col("ts").alias("iv_s"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                  .alias("iv_e")))
+    pts = e.select("user_id", "ts", "event_id")
+    m = temporal.point_in_interval_join(
+        pts, iv, on=["user_id"], point_ts="ts",
+        start_ts="iv_s", end_ts="iv_e", bucket_width_s=3600)
+    per_iv = m.groupBy("iv_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = (iv.join(per_iv, "iv_id", "left")
+              .select("iv_id", "user_id",
+                      F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    return (counts.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("n").cast("bigint").alias("total_matches"),
+                 F.max("n").cast("bigint").alias("max_in_interval"))
+            .orderBy("user_id"))
+
+
+@q("d42_hourly_gapfill", """
+WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+                  COUNT(*) AS n,
+                  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
+                       AS DOUBLE) AS total
+           FROM events GROUP BY event_type, hb),
+r AS (SELECT event_type, MIN(hb) AS mn, MAX(hb) AS mx FROM b
+      GROUP BY event_type),
+s AS (SELECT event_type, unnest(generate_series(mn, mx)) AS hb FROM r),
+g AS (SELECT s.event_type, s.hb, COALESCE(b.n, 0) AS n,
+             last_value(b.total IGNORE NULLS) OVER
+               (PARTITION BY s.event_type ORDER BY s.hb
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS total_locf
+      FROM s LEFT JOIN b ON s.event_type = b.event_type AND s.hb = b.hb)
+SELECT event_type,
+       strftime(make_timestamp(hb * 3600000000), '%Y-%m-%d %H:00')
+         AS hour,
+       CAST(n AS BIGINT) AS n, total_locf
+FROM g ORDER BY event_type, hour
+""")
+def d42(spark, sf):
+    """Hypertable-style dense rollup: hourly per-type aggregates
+    densified over each type's [min, max] hour range — gap hours get
+    count 0 and the last observed hourly total carried forward (LOCF).
+    operators/temporal.time_bucket_gapfill: per-key range agg +
+    sequence-explode + keyed left join + one LOCF window; the emitted
+    density (keys x hours) is the only cost knob at 100 TB. Bucket
+    ids are exact integer hours (pmod arithmetic on epoch micros), so
+    both engines agree on every gap position."""
+    from .operators import temporal
+    e = t(spark, sf, "events")
+    b = (e.groupBy("event_type",
+                   temporal.time_bucket(F.col("ts"), 3600).alias("hb"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              money(dec("value")).alias("total")))
+    g = temporal.time_bucket_gapfill(
+        b, keys=["event_type"], bucket_col="hb",
+        zero_cols=["n"], locf_cols=["total"])
+    return (g.select(
+        "event_type",
+        F.date_format(F.timestamp_seconds(F.col("hb") * 3600),
+                      "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").alias("total_locf"))
+        .orderBy("event_type", "hour"))
+
+
+@q("d43_kmv_distinct", """
+WITH h AS (SELECT DISTINCT event_type,
+                  md5(concat('kmv:', CAST(user_id AS VARCHAR))) AS h
+           FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+k AS (SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM r WHERE rn <= 128 GROUP BY event_type),
+x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact
+      FROM events GROUP BY event_type)
+SELECT k.event_type, CAST(k.n_kept AS BIGINT) AS n_kept,
+       ROUND(CASE WHEN k.n_kept < 128 THEN CAST(k.n_kept AS DOUBLE)
+                  ELSE 127.0 /
+                       (CAST(CAST(concat('0x', substr(kth, 1, 15))
+                                  AS BIGINT) AS DOUBLE)
+                        / 1152921504606846976.0)
+             END, 2) AS est,
+       CAST(x.exact AS BIGINT) AS exact
+FROM k JOIN x ON k.event_type = x.event_type
+ORDER BY k.event_type
+""")
+def d43(spark, sf):
+    """KMV distinct-count sketch, oracle-checked: the k=128 smallest
+    md5 hashes of user_id per event_type give the (k-1)/U(k)
+    cardinality estimate — the engine-portable twin of
+    approx_count_distinct's private HLL (operators/sketches.py
+    docstring for why HLL itself can never be oracle-checked). Exact
+    distinct counts ride along so the row also DEMONSTRATES estimator
+    accuracy (~9% rse at k=128). Merge-associativity of the sketch is
+    pinned separately in tests/test_sketches.py."""
+    from .operators import sketches
+    e = t(spark, sf, "events")
+    sk = sketches.kmv_distinct(e, "user_id", ["event_type"], k=128)
+    exact = (e.groupBy("event_type")
+             .agg(F.count_distinct("user_id").cast("bigint")
+                  .alias("exact")))
+    return (sk.join(exact, "event_type")
+            .select("event_type", F.col("n_kept").cast("bigint")
+                    .alias("n_kept"), "est", "exact")
+            .orderBy("event_type"))
+
+
+@q("d44_interval_overlap", """
+WITH a AS (SELECT event_id AS aid, user_id, ts AS a_s,
+                  ts + INTERVAL 2 HOUR AS a_e
+           FROM events WHERE event_type = 'signup'),
+b AS (SELECT event_id AS bid, user_id, ts AS b_s,
+             ts + INTERVAL 1 HOUR AS b_e
+      FROM events WHERE event_type = 'error'),
+p AS (SELECT a.user_id, a.aid, b.bid,
+             epoch_us(least(a.a_e, b.b_e))
+               - epoch_us(greatest(a.a_s, b.b_s)) AS ov_us
+      FROM a JOIN b ON a.user_id = b.user_id
+        AND a.a_s <= b.b_e AND b.b_s <= a.a_e)
+SELECT user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(ov_us) AS BIGINT) AS overlap_us_total
+FROM p GROUP BY user_id ORDER BY user_id
+""")
+def d44(spark, sf):
+    """Interval-overlap join in the oracle gate: every signup's 2-hour
+    window against every error's 1-hour window of the same user, with
+    exact integer overlap durations. Spark side is
+    operators/temporal.interval_overlap_join — both sides explode to a
+    1-hour grid, meet on (user, bucket), and the first-shared-bucket
+    predicate dedupes pairs exactly (no DISTINCT). The oracle is the
+    naive non-equi overlap join DuckDB can afford at sf0.01."""
+    from .operators import temporal
+    e = t(spark, sf, "events")
+    a = (e.filter(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("aid"), "user_id",
+                 F.col("ts").alias("a_s"),
+                 (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("a_e")))
+    b = (e.filter(F.col("event_type") == "error")
+         .select(F.col("event_id").alias("bid"),
+                 F.col("user_id").alias("user_id"),
+                 F.col("ts").alias("b_s"),
+                 (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("b_e")))
+    pairs = temporal.interval_overlap_join(
+        a, b, on=["user_id"], a_start="a_s", a_end="a_e",
+        b_start="b_s", b_end="b_e", bucket_width_s=3600)
+    ov = (F.unix_micros(F.least(F.col("a_e"), F.col("b_e")))
+          - F.unix_micros(F.greatest(F.col("a_s"), F.col("b_s"))))
+    return (pairs.select("user_id", ov.alias("ov_us"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("ov_us").cast("bigint").alias("overlap_us_total"))
+            .orderBy("user_id"))
+
+
+@q("d45_negative_pairs", """
+WITH ix AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS idx
+            FROM documents),
+n AS (SELECT COUNT(*) AS cnt FROM documents),
+a AS (SELECT ix.doc_id, ix.idx, gs.j,
+             CAST(concat('0x', substr(md5(concat('neg:',
+                 CAST(ix.doc_id AS VARCHAR), ':',
+                 CAST(gs.j AS VARCHAR))), 1, 15)) AS BIGINT)
+               % (n.cnt - 1) AS draw
+      FROM ix, n, generate_series(1, 4) gs(j)),
+b AS (SELECT doc_id, j,
+             CASE WHEN draw >= idx THEN draw + 1 ELSE draw END AS tgt
+      FROM a)
+SELECT b.doc_id AS anchor_id, b.j, ix2.doc_id AS neg_id
+FROM b JOIN ix ix2 ON b.tgt = ix2.idx
+ORDER BY anchor_id, j
+""")
+def d45(spark, sf):
+    """Deterministic contrastive negative sampling oracle-checked end
+    to end: 4 hash-drawn negatives per document, self-draws excluded by
+    the index-bump (operators/sampling.negative_pairs). The full
+    (anchor, j, negative) table must match DuckDB row for row — pinning
+    the dense index, the 60-bit hash draw, the modulus, and the bump
+    all at once."""
+    from .operators.sampling import negative_pairs
+    docs = t(spark, sf, "documents")
+    return (negative_pairs(docs, "doc_id", k=4)
+            .orderBy("anchor_id", "j"))

@@ -247,3 +247,38 @@ def test_shard_manifest_detects_change(spark, docs, tmp_path):
     assert m1 == m2
     assert m1 != m3
     assert sum(a != b for a, b in zip(m1, m3)) == 1
+
+
+class TestNegativePairs:
+    def _df(self, spark, n=50):
+        from pyspark.sql import functions as F
+        return spark.range(n).select((F.col("id") * 10).alias("doc"))
+
+    def test_shape_and_no_self_draws(self, spark):
+        from datafusion_federation_spark.operators.sampling import (
+            negative_pairs)
+        out = negative_pairs(self._df(spark), "doc", k=3).collect()
+        assert len(out) == 50 * 3
+        for r in out:
+            assert r.neg_id != r.anchor_id
+        # every anchor has exactly k draws
+        from collections import Counter
+        c = Counter(r.anchor_id for r in out)
+        assert set(c.values()) == {3}
+
+    def test_partition_layout_invariant(self, spark):
+        from datafusion_federation_spark.operators.sampling import (
+            negative_pairs)
+        df = self._df(spark)
+        a = sorted(map(tuple, negative_pairs(
+            df.coalesce(1), "doc", k=2).collect()))
+        b = sorted(map(tuple, negative_pairs(
+            df.repartition(7, "doc"), "doc", k=2).collect()))
+        assert a == b
+
+    def test_rejects_bad_k(self, spark):
+        import pytest
+        from datafusion_federation_spark.operators.sampling import (
+            negative_pairs)
+        with pytest.raises(ValueError, match="k must be"):
+            negative_pairs(self._df(spark), "doc", k=0)

@@ -1,0 +1,59 @@
+"""KMV distinct sketch: exactness below k, accuracy above k, merge
+associativity, and partition-layout invariance (the determinism contract
+every hash-driven operator in this repo carries)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_federation_spark.operators.sketches import (
+    kmv_distinct, kmv_merge, kmv_partials)
+
+
+def _corpus(spark, n_rows, n_distinct, n_groups=2):
+    return spark.range(n_rows).select(
+        (F.col("id") % n_groups).alias("g"),
+        (F.col("id") % n_distinct).alias("v"))
+
+
+def test_exact_below_k(spark):
+    # 3 and 40 are coprime, so every group sees all 40 residues
+    df = _corpus(spark, 400, 40, n_groups=3)
+    rows = kmv_distinct(df, "v", ["g"], k=128).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_kept == 40 and r.est == 40.0
+
+
+def test_estimate_within_bound_above_k(spark):
+    df = _corpus(spark, 30_000, 10_000, n_groups=1)
+    r = kmv_distinct(df, "v", ["g"], k=256).collect()[0]
+    assert r.n_kept == 256
+    # rse ~ 1/sqrt(k-2) = 6.3%; allow 4 sigma for one fixed draw
+    assert abs(r.est - 10_000) / 10_000 < 0.25
+
+
+def test_merge_equals_whole(spark):
+    df = _corpus(spark, 5_000, 700, n_groups=3)
+    a, b = df.filter("v < 400"), df.filter("v >= 300")  # overlapping!
+    merged = kmv_merge(
+        kmv_partials(a, "v", ["g"], k=64)
+        .unionByName(kmv_partials(b, "v", ["g"], k=64)),
+        ["g"], k=64)
+    whole = kmv_distinct(df, "v", ["g"], k=64)
+    assert sorted(merged.collect()) == sorted(whole.collect())
+
+
+def test_partition_layout_invariance(spark):
+    df = _corpus(spark, 3_000, 500)
+    one = kmv_distinct(df.coalesce(1), "v", ["g"], k=32).collect()
+    many = kmv_distinct(df.repartition(13, "v"), "v", ["g"],
+                        k=32).collect()
+    assert sorted(one) == sorted(many)
+
+
+def test_rejects_tiny_k(spark):
+    df = _corpus(spark, 10, 5)
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "v", ["g"], k=2)

@@ -1,0 +1,250 @@
+"""Temporal operators: as-of join, point-in-interval join, gapfill.
+
+Strategy: every operator is checked against a brute-force formulation of
+the same semantics on randomized (seeded) data — the slow shape is the
+spec, the scalable shape is the implementation — plus plan pins for the
+shapes that must survive 100 TB (no Join node in as-of; no
+nested-loop in the interval join).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datafusion_federation_spark.operators.temporal import (
+    asof_join, point_in_interval_join, time_bucket, time_bucket_gapfill)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def _random_sides(spark, seed, n_left=120, n_right=80, n_keys=7):
+    rng = random.Random(seed)
+    left = [(rng.randrange(n_keys), _ts(rng.randrange(0, 5000)), i)
+            for i in range(n_left)]
+    # unique (key, ts) on the right: the as-of contract
+    seen, right = set(), []
+    for j in range(n_right):
+        k, m = rng.randrange(n_keys), rng.randrange(0, 5000)
+        if (k, m) in seen:
+            continue
+        seen.add((k, m))
+        right.append((k, _ts(m), 1000 + j))
+    l = spark.createDataFrame(left, "k int, t timestamp, lid int")
+    r = spark.createDataFrame(right, "k int, t timestamp, rid int")
+    return l, r, left, right
+
+
+def _brute_asof(left, right, direction, tolerance_s=None):
+    out = {}
+    for k, lt, lid in left:
+        cands = [(rt, rid) for rk, rt, rid in right if rk == k]
+        if direction == "backward":
+            cands = [c for c in cands if c[0] <= lt]
+            pick = max(cands) if cands else None
+        else:
+            cands = [c for c in cands if c[0] >= lt]
+            pick = min(cands) if cands else None
+        if pick is not None and tolerance_s is not None:
+            gap = abs((lt - pick[0]).total_seconds())
+            if gap > tolerance_s:
+                pick = None
+        out[lid] = pick[1] if pick else None
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_brute_force(spark, direction):
+    l, r, left, right = _random_sides(spark, seed=11)
+    got = {row.lid: row.rid
+           for row in asof_join(l, r, ["k"], "t",
+                                direction=direction).collect()}
+    assert got == _brute_asof(left, right, direction)
+
+
+def test_asof_tolerance(spark):
+    l, r, left, right = _random_sides(spark, seed=23)
+    got = {row.lid: row.rid
+           for row in asof_join(l, r, ["k"], "t",
+                                tolerance_s=600).collect()}
+    assert got == _brute_asof(left, right, "backward", tolerance_s=600)
+    # tolerance must null EVERY right column of a too-old match, not
+    # just the id (the struct-null contract)
+    any_gap = asof_join(l, r, ["k"], "t", tolerance_s=0.001)
+    for row in any_gap.collect():
+        assert (row.rid is None) == (row.t_right is None)
+
+
+def test_asof_equal_instant_is_inclusive(spark):
+    l = spark.createDataFrame([(1, _ts(100), 5)],
+                              "k int, t timestamp, lid int")
+    r = spark.createDataFrame([(1, _ts(100), 77)],
+                              "k int, t timestamp, rid int")
+    assert asof_join(l, r, ["k"], "t").collect()[0].rid == 77
+    assert asof_join(l, r, ["k"], "t",
+                     direction="forward").collect()[0].rid == 77
+
+
+def test_asof_suffixes_colliding_columns(spark):
+    l = spark.createDataFrame([(1, _ts(10), "L")],
+                              "k int, t timestamp, v string")
+    r = spark.createDataFrame([(1, _ts(5), "R")],
+                              "k int, t timestamp, v string")
+    row = asof_join(l, r, ["k"], "t").collect()[0]
+    assert row.v == "L" and row.v_right == "R"
+    assert row.t_right == _ts(5)
+
+
+def test_asof_plan_has_no_join(spark):
+    l, r, *_ = _random_sides(spark, seed=3)
+    plan = asof_join(l, r, ["k"], "t")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_asof_rejects_bad_direction(spark):
+    l, r, *_ = _random_sides(spark, seed=3)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, ["k"], "t", direction="nearest")
+
+
+def _random_intervals(spark, seed, n_pts=150, n_iv=40, n_keys=5):
+    rng = random.Random(seed)
+    pts = [(rng.randrange(n_keys), _ts(rng.randrange(0, 3000)), i)
+           for i in range(n_pts)]
+    iv = []
+    for j in range(n_iv):
+        s = rng.randrange(0, 3000)
+        iv.append((rng.randrange(n_keys), _ts(s),
+                   _ts(s + rng.randrange(0, 240)), 1000 + j))
+    p = spark.createDataFrame(pts, "k int, t timestamp, pid int")
+    i = spark.createDataFrame(iv, "k int, s timestamp, e timestamp, ivid int")
+    return p, i, pts, iv
+
+
+@pytest.mark.parametrize("width_s", [60, 3600, 7200])
+def test_point_in_interval_matches_brute(spark, width_s):
+    p, i, pts, iv = _random_intervals(spark, seed=7)
+    got = {(r.pid, r.ivid)
+           for r in point_in_interval_join(
+               p, i, ["k"], "t", "s", "e", width_s).collect()}
+    want = {(pid, ivid)
+            for k, t_, pid in pts
+            for ik, s, e, ivid in iv
+            if ik == k and s <= t_ <= e}
+    assert got == want
+
+
+def test_point_in_interval_drops_empty_ranges(spark):
+    p = spark.createDataFrame([(1, _ts(10), 1)],
+                              "k int, t timestamp, pid int")
+    i = spark.createDataFrame([(1, _ts(20), _ts(5), 9)],
+                              "k int, s timestamp, e timestamp, ivid int")
+    assert point_in_interval_join(p, i, ["k"], "t", "s", "e",
+                                  3600).count() == 0
+
+
+def test_point_in_interval_rejects_collisions(spark):
+    p = spark.createDataFrame([(1, _ts(10), 1)],
+                              "k int, t timestamp, x int")
+    i = spark.createDataFrame([(1, _ts(0), _ts(20), 2)],
+                              "k int, s timestamp, e timestamp, x int")
+    with pytest.raises(ValueError, match="collision"):
+        point_in_interval_join(p, i, ["k"], "t", "s", "e", 3600)
+
+
+def test_point_in_interval_no_nested_loop(spark):
+    p, i, *_ = _random_intervals(spark, seed=9)
+    plan = point_in_interval_join(p, i, ["k"], "t", "s", "e", 3600) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_time_bucket_exact_boundaries(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, 0),),
+         (dt.datetime(2024, 1, 1, 0, 59, 59, 999999),),
+         (dt.datetime(2024, 1, 1, 1, 0, 0),),
+         (dt.datetime(1969, 12, 31, 23, 30, 0),)], "t timestamp")
+    got = [r.b for r in
+           df.select(time_bucket(F.col("t"), 3600).alias("b")).collect()]
+    epoch_h = 473352  # hours from epoch to 2024-01-01 00:00 UTC
+    assert got == [epoch_h, epoch_h, epoch_h + 1, -1]
+
+
+def test_gapfill_zero_and_locf(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 1, 5.0), ("a", 13, 2, 7.0), ("b", 3, 4, 1.5)],
+        "g string, b bigint, n bigint, v double")
+    got = {(r.g, r.b): (r.n, r.v)
+           for r in time_bucket_gapfill(
+               df, ["g"], "b", zero_cols=["n"],
+               locf_cols=["v"]).collect()}
+    assert got == {("a", 10): (1, 5.0), ("a", 11): (0, 5.0),
+                   ("a", 12): (0, 5.0), ("a", 13): (2, 7.0),
+                   ("b", 3): (4, 1.5)}
+
+
+def test_gapfill_leading_gap_stays_null(spark):
+    # a key whose FIRST bucket row has NULL v: locf has nothing to
+    # carry, so the leading rows stay NULL (no invented values)
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 3, 9.0)], "g string, b bigint, v double")
+    got = {r.b: r.v for r in time_bucket_gapfill(
+        df, ["g"], "b", locf_cols=["v"]).collect()}
+    assert got == {1: None, 2: None, 3: 9.0}
+
+
+def _random_two_interval_sets(spark, seed, n_a=40, n_b=40, n_keys=4):
+    rng = random.Random(seed)
+
+    def mk(n, base_id):
+        out = []
+        for j in range(n):
+            s = rng.randrange(0, 2000)
+            out.append((rng.randrange(n_keys), _ts(s),
+                        _ts(s + rng.randrange(0, 300)), base_id + j))
+        return out
+
+    av, bv = mk(n_a, 100), mk(n_b, 500)
+    a = spark.createDataFrame(
+        av, "k int, a_s timestamp, a_e timestamp, aid int")
+    b = spark.createDataFrame(
+        bv, "k int, b_s timestamp, b_e timestamp, bid int")
+    return a, b, av, bv
+
+
+@pytest.mark.parametrize("width_s", [60, 1800, 7200])
+def test_interval_overlap_matches_brute(spark, width_s):
+    from datafusion_federation_spark.operators.temporal import (
+        interval_overlap_join)
+    a, b, av, bv = _random_two_interval_sets(spark, seed=17)
+    rows = interval_overlap_join(a, b, ["k"], "a_s", "a_e",
+                                 "b_s", "b_e", width_s).collect()
+    got = [(r.aid, r.bid) for r in rows]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    want = {(aid, bid)
+            for k, s1, e1, aid in av
+            for k2, s2, e2, bid in bv
+            if k == k2 and s1 <= e2 and s2 <= e1}
+    assert set(got) == want
+
+
+def test_interval_overlap_rejects_collisions(spark):
+    from datafusion_federation_spark.operators.temporal import (
+        interval_overlap_join)
+    a = spark.createDataFrame([(1, _ts(0), _ts(10), 1)],
+                              "k int, s timestamp, e timestamp, x int")
+    b = spark.createDataFrame([(1, _ts(5), _ts(15), 2)],
+                              "k int, s2 timestamp, e2 timestamp, x int")
+    with pytest.raises(ValueError, match="collision"):
+        interval_overlap_join(a, b, ["k"], "s", "e", "s2", "e2", 60)
