@@ -1,0 +1,161 @@
+"""Distributed partitioned reads from remote SQL engines: split one
+remote query into N disjoint hash slices and run each slice INSIDE a
+Spark task — the result lands directly on the executors, never on the
+driver.
+
+The reference executes each federated subquery as a single stream into
+one partition (src/sql/mod.rs:177 builds a 1-partition plan around the
+executor's stream); its JDBC story relies on the engine connector.
+Spark's JDBC source already gives us range-partitioned reads
+(sources/provider.py:JDBCPartitioning); this module is the same idea
+for ANY engine reachable from worker processes — here DuckDB over a
+shared file (every sandbox/cluster with a shared filesystem), the
+pattern being what Trino calls splits:
+
+    slice i of N:  SELECT * FROM (<federated sql>) q
+                   WHERE (hash(split_col) % N + N) % N = i
+
+Hash slicing (vs range bounds) needs no min/max probe, balances skewed
+key distributions, and covers every row exactly once — including NULL
+split keys, which hash to a fixed slice rather than being dropped (the
+classic range-partitioning bug: rows outside [lower, upper] bounds are
+NOT dropped by Spark's JDBC source, but NULLs are).
+
+Scale shape: the driver runs only `LIMIT 0` for the Arrow schema; each
+task opens its own READ-ONLY connection, fetches record batches, and
+yields them as pandas frames (Arrow-batched both directions). Result
+size per task ~ |result| / N — pick N so a slice fits task memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .provider import SQLExecutor
+
+
+def _slice_sql(sql: str, split_col: str, n_slices: int, i: int) -> str:
+    if n_slices == 1:
+        return sql
+    # double-mod: DuckDB's % keeps the dividend's sign; hash() is
+    # UBIGINT there, but stay sign-proof for engines with signed hash
+    return (f"SELECT * FROM ({sql}) __fed_part "
+            f"WHERE (hash({split_col}) % {n_slices} + {n_slices})"
+            f" % {n_slices} = {i}")
+
+
+def read_duckdb_partitioned(spark: SparkSession, database: str, sql: str,
+                            split_col: str, n_slices: int = 32,
+                            batch_rows: int = 65536) -> DataFrame:
+    """Distributed read of ``sql`` from a file-backed DuckDB database:
+    the query runs ``n_slices`` times, once per Spark task, each task
+    keeping only its hash slice of ``split_col``. Equality with the
+    single-stream read is pinned in tests/test_partitioned_read.py.
+
+    ``database`` must be a path visible from every executor (shared
+    filesystem); ``:memory:`` cannot work — a worker's memory DB is
+    empty, and this function rejects it up front.
+
+    When ``split_col`` is not a column of the result (the federated
+    planner produced an aggregate that projected it away), the read
+    degrades to ONE slice: reductive results are small by construction,
+    and a single executor-side stream is still better than a
+    driver-side fetch. The degrade is schema-driven, never silent row
+    loss — a wrong split_col that IS absent can only mean fewer
+    parallel slices, not missing data.
+    """
+    if database == ":memory:":
+        raise ValueError(
+            "partitioned reads need a file-backed database visible to "
+            "executors; :memory: lives only in the driver process")
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+
+    import duckdb
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    # driver-side: schema only (LIMIT 0 — no data moves)
+    con = duckdb.connect(database, read_only=True)
+    try:
+        empty = con.execute(
+            f"SELECT * FROM ({sql}) __fed_schema LIMIT 0"
+        ).fetch_arrow_table()
+    finally:
+        con.close()
+    schema = from_arrow_schema(empty.schema)
+    if split_col not in empty.schema.names:
+        n_slices = 1
+
+    def run_slices(batches) -> Iterator:
+        for pdf in batches:
+            for i in pdf["__slice"]:
+                c = duckdb.connect(database, read_only=True)
+                try:
+                    reader = c.execute(
+                        _slice_sql(sql, split_col, n_slices, int(i))
+                    ).fetch_record_batch(batch_rows)
+                    for batch in reader:
+                        yield batch.to_pandas()
+                finally:
+                    c.close()
+
+    slices = (spark.range(n_slices)
+              .select(F.col("id").cast("int").alias("__slice"))
+              .repartition(n_slices, "__slice"))
+    return slices.mapInPandas(run_slices, schema=schema)
+
+
+class PartitionedDuckDBExecutor(SQLExecutor):
+    """SQLExecutor whose ``execute`` runs the distributed slice read
+    above instead of a driver-side fetch. Registered tables must
+    already exist in the file database (use DuckDBExecutor against the
+    same file to set up, or any external writer).
+
+    ``split_col`` is the PHYSICAL slice key and must name a column of
+    every federated result this executor receives — pick the stable
+    entity id your schema carries through queries (the row-preserving
+    case this executor targets: large non-reductive remote extracts).
+    Aggregated/reductive subqueries are small by construction; point
+    those at the plain driver-side DuckDBExecutor instead.
+    """
+
+    dialect = "duckdb"
+
+    def __init__(self, database: str, split_col: str,
+                 name: str = "duckdb_part",
+                 compute_context: Optional[str] = None,
+                 n_slices: int = 32):
+        import duckdb
+        self.name = name
+        self.database = database
+        self.compute_context = compute_context or database
+        self.split_col = split_col
+        self.n_slices = n_slices
+        self._conn = duckdb.connect(database, read_only=True)
+
+    def table_names(self):
+        rows = self._conn.execute(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = 'main' ORDER BY table_name"
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    def get_table_schema(self, spark, table_name: str):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        ref = ".".join(f'"{p}"' for p in table_name.split("."))
+        tbl = self._conn.execute(
+            f"SELECT * FROM {ref} LIMIT 0").fetch_arrow_table()
+        return from_arrow_schema(tbl.schema)
+
+    def execute(self, spark, sql: str, schema=None):
+        import time
+        t0 = time.time()
+        df = read_duckdb_partitioned(
+            spark, self.database, sql, self.split_col, self.n_slices)
+        # plan-construction time only: the slices run lazily inside
+        # Spark tasks, so remote wall time lives in the Spark UI/metrics
+        self._record(sql, time.time() - t0)
+        return df
