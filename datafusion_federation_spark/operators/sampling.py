@@ -245,7 +245,9 @@ def negative_pairs(df: DataFrame, id_col: str, k: int,
 
     Collisions: two j's of one anchor may draw the same negative
     (true uniform-with-replacement sampling); dedupe downstream if the
-    loss function needs distinct negatives.
+    loss function needs distinct negatives. A single-row corpus has no
+    possible negative — the mod-(N-1) hits Spark's ANSI divide-by-zero
+    loudly rather than emitting anything.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -267,3 +269,43 @@ def negative_pairs(df: DataFrame, id_col: str, k: int,
                     F.col("_np_idx").alias("_np_tgt"))
     return (a.join(neg, "_np_tgt")
             .select(F.col(id_col).alias("anchor_id"), "j", "neg_id"))
+
+
+def weighted_hash_sample(df: DataFrame, key: str, weight_col: str,
+                         base_frac: float, salt: str = "wsample",
+                         method: str = "md5") -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``min(1, base_frac * weight)`` — the quality-weighted
+    corpus downsampler (keep high-quality documents at a higher rate),
+    under the repo's hash-not-RNG contract: same corpus, same weights,
+    same keeps, any partition layout.
+
+    The keep decision compares a uniform-from-hash fraction against the
+    row's own threshold. ``md5`` mode derives the uniform from the
+    leading 60 hash bits exactly like the KMV sketch
+    (operators/sketches.py) and is DuckDB-reproducible (d48);
+    ``xxhash64`` is the JVM-side fast path (one long op, no hex
+    strings). Weights above ``1/base_frac`` saturate at always-keep;
+    negative weights never keep (a NULL/negative weight is a data bug
+    upstream, and sampling silently "fixing" it would hide it — but we
+    DO refuse NaN thresholds loudly via the strict < compare, which is
+    false for NaN).
+
+    Narrow op: no shuffle, folds into the scan's filter.
+    """
+    if not 0.0 < base_frac <= 1.0:
+        raise ValueError(f"base_frac must be in (0, 1], got {base_frac}")
+    if method == "md5":
+        hex15 = F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col(key).cast("string"))), 1, 15)
+        u = (F.conv(hex15, 16, 10).cast("double")
+             / F.lit(float(1 << 60)))
+    elif method == "xxhash64":
+        # signed 64-bit -> uniform [0,1): shift by 2^63, scale by 2^64
+        u = ((F.xxhash64(F.lit(salt), F.col(key)).cast("double")
+              + F.lit(float(1 << 63))) / F.lit(float(1 << 64)))
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    return df.filter(u < F.lit(float(base_frac))
+                     * F.col(weight_col).cast("double"))

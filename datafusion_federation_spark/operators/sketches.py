@@ -124,3 +124,49 @@ def kmv_merge(partials: DataFrame, group_by: Sequence[str],
         *groups, F.col("n_kept"),
         F.round(kmv_estimate(F.col("n_kept"), F.col("_kth"), k),
                 round_digits).alias("est"))
+
+
+def kmv_set_estimates(partials_a: DataFrame, partials_b: DataFrame,
+                      group_by: Sequence[str], k: int = 128,
+                      round_digits: int = 2) -> DataFrame:
+    """Union / intersection cardinality estimates from two KMV sketches
+    sharing the same groups — WITHOUT touching the raw data again (the
+    sketch-algebra payoff: overlap questions between corpora answered
+    from per-corpus sketch rows).
+
+    Theory (Beyer et al. 2007, "On synopses for distinct-value
+    estimation under multiset operations"): the k smallest hashes of
+    A ∪ B are computable from the two sketches alone; |A ∪ B| ≈
+    (k-1)/U(k) as usual, and the fraction ρ of those k that appear in
+    BOTH sketches estimates the Jaccard similarity, giving
+    |A ∩ B| ≈ ρ · |A ∪ B|.
+
+    Groups present in only one input get NULL estimates (no sketch of
+    the other side — semantically unknown, not zero). Estimates are
+    exact whenever the union fits below k (the sketch IS the union).
+    """
+    groups = list(group_by)
+    ea = partials_a.select(*groups, F.explode("kmv").alias("_h"),
+                           F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"))
+    eb = partials_b.select(*groups, F.explode("kmv").alias("_h"),
+                           F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"))
+    u = (ea.unionByName(eb)
+         .groupBy(*groups, "_h")
+         .agg(F.max("_in_a").alias("_a"), F.max("_in_b").alias("_b")))
+    w = W.partitionBy(*groups).orderBy("_h")
+    topk = (u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k))
+    agg = topk.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("_kth"),
+        F.sum(F.col("_a") * F.col("_b")).alias("_both"),
+        F.max("_a").alias("_any_a"), F.max("_b").alias("_any_b"))
+    union_est = kmv_estimate(F.col("n_kept"), F.col("_kth"), k)
+    jac = F.col("_both").cast("double") / F.col("n_kept").cast("double")
+    both_sides = (F.col("_any_a") == 1) & (F.col("_any_b") == 1)
+    return agg.select(
+        *groups,
+        F.when(both_sides, F.round(union_est, round_digits))
+         .alias("union_est"),
+        F.when(both_sides, F.round(jac * union_est, round_digits))
+         .alias("intersect_est"))

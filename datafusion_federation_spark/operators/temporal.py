@@ -82,6 +82,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     keys = list(on)
     rts = right_ts or left_ts
     payload = [c for c in right.columns if c not in keys and c != rts]
+    reserved = [c for c in list(left.columns) + list(right.columns)
+                if c in ("_asof_t", "_asof_side") or c.startswith(_R)]
+    if reserved:
+        raise ValueError(
+            f"input uses asof_join's reserved column names {reserved}; "
+            "rename before joining")
 
     # union frame: left keeps all its columns; right contributes its
     # timestamp + payload under reserved names. Sides are tagged so ties
@@ -121,11 +127,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
 
     matched = F.col(_R + rts + "_c").isNotNull()
     if tolerance_s is not None:
-        gap = (F.col("_asof_t").cast("double")
-               - F.col(_R + rts + "_c").cast("double"))
+        # exact integer microseconds — no float time arithmetic
+        gap = (F.unix_micros(F.col("_asof_t"))
+               - F.unix_micros(F.col(_R + rts + "_c")))
         if direction == "forward":
             gap = -gap
-        matched = matched & (gap <= float(tolerance_s))
+        matched = matched & (gap <= int(tolerance_s * 1_000_000))
 
     def out_name(c: str) -> str:
         return c + suffix if (c in left.columns or c == rts) else c

@@ -142,6 +142,15 @@ SECONDARY = {
     # operators (d18 in-window r4) and the d43 hash arithmetic; full
     # pair table oracle-checked locally
     "d45_negative_pairs",
+    # round 5: sketch set algebra — KMV mechanics carried in-window by
+    # d43; both estimator arms oracle-checked locally
+    "d46_kmv_set_ops",
+    # round 5: streaming keyed dedup — stream runner + oracle pattern
+    # carried in-window by d32; batch-distinct equality pinned in tests
+    "d47_stream_dedup",
+    # round 5: weighted sampling — hash-threshold mechanics carried
+    # in-window by d18 (r4) + d43; kept-set oracle-checked locally
+    "d48_weighted_sample",
 }
 
 DEC = "decimal(12,2)"

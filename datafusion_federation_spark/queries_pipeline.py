@@ -1606,3 +1606,129 @@ def d45(spark, sf):
     docs = t(spark, sf, "documents")
     return (negative_pairs(docs, "doc_id", k=4)
             .orderBy("anchor_id", "j"))
+
+
+@q("d46_kmv_set_ops", """
+WITH c AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                  md5(concat('kmv:', CAST(user_id AS VARCHAR))) AS h
+           FROM events WHERE event_type = 'click'),
+cs AS (SELECT day, h FROM (SELECT day, h,
+         row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM c)
+       WHERE rn <= 64),
+p AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+             md5(concat('kmv:', CAST(user_id AS VARCHAR))) AS h
+      FROM events WHERE event_type = 'purchase'),
+ps AS (SELECT day, h FROM (SELECT day, h,
+         row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM p)
+       WHERE rn <= 64),
+u AS (SELECT day, h, MAX(a) AS a, MAX(b) AS b FROM (
+        SELECT day, h, 1 AS a, 0 AS b FROM cs
+        UNION ALL SELECT day, h, 0 AS a, 1 AS b FROM ps) z
+      GROUP BY day, h),
+tk AS (SELECT day, h, a, b,
+              row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       FROM u),
+agg AS (SELECT day, COUNT(*) AS n_kept, MAX(h) AS kth,
+               SUM(a * b) AS nboth, MAX(a) AS any_a, MAX(b) AS any_b
+        FROM tk WHERE rn <= 64 GROUP BY day),
+est AS (SELECT day, any_a, any_b,
+  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       ELSE 63.0 / (CAST(CAST(concat('0x', substr(kth, 1, 15))
+                              AS BIGINT) AS DOUBLE)
+                    / 1152921504606846976.0) END AS u_est,
+  CAST(nboth AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jac
+  FROM agg),
+xu AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+              COUNT(DISTINCT user_id) AS exact_union
+       FROM events WHERE event_type IN ('click', 'purchase')
+       GROUP BY day),
+xi AS (SELECT day, COUNT(*) AS exact_int FROM (
+         SELECT strftime(ts, '%Y-%m-%d') AS day, user_id
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY day, user_id
+         HAVING COUNT(DISTINCT event_type) = 2) z
+       GROUP BY day)
+SELECT est.day,
+       CASE WHEN any_a = 1 AND any_b = 1
+            THEN ROUND(u_est, 2) END AS union_est,
+       CASE WHEN any_a = 1 AND any_b = 1
+            THEN ROUND(jac * u_est, 2) END AS intersect_est,
+       CAST(xu.exact_union AS BIGINT) AS exact_union,
+       CAST(COALESCE(xi.exact_int, 0) AS BIGINT) AS exact_int
+FROM est JOIN xu ON est.day = xu.day
+LEFT JOIN xi ON est.day = xi.day
+ORDER BY est.day
+""")
+def d46(spark, sf):
+    """KMV sketch set algebra oracle-checked: per-day sketches of
+    click-users and purchase-users (k=64) combine — without re-reading
+    raw data — into union and intersection cardinality estimates
+    (operators/sketches.kmv_set_estimates, Beyer et al. 2007); exact
+    counts ride along. The fixture straddles the k boundary: small days
+    take the exact-below-k path, busy days the (k-1)/U(k) estimator, so
+    BOTH arms are cross-engine pinned."""
+    from .operators.sketches import kmv_partials, kmv_set_estimates
+    e = t(spark, sf, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(day, "user_id"))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select(day, "user_id"))
+    ests = kmv_set_estimates(
+        kmv_partials(clicks, "user_id", ["day"], k=64),
+        kmv_partials(purch, "user_id", ["day"], k=64),
+        ["day"], k=64)
+    cp = (e.filter(F.col("event_type").isin("click", "purchase"))
+          .select(day, "user_id", "event_type"))
+    xu = (cp.groupBy("day")
+          .agg(F.count_distinct("user_id").cast("bigint")
+               .alias("exact_union")))
+    xi = (cp.groupBy("day", "user_id")
+          .agg(F.count_distinct("event_type").alias("nt"))
+          .filter(F.col("nt") == 2)
+          .groupBy("day")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("exact_int")))
+    return (ests.join(xu, "day").join(xi, "day", "left")
+            .select("day", "union_est", "intersect_est", "exact_union",
+                    F.coalesce(F.col("exact_int"), F.lit(0))
+                    .cast("bigint").alias("exact_int"))
+            .orderBy("day"))
+
+
+@q("d47_stream_dedup", """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type ORDER BY event_type
+""")
+def d47(spark, sf):
+    """Streaming keyed deduplication in the oracle gate: the events
+    file replays as a stream, dropDuplicates keeps one state row per
+    (user, type), and the running per-type count must equal batch
+    COUNT(DISTINCT) exactly (streaming/dedup.py for why the unbounded
+    form trades this equality for bounded state via
+    dropDuplicatesWithinWatermark)."""
+    from .streaming.dedup import first_touch_counts
+    return _run_events_stream(spark, sf, first_touch_counts,
+                              "d47_stream_dedup_mem", "complete")
+
+
+@q("d48_weighted_sample", """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(CAST(concat('0x', substr(md5(concat('wsample:',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+        / 1152921504606846976.0
+      < 0.6 * (CAST(n_chars AS DOUBLE) / 1500.0)
+ORDER BY doc_id
+""")
+def d48(spark, sf):
+    """Quality-weighted deterministic sampling oracle-checked: keep
+    each document with probability min(1, 0.6 * n_chars/1500) — longer
+    documents kept at a higher rate, the usual quality-weighted
+    downsampling — via the 60-bit md5 uniform
+    (operators/sampling.weighted_hash_sample). The exact kept-set must
+    match DuckDB: same hash bits, same IEEE threshold compare."""
+    from .operators.sampling import weighted_hash_sample
+    docs = t(spark, sf, "documents").withColumn(
+        "w", F.col("n_chars").cast("double") / F.lit(1500.0))
+    return (weighted_hash_sample(docs, "doc_id", "w", 0.6)
+            .select("doc_id", "n_chars").orderBy("doc_id"))

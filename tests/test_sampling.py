@@ -282,3 +282,70 @@ class TestNegativePairs:
             negative_pairs)
         with pytest.raises(ValueError, match="k must be"):
             negative_pairs(self._df(spark), "doc", k=0)
+
+
+class TestWeightedHashSample:
+    def _docs(self, spark, n=2000):
+        from pyspark.sql import functions as F
+        # weights spread over (0, 2]: some rows saturate at always-keep
+        return spark.range(n).select(
+            F.col("id").alias("doc"),
+            ((F.col("id") % 20).cast("double") / 10.0 + 0.05)
+            .alias("w"))
+
+    def test_rate_tracks_weight(self, spark):
+        from datafusion_federation_spark.operators.sampling import (
+            weighted_hash_sample)
+        df = self._docs(spark)
+        kept = weighted_hash_sample(df, "doc", "w", 0.5)
+        # empirical rate ~ E[min(1, 0.5w)] = mean over the 20 weight
+        # levels; tolerance 4 sigma for n=2000
+        import math
+        levels = [i / 10.0 + 0.05 for i in range(20)]
+        p = sum(min(1.0, 0.5 * w) for w in levels) / 20
+        n, k = df.count(), kept.count()
+        assert abs(k / n - p) < 4 * math.sqrt(p * (1 - p) / n)
+
+    def test_saturated_weight_always_keeps(self, spark):
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.sampling import (
+            weighted_hash_sample)
+        df = spark.range(100).select(F.col("id").alias("doc"),
+                                     F.lit(5.0).alias("w"))
+        assert weighted_hash_sample(df, "doc", "w", 0.5).count() == 100
+
+    def test_monotone_in_weight(self, spark):
+        # doubling every weight can only ADD rows (same hash, larger
+        # threshold) — the property that makes reweighting reproducible
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.sampling import (
+            weighted_hash_sample)
+        df = self._docs(spark, 500)
+        low = {r.doc for r in weighted_hash_sample(
+            df, "doc", "w", 0.3).collect()}
+        high = {r.doc for r in weighted_hash_sample(
+            df.withColumn("w", F.col("w") * 2), "doc", "w",
+            0.3).collect()}
+        assert low <= high
+
+    def test_layout_invariant_and_methods_disagree_only_on_draws(
+            self, spark):
+        from datafusion_federation_spark.operators.sampling import (
+            weighted_hash_sample)
+        df = self._docs(spark, 500)
+        a = sorted(r.doc for r in weighted_hash_sample(
+            df.coalesce(1), "doc", "w", 0.4).collect())
+        b = sorted(r.doc for r in weighted_hash_sample(
+            df.repartition(7, "doc"), "doc", "w", 0.4).collect())
+        assert a == b
+        # xxhash64 path: same CONTRACT, different draws; rate comparable
+        c = weighted_hash_sample(df, "doc", "w", 0.4,
+                                 method="xxhash64").count()
+        assert abs(c - len(a)) < 0.25 * max(len(a), 1) + 30
+
+    def test_rejects_bad_frac(self, spark):
+        import pytest
+        from datafusion_federation_spark.operators.sampling import (
+            weighted_hash_sample)
+        with pytest.raises(ValueError, match="base_frac"):
+            weighted_hash_sample(self._docs(spark, 10), "doc", "w", 0.0)

@@ -57,3 +57,46 @@ def test_rejects_tiny_k(spark):
     df = _corpus(spark, 10, 5)
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(df, "v", ["g"], k=2)
+
+
+def test_set_estimates_exact_below_k(spark):
+    # A = {0..59}, B = {40..99}: union 100, intersection 20 — all under
+    # k, so the sketch algebra must be EXACT
+    from pyspark.sql import functions as F
+    a = spark.range(60).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    b = spark.range(40, 100).select(F.lit(1).alias("g"),
+                                    F.col("id").alias("v"))
+    pa = kmv_partials(a, "v", ["g"], k=256)
+    pb = kmv_partials(b, "v", ["g"], k=256)
+    from datafusion_federation_spark.operators.sketches import (
+        kmv_set_estimates)
+    r = kmv_set_estimates(pa, pb, ["g"], k=256).collect()[0]
+    assert r.union_est == 100.0 and r.intersect_est == 20.0
+
+
+def test_set_estimates_within_bound_above_k(spark):
+    from pyspark.sql import functions as F
+    from datafusion_federation_spark.operators.sketches import (
+        kmv_set_estimates)
+    a = spark.range(6000).select(F.lit(1).alias("g"),
+                                 F.col("id").alias("v"))
+    b = spark.range(4000, 10000).select(F.lit(1).alias("g"),
+                                        F.col("id").alias("v"))
+    pa = kmv_partials(a, "v", ["g"], k=256)
+    pb = kmv_partials(b, "v", ["g"], k=256)
+    r = kmv_set_estimates(pa, pb, ["g"], k=256).collect()[0]
+    assert abs(r.union_est - 10_000) / 10_000 < 0.25
+    assert abs(r.intersect_est - 2_000) / 2_000 < 0.5  # ratio compounds
+
+
+def test_set_estimates_one_sided_group_is_null(spark):
+    from pyspark.sql import functions as F
+    from datafusion_federation_spark.operators.sketches import (
+        kmv_set_estimates)
+    a = spark.range(50).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    b = spark.range(50).select(F.lit(2).alias("g"), F.col("id").alias("v"))
+    pa = kmv_partials(a, "v", ["g"], k=64)
+    pb = kmv_partials(b, "v", ["g"], k=64)
+    rows = {r.g: (r.union_est, r.intersect_est)
+            for r in kmv_set_estimates(pa, pb, ["g"], k=64).collect()}
+    assert rows[1] == (None, None) and rows[2] == (None, None)

@@ -254,3 +254,16 @@ def test_d34_stream_matches_batch_attribution(spark):
             .alias("view_ts"),
             "purchase_value").collect()))
     assert got == want and len(got) > 0
+
+
+def test_d47_stream_dedup_matches_batch_distinct(spark):
+    from datafusion_federation_spark.queries import REGISTRY
+    fn, _ = REGISTRY["d47_stream_dedup"]
+    got = sorted((r.event_type, r.n_users)
+                 for r in fn(spark, TESTDATA).collect())
+    from datafusion_federation_spark.queries import t
+    e = t(spark, TESTDATA, "events")
+    want = sorted((r.event_type, r.n)
+                  for r in e.groupBy("event_type")
+                  .agg(F.count_distinct("user_id").alias("n")).collect())
+    assert got == want

@@ -248,3 +248,12 @@ def test_interval_overlap_rejects_collisions(spark):
                               "k int, s2 timestamp, e2 timestamp, x int")
     with pytest.raises(ValueError, match="collision"):
         interval_overlap_join(a, b, ["k"], "s", "e", "s2", "e2", 60)
+
+
+def test_asof_rejects_reserved_columns(spark):
+    l = spark.createDataFrame([(1, _ts(0), 1)],
+                              "k int, t timestamp, _asof_t int")
+    r = spark.createDataFrame([(1, _ts(0), 2)],
+                              "k int, t timestamp, rid int")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l, r, ["k"], "t")
