@@ -251,10 +251,17 @@ def negative_pairs(df: DataFrame, id_col: str, k: int,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # the global sort is referenced by TWO plan branches (anchor frame
+    # and the idx->id lookup); Spark replans shared subtrees, so the
+    # id->index map is materialized ONCE here (review r5: three
+    # branches = three single-partition sorts; the count now reads the
+    # raw ids, and the checkpoint covers the remaining two). 16 bytes a
+    # row — the one deliberate materialization this operator makes.
     ix = df.select(F.col(id_col)).withColumn(
         "_np_idx",
-        F.row_number().over(W.orderBy(id_col)) - F.lit(1))
-    n = ix.agg(F.count(F.lit(1)).alias("_np_n"))
+        F.row_number().over(W.orderBy(id_col)) - F.lit(1)) \
+        .localCheckpoint(eager=False)
+    n = df.agg(F.count(F.lit(1)).alias("_np_n"))
     a = (ix.crossJoin(F.broadcast(n))
            .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k)))))
     hex15 = F.substring(
@@ -285,11 +292,12 @@ def weighted_hash_sample(df: DataFrame, key: str, weight_col: str,
     leading 60 hash bits exactly like the KMV sketch
     (operators/sketches.py) and is DuckDB-reproducible (d48);
     ``xxhash64`` is the JVM-side fast path (one long op, no hex
-    strings). Weights above ``1/base_frac`` saturate at always-keep;
-    negative weights never keep (a NULL/negative weight is a data bug
-    upstream, and sampling silently "fixing" it would hide it — but we
-    DO refuse NaN thresholds loudly via the strict < compare, which is
-    false for NaN).
+    strings). Weights above ``1/base_frac`` saturate at always-keep.
+    NULL, negative, and NaN weights all DROP the row silently (the
+    strict ``<`` compare is false for every one of them) — validate
+    weights upstream if a bad weight should be an error rather than an
+    exclusion; this operator will not invent a keep probability for a
+    row whose weight is garbage.
 
     Narrow op: no shuffle, folds into the scan's filter.
     """

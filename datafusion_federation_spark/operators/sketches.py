@@ -1,5 +1,5 @@
 """Deterministic cardinality sketches: KMV (k-minimum-values) distinct
-counting, exactly reproducible across engines.
+counting and sketch set algebra, exactly reproducible across engines.
 
 Why KMV and not HyperLogLog: Spark's ``approx_count_distinct`` (HLL++)
 is the production fast path, but its register layout is engine-private —
@@ -16,11 +16,12 @@ method-of-moments) estimate from the k-th smallest normalized hash.
 Relative standard error ~ 1/sqrt(k-2): k=128 -> ~9%, k=1024 -> ~3%.
 
 Distributed shape: DISTINCT on (group, hash) — the only wide op, and
-map-side combined — then a per-group sort-topk window. The sketch is
-MERGEABLE by construction (union of sets -> union of hash sets -> same
-k smallest); ``kmv_partials``/``kmv_merge`` expose the two-level form
-for pre-aggregated storage (sketch per partition/day, merge at query
-time) with a property test pinning merge == whole-set.
+map-side combined — then a per-group sort-topk window (the shared
+``_topk_hashes``). The sketch is MERGEABLE by construction (union of
+sets -> union of hash sets -> same k smallest); ``kmv_partials``/
+``kmv_merge`` expose the two-level form for pre-aggregated storage
+(sketch per partition/day, merge at query time) with a property test
+pinning merge == whole-set.
 
 100 TB: the distinct shuffles only (group, 16-byte hash); the window
 sorts each group's ALREADY-DISTINCT hashes. For billion-cardinality
@@ -30,7 +31,7 @@ meet, so no group ever materializes its full distinct set in one place.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -62,6 +63,37 @@ def kmv_estimate(count_col: Column, kth_hex: Column, k: int) -> Column:
             .otherwise(F.lit(float(k - 1)) / _hash_frac(kth_hex))
 
 
+def _check_k(k: int) -> None:
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a finite-variance "
+                         f"estimate, got {k}")
+
+
+def _distinct_hashes(df: DataFrame, key: str,
+                     groups: Sequence[str]) -> DataFrame:
+    return (df.select(*groups, kmv_hash(F.col(key)).alias("_h"))
+              .distinct())
+
+
+def _topk_hashes(hashes: DataFrame, groups: Sequence[str],
+                 k: int) -> DataFrame:
+    """Keep each group's k smallest ``_h`` rows (all other columns ride
+    along) — the one top-k block every operator here shares."""
+    w = W.partitionBy(*groups).orderBy("_h")
+    return (hashes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k))
+
+
+def _estimate_frame(topk: DataFrame, groups: Sequence[str], k: int,
+                    round_digits: int) -> DataFrame:
+    agg = topk.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth"))
+    return agg.select(
+        *groups, F.col("n_kept"),
+        F.round(kmv_estimate(F.col("n_kept"), F.col("_kth"), k),
+                round_digits).alias("est"))
+
+
 def kmv_distinct(df: DataFrame, key: str, group_by: Sequence[str],
                  k: int = 128, round_digits: int = 2) -> DataFrame:
     """Per-group distinct-count estimate of ``key``: group columns +
@@ -70,21 +102,10 @@ def kmv_distinct(df: DataFrame, key: str, group_by: Sequence[str],
     One DISTINCT + one per-group window topk; deterministic for a given
     (corpus, k, salt) regardless of partition layout.
     """
-    if k < 3:
-        raise ValueError(f"k must be >= 3 for a finite-variance "
-                         f"estimate, got {k}")
+    _check_k(k)
     groups = list(group_by)
-    h = (df.select(*groups, kmv_hash(F.col(key)).alias("_h"))
-           .distinct())
-    w = W.partitionBy(*groups).orderBy("_h")
-    topk = (h.withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") <= k))
-    agg = topk.groupBy(*groups).agg(
-        F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth"))
-    return agg.select(
-        *groups, F.col("n_kept"),
-        F.round(kmv_estimate(F.col("n_kept"), F.col("_kth"), k),
-                round_digits).alias("est"))
+    topk = _topk_hashes(_distinct_hashes(df, key, groups), groups, k)
+    return _estimate_frame(topk, groups, k, round_digits)
 
 
 def kmv_partials(df: DataFrame, key: str, group_by: Sequence[str],
@@ -97,11 +118,7 @@ def kmv_partials(df: DataFrame, key: str, group_by: Sequence[str],
     collect_set -> slice, which would materialize a group's whole
     distinct set in one aggregation buffer)."""
     groups = list(group_by)
-    h = (df.select(*groups, kmv_hash(F.col(key)).alias("_h"))
-           .distinct())
-    w = W.partitionBy(*groups).orderBy("_h")
-    topk = (h.withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") <= k))
+    topk = _topk_hashes(_distinct_hashes(df, key, groups), groups, k)
     return (topk.groupBy(*groups)
             .agg(F.array_sort(F.collect_list("_h")).alias("kmv")))
 
@@ -115,15 +132,8 @@ def kmv_merge(partials: DataFrame, group_by: Sequence[str],
     groups = list(group_by)
     exploded = partials.select(
         *groups, F.explode("kmv").alias("_h")).distinct()
-    w = W.partitionBy(*groups).orderBy("_h")
-    topk = (exploded.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k))
-    agg = topk.groupBy(*groups).agg(
-        F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth"))
-    return agg.select(
-        *groups, F.col("n_kept"),
-        F.round(kmv_estimate(F.col("n_kept"), F.col("_kth"), k),
-                round_digits).alias("est"))
+    return _estimate_frame(_topk_hashes(exploded, groups, k),
+                           groups, k, round_digits)
 
 
 def kmv_set_estimates(partials_a: DataFrame, partials_b: DataFrame,
@@ -139,28 +149,38 @@ def kmv_set_estimates(partials_a: DataFrame, partials_b: DataFrame,
     A ∪ B are computable from the two sketches alone; |A ∪ B| ≈
     (k-1)/U(k) as usual, and the fraction ρ of those k that appear in
     BOTH sketches estimates the Jaccard similarity, giving
-    |A ∩ B| ≈ ρ · |A ∪ B|.
+    |A ∩ B| ≈ ρ · |A ∪ B|. Membership testing against the sketches is
+    exact for every hash at-or-below the union's k-th minimum, which is
+    ≤ both sides' own k-th minimums.
 
-    Groups present in only one input get NULL estimates (no sketch of
-    the other side — semantically unknown, not zero). Estimates are
-    exact whenever the union fits below k (the sketch IS the union).
+    Groups present in only ONE input get NULL estimates (no sketch of
+    the other side — semantically unknown, not zero). The presence
+    flags are computed over the FULL merged hash set, not the top-k
+    slice: with skewed cardinalities the smaller side's hashes can all
+    rank above the union's k-th minimum, which must not be mistaken for
+    the side being absent (review r5 finding, reproduced: B ⊆ A with
+    |B|=1, k=4 returned NULL instead of estimates). Estimates are exact
+    whenever the union fits below k (the sketch IS the union).
     """
     groups = list(group_by)
     ea = partials_a.select(*groups, F.explode("kmv").alias("_h"),
-                           F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"))
+                           F.lit(1).alias("_a"), F.lit(0).alias("_b"))
     eb = partials_b.select(*groups, F.explode("kmv").alias("_h"),
-                           F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"))
+                           F.lit(0).alias("_a"), F.lit(1).alias("_b"))
     u = (ea.unionByName(eb)
          .groupBy(*groups, "_h")
-         .agg(F.max("_in_a").alias("_a"), F.max("_in_b").alias("_b")))
-    w = W.partitionBy(*groups).orderBy("_h")
-    topk = (u.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k))
+         .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b")))
+    # group-wide presence BEFORE the top-k cut; the unordered window
+    # shares the top-k window's partitioning, so no extra shuffle
+    wg = W.partitionBy(*groups)
+    u = (u.withColumn("_any_a", F.max("_a").over(wg))
+          .withColumn("_any_b", F.max("_b").over(wg)))
+    topk = _topk_hashes(u, groups, k)
     agg = topk.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("_h").alias("_kth"),
         F.sum(F.col("_a") * F.col("_b")).alias("_both"),
-        F.max("_a").alias("_any_a"), F.max("_b").alias("_any_b"))
+        F.max("_any_a").alias("_any_a"), F.max("_any_b").alias("_any_b"))
     union_est = kmv_estimate(F.col("n_kept"), F.col("_kth"), k)
     jac = F.col("_both").cast("double") / F.col("n_kept").cast("double")
     both_sides = (F.col("_any_a") == 1) & (F.col("_any_b") == 1)

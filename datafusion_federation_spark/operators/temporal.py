@@ -88,6 +88,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         raise ValueError(
             f"input uses asof_join's reserved column names {reserved}; "
             "rename before joining")
+    # the suffixed OUTPUT names must not collide with left columns
+    # either (a left column literally named 'ts_right' would duplicate)
+    out_names = [c + suffix if (c in left.columns or c == rts) else c
+                 for c in [rts] + payload]
+    clash = sorted(set(out_names) & set(left.columns))
+    if clash or len(set(out_names)) != len(out_names):
+        raise ValueError(
+            f"asof_join output names {clash or out_names} collide with "
+            f"left columns under suffix {suffix!r}; rename or pick "
+            "another suffix")
 
     # union frame: left keeps all its columns; right contributes its
     # timestamp + payload under reserved names. Sides are tagged so ties
@@ -177,6 +187,9 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         raise ValueError(
             f"point/interval column collision {sorted(overlap)}; "
             "rename before joining")
+    if "_pib_b" in points.columns or "_pib_b" in intervals.columns:
+        raise ValueError("'_pib_b' is reserved by "
+                         "point_in_interval_join; rename it")
     p = points.withColumn("_pib_b", time_bucket(F.col(point_ts),
                                                 bucket_width_s))
     iv = (intervals
@@ -254,6 +267,9 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, on: Sequence[str],
         raise ValueError(
             f"interval column collision {sorted(overlap)}; "
             "rename before joining")
+    if "_iv_b" in a.columns or "_iv_b" in b.columns:
+        raise ValueError("'_iv_b' is reserved by "
+                         "interval_overlap_join; rename it")
 
     def explode_side(df, s, e):
         return (df.filter(F.col(e) >= F.col(s))

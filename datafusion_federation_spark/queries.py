@@ -151,6 +151,10 @@ SECONDARY = {
     # round 5: weighted sampling — hash-threshold mechanics carried
     # in-window by d18 (r4) + d43; kept-set oracle-checked locally
     "d48_weighted_sample",
+    # round 5: event-time RANGE frame — window-frame surface carried
+    # in-window by q70 (explicit frames); decimal-exact, oracle-checked
+    # locally at both SFs
+    "d49_trailing_window",
 }
 
 DEC = "decimal(12,2)"

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .operators import curation, dedup, multimodal, similarity, text
@@ -1628,16 +1629,18 @@ u AS (SELECT day, h, MAX(a) AS a, MAX(b) AS b FROM (
 tk AS (SELECT day, h, a, b,
               row_number() OVER (PARTITION BY day ORDER BY h) AS rn
        FROM u),
-agg AS (SELECT day, COUNT(*) AS n_kept, MAX(h) AS kth,
-               SUM(a * b) AS nboth, MAX(a) AS any_a, MAX(b) AS any_b
-        FROM tk WHERE rn <= 64 GROUP BY day),
-est AS (SELECT day, any_a, any_b,
+pres AS (SELECT day, MAX(a) AS any_a, MAX(b) AS any_b FROM u
+         GROUP BY day),
+agg AS (SELECT tk.day, COUNT(*) AS n_kept, MAX(h) AS kth,
+               SUM(a * b) AS nboth
+        FROM tk WHERE rn <= 64 GROUP BY tk.day),
+est AS (SELECT agg.day, pres.any_a, pres.any_b,
   CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
        ELSE 63.0 / (CAST(CAST(concat('0x', substr(kth, 1, 15))
                               AS BIGINT) AS DOUBLE)
                     / 1152921504606846976.0) END AS u_est,
   CAST(nboth AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jac
-  FROM agg),
+  FROM agg JOIN pres ON agg.day = pres.day),
 xu AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
               COUNT(DISTINCT user_id) AS exact_union
        FROM events WHERE event_type IN ('click', 'purchase')
@@ -1732,3 +1735,38 @@ def d48(spark, sf):
         "w", F.col("n_chars").cast("double") / F.lit(1500.0))
     return (weighted_hash_sample(docs, "doc_id", "w", 0.6)
             .select("doc_id", "n_chars").orderBy("doc_id"))
+
+
+@q("d49_trailing_window", """
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(value AS DECIMAL(12,2))) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, day)
+SELECT user_id, day,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS rev,
+       CAST(ROUND(SUM(rev) OVER (PARTITION BY user_id ORDER BY day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS rev_7d
+FROM daily ORDER BY user_id, day
+""")
+def d49(spark, sf):
+    """Trailing 7-day revenue per user via an event-time RANGE frame —
+    the time-series rolling-aggregate shape (RANGE, not ROWS: gap days
+    must NOT extend the lookback window). Day ids are exact integer
+    epoch-days (operators/temporal.time_bucket), the daily and trailing
+    sums stay DECIMAL until the final round-to-double, so no
+    float-accumulation order can diverge between engines. One shuffle
+    for the daily rollup; the frame scan rides the same user
+    partitioning."""
+    from .operators import temporal
+    e = t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    daily = (e.groupBy("user_id",
+                       temporal.time_bucket(F.col("ts"), 86400)
+                       .alias("day"))
+             .agg(F.sum(dec("value")).alias("rev")))
+    w = (W.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0))
+    return (daily.select(
+        "user_id", "day",
+        F.round(F.col("rev"), 2).cast("double").alias("rev"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("rev_7d"))
+        .orderBy("user_id", "day"))

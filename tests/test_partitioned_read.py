@@ -127,3 +127,23 @@ def test_federation_end_to_end(spark, dbfile):
     got = sorted((r[0], float(r[1])) for r in out.collect())
     assert got == [(k, float(v)) for k, v in want]
     assert got  # non-vacuous
+
+
+def test_limit_degrades_to_single_slice(spark, dbfile):
+    # slicing re-runs the SQL per slice; an unordered LIMIT need not
+    # pick the same rows per connection, so LIMIT must take one slice
+    df = read_duckdb_partitioned(
+        spark, dbfile, "SELECT o_orderkey FROM orders LIMIT 10",
+        "o_orderkey", n_slices=8)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert len({r.o_orderkey for r in rows}) == 10
+
+
+def test_one_slice_per_task_no_shuffle(spark, dbfile):
+    df = read_duckdb_partitioned(
+        spark, dbfile, "SELECT o_orderkey FROM orders", "o_orderkey",
+        n_slices=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert df.rdd.getNumPartitions() == 8

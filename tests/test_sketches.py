@@ -100,3 +100,21 @@ def test_set_estimates_one_sided_group_is_null(spark):
     rows = {r.g: (r.union_est, r.intersect_est)
             for r in kmv_set_estimates(pa, pb, ["g"], k=64).collect()}
     assert rows[1] == (None, None) and rows[2] == (None, None)
+
+
+def test_set_estimates_skewed_small_side_not_null(spark):
+    # review r5: |A|=1000 saturates the sketch, B={500} ranks far above
+    # the union's k-th min — presence must come from the FULL sketch,
+    # not the top-k slice, so estimates are real numbers, not NULL
+    from pyspark.sql import functions as F
+    from datafusion_federation_spark.operators.sketches import (
+        kmv_set_estimates)
+    a = spark.range(1000).select(F.lit(1).alias("g"),
+                                 F.col("id").alias("v"))
+    b = spark.range(500, 501).select(F.lit(1).alias("g"),
+                                     F.col("id").alias("v"))
+    pa = kmv_partials(a, "v", ["g"], k=8)
+    pb = kmv_partials(b, "v", ["g"], k=8)
+    r = kmv_set_estimates(pa, pb, ["g"], k=8).collect()[0]
+    assert r.union_est is not None
+    assert r.intersect_est is not None

@@ -257,3 +257,31 @@ def test_asof_rejects_reserved_columns(spark):
                               "k int, t timestamp, rid int")
     with pytest.raises(ValueError, match="reserved"):
         asof_join(l, r, ["k"], "t")
+
+
+def test_asof_rejects_output_name_clash(spark):
+    # a left column literally named 'ts_right' would collide with the
+    # suffixed right-timestamp output
+    l = spark.createDataFrame([(1, _ts(0), 5)],
+                              "k int, ts timestamp, ts_right int")
+    r = spark.createDataFrame([(1, _ts(0), 2)],
+                              "k int, ts timestamp, rid int")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, ["k"], "ts")
+
+
+def test_bucket_joins_reject_reserved_bucket_column(spark):
+    from datafusion_federation_spark.operators.temporal import (
+        interval_overlap_join)
+    p = spark.createDataFrame([(1, _ts(10), 1)],
+                              "k int, t timestamp, _pib_b int")
+    i = spark.createDataFrame([(1, _ts(0), _ts(20), 2)],
+                              "k int, s timestamp, e timestamp, iv int")
+    with pytest.raises(ValueError, match="_pib_b"):
+        point_in_interval_join(p, i, ["k"], "t", "s", "e", 3600)
+    a = spark.createDataFrame([(1, _ts(0), _ts(10), 1)],
+                              "k int, s timestamp, e timestamp, _iv_b int")
+    b = spark.createDataFrame([(1, _ts(5), _ts(15), 2)],
+                              "k int, s2 timestamp, e2 timestamp, bid int")
+    with pytest.raises(ValueError, match="_iv_b"):
+        interval_overlap_join(a, b, ["k"], "s", "e", "s2", "e2", 60)
