@@ -117,7 +117,17 @@ def _sql_queries(draw):
         ["agg", "proj", "sort", "having", "union", "cte",
          "star_exclude", "named_window", "qualify", "using",
          "corr_exists", "corr_scalar", "corr_in", "deep_join",
-         "scalar_select", "notin_null"]))
+         "scalar_select", "notin_null", "range_frame"]))
+    if shape == "range_frame":
+        # event-time-style RANGE frame over a numeric order key (the
+        # d49 shape): value-distance bounds, not row counts — gaps in
+        # the order column must NOT extend the window
+        k = draw(st.integers(0, 6))
+        return ("SELECT n_nationkey, "
+                "SUM(n_nationkey) OVER (PARTITION BY n_regionkey "
+                "ORDER BY n_nationkey "
+                f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW) AS s "
+                f"FROM nation WHERE {pred}")
     if shape == "notin_null":
         # three-valued NOT IN with REAL nulls (nation has none, so they
         # are derived): any NULL in the subquery empties the result;

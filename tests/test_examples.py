@@ -40,3 +40,9 @@ def test_curation_demo(spark):
     from curation_demo import main
     n_sequences = main(spark, TESTDATA)
     assert n_sequences > 0
+
+
+def test_temporal_demo(spark):
+    from temporal_demo import main
+    n_attr = main(spark, TESTDATA)
+    assert n_attr > 0
