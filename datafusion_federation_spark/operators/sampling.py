@@ -221,7 +221,7 @@ def shard_manifest(spark, path: str, key: str) -> DataFrame:
 
 
 def negative_pairs(df: DataFrame, id_col: str, k: int,
-                   salt: str = "neg") -> DataFrame:
+                   salt: str = "neg", index: str = "window") -> DataFrame:
     """Deterministic contrastive negatives: for every anchor row, pick
     ``k`` pseudo-random OTHER rows (``anchor_id``, ``j`` in 1..k,
     ``neg_id``) — the negative-sampling primitive for embedding /
@@ -236,12 +236,13 @@ def negative_pairs(df: DataFrame, id_col: str, k: int,
     sampling's md5 mode), so the pairs are DuckDB-reproducible — d45
     oracle-checks the whole construction.
 
-    Scale note: the dense index uses a global row_number (one
-    single-partition window) — the oracle-able anchor. At 100 TB swap
-    in a two-phase index (per-partition counts -> offset cumsum ->
-    mapPartitions renumber, deterministic under the same sort) and keep
-    everything downstream unchanged; the hash-draw and join already
-    scale (index join is uniform by construction — no skew).
+    ``index`` picks the dense-index implementation: ``"window"`` (one
+    global row_number — the simple oracle-able anchor, single-partition
+    sort) or ``"distributed"`` (``dense_index``'s sort-based
+    zipWithIndex — the 100 TB path). Both produce the IDENTICAL
+    (id -> idx) map, so the pairs are the same either way (pinned in
+    tests); the hash-draw and index join already scale (the join is
+    uniform by construction — no skew).
 
     Collisions: two j's of one anchor may draw the same negative
     (true uniform-with-replacement sampling); dedupe downstream if the
@@ -251,16 +252,22 @@ def negative_pairs(df: DataFrame, id_col: str, k: int,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # the global sort is referenced by TWO plan branches (anchor frame
+    if index not in ("window", "distributed"):
+        raise ValueError(f"index must be window/distributed, "
+                         f"got {index!r}")
+    # the index frame is referenced by TWO plan branches (anchor frame
     # and the idx->id lookup); Spark replans shared subtrees, so the
     # id->index map is materialized ONCE here (review r5: three
     # branches = three single-partition sorts; the count now reads the
     # raw ids, and the checkpoint covers the remaining two). 16 bytes a
     # row — the one deliberate materialization this operator makes.
-    ix = df.select(F.col(id_col)).withColumn(
-        "_np_idx",
-        F.row_number().over(W.orderBy(id_col)) - F.lit(1)) \
-        .localCheckpoint(eager=False)
+    if index == "distributed":
+        ix = dense_index(df, id_col).localCheckpoint(eager=False)
+    else:
+        ix = df.select(F.col(id_col)).withColumn(
+            "_np_idx",
+            F.row_number().over(W.orderBy(id_col)) - F.lit(1)) \
+            .localCheckpoint(eager=False)
     n = df.agg(F.count(F.lit(1)).alias("_np_n"))
     a = (ix.crossJoin(F.broadcast(n))
            .withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k)))))
@@ -317,3 +324,49 @@ def weighted_hash_sample(df: DataFrame, key: str, weight_col: str,
         raise ValueError(f"unknown hash method {method!r}")
     return df.filter(u < F.lit(float(base_frac))
                      * F.col(weight_col).cast("double"))
+
+
+def dense_index(df: DataFrame, id_col: str,
+                num_partitions: int | None = None) -> DataFrame:
+    """Cluster-scalable 0-based dense index by ``id_col`` order:
+    ``(id, idx)`` with idx = the id's rank in the global sort. The
+    distributed replacement for a global row_number window (which
+    funnels the corpus through ONE partition) — this is the classic
+    sort-based zipWithIndex: range-partition by id, count rows per
+    partition, offset each partition by the counts before it, renumber
+    locally. Two passes; the only driver-side data is ONE integer per
+    partition (metadata, like skew.py's sampled probe — never rows).
+
+    Ids must be unique: with duplicates "the" rank is ill-defined and
+    the assignment becomes layout-dependent — exactly what callers use
+    this to avoid. Range boundaries are sampled and may vary between
+    runs, but the (id -> idx) MAP cannot: idx is a pure function of the
+    sorted unique ids, however they are cut into partitions.
+
+    RDD usage is deliberate (the one per-partition imperative step
+    DataFrames cannot express); everything upstream/downstream stays
+    DataFrame-native.
+    """
+    n_parts = num_partitions or max(df.rdd.getNumPartitions(), 1)
+    parts = (df.select(F.col(id_col))
+             .repartitionByRange(n_parts, F.col(id_col))
+             .sortWithinPartitions(id_col))
+
+    sizes = dict(parts.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, sum(1 for _ in it))]).collect())
+    offsets, acc = {}, 0
+    for i in sorted(sizes):
+        offsets[i] = acc
+        acc += sizes[i]
+
+    def renumber(i, it):
+        base = offsets[i]
+        for j, row in enumerate(it):
+            yield (row[0], base + j)
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        parts.rdd.mapPartitionsWithIndex(renumber),
+        schema=f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
+               "_np_idx bigint")
+    return out

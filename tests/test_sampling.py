@@ -349,3 +349,40 @@ class TestWeightedHashSample:
             weighted_hash_sample)
         with pytest.raises(ValueError, match="base_frac"):
             weighted_hash_sample(self._docs(spark, 10), "doc", "w", 0.0)
+
+
+class TestDenseIndex:
+    def test_equals_window_row_number(self, spark):
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.sampling import (
+            dense_index)
+        df = spark.range(500).select((F.col("id") * 7 % 1000)
+                                     .alias("doc")).distinct()
+        want = {(r.doc, r.i) for r in df.withColumn(
+            "i", F.row_number().over(W.orderBy("doc")) - 1).collect()}
+        got = {(r.doc, r._np_idx)
+               for r in dense_index(df, "doc").collect()}
+        assert got == want
+
+    def test_layout_invariant(self, spark):
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.sampling import (
+            dense_index)
+        df = spark.range(300).select(F.col("id").alias("doc"))
+        a = sorted(map(tuple, dense_index(
+            df.coalesce(1), "doc", num_partitions=3).collect()))
+        b = sorted(map(tuple, dense_index(
+            df.repartition(11), "doc", num_partitions=7).collect()))
+        assert a == b
+
+    def test_negative_pairs_distributed_index_same_pairs(self, spark):
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.sampling import (
+            negative_pairs)
+        df = spark.range(80).select((F.col("id") * 3).alias("doc"))
+        a = sorted(map(tuple, negative_pairs(
+            df, "doc", k=3).collect()))
+        b = sorted(map(tuple, negative_pairs(
+            df, "doc", k=3, index="distributed").collect()))
+        assert a == b
