@@ -155,6 +155,13 @@ SECONDARY = {
     # in-window by q70 (explicit frames); decimal-exact, oracle-checked
     # locally at both SFs
     "d49_trailing_window",
+    # round 5: ntile/percent_rank/cume_dist/lead — ranked-window surface
+    # carried in-window by q52/q70; oracle-checked locally at both SFs
+    "d50_analytic_functions",
+    # round 5: distributed partitioned remote fetch — federation path
+    # carried in-window by q50/q51; slice/union/cast pinned by 9 tests
+    # + this locally oracle-checked query
+    "q74_partitioned_remote",
 }
 
 DEC = "decimal(12,2)"

@@ -1770,3 +1770,92 @@ def d49(spark, sf):
         F.round(F.col("rev"), 2).cast("double").alias("rev"),
         F.round(F.sum("rev").over(w), 2).cast("double").alias("rev_7d"))
         .orderBy("user_id", "day"))
+
+
+@q("d50_analytic_functions", """
+WITH a AS (SELECT event_type, value,
+         ntile(4) OVER w AS q,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+SELECT event_type, q, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_value,
+       ROUND(MAX(pr), 6) AS max_pr,
+       ROUND(MAX(cd), 6) AS max_cd,
+       CAST(SUM(gap_us) AS BIGINT) AS gap_us_total
+FROM a GROUP BY event_type, q ORDER BY event_type, q
+""")
+def d50(spark, sf):
+    """The analytic-function window surface with no other oracle row:
+    NTILE quartiles, PERCENT_RANK, CUME_DIST, and LEAD-based
+    inter-event gaps, per event type over a UNIQUE (ts, event_id)
+    order (both engines' rank functions agree only under a total
+    order). percent_rank/cume_dist are single exact divisions, gaps
+    exact integer microseconds; quartile rollup keeps the output
+    compact."""
+    e = t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    a = e.select(
+        "event_type", "value",
+        F.ntile(4).over(w).alias("q"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        (F.lead(F.unix_micros(F.col("ts"))).over(w)
+         - F.unix_micros(F.col("ts"))).alias("gap_us"))
+    return (a.groupBy("event_type", "q")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 money(dec("value")).alias("total_value"),
+                 F.round(F.max("pr"), 6).alias("max_pr"),
+                 F.round(F.max("cd"), 6).alias("max_cd"),
+                 F.sum("gap_us").cast("bigint").alias("gap_us_total"))
+            .orderBy("event_type", "q"))
+
+
+@q("q74_partitioned_remote", """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000
+ORDER BY o_orderkey
+""")
+def q74(spark, sf):
+    """Federation through the DISTRIBUTED partitioned executor
+    (sources/partitioned.py): orders+customer live in a file-backed
+    DuckDB, the join+filter collapses to one remote SQL, and the result
+    arrives as 8 hash slices fetched inside Spark tasks — never a
+    driver-side Arrow table. The oracle is the same SQL on the raw
+    parquet, so the whole slice/union/schema-cast path is value-pinned.
+    The side DB is built once per fixture generation (keyed on the
+    parquet's mtime) outside the timed query."""
+    import hashlib
+    import os
+    import duckdb
+    from .engine import FederationEngine
+    from .sources.partitioned import PartitionedDuckDBExecutor
+    from .sources.provider import SQLProvider
+
+    mtime = os.path.getmtime(f"{sf}/orders.parquet")
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    dbp = f"/tmp/spark_fed_part_{tag}.duckdb"
+    if not os.path.exists(dbp):
+        con = duckdb.connect(dbp)
+        try:
+            for tbl in ("orders", "customer"):
+                con.execute(
+                    f"CREATE TABLE {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{tbl}.parquet')")
+        finally:
+            con.close()
+    ex = PartitionedDuckDBExecutor(dbp, split_col="o_orderkey",
+                                   n_slices=8, name="duckdb_part")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    for tbl in ("orders", "customer"):
+        eng.register_remote(prov, tbl)
+    return eng.sql(
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000 "
+        "ORDER BY o_orderkey")
