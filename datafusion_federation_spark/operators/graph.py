@@ -1,0 +1,82 @@
+"""Iterative graph analytics as DataFrame compositions: PageRank.
+
+Companion to the min-label connected components in operators/dedup.py
+(the other iterative operator): each PageRank iteration is one keyed
+join + one aggregate — no driver-side graph, no RDD checkpoint chains —
+so a 100 TB edge list iterates at the cost of `iters` shuffles on the
+node key. Spark's well-known PageRank example is RDD-based; this is the
+DataFrame/Catalyst form, where AQE handles the skew of hub nodes.
+
+Determinism note for the oracle gate: the per-node contribution sum is
+a float aggregate, so engines may add in different orders; the error is
+bounded by n·eps per iteration (~1e-12 for thousands of in-edges),
+which is far below the 1e-6 rounding the d51 oracle compares at. All
+other arithmetic — (1-d)/N, rank/degree — is a fixed expression tree
+evaluated identically by IEEE doubles in any engine.
+
+Semantics: the textbook simplified update
+    rank'(v) = (1-d)/N + d · Σ_{u→v} rank(u)/outdeg(u)
+without dangling-mass redistribution (a node with no out-edges leaks
+its rank). That keeps the recurrence a pure join+agg — exactly
+SQL-unrollable, which is what lets DuckDB replay all iterations as
+stacked CTEs and value-check the result (d51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 5, damping: float = 0.85,
+             checkpoint_every: int | None = None) -> DataFrame:
+    """PageRank over a directed edge list: returns (node, rank) after
+    ``iters`` synchronous iterations from a uniform start. Nodes are
+    the union of sources and destinations; parallel edges count once
+    (dedupe upstream if your edge source can emit duplicates — their
+    weight would silently double).
+
+    Plan shape per iteration: edges join ranks on src (one shuffle,
+    reused key), groupBy dst (second shuffle), left join back to the
+    node set. The node count enters via a broadcast 1-row aggregate —
+    never a driver-side collect.
+
+    ``checkpoint_every`` truncates the rank frame's lineage every k
+    iterations (localCheckpoint, same pattern as connected_components'
+    per-round cut, dedup.py): each rank frame is consumed exactly once
+    so nothing re-executes without it, but Catalyst planning cost grows
+    with lineage depth — cut it for iteration counts beyond ~10.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (e.select(F.col("_src").alias("node"))
+             .union(e.select(F.col("_dst").alias("node")))
+             .distinct())
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    nodes = nodes.crossJoin(F.broadcast(n1))
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    e_deg = e.join(deg, "_src")
+
+    ranks = nodes.select(
+        "node", "_n",
+        (F.lit(1.0) / F.col("_n").cast("double")).alias("rank"))
+    base = F.lit(1.0 - damping) / F.col("_n").cast("double")
+    for it in range(1, iters + 1):
+        contrib = (ranks.join(e_deg, ranks["node"] == e_deg["_src"])
+                   .groupBy("_dst")
+                   .agg(F.sum(F.col("rank") / F.col("_deg")
+                              .cast("double")).alias("_s")))
+        ranks = (nodes.join(contrib,
+                            nodes["node"] == contrib["_dst"], "left")
+                 .select(nodes["node"], nodes["_n"],
+                         (base + F.lit(damping)
+                          * F.coalesce(F.col("_s"), F.lit(0.0)))
+                         .alias("rank")))
+        if checkpoint_every and it % checkpoint_every == 0 \
+                and it < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", "rank")

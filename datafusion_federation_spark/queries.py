@@ -162,6 +162,10 @@ SECONDARY = {
     # carried in-window by q50/q51; slice/union/cast pinned by 9 tests
     # + this locally oracle-checked query
     "q74_partitioned_remote",
+    # round 5: iterative PageRank — iterative-join machinery carried
+    # in-window by d16-style components (d01/d03 + CC oracle d16);
+    # unrolled-CTE oracle PASS locally at both SFs
+    "d51_pagerank",
 }
 
 DEC = "decimal(12,2)"

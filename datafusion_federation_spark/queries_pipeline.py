@@ -1859,3 +1859,65 @@ def q74(spark, sf):
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000 "
         "ORDER BY o_orderkey")
+
+
+def _d51_oracle(iters: int = 5) -> str:
+    """Unrolled-iteration PageRank oracle: the recurrence is a pure
+    join+agg, so each synchronous step stacks as one more CTE pair —
+    DuckDB replays EXACTLY the operator's arithmetic (double-cast
+    literals; decimal literals would silently switch DuckDB to decimal
+    division)."""
+    parts = ["""
+WITH p AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hb, user_id
+           FROM events WHERE event_type = 'purchase'),
+e0 AS (SELECT a.user_id AS src, b.user_id AS dst
+       FROM p a JOIN p b ON a.hb = b.hb AND a.user_id <> b.user_id),
+ed AS (SELECT DISTINCT src, dst FROM e0),
+n AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+cnt AS (SELECT COUNT(*) AS nn FROM n),
+deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn AS rank
+       FROM n CROSS JOIN cnt)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+rk{i} AS (SELECT ed.dst AS node, SUM(r{i - 1}.rank / deg.d) AS s
+          FROM r{i - 1} JOIN ed ON r{i - 1}.node = ed.src
+          JOIN deg ON deg.src = ed.src GROUP BY ed.dst),
+r{i} AS (SELECT n.node,
+                CAST(0.15 AS DOUBLE) / cnt.nn
+                  + CAST(0.85 AS DOUBLE)
+                    * COALESCE(rk{i}.s, CAST(0 AS DOUBLE)) AS rank
+         FROM n CROSS JOIN cnt
+         LEFT JOIN rk{i} ON rk{i}.node = n.node)""")
+    parts.append(f"""
+SELECT node AS user_id, ROUND(rank, 6) AS rank
+FROM r{iters} ORDER BY user_id""")
+    return "".join(parts)
+
+
+@q("d51_pagerank", _d51_oracle())
+def d51(spark, sf):
+    """Iterative graph algorithm in the oracle gate: PageRank over the
+    co-purchase graph (users purchasing in the same hour, distinct
+    directed pairs), 5 synchronous iterations (operators/graph.py).
+    The DuckDB oracle replays every iteration as stacked CTEs — the
+    pattern that makes iterative algorithms oracle-checkable at all
+    (same trick as d16's recursive-CTE component labels)."""
+    from .operators.graph import pagerank
+    from .operators import temporal
+    e = t(spark, sf, "events")
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select(temporal.time_bucket(F.col("ts"), 3600).alias("hb"),
+                 "user_id")
+         .distinct())
+    edges = (p.alias("a").join(
+        p.alias("b"),
+        (F.col("a.hb") == F.col("b.hb"))
+        & (F.col("a.user_id") != F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("src"),
+                F.col("b.user_id").alias("dst"))
+        .distinct())
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return (pr.select(F.col("node").alias("user_id"),
+                      F.round("rank", 6).alias("rank"))
+            .orderBy("user_id"))
