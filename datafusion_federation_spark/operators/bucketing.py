@@ -64,3 +64,63 @@ def read_probed(spark: SparkSession, path: str, bucket_col: str,
     filter (no data files outside the probed buckets are opened)."""
     return (spark.read.format(fmt).load(path)
             .filter(F.col(bucket_col).isin(list(probes))))
+
+
+def zorder_key(cols: Sequence, bounds: Sequence, bits: int = 16):
+    """Z-order (Morton) key: quantize each column to ``bits`` levels
+    inside its caller-supplied [min, max] bounds, then interleave the
+    bits — points close in EVERY dimension get close keys, so
+    range-partitioning by this key clusters multi-dimensional
+    neighborhoods into the same files (the Delta/Iceberg OPTIMIZE
+    ZORDER layout, here as a plain column expression any write can
+    sort by).
+
+    Bounds are explicit (not probed) so the key is a pure deterministic
+    function of the row — reclustering a grown table with the same
+    bounds keeps keys comparable across rewrites. Out-of-bounds values
+    clamp to the edge cells. Pure built-ins (floor/shift/and), so the
+    whole key computes inside codegen; the DuckDB twin in d52 runs the
+    identical arithmetic.
+    """
+    if not cols or len(cols) != len(bounds):
+        raise ValueError("need one (min, max) bound per column")
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits exceeds a signed 64-bit key")
+    ncols = len(cols)
+    top = (1 << bits) - 1
+    quantized = []
+    for c, (mn, mx) in zip(cols, bounds):
+        if not mx > mn:
+            raise ValueError(f"degenerate bounds ({mn}, {mx})")
+        x = ((c.cast("double") - F.lit(float(mn)))
+             / F.lit(float(mx) - float(mn)) * F.lit(float(top)))
+        q = F.least(F.greatest(F.floor(x).cast("bigint"), F.lit(0)),
+                    F.lit(top))
+        quantized.append(q)
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for ci, qcol in enumerate(quantized):
+            key = key + F.shiftleft(
+                F.shiftright(qcol, i).bitwiseAND(F.lit(1)),
+                i * ncols + ci)
+    return key
+
+
+def zorder_cluster(df: DataFrame, cols: Sequence[str],
+                   bounds: Sequence, num_partitions: int,
+                   bits: int = 16, key_col: str = "_zkey") -> DataFrame:
+    """Cluster rows for writing: range-partition + sort by the Z-order
+    key of ``cols``. Each output partition covers a compact
+    multi-dimensional tile, so per-file min/max statistics prune scans
+    filtered on ANY prefix or subset of the dimensions — the layout
+    step before ``.write`` that makes 100 TB point/range lookups read
+    a handful of files. The key column is kept (drop it after writing
+    if the format should not carry it; keeping it enables key-range
+    file pruning)."""
+    if key_col in df.columns:
+        raise ValueError(f"{key_col!r} already exists; pass key_col=")
+    out = df.withColumn(
+        key_col, zorder_key([F.col(c) for c in cols], bounds, bits))
+    return (out.repartitionByRange(num_partitions, F.col(key_col))
+            .sortWithinPartitions(key_col))

@@ -166,6 +166,9 @@ SECONDARY = {
     # in-window by d16-style components (d01/d03 + CC oracle d16);
     # unrolled-CTE oracle PASS locally at both SFs
     "d51_pagerank",
+    # round 5: Z-order layout key — bit-exact oracle PASS locally at
+    # both SFs; clustering compactness pinned in test_operators
+    "d52_zorder_layout",
 }
 
 DEC = "decimal(12,2)"

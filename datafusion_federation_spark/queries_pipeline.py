@@ -1921,3 +1921,51 @@ def d51(spark, sf):
     return (pr.select(F.col("node").alias("user_id"),
                       F.round("rank", 6).alias("rank"))
             .orderBy("user_id"))
+
+
+def _d52_oracle(bits: int = 16) -> str:
+    """Generated Z-order twin: quantizers in a CTE (each reused 16x in
+    the interleave), bit terms emitted by the same loop the operator
+    uses — structural equality with bucketing.zorder_key, not a
+    hand-transcription."""
+    specs = [("user_id", 0.0, 2000.0), ("value", 0.0, 500.0)]
+    top = (1 << bits) - 1
+    qs = []
+    for expr, mn, mx in specs:
+        qs.append(
+            f"LEAST(GREATEST(CAST(FLOOR((CAST({expr} AS DOUBLE) - {mn})"
+            f" / {mx - mn} * {float(top)}) AS BIGINT), 0), {top})")
+    sel = ", ".join(f"{q} AS q{i}" for i, q in enumerate(qs))
+    terms = []
+    for i in range(bits):
+        for ci in range(len(qs)):
+            terms.append(f"(((q{ci} >> {i}) & 1) << {i * len(qs) + ci})")
+    zkey = " + ".join(terms)
+    return f"""
+WITH qz AS (SELECT {sel} FROM events),
+k AS (SELECT {zkey} AS zkey FROM qz)
+SELECT zkey >> 26 AS tile, COUNT(*) AS n,
+       CAST(MIN(zkey) AS BIGINT) AS zmin,
+       CAST(MAX(zkey) AS BIGINT) AS zmax
+FROM k GROUP BY tile ORDER BY tile
+"""
+
+
+@q("d52_zorder_layout", _d52_oracle())
+def d52(spark, sf):
+    """Z-order (Morton) layout key in the oracle gate: interleave
+    16-bit quantizations of (user_id, value) under fixed bounds, roll
+    up per 64-key tile — every bit of the interleave is value-pinned
+    cross-engine (operators/bucketing.zorder_key; zorder_cluster
+    range-partitions by this key so per-file min/max stats prune
+    multi-dimensional scans)."""
+    from .operators.bucketing import zorder_key
+    e = t(spark, sf, "events")
+    key = zorder_key([F.col("user_id"), F.col("value")],
+                     [(0.0, 2000.0), (0.0, 500.0)])
+    return (e.select(key.alias("zkey"))
+            .groupBy(F.shiftright(F.col("zkey"), 26).alias("tile"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("zkey").cast("bigint").alias("zmin"),
+                 F.max("zkey").cast("bigint").alias("zmax"))
+            .orderBy("tile"))

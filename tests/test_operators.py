@@ -627,3 +627,72 @@ def test_jaccard_prefix_filter_exact_and_prunes(spark):
              .select((F.col("k") * (F.col("k") - 1) / 2).alias("p"))
              .agg(F.sum("p")).collect()[0][0])
     assert n_cand < naive / 100     # hot-phrase buckets excluded
+
+
+class TestZOrder:
+    def _ref_key(self, vals, bounds, bits=16):
+        ncols, top = len(vals), (1 << bits) - 1
+        qs = []
+        for v, (mn, mx) in zip(vals, bounds):
+            import math
+            x = (float(v) - mn) / (mx - mn) * top
+            qs.append(min(max(int(math.floor(x)), 0), top))
+        key = 0
+        for i in range(bits):
+            for ci, q in enumerate(qs):
+                key += ((q >> i) & 1) << (i * ncols + ci)
+        return key
+
+    def test_key_matches_pure_python(self, spark):
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.bucketing import (
+            zorder_key)
+        rows = [(0.0, 0.0), (1.0, 1.0), (0.5, 0.25), (2.0, -1.0),
+                (0.123, 0.987)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        bounds = [(0.0, 1.0), (0.0, 1.0)]
+        got = [r.k for r in df.select(zorder_key(
+            [F.col("x"), F.col("y")], bounds).alias("k")).collect()]
+        want = [self._ref_key(v, bounds) for v in rows]
+        assert got == want
+
+    def test_cluster_tiles_are_compact(self, spark):
+        # after z-clustering, the average per-partition bounding-box
+        # area must beat the unclustered layout by a wide margin —
+        # the property that makes min/max file stats prune
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.bucketing import (
+            zorder_cluster)
+        df = spark.range(4096).select(
+            ((F.col("id") * 2654435761) % 1000).cast("double")
+            .alias("x"),
+            ((F.col("id") * 40503) % 1000).cast("double").alias("y"))
+        bounds = [(0.0, 1000.0), (0.0, 1000.0)]
+
+        def mean_box_area(frame):
+            stats = (frame.groupBy(F.spark_partition_id().alias("p"))
+                     .agg(((F.max("x") - F.min("x"))
+                           * (F.max("y") - F.min("y"))).alias("a"))
+                     .agg(F.avg("a")).collect()[0][0])
+            return stats
+
+        clustered = zorder_cluster(df, ["x", "y"], bounds,
+                                   num_partitions=16)
+        rand = df.repartition(16)
+        assert mean_box_area(clustered) < mean_box_area(rand) / 4
+
+    def test_zorder_validation(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.bucketing import (
+            zorder_cluster, zorder_key)
+        with pytest.raises(ValueError, match="bound"):
+            zorder_key([F.col("x")], [])
+        with pytest.raises(ValueError, match="64-bit"):
+            zorder_key([F.col("x")] * 4, [(0, 1)] * 4, bits=16)
+        with pytest.raises(ValueError, match="degenerate"):
+            zorder_key([F.col("x")], [(1.0, 1.0)])
+        df = spark.range(3).select(F.col("id").cast("double").alias("x"),
+                                   F.lit(1).alias("_zkey"))
+        with pytest.raises(ValueError, match="_zkey"):
+            zorder_cluster(df, ["x"], [(0.0, 3.0)], 2)
