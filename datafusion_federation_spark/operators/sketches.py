@@ -190,3 +190,74 @@ def kmv_set_estimates(partials_a: DataFrame, partials_b: DataFrame,
          .alias("union_est"),
         F.when(both_sides, F.round(jac * union_est, round_digits))
          .alias("intersect_est"))
+
+
+def cm_hash_bucket(key: Column, row: int, width: int,
+                   salt: str = "cm") -> Column:
+    """Bucket of ``key`` in CM row ``row``: 60 md5 bits mod width —
+    engine-portable like every hash here."""
+    hex15 = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:{row}:"), key.cast("string"))),
+        1, _HEX_DIGITS)
+    return F.pmod(F.conv(hex15, 16, 10).cast("bigint"), F.lit(width))
+
+
+def cm_sketch(df: DataFrame, key: str, depth: int = 4,
+              width: int = 512, salt: str = "cm") -> DataFrame:
+    """Count-min sketch of the FREQUENCY distribution of ``key``:
+    ``depth`` independent hash rows of ``width`` counters, stored as
+    (row, bucket, cnt) rows — depth*width counters regardless of
+    cardinality, the fixed-size summary for heavy-hitter queries over
+    streams/shards.
+
+    Deterministic and MERGEABLE BY ADDITION: counters are plain sums,
+    so summing two sketches' (row, bucket) cells IS the sketch of the
+    concatenated multisets — exactly, not approximately (pinned in
+    tests). Estimates (``cm_estimate``) are upper bounds: collisions
+    only ever inflate a counter, never deflate; error ≤ 2N/width with
+    probability 1 - 2^-depth (Cormode & Muthukrishnan 2005).
+
+    One explode (xdepth) + one groupBy — map-side combined, at most
+    depth*width result rows however big the corpus.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; "
+                         f"got {depth}x{width}")
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    e = df.select(F.col(key).alias("_k"), rows.alias("row"))
+    e = e.withColumn("bucket", _cm_bucket_for_rows(
+        F.col("_k"), depth, width, salt))
+    return (e.groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _cm_bucket_for_rows(key: Column, depth: int, width: int,
+                        salt: str) -> Column:
+    """Bucket expression dispatching on the exploded ``row`` column —
+    one CASE over the depth's per-row hashes (loop indices baked in via
+    the range, never captured in a lambda: the transform-two-arg trap,
+    dedup.py r4)."""
+    expr = None
+    for d in range(depth):
+        b = cm_hash_bucket(key, d, width, salt)
+        cond = F.col("row") == d
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    return expr
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, key: str,
+                depth: int = 4, width: int = 512,
+                salt: str = "cm") -> DataFrame:
+    """Point-query the sketch: for each probe key, the MIN over rows of
+    its bucket's counter — the classic CM upper-bound estimate.
+    ``depth``/``width``/``salt`` must match the sketch's build
+    parameters (they are not stored in the sketch rows; a mismatch
+    produces garbage bounds, not an error)."""
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    p = probes.select(F.col(key), rows.alias("row"))
+    p = p.withColumn("bucket", _cm_bucket_for_rows(
+        F.col(key), depth, width, salt))
+    j = p.join(sketch, ["row", "bucket"], "left")
+    return (j.groupBy(key)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("est")))

@@ -286,3 +286,42 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, on: Sequence[str],
         & (F.col("_iv_b") == time_bucket(
             F.greatest(F.col(a_start), F.col(b_start)), bucket_width_s)))
     return j.drop("_iv_b")
+
+
+def funnel_times(events: DataFrame, steps: Sequence[str],
+                 user: str = "user_id", ts: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time chain
+    t1 < t2 < ... < tk where ti is the first ``steps[i]`` event STRICTLY
+    after t(i-1) — the product-analytics conversion primitive
+    (view -> click -> purchase). Returns one row per user with columns
+    ``t_<step>`` (NULL from the first uncompleted step onward: a NULL
+    t(i-1) nulls every later bound by three-valued ``>``).
+
+    ZERO joins: step i is a windowed conditional min over the user
+    partition referencing step i-1's column, so k steps stack k Window
+    operators over ONE hash exchange — at 100 TB the cost is a single
+    shuffle on the user key, however long the funnel. (The textbook
+    formulation joins each step's aggregate back: k shuffles and k
+    join builds for the same answer.)
+
+    Repeated step names are allowed (e.g. view -> view) and mean "a
+    second, strictly later occurrence".
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = W.partitionBy(user)
+    out = events.select(user, ts, type_col)
+    prev = None
+    names = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev is not None:
+            cond = cond & (F.col(ts) > F.col(prev))
+        name = f"t_{i}_{s}"
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts)))
+                             .over(w))
+        names.append(name)
+        prev = name
+    return (out.groupBy(user)
+            .agg(*[F.max(n).alias(n) for n in names]))

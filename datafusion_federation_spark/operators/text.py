@@ -266,3 +266,51 @@ def token_rarity_scores(df: DataFrame, text_col: str,
                     (F.col("__s").cast("double") / F.col("__total") /
                      F.col("n_tokens"))
                     .alias("rarity_score")))
+
+
+def collocations(df: DataFrame, text_col: str, id_col: str,
+                 min_count: int = 5, top_n: int = 20) -> DataFrame:
+    """Collocation mining: adjacent word pairs scored by LIFT —
+    ``P(w1 w2) / (P(w1) P(w2))`` rewritten as the all-integer ratio
+    ``c_ab * N / (c_a * c_b)`` with one final double division. Lift is
+    a strictly monotone transform of PMI (PMI = log2(lift)), so the
+    ranking is identical while the arithmetic stays exactly
+    reproducible cross-engine — no transcendental functions whose last
+    ulp could differ between libm implementations (the d54 oracle
+    hash-matches the scores to 6 digits).
+
+    Returns the ``top_n`` pairs with ``c_ab >= min_count`` ordered by
+    (lift desc, w1, w2). Bigrams never cross document boundaries
+    (``id_col`` scopes the lead() window) and form AFTER dropping
+    empty tokens — a single shuffle on the doc id; the count
+    aggregations are map-side combined. The frequency floor is
+    essential, not cosmetic: a pair of two hapaxes always has the
+    corpus-maximum lift.
+    """
+    from pyspark.sql import Window as W
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda x: x != "")
+    toks = df.select(F.col(id_col).alias("_doc"),
+                     F.posexplode(words).alias("_i", "_w"))
+    big = (toks.withColumn(
+        "_w2", F.lead("_w").over(W.partitionBy("_doc").orderBy("_i")))
+        .filter(F.col("_w2").isNotNull()))
+    cab = (big.groupBy(F.col("_w").alias("w1"),
+                       F.col("_w2").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("c_ab"))
+           .filter(F.col("c_ab") >= min_count))
+    cu = toks.groupBy(F.col("_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("nt"))
+    j = (cab.join(cu.withColumnRenamed("w", "w1")
+                  .withColumnRenamed("c", "c_a"), "w1")
+         .join(cu.withColumnRenamed("w", "w2")
+               .withColumnRenamed("c", "c_b"), "w2")
+         .crossJoin(F.broadcast(n)))
+    lift = F.round(F.col("c_ab").cast("double") * F.col("nt")
+                   / (F.col("c_a") * F.col("c_b")), 6)
+    return (j.select("w1", "w2", F.col("c_ab").cast("bigint")
+                     .alias("c_ab"), lift.alias("lift"))
+            .orderBy(F.desc("lift"), "w1", "w2").limit(top_n))

@@ -169,6 +169,16 @@ SECONDARY = {
     # round 5: Z-order layout key — bit-exact oracle PASS locally at
     # both SFs; clustering compactness pinned in test_operators
     "d52_zorder_layout",
+    # round 5: count-min heavy hitters — hash/sketch machinery carried
+    # in-window by d43; upper-bound + merge-by-addition pinned in tests
+    "d53_countmin_heavy_hitters",
+    # round 5: collocation lift — token explode/count shapes carried
+    # in-window by d09/d23's operators; oracle PASS locally both SFs
+    "d54_collocations",
+    # round 5: ordered funnel — windowed-min machinery carried
+    # in-window by q52/q70 windows + d32 sessionization; oracle PASS
+    # locally both SFs with hand-case unit tests
+    "d55_funnel",
 }
 
 DEC = "decimal(12,2)"

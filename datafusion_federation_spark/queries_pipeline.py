@@ -1969,3 +1969,130 @@ def d52(spark, sf):
                  F.min("zkey").cast("bigint").alias("zmin"),
                  F.max("zkey").cast("bigint").alias("zmax"))
             .orderBy("tile"))
+
+
+@q("d53_countmin_heavy_hitters", """
+WITH toks AS (SELECT w FROM (SELECT unnest(string_split(lower(text),
+                ' ')) AS w FROM documents) z WHERE w <> ''),
+top AS (SELECT w, COUNT(*) AS exact FROM toks GROUP BY w
+        ORDER BY exact DESC, w LIMIT 20),
+dd AS (SELECT unnest([0, 1, 2]) AS d),
+sk AS (SELECT d, CAST(concat('0x', substr(md5(concat('cm:', d, ':',
+                w)), 1, 15)) AS BIGINT) % 512 AS bucket,
+              COUNT(*) AS cnt
+       FROM toks CROSS JOIN dd GROUP BY d, bucket),
+pr AS (SELECT top.w, top.exact, dd.d,
+              CAST(concat('0x', substr(md5(concat('cm:', dd.d, ':',
+                top.w)), 1, 15)) AS BIGINT) % 512 AS bucket
+       FROM top CROSS JOIN dd),
+est AS (SELECT pr.w, pr.exact, MIN(COALESCE(sk.cnt, 0)) AS est
+        FROM pr LEFT JOIN sk ON pr.d = sk.d AND pr.bucket = sk.bucket
+        GROUP BY pr.w, pr.exact)
+SELECT w AS word, CAST(exact AS BIGINT) AS exact,
+       CAST(est AS BIGINT) AS est
+FROM est ORDER BY exact DESC, word
+""")
+def d53(spark, sf):
+    """Count-min heavy hitters oracle-checked: a 3x512 CM sketch of
+    the corpus token stream, point-queried for the exact top-20 tokens
+    — exact counts ride along so the row also demonstrates the
+    upper-bound guarantee (est >= exact always; collisions only
+    inflate). The sketch is mergeable BY ADDITION (sum two sketches'
+    cells == sketch of the union, pinned in test_sketches.py) — the
+    per-shard frequency summary for 100 TB streams
+    (operators/sketches.py:cm_sketch)."""
+    from .operators.sketches import cm_estimate, cm_sketch
+    docs = t(spark, sf, "documents")
+    toks = (docs.select(F.explode(F.split(F.lower("text"), " "))
+                        .alias("w"))
+            .filter(F.col("w") != ""))
+    top = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+           .orderBy(F.desc("exact"), "w").limit(20))
+    sk = cm_sketch(toks, "w", depth=3, width=512)
+    est = cm_estimate(sk, top.select("w"), "w", depth=3, width=512)
+    return (top.join(est, "w")
+            .select(F.col("w").alias("word"),
+                    F.col("exact").cast("bigint").alias("exact"),
+                    F.col("est"))
+            .orderBy(F.desc("exact"), "word"))
+
+
+@q("d55_funnel", """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.t1
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+       GROUP BY e.user_id),
+d AS (SELECT u.user_id,
+             CASE WHEN t3.t3 IS NOT NULL THEN 3
+                  WHEN t2.t2 IS NOT NULL THEN 2
+                  WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+             epoch_us(t3.t3) - epoch_us(t1.t1) AS conv_us
+      FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+             LEFT JOIN t2 ON u.user_id = t2.user_id
+             LEFT JOIN t3 ON u.user_id = t3.user_id)
+SELECT depth, COUNT(*) AS n_users,
+       CAST(SUM(conv_us) AS BIGINT) AS conv_us_total
+FROM d GROUP BY depth ORDER BY depth
+""")
+def d55(spark, sf):
+    """Ordered funnel (view -> click -> purchase) in the oracle gate:
+    per-user earliest strict-order completion chain via
+    operators/temporal.funnel_times — k windowed conditional minima
+    over ONE user-key exchange, no joins (the oracle is the textbook
+    k-join formulation DuckDB can afford). Output: users per completed
+    depth + exact total view-to-purchase conversion time."""
+    from .operators.temporal import funnel_times
+    e = t(spark, sf, "events")
+    f = funnel_times(e, ["view", "click", "purchase"])
+    depth = (F.when(F.col("t_2_purchase").isNotNull(), 3)
+             .when(F.col("t_1_click").isNotNull(), 2)
+             .when(F.col("t_0_view").isNotNull(), 1).otherwise(0))
+    conv = (F.unix_micros(F.col("t_2_purchase"))
+            - F.unix_micros(F.col("t_0_view")))
+    return (f.select(depth.alias("depth"), conv.alias("conv_us"))
+            .groupBy("depth")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("conv_us").cast("bigint").alias("conv_us_total"))
+            .orderBy("depth"))
+
+
+@q("d54_collocations", """
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                              x -> x <> '') AS ws
+           FROM documents),
+tx AS (SELECT doc_id,
+              unnest([struct_pack(tok := ws[i], i := i)
+                      FOR i IN generate_series(1, len(ws))]) AS s
+       FROM w),
+toks AS (SELECT doc_id, s.tok AS tok, s.i AS i FROM tx),
+big AS (SELECT a.tok AS w1, b.tok AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2
+        HAVING COUNT(*) >= 5),
+cu AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS nt FROM toks)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       ROUND(CAST(c_ab AS DOUBLE) * nt / (ca.c * cb.c), 6) AS lift
+FROM cab JOIN cu ca ON cab.w1 = ca.tok
+         JOIN cu cb ON cab.w2 = cb.tok
+         CROSS JOIN n
+ORDER BY lift DESC, w1, w2 LIMIT 20
+""")
+def d54(spark, sf):
+    """Collocation mining in the oracle gate: top bigrams by LIFT
+    (the log-free monotone twin of PMI — identical ranking, exactly
+    reproducible integer-ratio arithmetic; operators/text.collocations
+    docstring for why no transcendental ever touches the score).
+    Bigrams scoped per document, count floor 5."""
+    from .operators.text import collocations
+    docs = t(spark, sf, "documents")
+    return collocations(docs, "text", "doc_id", min_count=5, top_n=20)

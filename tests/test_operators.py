@@ -696,3 +696,38 @@ class TestZOrder:
                                    F.lit(1).alias("_zkey"))
         with pytest.raises(ValueError, match="_zkey"):
             zorder_cluster(df, ["x"], [(0.0, 3.0)], 2)
+
+
+class TestCollocations:
+    def test_lift_hand_case(self, spark):
+        from datafusion_federation_spark.operators.text import (
+            collocations)
+        # "big data" appears 3x; tokens: big=3, data=3, N=9
+        docs = spark.createDataFrame(
+            [(1, "big data big data x"), (2, "big data y z")],
+            "doc_id int, text string")
+        rows = collocations(docs, "text", "doc_id",
+                            min_count=3, top_n=5).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.w1, r.w2, r.c_ab) == ("big", "data", 3)
+        assert r.lift == round(3 * 9 / (3 * 3), 6)
+
+    def test_no_cross_document_bigrams(self, spark):
+        from datafusion_federation_spark.operators.text import (
+            collocations)
+        # "b a" would only exist across the doc boundary
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id int, text string")
+        rows = collocations(docs, "text", "doc_id",
+                            min_count=1, top_n=10).collect()
+        assert {(r.w1, r.w2) for r in rows} == {("a", "b")}
+
+    def test_min_count_validation(self, spark):
+        import pytest
+        from datafusion_federation_spark.operators.text import (
+            collocations)
+        docs = spark.createDataFrame([(1, "a b")],
+                                     "doc_id int, text string")
+        with pytest.raises(ValueError, match="min_count"):
+            collocations(docs, "text", "doc_id", min_count=0)

@@ -118,3 +118,57 @@ def test_set_estimates_skewed_small_side_not_null(spark):
     r = kmv_set_estimates(pa, pb, ["g"], k=8).collect()[0]
     assert r.union_est is not None
     assert r.intersect_est is not None
+
+
+class TestCountMin:
+    def _df(self, spark):
+        from pyspark.sql import functions as F
+        # zipf-ish: value v appears (40 - v) times for v in 0..39
+        return (spark.range(40)
+                .select(F.col("id").alias("v"),
+                        F.explode(F.sequence(
+                            F.lit(1), 40 - F.col("id"))).alias("_"))
+                .select("v"))
+
+    def test_estimates_upper_bound_and_close(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            cm_estimate, cm_sketch)
+        df = self._df(spark)
+        sk = cm_sketch(df, "v", depth=4, width=512)
+        probes = df.select("v").distinct()
+        est = {r.v: r.est for r in cm_estimate(
+            sk, probes, "v", depth=4, width=512).collect()}
+        for v in range(40):
+            true = 40 - v
+            assert est[v] >= true          # CM never underestimates
+            assert est[v] <= true + 40     # and stays near at 512 wide
+
+    def test_merge_by_addition_equals_whole(self, spark):
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.sketches import (
+            cm_sketch)
+        df = self._df(spark)
+        a, b = df.filter("v < 25"), df.filter("v >= 25")
+        merged = (cm_sketch(a, "v").unionByName(cm_sketch(b, "v"))
+                  .groupBy("row", "bucket")
+                  .agg(F.sum("cnt").alias("cnt")))
+        whole = cm_sketch(df, "v")
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, whole.collect()))
+
+    def test_missing_probe_estimates_zero_or_collision(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            cm_estimate, cm_sketch)
+        df = self._df(spark)
+        sk = cm_sketch(df, "v", depth=4, width=4096)
+        probes = df.sparkSession.range(900, 903).selectExpr("id as v")
+        for r in cm_estimate(sk, probes, "v", depth=4,
+                             width=4096).collect():
+            assert r.est <= 40  # absent keys bounded by collision mass
+
+    def test_validation(self, spark):
+        import pytest
+        from datafusion_federation_spark.operators.sketches import (
+            cm_sketch)
+        with pytest.raises(ValueError, match="depth"):
+            cm_sketch(self._df(spark), "v", depth=0)

@@ -285,3 +285,58 @@ def test_bucket_joins_reject_reserved_bucket_column(spark):
                               "k int, s2 timestamp, e2 timestamp, bid int")
     with pytest.raises(ValueError, match="_iv_b"):
         interval_overlap_join(a, b, ["k"], "s", "e", "s2", "e2", 60)
+
+
+class TestFunnel:
+    def _events(self, spark):
+        rows = [
+            # user 1 completes a->b->c in order
+            (1, _ts(0), "a"), (1, _ts(10), "b"), (1, _ts(20), "c"),
+            # user 2: c BEFORE b -> only depth 2 (a then b)
+            (2, _ts(0), "a"), (2, _ts(5), "c"), (2, _ts(9), "b"),
+            # user 3: never starts (b/c only)
+            (3, _ts(1), "b"), (3, _ts(2), "c"),
+            # user 4: a twice then b; first a counts
+            (4, _ts(3), "a"), (4, _ts(4), "a"), (4, _ts(6), "b"),
+            # user 5: b at the SAME instant as a -> strict > excludes
+            (5, _ts(7), "a"), (5, _ts(7), "b"),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id int, ts timestamp, event_type string")
+
+    def test_depths_and_times(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            funnel_times)
+        out = {r.user_id: (r["t_0_a"], r["t_1_b"], r["t_2_c"])
+               for r in funnel_times(self._events(spark),
+                                     ["a", "b", "c"]).collect()}
+        assert out[1] == (_ts(0), _ts(10), _ts(20))
+        assert out[2] == (_ts(0), _ts(9), None)
+        assert out[3] == (None, None, None)
+        assert out[4] == (_ts(3), _ts(6), None)
+        assert out[5] == (_ts(7), None, None)
+
+    def test_single_exchange(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            funnel_times)
+        plan = funnel_times(self._events(spark), ["a", "b", "c"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        # one shuffle for the windows; the final per-user aggregate
+        # reuses the partitioning (no second exchange for groupBy)
+        assert plan.count("Exchange") <= 2
+
+    def test_repeated_step_means_later_occurrence(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            funnel_times)
+        out = {r.user_id: (r["t_0_a"], r["t_1_a"])
+               for r in funnel_times(self._events(spark),
+                                     ["a", "a"]).collect()}
+        assert out[4] == (_ts(3), _ts(4))
+        assert out[1] == (_ts(0), None)
+
+    def test_empty_steps_rejected(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            funnel_times)
+        with pytest.raises(ValueError, match="non-empty"):
+            funnel_times(self._events(spark), [])
