@@ -179,6 +179,12 @@ SECONDARY = {
     # in-window by q52/q70 windows + d32 sessionization; oracle PASS
     # locally both SFs with hand-case unit tests
     "d55_funnel",
+    # round 5: cohort retention / histogram / pivot — agg+join shapes
+    # all carried in-window (q01/q18/q50, d42 buckets); oracle PASS
+    # locally both SFs
+    "d56_cohort_retention",
+    "d57_value_histogram",
+    "d58_pivot_activity",
 }
 
 DEC = "decimal(12,2)"

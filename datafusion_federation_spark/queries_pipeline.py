@@ -2096,3 +2096,96 @@ def d54(spark, sf):
     from .operators.text import collocations
     docs = t(spark, sf, "documents")
     return collocations(docs, "text", "doc_id", min_count=5, top_n=20)
+
+
+@q("d56_cohort_retention", """
+WITH act AS (SELECT DISTINCT user_id,
+                    epoch_us(ts) // 604800000000 AS wk
+             FROM events),
+coh AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
+SELECT coh.cohort, act.wk - coh.cohort AS week_offset,
+       COUNT(*) AS n_users
+FROM act JOIN coh ON act.user_id = coh.user_id
+GROUP BY coh.cohort, week_offset
+ORDER BY coh.cohort, week_offset
+""")
+def d56(spark, sf):
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted per (cohort, week offset) — the product-analytics retention
+    primitive. Two aggregates + one equi-join on the user key (the
+    cohort frame is tiny relative to activity and broadcast-eligible);
+    week ids are exact integer epoch-weeks so both engines agree on
+    every cohort boundary."""
+    from .operators import temporal
+    e = t(spark, sf, "events")
+    act = (e.select("user_id",
+                    temporal.time_bucket(F.col("ts"), 604800)
+                    .alias("wk")).distinct())
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (act.join(coh, "user_id")
+            .groupBy("cohort",
+                     (F.col("wk") - F.col("cohort"))
+                     .alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("cohort", "week_offset"))
+
+
+@q("d57_value_histogram", """
+WITH b AS (SELECT event_type,
+                  LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE)
+                    - 0.0) / 500.0 * 20.0) AS BIGINT), 0), 19) AS bin
+           FROM events WHERE value IS NOT NULL)
+SELECT event_type, bin, COUNT(*) AS n
+FROM b GROUP BY event_type, bin ORDER BY event_type, bin
+""")
+def d57(spark, sf):
+    """Equi-width histogram (20 bins over [0, 500], edges clamped) per
+    event type — the distribution-profiling primitive behind data
+    quality dashboards. The bin id is the same quantizer the Z-order
+    key uses (floor of a scaled double, identical IEEE ops both
+    engines); one map-side-combined aggregate, output bounded by
+    types x bins regardless of corpus size."""
+    e = t(spark, sf, "events").filter(F.col("value").isNotNull())
+    x = (F.col("value").cast("double") - F.lit(0.0)) \
+        / F.lit(500.0) * F.lit(20.0)
+    bin_ = F.least(F.greatest(F.floor(x).cast("bigint"), F.lit(0)),
+                   F.lit(19))
+    return (e.select("event_type", bin_.alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type", "bin"))
+
+
+@q("d58_pivot_activity", """
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+            AS BIGINT) AS views,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+            AS BIGINT) AS clicks,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+            AS BIGINT) AS purchases,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+            AS BIGINT) AS signups,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+            AS BIGINT) AS errors
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def d58(spark, sf):
+    """PIVOT with an explicit value list: per-user activity counts as
+    columns. Spark's pivot() with pinned values compiles to ONE
+    aggregate of conditional counts (no second pass to discover the
+    value set — the unpinned form would scan twice and make the output
+    schema data-dependent, which a 100 TB pipeline must never do); the
+    oracle is the equivalent CASE aggregation."""
+    e = t(spark, sf, "events")
+    out = (e.groupBy("user_id")
+           .pivot("event_type",
+                  ["view", "click", "purchase", "signup", "error"])
+           .agg(F.count(F.lit(1))))
+    renames = {"view": "views", "click": "clicks",
+               "purchase": "purchases", "signup": "signups",
+               "error": "errors"}
+    sel = [F.col("user_id")]
+    sel += [F.coalesce(F.col(src), F.lit(0)).cast("bigint").alias(dst)
+            for src, dst in renames.items()]
+    return out.select(*sel).orderBy("user_id")
