@@ -66,6 +66,22 @@ def read_probed(spark: SparkSession, path: str, bucket_col: str,
             .filter(F.col(bucket_col).isin(list(probes))))
 
 
+def quantize(c, mn, mx, scale: int, top: int):
+    """Clamped equi-width quantizer shared by the Z-order key
+    (scale == top == 2^bits - 1: the max value maps to the top cell)
+    and histograms (scale == nbins, top == nbins - 1: the closed upper
+    edge folds into the last bin). One definition so NULL/NaN/edge
+    policy can never drift between the two (review r5): NULL in ->
+    NULL out; NaN reaches the floor-to-bigint cast, which errors under
+    ANSI mode — filter NaN upstream if the column can carry it."""
+    if not mx > mn:
+        raise ValueError(f"degenerate bounds ({mn}, {mx})")
+    x = ((c.cast("double") - F.lit(float(mn)))
+         / F.lit(float(mx) - float(mn)) * F.lit(float(scale)))
+    return F.least(F.greatest(F.floor(x).cast("bigint"), F.lit(0)),
+                   F.lit(top))
+
+
 def zorder_key(cols: Sequence, bounds: Sequence, bits: int = 16):
     """Z-order (Morton) key: quantize each column to ``bits`` levels
     inside its caller-supplied [min, max] bounds, then interleave the
@@ -89,15 +105,8 @@ def zorder_key(cols: Sequence, bounds: Sequence, bits: int = 16):
             f"{len(cols)} cols x {bits} bits exceeds a signed 64-bit key")
     ncols = len(cols)
     top = (1 << bits) - 1
-    quantized = []
-    for c, (mn, mx) in zip(cols, bounds):
-        if not mx > mn:
-            raise ValueError(f"degenerate bounds ({mn}, {mx})")
-        x = ((c.cast("double") - F.lit(float(mn)))
-             / F.lit(float(mx) - float(mn)) * F.lit(float(top)))
-        q = F.least(F.greatest(F.floor(x).cast("bigint"), F.lit(0)),
-                    F.lit(top))
-        quantized.append(q)
+    quantized = [quantize(c, mn, mx, scale=top, top=top)
+                 for c, (mn, mx) in zip(cols, bounds)]
     key = F.lit(0).cast("bigint")
     for i in range(bits):
         for ci, qcol in enumerate(quantized):

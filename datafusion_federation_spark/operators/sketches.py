@@ -192,12 +192,17 @@ def kmv_set_estimates(partials_a: DataFrame, partials_b: DataFrame,
          .alias("intersect_est"))
 
 
-def cm_hash_bucket(key: Column, row: int, width: int,
+def cm_hash_bucket(key: Column, row, width: int,
                    salt: str = "cm") -> Column:
-    """Bucket of ``key`` in CM row ``row``: 60 md5 bits mod width —
-    engine-portable like every hash here."""
+    """Bucket of ``key`` in CM row ``row`` (an int or the exploded row
+    Column — the salt is concatenated dynamically, so one expression
+    serves both): 60 md5 bits mod width, engine-portable like every
+    hash here and byte-identical to the d53 oracle's
+    ``concat('cm:', d, ':', w)``."""
+    row_col = F.lit(row) if isinstance(row, int) else row
     hex15 = F.substring(
-        F.md5(F.concat(F.lit(f"{salt}:{row}:"), key.cast("string"))),
+        F.md5(F.concat(F.lit(salt + ":"), row_col.cast("string"),
+                       F.lit(":"), key.cast("string"))),
         1, _HEX_DIGITS)
     return F.pmod(F.conv(hex15, 16, 10).cast("bigint"), F.lit(width))
 
@@ -220,29 +225,19 @@ def cm_sketch(df: DataFrame, key: str, depth: int = 4,
     One explode (xdepth) + one groupBy — map-side combined, at most
     depth*width result rows however big the corpus.
     """
-    if depth < 1 or width < 2:
-        raise ValueError(f"need depth >= 1, width >= 2; "
-                         f"got {depth}x{width}")
+    _check_cm(depth, width)
     rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
     e = df.select(F.col(key).alias("_k"), rows.alias("row"))
-    e = e.withColumn("bucket", _cm_bucket_for_rows(
-        F.col("_k"), depth, width, salt))
+    e = e.withColumn("bucket", cm_hash_bucket(
+        F.col("_k"), F.col("row"), width, salt))
     return (e.groupBy("row", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
-def _cm_bucket_for_rows(key: Column, depth: int, width: int,
-                        salt: str) -> Column:
-    """Bucket expression dispatching on the exploded ``row`` column —
-    one CASE over the depth's per-row hashes (loop indices baked in via
-    the range, never captured in a lambda: the transform-two-arg trap,
-    dedup.py r4)."""
-    expr = None
-    for d in range(depth):
-        b = cm_hash_bucket(key, d, width, salt)
-        cond = F.col("row") == d
-        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
-    return expr
+def _check_cm(depth: int, width: int) -> None:
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; "
+                         f"got {depth}x{width}")
 
 
 def cm_estimate(sketch: DataFrame, probes: DataFrame, key: str,
@@ -253,10 +248,11 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key: str,
     ``depth``/``width``/``salt`` must match the sketch's build
     parameters (they are not stored in the sketch rows; a mismatch
     produces garbage bounds, not an error)."""
+    _check_cm(depth, width)
     rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
     p = probes.select(F.col(key), rows.alias("row"))
-    p = p.withColumn("bucket", _cm_bucket_for_rows(
-        F.col(key), depth, width, salt))
+    p = p.withColumn("bucket", cm_hash_bucket(
+        F.col(key), F.col("row"), width, salt))
     j = p.join(sketch, ["row", "bucket"], "left")
     return (j.groupBy(key)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))

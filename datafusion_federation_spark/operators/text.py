@@ -309,8 +309,11 @@ def collocations(df: DataFrame, text_col: str, id_col: str,
          .join(cu.withColumnRenamed("w", "w2")
                .withColumnRenamed("c", "c_b"), "w2")
          .crossJoin(F.broadcast(n)))
+    # c_a cast to double BEFORE the multiply: two ~1e11 stopword counts
+    # overflow a 64-bit product (ANSI job kill / silent wrap), and the
+    # double product is exact below 2^53 anyway (review r5)
     lift = F.round(F.col("c_ab").cast("double") * F.col("nt")
-                   / (F.col("c_a") * F.col("c_b")), 6)
+                   / (F.col("c_a").cast("double") * F.col("c_b")), 6)
     return (j.select("w1", "w2", F.col("c_ab").cast("bigint")
                      .alias("c_ab"), lift.alias("lift"))
             .orderBy(F.desc("lift"), "w1", "w2").limit(top_n))

@@ -1836,11 +1836,19 @@ def q74(spark, sf):
     from .sources.partitioned import PartitionedDuckDBExecutor
     from .sources.provider import SQLProvider
 
-    mtime = os.path.getmtime(f"{sf}/orders.parquet")
-    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    # cache tag covers EVERY snapshotted table's mtime (review r5: an
+    # orders-only tag served a stale customer after partial fixture
+    # regeneration); build-then-atomic-rename so an interrupted or
+    # concurrent build can never leave a half-populated file behind the
+    # exists() fast path
+    mtimes = ":".join(
+        str(os.path.getmtime(f"{sf}/{tbl}.parquet"))
+        for tbl in ("orders", "customer"))
+    tag = hashlib.md5(f"{sf}:{mtimes}".encode()).hexdigest()[:10]
     dbp = f"/tmp/spark_fed_part_{tag}.duckdb"
     if not os.path.exists(dbp):
-        con = duckdb.connect(dbp)
+        tmp = f"{dbp}.build.{os.getpid()}"
+        con = duckdb.connect(tmp)
         try:
             for tbl in ("orders", "customer"):
                 con.execute(
@@ -1848,6 +1856,7 @@ def q74(spark, sf):
                     f"read_parquet('{sf}/{tbl}.parquet')")
         finally:
             con.close()
+        os.replace(tmp, dbp)
     ex = PartitionedDuckDBExecutor(dbp, split_col="o_orderkey",
                                    n_slices=8, name="duckdb_part")
     eng = FederationEngine(spark)
@@ -2081,7 +2090,8 @@ cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2
 cu AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
 n AS (SELECT COUNT(*) AS nt FROM toks)
 SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
-       ROUND(CAST(c_ab AS DOUBLE) * nt / (ca.c * cb.c), 6) AS lift
+       ROUND(CAST(c_ab AS DOUBLE) * nt
+             / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
 FROM cab JOIN cu ca ON cab.w1 = ca.tok
          JOIN cu cb ON cab.w2 = cb.tok
          CROSS JOIN n
@@ -2145,11 +2155,9 @@ def d57(spark, sf):
     key uses (floor of a scaled double, identical IEEE ops both
     engines); one map-side-combined aggregate, output bounded by
     types x bins regardless of corpus size."""
+    from .operators.bucketing import quantize
     e = t(spark, sf, "events").filter(F.col("value").isNotNull())
-    x = (F.col("value").cast("double") - F.lit(0.0)) \
-        / F.lit(500.0) * F.lit(20.0)
-    bin_ = F.least(F.greatest(F.floor(x).cast("bigint"), F.lit(0)),
-                   F.lit(19))
+    bin_ = quantize(F.col("value"), 0.0, 500.0, scale=20, top=19)
     return (e.select("event_type", bin_.alias("bin"))
             .groupBy("event_type", "bin")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -53,8 +53,10 @@ def main(spark=None, sf_dir: str = SF_DIR):
                  .select("user_id", "ts", "event_id"))
     attributed = temporal.asof_join(purchases, clicks, on=["user_id"],
                                     left_ts="ts", right_ts="ts")
-    n_attr = attributed.filter(F.col("click_id").isNotNull()).count()
-    print(f"attribution: {n_attr}/{attributed.count()} purchases have "
+    # one pass for both counts — a second .count() re-runs the join
+    n_total, n_attr = attributed.agg(
+        F.count(F.lit(1)), F.count("click_id")).collect()[0]
+    print(f"attribution: {n_attr}/{n_total} purchases have "
           "a prior click")
 
     # 2. trailing 7-day revenue per user (event-time RANGE frame)
@@ -79,8 +81,10 @@ def main(spark=None, sf_dir: str = SF_DIR):
     dense = temporal.time_bucket_gapfill(
         hourly.withColumn("g", F.lit(1)), keys=["g"], bucket_col="hb",
         zero_cols=["n"])
-    gaps = dense.filter(F.col("n") == 0).count()
-    print(f"gapfill: {dense.count()} dense hours, {gaps} were gaps")
+    n_dense, gaps = dense.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("n") == 0).cast("int"))).collect()[0]
+    print(f"gapfill: {n_dense} dense hours, {gaps} were gaps")
 
     # 4. audience overlap from sketches alone (no raw re-read)
     def sketch(kind):
