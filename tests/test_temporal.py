@@ -340,3 +340,45 @@ class TestFunnel:
             funnel_times)
         with pytest.raises(ValueError, match="non-empty"):
             funnel_times(self._events(spark), [])
+
+
+def test_funnel_matches_brute_force_random(spark):
+    from datafusion_federation_spark.operators.temporal import (
+        funnel_times)
+    rng = random.Random(41)
+    types = ["a", "b", "c", "x"]
+    rows = [(rng.randrange(12), _ts(rng.randrange(0, 500)),
+             rng.choice(types)) for _ in range(400)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string")
+    got = {r.user_id: (r["t_0_a"], r["t_1_b"], r["t_2_c"])
+           for r in funnel_times(df, ["a", "b", "c"]).collect()}
+
+    def brute(u):
+        evs = [(t_, ty) for uu, t_, ty in rows if uu == u]
+        chain, bound = [], None
+        for step in ["a", "b", "c"]:
+            cand = [t_ for t_, ty in evs
+                    if ty == step and (bound is None or t_ > bound)]
+            if not cand:
+                break
+            bound = min(cand)
+            chain.append(bound)
+        return tuple(chain + [None] * (3 - len(chain)))
+
+    for u in {uu for uu, _, _ in rows}:
+        assert got[u] == brute(u), f"user {u}"
+
+
+def test_asof_multi_key(spark):
+    # composite join keys: the match must respect BOTH key columns
+    l = spark.createDataFrame(
+        [(1, "x", _ts(10), 1), (1, "y", _ts(10), 2)],
+        "k int, g string, t timestamp, lid int")
+    r = spark.createDataFrame(
+        [(1, "x", _ts(5), 100), (1, "y", _ts(8), 200),
+         (2, "x", _ts(1), 300)],
+        "k int, g string, t timestamp, rid int")
+    got = {row.lid: row.rid
+           for row in asof_join(l, r, ["k", "g"], "t").collect()}
+    assert got == {1: 100, 2: 200}
