@@ -1,2 +1,3 @@
-from . import (bucketing, curation, dedup, multimodal, pipeline,  # noqa: F401
-               similarity, skew, text)
+from . import (bucketing, curation, dedup, graph, multimodal,  # noqa: F401
+               pipeline, sampling, similarity, sketches, skew, temporal,
+               text)

@@ -54,11 +54,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               tolerance_s: Optional[float] = None,
               suffix: str = "_right") -> DataFrame:
     """For each left row, attach the single right row with the nearest
-    ``right_ts`` at-or-before (``backward``) or at-or-after
-    (``forward``) the left row's ``left_ts``, matching on the ``on``
-    key columns. Unmatched left rows keep NULL right columns (left
-    outer semantics, like DuckDB's ``ASOF LEFT JOIN`` / pandas
-    ``merge_asof``).
+    ``right_ts`` at-or-before (``backward``), at-or-after
+    (``forward``), or closest in either direction with ties to the
+    earlier row (``nearest``, pandas ``merge_asof`` semantics),
+    matching on the ``on`` key columns. Unmatched left rows keep NULL
+    right columns (left outer semantics, like DuckDB's ``ASOF LEFT
+    JOIN`` / pandas ``merge_asof``). ``nearest`` computes both carries
+    in the same window pass — still one Exchange, no second shuffle.
 
     ``tolerance_s`` (seconds) nulls the match when the time gap exceeds
     it, pandas-style. Right payload columns that collide with a left
@@ -76,8 +78,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     every (left, earlier-right) pair before pruning; this form carries
     one value per column instead.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, "
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
                          f"got {direction!r}")
     keys = list(on)
     rts = right_ts or left_ts
@@ -103,7 +105,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     # timestamp + payload under reserved names. Sides are tagged so ties
     # at the same instant order right-at-or-before-left (backward) /
     # left-before-right (forward), making the >= / <= bounds inclusive.
-    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    # "nearest" reuses the backward tag order: an equal-instant right is
+    # then caught by the backward arm with gap 0, which always wins, so
+    # the forward arm missing same-ts rows is immaterial.
+    r_side, l_side = ((1, 0) if direction == "forward" else (0, 1))
     lf = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_asof_t"),
@@ -121,18 +126,38 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *[F.col(c).alias(_R + c) for c in payload])
     u = lf.unionByName(rf)
 
-    if direction == "backward":
-        w = (W.partitionBy(*keys).orderBy("_asof_t", "_asof_side")
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-    else:
-        w = (W.partitionBy(*keys).orderBy("_asof_t", "_asof_side")
-             .rowsBetween(W.currentRow, W.unboundedFollowing))
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    wb = (W.partitionBy(*keys).orderBy("_asof_t", "_asof_side")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy(*keys).orderBy("_asof_t", "_asof_side")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    back = lambda c: F.last(c, ignorenulls=True).over(wb)  # noqa: E731
+    fwd = lambda c: F.first(c, ignorenulls=True).over(wf)  # noqa: E731
 
     carried = [_R + rts] + [_R + c for c in payload]
-    u = u.select(*u.columns,
-                 *[carry(c).alias(c + "_c") for c in carried])
+    if direction == "backward":
+        u = u.select(*u.columns,
+                     *[back(c).alias(c + "_c") for c in carried])
+    elif direction == "forward":
+        u = u.select(*u.columns,
+                     *[fwd(c).alias(c + "_c") for c in carried])
+    else:
+        # nearest: BOTH carries in the same window pass (two frames,
+        # one partitioning — still a single Exchange), picked per row
+        # by exact integer gap; ties prefer backward (pandas semantics)
+        u = u.select(*u.columns,
+                     *[back(c).alias(c + "_b") for c in carried],
+                     *[fwd(c).alias(c + "_f") for c in carried])
+        lt = F.unix_micros(F.col("_asof_t"))
+        bts = F.col(_R + rts + "_b")
+        fts = F.col(_R + rts + "_f")
+        use_b = bts.isNotNull() & (
+            fts.isNull()
+            | ((lt - F.unix_micros(bts))
+               <= (F.unix_micros(fts) - lt)))
+        u = u.select(*u.columns,
+                     *[F.when(use_b, F.col(c + "_b"))
+                       .otherwise(F.col(c + "_f")).alias(c + "_c")
+                       for c in carried])
     u = u.filter(F.col("_asof_side") == l_side)
 
     matched = F.col(_R + rts + "_c").isNotNull()
@@ -142,6 +167,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
                - F.unix_micros(F.col(_R + rts + "_c")))
         if direction == "forward":
             gap = -gap
+        elif direction == "nearest":
+            gap = F.abs(gap)
         matched = matched & (gap <= int(tolerance_s * 1_000_000))
 
     def out_name(c: str) -> str:

@@ -185,6 +185,10 @@ SECONDARY = {
     "d56_cohort_retention",
     "d57_value_histogram",
     "d58_pivot_activity",
+    # round 5: nearest-direction as-of — the asof machinery carried
+    # in-window by d40 (backward arm); two-direction compose + tie rule
+    # oracle-checked locally both SFs, brute-force differential in tests
+    "d59_asof_nearest",
 }
 
 DEC = "decimal(12,2)"

@@ -2197,3 +2197,56 @@ def d58(spark, sf):
     sel += [F.coalesce(F.col(src), F.lit(0)).cast("bigint").alias(dst)
             for src, dst in renames.items()]
     return out.select(*sel).orderBy("user_id")
+
+
+@q("d59_asof_nearest", """
+WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'),
+b AS (SELECT p.event_id, p.user_id, p.ts, c.click_id AS b_id,
+             c.ts AS b_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+f AS (SELECT p.event_id, c.click_id AS f_id, c.ts AS f_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts),
+n AS (SELECT b.user_id, b.event_id,
+             CASE WHEN b.b_id IS NOT NULL AND (f.f_id IS NULL
+                       OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                          <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                  THEN b.b_id ELSE f.f_id END AS near_id,
+             CASE WHEN b.b_id IS NOT NULL AND (f.f_id IS NULL
+                       OR epoch_us(b.ts) - epoch_us(b.b_ts)
+                          <= epoch_us(f.f_ts) - epoch_us(b.ts))
+                  THEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                  ELSE epoch_us(f.f_ts) - epoch_us(b.ts) END AS gap_us
+      FROM b JOIN f ON b.event_id = f.event_id)
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(COUNT(near_id) AS BIGINT) AS n_matched,
+       CAST(SUM(gap_us) AS BIGINT) AS gap_us_total
+FROM n GROUP BY user_id ORDER BY user_id
+""")
+def d59(spark, sf):
+    """Nearest-direction as-of join in the oracle gate (the pandas
+    merge_asof 'nearest' semantics DuckDB itself lacks — the oracle
+    composes its backward and forward ASOF joins with the same
+    tie-to-earlier CASE the operator uses). Both carries run in ONE
+    window pass over one Exchange; gaps are exact integer
+    microseconds."""
+    from .operators import temporal
+    e = t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    purch = (e.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+    j = temporal.asof_join(purch, clicks, on=["user_id"],
+                           left_ts="ts", right_ts="ts",
+                           direction="nearest")
+    gap = F.abs(F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.col("ts_right")))
+    return (j.select("user_id", "click_id", gap.alias("gap_us"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.count("click_id").cast("bigint").alias("n_matched"),
+                 F.sum("gap_us").cast("bigint").alias("gap_us_total"))
+            .orderBy("user_id"))

@@ -5,3 +5,6 @@ from .provider import (  # noqa: F401
     SparkSQLExecutor,
 )
 from .catalog import FederatedCatalog  # noqa: F401
+from .partitioned import (  # noqa: F401
+    PartitionedDuckDBExecutor, read_duckdb_partitioned,
+)

@@ -114,7 +114,7 @@ def test_asof_plan_has_no_join(spark):
 def test_asof_rejects_bad_direction(spark):
     l, r, *_ = _random_sides(spark, seed=3)
     with pytest.raises(ValueError, match="direction"):
-        asof_join(l, r, ["k"], "t", direction="nearest")
+        asof_join(l, r, ["k"], "t", direction="sideways")
 
 
 def _random_intervals(spark, seed, n_pts=150, n_iv=40, n_keys=5):
@@ -382,3 +382,38 @@ def test_asof_multi_key(spark):
     got = {row.lid: row.rid
            for row in asof_join(l, r, ["k", "g"], "t").collect()}
     assert got == {1: 100, 2: 200}
+
+
+def test_asof_nearest_matches_brute(spark):
+    l, r, left, right = _random_sides(spark, seed=29)
+    got = {row.lid: row.rid
+           for row in asof_join(l, r, ["k"], "t",
+                                direction="nearest").collect()}
+
+    def brute_nearest(u_left, u_right, tol=None):
+        out = {}
+        for k, lt, lid in u_left:
+            cands = [(abs((lt - rt).total_seconds()),
+                      0 if rt <= lt else 1, rt, rid)
+                     for rk, rt, rid in u_right if rk == k]
+            cands.sort()
+            pick = cands[0] if cands else None
+            if pick and tol is not None and pick[0] > tol:
+                pick = None
+            out[lid] = pick[3] if pick else None
+        return out
+
+    assert got == brute_nearest(left, right)
+    tol = {row.lid: row.rid
+           for row in asof_join(l, r, ["k"], "t", direction="nearest",
+                                tolerance_s=300).collect()}
+    assert tol == brute_nearest(left, right, tol=300)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    l = spark.createDataFrame([(1, _ts(10), 5)],
+                              "k int, t timestamp, lid int")
+    r = spark.createDataFrame([(1, _ts(5), 1), (1, _ts(15), 2)],
+                              "k int, t timestamp, rid int")
+    assert asof_join(l, r, ["k"], "t",
+                     direction="nearest").collect()[0].rid == 1
