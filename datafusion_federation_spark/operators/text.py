@@ -317,3 +317,38 @@ def collocations(df: DataFrame, text_col: str, id_col: str,
     return (j.select("w1", "w2", F.col("c_ab").cast("bigint")
                      .alias("c_ab"), lift.alias("lift"))
             .orderBy(F.desc("lift"), "w1", "w2").limit(top_n))
+
+
+def edit1_pairs(vocab: DataFrame, word_col: str = "w") -> DataFrame:
+    """EXACT edit-distance-1 pairs over a vocabulary without any
+    all-pairs stage — the SymSpell/FastSS deletion-neighborhood join
+    (entity-resolution / typo-clustering primitive):
+
+    every word generates its length+1 single-character-deletion
+    variants (the word itself included); two words at edit distance 1
+    under substitution/insertion/deletion NECESSARILY share a variant
+    (substitute: delete the differing char from both; insert/delete:
+    the shorter word IS a variant of the longer), so the candidate set
+    from an equi-join on the variant is complete — blocking on first
+    char or length bands, the naive choice, silently misses
+    first-character substitutions. A final levenshtein == 1 filter
+    removes the false candidates (distance-2 words can also share a
+    variant, e.g. two different substitutions of the same position).
+
+    One explode (length+1 x) + one equi-join on the variant + distinct:
+    the candidate volume is sum(len+1) per word, never |V|^2. Returns
+    ordered pairs (w1 < w2), each exactly once.
+    """
+    v = vocab.select(F.col(word_col).alias("_w")).distinct()
+    variants = v.select(
+        "_w",
+        F.explode(F.expr(
+            "transform(sequence(0, length(_w)), "
+            "i -> concat(substring(_w, 1, i), substring(_w, i+2)))"
+        )).alias("_var")).distinct()
+    a = variants.select(F.col("_w").alias("w1"), "_var")
+    b = variants.select(F.col("_w").alias("w2"), "_var")
+    cand = (a.join(b, "_var")
+            .filter(F.col("w1") < F.col("w2"))
+            .select("w1", "w2").distinct())
+    return cand.filter(F.levenshtein("w1", "w2") == 1)

@@ -189,6 +189,10 @@ SECONDARY = {
     # in-window by d40 (backward arm); two-direction compose + tie rule
     # oracle-checked locally both SFs, brute-force differential in tests
     "d59_asof_nearest",
+    # round 5: SymSpell edit-1 fuzzy join — candidate-join shape carried
+    # in-window by d03's bucketed pairs; naive-levenshtein oracle PASS
+    # locally both SFs + brute-force differential in tests
+    "d60_fuzzy_vocab_pairs",
 }
 
 DEC = "decimal(12,2)"

@@ -2250,3 +2250,41 @@ def d59(spark, sf):
                  F.count("click_id").cast("bigint").alias("n_matched"),
                  F.sum("gap_us").cast("bigint").alias("gap_us_total"))
             .orderBy("user_id"))
+
+
+@q("d60_fuzzy_vocab_pairs", """
+WITH toks AS (SELECT w FROM (SELECT unnest(string_split(lower(p_name),
+                ' ')) AS w FROM part) z WHERE w <> ''),
+v AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+p AS (SELECT a.w AS w1, b.w AS w2
+      FROM v a JOIN v b ON a.w < b.w
+      WHERE levenshtein(a.w, b.w) = 1)
+SELECT p.w1, p.w2, CAST(ca.c AS BIGINT) AS c1, CAST(cb.c AS BIGINT) AS c2
+FROM p JOIN v ca ON p.w1 = ca.w JOIN v cb ON p.w2 = cb.w
+ORDER BY p.w1, p.w2
+""")
+def d60(spark, sf):
+    """Exact fuzzy-join in the oracle gate: all edit-distance-1 word
+    pairs in the part-name vocabulary via the SymSpell
+    deletion-neighborhood join (operators/text.edit1_pairs) — complete
+    by construction, no |V|^2 stage anywhere. The oracle IS the naive
+    all-pairs levenshtein scan DuckDB can afford on the small vocab:
+    the slow spec checking the scalable shape. (The documents fixture's
+    31-word synthetic vocabulary contains NO edit-1 pairs — a vacuous
+    gate; part names carry 2 at every SF, so the row is non-empty.)"""
+    from .operators.text import edit1_pairs
+    part = t(spark, sf, "part")
+    toks = (part.select(F.explode(F.split(F.lower("p_name"), " "))
+                        .alias("w"))
+            .filter(F.col("w") != ""))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = edit1_pairs(vocab.select("w"))
+    cnt = vocab.select(F.col("w"), F.col("c"))
+    return (pairs
+            .join(cnt.withColumnRenamed("w", "w1")
+                  .withColumnRenamed("c", "c1"), "w1")
+            .join(cnt.withColumnRenamed("w", "w2")
+                  .withColumnRenamed("c", "c2"), "w2")
+            .select("w1", "w2", F.col("c1").cast("bigint").alias("c1"),
+                    F.col("c2").cast("bigint").alias("c2"))
+            .orderBy("w1", "w2"))
