@@ -193,6 +193,10 @@ SECONDARY = {
     # in-window by d03's bucketed pairs; naive-levenshtein oracle PASS
     # locally both SFs + brute-force differential in tests
     "d60_fuzzy_vocab_pairs",
+    # round 5: rolling z-score anomaly — RANGE-frame machinery carried
+    # in-window by d42 buckets + q70 frames; oracle PASS locally both
+    # SFs (sqrt is IEEE-correctly-rounded: no libm divergence possible)
+    "d61_rolling_anomaly",
 }
 
 DEC = "decimal(12,2)"

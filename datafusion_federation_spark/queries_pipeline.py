@@ -2288,3 +2288,72 @@ def d60(spark, sf):
             .select("w1", "w2", F.col("c1").cast("bigint").alias("c1"),
                     F.col("c2").cast("bigint").alias("c2"))
             .orderBy("w1", "w2"))
+
+
+@q("d61_rolling_anomaly", """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS tot,
+         SUM(CAST(value AS DECIMAL(12,2))
+             * CAST(value AS DECIMAL(12,2))) AS totsq
+  FROM events GROUP BY event_type, day),
+w AS (
+  SELECT event_type, day, n,
+         CAST(SUM(n) OVER tw AS BIGINT) AS wn,
+         CAST(SUM(tot) OVER tw AS DOUBLE) AS ws,
+         CAST(SUM(totsq) OVER tw AS DOUBLE) AS wss,
+         CAST(tot AS DOUBLE) AS tot_d
+  FROM daily
+  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT event_type, day, n,
+         ws / wn AS mean_v,
+         sqrt(wss / wn - (ws / wn) * (ws / wn)) AS sd_v,
+         tot_d / n AS day_mean
+  FROM w WHERE wn > 0)
+SELECT event_type, day,
+       ROUND(day_mean, 6) AS day_mean,
+       ROUND(mean_v, 6) AS trail_mean,
+       CASE WHEN sd_v > 0
+            THEN ROUND((day_mean - mean_v) / sd_v, 6) END AS z
+FROM z ORDER BY event_type, day
+""")
+def d61(spark, sf):
+    """Rolling anomaly detection: each day's mean event value against
+    the trailing 7-day per-VALUE mean/stddev of its event type. Every
+    aggregate stays DECIMAL (exact) until one double division per
+    statistic; the z-score's only irrational op is sqrt, which IEEE
+    754 REQUIRES correctly rounded — unlike log/exp, it can never
+    diverge between engines (the same reason d54 ranks by lift, not
+    PMI). RANGE frame over integer epoch-days: gap days shrink the
+    window, they do not stretch it."""
+    e = t(spark, sf, "events")
+    from .operators import temporal
+    v = dec("value")
+    daily = (e.groupBy("event_type",
+                       temporal.time_bucket(F.col("ts"), 86400)
+                       .alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(v).alias("tot"),
+                  F.sum(v * v).alias("totsq")))
+    tw = (W.partitionBy("event_type").orderBy("day")
+          .rangeBetween(-6, 0))
+    w = daily.select(
+        "event_type", "day", "n",
+        F.sum("n").over(tw).cast("bigint").alias("wn"),
+        F.sum("tot").over(tw).cast("double").alias("ws"),
+        F.sum("totsq").over(tw).cast("double").alias("wss"),
+        F.col("tot").cast("double").alias("tot_d"))
+    mean_v = F.col("ws") / F.col("wn")
+    sd_v = F.sqrt(F.col("wss") / F.col("wn") - mean_v * mean_v)
+    day_mean = F.col("tot_d") / F.col("n")
+    return (w.filter(F.col("wn") > 0)
+            .select("event_type", "day",
+                    F.round(day_mean, 6).alias("day_mean"),
+                    F.round(mean_v, 6).alias("trail_mean"),
+                    F.when(sd_v > 0,
+                           F.round((day_mean - mean_v) / sd_v, 6))
+                    .alias("z"))
+            .orderBy("event_type", "day"))
