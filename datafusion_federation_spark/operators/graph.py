@@ -57,6 +57,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # edges/nodes lineage re-executes once per iteration; we MEASURED
+    # localCheckpoint'ing them (d51, 488k edges, 5 iters) and it LOST —
+    # warm 1.9s -> 2.6s, cold also worse: the materialization barrier
+    # costs more than re-running a cheap self-join. Checkpoint the
+    # EDGES YOURSELF before calling when their derivation is expensive
+    # (a multi-stage similarity pipeline), not as a default here.
     nodes = (e.select(F.col("_src").alias("node"))
              .union(e.select(F.col("_dst").alias("node")))
              .distinct())
