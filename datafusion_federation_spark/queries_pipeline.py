@@ -1441,7 +1441,7 @@ def d41(spark, sf):
 
 
 @q("d42_hourly_gapfill", """
-WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+WITH b AS (SELECT event_type, CAST(fdiv(epoch_us(ts), 3600000000) AS BIGINT) AS hb,
                   COUNT(*) AS n,
                   CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2)
                        AS DOUBLE) AS total
@@ -1739,7 +1739,7 @@ def d48(spark, sf):
 
 @q("d49_trailing_window", """
 WITH daily AS (
-  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+  SELECT user_id, CAST(fdiv(epoch_us(ts), 86400000000) AS BIGINT) AS day,
          SUM(CAST(value AS DECIMAL(12,2))) AS rev
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, day)
 SELECT user_id, day,
@@ -1877,7 +1877,7 @@ def _d51_oracle(iters: int = 5) -> str:
     literals; decimal literals would silently switch DuckDB to decimal
     division)."""
     parts = ["""
-WITH p AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hb, user_id
+WITH p AS (SELECT DISTINCT CAST(fdiv(epoch_us(ts), 3600000000) AS BIGINT) AS hb, user_id
            FROM events WHERE event_type = 'purchase'),
 e0 AS (SELECT a.user_id AS src, b.user_id AS dst
        FROM p a JOIN p b ON a.hb = b.hb AND a.user_id <> b.user_id),
@@ -2110,7 +2110,7 @@ def d54(spark, sf):
 
 @q("d56_cohort_retention", """
 WITH act AS (SELECT DISTINCT user_id,
-                    epoch_us(ts) // 604800000000 AS wk
+                    CAST(fdiv(epoch_us(ts), 604800000000) AS BIGINT) AS wk
              FROM events),
 coh AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
 SELECT coh.cohort, act.wk - coh.cohort AS week_offset,
@@ -2292,7 +2292,7 @@ def d60(spark, sf):
 
 @q("d61_rolling_anomaly", """
 WITH daily AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+  SELECT event_type, CAST(fdiv(epoch_us(ts), 86400000000) AS BIGINT) AS day,
          COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(12,2))) AS tot,
          SUM(CAST(value AS DECIMAL(12,2))
@@ -2310,7 +2310,7 @@ w AS (
 z AS (
   SELECT event_type, day, n,
          ws / wn AS mean_v,
-         sqrt(wss / wn - (ws / wn) * (ws / wn)) AS sd_v,
+         sqrt(greatest(wss / wn - (ws / wn) * (ws / wn), 0)) AS sd_v,
          tot_d / n AS day_mean
   FROM w WHERE wn > 0)
 SELECT event_type, day,
@@ -2346,8 +2346,13 @@ def d61(spark, sf):
         F.sum("tot").over(tw).cast("double").alias("ws"),
         F.sum("totsq").over(tw).cast("double").alias("wss"),
         F.col("tot").cast("double").alias("tot_d"))
+    # clamp: cancellation makes a near-constant window's variance a
+    # tiny NEGATIVE double — DuckDB's sqrt hard-errors on it and
+    # Spark's returns NaN, which passes `NaN > 0` and leaks into z
+    # (review r5, reproduced with a single 0.05-valued window)
     mean_v = F.col("ws") / F.col("wn")
-    sd_v = F.sqrt(F.col("wss") / F.col("wn") - mean_v * mean_v)
+    sd_v = F.sqrt(F.greatest(
+        F.col("wss") / F.col("wn") - mean_v * mean_v, F.lit(0.0)))
     day_mean = F.col("tot_d") / F.col("n")
     return (w.filter(F.col("wn") > 0)
             .select("event_type", "day",
