@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 
 from .expressions import Alias, Col, Cube, Expr, GroupingSets, Rollup, Star
 from .plans.nodes import (
-    Aggregate, Analyze, Distinct, Filter, Join, Limit, Plan, Project,
-    RemoteQueryNode, Scan, SetOp, Sort, SubqueryAlias, Union, Window,
+    Aggregate, Analyze, AsofJoin, Distinct, Filter, Join, Limit, Plan,
+    Project, RemoteQueryNode, Scan, SetOp, Sort, SubqueryAlias, Union,
+    Window,
 )
 from .schema_cast import cast_dataframe
 
@@ -161,6 +162,9 @@ class Compiler:
                 return df
             return self._filter_plain(self._c(p.input), pred, p.input)
 
+        if isinstance(p, AsofJoin):
+            return self._compile_asof(p)
+
         if isinstance(p, Join):
             if self.runtime_join_filters and p.how in ("inner", "semi"):
                 p = self._push_runtime_join_filter(p)
@@ -241,6 +245,97 @@ class Compiler:
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
     # ------------------------------------------------------------------
+    def _compile_asof(self, p: AsofJoin):
+        """Local arm of ASOF JOIN: analyze the ON condition into key
+        equalities + exactly one timestamp inequality, then delegate to
+        operators/temporal.asof_join (union + one keyed window — no
+        join node). Refusals are loud NotImplementedErrors, matching
+        the repo's other semantic refusals: a shape we cannot compile
+        faithfully must never compile approximately.
+
+        Output naming: left columns keep their names (and the left
+        relation's alias, so qualified refs keep resolving); right-side
+        carried columns arrive under the operator's suffix rules — the
+        right timestamp is always ``<ts>_right``. The federated arm
+        (DuckDB renders native ASOF) is schema-aligned by the engine's
+        expected-schema cast like every remote plan."""
+        from .expressions import BinaryOp
+        from .federation import _visible_aliases
+        from .operators.temporal import asof_join
+
+        def aliases(side):
+            # a per-table federated child arrives as a RemoteQueryNode
+            # LEAF — its qualifier lives on the claimed sub-plan
+            if isinstance(side, RemoteQueryNode):
+                return aliases(side.plan)
+            return _visible_aliases(side)
+
+        left_al = aliases(p.left)
+        right_al = aliases(p.right)
+
+        def conjuncts(e):
+            if isinstance(e, BinaryOp) and e.op.upper() == "AND":
+                return conjuncts(e.left) + conjuncts(e.right)
+            return [e]
+
+        def side_of(c):
+            if not isinstance(c, Col) or not c.table:
+                return None
+            t = c.table.lower()
+            if t in left_al and t not in right_al:
+                return "l"
+            if t in right_al and t not in left_al:
+                return "r"
+            return None
+
+        if p.condition is None:
+            raise NotImplementedError("ASOF JOIN requires an ON clause")
+        keys, ineq = [], None
+        for cj in conjuncts(p.condition):
+            ok = (isinstance(cj, BinaryOp)
+                  and cj.op in ("=", ">=", "<="))
+            ls = side_of(cj.left) if ok else None
+            rs = side_of(cj.right) if ok else None
+            if not ok or ls is None or rs is None or ls == rs:
+                raise NotImplementedError(
+                    "ASOF JOIN ON must be a conjunction of "
+                    "left-vs-right column equalities plus ONE >=/<= "
+                    f"timestamp bound; cannot compile {cj!r}")
+            lc, rc = ((cj.left, cj.right) if ls == "l"
+                      else (cj.right, cj.left))
+            op = cj.op if ls == "l" else {">=": "<=", "<=": ">=",
+                                          "=": "="}[cj.op]
+            if op == "=":
+                if lc.name != rc.name:
+                    raise NotImplementedError(
+                        f"as-of key columns must share a name "
+                        f"({lc.name} vs {rc.name}); alias them equal "
+                        "in a subquery first")
+                keys.append(lc.name)
+            else:
+                if ineq is not None:
+                    raise NotImplementedError(
+                        "ASOF JOIN supports exactly one timestamp "
+                        "inequality")
+                ineq = (op, lc.name, rc.name)
+        if ineq is None or not keys:
+            raise NotImplementedError(
+                "ASOF JOIN needs >= 1 key equality and exactly one "
+                "timestamp inequality")
+
+        left_df, right_df = self._c(p.left), self._c(p.right)
+        out = asof_join(
+            left_df, right_df, on=keys, left_ts=ineq[1],
+            right_ts=ineq[2],
+            direction="backward" if ineq[0] == ">=" else "forward")
+        if p.how == "inner":
+            out = out.filter(F.col(ineq[2] + "_right").isNotNull())
+        if isinstance(p.left, SubqueryAlias):
+            # keep the left relation's qualifier addressable (a.col);
+            # right-side columns are reachable unqualified/suffixed
+            out = out.alias(p.left.alias)
+        return out
+
     def _push_runtime_join_filter(self, p: Join) -> Join:
         """For an equi-join with exactly one federated input, bound the
         remote side by the other side's join-key min/max before the

@@ -165,6 +165,7 @@ class Dialect:
     #: whether the engine has native SEMI/ANTI JOIN syntax; when False the
     #: unparser rewrites semi/anti joins to (NOT) EXISTS
     supports_semi_anti_join = False
+    supports_asof_join = False       # native ASOF JOIN syntax
 
     #: keyword for `SELECT * <kw> (cols)` column exclusion — DuckDB spells
     #: it EXCLUDE, Spark/Databricks/BigQuery spell it EXCEPT; None means
@@ -243,6 +244,7 @@ def _pg_extract(field):
 class DuckDBDialect(Dialect):
     name = "duckdb"
     supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
+    supports_asof_join = True       # native ASOF [LEFT] JOIN
     star_exclude_kw = "EXCLUDE"     # SELECT * EXCLUDE (a, b)
     supports_star_replace = True    # SELECT * REPLACE (x*2 AS x)
     function_map = {

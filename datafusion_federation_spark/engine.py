@@ -42,6 +42,9 @@ class FederationEngine:
     def register_local_parquet(self, name: str, path: str):
         return self.catalog.register_local_parquet(name, path)
 
+    def register_local_df(self, name: str, df):
+        return self.catalog.register_local_df(name, df)
+
     def register_remote(self, provider: SQLProvider, local_name: str,
                         remote_name: Optional[str] = None, schema=None):
         return self.catalog.register_remote(provider, local_name,

@@ -172,6 +172,16 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
         res = res.merge(scan_expr(e, enclosing, outer_vetted))
     for i in p.inputs():
         res = res.merge(scan_plan(i, enclosing, outer_vetted))
+    from .plans.nodes import AsofJoin
+    if isinstance(p, AsofJoin) and res.is_distinct():
+        # ASOF is claimable only by engines with native syntax; every
+        # other dialect forces local (the window-op compile) rather
+        # than a mis-rendered plain join
+        from .dialects import get_dialect
+        name = getattr(getattr(res.provider, "executor", None),
+                       "dialect", "ansi")
+        if not get_dialect(name).supports_asof_join:
+            return ScanResult.ambiguous()
     return res
 
 

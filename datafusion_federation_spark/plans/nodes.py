@@ -93,6 +93,34 @@ class Join(Plan):
 
 
 @dataclass(eq=False)
+class AsofJoin(Plan):
+    """Event-time as-of join: for each left row, the single right row
+    nearest in time under the ON condition's one inequality
+    (``l.ts >= r.ts`` -> backward, ``<=`` -> forward), matched on the
+    condition's equality conjuncts. how: inner | left.
+
+    Locally this compiles to operators/temporal.asof_join (union + one
+    keyed window — no join node); federated, dialects with native ASOF
+    (DuckDB) render it verbatim and every other dialect refuses the
+    claim so the plan stays local (dialects.supports_asof_join).
+    """
+
+    left: Plan
+    right: Plan
+    how: str = "left"
+    condition: Optional[Expr] = None
+
+    def inputs(self): return (self.left, self.right)
+
+    def exprs(self):
+        return (self.condition,) if self.condition is not None else ()
+
+    def with_inputs(self, new_inputs):
+        return AsofJoin(new_inputs[0], new_inputs[1], self.how,
+                        self.condition)
+
+
+@dataclass(eq=False)
 class Aggregate(Plan):
     """group_by may contain plain exprs or Rollup/Cube/GroupingSets."""
 

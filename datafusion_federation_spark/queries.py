@@ -197,6 +197,11 @@ SECONDARY = {
     # in-window by d42 buckets + q70 frames; oracle PASS locally both
     # SFs (sqrt is IEEE-correctly-rounded: no libm divergence possible)
     "d61_rolling_anomaly",
+    # round 5: ASOF through the SQL front door — asof machinery carried
+    # in-window by d40; front door by q67/q70; oracle IS the same SQL
+    # on DuckDB, PASS locally both SFs + 7 dedicated tests (incl.
+    # native-pushdown render and non-ASOF-dialect forced-local)
+    "q75_sql_asof_join",
 }
 
 DEC = "decimal(12,2)"

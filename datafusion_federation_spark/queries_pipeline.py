@@ -2362,3 +2362,32 @@ def d61(spark, sf):
                            F.round((day_mean - mean_v) / sd_v, 6))
                     .alias("z"))
             .orderBy("event_type", "day"))
+
+
+_Q75_SQL = """
+SELECT a.user_id, a.event_id, click_id
+FROM (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events
+                WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id
+"""
+
+
+@q("q75_sql_asof_join", _Q75_SQL)
+def q75(spark, sf):
+    """ASOF JOIN through the SQL FRONT DOOR: sqlfront parses DuckDB's
+    ASOF grammar into the AsofJoin plan node; locally it compiles to
+    the join-free window operator (plan pinned in test_asof_sql.py),
+    and when a provider with native ASOF claims the subtree the
+    unparser renders the syntax verbatim (dialects.supports_asof_join
+    gates the claim — SQLite/Postgres/MySQL force local). The oracle
+    string IS the query string: DuckDB runs the same SQL."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    # register the t()-normalized frame, not the raw path: the events
+    # fixture has shipped TIMESTAMP(NANOS), which a raw engine-side
+    # parquet read would reject outright
+    eng.register_local_df("events", t(spark, sf, "events"))
+    return eng.sql(_Q75_SQL)

@@ -29,6 +29,16 @@ class FederatedCatalog:
         self._tables[name] = h
         return h
 
+    def register_local_df(self, name: str, df) -> TableHandle:
+        """A native Spark table from an EXISTING DataFrame (temp view
+        under the hood) — for inputs that need Spark-side preparation a
+        raw path read cannot express (e.g. the events fixture's
+        TIMESTAMP(NANOS) normalization, queries.t)."""
+        df.createOrReplaceTempView(name)
+        h = TableHandle(local_name=name, provider=_LOCAL)
+        self._tables[name] = h
+        return h
+
     def register_remote(self, provider: SQLProvider, local_name: str,
                         remote_name: Optional[str] = None,
                         schema=None) -> TableHandle:

@@ -681,6 +681,22 @@ class Parser:
                 rhs = self.parse_relation(scope)
                 plan = Join(plan, rhs, how="cross")
                 continue
+            if self.accept_kw("ASOF"):
+                # ASOF [LEFT|INNER] JOIN rel ON cond (DuckDB grammar);
+                # default inner like a plain JOIN
+                ahow = "inner"
+                if self.accept_kw("LEFT"):
+                    self.accept_kw("OUTER")
+                    ahow = "left"
+                else:
+                    self.accept_kw("INNER")
+                self.expect_kw("JOIN")
+                rhs = self.parse_relation(scope)
+                self.expect_kw("ON")
+                cond = self.parse_expr(scope)
+                from .plans.nodes import AsofJoin
+                plan = AsofJoin(plan, rhs, how=ahow, condition=cond)
+                continue
             if self.accept_kw("INNER"):
                 how = "inner"
                 self.expect_kw("JOIN")
@@ -746,7 +762,7 @@ class Parser:
                     "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
                     "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT",
                     "EXCEPT", "JOIN", "ON", "INNER", "LEFT", "RIGHT",
-                    "FULL", "CROSS", "AS", "USING")):
+                    "FULL", "CROSS", "AS", "USING", "ASOF")):
             return self.take()[1]
         return None
 

@@ -289,6 +289,20 @@ class Unparser:
                 sh.joins.append(f"{kw} {rrel} ON {cond}")
             return sh
 
+        from .plans.nodes import AsofJoin as _AsofJoin
+        if isinstance(plan, _AsofJoin):
+            if not d.supports_asof_join:
+                raise UnsupportedUnparse(
+                    f"dialect {d.name!r} has no native ASOF JOIN — the "
+                    "federation gate should have kept this plan local")
+            # a left-side WHERE commutes with both inner and left asof
+            lsh = self._build_shell_as_relation(plan.left, False)
+            rrel = self._relation_sql_for_join(plan.right)
+            cond = plan.condition.to_sql(d)
+            kw = "ASOF LEFT JOIN" if plan.how == "left" else "ASOF JOIN"
+            lsh.joins.append(f"{kw} {rrel} ON {cond}")
+            return lsh
+
         if isinstance(plan, Aggregate):
             sh = self._build_shell(plan.input)
             if (sh.select is not None or sh.group_by is not None or sh.limit
