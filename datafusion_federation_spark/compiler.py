@@ -1129,6 +1129,12 @@ def _plan_output_cols(p: Plan):
         return None
     if isinstance(p, (Union, SetOp)):
         return _plan_output_cols(p.inputs()[0])
+    if isinstance(p, AsofJoin):
+        # like Join: the output spans both sides (left cols + carried
+        # right cols) — the generic first-input fallthrough would hide
+        # the right side and let push_filters misattribute an ambiguous
+        # bare ref to the OTHER join side (review r5, reproduced)
+        return None
     if isinstance(p, Join):
         # a join outputs BOTH sides; returning one side would let the
         # runtime-filter optimizer misattribute a key column — unknown

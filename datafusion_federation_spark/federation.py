@@ -20,7 +20,8 @@ from .expressions import (
     Exists, Expr, InSubquery, OuterRef, ScalarSubquery, SetComparison, walk,
 )
 from .plans.nodes import (
-    Plan, Project, RemoteQueryNode, Scan, SubqueryAlias, walk_plan,
+    AsofJoin, Plan, Project, RemoteQueryNode, Scan, SubqueryAlias,
+    walk_plan,
 )
 from .expressions import Col, Star
 from .sources.provider import FederationProvider, LocalSparkProvider
@@ -172,15 +173,13 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
         res = res.merge(scan_expr(e, enclosing, outer_vetted))
     for i in p.inputs():
         res = res.merge(scan_plan(i, enclosing, outer_vetted))
-    from .plans.nodes import AsofJoin
     if isinstance(p, AsofJoin) and res.is_distinct():
         # ASOF is claimable only by engines with native syntax; every
         # other dialect forces local (the window-op compile) rather
-        # than a mis-rendered plain join
-        from .dialects import get_dialect
-        name = getattr(getattr(res.provider, "executor", None),
-                       "dialect", "ansi")
-        if not get_dialect(name).supports_asof_join:
+        # than a mis-rendered plain join. SQLProvider already carries
+        # the resolved Dialect object — no per-visit lookup.
+        d = getattr(res.provider, "dialect", None)
+        if not getattr(d, "supports_asof_join", False):
             return ScanResult.ambiguous()
     return res
 
@@ -197,10 +196,31 @@ def federate(plan: Plan) -> Plan:
     RemoteQueryNode leaves; everything else stays for the Spark
     compiler."""
     from .optimizer import prune_scans, push_filters
+    _reject_star_over_asof(plan)
     plan = push_filters(plan)
     plan = prune_scans(plan)
     new_plan, _ = _optimize_recursively(plan, is_root=True)
     return new_plan
+
+
+def _reject_star_over_asof(plan: Plan) -> None:
+    """SELECT * over an ASOF JOIN is refused BEFORE either arm runs:
+    SQL's star expansion (all left+right columns) and the engine's
+    documented asof output contract (left + suffixed right, no right
+    keys) disagree, so the native-remote and local-window arms would
+    return different shapes for the same query — the one thing this
+    engine must never do (review r5, reproduced as a SchemaCastError
+    on the federated arm and silent divergence on the local one)."""
+    for node in walk_plan(plan):
+        if (isinstance(node, Project)
+                and isinstance(node.input, AsofJoin)
+                and any(isinstance(e, Star) for e in node.projections)):
+            raise NotImplementedError(
+                "SELECT * over ASOF JOIN is not supported: the star "
+                "expansion differs between native-remote and local "
+                "execution; list the output columns explicitly "
+                "(right-side columns unqualified, right timestamp as "
+                "'<ts>_right')")
 
 
 def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:

@@ -103,11 +103,20 @@ class AsofJoin(Plan):
     keyed window — no join node); federated, dialects with native ASOF
     (DuckDB) render it verbatim and every other dialect refuses the
     claim so the plan stays local (dialects.supports_asof_join).
+
+    Output contract (ENGINE semantics, both arms must be written to
+    it): left columns under their own names; right timestamp as
+    ``<ts>_right``; right payload unqualified (suffixed on collision);
+    right KEY columns not re-exposed. ``SELECT *`` over an ASOF JOIN is
+    REFUSED (the SQL expansion and this contract disagree — list
+    columns explicitly); qualified right-side refs (``b.x``) resolve
+    only when a native-ASOF engine executes the subtree — reference
+    right columns unqualified for arm-independent SQL.
     """
 
     left: Plan
     right: Plan
-    how: str = "left"
+    how: str = "inner"   # same default as Join / DuckDB's ASOF JOIN
     condition: Optional[Expr] = None
 
     def inputs(self): return (self.left, self.right)

@@ -2368,8 +2368,9 @@ _Q75_SQL = """
 SELECT a.user_id, a.event_id, click_id
 FROM (SELECT user_id, ts, event_id FROM events
       WHERE event_type = 'purchase') a
-ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events
-                WHERE event_type = 'click') b
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts) b
   ON a.user_id = b.user_id AND a.ts >= b.ts
 ORDER BY a.event_id
 """
@@ -2383,7 +2384,10 @@ def q75(spark, sf):
     and when a provider with native ASOF claims the subtree the
     unparser renders the syntax verbatim (dialects.supports_asof_join
     gates the claim — SQLite/Postgres/MySQL force local). The oracle
-    string IS the query string: DuckDB runs the same SQL."""
+    string IS the query string: DuckDB runs the same SQL. The click
+    side is grouped to one row per (user, instant) IN the SQL — the
+    operator's documented uniqueness contract, enforced identically on
+    both engines so "the" as-of match can never be data-dependent."""
     from .engine import FederationEngine
     eng = FederationEngine(spark)
     # register the t()-normalized frame, not the raw path: the events

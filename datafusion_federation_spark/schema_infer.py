@@ -72,7 +72,18 @@ def _quiet_analysis_errors(spark):
     import logging
 
     names = ("SQLQueryContextLogger", "DataFrameQueryContextLogger")
-    loggers = [logging.getLogger(n) for n in names]
+    # create THROUGH PySpark's factory: a plain logging.getLogger here
+    # would REGISTER these names as stdlib Loggers first, and the
+    # stdlib manager hands back the existing instance forever after —
+    # PySpark's later kwarg-style calls (log.error(..., file=...))
+    # then TypeError and MASK the real AnalysisException (review r5,
+    # reproduced: every analysis error after one probe surfaced as
+    # "Logger._log() got an unexpected keyword argument 'file'")
+    try:
+        from pyspark.logger import PySparkLogger
+        loggers = [PySparkLogger.getLogger(n) for n in names]
+    except ImportError:  # pragma: no cover - older pyspark
+        loggers = [logging.getLogger(n) for n in names]
     prev = [lg.level for lg in loggers]
     for lg in loggers:
         lg.setLevel(logging.CRITICAL)

@@ -35,7 +35,11 @@ class FederatedCatalog:
         raw path read cannot express (e.g. the events fixture's
         TIMESTAMP(NANOS) normalization, queries.t)."""
         df.createOrReplaceTempView(name)
-        h = TableHandle(local_name=name, provider=_LOCAL)
+        # schema attached: scan pruning / filter-side attribution /
+        # shell schema inference all read it (review r5 — without it
+        # this table's columns are invisible to every optimizer pass)
+        h = TableHandle(local_name=name, provider=_LOCAL,
+                        schema=df.schema)
         self._tables[name] = h
         return h
 

@@ -295,6 +295,10 @@ class Unparser:
                 raise UnsupportedUnparse(
                     f"dialect {d.name!r} has no native ASOF JOIN — the "
                     "federation gate should have kept this plan local")
+            if plan.condition is None:
+                raise UnsupportedUnparse(
+                    "ASOF JOIN requires an ON condition (there is no "
+                    "meaningful ON TRUE form)")
             # a left-side WHERE commutes with both inner and left asof
             lsh = self._build_shell_as_relation(plan.left, False)
             rrel = self._relation_sql_for_join(plan.right)

@@ -128,3 +128,42 @@ def test_unsupported_shapes_refuse(local_engine):
             ASOF LEFT JOIN (SELECT user_id AS uid, ts FROM events) b
             ON a.user_id = b.uid AND a.ts >= b.ts
         """).collect()
+
+
+def test_select_star_over_asof_refused(local_engine, duck_engine):
+    star = """
+    SELECT * FROM (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+                    FROM events WHERE event_type = 'click') b
+    ON a.user_id = b.user_id AND a.ts >= b.ts
+    """
+    # the refusal must fire on BOTH arms, before either executes —
+    # otherwise the two arms would return different shapes for the
+    # same SQL
+    with pytest.raises(NotImplementedError, match="SELECT \\*"):
+        local_engine.sql(star)
+    eng, _ = duck_engine
+    with pytest.raises(NotImplementedError, match="SELECT \\*"):
+        eng.sql(star)
+
+
+def test_ambiguous_ref_above_asof_errors_not_binds(local_engine):
+    """A bare column that exists on the asof output AND a later join
+    side must error like DuckDB's binder does — the provenance pass
+    reporting only the left side's columns used to let it silently
+    bind to the other side (review r5, reproduced)."""
+    sql = """
+    SELECT a.event_id
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+                    FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    JOIN (SELECT event_id AS click_id, user_id AS cu FROM events
+          WHERE event_type = 'view') c
+      ON a.user_id = c.cu
+    WHERE click_id > 100
+    """
+    with pytest.raises(Exception, match="(?i)ambiguous"):
+        local_engine.sql(sql).collect()
