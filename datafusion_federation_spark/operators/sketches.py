@@ -257,3 +257,125 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key: str,
     return (j.groupBy(key)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("bigint").alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+#
+# The classic shuffle-reduction move for 100 TB fact-dim joins (Bloom
+# 1970): build an m-bit / kh-hash membership filter over the dim side's
+# join keys, broadcast it, and drop fact rows whose key provably cannot
+# match BEFORE the join's Exchange. Spark has an engine-internal analog
+# (spark.sql.optimizer.runtime.bloomFilter.*, injected only for shuffle
+# joins it can see through); this is the EXPLICIT, cross-source version
+# the federation setting needs — the dim side may be a remote SQL
+# provider (sources/provider.py) whose keys arrive as a federated scan,
+# while the fact side is local parquet: the filter is the only thing
+# that crosses, m/8 bytes however many rows the dim has.
+#
+# Distributed shape: the build explodes each dim key to kh bit
+# positions, then ONE map-side-combined groupBy(word) bit_or's them
+# into <= m/64 (word, mask) rows — the only wide op, bounded by the
+# filter size, not the data. The probe packs those rows into a 1-row
+# map column (driver never sees it), broadcasts it, and tests kh bits
+# per fact row in pure codegen (try_element_at + shift — no UDF). A
+# fact row passes only if ALL kh bits are set; false positives are
+# possible (fill^kh), false NEGATIVES are not (property-tested), so
+# pruned-then-joined results are EXACTLY the unpruned join's — which is
+# what makes the operator oracle-checkable (d62).
+#
+# When to prefer it over a plain broadcast join: an exact broadcast
+# hash join ships ~8 bytes per distinct dim key; at 10^8 keys that is
+# ~800 MB per executor, but a 2^27-bit bloom is 16 MB at ~1% false
+# positives. Size m ~ 10 bits per expected distinct key for fpp ~1%
+# with kh=5 (kh_opt = m/n * ln 2).
+
+#: probe-side helper columns; guarded like asof_join's reserved names
+_BLOOM_RESERVED = ("_bloom_words",)
+
+
+def _check_bloom(m_bits: int, kh: int) -> None:
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64; "
+                         f"got {m_bits}")
+    if kh < 1 or kh > 16:
+        raise ValueError(f"need 1 <= kh <= 16 hash functions; got {kh}")
+
+
+def _bloom_positions(key: Column, m_bits: int, kh: int,
+                     salt: str) -> list:
+    """kh independent bit positions in [0, m_bits): xxhash64 seeded by
+    a per-function salt literal (deterministic per VALUE, so the filter
+    is partition-layout-invariant; xxhash64 is fine here — the filter
+    never crosses engines, only prunes rows that an exact join then
+    verifies)."""
+    return [F.pmod(F.xxhash64(F.lit(f"{salt}:{i}"), key), F.lit(m_bits))
+            for i in range(kh)]
+
+
+def bloom_bits(df: DataFrame, key: str, m_bits: int = 1 << 22,
+               kh: int = 5, salt: str = "bloom") -> DataFrame:
+    """Build the filter: <= m_bits/64 rows of (word int, mask bigint),
+    the set bits of a Bloom filter over ``df[key]``. NULL keys are
+    excluded by definition (a NULL never equi-matches). The groupBy is
+    map-side combined, so each task emits at most m/64 rows no matter
+    how many keys it saw."""
+    _check_bloom(m_bits, kh)
+    kc = F.col(key)
+    pos = F.explode(F.array(
+        *_bloom_positions(kc, m_bits, kh, salt))).alias("pos")
+    e = df.filter(kc.isNotNull()).select(pos)
+    return (e.groupBy(F.shiftright("pos", 6).cast("int").alias("word"))
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(pos % 64 AS INT)))").alias("mask")))
+
+
+def bloom_prune(df: DataFrame, key: str, bits: DataFrame,
+                m_bits: int = 1 << 22, kh: int = 5,
+                salt: str = "bloom") -> DataFrame:
+    """Keep only rows whose ``key`` MIGHT be in the filter (same
+    m_bits/kh/salt as the build — a mismatch silently prunes wrong, as
+    with cm_estimate). The bits pack into a single map literal via a
+    1-row aggregate (bounded by m/8 bytes, independent of data volume)
+    that broadcasts to every task; the kh probes run in whole-stage
+    codegen. NULL keys are pruned (they cannot equi-match). An EMPTY
+    build side yields an empty map -> everything pruned, matching the
+    empty-dim join."""
+    _check_bloom(m_bits, kh)
+    clash = [c for c in df.columns
+             if c in _BLOOM_RESERVED or c.startswith("_bp")]
+    if clash:
+        raise ValueError(
+            f"input uses bloom_prune's reserved column names {clash}")
+    one = bits.agg(F.map_from_entries(F.collect_list(
+        F.struct("word", "mask"))).alias("_bloom_words"))
+    out = df.join(F.broadcast(one))
+    kc = F.col(key)
+    cond = kc.isNotNull()
+    helpers = []
+    for i, p in enumerate(_bloom_positions(kc, m_bits, kh, salt)):
+        h = f"_bp{i}"
+        helpers.append(h)
+        out = out.withColumn(h, p)
+        cond = cond & F.expr(
+            f"(coalesce(try_element_at(_bloom_words, "
+            f"CAST({h} DIV 64 AS INT)), CAST(0 AS BIGINT)) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({h} % 64 AS INT))) != 0")
+    return out.filter(cond).drop("_bloom_words", *helpers)
+
+
+def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                    dim_key: str, m_bits: int = 1 << 22, kh: int = 5,
+                    salt: str = "bloom") -> DataFrame:
+    """fact LEFT SEMI JOIN dim with a Bloom pre-prune: exact-equal to
+    the plain semi join (the verify join removes every false positive),
+    but only the filter-surviving fraction of the fact reaches the
+    join's Exchange. The dim side is read twice (bits + verify) — at
+    scale cache or checkpoint it if it is itself expensive."""
+    pruned = bloom_prune(fact, fact_key, bloom_bits(dim, dim_key,
+                                                    m_bits, kh, salt),
+                         m_bits, kh, salt)
+    keys = dim.select(dim_key).distinct()
+    return pruned.join(keys, on=pruned[fact_key] == keys[dim_key],
+                       how="left_semi")

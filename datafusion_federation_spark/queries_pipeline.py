@@ -2395,3 +2395,48 @@ def q75(spark, sf):
     # parquet read would reject outright
     eng.register_local_df("events", t(spark, sf, "events"))
     return eng.sql(_Q75_SQL)
+
+
+@q("d62_bloom_join_prune", """
+SELECT p_brand,
+       COUNT(*) AS items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5 AND p_brand LIKE 'Brand#1%'
+GROUP BY p_brand
+ORDER BY p_brand
+""")
+def d62(spark, sf):
+    """Bloom-pruned fact-dim join, oracle-checked against the PLAIN
+    join: lineitem rows are pre-filtered by an m=2^16-bit / kh=5 Bloom
+    filter built from the selected part keys BEFORE any join Exchange,
+    then the exact broadcast join removes the ~fill^kh false positives
+    — so the result is bit-identical to the unpruned join, which is
+    exactly what makes the operator oracle-checkable (same relationship
+    as d24-d27's twins). At 100 TB this is the cross-SOURCE runtime
+    filter the federation setting needs: only m/8 filter bytes cross
+    the wire from a remote dim, and the surviving fact fraction (~1.9%
+    here) is all that reaches the shuffle
+    (operators/sketches.py:bloom_bits/bloom_prune; no-false-negative
+    and semi-join-equality property tests in test_sketches.py)."""
+    from .operators.sketches import bloom_bits, bloom_prune
+    m_bits, kh = 1 << 16, 5
+    part = (t(spark, sf, "part")
+            .filter((F.col("p_size") <= 5)
+                    & F.col("p_brand").like("Brand#1%"))
+            .select("p_partkey", "p_brand"))
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        (dec("l_extendedprice")
+         * (F.lit(1) - dec("l_discount"))).alias("rev"))
+    pruned = bloom_prune(li, "l_partkey",
+                         bloom_bits(part, "p_partkey", m_bits, kh),
+                         m_bits, kh)
+    j = pruned.join(F.broadcast(part),
+                    pruned["l_partkey"] == part["p_partkey"])
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("items"),
+                 money(F.col("rev")).alias("revenue"))
+            .orderBy("p_brand"))

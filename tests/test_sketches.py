@@ -172,3 +172,90 @@ class TestCountMin:
             cm_sketch)
         with pytest.raises(ValueError, match="depth"):
             cm_sketch(self._df(spark), "v", depth=0)
+
+
+class TestBloom:
+    """Bloom join pruning: the contract is NO FALSE NEGATIVES (so a
+    verify join makes pruned results exact) plus layout invariance and
+    the empty/NULL edges."""
+
+    M, KH = 1 << 12, 5
+
+    def _sides(self, spark):
+        fact = spark.range(5_000).select(F.col("id").alias("k"))
+        dim = (spark.range(5_000).filter(F.col("id") % 29 == 0)
+               .select(F.col("id").alias("dk")))
+        return fact, dim
+
+    def test_no_false_negatives(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            bloom_bits, bloom_prune)
+        _, dim = self._sides(spark)
+        bits = bloom_bits(dim, "dk", self.M, self.KH)
+        kept = bloom_prune(dim.select(F.col("dk").alias("k")), "k",
+                           bits, self.M, self.KH)
+        assert kept.count() == dim.count()
+
+    def test_semi_join_equals_plain(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            bloom_semi_join)
+        fact, dim = self._sides(spark)
+        got = sorted(r.k for r in bloom_semi_join(
+            fact, dim, "k", "dk", self.M, self.KH).collect())
+        want = sorted(r.k for r in fact.join(
+            dim, fact["k"] == dim["dk"], "left_semi").collect())
+        assert got == want
+
+    def test_pruning_is_effective(self, spark):
+        # ~173 of 5000 keys match; with m=4096/kh=5 the filter must cut
+        # the candidate set far below the full fact (fill ~ 19%)
+        from datafusion_federation_spark.operators.sketches import (
+            bloom_bits, bloom_prune)
+        fact, dim = self._sides(spark)
+        n = bloom_prune(fact, "k",
+                        bloom_bits(dim, "dk", self.M, self.KH),
+                        self.M, self.KH).count()
+        assert dim.count() <= n < 1_000
+
+    def test_layout_invariance(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            bloom_bits)
+        _, dim = self._sides(spark)
+        one = sorted(bloom_bits(dim.coalesce(1), "dk", self.M,
+                                self.KH).collect())
+        many = sorted(bloom_bits(dim.repartition(13), "dk", self.M,
+                                 self.KH).collect())
+        assert one == many
+
+    def test_empty_dim_prunes_everything(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            bloom_bits, bloom_prune)
+        fact, dim = self._sides(spark)
+        bits = bloom_bits(dim.filter(F.lit(False)), "dk", self.M,
+                          self.KH)
+        assert bloom_prune(fact, "k", bits, self.M, self.KH).count() == 0
+
+    def test_null_keys_pruned_both_sides(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            bloom_bits, bloom_prune)
+        fact = spark.sql("SELECT * FROM VALUES (CAST(NULL AS BIGINT)), "
+                         "(29), (30) AS t(k)")
+        dim = spark.sql("SELECT * FROM VALUES (CAST(NULL AS BIGINT)), "
+                        "(29) AS t(dk)")
+        bits = bloom_bits(dim, "dk", self.M, self.KH)
+        kept = [r.k for r in bloom_prune(fact, "k", bits, self.M,
+                                         self.KH).collect()]
+        assert 29 in kept and None not in kept
+
+    def test_contract_checks(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            bloom_bits, bloom_prune)
+        fact, dim = self._sides(spark)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_bits(dim, "dk", m_bits=100)
+        with pytest.raises(ValueError, match="hash functions"):
+            bloom_bits(dim, "dk", m_bits=128, kh=0)
+        with pytest.raises(ValueError, match="reserved"):
+            bloom_prune(fact.withColumn("_bp0", F.lit(1)), "k",
+                        bloom_bits(dim, "dk", self.M, self.KH),
+                        self.M, self.KH)
