@@ -210,3 +210,46 @@ def test_sqlite_int_float_affinity(spark):
     assert sch["x"].dataType == T.LongType()
     assert sch["y"].dataType == T.DoubleType()
     assert sch["z"].dataType == T.DoubleType()
+
+
+def test_bloom_prune_from_remote_dim(duckdb_engine):
+    """The cross-SOURCE runtime-filter story end to end: the dim side
+    (urgent orders) lives on the DuckDB remote, the fact side
+    (lineitem) is local parquet. The dim's keys arrive as ONE federated
+    scan with the filter inside the remote SQL; the Bloom filter built
+    from them prunes the local fact before its join Exchange; the exact
+    semi join then matches the two-engine oracle bit for bit — false
+    positives never escape, however the remote hashed its rows."""
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.operators.sketches import (
+        bloom_bits, bloom_prune)
+    eng, ex = duckdb_engine
+    q0 = ex.metrics().get("queries", 0)
+    dim_plan = (eng.table("orders")
+                .filter(BinaryOp("=", col("o_orderpriority"),
+                                 lit("1-URGENT")))
+                .select(col("o_orderkey")).plan)
+    assert isinstance(federate(dim_plan), RemoteQueryNode), \
+        "the dim scan must ship to the remote as one SQL query"
+    dim = eng.execute(dim_plan)
+    m_bits, kh = 1 << 14, 5
+    fact = eng.spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+    pruned = bloom_prune(fact.select("l_orderkey", "l_quantity"),
+                         "l_orderkey",
+                         bloom_bits(dim, "o_orderkey", m_bits, kh),
+                         m_bits, kh)
+    keys = dim.select("o_orderkey").distinct()
+    got = (pruned.join(keys,
+                       pruned["l_orderkey"] == keys["o_orderkey"],
+                       "left_semi")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+           .collect()[0])
+    want = _duck_oracle(
+        "SELECT COUNT(*), SUM(CAST(l_quantity AS BIGINT)) "
+        "FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders "
+        " WHERE o_orderpriority = '1-URGENT')")[0]
+    assert (got.n, got.qty) == (want[0], want[1])
+    # the dim fetch is the only remote execution in this test
+    assert ex.metrics()["queries"] == q0 + 1
