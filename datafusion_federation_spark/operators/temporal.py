@@ -352,3 +352,62 @@ def funnel_times(events: DataFrame, steps: Sequence[str],
         prev = name
     return (out.groupBy(user)
             .agg(*[F.max(n).alias(n) for n in names]))
+
+
+def scd2_history(df: DataFrame, keys: Sequence[str], ts_col: str,
+                 attr_cols: Sequence[str],
+                 tiebreak: Optional[str] = None) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a mutation log:
+    collapse each key's consecutive identical attribute states into one
+    row and stamp it with a validity interval. Adds four columns to the
+    surviving rows: ``valid_from`` (the change's timestamp),
+    ``valid_to`` (the NEXT change's timestamp, NULL on the open
+    current row), ``version`` (1-based change ordinal per key), and
+    ``is_current``.
+
+    This is the warehouse-side half of federated dimension sync: the
+    reference ships remote dims verbatim (sqltable.rs scan); a lakehouse
+    ingesting those snapshots/CDC feeds needs the type-2 compaction to
+    answer "state as of t" joins (which then feed asof_join above).
+
+    Semantics:
+
+    - A row survives iff it is its key's first row or ANY attr column
+      differs from the previous row's value, NULL-safely (NULL -> value
+      and value -> NULL are both changes; NULL -> NULL is not).
+    - Ordering within a key is ``ts_col`` then ``tiebreak`` (pass a
+      unique id whenever timestamps can tie — without it, "the"
+      previous row of tied timestamps is engine-arbitrary).
+
+    100 TB: exactly ONE hash Exchange on ``keys``. The change filter
+    and the interval stamping are two Window passes over the same
+    (partitioning, ordering), so Catalyst plans the second without a
+    new shuffle (the kept subset is re-sorted in place; EnsureRequirements
+    sees the child's hash distribution already satisfied — pinned in
+    test_temporal.py). A pathologically hot key serializes its sort;
+    the time-slicing mitigation in the module docstring applies
+    unchanged.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+    clash = {"valid_from", "valid_to", "version", "is_current"} & \
+        set(df.columns)
+    if clash:
+        raise ValueError(f"df already has SCD2 output columns: "
+                         f"{sorted(clash)}")
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    # first row of the key: lag over a constant is NULL exactly there
+    changed = F.lag(F.lit(1)).over(w).isNull()
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    kept = (df.withColumn("__scd2_keep", changed)
+            .filter(F.col("__scd2_keep")).drop("__scd2_keep"))
+    return (kept
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w))
+            .withColumn("version",
+                        F.row_number().over(w).cast("bigint"))
+            .withColumn("is_current", F.lead(ts_col).over(w).isNull()))

@@ -2440,3 +2440,54 @@ def d62(spark, sf):
             .agg(F.count(F.lit(1)).alias("items"),
                  money(F.col("rev")).alias("revenue"))
             .orderBy("p_brand"))
+
+
+@q("d63_scd2_history", """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER w AS rn,
+         LAG(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""")
+def d63(spark, sf):
+    """Type-2 SCD history over the event log: each user's stream of
+    event_type states collapsed to its change points, stamped with
+    [valid_from, valid_to) validity and a per-user version ordinal —
+    the lakehouse compaction a federation engine needs downstream of
+    raw dimension/CDC ingest (the reference ships remote dims verbatim;
+    "state as of t" queries need this form, which then drives
+    temporal.asof_join). operators/temporal.scd2_history: NULL-safe
+    multi-attribute change detection + interval stamping as two Window
+    passes over ONE hash Exchange on the key (plan pinned in
+    test_temporal.py). event_id tiebreaks tied timestamps so "the"
+    previous row is never engine-arbitrary; timestamps leave as
+    strings per the suite's cross-engine idiom."""
+    from .operators import temporal
+    e = t(spark, sf, "events").select("user_id", "event_type", "ts",
+                                      "event_id")
+    h = temporal.scd2_history(e, keys=["user_id"], ts_col="ts",
+                              attr_cols=["event_type"],
+                              tiebreak="event_id")
+    return (h.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+         .alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
+         .alias("valid_to"),
+        "version", "is_current")
+        .orderBy("user_id", "version"))

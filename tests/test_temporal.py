@@ -417,3 +417,80 @@ def test_asof_nearest_tie_prefers_backward(spark):
                               "k int, t timestamp, rid int")
     assert asof_join(l, r, ["k"], "t",
                      direction="nearest").collect()[0].rid == 1
+
+
+class TestScd2History:
+    def _log(self, spark):
+        # user 1: a->a->b->b->a ; user 2: x(NULL)->NULL->NULL->y
+        rows = [
+            (1, _ts(0), "a", 10), (1, _ts(1), "a", 11),
+            (1, _ts(2), "b", 12), (1, _ts(3), "b", 13),
+            (1, _ts(4), "a", 14),
+            (2, _ts(0), "x", 20), (2, _ts(1), None, 21),
+            (2, _ts(2), None, 22), (2, _ts(3), "y", 23),
+        ]
+        return spark.createDataFrame(
+            rows, "k int, t timestamp, state string, id int")
+
+    def test_change_points_and_intervals(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            scd2_history)
+        h = scd2_history(self._log(spark), ["k"], "t", ["state"],
+                         tiebreak="id")
+        got = [(r.k, r.state, r.valid_from, r.valid_to, r.version,
+                r.is_current)
+               for r in h.orderBy("k", "version").collect()]
+        assert got == [
+            (1, "a", _ts(0), _ts(2), 1, False),
+            (1, "b", _ts(2), _ts(4), 2, False),
+            (1, "a", _ts(4), None, 3, True),
+            # NULL->NULL is NOT a change; x->NULL and NULL->y are
+            (2, "x", _ts(0), _ts(1), 1, False),
+            (2, None, _ts(1), _ts(3), 2, False),
+            (2, "y", _ts(3), None, 3, True),
+        ]
+
+    def test_multi_attr_any_change_survives(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            scd2_history)
+        df = spark.createDataFrame(
+            [(1, _ts(0), "a", 1, 100), (1, _ts(1), "a", 2, 101),
+             (1, _ts(2), "a", 2, 102), (1, _ts(3), "b", 2, 103)],
+            "k int, t timestamp, s string, v int, id int")
+        h = scd2_history(df, ["k"], "t", ["s", "v"], tiebreak="id")
+        assert [(r.s, r.v, r.version) for r in
+                h.orderBy("version").collect()] == [
+            ("a", 1, 1), ("a", 2, 2), ("b", 2, 3)]
+
+    def test_tiebreak_orders_equal_timestamps(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            scd2_history)
+        df = spark.createDataFrame(
+            [(1, _ts(0), "b", 2), (1, _ts(0), "a", 1)],
+            "k int, t timestamp, s string, id int")
+        h = scd2_history(df, ["k"], "t", ["s"], tiebreak="id")
+        assert [(r.s, r.version, r.is_current) for r in
+                h.orderBy("version").collect()] == [
+            ("a", 1, False), ("b", 2, True)]
+
+    def test_single_exchange(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            scd2_history)
+        h = scd2_history(self._log(spark), ["k"], "t", ["state"],
+                         tiebreak="id")
+        plan = h._jdf.queryExecution().executedPlan().toString()
+        # the change filter and the stamping windows share the hash
+        # distribution: one Exchange, never two
+        assert plan.count("Exchange") == 1, plan
+
+    def test_contract_errors(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            scd2_history)
+        df = self._log(spark)
+        with pytest.raises(ValueError, match="keys"):
+            scd2_history(df, [], "t", ["state"])
+        with pytest.raises(ValueError, match="attr_cols"):
+            scd2_history(df, ["k"], "t", [])
+        clash = df.withColumn("version", F.lit(1))
+        with pytest.raises(ValueError, match="output columns"):
+            scd2_history(clash, ["k"], "t", ["state"])
