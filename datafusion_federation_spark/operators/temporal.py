@@ -102,28 +102,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
             "another suffix")
 
     # union frame: left keeps all its columns; right contributes its
-    # timestamp + payload under reserved names. Sides are tagged so ties
-    # at the same instant order right-at-or-before-left (backward) /
-    # left-before-right (forward), making the >= / <= bounds inclusive.
-    # "nearest" reuses the backward tag order: an equal-instant right is
-    # then caught by the backward arm with gap 0, which always wins, so
-    # the forward arm missing same-ts rows is immaterial.
+    # timestamp + payload as ONE struct under a reserved name. The
+    # struct is non-NULL exactly on right rows, so last(ignorenulls)
+    # carries whole right ROWS: a NULL inside a payload column stays
+    # the matched row's NULL instead of resurrecting an older right
+    # row's value, and two payload columns can never mix values from
+    # different right rows (the per-column carry did both — seventh
+    # review, r5, caught by the scd2->asof composition test). Sides
+    # are tagged so ties at the same instant order
+    # right-at-or-before-left (backward) / left-before-right (forward),
+    # making the >= / <= bounds inclusive. "nearest" reuses the
+    # backward tag order: an equal-instant right is then caught by the
+    # backward arm with gap 0, which always wins, so the forward arm
+    # missing same-ts rows is immaterial.
+    from pyspark.sql import types as _T
     r_side, l_side = ((1, 0) if direction == "forward" else (0, 1))
+    # _R-prefixed ts field name: payload columns can't start with _R
+    # (reserved-name guard above), so the field never shadows one
+    ts_field = _R + "ts"
+    pay = _R + "pay"
+    pay_type = _T.StructType(
+        [_T.StructField(ts_field, right.schema[rts].dataType)]
+        + [_T.StructField(c, right.schema[c].dataType)
+           for c in payload])
     lf = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("_asof_t"),
         F.lit(l_side).alias("_asof_side"),
-        F.lit(None).cast(right.schema[rts].dataType).alias(_R + rts),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(_R + c)
-          for c in payload])
+        F.lit(None).cast(pay_type).alias(pay))
     rf = right.select(
         *[(F.col(c) if c in keys
            else F.lit(None).cast(left.schema[c].dataType)).alias(c)
           for c in left.columns],
         F.col(rts).alias("_asof_t"),
         F.lit(r_side).alias("_asof_side"),
-        F.col(rts).alias(_R + rts),
-        *[F.col(c).alias(_R + c) for c in payload])
+        F.struct(
+            F.col(rts).alias(ts_field),
+            *[F.col(c).alias(c) for c in payload]).alias(pay))
     u = lf.unionByName(rf)
 
     wb = (W.partitionBy(*keys).orderBy("_asof_t", "_asof_side")
@@ -133,38 +148,35 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     back = lambda c: F.last(c, ignorenulls=True).over(wb)  # noqa: E731
     fwd = lambda c: F.first(c, ignorenulls=True).over(wf)  # noqa: E731
 
-    carried = [_R + rts] + [_R + c for c in payload]
     if direction == "backward":
-        u = u.select(*u.columns,
-                     *[back(c).alias(c + "_c") for c in carried])
+        u = u.select(*u.columns, back(pay).alias(pay + "_c"))
     elif direction == "forward":
-        u = u.select(*u.columns,
-                     *[fwd(c).alias(c + "_c") for c in carried])
+        u = u.select(*u.columns, fwd(pay).alias(pay + "_c"))
     else:
         # nearest: BOTH carries in the same window pass (two frames,
         # one partitioning — still a single Exchange), picked per row
         # by exact integer gap; ties prefer backward (pandas semantics)
         u = u.select(*u.columns,
-                     *[back(c).alias(c + "_b") for c in carried],
-                     *[fwd(c).alias(c + "_f") for c in carried])
+                     back(pay).alias(pay + "_b"),
+                     fwd(pay).alias(pay + "_f"))
         lt = F.unix_micros(F.col("_asof_t"))
-        bts = F.col(_R + rts + "_b")
-        fts = F.col(_R + rts + "_f")
-        use_b = bts.isNotNull() & (
-            fts.isNull()
+        bts = F.col(pay + "_b")[ts_field]
+        fts = F.col(pay + "_f")[ts_field]
+        use_b = F.col(pay + "_b").isNotNull() & (
+            F.col(pay + "_f").isNull()
             | ((lt - F.unix_micros(bts))
                <= (F.unix_micros(fts) - lt)))
         u = u.select(*u.columns,
-                     *[F.when(use_b, F.col(c + "_b"))
-                       .otherwise(F.col(c + "_f")).alias(c + "_c")
-                       for c in carried])
+                     F.when(use_b, F.col(pay + "_b"))
+                     .otherwise(F.col(pay + "_f")).alias(pay + "_c"))
     u = u.filter(F.col("_asof_side") == l_side)
 
-    matched = F.col(_R + rts + "_c").isNotNull()
+    carried = F.col(pay + "_c")
+    matched = carried.isNotNull()
     if tolerance_s is not None:
         # exact integer microseconds — no float time arithmetic
         gap = (F.unix_micros(F.col("_asof_t"))
-               - F.unix_micros(F.col(_R + rts + "_c")))
+               - F.unix_micros(carried[ts_field]))
         if direction == "forward":
             gap = -gap
         elif direction == "nearest":
@@ -175,8 +187,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         return c + suffix if (c in left.columns or c == rts) else c
 
     outs = [F.col(c) for c in left.columns]
-    outs += [F.when(matched, F.col(_R + c + "_c"))
-             .alias(out_name(c)) for c in [rts] + payload]
+    outs += [F.when(matched, carried[f])
+             .alias(out_name(c))
+             for c, f in [(rts, ts_field)] + [(c, c) for c in payload]]
     return u.select(*outs)
 
 

@@ -494,3 +494,63 @@ class TestScd2History:
         clash = df.withColumn("version", F.lit(1))
         with pytest.raises(ValueError, match="output columns"):
             scd2_history(clash, ["k"], "t", ["state"])
+
+    def test_scd2_feeds_asof_point_in_time(self, spark):
+        """The composition the docstring promises: 'state as of t' =
+        scd2_history (change points) -> asof_join on valid_from. Must
+        equal the brute-force 'latest event at-or-before t' on the RAW
+        log, because the history keeps exactly the first row of every
+        run of equal states."""
+        from datafusion_federation_spark.operators.temporal import (
+            asof_join, scd2_history)
+        rng = random.Random(99)
+        states = ["a", "b", "c", None]
+        log = [(rng.randrange(5), _ts(rng.randrange(0, 3000)),
+                rng.choice(states), i) for i in range(300)]
+        # unique (k, t): the change-point contract needs a total order
+        seen = set()
+        log = [r for r in log
+               if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+        queries = [(rng.randrange(5), _ts(rng.randrange(0, 3000)), qid)
+                   for qid in range(80)]
+        ldf = spark.createDataFrame(
+            log, "k int, t timestamp, state string, id int")
+        qdf = spark.createDataFrame(
+            queries, "k int, qt timestamp, qid int")
+        hist = scd2_history(ldf, ["k"], "t", ["state"], tiebreak="id") \
+            .select("k", F.col("valid_from").alias("t"), "state")
+        got = {r.qid: r.state for r in asof_join(
+            qdf, hist, on=["k"], left_ts="qt", right_ts="t").collect()}
+        want = {}
+        for k, qt, qid in queries:
+            cands = [(t, s) for kk, t, s, _ in log if kk == k and t <= qt]
+            want[qid] = max(cands)[1] if cands else None
+        assert got == want
+
+
+def test_asof_null_payload_is_rowlevel(spark):
+    """A matched right row with NULL payload fields must surface those
+    NULLs — not resurrect an older right row's values — and two payload
+    columns must come from the SAME right row (the per-column
+    last(ignorenulls) carry did neither; seventh review, r5)."""
+    r = spark.createDataFrame(
+        [(1, _ts(0), "old", 10), (1, _ts(10), None, 20),
+         (1, _ts(20), "new", None)],
+        "k int, t timestamp, a string, b int")
+    l = spark.createDataFrame(
+        [(1, _ts(5), 0), (1, _ts(15), 1), (1, _ts(25), 2)],
+        "k int, qt timestamp, lid int")
+    got = {x.lid: (x.a, x.b) for x in
+           asof_join(l, r, on=["k"], left_ts="qt", right_ts="t")
+           .collect()}
+    assert got == {0: ("old", 10),
+                   # matched row (ts 10) has a NULL, b=20 — 'old'/10
+                   # must NOT bleed through
+                   1: (None, 20),
+                   # matched row (ts 20) has a='new', b NULL — no mix
+                   2: ("new", None)}
+    # forward and nearest carry the same struct — spot-check forward
+    fwd = {x.lid: (x.a, x.b) for x in
+           asof_join(l, r, on=["k"], left_ts="qt", right_ts="t",
+                     direction="forward").collect()}
+    assert fwd == {0: (None, 20), 1: ("new", None), 2: (None, None)}
