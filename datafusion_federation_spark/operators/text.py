@@ -9,7 +9,7 @@ composable with filters that Catalyst pushes into the scan.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -352,3 +352,51 @@ def edit1_pairs(vocab: DataFrame, word_col: str = "w") -> DataFrame:
             .filter(F.col("w1") < F.col("w2"))
             .select("w1", "w2").distinct())
     return cand.filter(F.levenshtein("w1", "w2") == 1)
+
+
+def inverted_index(df: DataFrame, text_col: str, id_col: str,
+                   max_postings: Optional[int] = None) -> DataFrame:
+    """Posting lists: one row per distinct term with its exact document
+    frequency and the sorted list of containing doc ids, optionally
+    capped to the ``max_postings`` LOWEST ids (a deterministic cap —
+    ``df_docs`` stays exact, so consumers can see how much was
+    dropped). The retrieval-side primitive for term lookup, tf-idf
+    weighting, and decontamination-by-term.
+
+    Shape: (term, doc) pairs are deduplicated ON THE MAP SIDE
+    (``array_distinct`` per document before the explode), so the one
+    and only Exchange — on the term — carries each pair once, not once
+    per occurrence. The document-frequency count, the cap's
+    row_number, and the final collect are all term-partitioned, so the
+    whole pipeline is a single shuffle (pinned in test_operators.py).
+
+    100 TB: a stop term owns the largest partition; the cap bounds the
+    OUTPUT but not that partition's sort. Exclude known stop terms
+    up front (filter on a broadcast list) when the corpus has them —
+    same posture as dedup.py's df>=2 prune; a term's full posting list
+    at this scale is only useful for rare-to-mid terms anyway.
+    """
+    from pyspark.sql import Window as W
+    if max_postings is not None and max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    clash = {"term", "df_docs", "postings"} & {text_col, id_col}
+    if clash:
+        raise ValueError(f"rename input columns {sorted(clash)}: they "
+                         "collide with the output schema")
+    toks = df.select(
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.lower(F.col(text_col)), " "),
+                     lambda w: w != ""))).alias("term"),
+        F.col(id_col).alias("__ii_doc"))
+    w_term = W.partitionBy("term")
+    w_ord = w_term.orderBy("__ii_doc")
+    x = (toks
+         .withColumn("df_docs",
+                     F.count(F.lit(1)).over(w_term).cast("bigint"))
+         .withColumn("__ii_rn", F.row_number().over(w_ord)))
+    if max_postings is not None:
+        x = x.filter(F.col("__ii_rn") <= max_postings)
+    return (x.groupBy("term")
+            .agg(F.max("df_docs").alias("df_docs"),
+                 F.sort_array(F.collect_list("__ii_doc"))
+                 .alias("postings")))

@@ -2491,3 +2491,39 @@ def d63(spark, sf):
          .alias("valid_to"),
         "version", "is_current")
         .orderBy("user_id", "version"))
+
+
+@q("d64_inverted_index", """
+WITH pairs AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                                          w -> w <> ''))) AS term
+  FROM documents
+),
+x AS (
+  SELECT term, doc_id,
+         COUNT(*) OVER (PARTITION BY term) AS df_docs,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM pairs
+)
+SELECT term, CAST(df_docs AS BIGINT) AS df_docs,
+       list_sort(list(doc_id)) AS postings
+FROM x
+WHERE rn <= 8
+GROUP BY term, df_docs
+ORDER BY term
+""")
+def d64(spark, sf):
+    """Inverted index with a deterministic posting cap: every distinct
+    term with its EXACT document frequency and the 8 lowest containing
+    doc ids (operators/text.inverted_index). (term, doc) pairs dedupe
+    map-side via array_distinct before the explode, so the single
+    term-keyed Exchange carries each pair once; df count, cap
+    row_number, and the collect all reuse that partitioning (plan
+    pinned in test_operators.py). The cap is the honest-at-scale part:
+    df_docs stays exact while a stop term's posting list stays
+    bounded, and both engines pick the same 8 ids."""
+    from .operators import text
+    d = t(spark, sf, "documents")
+    return (text.inverted_index(d, "text", "doc_id", max_postings=8)
+            .orderBy("term"))

@@ -776,3 +776,41 @@ class TestEdit1Pairs:
             .toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestInvertedIndex:
+    DOCS = [(1, "b a a c"), (2, "a b"), (3, "c"), (4, ""),
+            (5, None), (6, "A b")]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_matches_brute_force(self, spark):
+        got = {r.term: (r.df_docs, r.postings) for r in
+               text.inverted_index(self._df(spark), "text", "doc_id")
+               .collect()}
+        # lowercased, per-doc deduped, empty/None dropped, sorted ids
+        assert got == {"a": (3, [1, 2, 6]),
+                       "b": (3, [1, 2, 6]),
+                       "c": (2, [1, 3])}
+
+    def test_cap_keeps_lowest_ids_and_exact_df(self, spark):
+        got = {r.term: (r.df_docs, r.postings) for r in
+               text.inverted_index(self._df(spark), "text", "doc_id",
+                                   max_postings=2).collect()}
+        assert got["a"] == (3, [1, 2])     # df exact, postings capped
+        assert got["c"] == (2, [1, 3])     # under the cap: untouched
+
+    def test_single_exchange(self, spark):
+        plan = (text.inverted_index(self._df(spark), "text", "doc_id",
+                                    max_postings=8)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1, plan
+
+    def test_contract_errors(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="max_postings"):
+            text.inverted_index(df, "text", "doc_id", max_postings=0)
+        bad = df.withColumnRenamed("text", "term")
+        with pytest.raises(ValueError, match="collide"):
+            text.inverted_index(bad, "term", "doc_id")
