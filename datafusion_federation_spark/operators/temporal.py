@@ -391,6 +391,11 @@ def scd2_history(df: DataFrame, keys: Sequence[str], ts_col: str,
     - Ordering within a key is ``ts_col`` then ``tiebreak`` (pass a
       unique id whenever timestamps can tie — without it, "the"
       previous row of tied timestamps is engine-arbitrary).
+    - NULL timestamps are the caller's contract to exclude: Spark
+      sorts NULLs FIRST ascending while most SQL engines (DuckDB,
+      Postgres) default to NULLS LAST, so a NULL-timestamped mutation
+      would take a different slot in a cross-engine oracle. Filter
+      them (or repair upstream) before calling.
 
     100 TB: exactly ONE hash Exchange on ``keys``. The change filter
     and the interval stamping are two Window passes over the same

@@ -375,6 +375,11 @@ def inverted_index(df: DataFrame, text_col: str, id_col: str,
     up front (filter on a broadcast list) when the corpus has them —
     same posture as dedup.py's df>=2 prune; a term's full posting list
     at this scale is only useful for rare-to-mid terms anyway.
+
+    NULL ids are the caller's contract to exclude (Spark's sort_array
+    puts NULLs first, DuckDB's list_sort last — a NULL id would land
+    in engine-dependent posting slots); text NULLs simply contribute
+    no pairs on either engine.
     """
     from pyspark.sql import Window as W
     if max_postings is not None and max_postings < 1:
