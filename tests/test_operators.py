@@ -814,3 +814,12 @@ class TestInvertedIndex:
         bad = df.withColumnRenamed("text", "term")
         with pytest.raises(ValueError, match="collide"):
             text.inverted_index(bad, "term", "doc_id")
+
+    def test_partition_layout_invariant(self, spark):
+        df = self._df(spark)
+        a = sorted(map(tuple, text.inverted_index(
+            df.coalesce(1), "text", "doc_id", max_postings=2).collect()))
+        b = sorted(map(tuple, text.inverted_index(
+            df.repartition(7, "doc_id"), "text", "doc_id",
+            max_postings=2).collect()))
+        assert a == b

@@ -554,3 +554,18 @@ def test_asof_null_payload_is_rowlevel(spark):
            asof_join(l, r, on=["k"], left_ts="qt", right_ts="t",
                      direction="forward").collect()}
     assert fwd == {0: (None, 20), 1: ("new", None), 2: (None, None)}
+
+
+def test_scd2_partition_layout_invariant(spark):
+    from datafusion_federation_spark.operators.temporal import (
+        scd2_history)
+    df = TestScd2History()._log(spark)
+
+    def run(frame):
+        return sorted(
+            (r.k, r.version, r.state, r.valid_from, r.valid_to,
+             r.is_current)
+            for r in scd2_history(frame, ["k"], "t", ["state"],
+                                  tiebreak="id").collect())
+
+    assert run(df.coalesce(1)) == run(df.repartition(5, "id"))
