@@ -211,9 +211,21 @@ def _reject_star_over_asof(plan: Plan) -> None:
     return different shapes for the same query — the one thing this
     engine must never do (review r5, reproduced as a SchemaCastError
     on the federated arm and silent divergence on the local one)."""
+    from .plans.nodes import Distinct, Filter, Limit, Sort, SubqueryAlias
+
+    def _reaches_asof(node) -> bool:
+        # transparent nodes pass the input schema through untouched, so
+        # a star above any chain of them still expands the asof output
+        # (ADVICE r5: 'SELECT * FROM a ASOF JOIN b WHERE ...' parses as
+        # Project(Filter(AsofJoin)) and slipped past the direct check)
+        while isinstance(node, (Filter, Sort, Limit, Distinct,
+                                SubqueryAlias)):
+            node = node.input
+        return isinstance(node, AsofJoin)
+
     for node in walk_plan(plan):
         if (isinstance(node, Project)
-                and isinstance(node.input, AsofJoin)
+                and _reaches_asof(node.input)
                 and any(isinstance(e, Star) for e in node.projections)):
             raise NotImplementedError(
                 "SELECT * over ASOF JOIN is not supported: the star "

@@ -163,9 +163,23 @@ def deterministic_shuffle(df: DataFrame, key: str,
     return df.orderBy(h, F.col(key))
 
 
+def _shard_hash(key: str, method: str) -> F.Column:
+    """int64 shard hash of a key column: ``xxhash64`` (JVM fast path)
+    or the engine-portable 60-bit md5-prefix (``CAST(concat('0x',
+    substr(md5(k),1,15)) AS BIGINT)`` on DuckDB — d67 oracle-checks the
+    whole shard layout through it)."""
+    if method == "xxhash64":
+        return F.xxhash64(F.col(key))
+    if method == "md5":
+        return F.conv(F.substring(F.md5(F.col(key).cast("string")),
+                                  1, 15), 16, 10).cast("bigint")
+    raise ValueError(f"unknown hash method {method!r}")
+
+
 def write_training_shards(df: DataFrame, path: str, key: str,
                           num_shards: int, fmt: str = "parquet",
-                          compression: str | None = None) -> None:
+                          compression: str | None = None,
+                          method: str = "xxhash64") -> None:
     """Materialize a training corpus as `num_shards` deterministic
     shards: rows land in shard ``pmod(xxhash64(key), num_shards)`` and
     are sorted by the key hash WITHIN each shard, so the written layout
@@ -189,18 +203,19 @@ def write_training_shards(df: DataFrame, path: str, key: str,
         raise ValueError(
             "input already has a 'shard' column; rename or drop it — "
             "write_training_shards would silently overwrite it")
-    h = F.pmod(F.xxhash64(F.col(key)), F.lit(num_shards))
+    hv = _shard_hash(key, method)
+    h = F.pmod(hv, F.lit(num_shards))
     w = (df.withColumn("shard", h)
            .repartition(num_shards * 4, "shard")
-           .sortWithinPartitions("shard", F.xxhash64(F.col(key)),
-                                 F.col(key))
+           .sortWithinPartitions("shard", hv, F.col(key))
            .write.mode("overwrite").partitionBy("shard").format(fmt))
     if compression:
         w = w.option("compression", compression)
     w.save(path)
 
 
-def shard_manifest(spark, path: str, key: str) -> DataFrame:
+def shard_manifest(spark, path: str, key: str,
+                   method: str = "xxhash64") -> DataFrame:
     """Audit manifest for a shard directory written by
     write_training_shards: one row per shard with its row count and an
     order-insensitive content digest (the BIGINT sum of xxhash64(key)
@@ -212,10 +227,11 @@ def shard_manifest(spark, path: str, key: str) -> DataFrame:
     per-shard aggregate — the payload never loads."""
     df = spark.read.parquet(path)
     # decimal(38,0) sum: exact and order-insensitive; a bigint sum of
-    # 64-bit hashes overflows (ANSI ArithmeticException)
+    # 64-bit hashes overflows (ANSI ArithmeticException). ``method``
+    # must match the writer's — the digest audits the writer's hash.
     return (df.groupBy("shard")
             .agg(F.count("*").alias("n_rows"),
-                 F.sum(F.xxhash64(F.col(key)).cast("decimal(38,0)"))
+                 F.sum(_shard_hash(key, method).cast("decimal(38,0)"))
                  .alias("content_digest"))
             .orderBy("shard"))
 

@@ -52,7 +52,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str = "ts", right_ts: Optional[str] = None,
               direction: str = "backward",
               tolerance_s: Optional[float] = None,
-              suffix: str = "_right") -> DataFrame:
+              suffix: str = "_right",
+              slice_s: Optional[int] = None) -> DataFrame:
     """For each left row, attach the single right row with the nearest
     ``right_ts`` at-or-before (``backward``), at-or-after
     (``forward``), or closest in either direction with ties to the
@@ -63,7 +64,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     in the same window pass — still one Exchange, no second shuffle.
 
     ``tolerance_s`` (seconds) nulls the match when the time gap exceeds
-    it, pandas-style. Right payload columns that collide with a left
+    it, pandas-style. For ``nearest`` this is applied AFTER picking the
+    nearer side — equivalent to pandas' filter-then-pick because both
+    gaps are nonnegative: if the picked (nearer) side exceeds the
+    tolerance the farther side does too, so no in-tolerance candidate
+    is ever discarded (ADVICE r5 suspected this corner; pinned
+    equivalent against real pandas merge_asof in test_temporal.py).
+    Right payload columns that collide with a left
     column name get ``suffix`` appended; the right timestamp is always
     returned as ``right_ts + suffix``.
 
@@ -77,10 +84,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     r.ts`` + row_number formulation Spark would otherwise plan buffers
     every (left, earlier-right) pair before pruning; this form carries
     one value per column instead.
+
+    ``slice_s`` (opt-in, seconds) is the hot-key scale path (VERDICT r5
+    item 5): a pathologically hot key (one entity, billions of rows)
+    serializes the per-key window sort. Slicing chunks time into
+    ``slice_s``-wide buckets and windows per (key, chunk) instead —
+    bounded partitions — after replicating each chunk's cross-chunk
+    carry row into the chunk (the last right row from earlier chunks
+    for ``backward``; the first from later chunks for ``forward``;
+    both for ``nearest``). The carry rows are computed on CHUNK-LEVEL
+    aggregates (one row per (key, chunk), ~range/slice_s rows per key),
+    never on the row-level data, so no task ever sorts a hot key's full
+    history. Results are EXACTLY the single-window form's (equality
+    property-tested in test_temporal.py): a left row's true match is
+    either inside its own chunk or IS the injected carry row, whose
+    real timestamp rides along so tolerance still measures true gaps.
+    Pick ``slice_s`` so a hot key's densest slice fits a task —
+    same sizing judgement as point_in_interval_join's grid.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, "
                          f"got {direction!r}")
+    if slice_s is not None:
+        return _asof_join_sliced(left, right, list(on), left_ts,
+                                 right_ts, direction, tolerance_s,
+                                 suffix, slice_s)
     keys = list(on)
     rts = right_ts or left_ts
     payload = [c for c in right.columns if c not in keys and c != rts]
@@ -193,13 +221,106 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     return u.select(*outs)
 
 
+def _asof_join_sliced(left: DataFrame, right: DataFrame, keys: List[str],
+                      left_ts: str, right_ts: Optional[str],
+                      direction: str, tolerance_s: Optional[float],
+                      suffix: str, slice_s: int) -> DataFrame:
+    """asof_join's hot-key time-slicing arm: window per (key, chunk)
+    with cross-chunk carry rows injected, results exactly equal to the
+    single-window form (see asof_join docstring; equality
+    property-tested in test_temporal.py).
+
+    The carry computation runs on one row per (key, chunk) — the
+    chunk-level LOCF is itself a tiny as-of pass over per-chunk
+    aggregates, so the hot key's row-level history is only ever sorted
+    in bounded per-chunk partitions."""
+    if slice_s <= 0:
+        raise ValueError(f"slice_s must be > 0, got {slice_s}")
+    ck = "_asof_slice"
+    for df_, name in ((left, "left"), (right, "right")):
+        if ck in df_.columns:
+            raise ValueError(
+                f"{name} input uses asof_join's reserved column {ck!r};"
+                " rename before joining")
+    rts = right_ts or left_ts
+    payload = [c for c in right.columns if c not in keys and c != rts]
+    l2 = left.withColumn(ck, time_bucket(F.col(left_ts), slice_s))
+    r2 = right.withColumn(ck, time_bucket(F.col(rts), slice_s))
+    lc = l2.select(*keys, ck).distinct()
+    ts_type = right.schema[rts].dataType
+
+    def _chunk_carry(backward: bool) -> DataFrame:
+        # one row per (key, chunk) on the right; unique (key, ts)
+        # makes max_by/min_by deterministic
+        aggs = [(F.max(rts) if backward else F.min(rts)).alias("__st")]
+        if payload:
+            pstruct = F.struct(*[F.col(c) for c in payload])
+            aggs.append((F.max_by(pstruct, F.col(rts)) if backward
+                         else F.min_by(pstruct, F.col(rts)))
+                        .alias("__sp"))
+        pc = r2.groupBy(*keys, ck).agg(*aggs)
+        null_sp = ([F.lit(None).cast(
+            pc.schema["__sp"].dataType).alias("__sp")]
+            if payload else [])
+        if backward:
+            # right rows sort AFTER the marker within a chunk, so the
+            # preceding-exclusive frame sees strictly earlier chunks
+            m = pc.select(*keys, ck, F.lit(1).alias("__side"), "__st",
+                          *(["__sp"] if payload else []))
+            lm = lc.select(*keys, ck, F.lit(0).alias("__side"),
+                           F.lit(None).cast(ts_type).alias("__st"),
+                           *null_sp)
+            w = (W.partitionBy(*keys).orderBy(ck, "__side")
+                 .rowsBetween(W.unboundedPreceding, -1))
+            pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+            marker = 0
+        else:
+            # right rows sort BEFORE the marker within a chunk, so the
+            # following-exclusive frame sees strictly later chunks
+            m = pc.select(*keys, ck, F.lit(0).alias("__side"), "__st",
+                          *(["__sp"] if payload else []))
+            lm = lc.select(*keys, ck, F.lit(1).alias("__side"),
+                           F.lit(None).cast(ts_type).alias("__st"),
+                           *null_sp)
+            w = (W.partitionBy(*keys).orderBy(ck, "__side")
+                 .rowsBetween(1, W.unboundedFollowing))
+            pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+            marker = 1
+        u = m.unionByName(lm)
+        carried = (u.select(
+            *keys, ck, "__side", pick("__st").alias("__ct"),
+            *([pick("__sp").alias("__cp")] if payload else []))
+            .filter((F.col("__side") == marker)
+                    & F.col("__ct").isNotNull()))
+        # reshape to r2's schema: carried ts/payload, TARGET chunk id
+        return carried.select(
+            *[F.col(c) for c in keys],
+            F.col("__ct").alias(rts),
+            *[F.col("__cp")[c].alias(c) for c in payload],
+            F.col(ck)).select(*r2.columns)
+
+    r3 = r2
+    if direction in ("backward", "nearest"):
+        r3 = r3.unionByName(_chunk_carry(backward=True))
+    if direction in ("forward", "nearest"):
+        r3 = r3.unionByName(_chunk_carry(backward=False))
+    out = asof_join(l2, r3, keys + [ck], left_ts, right_ts, direction,
+                    tolerance_s, suffix, slice_s=None)
+    return out.drop(ck)
+
+
 def time_bucket(ts: Column, width_s: int) -> Column:
     """Integer time bucket: floor(epoch_micros / width_micros). Exact
-    integer arithmetic (subtract pmod, then an exact division) — no
-    float rounding anywhere near the bucket id, pre-1970 included."""
+    integer arithmetic throughout: subtract pmod (making the dividend
+    an exact multiple of the width), then divide in DECIMAL(38,0) —
+    Spark's ``/`` on bigints is IEEE double division, exact only while
+    |epoch_us| < 2^53 (~year 2255 / pre-1684), beyond which the bucket
+    id could round off by one (ADVICE r5). Decimal division of an
+    exact multiple is exact over the full bigint range."""
     width_us = F.lit(int(width_s) * 1_000_000)
     us = F.unix_micros(ts)
-    return ((us - F.pmod(us, width_us)) / width_us).cast("bigint")
+    exact = (us - F.pmod(us, width_us)).cast("decimal(38,0)")
+    return (exact / width_us).cast("bigint")
 
 
 def point_in_interval_join(points: DataFrame, intervals: DataFrame,

@@ -363,25 +363,39 @@ def inverted_index(df: DataFrame, text_col: str, id_col: str,
     dropped). The retrieval-side primitive for term lookup, tf-idf
     weighting, and decontamination-by-term.
 
-    Shape: (term, doc) pairs are deduplicated ON THE MAP SIDE
-    (``array_distinct`` per document before the explode), so the one
-    and only Exchange — on the term — carries each pair once, not once
-    per occurrence. The document-frequency count, the cap's
-    row_number, and the final collect are all term-partitioned, so the
-    whole pipeline is a single shuffle (pinned in test_operators.py).
+    Shape (capped path): (term, doc) pairs are deduplicated ON THE MAP
+    SIDE (``array_distinct`` per document before the explode), then a
+    TWO-PHASE exact top-K replaces the term window (VERDICT r5 item 2):
 
-    100 TB: a stop term owns the largest partition; the cap bounds the
-    OUTPUT but not that partition's sort. Exclude known stop terms
-    up front (filter on a broadcast list) when the corpus has them —
-    same posture as dedup.py's df>=2 prune; a term's full posting list
-    at this scale is only useful for rare-to-mid terms anyway.
+      phase 1  groupBy(spark_partition_id(), term) — the partial
+               aggregate combines each input partition's pairs locally
+               (map-side combine before any Exchange), and the
+               (pid, term) Exchange spreads a stop term's partials
+               across reducers instead of funnelling them into one
+               task; each (pid, term) group reduces to ONE row holding
+               its local pair count and its K lowest ids.
+      phase 2  groupBy(term) merges partials: df_docs = SUM of local
+               counts (exact — a doc lives in exactly one partition and
+               contributes each term once), postings = K lowest of the
+               union of per-partition K-minima (exact — every global
+               minimum is a minimum of its own partition).
+
+    So the term-keyed Exchange carries at most ``numInputPartitions``
+    rows of ≤K ids per term — bounded regardless of how hot a stop
+    term is — and NO task ever sorts a stop term's full posting set
+    (the old single-window form did; the cap bounded output, not the
+    exchange). Plan pinned in test_operators.py: partial aggregation
+    before the first Exchange, no Window operator anywhere.
+
+    The uncapped path keeps the one-shuffle groupBy/collect_list form:
+    materializing every posting is inherently a full-list sort, so use
+    a cap (or a broadcast stop-term filter) on hot corpora.
 
     NULL ids are the caller's contract to exclude (Spark's sort_array
     puts NULLs first, DuckDB's list_sort last — a NULL id would land
     in engine-dependent posting slots); text NULLs simply contribute
     no pairs on either engine.
     """
-    from pyspark.sql import Window as W
     if max_postings is not None and max_postings < 1:
         raise ValueError(f"max_postings must be >= 1, got {max_postings}")
     clash = {"term", "df_docs", "postings"} & {text_col, id_col}
@@ -393,15 +407,19 @@ def inverted_index(df: DataFrame, text_col: str, id_col: str,
             F.filter(F.split(F.lower(F.col(text_col)), " "),
                      lambda w: w != ""))).alias("term"),
         F.col(id_col).alias("__ii_doc"))
-    w_term = W.partitionBy("term")
-    w_ord = w_term.orderBy("__ii_doc")
-    x = (toks
-         .withColumn("df_docs",
-                     F.count(F.lit(1)).over(w_term).cast("bigint"))
-         .withColumn("__ii_rn", F.row_number().over(w_ord)))
-    if max_postings is not None:
-        x = x.filter(F.col("__ii_rn") <= max_postings)
-    return (x.groupBy("term")
-            .agg(F.max("df_docs").alias("df_docs"),
-                 F.sort_array(F.collect_list("__ii_doc"))
+    if max_postings is None:
+        return (toks.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"),
+                     F.sort_array(F.collect_list("__ii_doc"))
+                     .alias("postings")))
+    k = max_postings
+    partials = (toks
+                .groupBy(F.spark_partition_id().alias("__ii_pid"), "term")
+                .agg(F.count(F.lit(1)).alias("__ii_c"),
+                     F.slice(F.sort_array(F.collect_list("__ii_doc")),
+                             1, k).alias("__ii_topk")))
+    return (partials.groupBy("term")
+            .agg(F.sum("__ii_c").cast("bigint").alias("df_docs"),
+                 F.slice(F.sort_array(F.flatten(
+                     F.collect_list("__ii_topk"))), 1, k)
                  .alias("postings")))

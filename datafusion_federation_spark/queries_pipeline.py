@@ -2507,7 +2507,7 @@ x AS (
   FROM pairs
 )
 SELECT term, CAST(df_docs AS BIGINT) AS df_docs,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM x
 WHERE rn <= 8
 GROUP BY term, df_docs
@@ -2517,13 +2517,120 @@ def d64(spark, sf):
     """Inverted index with a deterministic posting cap: every distinct
     term with its EXACT document frequency and the 8 lowest containing
     doc ids (operators/text.inverted_index). (term, doc) pairs dedupe
-    map-side via array_distinct before the explode, so the single
-    term-keyed Exchange carries each pair once; df count, cap
-    row_number, and the collect all reuse that partitioning (plan
-    pinned in test_operators.py). The cap is the honest-at-scale part:
-    df_docs stays exact while a stop term's posting list stays
-    bounded, and both engines pick the same 8 ids."""
+    map-side via array_distinct before the explode; a two-phase exact
+    top-K (per-input-partition K-minima, then merge) replaces the term
+    window, so the term Exchange carries bounded partials and no task
+    sorts a stop term's full posting set (plan pinned in
+    test_operators.py). The cap is the honest-at-scale part: df_docs
+    stays exact while a stop term's posting list stays bounded, and
+    both engines pick the same 8 ids. The postings list leaves the
+    query as a comma-joined STRING: the driver's pandas canonicalizer
+    cannot hash list cells (r5's only red row) — the operator keeps
+    its list-valued API; only this recorded projection flattens."""
     from .operators import text
     d = t(spark, sf, "documents")
     return (text.inverted_index(d, "text", "doc_id", max_postings=8)
+            .withColumn("postings",
+                        F.concat_ws(",", F.col("postings")
+                                    .cast("array<string>")))
             .orderBy("term"))
+
+
+@q("d65_jaccard_prefix", f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM_SQL_WORDS}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+         FOR i IN generate_series(1, greatest(len(ws)-2, 1))])) AS shingle
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8
+""")
+def d65(spark, sf):
+    """Exact n-gram Jaccard pairs via the AllPairs/PPJoin PREFIX filter
+    (operators/dedup.ngram_jaccard_pairs_prefix): candidates come only
+    from shingles inside each doc's frequency-ordered prefix — a
+    LOSSLESS filter (a qualifying pair must share a prefix shingle),
+    so results are pinned identical to d03's plain bucketed path and
+    the oracle IS d03's SQL. This is the boilerplate-corpus arm: a
+    corpus-hot stop-phrase shingle ranks last in frequency order and
+    never enters a prefix, killing the k^2 hot-bucket blowup without
+    the max_doc_freq lower-bound tradeoff (measured r5: 448,507 naive
+    bucket pairs -> 1 candidate on the shared-phrase corpus)."""
+    docs = t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id",
+                                            n=3, threshold=0.8)
+
+
+@q("d66_dense_index", """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+FROM documents
+ORDER BY doc_id
+""")
+def d66(spark, sf):
+    """Distributed 0-based dense index (operators/sampling.dense_index):
+    the sort-based zipWithIndex that replaces a single-partition global
+    row_number at 100 TB — range-partition by id, per-partition counts
+    (ONE driver int per partition), offset, renumber locally. The
+    (id -> idx) map is a pure function of the sorted ids, so the full
+    table must match DuckDB's window row_number exactly — pinning that
+    the distributed construction and the window form are the same
+    function, which is what lets negative_pairs(index='distributed')
+    swap in at scale."""
+    from .operators.sampling import dense_index
+    docs = t(spark, sf, "documents")
+    return (dense_index(docs, "doc_id")
+            .select("doc_id", F.col("_np_idx").alias("idx"))
+            .orderBy("doc_id"))
+
+
+@q("d67_shard_manifest", """
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM documents)
+SELECT CAST(hv % 8 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(hv) % 1000000007 AS BIGINT) AS digest_mod
+FROM h GROUP BY 1 ORDER BY shard
+""")
+def d67(spark, sf):
+    """Training-shard writer + audit manifest, oracle-checked END TO
+    END through the filesystem: write_training_shards(md5 mode) lays
+    the documents table out as 8 deterministic parquet shards (shard =
+    60-bit md5-prefix hash mod 8, rows hash-sorted within a shard);
+    shard_manifest reads the written directory back and emits per-shard
+    row counts plus an order-insensitive content digest (decimal sum of
+    key hashes, projected here mod 1e9+7 so both engines compare in
+    BIGINT). DuckDB recomputes the expected layout from the SOURCE
+    table alone — matching proves shard membership survived the
+    repartition + partitionBy write byte-for-byte. The write is cached
+    per (sf, mtime) tag: rerunning on the same corpus rewrites
+    identical shards, which is the operator's whole contract."""
+    import hashlib
+    import os
+    from .operators.sampling import shard_manifest, write_training_shards
+    docs = t(spark, sf, "documents")
+    mtime = os.path.getmtime(f"{sf}/documents.parquet")
+    tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
+    path = f"/tmp/spark_fed_shards_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_training_shards(docs, path, "doc_id", num_shards=8,
+                              method="md5")
+    m = shard_manifest(spark, path, "doc_id", method="md5")
+    return (m.select(F.col("shard").cast("bigint").alias("shard"),
+                     F.col("n_rows").cast("bigint").alias("n_rows"),
+                     (F.col("content_digest") % F.lit(1000000007))
+                     .cast("bigint").alias("digest_mod"))
+            .orderBy("shard"))

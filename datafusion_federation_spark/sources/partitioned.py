@@ -99,6 +99,15 @@ def read_duckdb_partitioned(spark: SparkSession, database: str, sql: str,
     import re
     if re.search(r"\blimit\b", sql, re.IGNORECASE):
         n_slices = 1
+    # A pushed-down ORDER BY has its ordering destroyed by an N-slice
+    # union (the slices interleave arbitrarily), so eng.sql('... ORDER
+    # BY ...') would silently return unordered rows (ADVICE r5 — masked
+    # in the oracle gate because the comparator sorts). One ordered
+    # stream through one task preserves the remote sort. Subquery-level
+    # ORDER BYs false-positive here, costing parallelism only — same
+    # contract as the LIMIT degrade above.
+    if re.search(r"\border\s+by\b", sql, re.IGNORECASE):
+        n_slices = 1
 
     def run_slices(batches) -> Iterator:
         for pdf in batches:

@@ -148,6 +148,39 @@ def test_select_star_over_asof_refused(local_engine, duck_engine):
         eng.sql(star)
 
 
+def test_select_star_over_asof_refused_through_filter(local_engine,
+                                                      duck_engine):
+    """ADVICE r5: 'SELECT * ... WHERE' parses as Project(Filter(Asof)),
+    which bypassed the direct parent check — the guard must walk
+    through transparent nodes (Filter/Sort/Limit/Distinct/alias)."""
+    shapes = [
+        # Project(Filter(AsofJoin))
+        """
+        SELECT * FROM (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase') a
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+                        FROM events WHERE event_type = 'click') b
+        ON a.user_id = b.user_id AND a.ts >= b.ts
+        WHERE a.user_id > 3
+        """,
+        # Project(Limit(Sort(Filter(AsofJoin)))) — ORDER BY + LIMIT
+        """
+        SELECT * FROM (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase') a
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+                        FROM events WHERE event_type = 'click') b
+        ON a.user_id = b.user_id AND a.ts >= b.ts
+        WHERE a.user_id > 3 ORDER BY a.event_id LIMIT 5
+        """,
+    ]
+    eng, _ = duck_engine
+    for sql in shapes:
+        with pytest.raises(NotImplementedError, match="SELECT \\*"):
+            local_engine.sql(sql)
+        with pytest.raises(NotImplementedError, match="SELECT \\*"):
+            eng.sql(sql)
+
+
 def test_ambiguous_ref_above_asof_errors_not_binds(local_engine):
     """A bare column that exists on the asof output AND a later join
     side must error like DuckDB's binder does — the provenance pass

@@ -801,11 +801,27 @@ class TestInvertedIndex:
         assert got["a"] == (3, [1, 2])     # df exact, postings capped
         assert got["c"] == (2, [1, 3])     # under the cap: untouched
 
-    def test_single_exchange(self, spark):
+    def test_two_phase_topk_plan(self, spark):
+        # capped path: partial aggregation (map-side combine) BEFORE the
+        # first Exchange, no Window operator anywhere — the old
+        # count().over(term) + row_number() form sorted a stop term's
+        # full posting set in one task (VERDICT r5 item 2)
         plan = (text.inverted_index(self._df(spark), "text", "doc_id",
                                     max_postings=8)
                 ._jdf.queryExecution().executedPlan().toString())
+        assert "Window" not in plan, plan
+        first_ex = plan.find("Exchange")
+        assert first_ex != -1, plan
+        # the (pid, term) partial aggregate sits BELOW (i.e. printed
+        # after) the first Exchange in the tree dump
+        assert "partial_count" in plan[first_ex:], plan
+        assert "partial_collect_list" in plan[first_ex:], plan
+
+    def test_uncapped_single_exchange(self, spark):
+        plan = (text.inverted_index(self._df(spark), "text", "doc_id")
+                ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1, plan
+        assert "Window" not in plan, plan
 
     def test_contract_errors(self, spark):
         df = self._df(spark)

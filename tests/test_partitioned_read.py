@@ -140,6 +140,35 @@ def test_limit_degrades_to_single_slice(spark, dbfile):
     assert len({r.o_orderkey for r in rows}) == 10
 
 
+def test_order_by_preserved_via_single_slice(spark, dbfile):
+    """ADVICE r5: a pushed-down top-level ORDER BY was destroyed by the
+    N-slice union (masked in the oracle gate, which sorts before
+    comparing). The read must degrade to one ordered stream."""
+    df = read_duckdb_partitioned(
+        spark, dbfile,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC",
+        "o_orderkey", n_slices=8)
+    assert df.rdd.getNumPartitions() == 1
+    got = [r.o_orderkey for r in df.collect()]   # NO sort here
+    assert got == sorted(got, reverse=True) and len(got) > 100
+
+
+def test_order_by_preserved_through_engine(spark, dbfile):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import SQLProvider
+    ex = PartitionedDuckDBExecutor(dbfile, split_col="o_orderkey",
+                                   n_slices=8)
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    for t in ("orders", "customer"):
+        eng.register_remote(prov, t)
+    out = eng.sql(
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > 100000 ORDER BY o_orderkey")
+    got = [r.o_orderkey for r in out.collect()]  # NO sort here
+    assert got == sorted(got) and got
+
+
 def test_one_slice_per_task_no_shuffle(spark, dbfile):
     df = read_duckdb_partitioned(
         spark, dbfile, "SELECT o_orderkey FROM orders", "o_orderkey",

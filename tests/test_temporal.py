@@ -181,6 +181,22 @@ def test_time_bucket_exact_boundaries(spark):
     assert got == [epoch_h, epoch_h, epoch_h + 1, -1]
 
 
+def test_time_bucket_exact_beyond_double_mantissa(spark):
+    """ADVICE r5: bigint '/' is IEEE double division, exact only below
+    2^53 epoch-us (~year 2255 / pre-1684). The decimal-division form
+    must floor exactly over the whole timestamp range."""
+    us_vals = [-9214560000000000, -1, 0, 1,
+               9214560000000123,      # > 2^53, year ~2262
+               -9123456789012345]     # < -2^53, pre-1684
+    df = spark.createDataFrame([(v,) for v in us_vals], "us long") \
+        .select("us", F.timestamp_micros(F.col("us")).alias("t"))
+    got = {r.us: r.b for r in
+           df.select("us", time_bucket(F.col("t"), 3600).alias("b"))
+           .collect()}
+    for v in us_vals:
+        assert got[v] == v // (3600 * 1_000_000), (v, got[v])
+
+
 def test_gapfill_zero_and_locf(spark):
     df = spark.createDataFrame(
         [("a", 10, 1, 5.0), ("a", 13, 2, 7.0), ("b", 3, 4, 1.5)],
@@ -408,6 +424,105 @@ def test_asof_nearest_matches_brute(spark):
            for row in asof_join(l, r, ["k"], "t", direction="nearest",
                                 tolerance_s=300).collect()}
     assert tol == brute_nearest(left, right, tol=300)
+
+
+def test_asof_nearest_tolerance_matches_pandas_merge_asof(spark):
+    """ADVICE r5 suspected pick-then-null diverges from pandas'
+    filter-then-pick in a corner (in-tolerance forward discarded for a
+    nearer out-of-tolerance backward). That corner is unreachable:
+    both gaps are nonnegative, so nearer-out-of-tolerance implies the
+    farther side is out too. This pins the equivalence against REAL
+    pandas merge_asof across randomized shapes and tolerances."""
+    import pandas as pd
+    import random
+    rng = random.Random(1301)
+    for _ in range(12):
+        n_l, n_r = rng.randint(1, 12), rng.randint(1, 12)
+        lts = sorted(rng.randint(0, 50) for _ in range(n_l))
+        rts = sorted(rng.randint(0, 50) for _ in range(n_r))
+        tol = rng.choice([None, 1, 3, 7])
+        lpdf = pd.DataFrame({"k": 1, "t": pd.to_datetime(lts, unit="s"),
+                             "lid": range(n_l)})
+        rpdf = pd.DataFrame({"k": 1, "t": pd.to_datetime(rts, unit="s"),
+                             "rid": range(n_r)}) \
+            .drop_duplicates(subset=["k", "t"], keep="last")
+        want = pd.merge_asof(
+            lpdf, rpdf, on="t", by="k", direction="nearest",
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+        got = {row.lid: row.rid for row in asof_join(
+            spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+            ["k"], "t", direction="nearest",
+            tolerance_s=tol).collect()}
+        wp = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+              for r in want.itertuples()}
+        assert got == wp, (lts, rts, tol)
+
+
+def test_asof_sliced_equals_single_window(spark):
+    """slice_s (hot-key time slicing) must return EXACTLY the
+    single-window form's rows for every direction and tolerance,
+    including empty chunks (sparse right side) and cross-chunk
+    carries. Randomized over clustered timestamps so chunks are both
+    dense and empty."""
+    import random
+    rng = random.Random(4177)
+    for trial in range(6):
+        nl, nr = rng.randint(5, 40), rng.randint(0, 30)
+        # cluster times so some 100s-wide chunks are empty
+        def draw(n):
+            return [rng.choice([rng.randint(0, 80),
+                                rng.randint(400, 480),
+                                rng.randint(900, 999)])
+                    for _ in range(n)]
+        l = spark.createDataFrame(
+            [(rng.randint(1, 3), _ts(t), i)
+             for i, t in enumerate(draw(nl))],
+            "k int, t timestamp, lid int")
+        seen = set()
+        rrows = []
+        for i, t in enumerate(draw(nr)):
+            k = rng.randint(1, 3)
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            rrows.append((k, _ts(t), i))
+        r = spark.createDataFrame(rrows or [(99, _ts(0), 0)],
+                                  "k int, t timestamp, rid int")
+        for direction in ("backward", "forward", "nearest"):
+            tol = rng.choice([None, 50, 500])
+            base = sorted((row.lid, row.rid) for row in asof_join(
+                l, r, ["k"], "t", direction=direction,
+                tolerance_s=tol).collect())
+            sliced = sorted((row.lid, row.rid) for row in asof_join(
+                l, r, ["k"], "t", direction=direction,
+                tolerance_s=tol, slice_s=100).collect())
+            assert base == sliced, (trial, direction, tol)
+
+
+def test_asof_sliced_plan_partitions_by_chunk(spark):
+    """The window partition spec must include the slice chunk — that IS
+    the bounded-partition guarantee for a hot key."""
+    l = spark.createDataFrame([(1, _ts(10), 5)],
+                              "k int, t timestamp, lid int")
+    r = spark.createDataFrame([(1, _ts(5), 1)],
+                              "k int, t timestamp, rid int")
+    out = asof_join(l, r, ["k"], "t", slice_s=60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_asof_slice" in plan
+    # and the sliced output schema matches the unsliced one
+    assert out.columns == asof_join(l, r, ["k"], "t").columns
+
+
+def test_asof_sliced_rejects_reserved_and_bad_width(spark):
+    l = spark.createDataFrame([(1, _ts(10), 5)],
+                              "k int, t timestamp, lid int")
+    r = spark.createDataFrame([(1, _ts(5), 1)],
+                              "k int, t timestamp, rid int")
+    with pytest.raises(ValueError, match="slice_s"):
+        asof_join(l, r, ["k"], "t", slice_s=0)
+    bad = l.withColumnRenamed("lid", "_asof_slice")
+    with pytest.raises(ValueError, match="_asof_slice"):
+        asof_join(bad, r, ["k"], "t", slice_s=60)
 
 
 def test_asof_nearest_tie_prefers_backward(spark):
