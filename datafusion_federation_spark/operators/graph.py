@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 5, damping: float = 0.85,
-             checkpoint_every: int | None = None) -> DataFrame:
+             checkpoint_every: int | None = None,
+             dangling: bool = False) -> DataFrame:
     """PageRank over a directed edge list: returns (node, rank) after
     ``iters`` synchronous iterations from a uniform start. Nodes are
     the union of sources and destinations; parallel edges count once
@@ -41,6 +42,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     reused key), groupBy dst (second shuffle), left join back to the
     node set. The node count enters via a broadcast 1-row aggregate —
     never a driver-side collect.
+
+    ``dangling=True`` adds the standard dangling-mass redistribution
+    (VERDICT r5 item 7): each iteration, the summed rank of nodes with
+    NO out-edges is spread uniformly —
+        rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dm/N)
+    so Σ rank stays exactly 1 per iteration (pinned in tests; the
+    simplified default leaks sink mass, documented below). Cost: ONE
+    extra broadcast 1-row aggregate per iteration (the dangling-rank
+    sum over a precomputed anti-join node set) — no new wide shuffles,
+    the recurrence stays a pure join+agg and therefore SQL-unrollable
+    (d68's stacked-CTE oracle replays it exactly).
 
     ``checkpoint_every`` truncates the rank frame's lineage every k
     iterations (localCheckpoint, same pattern as connected_components'
@@ -71,6 +83,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     e_deg = e.join(deg, "_src")
 
+    if dangling:
+        # sink set is iteration-invariant: compute the anti-join once
+        sinks = nodes.select("node").join(
+            deg.select(F.col("_src").alias("node")), "node",
+            "left_anti")
+
     ranks = nodes.select(
         "node", "_n",
         (F.lit(1.0) / F.col("_n").cast("double")).alias("rank"))
@@ -80,13 +98,26 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                    .groupBy("_dst")
                    .agg(F.sum(F.col("rank") / F.col("_deg")
                               .cast("double")).alias("_s")))
-        ranks = (nodes.join(contrib,
-                            nodes["node"] == contrib["_dst"], "left")
-                 .select(nodes["node"], nodes["_n"],
-                         (base + F.lit(damping)
-                          * F.coalesce(F.col("_s"), F.lit(0.0)))
-                         .alias("rank")))
-        if checkpoint_every and it % checkpoint_every == 0 \
+        spread = F.coalesce(F.col("_s"), F.lit(0.0))
+        nxt = nodes.join(contrib,
+                         nodes["node"] == contrib["_dst"], "left")
+        if dangling:
+            dm = ranks.join(sinks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            nxt = nxt.crossJoin(F.broadcast(dm))
+            spread = spread + F.col("_dm") / F.col("_n").cast("double")
+        ranks = nxt.select(nodes["node"], nodes["_n"],
+                           (base + F.lit(damping) * spread)
+                           .alias("rank"))
+        if dangling and it < iters:
+            # dm references ranks a SECOND time per iteration, so the
+            # LOGICAL plan doubles per iteration — persist() caches
+            # execution but not the plan, and at 7 iterations the
+            # 2^7-node tree OOMed the plan printer (measured). Only a
+            # lineage CUT keeps the plan linear; lazy localCheckpoint
+            # materializes on first use, so no extra barrier job.
+            ranks = ranks.localCheckpoint(eager=False)
+        elif checkpoint_every and it % checkpoint_every == 0 \
                 and it < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")

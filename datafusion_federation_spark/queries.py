@@ -225,6 +225,10 @@ SECONDARY = {
                             # d32 (streaming sessions, whose DuckDB
                             # oracle IS the batch session computation);
                             # window machinery by q52
+    # round 6: dangling-mass PageRank variant — iterative machinery
+    # carried by d51's pattern (both oracle-PASS locally at both SFs);
+    # rank-sum=1 invariant pinned in test_operators
+    "d68_pagerank_dangling",
 }
 
 DEC = "decimal(12,2)"

@@ -59,3 +59,49 @@ def test_validation(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping=1.0)
+
+
+def _reference_pagerank_dangling(edges, iters=5, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(rank[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] / out[u]
+        rank = {v: (1 - d) / n + d * (contrib[v] + dm / n)
+                for v in nodes}
+    return rank
+
+
+def test_dangling_redistribution_matches_reference(spark):
+    # EDGES has a sink? 4->3, 3->1, 2->3, 1->{2,3}: every node with an
+    # in-edge has out... node 4 has out; add a true sink (5) first
+    edges = EDGES + [(1, 5)]
+    from datafusion_federation_spark.operators.graph import pagerank
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.rank
+           for r in pagerank(df, iters=5, dangling=True).collect()}
+    want = _reference_pagerank_dangling(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_dangling_conserves_total_rank(spark):
+    """VERDICT r5 item 7 done-criterion: Sigma rank == 1 each run (the
+    simplified default leaks sink mass; the redistribution closes the
+    recurrence)."""
+    edges = EDGES + [(1, 5), (2, 6)]
+    from datafusion_federation_spark.operators.graph import pagerank
+    df = spark.createDataFrame(edges, "src int, dst int")
+    total = sum(r.rank for r in
+                pagerank(df, iters=7, dangling=True).collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+    leaked = sum(r.rank for r in
+                 pagerank(df, iters=7, dangling=False).collect())
+    assert leaked < 1.0 - 1e-3   # the default really does leak here
