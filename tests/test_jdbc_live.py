@@ -136,3 +136,22 @@ def test_derby_insert_passthrough(derby, spark):
         spark, 'SELECT COUNT(*) AS "n", SUM("v") AS "s" FROM "fed_sink"',
         partitioned=False).collect()[0]
     assert (back["n"], back["s"]) == (2, 4.0)
+
+
+def test_q76_registered_query_collapses_to_one_derby_sql(spark):
+    """The driver-recorded q76 (live Derby federation) must ship ONE
+    remote SQL through the JDBC executor — pin the shape so a planner
+    regression can't silently turn it into N per-table fetches."""
+    from datafusion_federation_spark.queries import REGISTRY
+    import datafusion_federation_spark.queries_pipeline  # noqa: F401
+
+    fn, oracle = REGISTRY["q76_derby_federated"]
+    assert oracle is not None
+    df = fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 5 and rows[0].n_nations >= 1
+    # the collapsed plan reaches Spark as a single JDBC scan: no Join
+    # in the executed plan (Derby ran it), one JDBCRelation
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
