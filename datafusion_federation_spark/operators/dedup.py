@@ -98,12 +98,29 @@ def word_shingles(col, n: int = 3) -> F.Column:
     return F.array_distinct(word_grams(col, n))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster BEFORE CPU-heavy string
+    work. A small corpus arrives as one parquet split (one task), and
+    every shingle explode / hash / window downstream then serializes on
+    that task (measured r6: the whole prefix-candidate pipeline ran
+    (0+1)/1 stages, 11s at sf0.1). Conditional on the observed layout:
+    when the scan already has >= defaultParallelism splits (any real
+    100 TB input), this is a no-op — no shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    want = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def shingle_table(df: DataFrame, text_col: str, id_col: str,
                   n: int = 3) -> DataFrame:
-    """(id, shingle) exploded pairs."""
-    return (df.select(F.col(id_col),
-                      F.explode(word_shingles(F.col(text_col), n))
-                       .alias("shingle")))
+    """(id, shingle) exploded pairs (input fanned out across tasks —
+    the explode inflates ~200x, so upstream splits understate the
+    downstream work)."""
+    return (_fan_out(df).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
 
 
 # ---------------------------------------------------------------------------
@@ -198,14 +215,18 @@ def jaccard_prefix_candidates(df: DataFrame, text_col: str, id_col: str,
     boilerplate-heavy standalone case max_doc_freq only bounds)."""
     from pyspark.sql import Window as W
     sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__nsh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     pref_len = (F.col("__nsh") -
                 F.ceil(F.lit(threshold) * F.col("__nsh")) + 1)
+    # per-doc set size comes from a count() over the SAME doc-keyed
+    # window partition as the frequency rank — one Exchange instead of
+    # a separate groupBy + join back (measured r6: the extra
+    # aggregate+join pair was two full shuffles of the shingle table)
+    wp = W.partitionBy(id_col)
     prefix = (sh.join(freq, "shingle")
               .withColumn("__rk", F.row_number().over(
-                  W.partitionBy(id_col).orderBy("__df", "shingle")))
-              .join(sizes, id_col)
+                  wp.orderBy("__df", "shingle")))
+              .withColumn("__nsh", F.count(F.lit(1)).over(wp))
               .filter(F.col("__rk") <= pref_len)
               .select(id_col, "shingle"))
     buckets = (prefix.groupBy("shingle")
@@ -390,7 +411,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
 def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
                       id_col: str, shingle_n: int = 3,
                       threshold: float = 0.5) -> DataFrame:
-    """Exact-Jaccard verification of candidate (id_a, id_b) pairs."""
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
+
+    Shape choice (re-measured r6 with parallel scans): the shingle-
+    equality join expands candidates to |pairs| x |shared shingles|
+    SMALL rows that pipeline through one count aggregate — 2.9s warm at
+    sf0.1 on 118k candidates. The tempting alternative (attach each
+    side's full shingle ARRAY by id and ``array_intersect`` in-task)
+    shuffles two ~KB arrays per candidate row and measured 6.0s on the
+    same input — carrying payloads loses to counting matches here, so
+    this keeps the counting form."""
     # the candidate list is referenced three times below (two semi-join
     # prunes + the intersection join); without a lineage break each use
     # re-executes the ENTIRE candidate pipeline (signatures included).
@@ -408,9 +438,7 @@ def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
     # candidates are a tiny fraction of the corpus: semi-join the shingle
     # tables down to candidate ids before the expensive shingle-equality
     # join (at 100 TB this is the difference between joining the corpus
-    # and joining the near-dup sliver). A .cache()+prune-before-explode
-    # variant was measured net-negative here (the cache barrier breaks
-    # pipelining); the semi-join keeps one fused DAG.
+    # and joining the near-dup sliver).
     sh_a = sh_a.join(cand.select("id_a").distinct(), "id_a", "left_semi")
     sh_b = sh_b.join(cand.select("id_b").distinct(), "id_b", "left_semi")
     inter = (cand

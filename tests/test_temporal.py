@@ -641,6 +641,12 @@ class TestScd2History:
             cands = [(t, s) for kk, t, s, _ in log if kk == k and t <= qt]
             want[qid] = max(cands)[1] if cands else None
         assert got == want
+        # same composition through the hot-key sliced arm (r6): slicing
+        # must be invisible to downstream consumers of the composition
+        got_sliced = {r.qid: r.state for r in asof_join(
+            qdf, hist, on=["k"], left_ts="qt", right_ts="t",
+            slice_s=500).collect()}
+        assert got_sliced == want
 
 
 def test_asof_null_payload_is_rowlevel(spark):
