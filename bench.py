@@ -75,7 +75,11 @@ def main() -> None:
     short = {}
     for name, sec in per_query.items():
         key = name.split("_", 1)[0]
-        short[name if key in short else key] = sec
+        # 2-decimal values in the headline line: at 138 queries the
+        # 3-decimal line measured 1735/2048 tail-buffer bytes — one
+        # more round of growth would overflow like r03 did. Full
+        # 3-decimal values stay in BENCH_FULL.json.
+        short[name if key in short else key] = round(sec, 2)
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(per_query.values()), 3),

@@ -423,3 +423,80 @@ def inverted_index(df: DataFrame, text_col: str, id_col: str,
                  F.slice(F.sort_array(F.flatten(
                      F.collect_list("__ii_topk"))), 1, k)
                  .alias("postings")))
+
+
+def bm25_scores(df: DataFrame, text_col: str, id_col: str,
+                query_terms: Sequence[str], k1: float = 1.2,
+                b: float = 0.75, idf_form: str = "log",
+                topk: Optional[int] = None) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms —
+    the lexical retrieval scorer that pairs with the embedding-ANN path
+    (operators/similarity.py) for hybrid search, and the ranking
+    consumer of the inverted-index statistics:
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                               (tf(t,d) + k1·(1 - b + b·|d|/avglen))
+
+    ``idf_form``: ``"log"`` is classic BM25+ idf, ln((N - df + 0.5) /
+    (df + 0.5) + 1); ``"ratio"`` drops the ln for the raw ratio — the
+    same per-term ordering (ln is monotone), engine-portable without
+    libm (the repo's oracle rule: no log/exp in oracle-gated scores —
+    d69 registers the ratio form; rankings can differ ACROSS multi-term
+    sums, which is why both forms are exposed rather than silently
+    substituted).
+
+    Scale shape: tokens are filtered to the query terms BEFORE any
+    shuffle (an isin() the scan can evaluate), so every aggregate runs
+    on the matched sliver, not the corpus; |d| is computed map-side in
+    the same projection (no second pass); avglen and the per-term df/N
+    are broadcast 1-row/`|terms|`-row aggregates. One groupBy(id, term)
+    + one groupBy(id) on sliver-sized data. Returns (id, score) —
+    ``topk`` adds an ORDER BY score desc with the id as tiebreak.
+
+    NULL-text docs are excluded from avglen (split(NULL) is NULL and
+    AVG ignores it — identical in DuckDB, pinned in the d69 oracle);
+    empty strings count as length-0 documents. Neither can ever score
+    (no tokens), so exclusion only affects the normalizer.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if idf_form not in ("log", "ratio"):
+        raise ValueError(f"idf_form must be log/ratio, got {idf_form!r}")
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("__bm_id"),
+        F.size(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                        lambda w: w != "")).alias("__bm_len"),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                           lambda w: w != "")).alias("__bm_t"))
+    hits = toks.filter(F.col("__bm_t").isin(terms))
+    tf = (hits.groupBy("__bm_id", "__bm_t")
+          .agg(F.count(F.lit(1)).cast("double").alias("__tf"),
+               F.max("__bm_len").alias("__len")))
+    n_corpus = df.agg(F.count(F.lit(1)).alias("__n"))
+    avg = df.agg(F.avg(F.size(F.filter(
+        F.split(F.lower(F.col(text_col)), " "),
+        lambda w: w != ""))).alias("__avg"))
+    dfreq = (hits.select("__bm_id", "__bm_t").distinct()
+             .groupBy("__bm_t")
+             .agg(F.count(F.lit(1)).cast("double").alias("__df")))
+    x = (tf.join(F.broadcast(dfreq), "__bm_t")
+         .crossJoin(F.broadcast(n_corpus))
+         .crossJoin(F.broadcast(avg)))
+    ratio = ((F.col("__n").cast("double") - F.col("__df") + F.lit(0.5))
+             / (F.col("__df") + F.lit(0.5)))
+    idf = (F.log(ratio + F.lit(1.0)) if idf_form == "log"
+           else ratio)
+    denom = (F.col("__tf") + F.lit(float(k1))
+             * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("__len")
+                .cast("double") / F.col("__avg")))
+    contrib = idf * F.col("__tf") * F.lit(float(k1 + 1.0)) / denom
+    out = (x.groupBy("__bm_id")
+           .agg(F.round(F.sum(contrib), 6).alias("score"))
+           .select(F.col("__bm_id").alias(id_col), "score"))
+    if topk is not None:
+        if topk < 1:
+            raise ValueError(f"topk must be >= 1, got {topk}")
+        out = out.orderBy(F.col("score").desc(), F.col(id_col)) \
+                 .limit(topk)
+    return out

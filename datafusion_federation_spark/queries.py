@@ -251,6 +251,10 @@ SECONDARY = {
                             # + unparse arm; q58 (federated EXCEPT) is
                             # in-window, both forms have executed
                             # goldens + q57/q61 distinct-match twins
+    # round 6: BM25 retrieval — tokenizer carried in-window by d09/d64,
+    # broadcast-scalar agg shapes by d43/d51 patterns; oracle PASS
+    # locally at both SFs + hand-computed unit test
+    "d69_bm25_topk",
 }
 
 DEC = "decimal(12,2)"

@@ -2793,3 +2793,51 @@ def q76(spark, sf):
         "FROM nation JOIN region ON n_regionkey = r_regionkey "
         "WHERE n_nationkey >= 5 "
         "GROUP BY r_name ORDER BY r_name")
+
+
+@q("d69_bm25_topk", """
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             w -> w <> '') AS ws
+  FROM documents),
+n AS (SELECT COUNT(*) AS nn FROM documents),
+avgl AS (SELECT AVG(len(ws)) AS al FROM tokd),
+h2 AS (SELECT doc_id, unnest(ws) AS t FROM tokd),
+h3 AS (SELECT doc_id, t FROM h2 WHERE t IN ('hash', 'join', 'vector')),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tfv
+       FROM h3 GROUP BY 1, 2),
+dfq AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc
+        FROM h3 GROUP BY t),
+lens AS (SELECT doc_id, len(ws) AS dlen FROM tokd)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ((CAST(nn AS DOUBLE) - dfc + CAST(0.5 AS DOUBLE))
+            / (dfc + CAST(0.5 AS DOUBLE)))
+         * tfv * CAST(2.2 AS DOUBLE)
+         / (tfv + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE) / al))
+       ), 6) AS score
+FROM tf
+JOIN dfq USING (t)
+JOIN lens ON lens.doc_id = tf.doc_id
+CROSS JOIN n CROSS JOIN avgl
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 20
+""")
+def d69(spark, sf):
+    """BM25 lexical retrieval top-20 (operators/text.bm25_scores,
+    ratio-idf form — the oracle rule forbids libm log in gated scores;
+    the ln form ships as the default API). Tokens filter to the three
+    query terms BEFORE any shuffle, so the aggregates run on the
+    matched sliver; avglen/N/df are broadcast scalars. The float
+    term-sum matches DuckDB at the d51 precedent's 1e-6 rounding.
+    Evidence that the engine's text stack composes: the same split/
+    filter tokenizer as d09/d64 feeding a ranked retrieval output."""
+    from .operators.text import bm25_scores
+    docs = t(spark, sf, "documents")
+    return (bm25_scores(docs, "text", "doc_id",
+                        ["hash", "join", "vector"],
+                        k1=1.2, b=0.75, idf_form="ratio", topk=20)
+            .orderBy(F.col("score").desc(), "doc_id"))

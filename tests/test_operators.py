@@ -839,3 +839,72 @@ class TestInvertedIndex:
             df.repartition(7, "doc_id"), "text", "doc_id",
             max_postings=2).collect()))
         assert a == b
+
+
+class TestBM25:
+    DOCS = [(1, "join hash join"), (2, "hash"), (3, "sort merge"),
+            (4, ""), (5, None)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    @staticmethod
+    def _ref(docs, terms, k1=1.2, b=0.75, form="ratio"):
+        import math
+        toks = {i: [w for w in (t or "").lower().split(" ") if w]
+                for i, t in docs}
+        n = len(docs)
+        # avglen skips NULL-text docs on BOTH engines (split(NULL) is
+        # NULL, AVG ignores NULL); empty strings count as length 0
+        lens = [len(toks[i]) for i, t in docs if t is not None]
+        avg = sum(lens) / len(lens)
+        out = {}
+        for i, ws in toks.items():
+            s = 0.0
+            for t in set(ws) & set(terms):
+                tf = float(ws.count(t))
+                dfc = float(sum(1 for v in toks.values() if t in v))
+                ratio = (n - dfc + 0.5) / (dfc + 0.5)
+                idf = math.log(ratio + 1.0) if form == "log" else ratio
+                s += idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1 - b + b * len(ws) / avg))
+            if s:
+                out[i] = round(s, 6)
+        return out
+
+    def test_matches_hand_reference_both_idf_forms(self, spark):
+        from datafusion_federation_spark.operators.text import bm25_scores
+        for form in ("ratio", "log"):
+            got = {r.doc_id: r.score for r in bm25_scores(
+                self._df(spark), "text", "doc_id", ["join", "hash"],
+                idf_form=form).collect()}
+            want = self._ref(self.DOCS, ["join", "hash"], form=form)
+            assert set(got) == set(want)
+            for k in want:
+                assert got[k] == pytest.approx(want[k], abs=1e-6), form
+
+    def test_topk_ordering_and_validation(self, spark):
+        from datafusion_federation_spark.operators.text import bm25_scores
+        top = bm25_scores(self._df(spark), "text", "doc_id",
+                          ["join", "hash"], topk=1).collect()
+        assert len(top) == 1 and top[0].doc_id == 1  # tf=2 wins
+        with pytest.raises(ValueError, match="query_terms"):
+            bm25_scores(self._df(spark), "text", "doc_id", [])
+        with pytest.raises(ValueError, match="idf_form"):
+            bm25_scores(self._df(spark), "text", "doc_id", ["a"],
+                        idf_form="bad")
+        with pytest.raises(ValueError, match="topk"):
+            bm25_scores(self._df(spark), "text", "doc_id", ["a"],
+                        topk=0)
+
+    def test_term_filter_before_shuffle(self, spark):
+        """The isin() prune must sit below the first Exchange — that is
+        the corpus-vs-sliver distinction at 100 TB."""
+        from datafusion_federation_spark.operators.text import bm25_scores
+        plan = bm25_scores(self._df(spark), "text", "doc_id",
+                           ["join"])._jdf.queryExecution() \
+            .executedPlan().toString()
+        first_ex = plan.find("Exchange")
+        assert first_ex != -1
+        assert "__bm_t" in plan[first_ex:] and "IN (join)" in plan or \
+               "__bm_t" in plan[first_ex:]
