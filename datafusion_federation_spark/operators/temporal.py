@@ -28,12 +28,12 @@ shuffles exactly once on the join/group key:
   zero-fill and/or LOCF (last observation carried forward) per column.
 
 100 TB notes: all three partition by the entity key. A pathologically
-hot key (one user with billions of rows) serializes its window sort; the
-scale path is the usual time-slicing — split the key's range into
-chunks and replicate each chunk's last right-side row into the next
-chunk's head — which preserves results exactly. Not implemented here
-because it changes no semantics; the single-key window form is the
-correctness anchor.
+hot key (one user with billions of rows) serializes its window sort;
+``asof_join(slice_s=...)`` is the implemented scale path (r6) — window
+per (key, time chunk) with cross-chunk carry rows injected from
+chunk-level aggregates, results exactly preserved (the single-key
+window form stays the correctness anchor the sliced arm is
+property-tested against).
 """
 
 from __future__ import annotations
@@ -237,11 +237,13 @@ def _asof_join_sliced(left: DataFrame, right: DataFrame, keys: List[str],
     if slice_s <= 0:
         raise ValueError(f"slice_s must be > 0, got {slice_s}")
     ck = "_asof_slice"
+    reserved = {ck, "__st", "__sp", "__ct", "__cp", "__side"}
     for df_, name in ((left, "left"), (right, "right")):
-        if ck in df_.columns:
+        clash = reserved & set(df_.columns)
+        if clash:
             raise ValueError(
-                f"{name} input uses asof_join's reserved column {ck!r};"
-                " rename before joining")
+                f"{name} input uses asof_join slicing's reserved "
+                f"column(s) {sorted(clash)}; rename before joining")
     rts = right_ts or left_ts
     payload = [c for c in right.columns if c not in keys and c != rts]
     l2 = left.withColumn(ck, time_bucket(F.col(left_ts), slice_s))
