@@ -1825,7 +1825,6 @@ def d50(spark, sf):
 SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000
-ORDER BY o_orderkey
 """)
 def q74(spark, sf):
     """Federation through the DISTRIBUTED partitioned executor
@@ -1870,11 +1869,15 @@ def q74(spark, sf):
     prov = SQLProvider(ex)
     for tbl in ("orders", "customer"):
         eng.register_remote(prov, tbl)
+    # no top-level ORDER BY: the executor (correctly, r6) degrades an
+    # ordered claim to ONE slice to preserve the pushed-down sort — and
+    # this query's whole point is the 8-slice distributed fetch. The
+    # driver comparator is order-insensitive; the oracle keeps no
+    # ORDER BY either.
     return eng.sql(
         "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
-        "WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000 "
-        "ORDER BY o_orderkey")
+        "WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000")
 
 
 def _d51_oracle(iters: int = 5) -> str:
