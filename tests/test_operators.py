@@ -908,3 +908,47 @@ class TestBM25:
         assert first_ex != -1
         assert "__bm_t" in plan[first_ex:] and "IN (join)" in plan or \
                "__bm_t" in plan[first_ex:]
+
+
+# ---------------------------------------------------------------------------
+# inverted index: two-phase top-K vs Python brute force (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _ii_corpora(draw):
+    n_docs = draw(st.integers(1, 25))
+    vocab = ["a", "b", "c", "dd", "ee", "stop"]
+    docs_ = []
+    for i in range(n_docs):
+        words = draw(st.lists(st.sampled_from(vocab), max_size=12))
+        # 'stop' is hot: half the docs get it appended, making one term
+        # span many partitions — the two-phase merge's interesting case
+        if i % 2 == 0:
+            words.append("stop")
+        docs_.append((i, " ".join(words)))
+    k = draw(st.integers(1, 5))
+    parts = draw(st.integers(1, 7))
+    return docs_, k, parts
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(case=_ii_corpora())
+def test_inverted_index_two_phase_matches_brute(spark, case):
+    docs_, k, parts = case
+    df = spark.createDataFrame(docs_, "doc_id long, text string") \
+        .repartition(parts)
+    got = {r.term: (r.df_docs, list(r.postings)) for r in
+           text.inverted_index(df, "text", "doc_id",
+                               max_postings=k).collect()}
+    want = {}
+    for i, t_ in docs_:
+        for w in set(x for x in t_.lower().split(" ") if x):
+            want.setdefault(w, []).append(i)
+    want = {w: (len(ids), sorted(ids)[:k]) for w, ids in want.items()}
+    assert got == want
