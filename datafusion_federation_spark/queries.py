@@ -255,6 +255,10 @@ SECONDARY = {
     # broadcast-scalar agg shapes by d43/d51 patterns; oracle PASS
     # locally at both SFs + hand-computed unit test
     "d69_bm25_topk",
+    # round 6: streaming KMV sketch — stateful-stream machinery carried
+    # in-window by d32, the KMV estimator by d43 (both in-window);
+    # stream==batch equality pinned in test_streaming + local oracle
+    "d70_stream_kmv",
 }
 
 DEC = "decimal(12,2)"

@@ -2844,3 +2844,50 @@ def d69(spark, sf):
                         ["hash", "join", "vector"],
                         k1=1.2, b=0.75, idf_form="ratio", topk=20)
             .orderBy(F.col("score").desc(), "doc_id"))
+
+
+@q("d70_stream_kmv", """
+WITH h AS (SELECT DISTINCT event_type,
+                  md5(concat('kmv:', CAST(user_id AS VARCHAR))) AS h
+           FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+k AS (SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM r WHERE rn <= 128 GROUP BY event_type)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+       ROUND(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 127.0 /
+                       (CAST(CAST(concat('0x', substr(kth, 1, 15))
+                                  AS BIGINT) AS DOUBLE)
+                        / 1152921504606846976.0)
+             END, 2) AS est
+FROM k ORDER BY event_type
+""")
+def d70(spark, sf):
+    """STREAMING sketch in the oracle gate: the KMV bottom-k synopsis
+    held as applyInPandasWithState keyed state over the events file
+    stream (streaming/stateful.streaming_kmv) — O(k) state per key for
+    unbounded distinct counting. The finalized stream state (max
+    n_kept snapshot, min kth — the k-th minimum only decreases once
+    full) must EQUAL the batch sketch, so plain DuckDB SQL oracles a
+    stateful streaming operator end to end; same pattern as d32/d47
+    but for a sketch, not a partition of the input."""
+    from .operators.sketches import kmv_estimate
+    from .streaming.stateful import streaming_kmv
+    out = _run_events_stream(spark, sf, streaming_kmv,
+                             "stream_kmv_sink", "append")
+    # finalize snapshots without self-joining the memory sink (Spark
+    # cannot deduplicate a memory-sink relation's attributes): the
+    # final state is the (max n_kept, then min kth) snapshot per key
+    fin = (out.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("event_type")
+            .orderBy(F.col("n_kept").desc(), F.col("kth").asc())))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_kept", F.col("kth").alias("_kth")))
+    return (fin.select(
+        "event_type", F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.round(kmv_estimate(F.col("n_kept"), F.col("_kth"), 128), 2)
+        .alias("est"))
+        .orderBy("event_type"))

@@ -86,3 +86,53 @@ def running_totals(events: DataFrame, key_col: str = "user_id",
     return (events.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_kmv(events: DataFrame, key_col: str = "event_type",
+                  id_col: str = "user_id", k: int = 128) -> DataFrame:
+    """Streaming KMV distinct-count sketch: per key, state is the
+    sorted set of the ``k`` SMALLEST md5 hashes of ``id_col`` seen so
+    far — the mergeable bottom-k synopsis from operators/sketches.py
+    held as keyed stream state, so an unbounded stream answers "how
+    many distinct users per type" in O(k) state per key. Each
+    micro-batch emits a (n_kept, kth) snapshot; the k-th minimum only
+    ever decreases once the sketch is full, so the final state is
+    recoverable from snapshots (max n_kept, then min kth) however the
+    stream was micro-batched.
+
+    The hash is computed JVM-side BEFORE the stateful operator (the
+    pandas fn only merges sorted strings), and because it is the exact
+    kmv_hash the batch operator uses, the finalized stream result must
+    EQUAL the batch sketch — which is what lets d70 oracle-check a
+    streaming sketch against plain SQL."""
+    from pyspark.sql import functions as F
+    from ..operators.sketches import _check_k, kmv_hash
+    _check_k(k)
+    hashed = events.select(F.col(key_col),
+                           kmv_hash(F.col(id_col)).alias("_h"))
+    out_schema = T.StructType([
+        events.schema[key_col],
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("kth", T.StringType()),
+    ])
+    state_schema = T.StructType(
+        [T.StructField("hs", T.ArrayType(T.StringType()))])
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        hashes = set(state.get[0]) if state.exists else set()
+        got = False
+        for pdf in pdfs:
+            if len(pdf):
+                got = True
+                hashes.update(pdf["_h"])
+        if not got:
+            return
+        kept = sorted(hashes)[:k]
+        state.update((kept,))
+        yield pd.DataFrame({key_col: [key[0]], "n_kept": [len(kept)],
+                            "kth": [kept[-1]]})
+
+    return (hashed.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -267,3 +267,61 @@ def test_d47_stream_dedup_matches_batch_distinct(spark):
                   for r in e.groupBy("event_type")
                   .agg(F.count_distinct("user_id").alias("n")).collect())
     assert got == want
+
+
+def test_streaming_kmv_matches_batch_across_batches(spark, tmp_path):
+    """The streamed KMV sketch finalized from snapshots (max n_kept,
+    min kth) must equal the batch sketch EVEN when the stream is cut
+    into multiple micro-batches — the k-th minimum rises while the
+    sketch fills and falls afterwards, which is exactly what the
+    finalization rule must survive. maxFilesPerTrigger=1 over 4 files
+    forces 4 batches."""
+    from datafusion_federation_spark.operators.sketches import (
+        kmv_distinct)
+    from datafusion_federation_spark.streaming.stateful import (
+        streaming_kmv)
+
+    import random
+    rng = random.Random(7)
+    rows = [(rng.choice(["a", "b"]), rng.randint(1, 40))
+            for _ in range(300)]
+    src = spark.createDataFrame(rows, "event_type string, user_id long")
+    path = str(tmp_path / "kmv_in")
+    # 4 separate files -> 4 micro-batches with maxFilesPerTrigger=1
+    for i in range(4):
+        spark.createDataFrame(rows[i * 75:(i + 1) * 75],
+                              src.schema).coalesce(1) \
+            .write.mode("append").parquet(path)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = streaming_kmv(stream, "event_type", "user_id", k=16)
+    q = (out.writeStream.format("memory").queryName("kmv_multi")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    snaps = spark.table("kmv_multi")
+    # multiple snapshots per key proves we really got >1 micro-batch
+    assert snaps.groupBy("event_type").count().agg(
+        {"count": "max"}).collect()[0][0] > 1
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    fin = (snaps.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("event_type")
+            .orderBy(F.col("n_kept").desc(), F.col("kth").asc())))
+        .filter(F.col("_rn") == 1))
+    got = {(r.event_type, r.n_kept, r.kth) for r in fin.collect()}
+    # batch truth: bottom-16 hashes per key
+    from datafusion_federation_spark.operators.sketches import (
+        _distinct_hashes, _topk_hashes)
+    topk = _topk_hashes(_distinct_hashes(src, "user_id",
+                                         ["event_type"]),
+                        ["event_type"], 16)
+    want = {(r.event_type, r.n, r.kth) for r in
+            topk.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("_h").alias("kth")).collect()}
+    assert got == want
+    # and the registered estimate path agrees with the batch operator
+    est = {r.event_type: r.est for r in kmv_distinct(
+        src, "user_id", ["event_type"], k=16).collect()}
+    assert set(est) == {"a", "b"}
