@@ -59,6 +59,16 @@ def main(spark=None, sf_dir: str = SF_DIR):
     print(f"attribution: {n_attr}/{n_total} purchases have "
           "a prior click")
 
+    # 1b. the hot-key scale path: same attribution, windows per
+    # (user, 6h slice) with chunk-level carry injection — results are
+    # exactly the single-window form's (r6)
+    sliced = temporal.asof_join(purchases, clicks, on=["user_id"],
+                                left_ts="ts", right_ts="ts",
+                                slice_s=6 * 3600)
+    n_sliced = sliced.agg(F.count("click_id")).collect()[0][0]
+    assert n_sliced == n_attr, "sliced arm must equal single-window"
+    print(f"hot-key sliced arm: identical ({n_sliced} attributed)")
+
     # 2. trailing 7-day revenue per user (event-time RANGE frame)
     daily = (e.filter(F.col("event_type") == "purchase")
              .groupBy("user_id",

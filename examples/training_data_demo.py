@@ -48,6 +48,13 @@ def main(spark=None, sf_dir: str = SF_DIR):
                    corpus.groupBy("split").count().collect()}
     print("split sizes:", split_sizes)
 
+    # lexical retrieval over the curated corpus (r6): BM25 top-5 for a
+    # query-term bag — the hybrid-search partner of the embedding ANN
+    from datafusion_federation_spark.operators.text import bm25_scores
+    hits = bm25_scores(corpus, "text", "doc_id",
+                       ["data", "query", "model"], topk=5).collect()
+    print("bm25 top-5:", [(r.doc_id, r.score) for r in hits])
+
     with tempfile.TemporaryDirectory() as tmp:
         train = corpus.filter(F.col("split") == "train")
         sampling.write_training_shards(
@@ -57,6 +64,11 @@ def main(spark=None, sf_dir: str = SF_DIR):
                        back.groupBy("shard").count().collect()}
         print("shard sizes:", shard_sizes)
         assert back.count() == train.count()
+        # audit manifest: per-shard counts + order-insensitive digests;
+        # rerunning the writer on the same corpus rewrites these
+        # byte-for-byte (r6: oracle-checked end to end by d67)
+        man = sampling.shard_manifest(spark, f"{tmp}/shards", "doc_id")
+        print("manifest:", [(r.shard, r.n_rows) for r in man.collect()])
 
     if own_session:
         spark.stop()
