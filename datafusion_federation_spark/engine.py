@@ -45,6 +45,12 @@ class FederationEngine:
     def register_local_df(self, name: str, df):
         return self.catalog.register_local_df(name, df)
 
+    def register_local_csv(self, name: str, path: str, **options):
+        return self.catalog.register_local_csv(name, path, **options)
+
+    def register_local_json(self, name: str, path: str, **options):
+        return self.catalog.register_local_json(name, path, **options)
+
     def register_remote(self, provider: SQLProvider, local_name: str,
                         remote_name: Optional[str] = None, schema=None):
         return self.catalog.register_remote(provider, local_name,

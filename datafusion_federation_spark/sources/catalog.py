@@ -29,6 +29,30 @@ class FederatedCatalog:
         self._tables[name] = h
         return h
 
+    def register_local_csv(self, name: str, path: str,
+                           header: bool = True,
+                           infer_schema: bool = True,
+                           **options) -> TableHandle:
+        """A native Spark table from CSV (the reference's own examples
+        are CSV-backed: examples/df-csv.rs registers test.csv). Reads
+        through Spark's CSV source — schema inference at registration,
+        then the standard temp-view local path (same optimizer
+        visibility as any register_local_df table)."""
+        reader = self.spark.read.option("header", str(header).lower()) \
+            .option("inferSchema", str(infer_schema).lower())
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return self.register_local_df(name, reader.csv(path))
+
+    def register_local_json(self, name: str, path: str,
+                            **options) -> TableHandle:
+        """A native Spark table from JSON-lines (schema inferred at
+        registration; pass explicit reader options through)."""
+        reader = self.spark.read
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return self.register_local_df(name, reader.json(path))
+
     def register_local_df(self, name: str, df) -> TableHandle:
         """A native Spark table from an EXISTING DataFrame (temp view
         under the hood) — for inputs that need Spark-side preparation a

@@ -264,3 +264,43 @@ def test_untranslatable_function_degrades_not_wrong(two_engine):
     # Spark semantics: search starts at position 4 (1-based)
     assert ("2-HIGH", 6) in got          # 'H' at 3 skipped, 'H' at 6 found
     assert ("3-MEDIUM", 0) in got        # no 'H' at/after pos 4
+
+
+def test_local_csv_json_sources_federate_with_remote(spark, tmp_path):
+    """r6: LOCAL CSV/JSON registration (the reference's examples are
+    CSV-backed) — a local CSV table joins a remote DuckDB table; only
+    the remote subtree federates, the CSV side stays a native Spark
+    scan, and the SQL front door sees both."""
+    csvp = tmp_path / "dim.csv"
+    csvp.write_text("k,name\n1,one\n2,two\n3,three\n")
+    jsonp = tmp_path / "facts.json"
+    jsonp.write_text('{"k": 1, "v": 10}\n{"k": 2, "v": 20}\n'
+                     '{"k": 2, "v": 5}\n{"k": 9, "v": 99}\n')
+
+    from datafusion_federation_spark.engine import FederationEngine
+    duck = DuckDBExecutor(name="duck_csvj", compute_context="csvj")
+    duck.register_csv("rdim", str(csvp))
+
+    eng = FederationEngine(spark)
+    eng.register_local_csv("dim", str(csvp))
+    eng.register_local_json("facts", str(jsonp))
+    eng.register_remote(SQLProvider(duck), "rdim")
+
+    # pure-local join across the two formats through the SQL front door
+    out = sorted(tuple(r) for r in eng.sql(
+        "SELECT d.name, CAST(SUM(f.v) AS BIGINT) AS tot "
+        "FROM facts f JOIN dim d ON f.k = d.k "
+        "GROUP BY d.name").collect())
+    assert out == [("one", 10), ("two", 25)]
+
+    # local JSON x remote CSV: only the remote side becomes a
+    # RemoteQueryNode
+    b = eng.sql_plan(
+        "SELECT d.name, f.v FROM facts f "
+        "JOIN rdim d ON f.k = d.k WHERE f.v > 5")
+    fed = federate(b.plan)
+    remotes = [n for n in walk_plan(fed)
+               if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1 and remotes[0].provider.name == "duck_csvj"
+    rows = sorted(tuple(r) for r in eng.execute(fed).collect())
+    assert rows == [("one", 10), ("two", 20)]
