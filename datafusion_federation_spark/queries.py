@@ -259,6 +259,11 @@ SECONDARY = {
     # in-window by d32, the KMV estimator by d43 (both in-window);
     # stream==batch equality pinned in test_streaming + local oracle
     "d70_stream_kmv",
+    # round 6: salted skew rewrites — agg/join shapes carried in-window
+    # by q01/q50; exactness vs plain forms IS the oracle, PASS locally
+    # at both SFs
+    "d71_salted_agg",
+    "d72_salted_join",
 }
 
 DEC = "decimal(12,2)"

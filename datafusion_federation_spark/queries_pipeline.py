@@ -2891,3 +2891,72 @@ def d70(spark, sf):
         F.round(kmv_estimate(F.col("n_kept"), F.col("_kth"), 128), 2)
         .alias("est"))
         .orderBy("event_type"))
+
+
+@q("d71_salted_agg", """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(value), 6) AS DOUBLE) AS avg_v,
+       CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hi
+FROM events
+GROUP BY event_type ORDER BY event_type
+""")
+def d71(spark, sf):
+    """Skew-safe two-phase SALTED aggregation in the oracle gate
+    (operators/skew.salted_aggregate): phase 1 groups by (key, salt) so
+    a hot key spreads over 32 reducers, phase 2 merges algebraic
+    partials — the brief's 'salting for skew' as an EXACT rewrite,
+    which is what makes it oracle-checkable against the plain GROUP BY.
+    Money-style decimal sums keep the partial merge order-free (float
+    partial sums would drift); avg decomposes to sum/count in both
+    engines."""
+    from .operators.skew import salted_aggregate
+    e = t(spark, sf, "events").withColumn(
+        "dv", F.col("value").cast("decimal(12,2)"))
+    out = salted_aggregate(
+        e, ["event_type"],
+        {"n": ("count", "dv"), "total": ("sum", "dv"),
+         "lo": ("min", "dv"), "hi": ("max", "dv")},
+        n_salt=32)
+    return (out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.round(F.col("total").cast("double") / F.col("n"), 6)
+        .cast("double").alias("avg_v"),
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"))
+        .orderBy("event_type"))
+
+
+@q("d72_salted_join", """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""")
+def d72(spark, sf):
+    """Skew-safe SALTED replicated join in the oracle gate
+    (operators/skew.salted_join): the (potentially hot-keyed) event
+    stream takes a random salt, the customer sliver replicates once per
+    salt value, and the join key becomes (key, salt) — a hot user's
+    rows spread over 16 tasks instead of serializing one. Exact for
+    inner joins, so the plain-join SQL is the oracle. The salt comes
+    from rand(seed) but NO output depends on it (it only routes rows),
+    so results stay deterministic."""
+    from .operators.skew import salted_join
+    e = (t(spark, sf, "events")
+         .filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("c_custkey"), "value"))
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(e, c, "c_custkey", n_salt=16, how="inner")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)"))
+                 .cast("double").alias("total"))
+            .orderBy("c_mktsegment"))
