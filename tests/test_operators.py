@@ -952,3 +952,34 @@ def test_inverted_index_two_phase_matches_brute(spark, case):
             want.setdefault(w, []).append(i)
     want = {w: (len(ids), sorted(ids)[:k]) for w, ids in want.items()}
     assert got == want
+
+
+def test_minhash_signature_wrapper_matches_from_shingles(spark):
+    """The convenience wrapper (inline shingle build) must produce the
+    identical signature as the hot-path from-shingles form."""
+    df = spark.createDataFrame([(1, BASE), (2, NEAR)],
+                               "doc_id long, text string")
+    a = df.select("doc_id", dedup.minhash_signature(
+        F.col("text"), num_hashes=8).alias("sig"))
+    b = df.select("doc_id", dedup.minhash_signature_from_shingles(
+        dedup.word_shingles(F.col("text"), 3), num_hashes=8)
+        .alias("sig"))
+    got_a = {r.doc_id: list(r.sig) for r in a.collect()}
+    got_b = {r.doc_id: list(r.sig) for r in b.collect()}
+    assert got_a == got_b
+    assert all(len(v) == 8 for v in got_a.values())
+    # near-duplicate docs must agree on most signature slots
+    same = sum(x == y for x, y in zip(got_a[1], got_a[2]))
+    assert same >= 5
+
+
+def test_multimodal_resize_stub_plumbing(spark):
+    from datafusion_federation_spark.operators import multimodal as mm
+    df = mm.attach_binary_payload(docs(spark).limit(7), "text")
+    out = mm.resize_stub(df, "payload", width=224, height=128)
+    rows = out.collect()
+    assert len(rows) == 7
+    assert all(r.target_w == 224 and r.target_h == 128 for r in rows)
+    # payload rides through the Arrow batch untouched
+    assert all(r.payload is not None and len(r.payload) > 0
+               for r in rows)
