@@ -117,7 +117,30 @@ def _sql_queries(draw):
         ["agg", "proj", "sort", "having", "union", "cte",
          "star_exclude", "named_window", "qualify", "using",
          "corr_exists", "corr_scalar", "corr_in", "deep_join",
-         "scalar_select", "notin_null", "range_frame"]))
+         "scalar_select", "notin_null", "range_frame", "outer_join"]))
+    if shape == "outer_join":
+        # outer joins with the filter split between ON (null-extends
+        # the preserved side) and WHERE (post-join, kills the extension)
+        # — THE classic semantics divergence; both placements drawn
+        how = draw(st.sampled_from(["LEFT", "RIGHT", "FULL"]))
+        k = draw(st.integers(0, 4))
+        extra_in_on = draw(st.booleans())
+        on = "a.n_nationkey = b.n_nationkey"
+        where = f"{pred}"
+        if extra_in_on:
+            on += f" AND b.n_regionkey = {k}"
+        else:
+            where += (f" AND (b.n_regionkey = {k} "
+                      "OR b.n_regionkey IS NULL)")
+        return ("SELECT a.n_nationkey, b.n_regionkey AS brk "
+                f"FROM (SELECT * FROM nation WHERE {pred}) a "
+                f"{how} JOIN nation b ON {on} "
+                f"WHERE {where.replace(pred, '1 = 1', 1)}"
+                if how != "RIGHT" else
+                "SELECT a.n_nationkey, b.n_regionkey AS brk "
+                f"FROM nation a RIGHT JOIN "
+                f"(SELECT * FROM nation WHERE {pred}) b "
+                f"ON {on}")
     if shape == "range_frame":
         # event-time-style RANGE frame over a numeric order key (the
         # d49 shape): value-distance bounds, not row counts — gaps in
