@@ -71,7 +71,12 @@ def _check_k(k: int) -> None:
 
 def _distinct_hashes(df: DataFrame, key: str,
                      groups: Sequence[str]) -> DataFrame:
+    # NULL keys hash to NULL (concat with NULL) and are DROPPED: NULL
+    # is not a distinct value (COUNT(DISTINCT x) ignores it in every
+    # engine), and a NULL hash would land in engine-dependent bottom-k
+    # slots (Spark windows order NULL first, DuckDB last — review r6)
     return (df.select(*groups, kmv_hash(F.col(key)).alias("_h"))
+              .filter(F.col("_h").isNotNull())
               .distinct())
 
 

@@ -108,8 +108,12 @@ def streaming_kmv(events: DataFrame, key_col: str = "event_type",
     from pyspark.sql import functions as F
     from ..operators.sketches import _check_k, kmv_hash
     _check_k(k)
+    # NULL ids hash to NULL (concat with NULL): drop them up front —
+    # a None inside the pandas state set would crash sorted(), and
+    # NULLs order differently across engines anyway (review r6)
     hashed = events.select(F.col(key_col),
-                           kmv_hash(F.col(id_col)).alias("_h"))
+                           kmv_hash(F.col(id_col)).alias("_h")) \
+        .filter(F.col("_h").isNotNull())
     out_schema = T.StructType([
         events.schema[key_col],
         T.StructField("n_kept", T.LongType()),

@@ -259,3 +259,20 @@ class TestBloom:
             bloom_prune(fact.withColumn("_bp0", F.lit(1)), "k",
                         bloom_bits(dim, "dk", self.M, self.KH),
                         self.M, self.KH)
+
+
+def test_kmv_null_keys_dropped(spark):
+    """NULL keys are not distinct values: the sketch must match the
+    sketch of the non-null subset exactly (a NULL hash would otherwise
+    land in engine-dependent bottom-k slots — review r6)."""
+    from datafusion_federation_spark.operators.sketches import (
+        kmv_distinct)
+    rows = [("a", 1), ("a", 2), ("a", None), ("b", None), ("b", 3)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    got = {(r.g, r.n_kept, r.est) for r in
+           kmv_distinct(df, "k", ["g"], k=8).collect()}
+    clean = {(r.g, r.n_kept, r.est) for r in
+             kmv_distinct(df.filter("k IS NOT NULL"), "k", ["g"],
+                          k=8).collect()}
+    assert got == clean
+    assert {g for g, *_ in got} == {"a", "b"}
