@@ -49,6 +49,11 @@ def main() -> None:
     # reader path so the first timed query doesn't pay JVM startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # ... and the Python-worker + Arrow serializer pool: the first
+    # mapInPandas query otherwise absorbs a ~5s one-time spin-up
+    # (measured on d13, r6 — 5.94s cold vs 0.55s warm)
+    spark.createDataFrame([(1,)], "x int") \
+        .mapInPandas(lambda it: it, "x int").count()
 
     per_query = {}
     failures = {}
