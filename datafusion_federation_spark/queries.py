@@ -264,6 +264,9 @@ SECONDARY = {
     # at both SFs
     "d71_salted_agg",
     "d72_salted_join",
+    # round 6: hybrid RRF fusion — composition of d06 (in-window cosine
+    # arm) and d69's BM25; oracle PASS locally at both SFs
+    "d73_hybrid_rrf",
 }
 
 DEC = "decimal(12,2)"

@@ -2960,3 +2960,94 @@ def d72(spark, sf):
                  F.sum(F.col("value").cast("decimal(12,2)"))
                  .cast("double").alias("total"))
             .orderBy("c_mktsegment"))
+
+
+def _d73_oracle() -> str:
+    dot = _sql_dot("embedding", QUERY_VEC)
+    vnorm = _sql_sqnorm("embedding", EMB_DIM)
+    qnorm = _sql_const_sqnorm(QUERY_VEC)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             w -> w <> '') AS ws
+  FROM documents),
+n AS (SELECT COUNT(*) AS nn FROM documents),
+avgl AS (SELECT AVG(len(ws)) AS al FROM tokd),
+h3 AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(ws) AS t FROM tokd)
+       WHERE t IN ('hash', 'join', 'vector')),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tfv
+       FROM h3 GROUP BY 1, 2),
+dfq AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc
+        FROM h3 GROUP BY t),
+lens AS (SELECT doc_id, len(ws) AS dlen FROM tokd),
+lex AS (SELECT tf.doc_id,
+        ROUND(SUM(
+          ((CAST(nn AS DOUBLE) - dfc + CAST(0.5 AS DOUBLE))
+             / (dfc + CAST(0.5 AS DOUBLE)))
+          * tfv * CAST(2.2 AS DOUBLE)
+          / (tfv + CAST(1.2 AS DOUBLE)
+             * (CAST(0.25 AS DOUBLE)
+                + CAST(0.75 AS DOUBLE) * CAST(dlen AS DOUBLE) / al))
+        ), 6) AS score
+        FROM tf JOIN dfq USING (t)
+        JOIN lens ON lens.doc_id = tf.doc_id
+        CROSS JOIN n CROSS JOIN avgl
+        GROUP BY tf.doc_id),
+lr AS (SELECT id, rn AS lr FROM (
+         SELECT doc_id AS id,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         FROM lex) WHERE rn <= 50),
+vr AS (SELECT id, rn AS vr FROM (
+         SELECT vec_id AS id,
+                row_number() OVER (
+                  ORDER BY ROUND(({dot}) / (sqrt({vnorm})
+                                            * sqrt({qnorm})), 6) DESC,
+                           vec_id) AS rn
+         FROM embeddings) WHERE rn <= 50),
+f AS (SELECT COALESCE(lr.id, vr.id) AS id,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + lr),
+                      CAST(0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + vr),
+                        CAST(0 AS DOUBLE)) AS rrf
+      FROM lr FULL JOIN vr ON lr.id = vr.id)
+SELECT id, ROUND(rrf, 6) AS rrf FROM f
+ORDER BY rrf DESC, id LIMIT 10
+"""
+
+
+@q("d73_hybrid_rrf", _d73_oracle())
+def d73(spark, sf):
+    """HYBRID retrieval: reciprocal-rank fusion of the lexical arm
+    (BM25 top-50, d69's scorer) and the vector arm (brute cosine
+    top-50, d06's scorer) over the aligned documents/embeddings id
+    space — rrf(d) = Σ_arms 1/(60 + rank_arm(d)), the standard
+    score-scale-free fusion. Ranks are integers and the fusion is two
+    exact divisions + one addition in a fixed order, so the whole
+    composition stays oracle-exact; a doc present in one arm only
+    contributes that arm's term (FULL join + coalesce, both engines).
+    Evidence that the retrieval stack COMPOSES: d69 and d06 are the
+    arms' own oracle rows."""
+    from .operators import similarity
+    from .operators.text import bm25_scores
+    docs = t(spark, sf, "documents")
+    emb = t(spark, sf, "embeddings")
+    lex = bm25_scores(docs, "text", "doc_id", ["hash", "join", "vector"],
+                      idf_form="ratio")
+    lexr = (lex.withColumn("lr", F.row_number().over(
+        W.orderBy(F.col("score").desc(), F.col("doc_id"))))
+        .filter(F.col("lr") <= 50)
+        .select(F.col("doc_id").alias("id"), "lr"))
+    vec = similarity.cosine_topk(emb, "embedding", QUERY_VEC, k=50,
+                                 id_col="vec_id", round_digits=6)
+    vecr = (vec.withColumn("vr", F.row_number().over(
+        W.orderBy(F.col("score").desc(), F.col("vec_id"))))
+        .select(F.col("vec_id").alias("id"), "vr"))
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    fused = (lexr.join(vecr, "id", "full")
+             .select("id",
+                     (F.coalesce(one / (F.lit(60) + F.col("lr")), zero)
+                      + F.coalesce(one / (F.lit(60) + F.col("vr")),
+                                   zero)).alias("rrf")))
+    return (fused.select("id", F.round("rrf", 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), "id").limit(10))
