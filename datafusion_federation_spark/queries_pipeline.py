@@ -2636,8 +2636,19 @@ def d67(spark, sf):
     tag = hashlib.md5(f"{sf}:{mtime}".encode()).hexdigest()[:10]
     path = f"/tmp/spark_fed_shards_{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_training_shards(docs, path, "doc_id", num_shards=8,
+        # build-then-atomic-rename, same as q74's side-DB cache (its r5
+        # review finding): an interrupted direct write would leave a
+        # partial tree that a _SUCCESS-less retry OVERLAYS via
+        # partitionBy append semantics; the rename publishes all-or-
+        # nothing, and a concurrent winner just orphans this build
+        build = f"{path}.build.{os.getpid()}"
+        write_training_shards(docs, build, "doc_id", num_shards=8,
                               method="md5")
+        try:
+            os.rename(build, path)
+        except OSError:
+            import shutil
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
     m = shard_manifest(spark, path, "doc_id", method="md5")
     return (m.select(F.col("shard").cast("bigint").alias("shard"),
                      F.col("n_rows").cast("bigint").alias("n_rows"),
