@@ -473,16 +473,23 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     tf = (hits.groupBy("__bm_id", "__bm_t")
           .agg(F.count(F.lit(1)).cast("double").alias("__tf"),
                F.max("__bm_len").alias("__len")))
-    n_corpus = df.agg(F.count(F.lit(1)).alias("__n"))
-    avg = df.agg(F.avg(F.size(F.filter(
-        F.split(F.lower(F.col(text_col)), " "),
-        lambda w: w != ""))).alias("__avg"))
-    dfreq = (hits.select("__bm_id", "__bm_t").distinct()
-             .groupBy("__bm_t")
+    # tf is referenced twice below (df(t) + the score join); it is
+    # sliver-sized (matched docs x |terms|), so one lazy checkpoint
+    # stops the corpus tokenization from re-executing per reference.
+    # N and avglen share ONE corpus pass; df(t) derives from tf (one
+    # row per (doc, term) already) instead of re-scanning the corpus —
+    # the whole scorer reads the raw data exactly twice (tf pass +
+    # stats pass), review r6
+    tf = tf.localCheckpoint(eager=False)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.size(F.filter(
+            F.split(F.lower(F.col(text_col)), " "),
+            lambda w: w != ""))).alias("__avg"))
+    dfreq = (tf.groupBy("__bm_t")
              .agg(F.count(F.lit(1)).cast("double").alias("__df")))
     x = (tf.join(F.broadcast(dfreq), "__bm_t")
-         .crossJoin(F.broadcast(n_corpus))
-         .crossJoin(F.broadcast(avg)))
+         .crossJoin(F.broadcast(stats)))
     ratio = ((F.col("__n").cast("double") - F.col("__df") + F.lit(0.5))
              / (F.col("__df") + F.lit(0.5)))
     idf = (F.log(ratio + F.lit(1.0)) if idf_form == "log"
