@@ -386,3 +386,43 @@ def dense_index(df: DataFrame, id_col: str,
         schema=f"`{id_col}` {df.schema[id_col].dataType.simpleString()}, "
                "_np_idx bigint")
     return out
+
+
+def mix_corpora(sources, key: str, method: str = "md5",
+                salt: str = "mix") -> DataFrame:
+    """Deterministic training-mixture assembly: union several corpora,
+    each downsampled to its mixture rate — the 'data recipe' step of a
+    pretraining pipeline (e.g. 100% wiki + 30% web + 5% logs), under
+    the repo's hash-not-RNG contract: same corpora + same rates ->
+    same mixture, any partition layout, and a source can be
+    regenerated independently without disturbing the others' draws
+    (per-source salt).
+
+    ``sources`` is a list of (name, DataFrame, rate) with rate in
+    (0, 1]; every frame must share a schema (unionByName). Each row
+    carries its source name out, so downstream packing/sharding can
+    stratify or audit the realized mixture. Rates are per-source
+    INDEPENDENT Bernoulli keeps (salted by source name), not a global
+    multinomial — document counts scale with each source's size, the
+    standard recipe form.
+
+    Scale: each source's keep decision is a narrow hash filter fused
+    into its own scan (no shuffle, no RNG); the union is plan-level
+    (no exchange). md5 mode rounds each rate to 1/256 granularity and
+    is engine-portable (d74 oracle-checks a three-source mixture).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    out = None
+    for name, df, rate in sources:
+        if not 0.0 < rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in (0, 1], "
+                             f"got {rate}")
+        if "mix_source" in df.columns:
+            raise ValueError(f"{name!r} already has a 'mix_source' "
+                             "column; rename it first")
+        part = hash_sample(df, key, rate, method=method,
+                           salt=f"{salt}:{name}") \
+            .withColumn("mix_source", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out

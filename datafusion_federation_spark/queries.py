@@ -267,6 +267,10 @@ SECONDARY = {
     # round 6: hybrid RRF fusion — composition of d06 (in-window cosine
     # arm) and d69's BM25; oracle PASS locally at both SFs
     "d73_hybrid_rrf",
+    # round 6: training-mixture assembly — per-source salted md5
+    # sampling carried in-window by d18's machinery (hash_sample md5
+    # mode); kept-set checksummed, oracle PASS locally at both SFs
+    "d74_corpus_mix",
 }
 
 DEC = "decimal(12,2)"

@@ -3066,3 +3066,42 @@ def d73(spark, sf):
                                    zero)).alias("rrf")))
     return (fused.select("id", F.round("rrf", 6).alias("rrf"))
             .orderBy(F.col("rrf").desc(), "id").limit(10))
+
+
+@q("d74_corpus_mix", """
+WITH en AS (SELECT doc_id, 'en_full' AS mix_source FROM documents
+            WHERE lang = 'en'),
+de AS (SELECT doc_id, 'de_half' AS mix_source FROM documents
+       WHERE lang = 'de'
+         AND substr(md5(concat('mix:de_half:',
+                               CAST(doc_id AS VARCHAR))), 1, 2) < '80'),
+fr AS (SELECT doc_id, 'fr_quarter' AS mix_source FROM documents
+       WHERE lang = 'fr'
+         AND substr(md5(concat('mix:fr_quarter:',
+                               CAST(doc_id AS VARCHAR))), 1, 2) < '40'),
+u AS (SELECT * FROM en UNION ALL SELECT * FROM de
+      UNION ALL SELECT * FROM fr)
+SELECT mix_source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM u GROUP BY mix_source ORDER BY mix_source
+""")
+def d74(spark, sf):
+    """Deterministic training-mixture assembly in the oracle gate
+    (operators/sampling.mix_corpora): three sub-corpora at rates
+    100%/50%/25%, each kept by a per-source-SALTED md5 threshold — the
+    'data recipe' step of a pretraining pipeline, reproducible row for
+    row (the id checksum pins the exact kept set, not just counts).
+    Each source's keep is a narrow scan filter (no shuffle, no RNG)
+    and the union is plan-level, so at 100 TB the mixture costs one
+    pass over each source."""
+    from .operators.sampling import mix_corpora
+    d = t(spark, sf, "documents")
+    mixed = mix_corpora(
+        [("en_full", d.filter(F.col("lang") == "en"), 1.0),
+         ("de_half", d.filter(F.col("lang") == "de"), 0.5),
+         ("fr_quarter", d.filter(F.col("lang") == "fr"), 0.25)],
+        key="doc_id", method="md5")
+    return (mixed.groupBy("mix_source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum"))
+            .orderBy("mix_source"))

@@ -386,3 +386,34 @@ class TestDenseIndex:
         b = sorted(map(tuple, negative_pairs(
             df, "doc", k=3, index="distributed").collect()))
         assert a == b
+
+
+def test_mix_corpora_layout_invariant_and_validated(spark):
+    from datafusion_federation_spark.operators.sampling import mix_corpora
+    import pytest as _pt
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(200)],
+                               "doc_id long, text string")
+    srcs = [("a", df, 1.0), ("b", df, 0.5)]
+    one = sorted(map(tuple, mix_corpora(
+        srcs, "doc_id", method="md5").collect()))
+    srcs7 = [("a", df.repartition(7), 1.0),
+             ("b", df.repartition(3), 0.5)]
+    other = sorted(map(tuple, mix_corpora(
+        srcs7, "doc_id", method="md5").collect()))
+    assert one == other and one
+    # per-source salts decorrelate: b's kept set is NOT simply the
+    # low-hash half that an unsalted threshold would share with any
+    # other 0.5 decision — compare against a different source name
+    srcs_c = [("c", df, 0.5)]
+    kept_b = {r.doc_id for r in mix_corpora(
+        [("b", df, 0.5)], "doc_id", method="md5").collect()}
+    kept_c = {r.doc_id for r in mix_corpora(
+        srcs_c, "doc_id", method="md5").collect()}
+    assert kept_b != kept_c
+    with _pt.raises(ValueError, match="rate"):
+        mix_corpora([("x", df, 0.0)], "doc_id")
+    with _pt.raises(ValueError, match="non-empty"):
+        mix_corpora([], "doc_id")
+    with _pt.raises(ValueError, match="mix_source"):
+        mix_corpora([("x", df.withColumn("mix_source", F.lit("z")),
+                      0.5)], "doc_id")
