@@ -983,3 +983,56 @@ def test_multimodal_resize_stub_plumbing(spark):
     # payload rides through the Arrow batch untouched
     assert all(r.payload is not None and len(r.payload) > 0
                for r in rows)
+
+
+@st.composite
+def _weird_corpora(draw):
+    # adversarial tokenizer inputs: multi-space runs, tabs/newlines
+    # (NOT split — the tokenizer splits on literal ' '), punctuation,
+    # unicode, empty and None docs
+    alphabet = ["a", "bb", "c.d", "é", "漢", "x,y", "", " ", "\t", "\n"]
+    n = draw(st.integers(1, 12))
+    rows = []
+    for i in range(n):
+        if draw(st.booleans()):
+            words = draw(st.lists(st.sampled_from(alphabet), max_size=8))
+            rows.append((i, " ".join(words)))
+        else:
+            rows.append((i, draw(st.sampled_from([None, "", "  "]))))
+    return rows
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=_weird_corpora())
+def test_inverted_index_tokenizer_matches_duckdb(spark, rows):
+    """Cross-ENGINE fuzz of the shared split-on-space tokenizer:
+    Spark's split(lower(x), ' ') and DuckDB's string_split(lower(x),
+    ' ') must agree on multi-space runs, tabs/newlines (kept inside
+    tokens), punctuation, and unicode — the tokenizer is load-bearing
+    for d64/d69/d09 and a semantic drift here would silently skew
+    every text oracle."""
+    import duckdb
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.term, r.df_docs, tuple(r.postings)) for r in
+           text.inverted_index(df, "text", "doc_id",
+                               max_postings=4).collect()}
+    con = duckdb.connect()
+    con.register("docs_py", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    want = {(t, n, tuple(p)) for t, n, p in con.execute("""
+        WITH pairs AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(
+                   string_split(lower(text), ' '), w -> w <> ''))) AS term
+          FROM docs_py),
+        x AS (SELECT term, doc_id,
+                     COUNT(*) OVER (PARTITION BY term) AS dfd,
+                     ROW_NUMBER() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM pairs)
+        SELECT term, CAST(dfd AS BIGINT), list_sort(list(doc_id))
+        FROM x WHERE rn <= 4 GROUP BY term, dfd""").fetchall()}
+    con.close()
+    assert got == want
