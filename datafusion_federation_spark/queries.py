@@ -271,6 +271,10 @@ SECONDARY = {
     # sampling carried in-window by d18's machinery (hash_sample md5
     # mode); kept-set checksummed, oracle PASS locally at both SFs
     "d74_corpus_mix",
+    # round 6: streaming latest-N buffer — stateful-stream machinery
+    # carried in-window by d32; multi-batch displacement pinned in
+    # test_streaming; oracle PASS locally at both SFs
+    "d75_stream_last_n",
 }
 
 DEC = "decimal(12,2)"

@@ -3105,3 +3105,42 @@ def d74(spark, sf):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.sum("doc_id").cast("bigint").alias("id_sum"))
             .orderBy("mix_source"))
+
+
+@q("d75_stream_last_n", """
+WITH r AS (SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC)
+                    AS rn
+           FROM events),
+tot AS (SELECT user_id, COUNT(*) AS n_seen FROM events GROUP BY user_id)
+SELECT r.user_id, CAST(t.n_seen AS BIGINT) AS n_seen,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS recent
+FROM r JOIN tot t ON t.user_id = r.user_id
+WHERE rn <= 5
+GROUP BY r.user_id, t.n_seen
+ORDER BY r.user_id
+""")
+def d75(spark, sf):
+    """STREAMING feature-store buffer in the oracle gate: every user's
+    5 latest events (newest first, (ts, event_id) order) held as O(5)
+    keyed state over the events file stream
+    (streaming/stateful.streaming_last_n). Finalized snapshots (max
+    cumulative n_seen per key — the counter, not the buffer, is the
+    monotone finalization key) must equal the batch
+    row_number-over-(ts desc) form, so plain SQL oracles the stateful
+    buffer end to end. The recorded projection serializes the buffer
+    to a comma string per the window's no-list-columns contract."""
+    from .streaming.stateful import streaming_last_n
+    out = _run_events_stream(
+        spark, sf, lambda s: streaming_last_n(s, n=5),
+        "stream_lastn_sink", "append")
+    fin = (out.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("n_seen").desc())))
+        .filter(F.col("_rn") == 1))
+    return (fin.select(
+        "user_id", F.col("n_seen").cast("bigint").alias("n_seen"),
+        F.concat_ws(",", F.col("recent").cast("array<string>"))
+        .alias("recent"))
+        .orderBy("user_id"))

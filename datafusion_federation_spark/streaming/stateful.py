@@ -10,6 +10,14 @@ operators need arbitrary per-key state the built-ins can't express:
 - running_totals: per-key running count/sum emitted once per micro-batch
   (monoid state: merges associatively, so state size is O(keys), not
   O(events)).
+
+Why not Spark 4's ``transformWithStateInPandas``: probed r6 — the API
+is present but its state-server protocol imports ``protobuf``, which
+this environment does not ship (driver worker crashes with
+"No module named 'protobuf'" during state-schema validation; no
+pip-install allowed). applyInPandasWithState is the stateful surface
+until the dependency exists; the operators here port mechanically
+(ListState/ValueState instead of the GroupState tuple).
 """
 
 from __future__ import annotations
@@ -138,5 +146,67 @@ def streaming_kmv(events: DataFrame, key_col: str = "event_type",
                             "kth": [kept[-1]]})
 
     return (hashed.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_last_n(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", payload_col: str = "event_id",
+                     n: int = 5) -> DataFrame:
+    """Streaming per-key LATEST-N buffer — the feature-store primitive
+    ("a user's last n interactions") held as O(n) keyed state: two
+    parallel arrays (event-time micros + payload) truncated to the n
+    latest rows by (ts, payload) order after every micro-batch.
+
+    Each batch emits a snapshot (n_seen, recent payloads newest-first);
+    ``n_seen`` is the cumulative input count per key and therefore
+    STRICTLY increases on every batch that delivers rows, so the final
+    state is always the max-n_seen snapshot however the stream was
+    micro-batched — buffer content alone is NOT monotone (a late
+    mid-ranked event changes the list without changing its max ts),
+    which is why the counter, not the buffer, is the finalization key
+    (d75 oracle-checks the finalized buffer against batch SQL).
+    """
+    from pyspark.sql import functions as F
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    src = events.select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(payload_col).cast("long").alias("_pay"))
+    out_schema = T.StructType([
+        events.schema[key_col],
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("recent", T.ArrayType(T.LongType())),
+    ])
+    state_schema = T.StructType([
+        T.StructField("seen", T.LongType()),
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("pay", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seen, ts_a, pay_a = state.get
+            items = list(zip(ts_a, pay_a))
+        else:
+            seen, items = 0, []
+        got = 0
+        for pdf in pdfs:
+            got += len(pdf)
+            items.extend(zip(pdf["_ts_us"].astype(int),
+                             pdf["_pay"].astype(int)))
+        if not got:
+            return
+        seen += got
+        items = sorted(items)[-n:]          # n latest by (ts, payload)
+        state.update((seen, [int(t) for t, _ in items],
+                      [int(p) for _, p in items]))
+        yield pd.DataFrame({
+            key_col: [key[0]], "n_seen": [seen],
+            "recent": [[int(p) for _, p in reversed(items)]]})
+
+    return (src.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))

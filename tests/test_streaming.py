@@ -325,3 +325,47 @@ def test_streaming_kmv_matches_batch_across_batches(spark, tmp_path):
     est = {r.event_type: r.est for r in kmv_distinct(
         src, "user_id", ["event_type"], k=16).collect()}
     assert set(est) == {"a", "b"}
+
+
+def test_streaming_last_n_matches_batch_across_batches(spark, tmp_path):
+    """Multi-batch last-N: late mid-ranked events in a later batch must
+    displace buffer entries correctly, and the max-n_seen finalization
+    must pick the true final state (buffer content alone is not
+    monotone). 4 forced micro-batches with interleaved timestamps."""
+    from datafusion_federation_spark.streaming.stateful import (
+        streaming_last_n)
+    import random
+    rng = random.Random(17)
+    rows = [(rng.randint(1, 3),
+             rng.randint(0, 10**6), i) for i in range(200)]
+    import datetime as dt
+    src = spark.createDataFrame(
+        [(u, dt.datetime.utcfromtimestamp(t), e) for u, t, e in rows],
+        "user_id long, ts timestamp, event_id long")
+    path = str(tmp_path / "ln_in")
+    for i in range(4):
+        spark.createDataFrame(
+            [(u, dt.datetime.utcfromtimestamp(t), e)
+             for u, t, e in rows[i * 50:(i + 1) * 50]],
+            src.schema).coalesce(1).write.mode("append").parquet(path)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = streaming_last_n(stream, n=4)
+    q = (out.writeStream.format("memory").queryName("lastn_multi")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    snaps = spark.table("lastn_multi")
+    assert snaps.groupBy("user_id").count().agg(
+        {"count": "max"}).collect()[0][0] > 1   # really multi-batch
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    fin = {r.user_id: (r.n_seen, list(r.recent)) for r in
+           snaps.withColumn("_rn", F.row_number().over(
+               W.partitionBy("user_id")
+               .orderBy(F.col("n_seen").desc())))
+           .filter(F.col("_rn") == 1).collect()}
+    want = {}
+    for u in {u for u, _, _ in rows}:
+        evs = sorted(((t, e) for uu, t, e in rows if uu == u))
+        want[u] = (len(evs), [e for _, e in reversed(evs[-4:])])
+    assert fin == want
