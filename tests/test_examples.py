@@ -46,3 +46,26 @@ def test_temporal_demo(spark):
     from temporal_demo import main
     n_attr = main(spark, TESTDATA)
     assert n_attr > 0
+
+
+def test_registry_window_contract():
+    """Driver-contract hygiene: every SECONDARY name must exist in the
+    registry (a typo would silently promote nothing), the recorded
+    window (first 50 queries()) must be fully oracle-backed, and no
+    registered query may be missing from the ordered listing."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from datafusion_federation_spark.queries import REGISTRY, SECONDARY
+
+    assert SECONDARY <= set(REGISTRY), SECONDARY - set(REGISTRY)
+    names = list(e.queries())
+    assert sorted(names) == sorted(REGISTRY)
+    oracles = e.oracle_sql()
+    window = names[:50]
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"oracle-less rows in the recorded window: {missing}"
+    # rows-only queries are intentional and few
+    rows_only = [n for n in names if n not in oracles]
+    assert set(rows_only) == {"d04_minhash_lsh", "d05_simhash",
+                              "d12_winnow_fingerprint", "d14_ivf_ann"}
