@@ -275,6 +275,13 @@ SECONDARY = {
     # carried in-window by d32; multi-batch displacement pinned in
     # test_streaming; oracle PASS locally at both SFs
     "d75_stream_last_n",
+    # round 6: q77 (live Arrow Flight federation) takes a window slot —
+    # the gRPC transport had no driver-recorded row; the demotion keeps
+    # in-window twins for every surface it carries
+    "d07_ann_lsh",  # hyperplane-signature/bucket machinery carried
+                    # in-window by d08 (same lsh_signature planes) and
+                    # cell-probed ANN by d27 (IVF md5 twin); recall
+                    # pinned in test_operators
 }
 
 DEC = "decimal(12,2)"

@@ -3144,3 +3144,52 @@ def d75(spark, sf):
         F.concat_ws(",", F.col("recent").cast("array<string>"))
         .alias("recent"))
         .orderBy("user_id"))
+
+
+@q("q77_flight_federated", """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0
+GROUP BY n_name ORDER BY n_name
+""")
+def q77(spark, sf):
+    """LIVE Arrow Flight federation in the oracle gate: an in-process
+    Flight server (sources/flight_server.py, the reference's 'flight'
+    executor dialect) serves supplier+nation from DuckDB over REAL
+    gRPC + Arrow IPC; the join+filter+agg+sort claims as ONE remote
+    SQL through FlightSQLExecutor, and the small result is eagerly
+    checkpointed so the server can shut down before the driver
+    collects. With q74 (partitioned DuckDB), q76 (Derby JDBC) and the
+    DuckDB/SQLite rows, every transport the engine ships now has a
+    driver-recorded row."""
+    import duckdb
+    from .engine import FederationEngine
+    from .sources.flight_server import DuckDBFlightServer
+    from .sources.provider import FlightSQLExecutor, SQLProvider
+
+    conn = duckdb.connect()
+    for tbl in ("supplier", "nation"):
+        conn.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                     f"read_parquet('{sf}/{tbl}.parquet')")
+    server = DuckDBFlightServer(conn)
+    try:
+        ex = FlightSQLExecutor(f"grpc://127.0.0.1:{server.port}",
+                               name="flight_q77", dialect="duckdb")
+        eng = FederationEngine(spark)
+        prov = SQLProvider(ex)
+        for tbl in ("supplier", "nation"):
+            eng.register_remote(prov, tbl)
+        out = eng.sql(
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            "CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) "
+            "  AS bal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE s_acctbal > 0 "
+            "GROUP BY n_name ORDER BY n_name")
+        # materialize while the server lives; the driver collects later
+        return out.localCheckpoint(eager=True)
+    finally:
+        server.shutdown()
+        conn.close()

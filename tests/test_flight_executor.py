@@ -21,38 +21,11 @@ from datafusion_federation_spark.sources.provider import (
 from tests.conftest import TESTDATA
 
 
-class _DuckFlightServer(fl.FlightServerBase):
-    """Minimal Flight-as-SQL-transport server over a DuckDB connection."""
-
-    def __init__(self, conn, location="grpc://127.0.0.1:0"):
-        super().__init__(location)
-        self._conn = conn
-        self._lock = threading.Lock()
-
-    def do_get(self, context, ticket):
-        sql = ticket.ticket.decode("utf-8")
-        with self._lock:
-            table = self._conn.execute(sql).fetch_arrow_table()
-        return fl.RecordBatchStream(table)
-
-    def list_flights(self, context, criteria):
-        with self._lock:
-            rows = self._conn.execute(
-                "SELECT table_name FROM information_schema.tables "
-                "WHERE table_schema = 'main'").fetchall()
-        for (name,) in rows:
-            desc = fl.FlightDescriptor.for_path(name)
-            with self._lock:
-                sch = self._conn.execute(
-                    f'SELECT * FROM "{name}" LIMIT 0').fetch_arrow_table()
-            yield fl.FlightInfo(sch.schema, desc, [], -1, -1)
-
-    def get_schema(self, context, descriptor):
-        name = descriptor.path[0].decode("utf-8")
-        with self._lock:
-            sch = self._conn.execute(
-                f'SELECT * FROM "{name}" LIMIT 0').fetch_arrow_table()
-        return fl.SchemaResult(sch.schema)
+# the server implementation is the package's own reusable in-process
+# Flight server (sources/flight_server.py) — shared with q77 and the
+# demo so the three can't drift
+from datafusion_federation_spark.sources.flight_server import (  # noqa: E402
+    DuckDBFlightServer as _DuckFlightServer)
 
 
 @pytest.fixture()
