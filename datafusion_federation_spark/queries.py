@@ -282,6 +282,11 @@ SECONDARY = {
                     # in-window by d08 (same lsh_signature planes) and
                     # cell-probed ANN by d27 (IVF md5 twin); recall
                     # pinned in test_operators
+    # round 6: Spark-to-Spark federation — the remote-claim machinery
+    # is carried in-window by q50/q76/q77 (DuckDB/Derby/Flight rows);
+    # the sparksql dialect has executed goldens + the live
+    # two-session test; oracle PASS locally at both SFs
+    "q78_spark_remote_federated",
 }
 
 DEC = "decimal(12,2)"

@@ -3193,3 +3193,43 @@ def q77(spark, sf):
     finally:
         server.shutdown()
         conn.close()
+
+
+@q("q78_spark_remote_federated", """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS price_sum
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size <= 15
+GROUP BY p_brand ORDER BY p_brand
+""")
+def q78(spark, sf):
+    """Spark-to-SPARK federation in the oracle gate: a second
+    SparkSession (newSession — own temp-view catalog, shared cluster)
+    acts as the remote engine, the join+filter+agg+sort claims as ONE
+    remote SQL rendered in the Spark SQL dialect, and the 'remote'
+    session executes it — the two-Spark-clusters topology of the
+    reference's multi-engine story (its df-csv-advanced demo, with a
+    real engine on both sides). Completes the transport matrix in the
+    hard signal: DuckDB (q50s), partitioned DuckDB (q74), Derby JDBC
+    (q76), Arrow Flight (q77), Spark SQL (here)."""
+    from .engine import FederationEngine
+    from .sources.provider import SparkSQLExecutor, SQLProvider
+
+    remote = spark.newSession()
+    for tbl in ("part", "lineitem"):
+        remote.read.parquet(f"{sf}/{tbl}.parquet") \
+            .createOrReplaceTempView(tbl)
+    ex = SparkSQLExecutor(remote, name="spark_q78",
+                          compute_context=f"q78:{sf}")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    for tbl in ("part", "lineitem"):
+        eng.register_remote(prov, tbl)
+    return eng.sql(
+        "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) "
+        "  AS price_sum "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "WHERE p_size <= 15 "
+        "GROUP BY p_brand ORDER BY p_brand")
