@@ -287,6 +287,10 @@ SECONDARY = {
     # the sparksql dialect has executed goldens + the live
     # two-session test; oracle PASS locally at both SFs
     "q78_spark_remote_federated",
+    # round 6: SQLite transport — claim machinery carried in-window by
+    # q50/q76/q77; the sqlite dialect + affinity cast path has live
+    # two-engine tests; oracle PASS locally at both SFs
+    "q79_sqlite_federated",
 }
 
 DEC = "decimal(12,2)"

@@ -3233,3 +3233,45 @@ def q78(spark, sf):
         "FROM part JOIN lineitem ON p_partkey = l_partkey "
         "WHERE p_size <= 15 "
         "GROUP BY p_brand ORDER BY p_brand")
+
+
+@q("q79_sqlite_federated", """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MAX(n_name) AS last_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_nationkey < 20
+GROUP BY r_name ORDER BY r_name
+""")
+def q79(spark, sf):
+    """Stdlib-SQLite federation in the oracle gate: nation+region load
+    into an in-memory sqlite3 (the reference demo's second mock engine,
+    here LIVE), the join+filter+agg+sort claims as ONE remote SQL in
+    the SQLite dialect, and the affinity-typed rows come back through
+    the declared-schema construction + schema-cast path. The last
+    executor without a driver-recorded row — the transport matrix
+    (DuckDB, partitioned DuckDB, Derby JDBC, Arrow Flight, Spark SQL,
+    SQLite) is now fully in the hard signal."""
+    from .engine import FederationEngine
+    from .sources.provider import SQLiteExecutor, SQLProvider
+
+    ex = SQLiteExecutor(name="sqlite_q79", compute_context=f"q79:{sf}")
+    nat = [(int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+           for r in spark.read.parquet(f"{sf}/nation.parquet")
+           .select("n_nationkey", "n_name", "n_regionkey").collect()]
+    reg = [(int(r.r_regionkey), r.r_name)
+           for r in spark.read.parquet(f"{sf}/region.parquet")
+           .select("r_regionkey", "r_name").collect()]
+    ex.load_rows("nation", "CREATE TABLE nation (n_nationkey INTEGER, "
+                 "n_name TEXT, n_regionkey INTEGER)", nat)
+    ex.load_rows("region", "CREATE TABLE region (r_regionkey INTEGER, "
+                 "r_name TEXT)", reg)
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    for tbl in ("nation", "region"):
+        eng.register_remote(prov, tbl)
+    return eng.sql(
+        "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+        "MAX(n_name) AS last_nation "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE n_nationkey < 20 "
+        "GROUP BY r_name ORDER BY r_name")
