@@ -9,50 +9,24 @@ Run: python examples/flight_demo.py [testdata_dir]
 from __future__ import annotations
 
 import sys
-import threading
 
 
 def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
     import duckdb
-    import pyarrow.flight as fl
 
     from datafusion_federation_spark import (
         FederationEngine, FlightSQLExecutor, SQLProvider)
+    from datafusion_federation_spark.sources.flight_server import (
+        DuckDBFlightServer)
 
     conn = duckdb.connect()
     for t in ("orders", "customer"):
         conn.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                      f"read_parquet('{sf_dir}/{t}.parquet')")
 
-    class Server(fl.FlightServerBase):
-        def __init__(self):
-            super().__init__("grpc://127.0.0.1:0")
-            self._lock = threading.Lock()
-
-        def do_get(self, context, ticket):
-            with self._lock:
-                tbl = conn.execute(
-                    ticket.ticket.decode()).fetch_arrow_table()
-            return fl.RecordBatchStream(tbl)
-
-        def list_flights(self, context, criteria):
-            for name in ("orders", "customer"):
-                with self._lock:
-                    sch = conn.execute(
-                        f"SELECT * FROM {name} LIMIT 0"
-                    ).fetch_arrow_table().schema
-                yield fl.FlightInfo(
-                    sch, fl.FlightDescriptor.for_path(name), [], -1, -1)
-
-        def get_schema(self, context, descriptor):
-            name = descriptor.path[0].decode()
-            with self._lock:
-                sch = conn.execute(
-                    f"SELECT * FROM {name} LIMIT 0"
-                ).fetch_arrow_table().schema
-            return fl.SchemaResult(sch)
-
-    server = Server()
+    # the package's reusable in-process server (shared with the live
+    # tests and the q77 oracle row)
+    server = DuckDBFlightServer(conn)
     try:
         ex = FlightSQLExecutor(f"grpc://127.0.0.1:{server.port}",
                                name="flight_demo", dialect="duckdb")
