@@ -431,3 +431,36 @@ def test_asof_shapes_local_and_federated_match_duckdb(engines_asof, sql):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+def test_value_window_functions_both_paths(engines):
+    """FIRST/LAST/NTH_VALUE + LAG(default) through the front door on
+    the local AND federated paths vs DuckDB — the §2C window-function
+    variants d50's oracle row doesn't carry (r6 probe, pinned)."""
+    import duckdb
+    local_eng, remote_eng = engines
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/nation.parquet')")
+    full = ("ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING")
+    for sql in [
+        "SELECT n_nationkey, FIRST_VALUE(n_name) OVER "
+        "(PARTITION BY n_regionkey ORDER BY n_nationkey) AS v "
+        "FROM nation",
+        f"SELECT n_nationkey, LAST_VALUE(n_name) OVER "
+        f"(PARTITION BY n_regionkey ORDER BY n_nationkey {full}) AS v "
+        "FROM nation",
+        f"SELECT n_nationkey, NTH_VALUE(n_name, 2) OVER "
+        f"(PARTITION BY n_regionkey ORDER BY n_nationkey {full}) AS v "
+        "FROM nation",
+        "SELECT n_nationkey, LAG(n_name, 2, 'none') OVER "
+        "(PARTITION BY n_regionkey ORDER BY n_nationkey) AS v "
+        "FROM nation",
+    ]:
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert sorted(tuple(r) for r in
+                      local_eng.sql(sql).collect()) == want, sql
+        assert sorted(tuple(r) for r in
+                      remote_eng.sql(sql).collect()) == want, sql
+    con.close()
