@@ -442,6 +442,7 @@ class Parser:
             # plain items must be group keys (validated loosely)
             aggs = []
             out_names = []
+            post: dict = {}
             group_sql = {self._expr_key(g) for g in group_by
                          if not isinstance(g, (Rollup, Cube, GroupingSets))}
             for e, name in items:
@@ -453,6 +454,20 @@ class Parser:
                     # group key in the select list: alias it for output
                     if (self._expr_key(e) not in group_sql
                             and not self._in_grouping_sets(e, group_by)):
+                        # an EXPRESSION over grouped columns (e.g.
+                        # COALESCE(CAST(rollup_key AS string), 'ALL'))
+                        # is standard SQL: compute it ABOVE the
+                        # aggregate as a post-projection (r6 — the
+                        # exact-key check used to reject it, forcing
+                        # the Spark-parser fallback, which then choked
+                        # on portable type names like bare VARCHAR)
+                        cols = self._base_cols(e)
+                        if cols and all(
+                                self._expr_key(c) in group_sql
+                                or self._in_grouping_sets(c, group_by)
+                                for c in cols):
+                            post[out] = e
+                            continue
                         raise SqlParseError(
                             f"non-aggregated column {out!r} not in GROUP BY")
             new_group = []
@@ -494,8 +509,23 @@ class Parser:
                 else:
                     natural.append(g.output_name())
             natural += [a.name for a in aggs]
-            if hidden or natural != out_names:
-                plan = Project(plan, [Col(n) for n in out_names])
+            if post:
+                # the post-projection references group keys by their
+                # AGGREGATE-OUTPUT names; a key relabeled by another
+                # select item would make the reference dangle — refuse
+                # loudly rather than bind wrong
+                for out, e in post.items():
+                    for c in self._base_cols(e):
+                        if c.name not in natural:
+                            raise SqlParseError(
+                                f"expression {out!r} references group "
+                                f"key {c.name!r} that the select list "
+                                "relabels; select the key under its "
+                                "own name")
+            if hidden or natural != out_names or post:
+                plan = Project(plan, [
+                    Alias(post[n], n) if n in post else Col(n)
+                    for n in out_names])
         else:
             if len(items) == 1 and isinstance(items[0][0], Star) \
                     and items[0][1] is None:
@@ -583,6 +613,20 @@ class Parser:
             return x
 
         return _rewrite_expr(having, replace), hidden
+
+    def _base_cols(self, e: Expr):
+        """All Col leaves of an expression (post-aggregation
+        projection validation)."""
+        out = []
+
+        def walk(x):
+            if isinstance(x, Col):
+                out.append(x)
+            for c in x.children():
+                walk(c)
+
+        walk(e)
+        return out
 
     def _in_grouping_sets(self, e: Expr, group_by) -> bool:
         key = self._expr_key(e)
@@ -986,6 +1030,16 @@ class Parser:
             return Col(col_name, word)
         return Col(word)
 
+    #: portable type aliases -> Spark SQL type names. Bare VARCHAR /
+    #: CHAR / TEXT are valid ANSI/DuckDB/Postgres cast targets that
+    #: Spark's parser rejects ("requires a length parameter" — r6,
+    #: found by a corner probe); the plan stores the Spark name and the
+    #: unparser's per-dialect type_map renders it back out.
+    _TYPE_ALIASES = {"varchar": "string", "char": "string",
+                     "text": "string", "int8": "bigint",
+                     "int4": "int", "float8": "double",
+                     "float4": "float", "bool": "boolean"}
+
     def parse_type(self) -> str:
         base = self.take()[1]
         if self.accept_op("("):
@@ -994,7 +1048,7 @@ class Parser:
                 args.append(self.take()[1])
             self.expect_op(")")
             return f"{base}({','.join(args)})"
-        return base
+        return self._TYPE_ALIASES.get(base.lower(), base)
 
     def parse_case(self, scope) -> Expr:
         self.expect_kw("CASE")

@@ -898,3 +898,39 @@ def test_correlated_not_in_collapses_to_one_remote(duckdb_engine):
     assert isinstance(fed, RemoteQueryNode)
     got = sorted(map(tuple, eng.sql(sql).collect()))
     assert got == _oracle(sql) and len(got) > 0
+
+
+def test_expressions_over_grouped_keys(spark):
+    """r6: expressions OF grouped columns in the select list compile as
+    a post-aggregation projection (the exact-key check used to reject
+    them, forcing the Spark-parser fallback — which then choked on
+    portable type names like bare VARCHAR). Both arms + the refusal
+    for relabeled keys."""
+    import duckdb
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    from tests.conftest import TESTDATA
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/nation.parquet')")
+    key = (lambda t: tuple((x is None, str(x)) for x in t))
+    for sql in [
+        "SELECT COALESCE(CAST(n_regionkey AS VARCHAR), 'ALL') AS g, "
+        "COUNT(*) AS n FROM nation GROUP BY ROLLUP(n_regionkey)",
+        "SELECT n_regionkey + 100 AS shifted, COUNT(*) AS n "
+        "FROM nation GROUP BY n_regionkey",
+        "SELECT CAST(n_regionkey AS TEXT) AS g, SUM(n_nationkey) AS s "
+        "FROM nation GROUP BY n_regionkey HAVING COUNT(*) > 3",
+    ]:
+        want = sorted(map(tuple, con.execute(sql).fetchall()), key=key)
+        got = sorted((tuple(r) for r in eng.sql(sql).collect()), key=key)
+        assert got == want, sql
+    con.close()
+    # a select item that RELABELS the key makes the post-expr's raw
+    # reference dangle: loud refusal, never a wrong bind
+    with pytest.raises(Exception, match="relabels"):
+        eng.sql_plan(
+            "SELECT n_regionkey AS r, n_regionkey + 1 AS r2, "
+            "COUNT(*) AS n FROM nation GROUP BY n_regionkey")
