@@ -201,8 +201,14 @@ class Parser:
     # INTERSECT binds TIGHTER than UNION/EXCEPT (standard SQL, matched by
     # Spark and DuckDB): A UNION B INTERSECT C = A UNION (B INTERSECT C).
     def parse_query(self, outer: _Scope) -> Plan:
+        self._pending_don = None
         plan = self._parse_intersect_chain(outer)
         while True:
+            if getattr(self, "_pending_don", None) is not None \
+                    and self.at_kw("UNION", "EXCEPT"):
+                raise SqlParseError(
+                    "DISTINCT ON inside set operations is outside the "
+                    "parser surface")
             if self.accept_kw("UNION"):
                 allq = self.accept_kw("ALL")
                 rhs = self._parse_intersect_chain(outer)
@@ -217,8 +223,63 @@ class Parser:
                 plan = SetOp(plan, rhs, "EXCEPT", allq)
             else:
                 break
+        don = getattr(self, "_pending_don", None)
+        self._pending_don = None
+        if don is not None:
+            plan = self._apply_distinct_on(plan, don, outer)
         plan = self._order_limit(plan, outer)
         return plan
+
+    def _apply_distinct_on(self, plan: Plan, don, scope: _Scope) -> Plan:
+        """DISTINCT ON (e1, ...) rewritten through the QUALIFY
+        machinery: row_number() OVER (PARTITION BY e1.. ORDER BY
+        <residual sort keys>) = 1. The Postgres rule is enforced — the
+        ON expressions must be the INITIAL ORDER BY expressions — plus
+        one repo-deliberate tightening: at least one residual sort key
+        must remain, because with none "the" row per group is
+        engine-arbitrary (Postgres/DuckDB allow it; this engine never
+        returns nondeterministic results)."""
+        don_exprs, items = don
+        if not self.accept_kw("ORDER"):
+            raise SqlParseError(
+                "DISTINCT ON requires ORDER BY (the ON expressions "
+                "first, then at least one tie-break key)")
+        self.expect_kw("BY")
+        keys = [self.parse_sort_key(scope)]
+        while self.accept_op(","):
+            keys.append(self.parse_sort_key(scope))
+        if len(keys) <= len(don_exprs) or any(
+                self._expr_key(k.expr) != self._expr_key(e)
+                for k, e in zip(keys, don_exprs)):
+            raise SqlParseError(
+                "DISTINCT ON expressions must match the initial ORDER "
+                "BY expressions, followed by >= 1 tie-break key")
+        residual = keys[len(don_exprs):]
+        rn = WindowFunc(Func("row_number", []),
+                        partition_by=tuple(don_exprs),
+                        order_by=tuple(residual))
+        if any(isinstance(e, Star) for e, _ in items):
+            raise SqlParseError(
+                "DISTINCT ON with `*` is outside the parser surface; "
+                "list the output columns")
+        if not isinstance(plan, Project):
+            raise SqlParseError(
+                "DISTINCT ON over this query shape is unsupported")
+        out_names = [name or e.output_name() for e, name in items]
+        # hidden columns: the row_number itself, plus any base column
+        # the sort keys reference that the select list does not expose
+        # (the Sort sits BELOW the restoring projection so the remote
+        # unparse orders by live columns)
+        hidden = [Alias(rn, "__don_rn")]
+        carried = set(out_names) | {"__don_rn"}
+        for k in keys:
+            for c in self._base_cols(k.expr):
+                if c.table is None and c.name not in carried:
+                    carried.add(c.name)
+                    hidden.append(Alias(Col(c.name), c.name))
+        aug = Project(plan.input, list(plan.projections) + hidden)
+        filt = Filter(aug, BinaryOp("=", Col("__don_rn"), Lit(1)))
+        return Project(Sort(filt, keys), [Col(n) for n in out_names])
 
     def _parse_intersect_chain(self, outer: _Scope) -> Plan:
         plan = self.parse_select(outer)
@@ -294,6 +355,17 @@ class Parser:
         i_after_from = self.i
 
         self.i = i_items
+        don_exprs = None
+        if distinct and self.accept_kw("ON"):
+            # DISTINCT ON (exprs): DataFusion/Postgres/DuckDB extension
+            # — first row per ON-group under the query's ORDER BY.
+            # Parsed here (scope now exists); applied at the query
+            # level where ORDER BY is known (r6).
+            self.expect_op("(")
+            don_exprs = [self.parse_expr(scope)]
+            while self.accept_op(","):
+                don_exprs.append(self.parse_expr(scope))
+            self.expect_op(")")
         items = [self.parse_select_item(scope)]
         while self.accept_op(","):
             items.append(self.parse_select_item(scope))
@@ -375,7 +447,7 @@ class Parser:
         self._resolve_named_windows(qitems, having, windows)
 
         plan = self._assemble(plan, items, distinct, group_by, having,
-                              qualify)
+                              qualify, don_exprs)
         return plan
 
     def _resolve_named_windows(self, items, having, windows) -> None:
@@ -426,7 +498,8 @@ class Parser:
         return out
 
     def _assemble(self, plan: Plan, items, distinct, group_by, having,
-                  qualify: Optional[Expr] = None) -> Plan:
+                  qualify: Optional[Expr] = None,
+                  don_exprs: Optional[List[Expr]] = None) -> Plan:
         has_agg = any(self._contains_agg(e) for e, _ in items) or group_by \
             or (having is not None)
         if qualify is not None and has_agg:
@@ -535,7 +608,13 @@ class Parser:
                     Alias(e, name) if name else e for e, name in items])
         if qualify is not None:
             plan = self._apply_qualify(plan, items, qualify)
-        if distinct:
+        if don_exprs is not None:
+            if qualify is not None:
+                raise SqlParseError(
+                    "DISTINCT ON with QUALIFY is outside the parser "
+                    "surface")
+            self._pending_don = (don_exprs, items)
+        elif distinct:
             plan = Distinct(plan)          # QUALIFY filters BEFORE DISTINCT
         return plan
 

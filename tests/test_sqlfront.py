@@ -934,3 +934,58 @@ def test_expressions_over_grouped_keys(spark):
         eng.sql_plan(
             "SELECT n_regionkey AS r, n_regionkey + 1 AS r2, "
             "COUNT(*) AS n FROM nation GROUP BY n_regionkey")
+
+
+def test_distinct_on(spark):
+    """DISTINCT ON (DataFusion/Postgres/DuckDB extension, r6): first
+    row per ON-group under the residual ORDER BY, rewritten to a
+    row_number window + filter BELOW the restoring projection so both
+    arms execute it. Postgres's initial-ORDER-BY rule enforced, plus
+    the repo tightening: >= 1 tie-break key (no engine-arbitrary
+    rows)."""
+    import duckdb
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    from tests.conftest import TESTDATA
+    local = FederationEngine(spark)
+    local.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    ex = DuckDBExecutor(name="duck_don", compute_context="don")
+    ex.register_parquet("nation", f"{TESTDATA}/nation.parquet")
+    remote = FederationEngine(spark)
+    remote.register_remote(SQLProvider(ex), "nation")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/nation.parquet')")
+    key = (lambda t: tuple((x is None, str(x)) for x in t))
+    for sql in [
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM nation ORDER BY n_regionkey, n_name",
+        # ON key NOT in the select list -> hidden-column carry
+        "SELECT DISTINCT ON (n_regionkey) n_name FROM nation "
+        "ORDER BY n_regionkey, n_nationkey DESC",
+        # expression key + WHERE + LIMIT
+        "SELECT DISTINCT ON (n_regionkey % 2) n_name FROM nation "
+        "ORDER BY n_regionkey % 2, n_nationkey",
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name, "
+        "n_nationkey FROM nation WHERE n_nationkey > 2 "
+        "ORDER BY n_regionkey, n_nationkey DESC LIMIT 3",
+    ]:
+        want = sorted(map(tuple, con.execute(sql).fetchall()), key=key)
+        for eng in (local, remote):
+            got = sorted((tuple(r) for r in eng.sql(sql).collect()),
+                         key=key)
+            assert got == want, sql
+    con.close()
+    # refusals: no ORDER BY; ON exprs not the ORDER BY prefix; no
+    # tie-break key (engine-arbitrary row)
+    for bad in [
+        "SELECT DISTINCT ON (n_regionkey) n_name FROM nation",
+        "SELECT DISTINCT ON (n_regionkey) n_name FROM nation "
+        "ORDER BY n_name, n_regionkey",
+        "SELECT DISTINCT ON (n_regionkey) n_name FROM nation "
+        "ORDER BY n_regionkey",
+    ]:
+        with pytest.raises(SqlParseError, match="DISTINCT ON"):
+            local.sql_plan(bad)
