@@ -291,6 +291,10 @@ SECONDARY = {
     # q50/q76/q77; the sqlite dialect + affinity cast path has live
     # two-engine tests; oracle PASS locally at both SFs
     "q79_sqlite_federated",
+    # round 6: DISTINCT ON front door — window+filter machinery carried
+    # in-window by q52/q70; both-arm equality pinned in test_sqlfront;
+    # oracle (the identical SQL on DuckDB) PASS locally at both SFs
+    "q80_sql_distinct_on",
 }
 
 DEC = "decimal(12,2)"

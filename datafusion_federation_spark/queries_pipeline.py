@@ -3275,3 +3275,28 @@ def q79(spark, sf):
         "FROM nation JOIN region ON n_regionkey = r_regionkey "
         "WHERE n_nationkey < 20 "
         "GROUP BY r_name ORDER BY r_name")
+
+
+@q("q80_sql_distinct_on", """
+SELECT DISTINCT ON (event_type) event_type,
+       CAST(user_id AS BIGINT) AS last_user,
+       CAST(event_id AS BIGINT) AS last_event
+FROM events
+ORDER BY event_type, ts DESC, event_id DESC
+""")
+def q80(spark, sf):
+    """DISTINCT ON through the SQL front door (r6): each event type's
+    LATEST event — the DataFusion/Postgres/DuckDB extension rewritten
+    to a row_number window + filter below the restoring projection,
+    with the Postgres initial-ORDER-BY rule and a mandatory tie-break
+    key enforced at parse (sqlfront._apply_distinct_on). The oracle IS
+    the identical SQL on DuckDB's native DISTINCT ON — the same
+    both-engines-one-string pattern as q75's ASOF."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("events", t(spark, sf, "events"))
+    return eng.sql(
+        "SELECT DISTINCT ON (event_type) event_type, "
+        "CAST(user_id AS BIGINT) AS last_user, "
+        "CAST(event_id AS BIGINT) AS last_event "
+        "FROM events ORDER BY event_type, ts DESC, event_id DESC")
