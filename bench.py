@@ -55,6 +55,12 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int") \
         .mapInPandas(lambda it: it, "x int").count()
 
+    try:
+        load_start = round(float(open("/proc/loadavg").read().split()[0]),
+                           1)
+    except OSError:
+        load_start = None
+
     per_query = {}
     failures = {}
     for name, fn in entrymod.queries().items():
@@ -85,12 +91,21 @@ def main() -> None:
         # more round of growth would overflow like r03 did. Full
         # 3-decimal values stay in BENCH_FULL.json.
         short[name if key in short else key] = round(sec, 2)
+    # ambient host load at start/end: this box shows EXTERNAL spikes
+    # (loadavg 5+ with zero user processes) that inflate identical
+    # binaries from 134s to 230s — record the context the totals were
+    # measured under so cross-round comparisons can discount it
+    try:
+        load_end = round(float(open("/proc/loadavg").read().split()[0]), 1)
+    except OSError:
+        load_end = None
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": short,
         "sf": sf,
+        "loadavg": [load_start, load_end],
     }
     if failures:
         # a crashed query must not read as a speedup: surface the count
@@ -104,7 +119,9 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL.json"), "w") as f:
-            json.dump({"queries": per_query, "failures": failures, "sf": sf},
+            json.dump({"queries": per_query, "failures": failures,
+                       "sf": sf,
+                       "loadavg": [load_start, load_end]},
                       f, indent=1)
     except OSError:
         pass
