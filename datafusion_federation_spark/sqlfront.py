@@ -284,6 +284,10 @@ class Parser:
     def _parse_intersect_chain(self, outer: _Scope) -> Plan:
         plan = self.parse_select(outer)
         while self.at_kw("INTERSECT"):
+            if getattr(self, "_pending_don", None) is not None:
+                raise SqlParseError(
+                    "DISTINCT ON inside set operations is outside the "
+                    "parser surface")
             self.take()
             allq = self.accept_kw("ALL")
             rhs = self.parse_select(outer)

@@ -989,3 +989,37 @@ def test_distinct_on(spark):
     ]:
         with pytest.raises(SqlParseError, match="DISTINCT ON"):
             local.sql_plan(bad)
+
+
+def test_distinct_on_set_op_refusals_and_nesting(spark):
+    """r6 review: INTERSECT chains bypassed the set-op guard (only
+    UNION/EXCEPT were checked at the query level); a pending DISTINCT
+    ON must refuse EVERY set operation, while a DISTINCT ON inside a
+    derived table composes fine (its own parse_query scope)."""
+    import duckdb
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    from tests.conftest import TESTDATA
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    for bad in [
+        "SELECT DISTINCT ON (n_regionkey) n_name FROM nation "
+        "INTERSECT SELECT n_name FROM nation "
+        "ORDER BY n_regionkey, n_name",
+        "SELECT DISTINCT ON (n_regionkey) n_name FROM nation "
+        "UNION SELECT n_name FROM nation "
+        "ORDER BY n_regionkey, n_name",
+    ]:
+        with pytest.raises(SqlParseError, match="set operations"):
+            eng.sql_plan(bad)
+    sql = ("SELECT x FROM (SELECT DISTINCT ON (n_regionkey) "
+           "n_nationkey AS x FROM nation "
+           "ORDER BY n_regionkey, n_nationkey) s WHERE x > 1 "
+           "ORDER BY x")
+    got = [r.x for r in eng.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want and got
