@@ -7,7 +7,13 @@ Env:
 
 Output (single line on stdout, everything else on stderr):
   {"metric": "total_query_seconds", "value": <sum>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+   "queries": {"q01": sec, ...}, "sf": 0.1, "pass1_total": sec,
+   "passes": 2}
+
+Every query is timed TWICE (two full passes over the registry);
+"value" and "queries" report the per-query minimum so ambient host
+load spikes (see loadavg field) can't masquerade as regressions.
+"pass1_total" preserves comparability with the single-pass rounds.
 """
 
 from __future__ import annotations
@@ -61,22 +67,38 @@ def main() -> None:
     except OSError:
         load_start = None
 
-    per_query = {}
+    # Two full passes, report the per-query MINIMUM (VERDICT r6 Next #1):
+    # this box shows EXTERNAL load spikes (loadavg 5+ with zero user
+    # processes) that inflated the r6 artifact's common-subset total by
+    # +12% over an isolated rerun of identical binaries. Running every
+    # query once, then the whole registry again, decorrelates a transient
+    # spike from any one query; min(pass1, pass2) is the load-discounted
+    # warm time the judge's isolated reruns measure. Pass-1 totals stay
+    # in the line as a secondary field for continuity with r1-r6.
+    pass1 = {}
+    pass2 = {}
     failures = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            # noop sink: materializes EVERY column of every row (count()
-            # lets Catalyst prune computed projections entirely, timing
-            # little more than the scan for projection-only queries)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            per_query[name] = round(dt, 3)
-            log(f"bench {name}: {dt:.2f}s")
-        except Exception as e:  # noqa: BLE001 - record and continue
-            failures[name] = str(e)[:200]
-            log(f"bench {name}: FAILED {str(e)[:200]}")
+    registry = entrymod.queries()
+    for pass_no, sink in ((1, pass1), (2, pass2)):
+        for name, fn in registry.items():
+            if name in failures:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                # noop sink: materializes EVERY column of every row
+                # (count() lets Catalyst prune computed projections
+                # entirely, timing little more than the scan for
+                # projection-only queries)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                sink[name] = round(dt, 3)
+                log(f"bench p{pass_no} {name}: {dt:.2f}s")
+            except Exception as e:  # noqa: BLE001 - record and continue
+                failures[name] = str(e)[:200]
+                log(f"bench p{pass_no} {name}: FAILED {str(e)[:200]}")
+    per_query = {name: min(sec, pass2[name]) if name in pass2 else sec
+                 for name, sec in pass1.items()}
 
     # The driver records only the tail of stdout (~2 KB): the r03 line at
     # full key length (~2.1 KB) overflowed it and parsed as null. Emit
@@ -106,6 +128,10 @@ def main() -> None:
         "queries": short,
         "sf": sf,
         "loadavg": [load_start, load_end],
+        # first-pass (cold-ish) total: comparable to the single-pass
+        # totals recorded in BENCH_r01-r06
+        "pass1_total": round(sum(pass1.values()), 3),
+        "passes": 2,
     }
     if failures:
         # a crashed query must not read as a speedup: surface the count
@@ -119,7 +145,8 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL.json"), "w") as f:
-            json.dump({"queries": per_query, "failures": failures,
+            json.dump({"queries": per_query, "pass1": pass1,
+                       "pass2": pass2, "failures": failures,
                        "sf": sf,
                        "loadavg": [load_start, load_end]},
                       f, indent=1)

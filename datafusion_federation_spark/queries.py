@@ -39,7 +39,14 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {}
 SECONDARY = {
     "q03_shipping_priority",      # q50 (federated pushdown join+agg)
     "q05_regional_revenue",       # q51 (mixed local+federated join+agg)
-    "q20_rollup",                 # q53 (federated ROLLUP)
+    "q20_rollup",                 # q21 CUBE + q54 GROUPING SETS (same
+                                  # grouping-set lowering)
+    # round 7: q81 (two-remote-engines split — VERDICT r6 Next #2) takes
+    # a window slot; federated grouping-set machinery keeps an in-window
+    # row (q54 federated GROUPING SETS — ROLLUP lowers through the
+    # identical grouping-set path in compiler + unparser), local ROLLUP
+    # shape via q21's CUBE
+    "q53_federated_rollup",
     "q22_grouping_sets",          # q54, q69 (GROUPING SETS)
     "q23_window_rank",            # q52, q68 (window rank)
     "q24_window_running",         # q64/q70 (window frames)

@@ -3300,3 +3300,69 @@ def q80(spark, sf):
         "CAST(user_id AS BIGINT) AS last_user, "
         "CAST(event_id AS BIGINT) AS last_event "
         "FROM events ORDER BY event_type, ts DESC, event_id DESC")
+
+
+@q("q81_two_engine_split", """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 1000 AND n_regionkey < 3
+GROUP BY n_name ORDER BY n_name
+""")
+def q81(spark, sf):
+    """TWO remote engines split by one query — the reference's flagship
+    scenario (examples/df-csv-advanced.rs:29-54,119-147: a join across a
+    mock sqlite and a mock postgres engine), here with both engines LIVE
+    and the row under the driver's oracle (VERDICT r6 Next #2). customer
+    lives in DuckDB (parquet-backed — the engine scans the file itself,
+    nothing ships driver-side); nation lives in stdlib SQLite (25 rows,
+    metadata-scale load). The federation pass must claim each provider's
+    subtree separately: the c_acctbal filter rides inside the DuckDB SQL,
+    the n_regionkey filter inside the SQLite SQL, and the join + agg +
+    sort run in Spark. Plan-pinned inline: exactly two RemoteQueryNodes,
+    two DISTINCT providers, and neither remote SQL references the other
+    engine's table (zero remote cross-joins)."""
+    from .engine import FederationEngine
+    from .federation import federate
+    from .plans.nodes import RemoteQueryNode, walk_plan
+    from .sources.provider import (
+        DuckDBExecutor, SQLiteExecutor, SQLProvider)
+
+    duck = DuckDBExecutor(name="duck_q81", compute_context=f"q81:{sf}")
+    duck.register_parquet("customer", f"{sf}/customer.parquet")
+    lite = SQLiteExecutor(name="lite_q81", compute_context=f"q81:{sf}")
+    nat = [(int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+           for r in spark.read.parquet(f"{sf}/nation.parquet")
+           .select("n_nationkey", "n_name", "n_regionkey").collect()]
+    lite.load_rows("nation", "CREATE TABLE nation (n_nationkey INTEGER, "
+                   "n_name TEXT, n_regionkey INTEGER)", nat)
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(duck), "customer")
+    eng.register_remote(SQLProvider(lite), "nation")
+    sql_text = (
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)"
+        " AS total_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_acctbal > 1000 AND n_regionkey < 3 "
+        "GROUP BY n_name ORDER BY n_name")
+    # plan pin (runs on every invocation, incl. the driver's): the split
+    # must hold or the row is lying about what it evidences
+    fed = federate(eng.sql_plan(sql_text).plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 2, f"expected 2 remote claims, got {len(remotes)}"
+    assert len({n.provider.name for n in remotes}) == 2, \
+        "both subtrees claimed by one provider"
+    for n in remotes:
+        own, other = (("customer", "nation")
+                      if n.provider.name == "duck_q81"
+                      else ("nation", "customer"))
+        # quoted-identifier match: plain `in` would see the TABLE name
+        # "nation" inside the COLUMN name "c_nationkey"
+        assert f'"{own}"' in n.sql and f'"{other}"' not in n.sql, \
+            f"remote cross-join leak in {n.provider.name}: {n.sql}"
+    assert "c_acctbal" in next(n.sql for n in remotes
+                               if n.provider.name == "duck_q81"), \
+        "customer filter did not push into the DuckDB SQL"
+    return eng.sql(sql_text)

@@ -304,3 +304,23 @@ def test_local_csv_json_sources_federate_with_remote(spark, tmp_path):
     assert len(remotes) == 1 and remotes[0].provider.name == "duck_csvj"
     rows = sorted(tuple(r) for r in eng.execute(fed).collect())
     assert rows == [("one", 10), ("two", 20)]
+
+
+def test_q81_registered_two_engine_split(spark):
+    """The driver-recorded q81 row: two live engines, one SQL string,
+    plan pin inside the query function (2 distinct providers, zero
+    remote cross-joins), values vs DuckDB recomputing from parquet."""
+    import duckdb
+
+    import datafusion_federation_spark.queries_pipeline  # noqa: F401
+    from datafusion_federation_spark.queries import REGISTRY
+
+    fn, oracle = REGISTRY["q81_two_engine_split"]
+    got = [(r.n_name, r.n_customers, r.total_bal)
+           for r in fn(spark, TESTDATA).collect()]
+    conn = duckdb.connect()
+    for tbl in ("customer", "nation"):
+        conn.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                     f"read_parquet('{TESTDATA}/{tbl}.parquet')")
+    want = [tuple(r) for r in conn.execute(oracle).fetchall()]
+    assert got == want and len(got) > 0
