@@ -48,11 +48,33 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     NO out-edges is spread uniformly —
         rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dm/N)
     so Σ rank stays exactly 1 per iteration (pinned in tests; the
-    simplified default leaks sink mass, documented below). Cost: ONE
-    extra broadcast 1-row aggregate per iteration (the dangling-rank
-    sum over a precomputed anti-join node set) — no new wide shuffles,
-    the recurrence stays a pure join+agg and therefore SQL-unrollable
-    (d68's stacked-CTE oracle replays it exactly).
+    simplified default leaks sink mass, documented below).
+
+    CHECKPOINT-FREE dangling recurrence (r7, VERDICT r6 Next #3): the
+    r6 form computed dm with a second reference to ``ranks`` per
+    iteration, which doubles the LOGICAL plan each round (persist
+    caches execution, not the plan — the 2^7-node tree OOMed the plan
+    printer at 7 iterations) and therefore forced a per-iteration
+    localCheckpoint barrier. This form references each state frame
+    exactly ONCE, so the plan stays LINEAR in ``iters`` with no
+    lineage cut at all:
+      1. ``ranks LEFT JOIN out-degree edges``: a non-sink emits one
+         row per out-edge (key=dst, contrib=rank/deg); a sink emits
+         exactly one unmatched row (key=NULL, mass=rank) — the sink
+         markers fold into the SAME pass, no separate anti-join.
+      2. one groupBy(key): per-node spread rows PLUS one NULL-key row
+         whose mass sum IS the dangling mass dm.
+      3. the static node set, doubled with (node, key=node) and
+         (node, key=NULL) rows, null-safe-equi-joins (<=>) the
+         aggregate: each node picks up its own spread row through the
+         first key and the dm row through the NULL key — Spark plans
+         EqualNullSafe as a hash join, so this is an equi-shuffle,
+         never a nested loop.
+      4. groupBy(node) folds the ≤2 rows back into
+         rank' = (1-d)/N + d·(spread + dm/N).
+    Cost: one extra narrow shuffle (step 4) vs the non-dangling arm,
+    against which it removes a join, an aggregate, and the checkpoint
+    barrier per iteration.
 
     ``checkpoint_every`` truncates the rank frame's lineage every k
     iterations (localCheckpoint, same pattern as connected_components'
@@ -83,16 +105,52 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     e_deg = e.join(deg, "_src")
 
-    if dangling:
-        # sink set is iteration-invariant: compute the anti-join once
-        sinks = nodes.select("node").join(
-            deg.select(F.col("_src").alias("node")), "node",
-            "left_anti")
-
     ranks = nodes.select(
         "node", "_n",
         (F.lit(1.0) / F.col("_n").cast("double")).alias("rank"))
     base = F.lit(1.0 - damping) / F.col("_n").cast("double")
+
+    if dangling:
+        # static doubled node set for the null-safe distribution join
+        # (see docstring step 3) — built once, outside the recurrence
+        node_type = nodes.schema["node"].dataType
+        nodes2 = nodes.select(
+            "node", "_n", F.col("node").alias("_k")).unionAll(
+            nodes.select("node", "_n",
+                         F.lit(None).cast(node_type).alias("_k")))
+        for _ in range(iters):
+            # ONE left join: edge fan-out for non-sinks, a single
+            # NULL-key marker row carrying the rank for each sink
+            allrows = ranks.join(e_deg,
+                                 ranks["node"] == e_deg["_src"], "left")
+            grouped = (allrows.select(
+                F.col("_dst").alias("_k"),
+                F.when(F.col("_deg").isNotNull(),
+                       F.col("rank") / F.col("_deg").cast("double"))
+                 .otherwise(F.lit(0.0)).alias("_c"),
+                F.when(F.col("_deg").isNull(), F.col("rank"))
+                 .otherwise(F.lit(0.0)).alias("_m"))
+                .groupBy("_k")
+                .agg(F.sum("_c").alias("_s"), F.sum("_m").alias("_dm")))
+            joined = nodes2.join(
+                grouped, nodes2["_k"].eqNullSafe(grouped["_k"]), "left")
+            ranks = (joined.groupBy(nodes2["node"], nodes2["_n"])
+                     .agg(F.sum(F.when(nodes2["_k"].isNotNull(),
+                                       F.coalesce(F.col("_s"),
+                                                  F.lit(0.0)))
+                                .otherwise(F.lit(0.0))).alias("_sp"),
+                          F.sum(F.when(nodes2["_k"].isNull(),
+                                       F.coalesce(F.col("_dm"),
+                                                  F.lit(0.0)))
+                                .otherwise(F.lit(0.0))).alias("_d"))
+                     .select("node", "_n",
+                             (base + F.lit(damping)
+                              * (F.col("_sp")
+                                 + F.col("_d")
+                                 / F.col("_n").cast("double")))
+                             .alias("rank")))
+        return ranks.select("node", "rank")
+
     for it in range(1, iters + 1):
         contrib = (ranks.join(e_deg, ranks["node"] == e_deg["_src"])
                    .groupBy("_dst")
@@ -101,23 +159,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         spread = F.coalesce(F.col("_s"), F.lit(0.0))
         nxt = nodes.join(contrib,
                          nodes["node"] == contrib["_dst"], "left")
-        if dangling:
-            dm = ranks.join(sinks, "node").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
-            nxt = nxt.crossJoin(F.broadcast(dm))
-            spread = spread + F.col("_dm") / F.col("_n").cast("double")
         ranks = nxt.select(nodes["node"], nodes["_n"],
                            (base + F.lit(damping) * spread)
                            .alias("rank"))
-        if dangling and it < iters:
-            # dm references ranks a SECOND time per iteration, so the
-            # LOGICAL plan doubles per iteration — persist() caches
-            # execution but not the plan, and at 7 iterations the
-            # 2^7-node tree OOMed the plan printer (measured). Only a
-            # lineage CUT keeps the plan linear; lazy localCheckpoint
-            # materializes on first use, so no extra barrier job.
-            ranks = ranks.localCheckpoint(eager=False)
-        elif checkpoint_every and it % checkpoint_every == 0 \
+        if checkpoint_every and it % checkpoint_every == 0 \
                 and it < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")

@@ -2706,9 +2706,13 @@ def d68(spark, sf):
     the id-ordered co-purchase graph (src < dst) has real sinks, whose
     leaked rank the default recurrence would drop; dangling=True
     spreads it uniformly so total rank stays exactly 1 (pinned in
-    test_operators.py). Still a pure join+agg per iteration — one
-    extra broadcast scalar — so DuckDB replays all 5 iterations as
-    stacked CTEs, dangling term included."""
+    test_operators.py). r7: the recurrence is CHECKPOINT-FREE — sinks
+    fold into the contribution aggregate as NULL-key marker rows from
+    one LEFT join, and a null-safe join distributes the mass, so the
+    plan stays linear with a single state reference per iteration
+    (graph.py docstring; plan-linearity pinned in test_graph.py).
+    Still a pure join+agg per iteration, so DuckDB replays all 5
+    iterations as stacked CTEs, dangling term included."""
     from .operators.graph import pagerank
     from .operators import temporal
     e = t(spark, sf, "events")
@@ -2724,12 +2728,14 @@ def d68(spark, sf):
                 F.col("b.user_id").alias("dst"))
         .distinct())
     # the edge derivation (events -> bucket -> distinct -> self-join ->
-    # distinct) is referenced ~3x per iteration once sinks enter the
-    # recurrence; checkpointing it upstream is exactly the documented
-    # d51 scale path. Measured at sf0.1 (warm, 2 reps each): eager
-    # checkpoint 5.9/6.2s, lazy 6.6/9.0s, none 10.5/16.7s — eager wins
-    # because every one of the ~15 downstream references hits the
-    # materialized blocks instead of racing the first-use build.
+    # distinct) re-executes ~2x per iteration (e_deg = edges ⋈ degree,
+    # both from the raw edge frame); checkpointing it upstream is
+    # exactly the documented d51 scale path. Measured at sf0.1 under
+    # the r6 formulation (warm): eager checkpoint 5.9/6.2s, lazy
+    # 6.6/9.0s, none 10.5/16.7s — eager wins because every downstream
+    # reference hits the materialized blocks instead of racing the
+    # first-use build. The r7 checkpoint-free recurrence brought the
+    # query itself to ~1.2x d51 (4.99s vs 4.1-4.4s same-session warm).
     edges = edges.localCheckpoint()
     pr = pagerank(edges, iters=5, damping=0.85, dangling=True)
     return (pr.select(F.col("node").alias("user_id"),

@@ -105,3 +105,30 @@ def test_dangling_conserves_total_rank(spark):
     leaked = sum(r.rank for r in
                  pagerank(df, iters=7, dangling=False).collect())
     assert leaked < 1.0 - 1e-3   # the default really does leak here
+
+
+def test_dangling_plan_stays_linear_at_depth(spark):
+    """r6's formulation referenced `ranks` twice per iteration, so the
+    logical plan DOUBLED per round — at 7 iterations the 2^7-node tree
+    OOMed the JVM just printing it, forcing a per-iteration
+    localCheckpoint barrier. The r7 single-reference recurrence needs
+    no lineage cut: building AND printing a 12-iteration plan must
+    succeed quickly, and the text must grow ~linearly (a doubled plan
+    would print 2^12 join subtrees; megabytes, then OOM)."""
+    from datafusion_federation_spark.operators.graph import pagerank
+    df = spark.createDataFrame(EDGES + [(1, 5), (2, 6)],
+                               "src int, dst int")
+    pr6 = pagerank(df, iters=6, dangling=True)
+    pr12 = pagerank(df, iters=12, dangling=True)
+    txt6 = pr6._jdf.queryExecution().optimizedPlan().treeString()
+    txt12 = pr12._jdf.queryExecution().optimizedPlan().treeString()
+    # linear growth: doubling iterations should ~double the plan text,
+    # never square it (2^6 -> 2^12 would be a 64x blowup)
+    assert len(txt12) < 3.5 * len(txt6), (len(txt6), len(txt12))
+    # and the deep run still computes the exact reference values
+    got = {r.node: r.rank
+           for r in pagerank(df, iters=12, dangling=True).collect()}
+    want = _reference_pagerank_dangling(EDGES + [(1, 5), (2, 6)],
+                                        iters=12)
+    assert got == {k: pytest.approx(v, abs=1e-9)
+                   for k, v in want.items()}
