@@ -105,9 +105,33 @@ def _fan_out(df: DataFrame) -> DataFrame:
     that task (measured r6: the whole prefix-candidate pipeline ran
     (0+1)/1 stages, 11s at sf0.1). Conditional on the observed layout:
     when the scan already has >= defaultParallelism splits (any real
-    100 TB input), this is a no-op — no shuffle is added."""
-    sc = df.sparkSession.sparkContext
+    100 TB input), this is a no-op — no shuffle is added.
+
+    Probe cost (ADVICE r6): ``df.rdd.getNumPartitions()`` forces a
+    DataFrame->RDD physical-plan conversion on EVERY call — plan-time
+    overhead even on the already-parallel no-op path. For scan-backed
+    frames ``inputFiles()`` is metadata-only, and file-packing gives a
+    hard bound: FileSourceScan packs at most
+    maxPartitionBytes/openCostInBytes files into one split (every file
+    is padded with the open cost), so nfiles >= that ratio * want
+    GUARANTEES >= want scan partitions with no planning at all — the
+    shape of any real 100 TB input. Frames that fail the cheap file
+    test (single-file small corpora, in-memory frames) fall through to
+    the authoritative rdd probe, where planning cost is proportional
+    to the small plan it measures."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     want = sc.defaultParallelism
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                  .lower().rstrip("b"))
+        opc = int(spark.conf.get("spark.sql.files.openCostInBytes")
+                  .lower().rstrip("b"))
+        files_per_split = max(mpb // max(opc, 1), 1)
+        if len(df.inputFiles()) >= files_per_split * want:
+            return df
+    except Exception:  # noqa: BLE001 - unparsable conf / non-scan frame
+        pass
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
@@ -201,7 +225,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def jaccard_prefix_candidates(df: DataFrame, text_col: str, id_col: str,
                               n: int = 3,
-                              threshold: float = 0.5) -> DataFrame:
+                              threshold: float = 0.5,
+                              _sh: Optional[DataFrame] = None) -> DataFrame:
     """EXACT candidate generation via the AllPairs/PPJoin prefix filter:
     under a global shingle order (corpus frequency asc, shingle), any
     pair with Jaccard >= t must share a shingle inside BOTH docs'
@@ -212,9 +237,13 @@ def jaccard_prefix_candidates(df: DataFrame, text_col: str, id_col: str,
     shingles rank LAST in frequency order, which excludes them from
     prefixes: the k^2 hot-bucket blowup of the plain shingle join
     disappears without giving up exactness (the cure for the
-    boilerplate-heavy standalone case max_doc_freq only bounds)."""
+    boilerplate-heavy standalone case max_doc_freq only bounds).
+
+    ``_sh``: optionally a prebuilt (id, shingle) table — the full-path
+    caller materializes ONE shingle explode and shares it with the
+    verifier (see ngram_jaccard_pairs_prefix)."""
     from pyspark.sql import Window as W
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_table(df, text_col, id_col, n) if _sh is None else _sh
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     pref_len = (F.col("__nsh") -
                 F.ceil(F.lit(threshold) * F.col("__nsh")) + 1)
@@ -249,9 +278,24 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
     heavy corpora where the plain shingle join's hot buckets explode.
     Costs one extra window (per-doc frequency ranking) — on benign
     corpora the plain path is cheaper, so this is the alternative, not
-    the default."""
-    cand = jaccard_prefix_candidates(df, text_col, id_col, n, threshold)
-    return verify_candidates(df, cand, text_col, id_col, n, threshold)
+    the default.
+
+    r7 (VERDICT r6 Next #4): the candidate pass and the verifier both
+    consume the (id, shingle) explode — five lineage re-executions of
+    the ~200x inflation without sharing (freq agg, window join, sizes,
+    sh_a, sh_b). Materializing it ONCE here measured 3.45-3.63s warm
+    vs 3.93-4.75s (and 4.7s vs 11.6s cold) at sf0.1, identical output.
+    The r2 "cache barrier is net-negative on the big shingle table"
+    note applies to d03's SINGLE-pass plain path; with five consumers
+    the one materialization amortizes. localCheckpoint spills
+    MEMORY_AND_DISK, so at extreme corpus sizes this trades executor
+    storage for recompute — the right trade for a 5x-referenced
+    frame."""
+    sh = shingle_table(df, text_col, id_col, n).localCheckpoint()
+    cand = jaccard_prefix_candidates(df, text_col, id_col, n, threshold,
+                                     _sh=sh)
+    return verify_candidates(df, cand, text_col, id_col, n, threshold,
+                             _sh=sh)
 
 
 # ---------------------------------------------------------------------------
@@ -410,7 +454,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
                       id_col: str, shingle_n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      _sh: Optional[DataFrame] = None) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs.
 
     Shape choice (re-measured r6 with parallel scans): the shingle-
@@ -429,7 +474,8 @@ def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
     # (the r2 note about a cache barrier being net-negative applied to
     # the BIG shingle table, not to this small frame).
     cand = cand.localCheckpoint(eager=True)
-    sh = shingle_table(df, text_col, id_col, shingle_n)
+    sh = (shingle_table(df, text_col, id_col, shingle_n)
+          if _sh is None else _sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"),
                      F.col("shingle").alias("sh_a"))
