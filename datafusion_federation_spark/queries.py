@@ -302,6 +302,12 @@ SECONDARY = {
     # in-window by q52/q70; both-arm equality pinned in test_sqlfront;
     # oracle (the identical SQL on DuckDB) PASS locally at both SFs
     "q80_sql_distinct_on",
+    # round 7: DISTINCT ON breadth (derived table + CTE scopes) — the
+    # lowering itself is carried in-window by q80; scope composition
+    # pinned in test_sqlfront; oracle (identical SQL on DuckDB) PASS
+    # locally at both SFs
+    "q82_distinct_on_derived",
+    "q83_distinct_on_cte",
 }
 
 DEC = "decimal(12,2)"

@@ -3372,3 +3372,59 @@ def q81(spark, sf):
                                if n.provider.name == "duck_q81"), \
         "customer filter did not push into the DuckDB SQL"
     return eng.sql(sql_text)
+
+
+@q("q82_distinct_on_derived", """
+SELECT event_type, last_user
+FROM (SELECT DISTINCT ON (event_type) event_type,
+             CAST(user_id AS BIGINT) AS last_user,
+             CAST(event_id AS BIGINT) AS last_event
+      FROM events ORDER BY event_type, ts DESC, event_id DESC) t
+WHERE last_event > 0
+ORDER BY event_type
+""")
+def q82(spark, sf):
+    """DISTINCT ON inside a DERIVED TABLE (VERDICT r6 Next #6): the
+    lowering runs in the subquery's own parse_query scope — the inner
+    ORDER BY is consumed by the rewrite, and the outer filter +
+    projection compose above the restoring Project. Oracle IS the
+    identical SQL on DuckDB's native DISTINCT ON (the q80 pattern)."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("events", t(spark, sf, "events"))
+    return eng.sql(
+        "SELECT event_type, last_user "
+        "FROM (SELECT DISTINCT ON (event_type) event_type, "
+        "CAST(user_id AS BIGINT) AS last_user, "
+        "CAST(event_id AS BIGINT) AS last_event "
+        "FROM events ORDER BY event_type, ts DESC, event_id DESC) t "
+        "WHERE last_event > 0 "
+        "ORDER BY event_type")
+
+
+@q("q83_distinct_on_cte", """
+WITH latest AS (
+  SELECT DISTINCT ON (user_id) user_id, event_type,
+         CAST(event_id AS BIGINT) AS last_event
+  FROM events ORDER BY user_id, ts DESC, event_id DESC)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(last_event) AS BIGINT) AS max_event
+FROM latest GROUP BY event_type ORDER BY event_type
+""")
+def q83(spark, sf):
+    """DISTINCT ON inside a CTE (VERDICT r6 Next #6): each user's
+    latest event via the CTE-scoped lowering, then a plain aggregate
+    over the deduplicated rows — the "current state per key, then
+    analyze" shape SCD-style pipelines use. Oracle IS the identical
+    SQL on DuckDB's native DISTINCT ON."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("events", t(spark, sf, "events"))
+    return eng.sql(
+        "WITH latest AS ("
+        "SELECT DISTINCT ON (user_id) user_id, event_type, "
+        "CAST(event_id AS BIGINT) AS last_event "
+        "FROM events ORDER BY user_id, ts DESC, event_id DESC) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(MAX(last_event) AS BIGINT) AS max_event "
+        "FROM latest GROUP BY event_type ORDER BY event_type")

@@ -1023,3 +1023,26 @@ def test_distinct_on_set_op_refusals_and_nesting(spark):
     want = [r[0] for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want and got
+
+
+def test_distinct_on_cte_scope(spark):
+    """DISTINCT ON inside a CTE (r7): the lowering runs in the CTE's
+    own query scope; the outer query aggregates the deduplicated rows.
+    Identical SQL on DuckDB's native DISTINCT ON is the reference."""
+    import duckdb
+    from datafusion_federation_spark.engine import FederationEngine
+    from tests.conftest import TESTDATA
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    sql = ("WITH top_per_region AS ("
+           "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_nationkey "
+           "FROM nation ORDER BY n_regionkey, n_nationkey DESC) "
+           "SELECT COUNT(*) AS n, SUM(n_nationkey) AS s "
+           "FROM top_per_region")
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want and got[0][0] > 0
