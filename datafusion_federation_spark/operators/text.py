@@ -481,11 +481,17 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     # the whole scorer reads the raw data exactly twice (tf pass +
     # stats pass), review r6
     tf = tf.localCheckpoint(eager=False)
+    # NULL text must stay OUT of avglen on every config (ADVICE r6):
+    # size(split(NULL)) is NULL under Spark 4's ANSI default (avg skips
+    # it) but -1 with spark.sql.ansi.enabled=false on 3.x, which would
+    # silently skew every score. The explicit when() makes the
+    # exclusion config-independent instead of ANSI-dependent.
     stats = df.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.avg(F.size(F.filter(
-            F.split(F.lower(F.col(text_col)), " "),
-            lambda w: w != ""))).alias("__avg"))
+        F.avg(F.when(F.col(text_col).isNull(), F.lit(None))
+              .otherwise(F.size(F.filter(
+                  F.split(F.lower(F.col(text_col)), " "),
+                  lambda w: w != "")))).alias("__avg"))
     dfreq = (tf.groupBy("__bm_t")
              .agg(F.count(F.lit(1)).cast("double").alias("__df")))
     x = (tf.join(F.broadcast(dfreq), "__bm_t")

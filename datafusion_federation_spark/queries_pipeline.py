@@ -3428,3 +3428,58 @@ def q83(spark, sf):
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
         "CAST(MAX(last_event) AS BIGINT) AS max_event "
         "FROM latest GROUP BY event_type ORDER BY event_type")
+
+
+@q("q84_broadcast_posture", """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey < 4
+GROUP BY n_name ORDER BY n_name
+""")
+def q84(spark, sf):
+    """Statistics-driven BROADCAST posture under the oracle gate
+    (VERDICT r6 Next #7): a small remote dim (nation, DuckDB) joins a
+    large LOCAL fact (customer). The executor's statistics() hook — a
+    cache-only row-count estimate, never remote work (reference
+    src/sql/executor.rs:61-63) — reports the dim small, so the
+    compiler wraps the federated result in F.broadcast and Catalyst
+    plans a BroadcastHashJoin: no shuffle of the fact side at any
+    scale. Pinned inline on every invocation: the nation filter rides
+    in the remote SQL (r7 fix — local-parquet handles now carry their
+    schema, so filter-side attribution can PROVE a bare remote column
+    unambiguous), the statistics hook fired, the optimized plan carries
+    the broadcast hint, and the physical plan is a BroadcastHashJoin."""
+    from .engine import FederationEngine
+    from .federation import federate
+    from .plans.nodes import RemoteQueryNode, walk_plan
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q84", compute_context=f"q84:{sf}")
+    ex.register_parquet("nation", f"{sf}/nation.parquet")
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("customer", f"{sf}/customer.parquet")
+    eng.register_remote(SQLProvider(ex), "nation")
+    sql_text = (
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE n_regionkey < 4 "
+        "GROUP BY n_name ORDER BY n_name")
+    fed = federate(eng.sql_plan(sql_text).plan)
+    remotes = [n for n in walk_plan(fed) if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1, f"expected 1 remote claim, got {len(remotes)}"
+    rq = remotes[0]
+    assert "n_regionkey" in rq.sql, \
+        f"dim filter did not push into the remote SQL: {rq.sql}"
+    # prime the statistics cache the way a warm deployment is primed:
+    # the dim query runs once (25 rows, metadata-scale), after which
+    # the cache-only hook can answer without remote work
+    ex.execute(spark, rq.sql, schema=rq.schema)
+    est = ex.statistics(rq.sql)
+    assert est is not None and est <= 1000, f"statistics hook: {est}"
+    df = eng.sql(sql_text)
+    qe = df._jdf.queryExecution()
+    assert "strategy=broadcast" in qe.optimizedPlan().toString(), \
+        "statistics did not produce a broadcast hint"
+    assert "BroadcastHashJoin" in qe.executedPlan().toString(), \
+        "physical plan is not a broadcast join"
+    return df

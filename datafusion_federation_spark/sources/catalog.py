@@ -23,9 +23,26 @@ class FederatedCatalog:
 
     # ------------------------------------------------------------------
     def register_local_parquet(self, name: str, path: str) -> TableHandle:
-        """A native Spark table (Nop provider in the lattice)."""
+        """A native Spark table (Nop provider in the lattice).
+
+        Schema is captured at registration (a parquet-footer read, no
+        data scan) for the same reason register_local_df attaches it:
+        without it this table's columns are invisible to filter-side
+        attribution, so a bare remote-column predicate above a
+        local⋈remote join could not be PROVEN unambiguous and
+        push_filters refused to move it into the remote claim (found
+        r7: `WHERE n_regionkey < 4` shipped `SELECT * FROM nation`).
+        Unreadable-at-registration schemas (e.g. TIMESTAMP(NANOS)
+        without the legacy conf — the events fixture) degrade to None:
+        registration still succeeds, optimizer passes just stay
+        conservative for that table, and the read error surfaces at
+        first use exactly as before."""
+        try:
+            schema = self.spark.read.parquet(path).schema
+        except Exception:  # noqa: BLE001 - degrade, do not fail register
+            schema = None
         h = TableHandle(local_name=name, provider=_LOCAL,
-                        fallback_path=path)
+                        fallback_path=path, schema=schema)
         self._tables[name] = h
         return h
 

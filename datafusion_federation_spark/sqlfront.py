@@ -587,18 +587,52 @@ class Parser:
                     natural.append(g.output_name())
             natural += [a.name for a in aggs]
             if post:
-                # the post-projection references group keys by their
-                # AGGREGATE-OUTPUT names; a key relabeled by another
-                # select item would make the reference dangle — refuse
-                # loudly rather than bind wrong
+                # the post-projection sits ABOVE the Aggregate, so its
+                # column refs must name AGGREGATE OUTPUTS. Rebind every
+                # group-key reference (qualified or not) to the key's
+                # actual output label via full _expr_key match — the
+                # r6 name-only guard ignored qualifiers, so a qualified
+                # ref could collide with a same-named aggregate alias
+                # and bind wrong (ADVICE r6); rebinding also makes
+                # relabeled keys (SELECT t.k AS j, COALESCE(t.k,..))
+                # compile correctly instead of being refused.
+                from .compiler import _rewrite_expr
+                key_label: dict = {}
+                for g in new_group:
+                    if isinstance(g, (Rollup, Cube)):
+                        for e in g.exprs:
+                            key_label.setdefault(self._expr_key(e),
+                                                 e.output_name())
+                    elif isinstance(g, GroupingSets):
+                        for s in g.sets:
+                            for e in s:
+                                key_label.setdefault(self._expr_key(e),
+                                                     e.output_name())
+                    elif isinstance(g, Alias):
+                        key_label[self._expr_key(g.expr)] = g.name
+                    else:
+                        key_label[self._expr_key(g)] = g.output_name()
+
+                def _bind(x: Expr) -> Expr:
+                    if isinstance(x, Col):
+                        lbl = key_label.get(self._expr_key(x))
+                        if lbl is not None:
+                            return Col(lbl)
+                    return x
+
+                for out in list(post):
+                    post[out] = _rewrite_expr(post[out], _bind)
                 for out, e in post.items():
                     for c in self._base_cols(e):
-                        if c.name not in natural:
+                        if c.table is not None or c.name not in natural:
+                            ref = (f"{c.table}.{c.name}" if c.table
+                                   else c.name)
                             raise SqlParseError(
-                                f"expression {out!r} references group "
-                                f"key {c.name!r} that the select list "
-                                "relabels; select the key under its "
-                                "own name")
+                                f"expression {out!r} references "
+                                f"{ref!r}, which is not an output of "
+                                "the aggregate (group key relabeled or "
+                                "qualifier unresolvable); select the "
+                                "key under its own name")
             if hidden or natural != out_names or post:
                 plan = Project(plan, [
                     Alias(post[n], n) if n in post else Col(n)

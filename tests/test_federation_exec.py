@@ -253,3 +253,26 @@ def test_bloom_prune_from_remote_dim(duckdb_engine):
     assert (got.n, got.qty) == (want[0], want[1])
     # the dim fetch is the only remote execution in this test
     assert ex.metrics()["queries"] == q0 + 1
+
+
+def test_q84_broadcast_posture_pins(spark):
+    """The registered q84 row: statistics()-driven broadcast of a small
+    federated dim against a local fact. The query function itself pins
+    remote-filter pushdown, the cache-only statistics hit, the hint in
+    the optimized plan, and the BroadcastHashJoin physical plan; here
+    values are checked against DuckDB recomputing from parquet."""
+    import duckdb
+
+    import datafusion_federation_spark.queries_pipeline  # noqa: F401
+    from datafusion_federation_spark.queries import REGISTRY
+    from tests.conftest import TESTDATA
+
+    fn, oracle = REGISTRY["q84_broadcast_posture"]
+    got = [tuple(r) for r in fn(spark, TESTDATA).collect()]
+    conn = duckdb.connect()
+    for tbl in ("customer", "nation"):
+        conn.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                     f"read_parquet('{TESTDATA}/{tbl}.parquet')")
+    want = [tuple(r) for r in conn.execute(oracle).fetchall()]
+    conn.close()
+    assert got == want and len(got) > 0

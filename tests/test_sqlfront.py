@@ -928,12 +928,21 @@ def test_expressions_over_grouped_keys(spark):
         got = sorted((tuple(r) for r in eng.sql(sql).collect()), key=key)
         assert got == want, sql
     con.close()
-    # a select item that RELABELS the key makes the post-expr's raw
-    # reference dangle: loud refusal, never a wrong bind
-    with pytest.raises(Exception, match="relabels"):
-        eng.sql_plan(
-            "SELECT n_regionkey AS r, n_regionkey + 1 AS r2, "
-            "COUNT(*) AS n FROM nation GROUP BY n_regionkey")
+    # a select item that RELABELS the key: r6 refused this shape; the
+    # r7 rebind (post-expr refs -> the key's aggregate-output label,
+    # full expr-key match) compiles it correctly instead — see
+    # test_post_aggregation_relabel_binding for the qualified/collision
+    # variants
+    import duckdb as _ddb
+    con2 = _ddb.connect()
+    con2.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    sql = ("SELECT n_regionkey AS r, n_regionkey + 1 AS r2, "
+           "COUNT(*) AS n FROM nation GROUP BY n_regionkey")
+    got = sorted(tuple(r) for r in eng.sql(sql).collect())
+    want = sorted(map(tuple, con2.execute(sql).fetchall()))
+    con2.close()
+    assert got == want and got
 
 
 def test_distinct_on(spark):
@@ -1046,3 +1055,35 @@ def test_distinct_on_cte_scope(spark):
     want = [tuple(r) for r in con.execute(sql).fetchall()]
     con.close()
     assert got == want and got[0][0] > 0
+
+
+def test_post_aggregation_relabel_binding(spark):
+    """ADVICE r6: the post-aggregation projection guard compared bare
+    names only, so a QUALIFIED group-key reference could collide with a
+    same-named aggregate alias and bind wrong. r7 rebinds every
+    group-key reference (by full expr key, qualifier included) to the
+    key's aggregate-output label — relabeled keys now compile correctly
+    instead of being refused, and the collision case binds to the KEY,
+    not the aggregate."""
+    import duckdb
+    from datafusion_federation_spark.engine import FederationEngine
+    from tests.conftest import TESTDATA
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/nation.parquet')")
+    for sql in [
+        # relabeled key + post expr over the same key
+        "SELECT t.n_regionkey AS j, "
+        "COALESCE(CAST(t.n_regionkey AS VARCHAR), 'x') AS c, "
+        "COUNT(*) AS n FROM nation t GROUP BY t.n_regionkey ORDER BY j",
+        # qualified-ref collision with an aggregate alias of the bare name
+        "SELECT t.n_regionkey AS j, MAX(n_nationkey) AS n_regionkey, "
+        "COALESCE(CAST(t.n_regionkey AS VARCHAR), 'x') AS c "
+        "FROM nation t GROUP BY t.n_regionkey ORDER BY j",
+    ]:
+        got = sorted(tuple(r) for r in eng.sql(sql).collect())
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want and got, sql
+    con.close()
