@@ -75,14 +75,17 @@ def main() -> None:
     # spike from any one query; min(pass1, pass2) is the load-discounted
     # warm time the judge's isolated reruns measure. Pass-1 totals stay
     # in the line as a secondary field for continuity with r1-r6.
+    # Transients must not hard-fail the run (review r7): a query that
+    # succeeds in EITHER pass keeps its best measurement — pass-1
+    # failures are retried in pass 2, and a pass-2-only flake falls
+    # back to the valid pass-1 time. Only a query that fails in BOTH
+    # passes is reported as failed (and exits nonzero).
     pass1 = {}
     pass2 = {}
-    failures = {}
+    pass_errs = {}
     registry = entrymod.queries()
     for pass_no, sink in ((1, pass1), (2, pass2)):
         for name, fn in registry.items():
-            if name in failures:
-                continue
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -95,10 +98,15 @@ def main() -> None:
                 sink[name] = round(dt, 3)
                 log(f"bench p{pass_no} {name}: {dt:.2f}s")
             except Exception as e:  # noqa: BLE001 - record and continue
-                failures[name] = str(e)[:200]
+                pass_errs[name] = str(e)[:200]
                 log(f"bench p{pass_no} {name}: FAILED {str(e)[:200]}")
-    per_query = {name: min(sec, pass2[name]) if name in pass2 else sec
-                 for name, sec in pass1.items()}
+    per_query = {}
+    for name in registry:
+        vals = [d[name] for d in (pass1, pass2) if name in d]
+        if vals:
+            per_query[name] = min(vals)
+    failures = {name: msg for name, msg in pass_errs.items()
+                if name not in per_query}
 
     # The driver records only the tail of stdout (~2 KB): the r03 line at
     # full key length (~2.1 KB) overflowed it and parsed as null. Emit

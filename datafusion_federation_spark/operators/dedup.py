@@ -98,6 +98,36 @@ def word_shingles(col, n: int = 3) -> F.Column:
     return F.array_distinct(word_grams(col, n))
 
 
+# Analyzed-plan node names that preserve the scan's partitioning
+# 1:1 (narrow, no exchange): only frames built purely from these may
+# trust the FILE count as a partition lower bound. Anything else —
+# Aggregate, Join, Repartition, Window, Deduplicate, Limit... — can
+# collapse a 2000-file scan to 1-2 post-shuffle partitions (AQE
+# coalescing), exactly the layout _fan_out must correct.
+_NARROW_NODES = frozenset({
+    "Project", "Filter", "SubqueryAlias", "View", "Relation",
+    "UnresolvedRelation", "LogicalQueryStage",
+})
+
+
+def _scan_backed(df: DataFrame) -> bool:
+    """True iff every node of the analyzed logical plan is narrow and
+    partition-preserving over a file scan (see _NARROW_NODES).
+    Analysis is already cached on the DataFrame's QueryExecution, so
+    this reads a string — no optimization, no RDD conversion. Unknown
+    or exotic nodes return False (fall through to the authoritative
+    rdd probe), never a wrong fast-path."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 - py4j / API drift
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _NARROW_NODES:
+            return False
+    return True
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across the cluster BEFORE CPU-heavy string
     work. A small corpus arrives as one parquet split (one task), and
@@ -115,10 +145,14 @@ def _fan_out(df: DataFrame) -> DataFrame:
     maxPartitionBytes/openCostInBytes files into one split (every file
     is padded with the open cost), so nfiles >= that ratio * want
     GUARANTEES >= want scan partitions with no planning at all — the
-    shape of any real 100 TB input. Frames that fail the cheap file
-    test (single-file small corpora, in-memory frames) fall through to
-    the authoritative rdd probe, where planning cost is proportional
-    to the small plan it measures."""
+    shape of any real 100 TB input. That bound only holds when NO
+    exchange sits between the scan and this call (a post-shuffle frame
+    can be AQE-coalesced to 1-2 partitions regardless of file count,
+    and a join's inputFiles() unions both sides), so the shortcut is
+    gated on _scan_backed (review r7). Frames that fail either cheap
+    test (single-file small corpora, in-memory or shuffled frames)
+    fall through to the authoritative rdd probe, where planning cost
+    is proportional to the small plan it measures."""
     spark = df.sparkSession
     sc = spark.sparkContext
     want = sc.defaultParallelism
@@ -128,7 +162,8 @@ def _fan_out(df: DataFrame) -> DataFrame:
         opc = int(spark.conf.get("spark.sql.files.openCostInBytes")
                   .lower().rstrip("b"))
         files_per_split = max(mpb // max(opc, 1), 1)
-        if len(df.inputFiles()) >= files_per_split * want:
+        if _scan_backed(df) \
+                and len(df.inputFiles()) >= files_per_split * want:
             return df
     except Exception:  # noqa: BLE001 - unparsable conf / non-scan frame
         pass

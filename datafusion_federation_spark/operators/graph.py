@@ -118,7 +118,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             "node", "_n", F.col("node").alias("_k")).unionAll(
             nodes.select("node", "_n",
                          F.lit(None).cast(node_type).alias("_k")))
-        for _ in range(iters):
+        for it in range(1, iters + 1):
             # ONE left join: edge fan-out for non-sinks, a single
             # NULL-key marker row carrying the rank for each sink
             allrows = ranks.join(e_deg,
@@ -149,6 +149,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                  + F.col("_d")
                                  / F.col("_n").cast("double")))
                              .alias("rank")))
+            # same opt-in lineage cut as the non-dangling arm (review
+            # r7: the parameter was silently dead on this branch) —
+            # the recurrence is plan-LINEAR without it, but Catalyst
+            # analysis time still grows with depth, so deep runs
+            # (iters >> 10) can cap planning cost per k iterations
+            if checkpoint_every and it % checkpoint_every == 0 \
+                    and it < iters:
+                ranks = ranks.localCheckpoint(eager=False)
         return ranks.select("node", "rank")
 
     for it in range(1, iters + 1):
@@ -166,3 +174,67 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 and it < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED view
+    of the edge list: (node, triangles) for every node in at least one
+    triangle. Direction and duplicates are ignored (each unordered
+    pair contributes one undirected edge; self-loops drop).
+
+    Degree-ordered orientation (Schank & Wagner 2005; the MapReduce
+    form is Suri & Vassilvitskii 2011, "Counting triangles and the
+    curse of the last reducer"): orient every undirected edge from the
+    endpoint that is SMALLER in the total order (degree, node) to the
+    larger. Every node's out-degree is then O(sqrt(2m)) regardless of
+    how skewed the raw degree distribution is — a celebrity node with
+    10^6 followers holds almost no out-edges, because nearly all its
+    neighbors have lower degree. Each triangle {a,b,c} (a <o b <o c)
+    is found EXACTLY once: as the wedge b <- a -> c at its
+    minimum-order apex a, closed by the oriented edge b -> c.
+
+    Plan shape: two self-equi-joins (wedge build on the apex, closure
+    probe on the (v,w) pair) + one explode + one count — no cartesian,
+    no iteration. The wedge join's fan-out is bounded by the oriented
+    out-degree (the sqrt(2m) cap), which is the whole point of the
+    orientation: the curse-of-the-last-reducer hub wedge explosion
+    cannot happen. 100 TB: all three joins shuffle on node-sized keys;
+    skewed apexes are AQE-splittable because the join is pure equi.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("_u"),
+                        F.greatest(a, b).alias("_v"))
+           .filter(F.col("_u") != F.col("_v"))
+           .filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+           .distinct())
+    deg = (und.select(F.col("_u").alias("node"))
+           .unionAll(und.select(F.col("_v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("_d")))
+    du = deg.select(F.col("node").alias("_u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("node").alias("_v"), F.col("_d").alias("_dv"))
+    ed = und.join(du, "_u").join(dv, "_v")
+    lower_first = (F.struct(F.col("_du"), F.col("_u"))
+                   < F.struct(F.col("_dv"), F.col("_v")))
+    # oriented edge s -> t with t's order key carried for the wedge
+    # comparison (the closing edge's direction is decided by the order
+    # of the two FAR endpoints, so their keys must ride along)
+    o = ed.select(
+        F.when(lower_first, F.col("_u")).otherwise(F.col("_v"))
+         .alias("s"),
+        F.when(lower_first, F.col("_v")).otherwise(F.col("_u"))
+         .alias("t"),
+        F.when(lower_first,
+               F.struct(F.col("_dv").alias("d"), F.col("_v").alias("n")))
+         .otherwise(
+               F.struct(F.col("_du").alias("d"), F.col("_u").alias("n")))
+         .alias("to"))
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    wedges = e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
+                     & (F.col("e1.to") < F.col("e2.to")))
+    tri = wedges.join(e3, (F.col("e3.s") == F.col("e1.t"))
+                      & (F.col("e3.t") == F.col("e2.t")))
+    return (tri.select(F.explode(F.array(F.col("e1.s"), F.col("e1.t"),
+                                         F.col("e2.t"))).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("triangles")))

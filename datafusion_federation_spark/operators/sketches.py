@@ -1,13 +1,16 @@
 """Deterministic cardinality sketches: KMV (k-minimum-values) distinct
 counting and sketch set algebra, exactly reproducible across engines.
 
-Why KMV and not HyperLogLog: Spark's ``approx_count_distinct`` (HLL++)
-is the production fast path, but its register layout is engine-private —
-no other engine reproduces its estimate, so it can never be
+Why not Spark's ``approx_count_distinct`` (HLL++): it is the
+production fast path, but its register layout is engine-private — no
+other engine reproduces its estimate, so it can never be
 oracle-checked. KMV over an md5 content hash is the portable twin: the
 k smallest hash values of a set are a pure function of the set, so two
 engines that agree on md5 agree on the sketch bit for bit (same
 relationship as the xxhash64/md5 dedup twins, operators/dedup.py).
+The portable-HLL section below (r7) applies the same determinism
+contract to HLL's fixed-size register array — see its block comment
+for when each sketch wins.
 
 Estimator (Bar-Yossef et al. 2002, "Counting distinct elements in a
 data stream"): with U(1)..U(n) the order statistics of n i.i.d.
@@ -384,3 +387,136 @@ def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     keys = dim.select(dim_key).distinct()
     return pruned.join(keys, on=pruned[fact_key] == keys[dim_key],
                        how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (md5 registers)
+# ---------------------------------------------------------------------------
+# Spark's approx_count_distinct is HLL++ with engine-private registers
+# (the header's KMV rationale) — but HLL itself is portable when the
+# hash is: with registers derived from the same md5-based 60-bit hash
+# both engines compute IDENTICAL register arrays, so the sketch is
+# oracle-checkable bit for bit, like the KMV/md5 twins. Where KMV keeps
+# k 16-byte hashes per group (k=128 -> 2 KB), HLL keeps 2^p 1-byte
+# registers (p=6 -> 64 B) and merges by elementwise max — the shape
+# production systems persist per shard/day at 100 TB. Flajolet et al.
+# 2007 ("HyperLogLog: the analysis of a near-optimal cardinality
+# estimation algorithm"); relative standard error ~= 1.04/sqrt(m).
+#
+# Cross-engine determinism contract (the whole point of this variant):
+# - registers are integers (bucket = top p bits of the 60-bit hash,
+#   rho = leading-zero count of the remainder via length(bin(w)) —
+#   NO libm anywhere, see memory note on log in oracle-gated scores);
+# - the harmonic denominator is summed in FIXED-POINT BIGINT
+#   (sum of 2^(Rmax-rho), order-independent integer addition — a
+#   double sum's rounding would depend on partition order);
+# - the raw estimate is ONE literal-constant division C/S, and IEEE
+#   division is correctly rounded, so even the double output is
+#   bit-identical across engines. The optional small-range linear
+#   counting correction (m*ln(m/V)) IS libm-dependent — it is applied
+#   only when correct_small=True and never in recorded oracle rows.
+
+#: alpha_m bias constants (Flajolet et al. 2007, Fig. 3)
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _check_hll(p: int) -> None:
+    # p <= 12 keeps the fixed-point sum under 2^63: worst case is all
+    # m = 2^p registers absent, m * 2^(60-p+1) = 2^62 at p = 1, and
+    # monotonically smaller after; p >= 4 keeps the alpha approximation
+    # in its published regime.
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_registers(df: DataFrame, key: str, group_by: Sequence[str],
+                  p: int = 6, salt: str = "hll") -> DataFrame:
+    """Per-group SET registers: group columns + ``idx`` (0..2^p-1) +
+    ``rho`` (max leading-zero rank seen in that bucket). Registers a
+    group never touched are absent rows (rho = 0 by convention) — the
+    frame is the MERGEABLE partial: union register frames from any
+    shard split and ``hll_merge`` re-maxes them.
+
+    Distributed shape: one groupBy((groups, idx), max) — map-side
+    combined, and the shuffle carries at most groups x 2^p tiny rows
+    no matter how many billions of input rows (vs KMV's DISTINCT whose
+    shuffle scales with the number of distinct values)."""
+    _check_hll(p)
+    groups = list(group_by)
+    bits = 4 * _HEX_DIGITS - p          # remainder width
+    h = (F.conv(F.substring(kmv_hash(F.col(key), salt), 1, _HEX_DIGITS),
+                16, 10).cast("long"))
+    w = F.col("_h") % F.lit(1 << bits)
+    # rho = leading zeros of w within `bits` + 1; length(bin(w)) is the
+    # highest-set-bit position, so rho = bits - length + 1 (w = 0 means
+    # ALL zeros: bits + 1). Integer-exact — no log anywhere.
+    rho = F.when(w == 0, F.lit(bits + 1)) \
+           .otherwise(F.lit(bits + 1) - F.length(F.bin(w)))
+    # NULL keys drop (COUNT(DISTINCT) semantics, same as KMV)
+    return (df.select(*groups, h.alias("_h"))
+              .filter(F.col("_h").isNotNull())
+              .select(*groups, F.shiftright("_h", bits).alias("idx"),
+                      rho.alias("rho"))
+              .groupBy(*groups, "idx")
+              .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(registers: DataFrame, group_by: Sequence[str],
+              p: int = 6) -> DataFrame:
+    """Merge register frames (elementwise max per (group, idx)) —
+    union of sketches == sketch of union, exactly."""
+    _check_hll(p)
+    groups = list(group_by)
+    return (registers.groupBy(*groups, "idx")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame, group_by: Sequence[str],
+                 p: int = 6, round_digits: int = 3,
+                 correct_small: bool = False) -> DataFrame:
+    """Estimate from a register frame: group columns + ``n_regs``
+    (registers set) + ``s_fixed`` (the exact fixed-point harmonic
+    denominator, BIGINT) + ``est``.
+
+    est = alpha_m * m^2 * 2^Rmax / s_fixed — the constant C is folded
+    in Python (one float product), so both engines evaluate a single
+    division of a shared literal by an identical integer: bit-equal.
+    ``correct_small=True`` additionally applies the standard linear
+    counting correction m*ln(m/V) when est <= 2.5m and empty registers
+    remain — more accurate below ~2.5m distinct, but libm-dependent,
+    so leave it OFF in cross-engine-recorded outputs and pick a
+    cardinality regime where raw HLL applies (n > 2.5m)."""
+    _check_hll(p)
+    groups = list(group_by)
+    m = 1 << p
+    rmax = 4 * _HEX_DIGITS - p + 1
+    c = _hll_alpha(m) * float(m * m * (1 << rmax))
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        # expr form: the Python shiftleft() helper takes only a literal
+        # bit count, but the SQL function shifts by a column fine
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {rmax} - rho)"))
+         .alias("_s_set"))
+    s_fixed = ((F.lit(m) - F.col("n_regs")).cast("long")
+               * F.lit(1 << rmax) + F.col("_s_set"))
+    out = agg.select(*groups, F.col("n_regs").cast("long").alias("n_regs"),
+                     s_fixed.alias("s_fixed"))
+    raw = F.lit(c) / F.col("s_fixed").cast("double")
+    if correct_small:
+        v = (F.lit(m) - F.col("n_regs")).cast("double")
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+        raw = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
+    return out.withColumn("est", F.round(raw, round_digits))
+
+
+def hll_distinct(df: DataFrame, key: str, group_by: Sequence[str],
+                 p: int = 6, round_digits: int = 3,
+                 correct_small: bool = False,
+                 salt: str = "hll") -> DataFrame:
+    """One-shot per-group HLL distinct count (registers + estimate)."""
+    return hll_estimate(hll_registers(df, key, group_by, p, salt),
+                        group_by, p, round_digits, correct_small)

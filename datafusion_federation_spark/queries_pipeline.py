@@ -3371,7 +3371,10 @@ def q81(spark, sf):
     assert "c_acctbal" in next(n.sql for n in remotes
                                if n.provider.name == "duck_q81"), \
         "customer filter did not push into the DuckDB SQL"
-    return eng.sql(sql_text)
+    # execute the ALREADY-FEDERATED plan (review r7: eng.sql here would
+    # parse+federate the same text a second time inside the timed row;
+    # the double-federation guard makes execute(fed) a no-op re-walk)
+    return eng.execute(fed)
 
 
 @q("q82_distinct_on_derived", """
@@ -3476,10 +3479,177 @@ def q84(spark, sf):
     ex.execute(spark, rq.sql, schema=rq.schema)
     est = ex.statistics(rq.sql)
     assert est is not None and est <= 1000, f"statistics hook: {est}"
-    df = eng.sql(sql_text)
+    # compile the ALREADY-FEDERATED plan; eng.sql would re-parse (r7)
+    df = eng.execute(fed)
     qe = df._jdf.queryExecution()
     assert "strategy=broadcast" in qe.optimizedPlan().toString(), \
         "statistics did not produce a broadcast hint"
     assert "BroadcastHashJoin" in qe.executedPlan().toString(), \
         "physical plan is not a broadcast join"
     return df
+
+
+# ===========================================================================
+# round 7 additions: portable HLL, triangle counting, bigram LM
+# ===========================================================================
+
+def _d76_oracle() -> str:
+    """Pure-SQL HyperLogLog replay (operators/sketches.py portable-HLL
+    contract): identical md5-derived registers, fixed-point BIGINT
+    harmonic sum, one shared-literal division — bit-identical doubles.
+    p=8: m=256 registers, bits=52 remainder, Rmax=53."""
+    m, bits = 256, 52
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c = alpha * float(m * m * (1 << (bits + 1)))
+    two_bits = 1 << bits
+    return f"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(concat('0x', substr(md5(concat('hll:',
+              CAST(l_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM lineitem WHERE l_orderkey IS NOT NULL),
+reg AS (
+  SELECT l_returnflag, h >> {bits} AS idx,
+         MAX(CASE WHEN h % {two_bits} = 0 THEN {bits + 1}
+                  ELSE {bits + 1} - length(bin(h % {two_bits})) END) AS rho
+  FROM h GROUP BY l_returnflag, h >> {bits}),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS n_regs,
+         SUM(CAST(1 AS BIGINT) << ({bits + 1} - rho)) AS s_set
+  FROM reg GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n_regs AS BIGINT) AS n_regs,
+       CAST({m} - n_regs AS BIGINT) * (CAST(1 AS BIGINT) << {bits + 1})
+         + s_set AS s_fixed,
+       ROUND({c!r} / CAST(CAST({m} - n_regs AS BIGINT)
+             * (CAST(1 AS BIGINT) << {bits + 1}) + s_set AS DOUBLE), 3)
+         AS est
+FROM agg ORDER BY l_returnflag"""
+
+
+@q("d76_hll_distinct", _d76_oracle())
+def d76(spark, sf):
+    """Portable HyperLogLog under the oracle gate: per-returnflag
+    distinct-orderkey estimate with md5-derived registers, so DuckDB
+    reproduces the register array AND the double estimate bit for bit
+    (integer fixed-point harmonic sum + one shared-literal division —
+    the determinism contract in operators/sketches.py). p=8 keeps the
+    raw-regime threshold 2.5m=640 below every group's cardinality at
+    the gated SFs (~11k at sf0.01). Completes the sketch family: KMV
+    (d43/d46), count-min (d53), bloom (d62), HLL here — HLL is the one
+    whose state is FIXED-SIZE (256 registers) regardless of
+    cardinality, the per-shard shape production pipelines persist."""
+    from .operators import sketches
+    li = t(spark, sf, "lineitem")
+    return (sketches.hll_distinct(li, "l_orderkey", ["l_returnflag"],
+                                  p=8)
+            .orderBy("l_returnflag"))
+
+
+_D77_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)/3600) AS BIGINT) hb, user_id
+  FROM events WHERE event_type = 'purchase' AND value >= 50),
+e0 AS (
+  SELECT DISTINCT least(a.user_id, b.user_id) u,
+         greatest(a.user_id, b.user_id) v
+  FROM p a JOIN p b ON a.hb = b.hb AND a.user_id <> b.user_id),
+deg AS (
+  SELECT n, count(*) d FROM (
+    SELECT u n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY n),
+o AS (
+  SELECT CASE WHEN (d1.d, e0.u) < (d2.d, e0.v) THEN e0.u ELSE e0.v END s,
+         CASE WHEN (d1.d, e0.u) < (d2.d, e0.v) THEN e0.v ELSE e0.u END t,
+         CASE WHEN (d1.d, e0.u) < (d2.d, e0.v) THEN (d2.d, e0.v)
+              ELSE (d1.d, e0.u) END tord
+  FROM e0 JOIN deg d1 ON d1.n = e0.u JOIN deg d2 ON d2.n = e0.v),
+tri AS (
+  SELECT e1.s a, e1.t b, e2.t c
+  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.tord < e2.tord
+  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t)
+SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+  SELECT a node FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+GROUP BY node ORDER BY triangles DESC, node LIMIT 30
+"""
+
+
+@q("d77_triangle_counts", _D77_ORACLE)
+def d77(spark, sf):
+    """Degree-ordered triangle counting (operators/graph.py
+    triangle_counts) over the high-value co-purchase graph — the
+    classic 'curse of the last reducer' benchmark: the orientation
+    bounds every wedge fan-out by O(sqrt(2m)) so hub nodes cannot
+    serialize the count. value >= 50 keeps the hour-clique graph's
+    triangle population bounded at the bench SF (145k at sf0.1 vs 3.9M
+    unfiltered — measured in DuckDB r7) while sf0.01 still carries 115
+    triangles through the oracle."""
+    from .operators.graph import triangle_counts
+    e = t(spark, sf, "events")
+    p = (e.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") >= 50))
+         .select(F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+                 .alias("hb"), "user_id")
+         .distinct())
+    edges = (p.alias("a").join(
+        p.alias("b"),
+        (F.col("a.hb") == F.col("b.hb"))
+        & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("src"),
+                F.col("b.user_id").alias("dst")))
+    return (triangle_counts(edges)
+            .orderBy(F.col("triangles").desc(), "node").limit(30))
+
+
+_D78_ORACLE = """
+WITH w AS (
+  SELECT string_split(text, ' ') ws FROM documents),
+bg AS (
+  SELECT s.a w1, s.b w2 FROM (
+    SELECT unnest([struct_pack(a := ws[i], b := ws[i+1])
+                   FOR i IN generate_series(1, len(ws)-1)]) s
+    FROM w) t
+  WHERE s.a <> '' AND s.b <> ''),
+c12 AS (SELECT w1, w2, count(*) n12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) n1 FROM c12 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) nv FROM bg)
+SELECT c12.w1, c12.w2, CAST(n12 AS BIGINT) AS n12, n1,
+       ROUND((n12 + 0.5) / (n1 + 0.5 * nv), 6) AS pcond
+FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v
+ORDER BY n12 DESC, c12.w1, c12.w2 LIMIT 25
+"""
+
+
+@q("d78_bigram_lm", _D78_ORACLE)
+def d78(spark, sf):
+    """Bigram language-model counts with add-1/2 smoothing over the
+    corpus — the counts table a data pipeline derives for perplexity
+    filtering and contamination heuristics. One explode -> one
+    groupBy(w1,w2); the conditional denominator c1 folds out of the
+    SAME bigram table (sum over w2), so no second corpus pass; the
+    continuation vocabulary size joins as a broadcast 1-row aggregate.
+    pcond = (c12+0.5)/(c1+0.5V) is one IEEE division of exact
+    integers+halves — bit-identical cross-engine, no log anywhere
+    (memory: libm-free oracle scores). 100 TB: everything shuffles on
+    (w1,w2) with map-side combine; no windows, no driver state."""
+    docs = t(spark, sf, "documents")
+    from .operators.dedup import _fan_out
+    ws = F.split(F.col("text"), " ")
+    bg = (_fan_out(docs).select(
+        F.explode(F.zip_with(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("s"))
+        .select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = (c12.groupBy("w1")
+          .agg(F.sum("n12").cast("long").alias("n1")))
+    v = bg.agg(F.countDistinct("w2").alias("nv"))
+    out = (c12.join(c1, "w1").crossJoin(F.broadcast(v))
+           .select("w1", "w2", F.col("n12").cast("long").alias("n12"),
+                   "n1",
+                   F.round((F.col("n12") + F.lit(0.5))
+                           / (F.col("n1") + F.lit(0.5) * F.col("nv")),
+                           6).alias("pcond")))
+    return out.orderBy(F.col("n12").desc(), "w1", "w2").limit(25)

@@ -132,3 +132,81 @@ def test_dangling_plan_stays_linear_at_depth(spark):
                                         iters=12)
     assert got == {k: pytest.approx(v, abs=1e-9)
                    for k, v in want.items()}
+
+
+def test_dangling_checkpoint_changes_nothing(spark):
+    """review r7: checkpoint_every was silently DEAD on the dangling
+    branch (the loop returned before the cut). It must now truncate
+    lineage without changing a single value."""
+    edges = EDGES + [(1, 5), (2, 6)]
+    from datafusion_federation_spark.operators.graph import pagerank
+    df = spark.createDataFrame(edges, "src int, dst int")
+    plain = sorted(map(tuple,
+                       pagerank(df, iters=6, dangling=True).collect()))
+    cut = sorted(map(tuple,
+                     pagerank(df, iters=6, dangling=True,
+                              checkpoint_every=2).collect()))
+    assert [(n, pytest.approx(r, abs=1e-12)) for n, r in plain] == cut
+    # and the cut really happened: the checkpointed plan must NOT grow
+    # with the pre-cut iterations (LogicalRDD replaces the lineage)
+    deep = pagerank(df, iters=6, dangling=True, checkpoint_every=2)
+    txt = deep._jdf.queryExecution().optimizedPlan().treeString()
+    assert "LogicalRDD" in txt or "Scan ExistingRDD" in txt
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (r7)
+# ---------------------------------------------------------------------------
+
+def _brute_triangles(edges):
+    from itertools import combinations
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                ref[n] = ref.get(n, 0) + 1
+    return ref
+
+
+def test_triangles_match_brute_force(spark):
+    import random
+    from datafusion_federation_spark.operators.graph import (
+        triangle_counts)
+    random.seed(11)
+    edges = list({(random.randint(1, 25), random.randint(1, 25))
+                  for _ in range(150)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(edges)
+
+
+def test_triangles_direction_and_duplicates_ignored(spark):
+    """(a,b) and (b,a) plus repeats are ONE undirected edge; self-loops
+    drop entirely."""
+    from datafusion_federation_spark.operators.graph import (
+        triangle_counts)
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 1), (2, 2)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = sorted(map(tuple, triangle_counts(df).collect()))
+    assert got == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_triangles_hub_graph_exact(spark):
+    """A star (hub + leaves) has NO triangles no matter the hub degree;
+    adding one leaf-leaf edge creates exactly one. Exercises the
+    degree-ordered orientation's hub handling (the hub receives the
+    wedge apexes, never fans out)."""
+    from datafusion_federation_spark.operators.graph import (
+        triangle_counts)
+    star = [(0, i) for i in range(1, 40)]
+    assert triangle_counts(
+        spark.createDataFrame(star, "src int, dst int")).count() == 0
+    got = sorted(map(tuple, triangle_counts(
+        spark.createDataFrame(star + [(1, 2)],
+                              "src int, dst int")).collect()))
+    assert got == [(0, 1), (1, 1), (2, 1)]

@@ -1036,3 +1036,34 @@ def test_inverted_index_tokenizer_matches_duckdb(spark, rows):
         FROM x WHERE rn <= 4 GROUP BY term, dfd""").fetchall()}
     con.close()
     assert got == want
+
+
+def test_fan_out_shuffled_frame_still_repartitions(spark):
+    """review r7: the inputFiles() fast path trusted leaf-scan file
+    counts even when a shuffle sat between scan and call — an
+    AQE-coalesced post-aggregate frame (1-2 partitions) then serialized
+    the ~200x shingle explode on one task. The scan-backed gate must
+    reject any frame with an exchange and fall through to the
+    authoritative rdd probe, which repartitions."""
+    from datafusion_federation_spark.operators.dedup import (
+        _fan_out, _scan_backed)
+    import pyspark.sql.functions as F
+    base = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(100)], "id int, text string")
+    # post-shuffle frame: groupBy collapses to few partitions under AQE
+    shuffled = (base.groupBy("id").agg(F.first("text").alias("text"))
+                .coalesce(1))
+    assert not _scan_backed(shuffled)
+    want = spark.sparkContext.defaultParallelism
+    assert _fan_out(shuffled).rdd.getNumPartitions() >= min(want, 100)
+
+
+def test_scan_backed_true_for_filtered_scan(spark, tmp_path):
+    """The fast path stays available where its file bound is sound:
+    a parquet scan under narrow ops only (project/filter)."""
+    from datafusion_federation_spark.operators.dedup import _scan_backed
+    p = str(tmp_path / "sb.parquet")
+    spark.range(10).selectExpr("id", "cast(id as string) s") \
+        .write.parquet(p)
+    df = spark.read.parquet(p).where("id > 2").select("s")
+    assert _scan_backed(df)

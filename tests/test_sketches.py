@@ -276,3 +276,80 @@ def test_kmv_null_keys_dropped(spark):
                           k=8).collect()}
     assert got == clean
     assert {g for g, *_ in got} == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (r7)
+# ---------------------------------------------------------------------------
+
+class TestHLL:
+    def test_accuracy_in_raw_regime(self, spark):
+        """n=8000 >> 2.5m with p=6 (m=64): raw estimate within 4 sigma
+        (sigma ~= 1.04/sqrt(64) = 13%)."""
+        from datafusion_federation_spark.operators.sketches import (
+            hll_distinct)
+        df = spark.range(8000).selectExpr("id", "'g' AS g")
+        r = hll_distinct(df, "id", ["g"], p=6).collect()[0]
+        assert abs(r.est - 8000) / 8000 < 0.52
+        assert r.n_regs == 64          # all registers hit at n >> m
+
+    def test_merge_equals_whole(self, spark):
+        """Elementwise register max == sketch of the union, exactly
+        (not approximately — the register arrays are identical)."""
+        from datafusion_federation_spark.operators.sketches import (
+            hll_distinct, hll_estimate, hll_merge, hll_registers)
+        df = (spark.range(3000)
+              .selectExpr("id", "id % 4 AS shard",
+                          "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END g"))
+        whole = sorted(map(tuple,
+                           hll_distinct(df, "id", ["g"], p=5).collect()))
+        parts = hll_registers(df, "id", ["g", "shard"], p=5) \
+            .drop("shard")
+        merged = hll_estimate(hll_merge(parts, ["g"], p=5), ["g"], p=5)
+        assert whole == sorted(map(tuple, merged.collect()))
+
+    def test_layout_invariance(self, spark):
+        """Registers are max-aggregates of a pure row function: the
+        partition layout cannot change a single output bit."""
+        from datafusion_federation_spark.operators.sketches import (
+            hll_distinct)
+        df = spark.range(2000).selectExpr("id", "'g' AS g")
+        a = sorted(map(tuple,
+                       hll_distinct(df, "id", ["g"], p=6).collect()))
+        b = sorted(map(tuple,
+                       hll_distinct(df.repartition(13), "id", ["g"],
+                                    p=6).collect()))
+        assert a == b
+
+    def test_small_range_correction(self, spark):
+        """correct_small=True switches to linear counting below 2.5m —
+        near-exact for n << m (every distinct value almost surely hits
+        its own register)."""
+        from datafusion_federation_spark.operators.sketches import (
+            hll_distinct)
+        df = spark.range(40).selectExpr("id", "'g' AS g")
+        r = hll_distinct(df, "id", ["g"], p=8,
+                         correct_small=True).collect()[0]
+        assert abs(r.est - 40) < 5
+
+    def test_null_keys_dropped(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            hll_distinct)
+        rows = [("a", 1), ("a", 2), ("a", None), ("b", None), ("b", 3)]
+        df = spark.createDataFrame(rows, "g string, k int")
+        got = sorted(map(tuple, hll_distinct(df, "k", ["g"],
+                                             p=6).collect()))
+        clean = sorted(map(tuple,
+                           hll_distinct(df.filter("k IS NOT NULL"),
+                                        "k", ["g"], p=6).collect()))
+        assert got == clean
+        assert [g for g, *_ in got] == ["a", "b"]
+
+    def test_validation(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            hll_distinct)
+        df = spark.range(5).selectExpr("id", "'g' AS g")
+        with pytest.raises(ValueError, match="p must be"):
+            hll_distinct(df, "id", ["g"], p=3)
+        with pytest.raises(ValueError, match="p must be"):
+            hll_distinct(df, "id", ["g"], p=13)
