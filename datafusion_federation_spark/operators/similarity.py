@@ -248,3 +248,140 @@ def dimension_means(df: DataFrame, vec_col: str,
                           / F.count(F.lit(1))).cast("double"), 8)
                  .alias("mean_v"))
             .filter(F.col("dim") < dim))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r7)
+# ---------------------------------------------------------------------------
+
+def _check_pq(dim: int, m: int, n_codes: int) -> None:
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m must divide dim: dim={dim}, m={m}")
+    if n_codes < 2:
+        raise ValueError(f"n_codes must be >= 2, got {n_codes}")
+
+
+def _sq_l2(a, b) -> F.Column:
+    """Left-associated squared-L2 between two float arrays, each
+    element double-cast BEFORE subtracting (the _dot determinism
+    contract: float32 math would diverge from the double-typed
+    oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y:
+                   (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_codebook(df: DataFrame, vec_col: str, id_col: str,
+                 dim: int, m: int, n_codes: int) -> DataFrame:
+    """(j, cid, cs): subspace j's codeword cid is the j-th slice of
+    the cid-th lowest-id vector — deterministic, so any SQL engine
+    rebuilds the identical codebook (the ivf_fixed_topk centroid
+    convention). A k-means-trained codebook drops in by swapping this
+    frame; the encode/ADC plumbing doesn't care where codewords come
+    from."""
+    sub = dim // m
+    cent = (df.orderBy(id_col).limit(n_codes)
+            .select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).alias("cvec")))
+    return (cent.select("cid", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice("cvec", j * sub + 1, sub).alias("cs"))
+        for j in range(m)])).alias("s"))
+        .select(F.col("s.j").alias("j"), "cid",
+                F.col("s.cs").alias("cs")))
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str, dim: int,
+              m: int = 4, n_codes: int = 8) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m``
+    subvectors, assign each to its nearest codeword (squared L2,
+    ties -> lowest cid). Returns long-form (id, j, code) — m rows per
+    vector, m*log2(n_codes)-ish bits of payload instead of dim*32
+    (Jegou et al. 2011, "Product quantization for nearest neighbor
+    search" — the compressed-corpus layout behind billion-scale ANN).
+
+    Plan: one explode (m rows/vector) x broadcast codebook join ->
+    min_by groupBy that collapses MAP-SIDE, so the single shuffle
+    carries one pre-reduced row per (vector, subspace). 100 TB: the
+    code table is what you persist; raw vectors are scanned once."""
+    _check_pq(dim, m, n_codes)
+    sub = dim // m
+    cb = _pq_codebook(df, vec_col, id_col, dim, m, n_codes)
+    vex = (df.select(F.col(id_col), F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 F.slice(vec_col, j * sub + 1, sub).alias("xs"))
+        for j in range(m)])).alias("s"))
+        .select(id_col, F.col("s.j").alias("j"),
+                F.col("s.xs").alias("xs")))
+    return (vex.join(F.broadcast(cb), "j")
+            .select(id_col, "j", "cid",
+                    _sq_l2(F.col("xs"), F.col("cs")).alias("_d2"))
+            .groupBy(id_col, "j")
+            .agg(F.min_by("cid", F.struct(F.col("_d2").alias("d"),
+                                          F.col("cid").alias("c")))
+                 .alias("code")))
+
+
+def pq_adc_topk(df: DataFrame, vec_col: str, query: Sequence[float],
+                k: int = 10, id_col: str = "vec_id", dim: int = 64,
+                m: int = 4, n_codes: int = 8,
+                round_digits: Optional[int] = 6) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC distance computation: the query
+    stays full-precision, each corpus vector is represented by its PQ
+    codes, and dist(q, x) ~= sum_j qtab[j, code_j(x)] where qtab maps
+    every (subspace, codeword) to its squared-L2 from the query's
+    slice — the m*n_codes lookup table that makes PQ search O(m) per
+    vector regardless of dim. Returns (id, codes, adc) ascending by
+    (adc, id); ``codes`` is the dash-joined code string (recorded-shape
+    contract: no array columns).
+
+    Determinism: the ADC total folds the m per-subspace distances in
+    FIXED j order (d0+d1+...), never a float SUM whose accumulation
+    order the engine picks (memory note: float agg order); the
+    groupBy pivoting codes to columns moves exact integers only.
+
+    100 TB: qtab is a broadcast of m*n_codes rows; the scan side is
+    the 32x-compressed code table; one map-side-combined groupBy plus
+    a global top-k."""
+    _check_pq(dim, m, n_codes)
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != {dim}")
+    sub = dim // m
+    codes = pq_encode(df, vec_col, id_col, dim, m, n_codes)
+    cb = _pq_codebook(df, vec_col, id_col, dim, m, n_codes)
+    # qtab: squared-L2 from the query's j-th slice to each codeword.
+    # The query slice must align with the codeword's subspace, so each
+    # j contributes its own literal array via a union of m tiny
+    # projections over the (already tiny) codebook frame.
+    qparts = []
+    for j in range(m):
+        qlit = F.array(*[F.lit(float(v))
+                         for v in query[j * sub:(j + 1) * sub]])
+        qparts.append(cb.filter(F.col("j") == j)
+                      .select("j", "cid",
+                              _sq_l2(F.col("cs"), qlit).alias("qd")))
+    qtab = qparts[0]
+    for part in qparts[1:]:
+        qtab = qtab.unionAll(part)
+    joined = codes.join(F.broadcast(qtab),
+                        (codes["j"] == qtab["j"])
+                        & (codes["code"] == qtab["cid"]))
+    per_j = joined.groupBy(id_col).agg(
+        *[F.max(F.when(codes["j"] == j, F.col("qd"))).alias(f"_d{j}")
+          for j in range(m)],
+        *[F.max(F.when(codes["j"] == j, F.col("code")))
+          .alias(f"_c{j}") for j in range(m)])
+    adc = F.col("_d0")
+    for j in range(1, m):
+        adc = adc + F.col(f"_d{j}")
+    if round_digits is not None:
+        adc = F.round(adc, round_digits)
+    return (per_j.select(
+        F.col(id_col),
+        F.concat_ws("-", *[F.col(f"_c{j}").cast("string")
+                           for j in range(m)]).alias("codes"),
+        adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(k))

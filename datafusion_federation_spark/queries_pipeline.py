@@ -3653,3 +3653,74 @@ def d78(spark, sf):
                            / (F.col("n1") + F.lit(0.5) * F.col("nv")),
                            6).alias("pcond")))
     return out.orderBy(F.col("n12").desc(), "w1", "w2").limit(25)
+
+
+def _pq_oracle(m: int = 4, n_codes: int = 8, k: int = 10) -> str:
+    """Pure-SQL PQ replay (operators/similarity.py pq_adc_topk):
+    deterministic codebook from the n_codes lowest-id embeddings,
+    per-subspace argmin encode (ties -> lowest cid), ADC totals folded
+    in fixed j order — the same left-associated double arithmetic as
+    the d06/d27 oracles, so distances match Spark bit for bit."""
+    sub = EMB_DIM // m
+
+    def d2(a, b, j):
+        return " + ".join(
+            f"(CAST({a}[{j * sub + i + 1}] AS DOUBLE) - "
+            f"CAST({b}[{j * sub + i + 1}] AS DOUBLE)) * "
+            f"(CAST({a}[{j * sub + i + 1}] AS DOUBLE) - "
+            f"CAST({b}[{j * sub + i + 1}] AS DOUBLE))"
+            for i in range(sub))
+
+    def qd(b, j):
+        return " + ".join(
+            f"(CAST({b}[{j * sub + i + 1}] AS DOUBLE) - "
+            f"({QUERY_VEC[j * sub + i]!r})) * "
+            f"(CAST({b}[{j * sub + i + 1}] AS DOUBLE) - "
+            f"({QUERY_VEC[j * sub + i]!r}))"
+            for i in range(sub))
+
+    asg = "\nUNION ALL\n".join(f"""
+  SELECT vec_id, {j} AS j, cid AS code FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ({d2('e.embedding', 'c.cvec', j)}) ASC, c.cid) rn
+    FROM embeddings e CROSS JOIN cent c) t{j} WHERE rn = 1""" for j in range(m))
+    qtab = "\nUNION ALL\n".join(
+        f"  SELECT {j} AS j, cid, ({qd('cvec', j)}) qd FROM cent"
+        for j in range(m))
+    cparts = ", ".join(f"MAX(CASE WHEN a.j = {j} THEN a.code END) c{j}"
+                       for j in range(m))
+    dparts = ", ".join(f"MAX(CASE WHEN a.j = {j} THEN q.qd END) d{j}"
+                       for j in range(m))
+    csel = ", ".join(f"c{j}" for j in range(m))
+    dsum = " + ".join(f"d{j}" for j in range(m))
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {n_codes}),
+asg AS ({asg}),
+qtab AS ({qtab}),
+per AS (
+  SELECT a.vec_id, {cparts}, {dparts}
+  FROM asg a JOIN qtab q ON a.j = q.j AND a.code = q.cid
+  GROUP BY a.vec_id)
+SELECT vec_id, concat_ws('-', {csel}) AS codes,
+       ROUND({dsum}, 6) AS adc
+FROM per ORDER BY adc, vec_id LIMIT {k}"""
+
+
+@q("d79_pq_adc", _pq_oracle())
+def d79(spark, sf):
+    """Product quantization with asymmetric-distance search under the
+    oracle gate (operators/similarity.py pq_encode/pq_adc_topk): the
+    corpus compresses to m=4 codes per vector against a deterministic
+    8-codeword-per-subspace codebook (the d27 lowest-id convention),
+    and the query ranks by summed per-subspace codeword distances —
+    the Jegou et al. 2011 layout behind billion-scale ANN, where the
+    scan side is the 32x-compressed code table and the query cost is
+    an m-entry table lookup per vector. Completes the similarity
+    family: brute (d06), LSH (d07), IVF (d14/d27), PQ here."""
+    emb = t(spark, sf, "embeddings")
+    return similarity.pq_adc_topk(emb, "embedding", QUERY_VEC, k=10,
+                                  id_col="vec_id", dim=EMB_DIM,
+                                  m=4, n_codes=8)

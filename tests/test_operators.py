@@ -1067,3 +1067,79 @@ def test_scan_backed_true_for_filtered_scan(spark, tmp_path):
         .write.parquet(p)
     df = spark.read.parquet(p).where("id > 2").select("s")
     assert _scan_backed(df)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r7)
+# ---------------------------------------------------------------------------
+
+def _pq_frame(spark, n=40, dim=8, seed=3):
+    import random
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_matches_brute_argmin(spark):
+    from datafusion_federation_spark.operators.similarity import (
+        pq_encode)
+    df = _pq_frame(spark, n=30, dim=8)
+    rows = {r.vec_id: [float(x) for x in r.embedding]
+            for r in df.collect()}
+    cents = {cid: rows[cid] for cid in sorted(rows)[:4]}
+    got = {(r.vec_id, r.j): r.code
+           for r in pq_encode(df, "embedding", "vec_id", dim=8,
+                              m=2, n_codes=4).collect()}
+    for vid, v in rows.items():
+        for j in range(2):
+            best = min(
+                (sum((v[j * 4 + i] - c[j * 4 + i]) ** 2
+                     for i in range(4)), cid)
+                for cid, c in cents.items())[1]
+            assert got[(vid, j)] == best, (vid, j)
+
+
+def test_pq_centroid_rows_encode_to_themselves(spark):
+    """A vector that IS a codeword has distance 0 to itself in every
+    subspace: codes must be its own id and the exact ADC recovers the
+    full-precision query distance."""
+    from datafusion_federation_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+    df = _pq_frame(spark, n=4, dim=8)   # corpus == codebook
+    got = {(r.vec_id, r.j): r.code
+           for r in pq_encode(df, "embedding", "vec_id", dim=8,
+                              m=2, n_codes=4).collect()}
+    assert all(code == vid for (vid, _), code in got.items())
+    q = [0.0] * 8
+    rows = {r.vec_id: [float(x) for x in r.embedding]
+            for r in df.collect()}
+    r = pq_adc_topk(df, "embedding", q, k=4, dim=8, m=2,
+                    n_codes=4).collect()
+    for row in r:
+        exact = sum(x * x for x in rows[row.vec_id])
+        assert abs(row.adc - exact) < 1e-5, (row, exact)
+
+
+def test_pq_layout_invariance(spark):
+    from datafusion_federation_spark.operators.similarity import (
+        pq_adc_topk)
+    df = _pq_frame(spark, n=50, dim=8)
+    q = [0.3] * 8
+    a = [tuple(r) for r in pq_adc_topk(df, "embedding", q, k=10,
+                                       dim=8, m=4,
+                                       n_codes=4).collect()]
+    b = [tuple(r) for r in pq_adc_topk(df.repartition(7), "embedding",
+                                       q, k=10, dim=8, m=4,
+                                       n_codes=4).collect()]
+    assert a == b
+
+
+def test_pq_validation(spark):
+    from datafusion_federation_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+    df = _pq_frame(spark, n=10, dim=8)
+    with pytest.raises(ValueError, match="must divide"):
+        pq_encode(df, "embedding", "vec_id", dim=8, m=3)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_adc_topk(df, "embedding", [0.0] * 5, dim=8, m=2)
