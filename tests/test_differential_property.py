@@ -525,3 +525,77 @@ def test_setop_chains_local_and_federated_match_duckdb(engines, sql):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# window-function shapes (r7): randomized function x partition x order
+# x frame combinations through the front door, LOCAL and FEDERATED,
+# vs DuckDB direct. Every ORDER BY ends in the unique key so ranking
+# and frame contents are engine-deterministic (ties would otherwise
+# make ROW_NUMBER and sliding sums engine-arbitrary, a false FAIL).
+# ---------------------------------------------------------------------------
+
+_WIN_FUNCS = [
+    "ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+    "COUNT(*)", "SUM(n_regionkey)", "MIN(n_nationkey)",
+    "MAX(n_regionkey)", "AVG(n_regionkey)",
+]
+_WIN_PARTS = ["", "PARTITION BY n_regionkey",
+              "PARTITION BY n_regionkey % 2"]
+_WIN_ORDERS = ["ORDER BY n_nationkey", "ORDER BY n_nationkey DESC",
+               "ORDER BY n_name, n_nationkey"]
+_WIN_FRAMES = [
+    "", "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+]
+
+
+@st.composite
+def _window_queries(draw):
+    fn = draw(st.sampled_from(_WIN_FUNCS))
+    part = draw(st.sampled_from(_WIN_PARTS))
+    order = draw(st.sampled_from(_WIN_ORDERS))
+    # ranking functions take no frame; aggregates may
+    if fn in ("ROW_NUMBER()", "RANK()", "DENSE_RANK()"):
+        frame = ""
+    else:
+        frame = draw(st.sampled_from(_WIN_FRAMES))
+    spec = " ".join(s for s in (part, order, frame) if s)
+    base = (f"SELECT n_nationkey, {fn} OVER ({spec}) AS w "
+            f"FROM nation")
+    shape = draw(st.sampled_from(["plain", "filtered_outer", "two_fns"]))
+    if shape == "filtered_outer":
+        # window in a derived table with an outer filter on its result
+        return (f"SELECT n_nationkey, w FROM ({base}) t "
+                f"WHERE w <= 3 OR w >= 20")
+    if shape == "two_fns":
+        fn2 = draw(st.sampled_from(_WIN_FUNCS))
+        frame2 = "" if fn2 in ("ROW_NUMBER()", "RANK()",
+                               "DENSE_RANK()") \
+            else draw(st.sampled_from(_WIN_FRAMES))
+        spec2 = " ".join(s for s in
+                         (draw(st.sampled_from(_WIN_PARTS)),
+                          "ORDER BY n_nationkey", frame2) if s)
+        return (f"SELECT n_nationkey, {fn} OVER ({spec}) AS w, "
+                f"{fn2} OVER ({spec2}) AS w2 FROM nation")
+    return base
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_window_queries())
+def test_window_shapes_local_and_federated_match_duckdb(engines, sql):
+    import duckdb
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = sorted(map(tuple, conn.execute(sql).fetchall()))
+    conn.close()
+    got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"
