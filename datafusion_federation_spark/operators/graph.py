@@ -252,3 +252,49 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                                          F.col("e2.t"))).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("triangles")))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    UNDIRECTED view of the edge list: every node starts as its own
+    label; each iteration adopts the most frequent label among its
+    neighbors, ties -> smallest label (Raghavan et al. 2007). Returns
+    (node, label) after exactly ``iters`` rounds — the fixed-round
+    synchronous form is a pure function of the graph, so a SQL engine
+    replays it as stacked CTEs (the d51 PageRank oracle pattern);
+    run-to-convergence LPA is seed/order-dependent and could never be
+    oracle-checked.
+
+    Plan shape per iteration: one equi join (neighbor labels) + two
+    aggregates (per-(node,label) count, then per-node argmax via
+    max_by over (count, -label) — struct-max picks the LOWEST label on
+    a count tie, engine-deterministically). The label state is
+    referenced ONCE per iteration, so the logical plan stays linear in
+    ``iters`` (the dangling-PageRank lesson, r7). 100 TB: both
+    shuffles key on node ids; hub-node skew is AQE-splittable equi
+    shuffle, and synchronous rounds mean no driver-side state."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("_u"),
+                        F.greatest(a, b).alias("_v"))
+           .filter(F.col("_u") != F.col("_v"))
+           .filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+           .distinct())
+    # both directions: neighbor lists are symmetric
+    e = und.unionAll(und.select(F.col("_v").alias("_u"),
+                                F.col("_u").alias("_v")))
+    labels = (e.select(F.col("_u").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(iters):
+        counts = (e.join(labels, labels["node"] == e["_v"])
+                  .groupBy(e["_u"].alias("node"), F.col("label"))
+                  .agg(F.count(F.lit(1)).alias("_c")))
+        labels = (counts.groupBy("node")
+                  .agg(F.max_by("label",
+                                F.struct(F.col("_c").alias("c"),
+                                         (-F.col("label")).alias("t")))
+                       .alias("label")))
+    return labels

@@ -3724,3 +3724,66 @@ def d79(spark, sf):
     return similarity.pq_adc_topk(emb, "embedding", QUERY_VEC, k=10,
                                   id_col="vec_id", dim=EMB_DIM,
                                   m=4, n_codes=8)
+
+
+def _lpa_oracle(iters: int = 3, k: int = 20) -> str:
+    """Unrolled synchronous LPA (the d51 stacked-CTE pattern —
+    AS MATERIALIZED per iteration, memory note on DuckDB CTE
+    re-inlining). Tie-break: highest count, then LOWEST label."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.u AS node, l.label,
+           ROW_NUMBER() OVER (PARTITION BY e.u
+             ORDER BY COUNT(*) DESC, l.label) rn
+    FROM e JOIN {prev} l ON l.node = e.v
+    GROUP BY e.u, l.label) t WHERE rn = 1)""")
+        prev = f"l{i}"
+    return f"""
+WITH p AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)/3600) AS BIGINT) hb, user_id
+  FROM events WHERE event_type = 'purchase' AND value >= 50),
+e0 AS (
+  SELECT DISTINCT least(a.user_id, b.user_id) u,
+         greatest(a.user_id, b.user_id) v
+  FROM p a JOIN p b ON a.hb = b.hb AND a.user_id <> b.user_id),
+e AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+{", ".join(s.strip() for s in steps)}
+SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+FROM {prev} GROUP BY label
+ORDER BY community_size DESC, label LIMIT {k}"""
+
+
+@q("d80_label_propagation", _lpa_oracle())
+def d80(spark, sf):
+    """Synchronous label-propagation communities over the high-value
+    co-purchase graph (operators/graph.py label_propagation): 3 fixed
+    rounds, most-frequent-neighbor-label updates with deterministic
+    tie-breaks, reported as the top community sizes. The DuckDB oracle
+    replays every round as stacked materialized CTEs — the same trick
+    that makes PageRank (d51/d68) and connected components (d16)
+    oracle-checkable. Graph family now: PageRank, dangling PageRank,
+    connected components, triangles (d77), LPA communities."""
+    from .operators.graph import label_propagation
+    e = t(spark, sf, "events")
+    p = (e.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") >= 50))
+         .select(F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+                 .alias("hb"), "user_id")
+         .distinct())
+    edges = (p.alias("a").join(
+        p.alias("b"),
+        (F.col("a.hb") == F.col("b.hb"))
+        & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("src"),
+                F.col("b.user_id").alias("dst")))
+    return (label_propagation(edges, iters=3)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+            .orderBy(F.col("community_size").desc(), "label")
+            .limit(20))

@@ -210,3 +210,64 @@ def test_triangles_hub_graph_exact(spark):
         spark.createDataFrame(star + [(1, 2)],
                               "src int, dst int")).collect()))
     assert got == [(0, 1), (1, 1), (2, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (r7)
+# ---------------------------------------------------------------------------
+
+def _lpa_reference(edges, iters):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n in adj:
+            cnt = {}
+            for nb in adj[n]:
+                cnt[lab[nb]] = cnt.get(lab[nb], 0) + 1
+            new[n] = min((-c, l) for l, c in cnt.items())[1]
+        lab = new
+    return lab
+
+
+def test_lpa_matches_reference(spark):
+    import random
+    from datafusion_federation_spark.operators.graph import (
+        label_propagation)
+    random.seed(9)
+    edges = list({(random.randint(1, 35), random.randint(1, 35))
+                  for _ in range(110)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.label
+           for r in label_propagation(df, iters=3).collect()}
+    assert got == _lpa_reference(edges, 3)
+
+
+def test_lpa_two_cliques_converge_to_min_labels(spark):
+    """Two disjoint triangles: every node adopts its clique's minimum
+    label within 2 rounds (tie-break: lowest label wins)."""
+    from datafusion_federation_spark.operators.graph import (
+        label_propagation)
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.label
+           for r in label_propagation(df, iters=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_plan_linear_and_validation(spark):
+    from datafusion_federation_spark.operators.graph import (
+        label_propagation)
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    with _pytest.raises(ValueError, match="iters"):
+        label_propagation(df, iters=0)
+    t3 = label_propagation(df, iters=3) \
+        ._jdf.queryExecution().optimizedPlan().treeString()
+    t6 = label_propagation(df, iters=6) \
+        ._jdf.queryExecution().optimizedPlan().treeString()
+    assert len(t6) < 3.0 * len(t3), (len(t3), len(t6))
