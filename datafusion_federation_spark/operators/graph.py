@@ -298,3 +298,45 @@ def label_propagation(edges: DataFrame, src: str = "src",
                                          (-F.col("label")).alias("t")))
                        .alias("label")))
     return labels
+
+
+def kcore_prune(edges: DataFrame, src: str = "src", dst: str = "dst",
+                k: int = 3, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling over the UNDIRECTED view: each round
+    drops every edge incident to a node of current degree < k, then
+    degrees recompute on the survivors. Returns (node, degree) for
+    the nodes remaining after ``rounds`` — an upper envelope of the
+    true k-core that equals it once a round removes nothing (the
+    run-to-fixpoint form is data-dependent in depth, so the FIXED
+    count is what a SQL oracle can replay, like the d51/d80 pattern).
+
+    Formulation note: the naive peel (deg = groupBy; edges semi-join
+    survivors) references the edge state TWICE per round, doubling
+    the logical plan each iteration (the r6 dangling-PageRank trap).
+    This form keeps the symmetric (u,v)+(v,u) edge table and attaches
+    BOTH endpoint degrees with two window counts — one state
+    reference per round, plan linear in ``rounds``; the symmetric
+    filter keeps (u,v) iff it keeps (v,u), so the table stays
+    symmetric by construction. 100 TB: two keyed window exchanges per
+    round, no joins at all, no driver state."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark.sql import Window as W
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("_u"),
+                        F.greatest(a, b).alias("_v"))
+           .filter(F.col("_u") != F.col("_v"))
+           .filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+           .distinct())
+    e = und.unionAll(und.select(F.col("_v").alias("_u"),
+                                F.col("_u").alias("_v")))
+    for _ in range(rounds):
+        du = F.count(F.lit(1)).over(W.partitionBy("_u"))
+        dv = F.count(F.lit(1)).over(W.partitionBy("_v"))
+        e = (e.withColumn("_du", du).withColumn("_dv", dv)
+             .filter((F.col("_du") >= k) & (F.col("_dv") >= k))
+             .select("_u", "_v"))
+    return (e.groupBy(F.col("_u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree")))

@@ -3787,3 +3787,62 @@ def d80(spark, sf):
             .agg(F.count(F.lit(1)).cast("long").alias("community_size"))
             .orderBy(F.col("community_size").desc(), "label")
             .limit(20))
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3, topn: int = 25) -> str:
+    """Unrolled fixed-round peeling: per round, attach both endpoint
+    degrees with window counts over the symmetric edge table and keep
+    edges whose endpoints both still qualify (operators/graph.py
+    kcore_prune — identical integer arithmetic, no floats at all)."""
+    steps = []
+    prev = "e1"
+    for i in range(2, rounds + 2):
+        steps.append(f"""
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT u, v, COUNT(*) OVER (PARTITION BY u) du,
+           COUNT(*) OVER (PARTITION BY v) dv FROM {prev}) t
+  WHERE du >= {k} AND dv >= {k})""")
+        prev = f"e{i}"
+    return f"""
+WITH p AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)/3600) AS BIGINT) hb, user_id
+  FROM events WHERE event_type = 'purchase' AND value >= 50),
+e0 AS (
+  SELECT DISTINCT least(a.user_id, b.user_id) u,
+         greatest(a.user_id, b.user_id) v
+  FROM p a JOIN p b ON a.hb = b.hb AND a.user_id <> b.user_id),
+e1 AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+{", ".join(s.strip() for s in steps)}
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY u
+ORDER BY degree DESC, node LIMIT {topn}"""
+
+
+@q("d81_kcore", _kcore_oracle())
+def d81(spark, sf):
+    """Fixed-round k-core peeling (operators/graph.py kcore_prune) on
+    the high-value co-purchase graph: 3 rounds of dropping edges whose
+    endpoints have degree < 3, reported as the surviving nodes'
+    degrees. No joins — each round is two keyed window counts over the
+    symmetric edge table with ONE state reference, so the plan stays
+    linear in rounds (the dangling-PageRank lesson applied to a
+    filter-style recurrence). The core extraction a pipeline uses to
+    find its dense interaction nucleus before expensive per-node
+    work."""
+    from .operators.graph import kcore_prune
+    e = t(spark, sf, "events")
+    p = (e.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") >= 50))
+         .select(F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+                 .alias("hb"), "user_id")
+         .distinct())
+    edges = (p.alias("a").join(
+        p.alias("b"),
+        (F.col("a.hb") == F.col("b.hb"))
+        & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("src"),
+                F.col("b.user_id").alias("dst")))
+    return (kcore_prune(edges, k=3, rounds=3)
+            .orderBy(F.col("degree").desc(), "node").limit(25))

@@ -271,3 +271,61 @@ def test_lpa_plan_linear_and_validation(spark):
     t6 = label_propagation(df, iters=6) \
         ._jdf.queryExecution().optimizedPlan().treeString()
     assert len(t6) < 3.0 * len(t3), (len(t3), len(t6))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (r7)
+# ---------------------------------------------------------------------------
+
+def _kcore_reference(edges, k, rounds):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    e = set(und)
+    for _ in range(rounds):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        e = {(a, b) for a, b in e if deg[a] >= k and deg[b] >= k}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_matches_reference(spark):
+    import random
+    from datafusion_federation_spark.operators.graph import kcore_prune
+    random.seed(13)
+    edges = list({(random.randint(1, 30), random.randint(1, 30))
+                  for _ in range(140)})
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.degree
+           for r in kcore_prune(df, k=3, rounds=3).collect()}
+    assert got == _kcore_reference(edges, 3, 3)
+
+
+def test_kcore_clique_survives_chain_dies(spark):
+    """A 4-clique is its own 3-core; a path graph has no 2-core at
+    all once the leaves peel inward."""
+    from datafusion_federation_spark.operators.graph import kcore_prune
+    clique = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    chain = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    df = spark.createDataFrame(clique + chain, "src int, dst int")
+    got = {r.node: r.degree
+           for r in kcore_prune(df, k=2, rounds=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_plan_linear_and_validation(spark):
+    from datafusion_federation_spark.operators.graph import kcore_prune
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    with pytest.raises(ValueError, match="k must"):
+        kcore_prune(df, k=0)
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_prune(df, rounds=0)
+    t3 = kcore_prune(df, k=2, rounds=3) \
+        ._jdf.queryExecution().optimizedPlan().treeString()
+    t6 = kcore_prune(df, k=2, rounds=6) \
+        ._jdf.queryExecution().optimizedPlan().treeString()
+    assert len(t6) < 3.0 * len(t3), (len(t3), len(t6))
