@@ -433,6 +433,31 @@ def _hll_alpha(m: int) -> float:
     return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
+def hll_register_rows(df: DataFrame, key: str,
+                      group_by: Sequence[str], p: int = 6,
+                      salt: str = "hll") -> DataFrame:
+    """Row-level (groups..., idx, rho) projection — the pure JVM-side
+    register function shared by the batch aggregate below and the
+    streaming operator (streaming/stateful.streaming_hll), which must
+    hash IDENTICALLY so stream state finalizes equal to the batch
+    sketch. NULL keys drop (COUNT(DISTINCT) semantics, same as KMV)."""
+    _check_hll(p)
+    groups = list(group_by)
+    bits = 4 * _HEX_DIGITS - p          # remainder width
+    h = (F.conv(F.substring(kmv_hash(F.col(key), salt), 1, _HEX_DIGITS),
+                16, 10).cast("long"))
+    w = F.col("_h") % F.lit(1 << bits)
+    # rho = leading zeros of w within `bits` + 1; length(bin(w)) is the
+    # highest-set-bit position, so rho = bits - length + 1 (w = 0 means
+    # ALL zeros: bits + 1). Integer-exact — no log anywhere.
+    rho = F.when(w == 0, F.lit(bits + 1)) \
+           .otherwise(F.lit(bits + 1) - F.length(F.bin(w)))
+    return (df.select(*groups, h.alias("_h"))
+              .filter(F.col("_h").isNotNull())
+              .select(*groups, F.shiftright("_h", bits).alias("idx"),
+                      rho.alias("rho")))
+
+
 def hll_registers(df: DataFrame, key: str, group_by: Sequence[str],
                   p: int = 6, salt: str = "hll") -> DataFrame:
     """Per-group SET registers: group columns + ``idx`` (0..2^p-1) +
@@ -445,24 +470,10 @@ def hll_registers(df: DataFrame, key: str, group_by: Sequence[str],
     combined, and the shuffle carries at most groups x 2^p tiny rows
     no matter how many billions of input rows (vs KMV's DISTINCT whose
     shuffle scales with the number of distinct values)."""
-    _check_hll(p)
     groups = list(group_by)
-    bits = 4 * _HEX_DIGITS - p          # remainder width
-    h = (F.conv(F.substring(kmv_hash(F.col(key), salt), 1, _HEX_DIGITS),
-                16, 10).cast("long"))
-    w = F.col("_h") % F.lit(1 << bits)
-    # rho = leading zeros of w within `bits` + 1; length(bin(w)) is the
-    # highest-set-bit position, so rho = bits - length + 1 (w = 0 means
-    # ALL zeros: bits + 1). Integer-exact — no log anywhere.
-    rho = F.when(w == 0, F.lit(bits + 1)) \
-           .otherwise(F.lit(bits + 1) - F.length(F.bin(w)))
-    # NULL keys drop (COUNT(DISTINCT) semantics, same as KMV)
-    return (df.select(*groups, h.alias("_h"))
-              .filter(F.col("_h").isNotNull())
-              .select(*groups, F.shiftright("_h", bits).alias("idx"),
-                      rho.alias("rho"))
-              .groupBy(*groups, "idx")
-              .agg(F.max("rho").alias("rho")))
+    return (hll_register_rows(df, key, groups, p, salt)
+            .groupBy(*groups, "idx")
+            .agg(F.max("rho").alias("rho")))
 
 
 def hll_merge(registers: DataFrame, group_by: Sequence[str],

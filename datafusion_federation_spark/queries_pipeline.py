@@ -3846,3 +3846,67 @@ def d81(spark, sf):
                 F.col("b.user_id").alias("dst")))
     return (kcore_prune(edges, k=3, rounds=3)
             .orderBy(F.col("degree").desc(), "node").limit(25))
+
+
+def _d82_oracle() -> str:
+    """Batch HLL replay over events (event_type x user_id), p=5 —
+    the streaming state must finalize EQUAL to this batch sketch
+    (same register function, the d70 stream-equals-batch pattern)."""
+    from .operators.sketches import _hll_alpha
+    m, bits = 32, 55
+    c = _hll_alpha(m) * float(m * m * (1 << (bits + 1)))
+    two_bits = 1 << bits
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(concat('hll:',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL),
+reg AS (
+  SELECT event_type, h >> {bits} AS idx,
+         MAX(CASE WHEN h % {two_bits} = 0 THEN {bits + 1}
+                  ELSE {bits + 1} - length(bin(h % {two_bits})) END) AS rho
+  FROM h GROUP BY event_type, h >> {bits}),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_regs,
+         SUM(CAST(1 AS BIGINT) << ({bits + 1} - rho)) AS s_set
+  FROM reg GROUP BY event_type)
+SELECT event_type, CAST(n_regs AS BIGINT) AS n_regs,
+       CAST({m} - n_regs AS BIGINT) * (CAST(1 AS BIGINT) << {bits + 1})
+         + s_set AS s_fixed,
+       ROUND({c!r} / CAST(CAST({m} - n_regs AS BIGINT)
+             * (CAST(1 AS BIGINT) << {bits + 1}) + s_set AS DOUBLE), 3)
+         AS est
+FROM agg ORDER BY event_type"""
+
+
+@q("d82_stream_hll", _d82_oracle())
+def d82(spark, sf):
+    """STREAMING HyperLogLog in the oracle gate: fixed-size register
+    state per key (streaming/stateful.streaming_hll) over the events
+    file stream; the finalized snapshots (max n_regs, then min
+    s_fixed — both monotone by register growth) must equal the batch
+    sketch, so plain DuckDB SQL value-checks a stateful streaming
+    operator. p=5 keeps every event_type's ~150 distinct users (sf0.01)
+    in the raw-regime (2.5m = 80); the estimate is the same
+    shared-literal division as d76."""
+    from functools import partial
+    from .operators.sketches import _hll_alpha
+    from .streaming.stateful import streaming_hll
+    p = 5
+    m = 1 << p
+    rmax = 60 - p + 1
+    c = _hll_alpha(m) * float(m * m * (1 << rmax))
+    out = _run_events_stream(spark, sf, partial(streaming_hll, p=p),
+                             "stream_hll_sink", "append")
+    fin = (out.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("event_type")
+            .orderBy(F.col("n_regs").desc(), F.col("s_fixed").asc())))
+        .filter(F.col("_rn") == 1))
+    return (fin.select(
+        "event_type", F.col("n_regs").cast("bigint").alias("n_regs"),
+        F.col("s_fixed").cast("bigint").alias("s_fixed"),
+        F.round(F.lit(c) / F.col("s_fixed").cast("double"), 3)
+        .alias("est"))
+        .orderBy("event_type"))

@@ -210,3 +210,66 @@ def streaming_last_n(events: DataFrame, key_col: str = "user_id",
     return (src.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_hll(events: DataFrame, key_col: str = "event_type",
+                  id_col: str = "user_id", p: int = 8) -> DataFrame:
+    """Streaming HyperLogLog distinct-count sketch: per key, state is
+    the 2^p register array (max rho per bucket) from
+    operators/sketches.py's portable-HLL contract, held as keyed
+    stream state — FIXED-SIZE state per key (2^p small ints) no matter
+    how many billions of distinct ids flow past, the property that
+    makes HLL the production streaming-cardinality sketch where KMV's
+    state grows to k hashes.
+
+    The (idx, rho) register projection runs JVM-side BEFORE the
+    stateful operator (hll_register_rows — the exact batch function),
+    so the pandas fn only element-maxes integers; the finalized stream
+    state must EQUAL the batch sketch, which is what lets d82
+    oracle-check a stateful streaming operator against plain SQL
+    (the d70 pattern).
+
+    Each micro-batch emits a (n_regs, s_fixed) snapshot. Registers
+    only ever grow, so ``n_regs`` is NON-DECREASING and ``s_fixed``
+    (the fixed-point harmonic denominator) NON-INCREASING — monotone
+    finalization keys (memory note): the final state is the
+    (max n_regs, then min s_fixed) snapshot however the stream was
+    micro-batched."""
+    from pyspark.sql import functions as F
+    from ..operators.sketches import _check_hll, _HEX_DIGITS, \
+        hll_register_rows
+    _check_hll(p)
+    m = 1 << p
+    rmax = 4 * _HEX_DIGITS - p + 1
+    rows = hll_register_rows(events, id_col, [key_col], p)
+    out_schema = T.StructType([
+        events.schema[key_col],
+        T.StructField("n_regs", T.LongType()),
+        T.StructField("s_fixed", T.LongType()),
+    ])
+    state_schema = T.StructType(
+        [T.StructField("regs", T.ArrayType(T.IntegerType()))])
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * m
+        got = False
+        for pdf in pdfs:
+            if len(pdf):
+                got = True
+                for idx, rho in zip(pdf["idx"], pdf["rho"]):
+                    i = int(idx)
+                    if rho > regs[i]:
+                        regs[i] = int(rho)
+        if not got:
+            return
+        state.update((regs,))
+        n_regs = sum(1 for r in regs if r > 0)
+        s_fixed = sum((1 << (rmax - r)) if r > 0 else (1 << rmax)
+                      for r in regs)
+        yield pd.DataFrame({key_col: [key[0]], "n_regs": [n_regs],
+                            "s_fixed": [s_fixed]})
+
+    return (rows.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

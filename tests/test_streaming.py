@@ -369,3 +369,46 @@ def test_streaming_last_n_matches_batch_across_batches(spark, tmp_path):
         evs = sorted(((t, e) for uu, t, e in rows if uu == u))
         want[u] = (len(evs), [e for _, e in reversed(evs[-4:])])
     assert fin == want
+
+
+def test_streaming_hll_matches_batch_across_batches(spark, tmp_path):
+    """The streamed HLL register state finalized from snapshots (max
+    n_regs, then min s_fixed — both monotone under register growth)
+    must equal the batch sketch however the stream is micro-batched.
+    maxFilesPerTrigger=1 over 4 files forces 4 batches."""
+    from datafusion_federation_spark.operators.sketches import (
+        hll_distinct)
+    from datafusion_federation_spark.streaming.stateful import (
+        streaming_hll)
+
+    import random
+    rng = random.Random(21)
+    rows = [(rng.choice(["a", "b"]), rng.randint(1, 500))
+            for _ in range(400)]
+    src = spark.createDataFrame(rows, "event_type string, user_id long")
+    path = str(tmp_path / "hll_in")
+    for i in range(4):
+        spark.createDataFrame(rows[i * 100:(i + 1) * 100],
+                              src.schema).coalesce(1) \
+            .write.mode("append").parquet(path)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = streaming_hll(stream, "event_type", "user_id", p=5)
+    q = (out.writeStream.format("memory").queryName("hll_multi")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    snaps = spark.table("hll_multi")
+    assert snaps.groupBy("event_type").count().agg(
+        {"count": "max"}).collect()[0][0] > 1
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    fin = (snaps.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("event_type")
+            .orderBy(F.col("n_regs").desc(), F.col("s_fixed").asc())))
+        .filter(F.col("_rn") == 1))
+    got = {(r.event_type, r.n_regs, r.s_fixed) for r in fin.collect()}
+    batch = hll_distinct(src, "user_id", ["event_type"], p=5)
+    want = {(r.event_type, r.n_regs, r.s_fixed)
+            for r in batch.collect()}
+    assert got == want
