@@ -111,7 +111,9 @@ class Compiler:
         if isinstance(p, Scan):
             t = p.table
             if t.fallback_path is not None:
-                df = self.spark.read.parquet(t.fallback_path)
+                df = (self.spark.read
+                      .format(getattr(t, "fallback_format", "parquet"))
+                      .load(t.fallback_path))
             elif t.provider is not None and hasattr(t.provider, "executor"):
                 # fallback provider path: whole-table remote read
                 # (FederatedTableProviderAdaptor fallback,

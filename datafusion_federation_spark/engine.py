@@ -51,6 +51,9 @@ class FederationEngine:
     def register_local_json(self, name: str, path: str, **options):
         return self.catalog.register_local_json(name, path, **options)
 
+    def register_local_orc(self, name: str, path: str):
+        return self.catalog.register_local_orc(name, path)
+
     def register_remote(self, provider: SQLProvider, local_name: str,
                         remote_name: Optional[str] = None, schema=None):
         return self.catalog.register_remote(provider, local_name,
@@ -145,7 +148,9 @@ class FederationEngine:
             ref = h.remote.ref if h.remote is not None else table_name
             return h.provider.executor.insert(self.spark, df, ref, mode)
         if h.fallback_path is not None:
-            df.write.mode(mode).parquet(h.fallback_path)
+            df.write.mode(mode) \
+                .format(getattr(h, "fallback_format", "parquet")) \
+                .save(h.fallback_path)
             return None
         raise NotImplementedError(
             f"table {table_name!r} supports no insert path")

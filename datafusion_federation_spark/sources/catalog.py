@@ -70,6 +70,22 @@ class FederatedCatalog:
             reader = reader.option(k, v)
         return self.register_local_df(name, reader.json(path))
 
+    def register_local_orc(self, name: str, path: str) -> TableHandle:
+        """A native Spark table from ORC (footer schema, predicate
+        pushdown and column pruning all come from Spark's built-in ORC
+        source) — completes the file-format set Spark ships natively
+        (parquet/CSV/JSON/ORC). Same footer-schema capture rationale as
+        register_local_parquet."""
+        try:
+            schema = self.spark.read.orc(path).schema
+        except Exception:  # noqa: BLE001 - degrade, do not fail register
+            schema = None
+        h = TableHandle(local_name=name, provider=_LOCAL,
+                        fallback_path=path, schema=schema,
+                        fallback_format="orc")
+        self._tables[name] = h
+        return h
+
     def register_local_df(self, name: str, df) -> TableHandle:
         """A native Spark table from an EXISTING DataFrame (temp view
         under the hood) — for inputs that need Spark-side preparation a

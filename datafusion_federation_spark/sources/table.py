@@ -105,6 +105,9 @@ class TableHandle:
     remote: Optional[RemoteTable] = None
     fallback_path: Optional[str] = None
     schema: Any = None
+    #: Spark data-source name for fallback_path reads/writes —
+    #: "parquet" historically, "orc" for register_local_orc
+    fallback_format: str = "parquet"
 
     def remote_sql_ref(self, dialect) -> str:
         """How this table is spelled inside generated remote SQL. The local

@@ -324,3 +324,77 @@ def test_q81_registered_two_engine_split(spark):
                      f"read_parquet('{TESTDATA}/{tbl}.parquet')")
     want = [tuple(r) for r in conn.execute(oracle).fetchall()]
     assert got == want and len(got) > 0
+
+
+def test_local_orc_source_pushdown_and_federation(spark, tmp_path):
+    """r7: LOCAL ORC registration completes the native file-format set
+    (parquet/CSV/JSON/ORC). The ORC side stays a native Spark scan
+    with the filter pushed into the ORC reader (PushedFilters in the
+    scan node); joining a remote DuckDB table federates only the
+    remote subtree; INSERT INTO appends in the table's own format."""
+    orcp = str(tmp_path / "cust.orc")
+    spark.read.parquet(f"{TESTDATA}/customer.parquet") \
+        .select("c_custkey", "c_nationkey", "c_acctbal") \
+        .write.orc(orcp)
+
+    from datafusion_federation_spark.engine import FederationEngine
+    duck = DuckDBExecutor(name="duck_orc", compute_context="orc")
+    duck.register_parquet("nation", f"{TESTDATA}/nation.parquet")
+
+    eng = FederationEngine(spark)
+    h = eng.register_local_orc("cust", orcp)
+    assert h.schema is not None and h.fallback_format == "orc"
+    eng.register_remote(SQLProvider(duck), "nation")
+
+    b = eng.sql_plan(
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM cust JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_acctbal > 5000 GROUP BY n_name")
+    fed = federate(b.plan)
+    remotes = [n for n in walk_plan(fed)
+               if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1 and remotes[0].provider.name == "duck_orc"
+    df = eng.execute(fed)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "c_acctbal" in \
+        plan[plan.index("PushedFilters"):plan.index("PushedFilters")
+             + 200], "acctbal filter did not reach the ORC scan"
+    import duckdb
+    want = sorted(map(tuple, duckdb.sql(
+        f"SELECT n_name, COUNT(*) FROM "
+        f"'{TESTDATA}/customer.parquet' c JOIN "
+        f"'{TESTDATA}/nation.parquet' n ON c_nationkey = n_nationkey "
+        f"WHERE c_acctbal > 5000 GROUP BY n_name").fetchall()))
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+    # INSERT passthrough respects the format (appends ORC, not parquet)
+    eng.insert_into("cust", spark.createDataFrame(
+        [(999999, 0, 1.5)], "c_custkey long, c_nationkey long, "
+        "c_acctbal double"))
+    assert spark.read.orc(orcp).filter("c_custkey = 999999").count() == 1
+
+
+def test_partitioned_parquet_scan_prunes_partitions(spark, tmp_path):
+    """100 TB layout pin: a corpus written partitioned by a key column
+    is read back through the engine with the partition predicate
+    resolved at PLANNING time — the scan's PartitionFilters carries
+    it and only matching directories are listed (the partition-pruning
+    posture every curation pipeline relies on)."""
+    path = str(tmp_path / "docs_part")
+    spark.read.parquet(f"{TESTDATA}/documents.parquet") \
+        .write.partitionBy("lang").parquet(path)
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("docs", path)
+    df = eng.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs "
+                 "WHERE lang = 'en'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.index("PartitionFilters")
+    assert "lang" in plan[i:i + 200], \
+        "lang predicate did not become a partition filter"
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{TESTDATA}/documents.parquet' "
+        f"WHERE lang = 'en'").fetchone()[0]
+    assert df.collect()[0].n == want
