@@ -69,3 +69,9 @@ def test_registry_window_contract():
     rows_only = [n for n in names if n not in oracles]
     assert set(rows_only) == {"d04_minhash_lsh", "d05_simhash",
                               "d12_winnow_fingerprint", "d14_ivf_ann"}
+
+
+def test_graph_sketch_demo(spark):
+    from graph_sketch_demo import main
+    core = main(spark, TESTDATA)
+    assert core.count() >= 0 and core.columns == ["node", "degree"]
