@@ -150,6 +150,14 @@ def main() -> None:
             fshort[k if fk in fshort else fk] = v[:80]
         out["failures"] = fshort
         out["failed"] = len(failures)
+    # tail-buffer guard: at 160 queries the 2-decimal line measures
+    # 1875/2048 bytes — one more round of growth would overflow the
+    # driver's capture like r03 did. Degrade per-query precision to 1
+    # decimal BEFORE that happens; the sum and BENCH_FULL.json keep
+    # full precision.
+    if len(json.dumps(out, separators=(",", ":"))) > 1950:
+        out["queries"] = {k: round(v, 1)
+                          for k, v in out["queries"].items()}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL.json"), "w") as f:
