@@ -106,7 +106,7 @@ def word_shingles(col, n: int = 3) -> F.Column:
 # coalescing), exactly the layout _fan_out must correct.
 _NARROW_NODES = frozenset({
     "Project", "Filter", "SubqueryAlias", "View", "Relation",
-    "UnresolvedRelation", "LogicalQueryStage",
+    "UnresolvedRelation",
 })
 
 

@@ -292,10 +292,14 @@ def label_propagation(edges: DataFrame, src: str = "src",
         counts = (e.join(labels, labels["node"] == e["_v"])
                   .groupBy(e["_u"].alias("node"), F.col("label"))
                   .agg(F.count(F.lit(1)).alias("_c")))
+        # min over (-count, label): max count, then SMALLEST label —
+        # negating the COUNT (always numeric) instead of the label
+        # keeps the tie-break valid for string/any orderable node ids
+        # (review r7: -label raised under ANSI for non-numeric ids)
         labels = (counts.groupBy("node")
-                  .agg(F.max_by("label",
-                                F.struct(F.col("_c").alias("c"),
-                                         (-F.col("label")).alias("t")))
+                  .agg(F.min_by("label",
+                                F.struct((-F.col("_c")).alias("c"),
+                                         F.col("label").alias("l")))
                        .alias("label")))
     return labels
 

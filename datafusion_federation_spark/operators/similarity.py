@@ -294,7 +294,8 @@ def _pq_codebook(df: DataFrame, vec_col: str, id_col: str,
 
 
 def pq_encode(df: DataFrame, vec_col: str, id_col: str, dim: int,
-              m: int = 4, n_codes: int = 8) -> DataFrame:
+              m: int = 4, n_codes: int = 8,
+              codebook: Optional[DataFrame] = None) -> DataFrame:
     """Product-quantization encode: split each vector into ``m``
     subvectors, assign each to its nearest codeword (squared L2,
     ties -> lowest cid). Returns long-form (id, j, code) — m rows per
@@ -308,7 +309,11 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, dim: int,
     code table is what you persist; raw vectors are scanned once."""
     _check_pq(dim, m, n_codes)
     sub = dim // m
-    cb = _pq_codebook(df, vec_col, id_col, dim, m, n_codes)
+    # pass a prebuilt (j, cid, cs) frame to reuse one codebook across
+    # encode + ADC (each default build is a corpus orderBy-limit scan —
+    # review r7) or to swap in k-means-trained codewords
+    cb = codebook if codebook is not None else \
+        _pq_codebook(df, vec_col, id_col, dim, m, n_codes)
     vex = (df.select(F.col(id_col), F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"),
                  F.slice(vec_col, j * sub + 1, sub).alias("xs"))
@@ -349,8 +354,14 @@ def pq_adc_topk(df: DataFrame, vec_col: str, query: Sequence[float],
     if len(query) != dim:
         raise ValueError(f"query dim {len(query)} != {dim}")
     sub = dim // m
-    codes = pq_encode(df, vec_col, id_col, dim, m, n_codes)
-    cb = _pq_codebook(df, vec_col, id_col, dim, m, n_codes)
+    # ONE codebook for encode + qtab, materialized (m*n_codes tiny
+    # rows): both consumers would otherwise re-run the corpus
+    # orderBy-limit scan it derives from (the k>=2-reference rule on a
+    # frame whose lineage is expensive but whose content is bytes)
+    cb = _pq_codebook(df, vec_col, id_col, dim, m, n_codes) \
+        .localCheckpoint(eager=False)
+    codes = pq_encode(df, vec_col, id_col, dim, m, n_codes,
+                      codebook=cb)
     # qtab: squared-L2 from the query's j-th slice to each codeword.
     # The query slice must align with the codeword's subspace, so each
     # j contributes its own literal array via a union of m tiny

@@ -3642,10 +3642,15 @@ def d78(spark, sf):
         .alias("s"))
         .select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != "")))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    # c12 feeds three branches (the output join, c1, nv) — cut its
+    # lineage once or the corpus explode executes 3x (review r7, the
+    # k>=3-reference rule); nv folds out of c12 too: the distinct w2
+    # values of the (w1,w2) count table ARE the distinct w2 of bg
+    c12 = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+           .localCheckpoint(eager=False))
     c1 = (c12.groupBy("w1")
           .agg(F.sum("n12").cast("long").alias("n1")))
-    v = bg.agg(F.countDistinct("w2").alias("nv"))
+    v = c12.agg(F.countDistinct("w2").alias("nv"))
     out = (c12.join(c1, "w1").crossJoin(F.broadcast(v))
            .select("w1", "w2", F.col("n12").cast("long").alias("n12"),
                    "n1",

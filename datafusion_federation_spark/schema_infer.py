@@ -95,12 +95,18 @@ def _quiet_analysis_errors(spark):
 
 
 def _shell_schema(handle, spark):
-    """Schema for a scan leaf: the registered one, else the parquet
-    footer for local tables (memoized on the handle)."""
+    """Schema for a scan leaf: the registered one, else the file
+    footer for local tables, read in the handle's OWN format (review
+    r7: this was the one fallback_path reader not updated for ORC —
+    a degraded-registration ORC table would have been footer-read as
+    parquet here). Memoized on the handle."""
     if handle.schema is not None:
         return handle.schema
     if handle.fallback_path is not None:
-        handle.schema = spark.read.parquet(handle.fallback_path).schema
+        handle.schema = (spark.read
+                         .format(getattr(handle, "fallback_format",
+                                         "parquet"))
+                         .load(handle.fallback_path).schema)
         return handle.schema
     raise ValueError(f"no schema registered for {handle.local_name!r}")
 

@@ -22,11 +22,13 @@ class FederatedCatalog:
         self._tables: Dict[str, TableHandle] = {}
 
     # ------------------------------------------------------------------
-    def register_local_parquet(self, name: str, path: str) -> TableHandle:
-        """A native Spark table (Nop provider in the lattice).
+    def _register_local_file(self, name: str, path: str,
+                             fmt: str) -> TableHandle:
+        """Shared path-backed registration (parquet/ORC — one place for
+        the schema-capture policy, review r7).
 
-        Schema is captured at registration (a parquet-footer read, no
-        data scan) for the same reason register_local_df attaches it:
+        Schema is captured at registration (a footer read, no data
+        scan) for the same reason register_local_df attaches it:
         without it this table's columns are invisible to filter-side
         attribution, so a bare remote-column predicate above a
         local⋈remote join could not be PROVEN unambiguous and
@@ -38,13 +40,19 @@ class FederatedCatalog:
         conservative for that table, and the read error surfaces at
         first use exactly as before."""
         try:
-            schema = self.spark.read.parquet(path).schema
+            schema = self.spark.read.format(fmt).load(path).schema
         except Exception:  # noqa: BLE001 - degrade, do not fail register
             schema = None
         h = TableHandle(local_name=name, provider=_LOCAL,
-                        fallback_path=path, schema=schema)
+                        fallback_path=path, schema=schema,
+                        fallback_format=fmt)
         self._tables[name] = h
         return h
+
+    def register_local_parquet(self, name: str, path: str) -> TableHandle:
+        """A native Spark table (Nop provider in the lattice); see
+        _register_local_file for the schema-capture policy."""
+        return self._register_local_file(name, path, "parquet")
 
     def register_local_csv(self, name: str, path: str,
                            header: bool = True,
@@ -74,17 +82,8 @@ class FederatedCatalog:
         """A native Spark table from ORC (footer schema, predicate
         pushdown and column pruning all come from Spark's built-in ORC
         source) — completes the file-format set Spark ships natively
-        (parquet/CSV/JSON/ORC). Same footer-schema capture rationale as
-        register_local_parquet."""
-        try:
-            schema = self.spark.read.orc(path).schema
-        except Exception:  # noqa: BLE001 - degrade, do not fail register
-            schema = None
-        h = TableHandle(local_name=name, provider=_LOCAL,
-                        fallback_path=path, schema=schema,
-                        fallback_format="orc")
-        self._tables[name] = h
-        return h
+        (parquet/CSV/JSON/ORC)."""
+        return self._register_local_file(name, path, "orc")
 
     def register_local_df(self, name: str, df) -> TableHandle:
         """A native Spark table from an EXISTING DataFrame (temp view

@@ -52,8 +52,8 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
              .collect())
     print("largest communities:", [(r.label, r["count"]) for r in comms])
 
-    core = kcore_prune(edges, k=3, rounds=3)
-    print("3-core nodes after 3 rounds:", core.count())
+    n_core = kcore_prune(edges, k=3, rounds=3).count()
+    print("3-core nodes after 3 rounds:", n_core)
 
     # sketch vs exact cardinality, per event type
     exact = dict(ev.groupBy("event_type")
@@ -68,7 +68,9 @@ def main(spark, sf_dir: str = "/root/testdata/sf0.001"):
                                           k=64).collect()}
     for et in sorted(exact):
         print(f"{et}: exact={exact[et]} hll={hll[et]} kmv={kmv[et]}")
-    return core
+    return {"n_edges": n_edges, "n_core": n_core,
+            "pagerank_top": [(r.node, r.rank) for r in top],
+            "exact": exact, "hll": hll, "kmv": kmv}
 
 
 if __name__ == "__main__":

@@ -329,3 +329,19 @@ def test_kcore_plan_linear_and_validation(spark):
     t6 = kcore_prune(df, k=2, rounds=6) \
         ._jdf.queryExecution().optimizedPlan().treeString()
     assert len(t6) < 3.0 * len(t3), (len(t3), len(t6))
+
+
+def test_lpa_string_node_ids(spark):
+    """review r7: the tie-break used to negate the LABEL (numeric
+    only — ANSI raised on strings); it now negates the COUNT, so any
+    orderable id type works with the same 'ties -> smallest label'
+    contract."""
+    from datafusion_federation_spark.operators.graph import (
+        label_propagation)
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.label
+           for r in label_propagation(df, iters=2).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
