@@ -549,6 +549,10 @@ _WIN_FRAMES = [
     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
     "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
     "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    # value-based frames require a SINGLE NUMERIC order key — the
+    # strategy forces ORDER BY n_nationkey when it draws one
+    "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN 1 PRECEDING AND 3 FOLLOWING",
 ]
 
 
@@ -562,6 +566,8 @@ def _window_queries(draw):
         frame = ""
     else:
         frame = draw(st.sampled_from(_WIN_FRAMES))
+    if frame.startswith("RANGE BETWEEN"):
+        order = "ORDER BY n_nationkey"   # value frames: 1 numeric key
     spec = " ".join(s for s in (part, order, frame) if s)
     base = (f"SELECT n_nationkey, {fn} OVER ({spec}) AS w "
             f"FROM nation")

@@ -345,3 +345,22 @@ def test_lpa_string_node_ids(spark):
            for r in label_propagation(df, iters=2).collect()}
     assert got == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "x"}
+
+
+def test_graph_ops_partition_layout_invariant(spark):
+    """Triangles / LPA / k-core are pure functions of the edge SET:
+    repartitioning the input must not change one output row (max/count
+    aggregates with deterministic tie-breaks everywhere)."""
+    import random
+    from datafusion_federation_spark.operators.graph import (
+        kcore_prune, label_propagation, triangle_counts)
+    random.seed(17)
+    edges = list({(random.randint(1, 30), random.randint(1, 30))
+                  for _ in range(120)})
+    a = spark.createDataFrame(edges, "src int, dst int")
+    b = a.repartition(11)
+    for op in (lambda d: triangle_counts(d),
+               lambda d: label_propagation(d, iters=3),
+               lambda d: kcore_prune(d, k=3, rounds=2)):
+        assert sorted(map(tuple, op(a).collect())) == \
+            sorted(map(tuple, op(b).collect()))
