@@ -225,3 +225,76 @@ def pack_sequences(df: DataFrame, id_col: str, token_col: str,
             columns=["bucket", "seq_id", "n_docs", "total_tokens"])
 
     return rows.groupBy("bucket").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                           n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Exact duplicate-SPAN removal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    substring dedup, word-granular): every n-gram window that appears
+    verbatim in >= ``min_docs`` DISTINCT documents marks its n token
+    positions, and marked tokens are dropped from the rebuilt text —
+    removing the shared boilerplate/quotation itself, not the whole
+    document (decontaminate/dedup_units drop documents; repetition_
+    stats only scores — this is the operator that EDITS).
+
+    Within-document repeats alone do not trigger removal (min_docs
+    counts distinct documents), so a poem's chorus survives unless
+    other documents carry it too.
+
+    Plan: posexploded tokens -> windowed n-gram hashes (one pass, no
+    self-join) -> global df count per gram hash (map-side combined;
+    the only corpus-wide shuffle, keyed on the 16-byte hash) ->
+    semi-join back -> position explode of flagged starts -> anti-join
+    tokens -> per-doc ordered reassembly. 100 TB: everything keys on
+    gram hashes or (doc, position); the duplicated-gram set is the
+    natural candidate for a bloom-filter prune (operators/sketches)
+    when it is small relative to the corpus.
+
+    Returns (id, n_tokens, n_removed, new_text) — one row per input
+    document, new_text '' when everything was duplicated away.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " "))
+        .alias("_pos", "_tok"))
+    # gram j (0-based) covers token positions j..j+n-1 — same indexing
+    # as the token posexplode; documents shorter than n contribute one
+    # PARTIAL gram (word_grams' slice floor), so two identical short
+    # docs remove each other entirely (verbatim-duplicate semantics)
+    from .dedup import word_grams
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_grams(F.col(text_col), n)).alias("_i", "_g"))
+    gram_df = (grams.groupBy("_g")
+               .agg(F.countDistinct(id_col).alias("_df"))
+               .filter(F.col("_df") >= min_docs)
+               .select("_g"))
+    dup_starts = grams.join(gram_df, "_g").select(id_col, "_i")
+    covered = (dup_starts.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_i"),
+                             F.col("_i") + F.lit(n - 1))).alias("_pos"))
+        .distinct())
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("_pos").alias("p"),
+                                         F.col("_tok").alias("t")))),
+                            lambda s: s["t"]), " ").alias("new_text")))
+    totals = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col, "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce(F.col("new_text"), F.lit(""))
+                    .alias("new_text")))

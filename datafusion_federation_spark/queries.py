@@ -352,6 +352,12 @@ SECONDARY = {
                           # by d32; stream==batch equality pinned in
                           # test_streaming; estimator shared with d76;
                           # oracle PASS locally at both SFs
+    "d83_span_dedup",     # gram explode/df-count machinery carried
+                          # in-window by d28/d30 (same word_grams +
+                          # broadcast-set shapes); reference
+                          # equivalence + within-doc semantics pinned
+                          # in test_curation; oracle PASS locally at
+                          # both SFs
 }
 
 DEC = "decimal(12,2)"

@@ -3915,3 +3915,63 @@ def d82(spark, sf):
         F.round(F.lit(c) / F.col("s_fixed").cast("double"), 3)
         .alias("est"))
         .orderBy("event_type"))
+
+
+def _d83_oracle(n: int = 8, min_docs: int = 2) -> str:
+    """Span-removal replay: same partial-tail gram convention as every
+    word_grams oracle (concat_ws skips out-of-range NULLs), 1-based
+    positions throughout, string_agg ordered by position."""
+    parts = ", ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+tok AS (
+  SELECT doc_id, s.i AS pos, s.t AS tok FROM (
+    SELECT doc_id, unnest([struct_pack(i := i, t := ws[i])
+                           FOR i IN generate_series(1, len(ws))]) s
+    FROM w) q),
+gr AS (
+  SELECT doc_id, s.i AS i, s.g AS g FROM (
+    SELECT doc_id, unnest([struct_pack(i := i,
+                            g := concat_ws(' ', {parts}))
+           FOR i IN generate_series(1, greatest(len(ws)-{n-1}, 1))]) s
+    FROM w) q),
+dup AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) df FROM gr GROUP BY g)
+  WHERE df >= {min_docs}),
+cov AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT doc_id, unnest(generate_series(i, i+{n-1})) j
+    FROM gr WHERE g IN (SELECT g FROM dup))),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.j
+  WHERE c.j IS NULL),
+reb AS (
+  SELECT doc_id, COUNT(*) n_kept,
+         string_agg(tok, ' ' ORDER BY pos) new_text
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens FROM w)
+SELECT tot.doc_id, n_tokens,
+       CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(new_text, '')) AS new_md5
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+ORDER BY tot.doc_id"""
+
+
+@q("d83_span_dedup", _d83_oracle())
+def d83(spark, sf):
+    """Exact duplicate-SPAN removal in the oracle gate
+    (operators/curation.py remove_duplicate_spans — the Lee et al.
+    2022 substring dedup, word-granular): 8-gram windows shared by >=2
+    documents are excised from the rebuilt text, reported as
+    per-document token counts + an md5 of the edited text (compact,
+    and the hash checks every byte of the reconstruction). The editing
+    complement to d28's document-level decontamination and d30's
+    repetition scoring."""
+    from .operators.curation import remove_duplicate_spans
+    docs = t(spark, sf, "documents")
+    out = remove_duplicate_spans(docs, "text", "doc_id",
+                                 n=8, min_docs=2)
+    return (out.select("doc_id", "n_tokens", "n_removed",
+                       F.md5("new_text").alias("new_md5"))
+            .orderBy("doc_id"))

@@ -208,3 +208,71 @@ def test_pack_null_tokens_clear_error(spark):
     with _pt.raises(Exception, match="NULL token counts"):
         curation.pack_sequences(df, "doc_id", "n_tokens",
                                 budget=10, n_buckets=1).collect()
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span removal (r7)
+# ---------------------------------------------------------------------------
+
+def _span_reference(docs, n, min_docs):
+    toks = {d: t.split(" ") for d, t in docs}
+    grams = {}
+    for d, ts in toks.items():
+        for i in range(max(len(ts) - n + 1, 1)):
+            grams.setdefault(" ".join(ts[i:i + n]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    out = {}
+    for d, ts in toks.items():
+        cov = set()
+        for i in range(max(len(ts) - n + 1, 1)):
+            if " ".join(ts[i:i + n]) in dup:
+                cov.update(range(i, i + n))
+        kept = [t for j, t in enumerate(ts) if j not in cov]
+        out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_span_removal_matches_reference(spark):
+    from datafusion_federation_spark.operators.curation import (
+        remove_duplicate_spans)
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog end one"),
+        (2, "start two the quick brown fox jumps over the lazy dog x"),
+        (3, "completely different content with no shared spans here"),
+        (4, "short doc"), (5, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.new_text)
+           for r in remove_duplicate_spans(df, "text", "doc_id",
+                                           n=8).collect()}
+    assert got == _span_reference(docs, 8, 2)
+    # the shared 9-token span is excised from BOTH carriers, the
+    # identical short docs vanish entirely, the clean doc is untouched
+    assert got[1][2] == "end one" and got[3][1] == 0
+    assert got[4] == (2, 2, "") and got[5] == (2, 2, "")
+
+
+def test_span_removal_within_doc_repeat_survives(spark):
+    """min_docs counts DISTINCT documents: a chorus repeated inside
+    one document is not 'duplicated training data' by itself."""
+    from datafusion_federation_spark.operators.curation import (
+        remove_duplicate_spans)
+    chorus = "la di da we sing the same eight words"
+    docs = [(1, f"{chorus} bridge {chorus}"),
+            (2, "totally unrelated second document text body here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.n_removed
+           for r in remove_duplicate_spans(df, "text", "doc_id",
+                                           n=8).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_span_removal_validation(spark):
+    import pytest as _pytest
+    from datafusion_federation_spark.operators.curation import (
+        remove_duplicate_spans)
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n must"):
+        remove_duplicate_spans(df, "text", "doc_id", n=1)
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_duplicate_spans(df, "text", "doc_id", min_docs=1)
