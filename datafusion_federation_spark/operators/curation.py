@@ -258,6 +258,13 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(f"n must be >= 2, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    from .dedup import _fan_out, word_grams
+    # fan the narrow scan out BEFORE the ~n-x explodes (the
+    # shingle_table rationale), and materialize the exploded gram
+    # frame ONCE: it feeds both the df-count and the flagged-start
+    # join (the k>=2-reference rule on an expensive-lineage frame).
+    # Measured sf0.1 warm: 6.4s plain -> 2.5-3.2s with both.
+    df = _fan_out(df)
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " "))
@@ -266,10 +273,10 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     # as the token posexplode; documents shorter than n contribute one
     # PARTIAL gram (word_grams' slice floor), so two identical short
     # docs remove each other entirely (verbatim-duplicate semantics)
-    from .dedup import word_grams
     grams = df.select(
         F.col(id_col),
-        F.posexplode(word_grams(F.col(text_col), n)).alias("_i", "_g"))
+        F.posexplode(word_grams(F.col(text_col), n)).alias("_i", "_g")) \
+        .localCheckpoint(eager=False)
     gram_df = (grams.groupBy("_g")
                .agg(F.countDistinct(id_col).alias("_df"))
                .filter(F.col("_df") >= min_docs)
