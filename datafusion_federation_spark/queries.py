@@ -358,6 +358,10 @@ SECONDARY = {
                           # equivalence + within-doc semantics pinned
                           # in test_curation; oracle PASS locally at
                           # both SFs
+    "d84_lm_fluency",     # composes d78's bigram model (secondary)
+                          # with d10's decimal ratio-averaging pattern
+                          # (in-window); oracle PASS locally at both
+                          # SFs
 }
 
 DEC = "decimal(12,2)"

@@ -3975,3 +3975,74 @@ def d83(spark, sf):
     return (out.select("doc_id", "n_tokens", "n_removed",
                        F.md5("new_text").alias("new_md5"))
             .orderBy("doc_id"))
+
+
+_D84_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') ws FROM documents),
+bg AS (
+  SELECT doc_id, s.a w1, s.b w2 FROM (
+    SELECT doc_id, unnest([struct_pack(a := ws[i], b := ws[i+1])
+                   FOR i IN generate_series(1, len(ws)-1)]) s
+    FROM w) t
+  WHERE s.a <> '' AND s.b <> ''),
+c12 AS (SELECT w1, w2, count(*) n12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) n1 FROM c12 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) nv FROM c12),
+p AS (
+  SELECT c12.w1, c12.w2,
+         ROUND((n12 + 0.5) / (n1 + 0.5 * nv), 6) AS pcond
+  FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v),
+sc AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(pcond AS DECIMAL(12,6))) AS DOUBLE)
+               / COUNT(*), 6) AS fluency
+  FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+  GROUP BY bg.doc_id)
+SELECT doc_id, n_bigrams, fluency
+FROM sc ORDER BY fluency DESC, doc_id LIMIT 25
+"""
+
+
+@q("d84_lm_fluency", _D84_ORACLE)
+def d84(spark, sf):
+    """Document scoring against the d78 corpus bigram LM: each doc's
+    mean smoothed conditional probability over its own bigrams — the
+    'does this read like the corpus' fluency signal quality filters
+    rank by (a monotone stand-in for perplexity that needs NO log,
+    keeping the score oracle-exact; memory: libm-free recorded
+    outputs). pcond rounds to 6 BEFORE the per-doc mean, and the mean
+    sums DECIMAL(12,6) so accumulation order cannot move a bit (the
+    d10 ratio-averaging pattern). Two corpus passes total: one builds
+    the model, one scores docs against the broadcast-size model join."""
+    from .operators.dedup import _fan_out
+    docs = t(spark, sf, "documents")
+    ws = F.split(F.col("text"), " ")
+    bg = (_fan_out(docs).select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("s"))
+        .select("doc_id", F.col("s.w1").alias("w1"),
+                F.col("s.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .localCheckpoint(eager=False))   # model + scoring consumer
+    c12 = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+           .localCheckpoint(eager=False))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    v = c12.agg(F.countDistinct("w2").alias("nv"))
+    p = (c12.join(c1, "w1").crossJoin(F.broadcast(v))
+         .select("w1", "w2",
+                 F.round((F.col("n12") + F.lit(0.5))
+                         / (F.col("n1") + F.lit(0.5) * F.col("nv")),
+                         6).alias("pcond")))
+    sc = (bg.join(p, ["w1", "w2"])
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+               F.round(F.sum(F.col("pcond").cast("decimal(12,6)"))
+                       .cast("double") / F.count(F.lit(1)), 6)
+               .alias("fluency")))
+    return sc.orderBy(F.col("fluency").desc(), "doc_id").limit(25)
