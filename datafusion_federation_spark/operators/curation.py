@@ -258,24 +258,27 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(f"n must be >= 2, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    from .dedup import _fan_out, word_grams
+    from .dedup import _fan_out, array_grams
     # fan the narrow scan out BEFORE the ~n-x explodes (the
     # shingle_table rationale), and materialize the exploded gram
     # frame ONCE: it feeds both the df-count and the flagged-start
     # join (the k>=2-reference rule on an expensive-lineage frame).
     # Measured sf0.1 warm: 6.4s plain -> 2.5-3.2s with both.
     df = _fan_out(df)
+    raw = F.split(F.col(text_col), " ")
     toks = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " "))
-        .alias("_pos", "_tok"))
-    # gram j (0-based) covers token positions j..j+n-1 — same indexing
-    # as the token posexplode; documents shorter than n contribute one
-    # PARTIAL gram (word_grams' slice floor), so two identical short
-    # docs remove each other entirely (verbatim-duplicate semantics)
+        F.posexplode(raw).alias("_pos", "_tok"))
+    # grams come from the SAME raw split as the token positions
+    # (array_grams — review r7: word_grams NORMALIZES text, so its
+    # gram indices misaligned with raw positions and case-folded
+    # matches were not verbatim). Gram j (0-based) covers positions
+    # j..j+n-1; documents shorter than n contribute one PARTIAL gram
+    # (the slice floor), so two identical short docs remove each other
+    # entirely (verbatim-duplicate semantics).
     grams = df.select(
         F.col(id_col),
-        F.posexplode(word_grams(F.col(text_col), n)).alias("_i", "_g")) \
+        F.posexplode(array_grams(raw, n)).alias("_i", "_g")) \
         .localCheckpoint(eager=False)
     gram_df = (grams.groupBy("_g")
                .agg(F.countDistinct(id_col).alias("_df"))
@@ -296,8 +299,15 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                                 F.struct(F.col("_pos").alias("p"),
                                          F.col("_tok").alias("t")))),
                             lambda s: s["t"]), " ").alias("new_text")))
-    totals = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    # per-row token counts — no second explode, no extra shuffle, and
+    # a NULL-text document KEEPS its row (n_tokens NULL, like the SQL
+    # oracle's LEFT JOIN; explicit when() so the result does not
+    # depend on ANSI's size(NULL) behavior — review r7)
+    totals = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(),
+               F.lit(None).cast("long"))
+         .otherwise(F.size(raw).cast("long")).alias("n_tokens"))
     return (totals.join(rebuilt, id_col, "left")
             .select(id_col, "n_tokens",
                     (F.col("n_tokens")

@@ -68,28 +68,37 @@ def fingerprint(df: DataFrame, text_col: str,
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------
 
-def word_grams(col, n: int = 3) -> F.Column:
-    """POSITION-ORDERED word n-grams (duplicates kept — winnowing and
-    other positional fingerprints need them) — pure built-ins, evaluated
-    inside codegen.
+def array_grams(words, n: int = 3) -> F.Column:
+    """POSITION-ORDERED n-grams over an ALREADY-SPLIT token array —
+    gram j (0-based) concatenates elements j..j+n-1 of ``words``
+    exactly as given (no normalization; callers that need verbatim
+    position alignment with their own token split — span removal —
+    must use this form, review r7).
 
-    Built as (n-1) zip_with passes over shifted copies of the word array:
-    a higher-order function's ARRAY INPUT is evaluated once per row, only
-    the lambda runs per element. The previous formulation indexed
-    ``words`` via element_at inside a transform lambda, which re-ran the
-    whole normalize+split expression per gram index — measured 10.6 s of
-    a 12.7 s MinHash pass at sf0.1; this shape computes the word array a
-    constant number of times per row.
+    Built as (n-1) zip_with passes over shifted copies of the array:
+    a higher-order function's ARRAY INPUT is evaluated once per row,
+    only the lambda runs per element. The previous formulation indexed
+    ``words`` via element_at inside a transform lambda, which re-ran
+    the whole upstream expression per gram index — measured 10.6 s of
+    a 12.7 s MinHash pass at sf0.1; this shape computes the word array
+    a constant number of times per row.
 
-    Full n-grams only, except texts shorter than n words yield one
-    partial gram (concat_ws skips the null padding)."""
-    words = F.split(normalize_text(col), " ")
+    Full n-grams only, except arrays shorter than n yield one partial
+    gram (concat_ws skips the null padding)."""
     g = words
     for j in range(1, n):
         shifted = F.slice(words, j + 1,
                           F.greatest(F.size(words) - j, F.lit(0)))
         g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
     return F.slice(g, 1, F.greatest(F.size(words) - (n - 1), F.lit(1)))
+
+
+def word_grams(col, n: int = 3) -> F.Column:
+    """NORMALIZED word n-grams of a text column (lowercase, collapsed
+    whitespace — the dedup/winnowing convention): array_grams over
+    normalize_text's split. See array_grams for the evaluation-shape
+    rationale."""
+    return array_grams(F.split(normalize_text(col), " "), n)
 
 
 def word_shingles(col, n: int = 3) -> F.Column:

@@ -268,8 +268,9 @@ def label_propagation(edges: DataFrame, src: str = "src",
 
     Plan shape per iteration: one equi join (neighbor labels) + two
     aggregates (per-(node,label) count, then per-node argmax via
-    max_by over (count, -label) — struct-max picks the LOWEST label on
-    a count tie, engine-deterministically). The label state is
+    min_by over (-count, label) — struct-min picks the max count, then
+    the LOWEST label on a count tie, engine-deterministically, for ANY
+    orderable label type). The label state is
     referenced ONCE per iteration, so the logical plan stays linear in
     ``iters`` (the dangling-PageRank lesson, r7). 100 TB: both
     shuffles key on node ids; hub-node skew is AQE-splittable equi

@@ -3619,6 +3619,48 @@ ORDER BY n12 DESC, c12.w1, c12.w2 LIMIT 25
 """
 
 
+def _bigram_model(docs, keep_doc: bool = False):
+    """ONE bigram-LM construction shared by d78 (counts table) and d84
+    (per-doc scoring) — review r7: the two copies had already required
+    the same lineage-cut fix twice. Returns (bg, c12, c1, v, pcond_expr
+    builder inputs) as a dict of frames:
+
+    - ``bg``: (doc_id?, w1, w2) adjacent pairs, empty tokens dropped,
+      fanned out and MATERIALIZED when keep_doc (the scoring pass
+      reuses it).
+    - ``c12``: (w1, w2, n12), materialized — it feeds the output join,
+      the c1 denominator, and the vocabulary count (the k>=3-reference
+      rule).
+    - ``c1``: (w1, n1); ``v``: 1-row (nv); ``p``: (w1, w2, n12, n1,
+      pcond) with pcond = (n12+0.5)/(n1+0.5*nv) rounded to 6 — one
+      IEEE division of exact integers+halves, bit-identical
+      cross-engine, no log anywhere."""
+    from .operators.dedup import _fan_out
+    ws = F.split(F.col("text"), " ")
+    cols = (["doc_id"] if keep_doc else [])
+    bg = (_fan_out(docs).select(*cols, F.explode(F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("s"))
+        .select(*cols, F.col("s.w1").alias("w1"),
+                F.col("s.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    if keep_doc:
+        bg = bg.localCheckpoint(eager=False)
+    c12 = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+           .localCheckpoint(eager=False))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    v = c12.agg(F.countDistinct("w2").alias("nv"))
+    p = (c12.join(c1, "w1").crossJoin(F.broadcast(v))
+         .select("w1", "w2", F.col("n12").cast("long").alias("n12"),
+                 "n1",
+                 F.round((F.col("n12") + F.lit(0.5))
+                         / (F.col("n1") + F.lit(0.5) * F.col("nv")),
+                         6).alias("pcond")))
+    return {"bg": bg, "p": p}
+
+
 @q("d78_bigram_lm", _D78_ORACLE)
 def d78(spark, sf):
     """Bigram language-model counts with add-1/2 smoothing over the
@@ -3626,37 +3668,10 @@ def d78(spark, sf):
     filtering and contamination heuristics. One explode -> one
     groupBy(w1,w2); the conditional denominator c1 folds out of the
     SAME bigram table (sum over w2), so no second corpus pass; the
-    continuation vocabulary size joins as a broadcast 1-row aggregate.
-    pcond = (c12+0.5)/(c1+0.5V) is one IEEE division of exact
-    integers+halves — bit-identical cross-engine, no log anywhere
-    (memory: libm-free oracle scores). 100 TB: everything shuffles on
-    (w1,w2) with map-side combine; no windows, no driver state."""
-    docs = t(spark, sf, "documents")
-    from .operators.dedup import _fan_out
-    ws = F.split(F.col("text"), " ")
-    bg = (_fan_out(docs).select(
-        F.explode(F.zip_with(
-            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-        .alias("s"))
-        .select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != "")))
-    # c12 feeds three branches (the output join, c1, nv) — cut its
-    # lineage once or the corpus explode executes 3x (review r7, the
-    # k>=3-reference rule); nv folds out of c12 too: the distinct w2
-    # values of the (w1,w2) count table ARE the distinct w2 of bg
-    c12 = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-           .localCheckpoint(eager=False))
-    c1 = (c12.groupBy("w1")
-          .agg(F.sum("n12").cast("long").alias("n1")))
-    v = c12.agg(F.countDistinct("w2").alias("nv"))
-    out = (c12.join(c1, "w1").crossJoin(F.broadcast(v))
-           .select("w1", "w2", F.col("n12").cast("long").alias("n12"),
-                   "n1",
-                   F.round((F.col("n12") + F.lit(0.5))
-                           / (F.col("n1") + F.lit(0.5) * F.col("nv")),
-                           6).alias("pcond")))
+    continuation vocabulary size joins as a broadcast 1-row aggregate
+    (_bigram_model). 100 TB: everything shuffles on (w1,w2) with
+    map-side combine; no windows, no driver state."""
+    out = _bigram_model(t(spark, sf, "documents"))["p"]
     return out.orderBy(F.col("n12").desc(), "w1", "w2").limit(25)
 
 
@@ -4016,29 +4031,9 @@ def d84(spark, sf):
     sums DECIMAL(12,6) so accumulation order cannot move a bit (the
     d10 ratio-averaging pattern). Two corpus passes total: one builds
     the model, one scores docs against the broadcast-size model join."""
-    from .operators.dedup import _fan_out
-    docs = t(spark, sf, "documents")
-    ws = F.split(F.col("text"), " ")
-    bg = (_fan_out(docs).select(
-        "doc_id",
-        F.explode(F.zip_with(
-            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-        .alias("s"))
-        .select("doc_id", F.col("s.w1").alias("w1"),
-                F.col("s.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
-        .localCheckpoint(eager=False))   # model + scoring consumer
-    c12 = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-           .localCheckpoint(eager=False))
-    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
-    v = c12.agg(F.countDistinct("w2").alias("nv"))
-    p = (c12.join(c1, "w1").crossJoin(F.broadcast(v))
-         .select("w1", "w2",
-                 F.round((F.col("n12") + F.lit(0.5))
-                         / (F.col("n1") + F.lit(0.5) * F.col("nv")),
-                         6).alias("pcond")))
+    model = _bigram_model(t(spark, sf, "documents"), keep_doc=True)
+    bg = model["bg"]
+    p = model["p"].select("w1", "w2", "pcond")
     sc = (bg.join(p, ["w1", "w2"])
           .groupBy("doc_id")
           .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),

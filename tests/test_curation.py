@@ -276,3 +276,29 @@ def test_span_removal_validation(spark):
         remove_duplicate_spans(df, "text", "doc_id", n=1)
     with _pytest.raises(ValueError, match="min_docs"):
         remove_duplicate_spans(df, "text", "doc_id", min_docs=1)
+
+
+def test_span_removal_is_verbatim_and_null_safe(spark):
+    """review r7 pins: (1) gram matching is VERBATIM — case-variant
+    spans are NOT duplicates (word_grams normalized; array_grams over
+    the raw split must not); (2) a NULL-text document keeps its row
+    with NULL n_tokens, like the SQL oracle's LEFT JOIN."""
+    from datafusion_federation_spark.operators.curation import (
+        remove_duplicate_spans)
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog tail A"),
+        (2, "the quick brown fox jumps over the lazy dog other B"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.new_text)
+           for r in remove_duplicate_spans(df, "text", "doc_id",
+                                           n=8).collect()}
+    want = _span_reference([d for d in docs if d[1] is not None], 8, 2)
+    assert got[1] == want[1] and got[2] == want[2]
+    # only ONE raw-verbatim shared 8-gram window ('quick ... dog' —
+    # the shifted window differs on 'The' vs 'the'): its 8 tokens go,
+    # and the case-variant leading token SURVIVES in doc 1 (a
+    # normalizing matcher would have removed it too)
+    assert got[1][1] == 8 and got[1][2].startswith("The ")
+    assert got[3] == (None, None, "")
