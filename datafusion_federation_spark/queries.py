@@ -362,6 +362,17 @@ SECONDARY = {
                           # with d10's decimal ratio-averaging pattern
                           # (in-window); oracle PASS locally at both
                           # SFs
+    # round 7: three previously pytest-only federation surfaces now
+    # oracle-gated beyond the window (claim machinery carried
+    # in-window by q50/q51/q76/q77/q81)
+    "q85_insert_roundtrip",    # INSERT passthrough write-then-read;
+                               # executor insert hooks also live-tested
+                               # for Derby/SQLite
+    "q86_catalog_discovery",   # discover() + LIMIT-0 Arrow schema
+                               # introspection vs information_schema
+    "q87_parameterized_view",  # TableArgReplace macro-call rendering;
+                               # parse/render also pinned by goldens +
+                               # test_table_reference
 }
 
 DEC = "decimal(12,2)"

@@ -4041,3 +4041,123 @@ def d84(spark, sf):
                        .cast("double") / F.count(F.lit(1)), 6)
                .alias("fluency")))
     return sc.orderBy(F.col("fluency").desc(), "doc_id").limit(25)
+
+
+# ===========================================================================
+# round 7: pytest-only federation surfaces moved under the oracle gate
+# (INSERT passthrough, catalog discovery, parameterized views)
+# ===========================================================================
+
+@q("q85_insert_roundtrip", """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""")
+def q85(spark, sf):
+    """INSERT INTO passthrough under the oracle gate (reference
+    src/table_provider.rs:126-139 — previously pytest-only): a
+    federated aggregate is INSERTed into a remote DuckDB table through
+    the executor's insert hook, then read BACK through federation; the
+    oracle recomputes the aggregate directly, so the value check
+    covers the whole write-then-read round trip. Idempotent per
+    invocation: the target table is CREATE OR REPLACEd in the
+    executor's own fresh in-memory database."""
+    from .engine import FederationEngine
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q85", compute_context=f"q85:{sf}")
+    ex.register_parquet("nation", f"{sf}/nation.parquet")
+    ex.register_parquet("region", f"{sf}/region.parquet")
+    ex.conn.execute("CREATE OR REPLACE TABLE region_stats "
+                    "(r_name VARCHAR, n_nations BIGINT)")
+    ex._tables["region_stats"] = "region_stats"
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    for name in ("nation", "region", "region_stats"):
+        eng.register_remote(prov, name)
+    agg = eng.sql(
+        "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "GROUP BY r_name")
+    n = eng.insert_into("region_stats", agg)
+    assert n and n > 0, "insert shipped no rows"
+    return eng.sql("SELECT r_name, n_nations FROM region_stats "
+                   "ORDER BY r_name")
+
+
+@q("q86_catalog_discovery", """
+SELECT table_name, CAST(COUNT(*) AS BIGINT) AS n_cols
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'supplier')
+GROUP BY table_name ORDER BY table_name
+""")
+def q86(spark, sf):
+    """Catalog discovery under the oracle gate (SQLSchemaProvider
+    analog, reference src/sql/schema.rs:19-48 — previously
+    pytest-only): eng.discover() registers every table the remote
+    reports, and each discovered handle's column count comes from the
+    executor's LIVE schema introspection (LIMIT-0 Arrow round trip).
+    The oracle counts the same columns from the driver DB's own
+    information_schema over the identical fixtures."""
+    from .engine import FederationEngine
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q86", compute_context=f"q86:{sf}")
+    for name in ("region", "nation", "supplier"):
+        ex.register_parquet(name, f"{sf}/{name}.parquet")
+    eng = FederationEngine(spark)
+    handles = eng.discover(SQLProvider(ex))
+    assert len(handles) == 3, [h.local_name for h in handles]
+    rows = []
+    for h in sorted(handles, key=lambda x: x.local_name):
+        schema = ex.get_table_schema(spark, h.remote.ref.name)
+        rows.append((h.local_name, len(schema.fields)))
+    return spark.createDataFrame(rows, "table_name string, n_cols long")
+
+
+@q("q87_parameterized_view", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_bal
+FROM customer WHERE c_acctbal > 5000
+""")
+def q87(spark, sf):
+    """Parameterized views under the oracle gate (TableArgReplace,
+    reference src/sql/ast_analyzer.rs:40-109 — previously pytest +
+    goldens only): the remote table is a DuckDB TABLE MACRO invoked
+    with an argument, registered as `top_customers(5000)`; the
+    rendered remote SQL must carry the call-with-args through the
+    unparser, and the oracle applies the macro's body inline."""
+    from .engine import FederationEngine
+    from .plans.nodes import RemoteQueryNode, walk_plan
+    from .federation import federate
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q87", compute_context=f"q87:{sf}")
+    ex.register_parquet("customer_v", f"{sf}/customer.parquet")
+    ex.conn.execute(
+        "CREATE OR REPLACE MACRO top_customers(min_bal) AS TABLE "
+        "SELECT c_custkey, c_acctbal FROM customer_v "
+        "WHERE c_acctbal > min_bal")
+    eng = FederationEngine(spark)
+    # explicit schema: LIMIT-0 introspection by NAME cannot invoke a
+    # macro without its args, so parameterized views register with
+    # their known shape (the reference's SQLTableSource::new_with_
+    # schema path rather than introspection)
+    from pyspark.sql.pandas.types import from_arrow_schema
+    mschema = from_arrow_schema(ex.conn.execute(
+        "SELECT * FROM top_customers(5000) LIMIT 0")
+        .fetch_arrow_table().schema)
+    eng.register_remote(SQLProvider(ex), "topc",
+                        remote_name="top_customers(5000)",
+                        schema=mschema)
+    sql_text = ("SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) "
+                "AS DOUBLE) AS total_bal FROM topc")
+    fed = federate(eng.sql_plan(sql_text).plan)
+    remotes = [n for n in walk_plan(fed)
+               if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 1 and "top_customers" in remotes[0].sql \
+        and "(5000)" in remotes[0].sql.replace(" ", ""), \
+        f"macro call did not survive the unparser: {remotes[0].sql}"
+    return eng.execute(fed)
