@@ -373,6 +373,11 @@ SECONDARY = {
     "q87_parameterized_view",  # TableArgReplace macro-call rendering;
                                # parse/render also pinned by goldens +
                                # test_table_reference
+    "d85_stream_cm",      # stateful-stream machinery carried in-window
+                          # by d32; CM cells/estimator shared with d53;
+                          # stream==batch equality pinned in
+                          # test_streaming; oracle PASS locally at both
+                          # SFs
 }
 
 DEC = "decimal(12,2)"

@@ -4161,3 +4161,61 @@ def q87(spark, sf):
         and "(5000)" in remotes[0].sql.replace(" ", ""), \
         f"macro call did not survive the unparser: {remotes[0].sql}"
     return eng.execute(fed)
+
+
+_D85_ORACLE = """
+WITH k AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+top AS (SELECT user_id, COUNT(*) AS exact FROM k GROUP BY user_id
+        ORDER BY exact DESC, user_id LIMIT 10),
+dd AS (SELECT unnest([0, 1, 2]) AS d),
+sk AS (SELECT d, CAST(concat('0x', substr(md5(concat('cm:', d, ':',
+                CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 512
+              AS bucket, COUNT(*) AS cnt
+       FROM k CROSS JOIN dd GROUP BY d, bucket),
+pr AS (SELECT top.user_id, top.exact, dd.d,
+              CAST(concat('0x', substr(md5(concat('cm:', dd.d, ':',
+                CAST(top.user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                % 512 AS bucket
+       FROM top CROSS JOIN dd),
+est AS (SELECT pr.user_id, pr.exact, MIN(COALESCE(sk.cnt, 0)) AS est
+        FROM pr LEFT JOIN sk ON pr.d = sk.d AND pr.bucket = sk.bucket
+        GROUP BY pr.user_id, pr.exact)
+SELECT user_id, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est
+FROM est ORDER BY exact DESC, user_id
+"""
+
+
+@q("d85_stream_cm", _D85_ORACLE)
+def d85(spark, sf):
+    """STREAMING count-min in the oracle gate: the sketch's rows are
+    the stream's keys and each row's counters its state
+    (streaming/stateful.streaming_cm); finalized snapshots (max
+    n_seen) parse back to (row, bucket, cnt) cells that must equal the
+    batch sketch, point-queried for the exact top-10 users — batch SQL
+    value-checks a stateful streaming operator end to end. Completes
+    the batch+stream pairing for all three cardinality/frequency
+    sketches (KMV d43/d70, HLL d76/d82, CM d53/here)."""
+    from functools import partial
+    from .operators.sketches import cm_estimate
+    from .streaming.stateful import streaming_cm
+    depth, width = 3, 512
+    out = _run_events_stream(
+        spark, sf, partial(streaming_cm, depth=depth, width=width),
+        "stream_cm_sink", "append")
+    fin = (out.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("row").orderBy(F.col("n_seen").desc())))
+        .filter(F.col("_rn") == 1)
+        .select("row", F.posexplode(F.split("cells", ","))
+                .alias("bucket", "_c"))
+        .select("row", "bucket", F.col("_c").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0))
+    e = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    top = (e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+           .orderBy(F.desc("exact"), "user_id").limit(10))
+    est = cm_estimate(fin, top.select("user_id"), "user_id",
+                      depth=depth, width=width)
+    return (top.join(est, "user_id")
+            .select("user_id", F.col("exact").cast("bigint")
+                    .alias("exact"), F.col("est"))
+            .orderBy(F.desc("exact"), "user_id"))

@@ -273,3 +273,65 @@ def streaming_hll(events: DataFrame, key_col: str = "event_type",
     return (rows.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_cm(events: DataFrame, key_col: str = "user_id",
+                 depth: int = 3, width: int = 512,
+                 salt: str = "cm") -> DataFrame:
+    """Streaming count-min sketch: the stream's grouping key is the CM
+    ROW (0..depth-1) and each row's state is its ``width`` counters —
+    depth state entries total, each O(width), however many billions of
+    events flow past. Counters are mergeable BY ADDITION, so the
+    per-batch update is a bucket-wise sum.
+
+    The (row, bucket) projection runs JVM-side with the EXACT batch
+    hash (operators/sketches.cm_hash_bucket), so the finalized stream
+    state equals the batch cm_sketch cell for cell — plain SQL oracles
+    the stateful operator (the d70/d82 pattern, completing the
+    batch+stream pairing for the third sketch family).
+
+    Snapshots emit (row, n_seen, cells) with ``cells`` the
+    comma-joined counter vector; ``n_seen`` (cumulative inputs per
+    row) strictly increases on every data batch — the monotone
+    finalization key (memory note)."""
+    from pyspark.sql import functions as F
+    from ..operators.sketches import _check_cm, cm_hash_bucket
+    _check_cm(depth, width)
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    hashed = (events.filter(F.col(key_col).isNotNull())
+              .select(F.col(key_col).alias("_k"), rows.alias("row"))
+              .select("row", cm_hash_bucket(F.col("_k"), F.col("row"),
+                                            width, salt)
+                      .alias("bucket")))
+    out_schema = T.StructType([
+        T.StructField("row", T.IntegerType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("cells", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("seen", T.LongType()),
+        T.StructField("c", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seen, cells = state.get
+            cells = list(cells)
+        else:
+            seen, cells = 0, [0] * width
+        got = 0
+        for pdf in pdfs:
+            got += len(pdf)
+            for b, n in pdf["bucket"].value_counts().items():
+                cells[int(b)] += int(n)
+        if not got:
+            return
+        seen += got
+        state.update((seen, cells))
+        yield pd.DataFrame({"row": [key[0]], "n_seen": [seen],
+                            "cells": [",".join(map(str, cells))]})
+
+    return (hashed.groupBy("row")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -412,3 +412,47 @@ def test_streaming_hll_matches_batch_across_batches(spark, tmp_path):
     want = {(r.event_type, r.n_regs, r.s_fixed)
             for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_cm_matches_batch_across_batches(spark, tmp_path):
+    """The streamed CM counters finalized from snapshots (max n_seen
+    per row) must equal the batch cm_sketch cell for cell, however the
+    stream is micro-batched (counters merge by addition)."""
+    from datafusion_federation_spark.operators.sketches import (
+        cm_sketch)
+    from datafusion_federation_spark.streaming.stateful import (
+        streaming_cm)
+
+    import random
+    rng = random.Random(31)
+    rows = [(rng.randint(1, 60),) for _ in range(400)]
+    src = spark.createDataFrame(rows, "user_id long")
+    path = str(tmp_path / "cm_in")
+    for i in range(4):
+        spark.createDataFrame(rows[i * 100:(i + 1) * 100],
+                              src.schema).coalesce(1) \
+            .write.mode("append").parquet(path)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = streaming_cm(stream, "user_id", depth=3, width=64)
+    q = (out.writeStream.format("memory").queryName("cm_multi")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    snaps = spark.table("cm_multi")
+    assert snaps.groupBy("row").count().agg(
+        {"count": "max"}).collect()[0][0] > 1
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    fin = (snaps.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("row").orderBy(F.col("n_seen").desc())))
+        .filter(F.col("_rn") == 1)
+        .select("row", F.posexplode(F.split("cells", ","))
+                .alias("bucket", "_c"))
+        .select("row", "bucket", F.col("_c").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0))
+    got = sorted(map(tuple, fin.collect()))
+    want = sorted(map(tuple,
+                      cm_sketch(src, "user_id", depth=3,
+                                width=64).collect()))
+    assert got == want
