@@ -4070,7 +4070,6 @@ def q85(spark, sf):
     ex.register_parquet("region", f"{sf}/region.parquet")
     ex.conn.execute("CREATE OR REPLACE TABLE region_stats "
                     "(r_name VARCHAR, n_nations BIGINT)")
-    ex._tables["region_stats"] = "region_stats"
     eng = FederationEngine(spark)
     prov = SQLProvider(ex)
     for name in ("nation", "region", "region_stats"):
@@ -4108,10 +4107,11 @@ def q86(spark, sf):
     eng = FederationEngine(spark)
     handles = eng.discover(SQLProvider(ex))
     assert len(handles) == 3, [h.local_name for h in handles]
-    rows = []
-    for h in sorted(handles, key=lambda x: x.local_name):
-        schema = ex.get_table_schema(spark, h.remote.ref.name)
-        rows.append((h.local_name, len(schema.fields)))
+    # h.schema IS the live LIMIT-0 introspection discover() already
+    # performed per table (review r7: re-probing here doubled the
+    # remote round trips for the identical result)
+    rows = [(h.local_name, len(h.schema.fields))
+            for h in sorted(handles, key=lambda x: x.local_name)]
     return spark.createDataFrame(rows, "table_name string, n_cols long")
 
 
@@ -4157,7 +4157,8 @@ def q87(spark, sf):
     fed = federate(eng.sql_plan(sql_text).plan)
     remotes = [n for n in walk_plan(fed)
                if isinstance(n, RemoteQueryNode)]
-    assert len(remotes) == 1 and "top_customers" in remotes[0].sql \
+    assert len(remotes) == 1, f"expected 1 remote claim: {remotes}"
+    assert "top_customers" in remotes[0].sql \
         and "(5000)" in remotes[0].sql.replace(" ", ""), \
         f"macro call did not survive the unparser: {remotes[0].sql}"
     return eng.execute(fed)
