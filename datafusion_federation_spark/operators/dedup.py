@@ -20,7 +20,7 @@ only SimHash bit-packing drops to a pandas UDF.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 # module-level so PySpark's pandas_udf type-hint resolution can see `pd`
 # (with `from __future__ import annotations` the hints are strings and are

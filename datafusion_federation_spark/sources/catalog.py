@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-from .provider import FederationProvider, LocalSparkProvider, SQLProvider
+from .provider import LocalSparkProvider, SQLProvider
 from .table import RemoteTable, RemoteTableRef, TableHandle
 
 _LOCAL = LocalSparkProvider()
