@@ -34,7 +34,7 @@ meet, so no group ever materializes its full distinct set in one place.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -531,3 +531,112 @@ def hll_distinct(df: DataFrame, key: str, group_by: Sequence[str],
     """One-shot per-group HLL distinct count (registers + estimate)."""
     return hll_estimate(hll_registers(df, key, group_by, p, salt),
                         group_by, p, round_digits, correct_small)
+
+
+# ===========================================================================
+# Mergeable histogram quantiles
+# ===========================================================================
+# Exact per-group percentiles (d22's percentile/quantile_cont) need every
+# group's values in one place — a full sort at 100 TB. The scale path is
+# the classic fixed-bin histogram sketch: per-partition bin counts are
+# map-side combined, the ONLY shuffle carries at most groups x n_bins
+# rows regardless of input size, and partials (per shard/day) merge by
+# plain addition. The estimator is deterministic arithmetic on integer
+# counts plus ONE double division and one multiply-add — no libm, no
+# order-dependent float sums — so DuckDB replays it bit for bit
+# (the same determinism contract as the portable HLL above).
+#
+# Accuracy: the estimate lands within one bin width of the true value
+# whenever the true quantile falls in [lo, hi); values outside clamp to
+# the edge bins, so edge-bin estimates degrade to the range bound
+# (callers pick lo/hi from domain knowledge or a cheap min/max pass).
+
+
+def _check_hist(lo: float, hi: float, n_bins: int) -> None:
+    if not (hi > lo):
+        raise ValueError(f"hi must exceed lo, got [{lo}, {hi})")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+
+
+def hist_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Fixed-width bin id in [0, n_bins): floor((v - lo)/binw) clamped to
+    the edge bins. NULL values stay NULL (dropped by hist_counts — every
+    engine's quantile ignores NULLs)."""
+    binw = (hi - lo) / n_bins
+    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(binw))
+    return F.least(F.lit(n_bins - 1),
+                   F.greatest(F.lit(0), raw.cast("int")))
+
+
+def hist_counts(df: DataFrame, value_col: str, group_by: Sequence[str],
+                lo: float, hi: float, n_bins: int = 64) -> DataFrame:
+    """Per-(group, bin) row counts — the sketch state. Mergeable by
+    summing ``cnt`` (``hist_merge``); compute per shard (append the
+    shard column to ``group_by``) for pre-aggregated storage."""
+    _check_hist(lo, hi, n_bins)
+    groups = list(group_by)
+    binc = hist_bin(F.col(value_col), lo, hi, n_bins)
+    return (df.filter(F.col(value_col).isNotNull())
+              .select(*groups, binc.alias("bin"))
+              .groupBy(*groups, "bin")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_merge(partials: DataFrame,
+               group_by: Sequence[str]) -> DataFrame:
+    """Merge shard-level sketches down to ``group_by``: counts add."""
+    groups = list(group_by)
+    return (partials.groupBy(*groups, "bin")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def hist_quantiles(counts: DataFrame, group_by: Sequence[str],
+                   qs: Sequence[Tuple[str, float]],
+                   lo: float, hi: float, n_bins: int = 64,
+                   round_digits: int = 4) -> DataFrame:
+    """Quantile estimates from sketch state: for each (label, q) in
+    ``qs``, the rank-ceil(q*n) value under within-bin linear
+    interpolation — group columns + ``qlabel`` + ``n`` + ``est``.
+
+    Shape: one cumulative-sum window over each group's <= n_bins count
+    rows (same exchange as the grand-total window), a broadcast join
+    against the literal quantile list, then pure row-local arithmetic.
+    Determinism: rank/cum/cnt stay BIGINT; the only floats are one
+    division, one add, one multiply against shared literals.
+    """
+    _check_hist(lo, hi, n_bins)
+    groups = list(group_by)
+    binw = (hi - lo) / n_bins
+    spark = counts.sparkSession
+    qdf = spark.createDataFrame([(lab, float(qv)) for lab, qv in qs],
+                                "qlabel string, q double")
+    wcum = W.partitionBy(*groups).orderBy("bin") \
+            .rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy(*groups)
+    cum = (counts
+           .withColumn("_cum", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(wall)))
+    j = cum.join(F.broadcast(qdf), how="cross")
+    rank = F.ceil(F.col("q") * F.col("n").cast("double")).cast("long")
+    hit = (j.withColumn("_rank", rank)
+            .filter((F.col("_cum") >= F.col("_rank"))
+                    & (F.col("_cum") - F.col("cnt") < F.col("_rank"))))
+    frac = ((F.col("_rank") - (F.col("_cum") - F.col("cnt")))
+            .cast("double") / F.col("cnt").cast("double"))
+    est = (F.lit(float(lo))
+           + F.lit(float(binw)) * (F.col("bin").cast("double") + frac))
+    return hit.select(*groups, "qlabel", F.col("n").cast("long").alias("n"),
+                      F.round(est, round_digits).alias("est"))
+
+
+def hist_quantile_frame(df: DataFrame, value_col: str,
+                        group_by: Sequence[str],
+                        qs: Sequence[Tuple[str, float]],
+                        lo: float, hi: float, n_bins: int = 64,
+                        round_digits: int = 4) -> DataFrame:
+    """One-shot counts + estimates (the partials/merge pair split the
+    same two stages across storage)."""
+    return hist_quantiles(
+        hist_counts(df, value_col, group_by, lo, hi, n_bins),
+        group_by, qs, lo, hi, n_bins, round_digits)

@@ -552,3 +552,58 @@ def scd2_history(df: DataFrame, keys: Sequence[str], ts_col: str,
             .withColumn("version",
                         F.row_number().over(w).cast("bigint"))
             .withColumn("is_current", F.lead(ts_col).over(w).isNull()))
+
+
+def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
+               gap_seconds: float,
+               tiebreak: Optional[str] = None,
+               session_col: str = "session_seq") -> DataFrame:
+    """Gap-based batch sessionization: number each key's events into
+    sessions that break whenever the idle time between consecutive
+    events exceeds ``gap_seconds`` (the batch twin of the streaming
+    session windows in ``streaming/``; web analytics, training-log
+    segmentation, funnel scoping all start here).
+
+    Classic two-window formulation over ONE hash shuffle on ``keys``:
+    a lag marks session starts (first event, or gap exceeded), a
+    running sum of the markers is the 1-based per-key session sequence.
+    Both windows share the partition AND sort keys, so Spark plans one
+    Exchange + one Sort feeding both Window nodes (pinned in
+    tests/test_temporal_plans.py).
+
+    Determinism: time math runs on ``unix_micros`` BIGINT (no float
+    epoch), and ``tiebreak`` orders equal-timestamp events — pass a
+    unique column (event id) whenever timestamps can collide, or
+    session membership at exact boundaries is engine-arbitrary.
+
+    100 TB: per-key partitions bound the sort; a pathologically hot key
+    serializes its window like any keyed sort would — the as-of
+    ``slice_s`` carry-row pattern above applies if one key ever
+    dominates (sessions cannot span a slice boundary wider than the
+    session gap, so slices need gap-sized overlap carries).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    if session_col in df.columns:
+        raise ValueError(f"df already has a {session_col!r} column")
+    gap_us = int(round(gap_seconds * 1_000_000))
+    # materialize micros ONCE: ordering two windows by the raw
+    # expression makes Spark extract it into two distinct projected
+    # columns, and the second (identical) Sort survives planning —
+    # a named column lets the sorts unify (plan pin: 1 Exchange, 1 Sort)
+    mcol = f"__{session_col}_us"
+    if mcol in df.columns:
+        raise ValueError(f"df already has a {mcol!r} column")
+    tagged = df.withColumn(mcol, F.unix_micros(F.col(ts_col)))
+    us = F.col(mcol)
+    order = [us] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(us).over(w)
+    new_session = (prev.isNull()
+                   | ((us - prev) > F.lit(gap_us))).cast("int")
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    return tagged.withColumn(
+        session_col, F.sum(new_session).over(wrun).cast("bigint")) \
+        .drop(mcol)

@@ -378,6 +378,14 @@ SECONDARY = {
                           # stream==batch equality pinned in
                           # test_streaming; oracle PASS locally at both
                           # SFs
+    "d86_hist_quantiles",  # mergeable-sketch family carried in-window
+                           # by d43/d62; exact-quantile twin d22;
+                           # merge==whole + accuracy pinned in
+                           # test_sketches; oracle PASS both SFs
+    "d87_sessionize",     # keyed-window machinery carried in-window by
+                          # d40-d42 (as-of/funnel windows); streaming
+                          # session twin d32; determinism pinned in
+                          # test_temporal; oracle PASS both SFs
 }
 
 DEC = "decimal(12,2)"

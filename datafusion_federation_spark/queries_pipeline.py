@@ -4220,3 +4220,124 @@ def d85(spark, sf):
             .select("user_id", F.col("exact").cast("bigint")
                     .alias("exact"), F.col("est"))
             .orderBy(F.desc("exact"), "user_id"))
+
+
+# ===========================================================================
+# d86: mergeable histogram-quantile sketch
+# ===========================================================================
+
+def _d86_oracle() -> str:
+    """Pure-SQL replay of the histogram quantile estimator
+    (operators/sketches.py): integer bin counts + cumulative window,
+    rank = ceil(q*n) on DOUBLE (cast — a bare 0.95 literal is DECIMAL
+    in DuckDB and diverges from Spark's double product), within-bin
+    linear interpolation as one division + one multiply-add."""
+    lo, hi, nb = 0.0, 640.0, 64
+    binw = (hi - lo) / nb
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST({nb - 1}, GREATEST(0, CAST(floor(
+           (CAST(value AS DOUBLE) - {lo!r}) / {binw!r}) AS INT))) AS bin
+  FROM events WHERE value IS NOT NULL),
+c AS (
+  SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c),
+hit AS (
+  SELECT event_type, qs.qlabel, cum.n, cum.bin, cum.cnt, cum.cum,
+         CAST(ceil(CAST(qs.q AS DOUBLE) * CAST(cum.n AS DOUBLE))
+              AS BIGINT) AS rank
+  FROM cum CROSS JOIN (VALUES ('p50', 0.50), ('p95', 0.95),
+                              ('p99', 0.99)) qs(qlabel, q)
+  WHERE cum.cum >= CAST(ceil(CAST(qs.q AS DOUBLE)
+                             * CAST(cum.n AS DOUBLE)) AS BIGINT)
+    AND cum.cum - cum.cnt < CAST(ceil(CAST(qs.q AS DOUBLE)
+                                 * CAST(cum.n AS DOUBLE)) AS BIGINT))
+SELECT event_type, qlabel, CAST(n AS BIGINT) AS n,
+       ROUND({lo!r} + {binw!r} * (CAST(bin AS DOUBLE)
+             + CAST(rank - (cum - cnt) AS DOUBLE)
+               / CAST(cnt AS DOUBLE)), 4) AS est
+FROM hit ORDER BY event_type, qlabel"""
+
+
+@q("d86_hist_quantiles", _d86_oracle())
+def d86(spark, sf):
+    """Mergeable histogram-quantile sketch under the oracle gate:
+    p50/p95/p99 of events.value per event_type from 64 fixed bins over
+    [0, 640) — the 100 TB stand-in for d22's exact quantiles (exact
+    percentile sorts each group's full value set; the sketch's only
+    shuffle carries <= groups x 64 count rows no matter the input
+    size, and shard partials merge by addition —
+    merge-equals-whole pinned in tests/test_sketches.py). Estimator is
+    all-BIGINT until one division and one multiply-add against shared
+    literals, so DuckDB reproduces every double bit for bit."""
+    from .operators import sketches
+    e = t(spark, sf, "events")
+    qs = [("p50", 0.50), ("p95", 0.95), ("p99", 0.99)]
+    return (sketches.hist_quantile_frame(
+                e, "value", ["event_type"], qs, lo=0.0, hi=640.0,
+                n_bins=64)
+            .orderBy("event_type", "qlabel"))
+
+
+# ===========================================================================
+# d87: gap-based batch sessionization
+# ===========================================================================
+
+_D87_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+  WHERE user_id IS NOT NULL),
+m AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT user_id, us,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m),
+sess AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         max(us) - min(us) AS dur_us
+  FROM s GROUP BY user_id, session_seq)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(dur_us AS BIGINT) AS dur_us
+FROM sess
+ORDER BY dur_us DESC, user_id, session_seq LIMIT 30
+"""
+
+
+@q("d87_sessionize", _D87_ORACLE)
+def d87(spark, sf):
+    """Batch sessionization under the oracle gate: 30-minute-gap
+    sessions over events (temporal.sessionize — the batch twin of the
+    streaming session windows d32 exercises), rolled up to the 30
+    longest sessions by exact microsecond duration. Time math stays on
+    unix_micros BIGINT end to end (no float epoch anywhere), event_id
+    tie-breaks equal timestamps, so session membership is
+    engine-deterministic."""
+    from .operators import temporal
+    e = (t(spark, sf, "events")
+         .filter(F.col("user_id").isNotNull()))
+    s = temporal.sessionize(e, ["user_id"], "ts", gap_seconds=1800,
+                            tiebreak="event_id")
+    us = F.unix_micros(F.col("ts"))
+    sess = (s.select("user_id", "session_seq", us.alias("_us"))
+            .groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max("_us") - F.min("_us")).alias("dur_us")))
+    return (sess.select("user_id",
+                        F.col("session_seq").cast("long")
+                         .alias("session_seq"),
+                        F.col("n_events").cast("long").alias("n_events"),
+                        F.col("dur_us").cast("long").alias("dur_us"))
+            .orderBy(F.desc("dur_us"), "user_id", "session_seq")
+            .limit(30))

@@ -353,3 +353,106 @@ class TestHLL:
             hll_distinct(df, "id", ["g"], p=3)
         with pytest.raises(ValueError, match="p must be"):
             hll_distinct(df, "id", ["g"], p=13)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles (r7)
+# ---------------------------------------------------------------------------
+
+class TestHistQuantiles:
+    QS = [("p25", 0.25), ("p50", 0.50), ("p90", 0.90)]
+
+    def test_accuracy_within_bin_width(self, spark):
+        """Estimate lands within one bin width of the exact
+        percentile for in-range data (uniform 0..1000, binw=10)."""
+        from datafusion_federation_spark.operators.sketches import (
+            hist_quantile_frame)
+        df = spark.range(5000).selectExpr(
+            "CAST(pmod(id * 2654435761, 1000) AS DOUBLE) AS v",
+            "'g' AS g")
+        exact = {lab: df.selectExpr(
+            f"percentile(v, CAST({q} AS DOUBLE)) p").collect()[0].p
+            for lab, q in self.QS}
+        got = hist_quantile_frame(df, "v", ["g"], self.QS,
+                                  lo=0.0, hi=1000.0,
+                                  n_bins=100).collect()
+        assert len(got) == len(self.QS)
+        for r in got:
+            assert abs(r.est - exact[r.qlabel]) <= 10.0 + 1e-9
+            assert r.n == 5000
+
+    def test_merge_equals_whole(self, spark):
+        """Shard partials summed down == one-pass counts, and the
+        estimates from either state are identical (counts are exact
+        integers — merging is lossless by construction)."""
+        from datafusion_federation_spark.operators.sketches import (
+            hist_counts, hist_merge, hist_quantiles)
+        df = (spark.range(4000)
+              .selectExpr("CAST(pmod(id * 48271, 640) AS DOUBLE) v",
+                          "id % 5 AS shard",
+                          "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END g"))
+        whole = hist_counts(df, "v", ["g"], 0.0, 640.0, 64)
+        parts = hist_counts(df, "v", ["g", "shard"], 0.0, 640.0, 64)
+        merged = hist_merge(parts.drop("shard"), ["g"])
+        assert sorted(map(tuple, whole.collect())) == \
+            sorted(map(tuple, merged.collect()))
+        qa = hist_quantiles(whole, ["g"], self.QS, 0.0, 640.0, 64)
+        qb = hist_quantiles(merged, ["g"], self.QS, 0.0, 640.0, 64)
+        assert sorted(map(tuple, qa.collect())) == \
+            sorted(map(tuple, qb.collect()))
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        """Values outside [lo, hi) count in the edge bins: the sketch
+        never drops rows, estimates degrade to the range bounds."""
+        from datafusion_federation_spark.operators.sketches import (
+            hist_counts, hist_quantile_frame)
+        rows = [(-50.0,), (5.0,), (15.0,), (250.0,)]
+        df = spark.createDataFrame(rows, "v double") \
+                  .selectExpr("v", "'g' AS g")
+        c = {r.bin: r.cnt for r in
+             hist_counts(df, "v", ["g"], 0.0, 100.0, 10).collect()}
+        assert c == {0: 2, 1: 1, 9: 1}
+        got = hist_quantile_frame(df, "v", ["g"], [("p99", 0.99)],
+                                  0.0, 100.0, 10).collect()[0]
+        assert got.n == 4 and 90.0 <= got.est <= 100.0
+
+    def test_nulls_dropped_and_layout_invariant(self, spark):
+        from datafusion_federation_spark.operators.sketches import (
+            hist_quantile_frame)
+        rows = [("a", 1.0), ("a", None), ("a", 9.0), ("b", 4.0),
+                ("b", None)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        args = (["g"], [("p50", 0.5)], 0.0, 10.0, 10)
+        got = sorted(map(tuple,
+                         hist_quantile_frame(df, "v", *args).collect()))
+        clean = sorted(map(tuple, hist_quantile_frame(
+            df.filter("v IS NOT NULL"), "v", *args).collect()))
+        relaid = sorted(map(tuple, hist_quantile_frame(
+            df.repartition(7), "v", *args).collect()))
+        assert got == clean == relaid
+        assert [r[0] for r in got] == ["a", "b"]
+        assert [r[2] for r in got] == [2, 1]    # NULLs not in n
+
+    def test_exact_on_bin_centers(self, spark):
+        """Pin the estimator arithmetic on a hand-checkable case:
+        v in {0,10,..,90} one per bin, p50 -> rank ceil(0.5*10)=5 ->
+        bin 4 (cum 5, cum_before 4), frac=(5-4)/1=1 ->
+        est = 0 + 10*(4+1) = 50 exactly. A refactor that shifts rank,
+        cum bounds, or interpolation breaks this before the oracle."""
+        from datafusion_federation_spark.operators.sketches import (
+            hist_quantile_frame)
+        df = spark.range(10).selectExpr(
+            "CAST(id * 10 AS DOUBLE) v", "'g' AS g")
+        r = hist_quantile_frame(df, "v", ["g"], [("p50", 0.5)],
+                                0.0, 100.0, 10).collect()[0]
+        assert r.est == 50.0
+
+    def test_validation(self, spark):
+        import pytest
+        from datafusion_federation_spark.operators.sketches import (
+            hist_counts)
+        df = spark.range(3).selectExpr("CAST(id AS DOUBLE) v", "'g' g")
+        with pytest.raises(ValueError, match="hi must exceed"):
+            hist_counts(df, "v", ["g"], 5.0, 5.0, 8)
+        with pytest.raises(ValueError, match="n_bins"):
+            hist_counts(df, "v", ["g"], 0.0, 1.0, 1)

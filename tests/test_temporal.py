@@ -690,3 +690,80 @@ def test_scd2_partition_layout_invariant(spark):
                                   tiebreak="id").collect())
 
     assert run(df.coalesce(1)) == run(df.repartition(5, "id"))
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (r7)
+# ---------------------------------------------------------------------------
+
+class TestSessionize:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 00:{m:02d}:{s:02d}", i)
+             for i, (u, m, s) in enumerate(rows)],
+            "u string, ts_s string, eid int") \
+            .selectExpr("u", "CAST(ts_s AS TIMESTAMP) ts", "eid")
+
+    def test_gap_breaks_sessions(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            sessionize)
+        # u=a: events at 0:00, 0:01, 0:05, 0:06 with 120s gap ->
+        # sessions {0:00,0:01}, {0:05,0:06}; u=b: one event
+        rows = [("a", 0, 0), ("a", 1, 0), ("a", 5, 0), ("a", 6, 0),
+                ("b", 3, 0)]
+        out = sessionize(self._df(spark, rows), ["u"], "ts", 120,
+                         tiebreak="eid")
+        got = {(r.u, r.eid): r.session_seq for r in out.collect()}
+        assert got == {("a", 0): 1, ("a", 1): 1, ("a", 2): 2,
+                       ("a", 3): 2, ("b", 4): 1}
+
+    def test_boundary_gap_exactly_equal_stays_in_session(self, spark):
+        """gap strictly-greater breaks: an idle time of EXACTLY
+        gap_seconds continues the session (matches the streaming
+        session-window close-on-exceed semantics)."""
+        from datafusion_federation_spark.operators.temporal import (
+            sessionize)
+        rows = [("a", 0, 0), ("a", 2, 0), ("a", 4, 1)]  # 120s, 121s
+        out = sessionize(self._df(spark, rows), ["u"], "ts", 120,
+                         tiebreak="eid")
+        got = [r.session_seq for r in out.orderBy("eid").collect()]
+        assert got == [1, 1, 2]
+
+    def test_tiebreak_determinism_and_layout_invariance(self, spark):
+        from datafusion_federation_spark.operators.temporal import (
+            sessionize)
+        rows = [("a", 0, 0), ("a", 0, 0), ("a", 3, 0), ("a", 3, 0)]
+        df = self._df(spark, rows)
+        a = sorted(map(tuple, sessionize(df, ["u"], "ts", 120,
+                                         tiebreak="eid").collect()))
+        b = sorted(map(tuple,
+                       sessionize(df.repartition(7), ["u"], "ts", 120,
+                                  tiebreak="eid").collect()))
+        assert a == b
+
+    def test_single_exchange_two_shared_windows(self, spark):
+        """Both windows ride ONE hash exchange + ONE sort on the key:
+        the lag and the running sum share partition and order keys."""
+        from datafusion_federation_spark.operators.temporal import (
+            sessionize)
+        df = spark.range(100).selectExpr(
+            "CAST(id % 7 AS STRING) u",
+            "timestamp_seconds(1700000000 + id * 40) ts", "id AS eid")
+        plan = sessionize(df, ["u"], "ts", 60, tiebreak="eid") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert plan.count("Sort") == 1
+
+    def test_contract_errors(self, spark):
+        import pytest
+        from datafusion_federation_spark.operators.temporal import (
+            sessionize)
+        df = spark.range(3).selectExpr(
+            "'a' u", "timestamp_seconds(id) ts", "id eid",
+            "id AS session_seq")
+        with pytest.raises(ValueError, match="keys"):
+            sessionize(df, [], "ts", 60)
+        with pytest.raises(ValueError, match="gap_seconds"):
+            sessionize(df, ["u"], "ts", 0)
+        with pytest.raises(ValueError, match="session_seq"):
+            sessionize(df, ["u"], "ts", 60)
