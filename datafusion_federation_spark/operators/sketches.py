@@ -562,11 +562,13 @@ def _check_hist(lo: float, hi: float, n_bins: int) -> None:
 def hist_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
     """Fixed-width bin id in [0, n_bins): floor((v - lo)/binw) clamped to
     the edge bins. NULL values stay NULL (dropped by hist_counts — every
-    engine's quantile ignores NULLs)."""
+    engine's quantile ignores NULLs). Clamping happens in DOUBLE space
+    BEFORE the int cast so +/-Infinity lands in an edge bin instead of
+    raising under ANSI (Spark 4 default: non-finite -> int casts error)."""
     binw = (hi - lo) / n_bins
     raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(binw))
-    return F.least(F.lit(n_bins - 1),
-                   F.greatest(F.lit(0), raw.cast("int")))
+    return F.least(F.lit(float(n_bins - 1)),
+                   F.greatest(F.lit(0.0), raw)).cast("int")
 
 
 def hist_counts(df: DataFrame, value_col: str, group_by: Sequence[str],
@@ -577,7 +579,10 @@ def hist_counts(df: DataFrame, value_col: str, group_by: Sequence[str],
     _check_hist(lo, hi, n_bins)
     groups = list(group_by)
     binc = hist_bin(F.col(value_col), lo, hi, n_bins)
-    return (df.filter(F.col(value_col).isNotNull())
+    # NaN is dropped like NULL: floor(NaN) stays NaN and NaN -> int
+    # raises under ANSI; no bin assignment is meaningful for it anyway
+    v = F.col(value_col).cast("double")
+    return (df.filter(v.isNotNull() & ~F.isnan(v))
               .select(*groups, binc.alias("bin"))
               .groupBy(*groups, "bin")
               .agg(F.count(F.lit(1)).alias("cnt")))

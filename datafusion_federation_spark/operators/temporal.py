@@ -575,6 +575,11 @@ def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
     epoch), and ``tiebreak`` orders equal-timestamp events — pass a
     unique column (event id) whenever timestamps can collide, or
     session membership at exact boundaries is engine-arbitrary.
+    NULL timestamps sort FIRST (Spark window default) and each becomes
+    its own single-event session (its lag is always NULL); filter or
+    impute them upstream if that's not wanted, and pin NULLS FIRST
+    explicitly when replaying on engines that default to NULLS LAST
+    in window order (DuckDB).
 
     100 TB: per-key partitions bound the sort; a pathologically hot key
     serializes its window like any keyed sort would — the as-of

@@ -456,3 +456,17 @@ class TestHistQuantiles:
             hist_counts(df, "v", ["g"], 5.0, 5.0, 8)
         with pytest.raises(ValueError, match="n_bins"):
             hist_counts(df, "v", ["g"], 0.0, 1.0, 1)
+
+    def test_nan_and_infinity_safe_under_ansi(self, spark):
+        """ANSI mode raises on non-finite -> int casts: NaN rows drop
+        like NULL, +/-inf clamps to the edge bins (double-space clamp
+        happens before the cast)."""
+        from datafusion_federation_spark.operators.sketches import (
+            hist_counts)
+        rows = [(1.0,), (float("nan"),), (float("inf"),),
+                (float("-inf"),)]
+        df = spark.createDataFrame(rows, "v double") \
+                  .selectExpr("v", "'g' AS g")
+        c = {r.bin: r.cnt for r in
+             hist_counts(df, "v", ["g"], 0.0, 100.0, 10).collect()}
+        assert c == {0: 2, 9: 1}   # 1.0 and -inf in bin 0; inf in 9
