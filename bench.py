@@ -158,6 +158,18 @@ def main() -> None:
     if len(json.dumps(out, separators=(",", ":"))) > 1950:
         out["queries"] = {k: round(v, 1)
                           for k, v in out["queries"].items()}
+    # final stage: if even the 1-decimal line nears the buffer, keep
+    # only the slowest queries in the headline dict (the ones perf
+    # judgments read) and say how many were elided — never truncate
+    # silently; BENCH_FULL.json always carries every query.
+    if len(json.dumps(out, separators=(",", ":"))) > 1950:
+        ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+        keep = dict(ranked[:120])
+        out["elided"] = len(out["queries"]) - len(keep)
+        out["queries"] = keep
+        print(f"bench: headline dict elided {out['elided']} fastest "
+              f"queries to fit the driver tail buffer; all values in "
+              f"BENCH_FULL.json", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL.json"), "w") as f:

@@ -386,6 +386,10 @@ SECONDARY = {
                           # d40-d42 (as-of/funnel windows); streaming
                           # session twin d32; determinism pinned in
                           # test_temporal; oracle PASS both SFs
+    "d88_stream_hist",    # stateful-stream machinery carried in-window
+                          # by d32; bin counts/estimator shared with
+                          # d86; stream==batch pinned in
+                          # test_streaming; oracle PASS both SFs
 }
 
 DEC = "decimal(12,2)"

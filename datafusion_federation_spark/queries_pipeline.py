@@ -4341,3 +4341,35 @@ def d87(spark, sf):
                         F.col("dur_us").cast("long").alias("dur_us"))
             .orderBy(F.desc("dur_us"), "user_id", "session_seq")
             .limit(30))
+
+
+@q("d88_stream_hist", _d86_oracle())
+def d88(spark, sf):
+    """STREAMING histogram quantiles in the oracle gate: per-key bin
+    counters as stream state (streaming/stateful.streaming_hist);
+    finalized snapshots (max n_seen) parse back to (key, bin, cnt)
+    state that must equal batch hist_counts cell for cell, then the
+    shared estimator derives p50/p95/p99 — the same SQL that oracles
+    d86 value-checks the stateful operator end to end. With this all
+    FOUR sketch families ship batch AND streaming forms (KMV d43/d70,
+    HLL d76/d82, CM d53/d85, histogram d86/here)."""
+    from functools import partial
+    from .operators.sketches import hist_quantiles
+    from .streaming.stateful import streaming_hist
+    lo, hi, nb = 0.0, 640.0, 64
+    out = _run_events_stream(
+        spark, sf, partial(streaming_hist, key_col="event_type",
+                           value_col="value", lo=lo, hi=hi, n_bins=nb),
+        "stream_hist_sink", "append")
+    fin = (out.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("n_seen").desc())))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", F.posexplode(F.split("cells", ","))
+                .alias("bin", "_c"))
+        .select("event_type", "bin",
+                F.col("_c").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0))
+    qs = [("p50", 0.50), ("p95", 0.95), ("p99", 0.99)]
+    return (hist_quantiles(fin, ["event_type"], qs, lo, hi, nb)
+            .orderBy("event_type", "qlabel"))

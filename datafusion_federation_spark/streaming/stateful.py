@@ -335,3 +335,65 @@ def streaming_cm(events: DataFrame, key_col: str = "user_id",
     return (hashed.groupBy("row")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_hist(events: DataFrame, key_col: str = "event_type",
+                   value_col: str = "value", lo: float = 0.0,
+                   hi: float = 640.0, n_bins: int = 64) -> DataFrame:
+    """Streaming histogram-quantile sketch: per key, state is the
+    fixed-width bin-count vector (n_bins longs) from
+    operators/sketches.py's histogram contract — counts merge BY
+    ADDITION, so the per-batch update is a bucket-wise sum and state
+    stays O(n_bins) per key at any throughput (the same
+    fixed-size-state property that makes HLL/CM streamable; quantile
+    monitoring over an unbounded stream with bounded memory).
+
+    The bin projection runs JVM-side with the EXACT batch function
+    (hist_bin + the same NULL/NaN drop), so the finalized stream state
+    equals batch hist_counts cell for cell and plain SQL oracles the
+    stateful operator end to end (the d70/d82/d85 pattern — with this,
+    all four sketch families ship batch AND streaming forms).
+
+    Snapshots emit (key, n_seen, cells) with ``cells`` the comma-joined
+    counter vector; ``n_seen`` strictly increases on every data batch —
+    the monotone finalization key (memory note)."""
+    from pyspark.sql import functions as F
+    from ..operators.sketches import _check_hist, hist_bin
+    _check_hist(lo, hi, n_bins)
+    v = F.col(value_col).cast("double")
+    binned = (events.filter(v.isNotNull() & ~F.isnan(v))
+              .select(F.col(key_col),
+                      hist_bin(F.col(value_col), lo, hi, n_bins)
+                      .alias("bin")))
+    out_schema = T.StructType([
+        events.schema[key_col],
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("cells", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("seen", T.LongType()),
+        T.StructField("c", T.ArrayType(T.LongType())),
+    ])
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seen, cells = state.get
+            cells = list(cells)
+        else:
+            seen, cells = 0, [0] * n_bins
+        got = 0
+        for pdf in pdfs:
+            got += len(pdf)
+            for b, n in pdf["bin"].value_counts().items():
+                cells[int(b)] += int(n)
+        if not got:
+            return
+        seen += got
+        state.update((seen, cells))
+        yield pd.DataFrame({key_col: [key[0]], "n_seen": [seen],
+                            "cells": [",".join(map(str, cells))]})
+
+    return (binned.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

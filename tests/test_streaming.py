@@ -456,3 +456,53 @@ def test_streaming_cm_matches_batch_across_batches(spark, tmp_path):
                       cm_sketch(src, "user_id", depth=3,
                                 width=64).collect()))
     assert got == want
+
+
+def test_streaming_hist_matches_batch_across_batches(spark, tmp_path):
+    """The streamed histogram counters finalized from snapshots (max
+    n_seen per key) must equal batch hist_counts cell for cell however
+    the stream is micro-batched (bin counts merge by addition); NULL
+    and NaN values drop on the stream exactly as in batch."""
+    from datafusion_federation_spark.operators.sketches import (
+        hist_counts)
+    from datafusion_federation_spark.streaming.stateful import (
+        streaming_hist)
+
+    import random
+    rng = random.Random(41)
+    rows = [(rng.choice(["a", "b"]),
+             rng.choice([None, float("nan"),
+                         rng.uniform(-5.0, 105.0)]))
+            for _ in range(400)]
+    src = spark.createDataFrame(rows, "event_type string, value double")
+    path = str(tmp_path / "hist_in")
+    for i in range(4):
+        spark.createDataFrame(rows[i * 100:(i + 1) * 100],
+                              src.schema).coalesce(1) \
+            .write.mode("append").parquet(path)
+    stream = (spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", 1).parquet(path))
+    out = streaming_hist(stream, "event_type", "value",
+                         lo=0.0, hi=100.0, n_bins=10)
+    q = (out.writeStream.format("memory").queryName("hist_multi")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+    snaps = spark.table("hist_multi")
+    assert snaps.groupBy("event_type").count().agg(
+        {"count": "max"}).collect()[0][0] > 1
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    fin = (snaps.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("event_type")
+            .orderBy(F.col("n_seen").desc())))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", F.posexplode(F.split("cells", ","))
+                .alias("bin", "_c"))
+        .select("event_type", "bin", F.col("_c").cast("long")
+                .alias("cnt"))
+        .filter(F.col("cnt") > 0))
+    got = sorted(map(tuple, fin.collect()))
+    want = sorted(map(tuple, hist_counts(
+        src, "value", ["event_type"], 0.0, 100.0, 10).collect()))
+    assert got == want
