@@ -162,6 +162,12 @@ class Dialect:
         s = f"REGEXP_MATCHES({expr}, {pattern})"
         return f"(NOT {s})" if negated else s
 
+    def distinct_predicate(self, a: str, b: str, negated: bool) -> str:
+        """IS [NOT] DISTINCT FROM (null-safe comparison, total —
+        never NULL). Standard spelling; engines without it override
+        (MySQL <=>, Derby a total AND/OR/IS NULL expansion)."""
+        return f"{a} IS {'NOT ' if negated else ''}DISTINCT FROM {b}"
+
     #: whether the engine has native SEMI/ANTI JOIN syntax; when False the
     #: unparser rewrites semi/anti joins to (NOT) EXISTS
     supports_semi_anti_join = False
@@ -367,6 +373,11 @@ class MySQLDialect(Dialect):
         s = f"{expr} REGEXP {pattern}"
         return f"(NOT {s})" if negated else s
 
+    def distinct_predicate(self, a, b, negated):
+        # MySQL spells null-safe equality <=>; no DISTINCT FROM syntax
+        s = f"({a} <=> {b})"
+        return s if negated else f"(NOT {s})"
+
 
 class DerbyDialect(Dialect):
     """Apache Derby (the pure-Java embedded engine Spark already ships
@@ -435,6 +446,19 @@ class DerbyDialect(Dialect):
 
     def regex_match(self, expr, pattern, negated):
         raise UnsupportedUnparse("derby has no regex operator")
+
+    def distinct_predicate(self, a, b, negated):
+        # Derby (10.x) has neither DISTINCT FROM nor <=>: expand to a
+        # TOTAL predicate (never NULL — each disjunct pins both
+        # nullities, so no UNKNOWN can leak into a projected value)
+        if negated:  # null-safe equal
+            return (f"((({a} = {b}) AND {a} IS NOT NULL "
+                    f"AND {b} IS NOT NULL) "
+                    f"OR ({a} IS NULL AND {b} IS NULL))")
+        return (f"((({a} <> {b}) AND {a} IS NOT NULL "
+                f"AND {b} IS NOT NULL) "
+                f"OR ({a} IS NULL AND {b} IS NOT NULL) "
+                f"OR ({a} IS NOT NULL AND {b} IS NULL))")
 
 
 DIALECTS = {d.name: d for d in

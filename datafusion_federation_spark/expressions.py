@@ -395,6 +395,29 @@ class IsTrue(Expr):
 
 
 @dataclass(eq=False)
+class IsDistinctFrom(Expr):
+    """IS [NOT] DISTINCT FROM — null-safe (in)equality, always TRUE or
+    FALSE (never NULL). ``negated=True`` is the NOT form (null-safe
+    equal, Spark's ``eqNullSafe`` / ``<=>``). Dialects without the
+    standard spelling rewrite through ``Dialect.distinct_predicate``
+    (MySQL ``<=>``, Derby a total AND/OR/IS NULL expansion)."""
+
+    left: Expr
+    right: Expr
+    negated: bool = False
+
+    def children(self): return (self.left, self.right)
+
+    def to_sql(self, d) -> str:
+        return d.distinct_predicate(self.left.to_sql(d),
+                                    self.right.to_sql(d), self.negated)
+
+    def to_spark(self) -> Column:
+        eq = self.left.to_spark().eqNullSafe(self.right.to_spark())
+        return eq if self.negated else ~eq
+
+
+@dataclass(eq=False)
 class Between(Expr):
     """Negatable BETWEEN (analyzer.rs:315-325)."""
 

@@ -995,9 +995,19 @@ class Parser:
                 break
             if self.accept_kw("IS"):
                 n2 = self.accept_kw("NOT")
-                self.expect_kw("NULL")
-                from .expressions import IsNotNull
-                e = IsNotNull(e) if n2 else IsNull(e)
+                if self.accept_kw("DISTINCT"):
+                    self.expect_kw("FROM")
+                    from .expressions import IsDistinctFrom
+                    e = IsDistinctFrom(e, self.parse_additive(scope),
+                                       negated=bool(n2))
+                elif self.at_kw("TRUE", "FALSE", "UNKNOWN"):
+                    from .expressions import IsTrue
+                    e = IsTrue(e, what=self.take()[1].upper(),
+                               negated=bool(n2))
+                else:
+                    self.expect_kw("NULL")
+                    from .expressions import IsNotNull
+                    e = IsNotNull(e) if n2 else IsNull(e)
                 continue
             t = self.peek()
             if t is not None and t[0] == "op" and t[1] in (

@@ -605,3 +605,71 @@ def test_window_shapes_local_and_federated_match_duckdb(engines, sql):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# three-valued-logic shapes (r7): NULL-bearing scalar expressions via
+# NULLIF (the source table has no NULLs — NULLIF manufactures them
+# in-query), exercising IS [NOT] DISTINCT FROM, IS [NOT]
+# TRUE/FALSE/UNKNOWN, IN lists containing NULL, NULL-propagating
+# BETWEEN, and NOT over UNKNOWN — in WHERE (UNKNOWN filters like
+# FALSE), in CASE (UNKNOWN takes ELSE), and as projected booleans
+# (UNKNOWN must surface as NULL). LOCAL and FEDERATED vs DuckDB.
+# ---------------------------------------------------------------------------
+
+# NULL for region k (5 rows at sf0.001), else the region key
+_NV = "NULLIF(n_regionkey, {k})"
+
+
+@st.composite
+def _threevl_queries(draw):
+    k = draw(st.integers(0, 4))
+    nv = _NV.format(k=k)
+    m = draw(st.integers(0, 4))
+    atom = draw(st.sampled_from([
+        f"{nv} > {m}",
+        f"{nv} = {m}",
+        f"{nv} IS DISTINCT FROM {m}",
+        f"{nv} IS NOT DISTINCT FROM {m}",
+        f"{nv} IS DISTINCT FROM NULLIF(n_regionkey, {m})",
+        f"n_nationkey IN (1, NULL, {m + 3})",
+        f"{nv} BETWEEN {m} AND {m + 2}",
+        f"({nv} > {m}) IS UNKNOWN",
+        f"({nv} > {m}) IS NOT TRUE",
+        f"({nv} = {m}) IS FALSE",
+    ]))
+    comb = draw(st.sampled_from(["plain", "not", "or", "and_known"]))
+    if comb == "not":
+        pred = f"NOT ({atom})"
+    elif comb == "or":
+        pred = f"({atom}) OR n_nationkey < {draw(st.integers(0, 6))}"
+    elif comb == "and_known":
+        pred = f"({atom}) AND n_nationkey >= {draw(st.integers(0, 6))}"
+    else:
+        pred = atom
+    shape = draw(st.sampled_from(["where", "case", "project"]))
+    if shape == "where":
+        return f"SELECT n_nationkey FROM nation WHERE {pred}"
+    if shape == "case":
+        return (f"SELECT n_nationkey, CASE WHEN {pred} THEN 'y' "
+                f"ELSE 'n' END AS c FROM nation")
+    # projected boolean: UNKNOWN must come back as SQL NULL
+    return f"SELECT n_nationkey, {pred} AS b FROM nation"
+
+
+@settings(max_examples=70, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_threevl_queries())
+def test_threevl_local_and_federated_match_duckdb(engines, sql):
+    import duckdb
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = sorted(map(tuple, conn.execute(sql).fetchall()))
+    conn.close()
+    got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"

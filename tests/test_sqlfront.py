@@ -1087,3 +1087,44 @@ def test_post_aggregation_relabel_binding(spark):
         want = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == want and got, sql
     con.close()
+
+
+def test_threevl_is_forms_parse_and_lower():
+    """IS [NOT] DISTINCT FROM and IS [NOT] TRUE/FALSE/UNKNOWN through
+    the front door (r7): parse to the IR nodes and render back; the
+    plain IS [NOT] NULL path is untouched."""
+    from datafusion_federation_spark.dialects import DIALECTS
+    from datafusion_federation_spark.expressions import (
+        IsDistinctFrom, IsTrue)
+    from datafusion_federation_spark.sqlfront import parse_sql
+
+    class _T:
+        name = local_name = "nation"
+        columns = ["n_nationkey", "n_name", "n_regionkey"]
+
+    def pred_of(sql):
+        plan = parse_sql(sql, lambda n: _T())
+        # Filter is the scan's parent in these single-table shapes
+        from datafusion_federation_spark.plans.nodes import (
+            Filter, walk_plan)
+        for node in walk_plan(plan):
+            if isinstance(node, Filter):
+                return node.predicate
+        raise AssertionError("no Filter in plan")
+
+    d = DIALECTS["duckdb"]
+    p = pred_of("SELECT n_name FROM nation "
+                "WHERE n_regionkey IS DISTINCT FROM 2")
+    assert isinstance(p, IsDistinctFrom) and not p.negated
+    assert "IS DISTINCT FROM" in p.to_sql(d)
+    p = pred_of("SELECT n_name FROM nation "
+                "WHERE n_regionkey IS NOT DISTINCT FROM 2")
+    assert isinstance(p, IsDistinctFrom) and p.negated
+    p = pred_of("SELECT n_name FROM nation "
+                "WHERE (n_regionkey > 1) IS NOT TRUE")
+    assert isinstance(p, IsTrue) and p.negated and p.what == "TRUE"
+    p = pred_of("SELECT n_name FROM nation "
+                "WHERE (n_regionkey > 1) IS UNKNOWN")
+    assert isinstance(p, IsTrue) and not p.negated \
+        and p.what == "UNKNOWN"
+    assert "IS UNKNOWN" in p.to_sql(d)

@@ -690,3 +690,37 @@ def test_derby_refuses_unsupported_functions():
             d.scalar_function(bad, ["x", "2"])
     assert d.scalar_function("abs", ["x"]) == "abs(x)"
     assert d.scalar_function("sqrt", ["x"]) == "sqrt(x)"
+
+
+def test_is_distinct_from_dialect_renderings_executed():
+    """IS [NOT] DISTINCT FROM is TOTAL (never NULL). Standard spelling
+    for engines that have it; the Derby expansion (plain ANSI
+    AND/OR/IS NULL) is executed HERE on DuckDB against the native form
+    over the full 3x3 nullable truth table — proving the rewrite
+    agrees everywhere, including as a PROJECTED value where a non-total
+    expansion would leak NULL. MySQL's <=> form is golden-pinned."""
+    import duckdb
+    from datafusion_federation_spark.dialects import DIALECTS
+    duck, derby, mysql = (DIALECTS[n] for n in
+                          ("duckdb", "derby", "mysql"))
+    assert duck.distinct_predicate("a", "b", False) == \
+        "a IS DISTINCT FROM b"
+    assert duck.distinct_predicate("a", "b", True) == \
+        "a IS NOT DISTINCT FROM b"
+    assert mysql.distinct_predicate("a", "b", False) == \
+        "(NOT (a <=> b))"
+    assert mysql.distinct_predicate("a", "b", True) == "(a <=> b)"
+    conn = duckdb.connect()
+    conn.execute("CREATE TABLE t AS SELECT a, b FROM "
+                 "(VALUES (1, 1), (1, 2), (1, NULL), (NULL, 1), "
+                 "(NULL, NULL)) v(a, b)")
+    for neg in (False, True):
+        native = conn.execute(
+            f"SELECT a, b, {duck.distinct_predicate('a', 'b', neg)} "
+            f"FROM t ORDER BY 1, 2").fetchall()
+        expanded = conn.execute(
+            f"SELECT a, b, {derby.distinct_predicate('a', 'b', neg)} "
+            f"FROM t ORDER BY 1, 2").fetchall()
+        assert native == expanded
+        assert all(r[2] in (True, False) for r in native)  # total
+    conn.close()
