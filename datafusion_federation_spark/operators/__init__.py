@@ -1,3 +1,3 @@
-from . import (bucketing, curation, dedup, graph, multimodal,  # noqa: F401
-               pipeline, sampling, similarity, sketches, skew, temporal,
-               text)
+from . import (bucketing, curation, dedup, graph, incremental,  # noqa: F401
+               multimodal, pipeline, sampling, similarity, sketches, skew,
+               temporal, text)

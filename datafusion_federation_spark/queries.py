@@ -390,6 +390,14 @@ SECONDARY = {
                           # by d32; bin counts/estimator shared with
                           # d86; stream==batch pinned in
                           # test_streaming; oracle PASS both SFs
+    "d89_snapshot_diff",  # outer-join machinery carried in-window by
+                          # the TPC-H joins; null-safe compare twin of
+                          # the IS DISTINCT FROM fuzz; statuses pinned
+                          # in test_incremental; oracle PASS both SFs
+    "d90_cdc_apply",      # keyed-window + anti-join carried in-window
+                          # by q61/d40; SCD2 history twin d63;
+                          # latest-wins pinned in test_incremental;
+                          # oracle PASS both SFs
 }
 
 DEC = "decimal(12,2)"

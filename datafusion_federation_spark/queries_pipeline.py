@@ -4373,3 +4373,134 @@ def d88(spark, sf):
     qs = [("p50", 0.50), ("p95", 0.95), ("p99", 0.99)]
     return (hist_quantiles(fin, ["event_type"], qs, lo, hi, nb)
             .orderBy("event_type", "qlabel"))
+
+
+# ===========================================================================
+# d89/d90: incremental pipeline — snapshot diff + CDC merge
+# ===========================================================================
+
+_D89_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate <= DATE '1995-06-30'),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 113 = 0
+              THEN CAST(o_totalprice + 10.00 AS DECIMAL(12,2))
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderdate <= DATE '1996-06-30'
+    AND NOT (o_orderkey % 97 = 0
+             AND o_orderdate <= DATE '1995-06-30')),
+d AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS k,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN old.o_orderstatus IS NOT DISTINCT FROM
+                   new.o_orderstatus
+               AND old.o_totalprice IS NOT DISTINCT FROM
+                   new.o_totalprice THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM d GROUP BY status ORDER BY status
+"""
+
+
+@q("d89_snapshot_diff", _D89_ORACLE)
+def d89(spark, sf):
+    """Snapshot diff under the oracle gate: two deterministic versions
+    of orders (the refresh adds a year of rows, drops the %97 slice,
+    bumps the %113 prices) diffed per key with the NULL-SAFE struct
+    compare (operators/incremental.snapshot_diff — the engine-side twin
+    of IS NOT DISTINCT FROM, which is exactly what the oracle spells).
+    Reported as per-status counts + key checksums; the delta slice is
+    what incremental dedup/embedding refresh re-processes instead of
+    the full corpus."""
+    from .operators import incremental
+    o = t(spark, sf, "orders")
+    old = (o.filter(F.col("o_orderdate") <= F.lit("1995-06-30"))
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (o.filter(F.col("o_orderdate") <= F.lit("1996-06-30"))
+           .filter(~((F.col("o_orderkey") % 97 == 0)
+                     & (F.col("o_orderdate") <= F.lit("1995-06-30"))))
+           .select("o_orderkey", "o_orderstatus",
+                   F.when(F.col("o_orderkey") % 113 == 0,
+                          (F.col("o_totalprice") + F.lit(10.00))
+                          .cast("decimal(12,2)"))
+                   .otherwise(F.col("o_totalprice"))
+                   .alias("o_totalprice")))
+    d = incremental.snapshot_diff(old, new, ["o_orderkey"])
+    return (d.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"))
+            .orderBy("status"))
+
+
+_D90_ORACLE = """
+WITH ch AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, op, gen FROM (
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal + 100.00 AS DECIMAL(12,2)) AS c_acctbal,
+           'U' AS op, 1 AS gen
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, 'D' AS op, 2 AS gen
+    FROM customer WHERE c_custkey % 20 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'DELTA',
+           CAST(1.00 AS DECIMAL(12,2)), 'I', 1
+    FROM customer WHERE c_custkey % 25 = 0) u),
+latest AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                    ORDER BY gen DESC, op DESC) AS rn
+    FROM ch) WHERE rn = 1),
+merged AS (
+  SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal
+  FROM (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer) b
+  WHERE NOT EXISTS (SELECT 1 FROM latest l
+                    WHERE l.c_custkey = b.c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM latest
+  WHERE op <> 'D')
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS bal
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@q("d90_cdc_apply", _D90_ORACLE)
+def d90(spark, sf):
+    """CDC merge under the oracle gate: a deterministic changeset over
+    customer (%10 balance bump gen-1, %20 delete gen-2 — keys in both
+    prove LATEST-WINS, the delete beats the earlier update — %25 new
+    keys insert) applied latest-per-key
+    (operators/incremental.cdc_apply), rolled up per segment. The
+    SCD1 mutable-catalog twin of temporal.scd2_history."""
+    from .operators import incremental
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment",
+                                        "c_acctbal")
+    upd = (c.filter(F.col("c_custkey") % 10 == 0)
+           .select("c_custkey", "c_mktsegment",
+                   (F.col("c_acctbal") + F.lit(100.00)).cast("decimal(12,2)")
+                   .alias("c_acctbal"),
+                   F.lit("U").alias("op"), F.lit(1).alias("gen")))
+    dele = (c.filter(F.col("c_custkey") % 20 == 0)
+            .select("c_custkey", "c_mktsegment", "c_acctbal",
+                    F.lit("D").alias("op"), F.lit(2).alias("gen")))
+    ins = (c.filter(F.col("c_custkey") % 25 == 0)
+           .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                   F.lit("DELTA").alias("c_mktsegment"),
+                   F.lit(1.00).cast("decimal(12,2)").alias("c_acctbal"),
+                   F.lit("I").alias("op"), F.lit(1).alias("gen")))
+    ch = upd.unionByName(dele).unionByName(ins)
+    merged = incremental.cdc_apply(c, ch, ["c_custkey"], "gen",
+                                   op_col="op", tiebreak="op")
+    return (merged.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")),
+                         2).cast("double").alias("bal"))
+            .orderBy("c_mktsegment"))
