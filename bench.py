@@ -164,9 +164,17 @@ def main() -> None:
     # silently; BENCH_FULL.json always carries every query.
     if len(json.dumps(out, separators=(",", ":"))) > 1950:
         ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
-        keep = dict(ranked[:120])
-        out["elided"] = len(out["queries"]) - len(keep)
-        out["queries"] = keep
+        total = len(ranked)
+        keep_n = min(120, total)
+        # shrink until the line ACTUALLY fits (long keys or a populated
+        # failures dict can blow past a fixed keep-count — the guard
+        # would then overflow exactly like r03; review r7)
+        while keep_n > 0:
+            out["queries"] = dict(ranked[:keep_n])
+            out["elided"] = total - keep_n
+            if len(json.dumps(out, separators=(",", ":"))) <= 1950:
+                break
+            keep_n -= 10
         print(f"bench: headline dict elided {out['elided']} fastest "
               f"queries to fit the driver tail buffer; all values in "
               f"BENCH_FULL.json", file=sys.stderr)

@@ -59,9 +59,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     whose compared field went NULL->3 or 3->NULL is ``changed``, and
     NULL==NULL is ``unchanged`` (never UNKNOWN).
 
-    One full outer sort-merge join on ``keys``; downstreams typically
-    filter to one status (the added/changed slice that needs
-    re-processing), which Catalyst pushes below this projection.
+    One full outer sort-merge join on ``keys``, with NULL-SAFE key
+    equality — a row whose key contains a NULL field still pairs with
+    its counterpart instead of reporting added+removed forever.
+    Downstreams typically filter to one status (the added/changed
+    slice that needs re-processing), which Catalyst pushes below this
+    projection.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
@@ -77,16 +80,23 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     if status_col in keys:
         raise ValueError(f"status_col {status_col!r} collides with a key")
 
-    o = old.select(*keys, *[F.col(c).alias(f"_o_{c}")
-                            for c in compare_cols])
-    n = new.select(*keys, *[F.col(c).alias(f"_n_{c}")
-                            for c in compare_cols])
-    # presence markers survive the outer join where key columns from
-    # the missing side are NULL (and distinguish a genuinely-NULL key
+    o = old.select(*[F.col(k).alias(f"_ok_{k}") for k in keys],
+                   *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n = new.select(*[F.col(k).alias(f"_nk_{k}") for k in keys],
+                   *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    # presence markers survive the outer join where columns from the
+    # missing side are NULL (and distinguish a genuinely-NULL key
     # field from an absent row)
     o = o.withColumn("_o_present", F.lit(1))
     n = n.withColumn("_n_present", F.lit(1))
-    j = o.join(n, on=list(keys), how="full_outer")
+    # NULL-SAFE key equality: a plain equi-join (`on=keys`) silently
+    # never pairs rows whose key contains a NULL field, so an
+    # identical NULL-keyed row would report added+removed on EVERY
+    # refresh (review r7) — <=> join keys are still hash-planned
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+    j = o.join(n, on=cond, how="full_outer")
 
     if compare_cols:
         same: Column = F.struct(
@@ -98,7 +108,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
               .when(F.col("_n_present").isNull(), F.lit("removed"))
               .when(same, F.lit("unchanged"))
               .otherwise(F.lit("changed")))
-    return j.select(*keys, status.alias(status_col))
+    # on a matched (null-safe) pair either side's key works; coalesce
+    # also covers the one-sided rows, and a matched NULL field stays
+    # NULL (both sides NULL)
+    out_keys = [F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}"))
+                .alias(k) for k in keys]
+    return j.select(*out_keys, status.alias(status_col))
 
 
 def cdc_apply(base: DataFrame, changes: DataFrame, keys: Sequence[str],
@@ -112,7 +127,8 @@ def cdc_apply(base: DataFrame, changes: DataFrame, keys: Sequence[str],
     ``order_col`` orders a key's changes (commit sequence, timestamp);
     ``tiebreak`` breaks exact ties deterministically — REQUIRED when
     two changes to one key can share an ``order_col`` value, or
-    which-one-wins is engine-arbitrary.
+    which-one-wins is engine-arbitrary. A NULL ``op_col`` value is an
+    upsert (it is not the delete op — the comparison is null-safe).
 
     Shape: one window over the changeset (partition by key — bounded
     by per-key churn), one left_anti join base-vs-touched-keys, one
@@ -137,6 +153,11 @@ def cdc_apply(base: DataFrame, changes: DataFrame, keys: Sequence[str],
               .filter(F.col("_rn") == 1))
     untouched = base.join(latest.select(*keys), on=list(keys),
                           how="left_anti")
-    upserts = (latest.filter(F.col(op_col) != F.lit(delete_op))
+    # null-safe: a NULL op is an UPSERT (it is not the delete op) —
+    # the plain `!=` would evaluate UNKNOWN and silently drop the row
+    # from upserts while its key was already anti-joined out of base,
+    # vanishing the key with no error (review r7)
+    upserts = (latest.filter(~F.col(op_col)
+                             .eqNullSafe(F.lit(delete_op)))
                .select(*base.columns))
     return untouched.unionByName(upserts)

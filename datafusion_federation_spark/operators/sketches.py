@@ -561,14 +561,20 @@ def _check_hist(lo: float, hi: float, n_bins: int) -> None:
 
 def hist_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
     """Fixed-width bin id in [0, n_bins): floor((v - lo)/binw) clamped to
-    the edge bins. NULL values stay NULL (dropped by hist_counts — every
-    engine's quantile ignores NULLs). Clamping happens in DOUBLE space
-    BEFORE the int cast so +/-Infinity lands in an edge bin instead of
-    raising under ANSI (Spark 4 default: non-finite -> int casts error)."""
+    the edge bins. NULL and NaN values map to NULL (dropped by
+    hist_counts — every engine's quantile ignores NULLs, and no bin is
+    meaningful for NaN; without the explicit when(), the double-space
+    clamp would silently fold NaN into bin 0 via least(), skewing low
+    quantiles — review r7). Clamping happens in DOUBLE space BEFORE
+    the int cast so +/-Infinity lands in an edge bin instead of
+    raising under ANSI (Spark 4 default: non-finite -> int casts
+    error)."""
     binw = (hi - lo) / n_bins
-    raw = F.floor((value.cast("double") - F.lit(lo)) / F.lit(binw))
-    return F.least(F.lit(float(n_bins - 1)),
-                   F.greatest(F.lit(0.0), raw)).cast("int")
+    v = value.cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(binw))
+    clamped = F.least(F.lit(float(n_bins - 1)),
+                      F.greatest(F.lit(0.0), raw)).cast("int")
+    return F.when(F.isnan(v), F.lit(None).cast("int")).otherwise(clamped)
 
 
 def hist_counts(df: DataFrame, value_col: str, group_by: Sequence[str],
@@ -579,8 +585,8 @@ def hist_counts(df: DataFrame, value_col: str, group_by: Sequence[str],
     _check_hist(lo, hi, n_bins)
     groups = list(group_by)
     binc = hist_bin(F.col(value_col), lo, hi, n_bins)
-    # NaN is dropped like NULL: floor(NaN) stays NaN and NaN -> int
-    # raises under ANSI; no bin assignment is meaningful for it anyway
+    # NaN drops like NULL (hist_bin maps both to NULL; the filter
+    # keeps the scan-side pushdown explicit)
     v = F.col(value_col).cast("double")
     return (df.filter(v.isNotNull() & ~F.isnan(v))
               .select(*groups, binc.alias("bin"))
@@ -611,6 +617,11 @@ def hist_quantiles(counts: DataFrame, group_by: Sequence[str],
     division, one add, one multiply against shared literals.
     """
     _check_hist(lo, hi, n_bins)
+    for lab, qv in qs:
+        if not (0.0 < qv <= 1.0):
+            # q=0 -> rank 0 matches NO bin and the label silently
+            # vanishes from the output; fail loudly instead
+            raise ValueError(f"quantile {lab!r}={qv} outside (0, 1]")
     groups = list(group_by)
     binw = (hi - lo) / n_bins
     spark = counts.sparkSession

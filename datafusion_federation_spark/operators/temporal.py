@@ -569,7 +569,7 @@ def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
     running sum of the markers is the 1-based per-key session sequence.
     Both windows share the partition AND sort keys, so Spark plans one
     Exchange + one Sort feeding both Window nodes (pinned in
-    tests/test_temporal_plans.py).
+    tests/test_temporal.py TestSessionize).
 
     Determinism: time math runs on ``unix_micros`` BIGINT (no float
     epoch), and ``tiebreak`` orders equal-timestamp events — pass a

@@ -4297,10 +4297,12 @@ m AS (
   SELECT user_id, event_id, us,
          CASE WHEN lag(us) OVER w IS NULL
               OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+  FROM e WINDOW w AS (PARTITION BY user_id
+                    ORDER BY us NULLS FIRST, event_id)),
 s AS (
   SELECT user_id, us,
-         SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+         SUM(nw) OVER (PARTITION BY user_id
+                       ORDER BY us NULLS FIRST, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM m),
 sess AS (

@@ -131,3 +131,28 @@ class TestCdcApply:
             cdc_apply(base, ch.drop("op"), ["k"], "gen")
         with pytest.raises(ValueError, match="missing base columns"):
             cdc_apply(base, ch.drop("v"), ["k"], "gen")
+
+
+def test_snapshot_diff_null_key_fields_pair(spark):
+    """A NULL field inside the key must still pair the rows (null-safe
+    join keys) — a plain equi-join reports the identical row as
+    added+removed on every refresh (review r7)."""
+    old = spark.createDataFrame(
+        [(1, None, 10), (2, "x", 20)], "k1 int, k2 string, v int")
+    new = spark.createDataFrame(
+        [(1, None, 10), (2, "x", 25)], "k1 int, k2 string, v int")
+    got = {(r.k1, r.k2): r.status for r in
+           snapshot_diff(old, new, ["k1", "k2"]).collect()}
+    assert got == {(1, None): "unchanged", (2, "x"): "changed"}
+
+
+def test_cdc_apply_null_op_is_upsert(spark):
+    """NULL op is not the delete op: the row upserts instead of
+    silently vanishing (the null-rejecting != would drop it from
+    upserts after its key was anti-joined out; review r7)."""
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    ch = spark.createDataFrame([(2, 99, None, 1)],
+                               "k int, v int, op string, gen int")
+    got = sorted(map(tuple,
+                     cdc_apply(base, ch, ["k"], "gen").collect()))
+    assert got == [(1, 10), (2, 99)]

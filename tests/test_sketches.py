@@ -470,3 +470,28 @@ class TestHistQuantiles:
         c = {r.bin: r.cnt for r in
              hist_counts(df, "v", ["g"], 0.0, 100.0, 10).collect()}
         assert c == {0: 2, 9: 1}   # 1.0 and -inf in bin 0; inf in 9
+
+    def test_quantile_fraction_validated(self, spark):
+        """q outside (0, 1] must refuse loudly — rank 0 matches no bin
+        and the label would silently vanish from the output."""
+        import pytest
+        from datafusion_federation_spark.operators.sketches import (
+            hist_quantile_frame)
+        df = spark.range(3).selectExpr("CAST(id AS DOUBLE) v", "'g' g")
+        for bad in (0.0, -0.5, 1.5):
+            with pytest.raises(ValueError, match="outside"):
+                hist_quantile_frame(df, "v", ["g"], [("q", bad)],
+                                    0.0, 10.0, 10)
+
+    def test_hist_bin_nan_is_null_not_bin_zero(self, spark):
+        """Direct hist_bin callers: NaN maps to NULL, never bin 0
+        (least() would otherwise fold NaN into the lowest bin)."""
+        from datafusion_federation_spark.operators.sketches import (
+            hist_bin)
+        import pyspark.sql.functions as F
+        rows = [(float("nan"),), (0.5,)]
+        df = spark.createDataFrame(rows, "v double")
+        got = [r.b for r in
+               df.select(hist_bin(F.col("v"), 0.0, 10.0, 10)
+                         .alias("b")).collect()]
+        assert got == [None, 0]
