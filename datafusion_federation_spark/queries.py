@@ -398,6 +398,10 @@ SECONDARY = {
                           # by q61/d40; SCD2 history twin d63;
                           # latest-wins pinned in test_incremental;
                           # oracle PASS both SFs
+    "d91_grouped_split",  # composition of d02 fingerprint + d20 split
+                          # machinery (both in-window/secondary with
+                          # twins); straddle audit value-checked by
+                          # the oracle; PASS both SFs
 }
 
 DEC = "decimal(12,2)"

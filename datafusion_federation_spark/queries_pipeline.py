@@ -4506,3 +4506,59 @@ def d90(spark, sf):
                  F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")),
                          2).cast("double").alias("bal"))
             .orderBy("c_mktsegment"))
+
+
+# ===========================================================================
+# d91: leakage-free grouped split (eval-contamination guard)
+# ===========================================================================
+
+_D91_ORACLE = f"""
+WITH f AS (
+  SELECT md5({_NORM_SQL_WORDS}) AS fp FROM documents),
+a AS (
+  SELECT fp,
+         CASE WHEN substr(md5(concat('split:', fp)), 1, 2) < 'e6'
+              THEN 'train'
+              WHEN substr(md5(concat('split:', fp)), 1, 2) < 'f3'
+              THEN 'val' ELSE 'test' END AS split
+  FROM f),
+per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_groups
+  FROM a GROUP BY split),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS straddled FROM (
+    SELECT fp FROM a GROUP BY fp HAVING count(DISTINCT split) > 1))
+SELECT per.split, per.n_docs, per.n_groups, st.straddled
+FROM per CROSS JOIN st ORDER BY per.split
+"""
+
+
+@q("d91_grouped_split", _D91_ORACLE)
+def d91(spark, sf):
+    """Leakage-free train/val/test split under the oracle gate: the
+    split assignment hashes the DEDUP-GROUP key (the d02 content
+    fingerprint), not the row id, so every member of a duplicate
+    cluster lands in the same split and near-identical text can never
+    straddle train/eval (the eval-contamination failure mode
+    decontamination d28 guards against at the benchmark level;
+    composition of dedup.fingerprint + sampling.assign_splits — the
+    split column is a pure function of the group, no new machinery).
+    The ``straddled`` audit column recomputes the guarantee from the
+    assignment itself (0 by construction) rather than asserting it,
+    so the oracle value-checks the property, and a future regression
+    that broke group-purity would flip the recorded value."""
+    from .operators import sampling
+    docs = dedup.fingerprint(t(spark, sf, "documents"), "text")
+    sp = sampling.assign_splits(
+        docs, "fingerprint",
+        {"train": 0.9, "val": 0.05, "test": 0.05}, method="md5")
+    per = (sp.groupBy("split")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("fingerprint").cast("long")
+                .alias("n_groups")))
+    st = (sp.groupBy("fingerprint")
+          .agg(F.countDistinct("split").alias("_ns"))
+          .filter(F.col("_ns") > 1)
+          .agg(F.count(F.lit(1)).cast("long").alias("straddled")))
+    return per.crossJoin(F.broadcast(st)).orderBy("split")
