@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 
 from .expressions import Alias, Col, Cube, Expr, GroupingSets, Rollup, Star
 from .plans.nodes import (
-    Aggregate, Analyze, AsofJoin, Distinct, Filter, Join, Limit, Plan,
-    Project, RemoteQueryNode, Scan, SetOp, Sort, SubqueryAlias, Union,
-    Window,
+    Aggregate, Analyze, AsofJoin, Distinct, Filter, Join, Limit, OneRow,
+    Plan, Project, RecursiveCTE, RecursiveRef, RemoteQueryNode, Scan,
+    SetOp, Sort, SubqueryAlias, Union, Window,
 )
 from .schema_cast import cast_dataframe
 
@@ -51,6 +51,10 @@ class Compiler:
         #: join input, and compiling it again would re-fire any remote
         #: sub-queries inside it (and re-plan the whole subtree)
         self._probe_reuse: dict = {}
+        #: WITH RECURSIVE state: name -> working-table DataFrame during a
+        #: fixpoint run, and id(node) -> result for repeated references
+        self._recursive_work: dict = {}
+        self._recursive_results: dict = {}
 
     # ------------------------------------------------------------------
     def compile(self, plan: Plan) -> DataFrame:
@@ -61,6 +65,7 @@ class Compiler:
             # entries behind: a later plan node allocated at the same
             # address would silently reuse the wrong DataFrame
             self._probe_reuse.clear()
+            self._recursive_results.clear()
 
     # ------------------------------------------------------------------
     def _c(self, p: Plan) -> DataFrame:
@@ -164,6 +169,29 @@ class Compiler:
                 return df
             return self._filter_plain(self._c(p.input), pred, p.input)
 
+        if isinstance(p, OneRow):
+            # one zero-column row; a parent Project selects literals
+            # over it (EmptyRelation produce_one_row analog)
+            return self.spark.range(1).select()
+
+        if isinstance(p, RecursiveCTE):
+            # one fixpoint run per compile() even when the CTE is
+            # referenced several times: the parser shares one node
+            # object across all mentions, so id()-keying is exact
+            cached = self._recursive_results.get(id(p))
+            if cached is None:
+                cached = self._compile_recursive(p)
+                self._recursive_results[id(p)] = cached
+            return cached
+
+        if isinstance(p, RecursiveRef):
+            df = self._recursive_work.get(p.name.lower())
+            if df is None:
+                raise ValueError(
+                    f"recursive reference '{p.name}' outside its "
+                    f"WITH RECURSIVE scope")
+            return df.alias(p.name)
+
         if isinstance(p, AsofJoin):
             return self._compile_asof(p)
 
@@ -245,6 +273,84 @@ class Compiler:
             return self._c(p.input).alias(p.alias)
 
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
+
+    # ------------------------------------------------------------------
+    def _compile_recursive(self, p: RecursiveCTE) -> DataFrame:
+        """WITH RECURSIVE fixpoint (Postgres/DuckDB semantics; the
+        reference inherits this from DataFusion's SQL layer — Spark has
+        no native form, so the driver loop lives here).
+
+        Iteration protocol: the working table starts as the
+        non-recursive term; each round compiles the recursive term with
+        the RecursiveRef bound to the PREVIOUS round's delta only. For
+        UNION (distinct) the round's output is ``subtract``-ed against
+        everything accumulated — EXCEPT DISTINCT handles NULLs with set
+        semantics where an anti-join's ``=`` would leak NULL-keyed
+        duplicates — which is what makes cyclic graphs terminate: once
+        a round produces no unseen rows the fixpoint is reached.
+
+        Scale posture: each round's delta is localCheckpoint'ed
+        (eager), so (a) the logical plan of round N references
+        materialized partitions, not N nested copies of the step — the
+        d51/d68 PageRank plan-doubling lesson — and (b) the
+        loop-control count() re-reads cached blocks instead of
+        recomputing the step. The accumulator is a union of
+        checkpointed deltas: linear plan depth in rounds. The step
+        itself is ordinary Catalyst planning — a join against a
+        dimension table inside the step broadcasts/shuffles like any
+        other query. Driver-side state is one row count per round;
+        rows never leave the executors.
+
+        ``max_iterations`` (default 100) bounds runaway UNION ALL
+        recursions over cyclic inputs — same guard class as the
+        engines' recursion depth limits."""
+        base = self._c(p.base)
+        if p.cols is not None:
+            if len(p.cols) != len(base.columns):
+                raise ValueError(
+                    f"recursive CTE '{p.name}' declares "
+                    f"{len(p.cols)} columns but its non-recursive term "
+                    f"produces {len(base.columns)}")
+            base = base.toDF(*p.cols)
+        if not p.union_all:
+            # distinct mode re-reads the accumulator (base included)
+            # every round's subtract — materialize it once. UNION ALL
+            # references base exactly once (the final result), so
+            # checkpointing there would materialize a possibly-large
+            # frame for zero reuse.
+            base = base.dropDuplicates().localCheckpoint(eager=True)
+        acc = base
+        work = base
+        key = p.name.lower()
+        prev = self._recursive_work.get(key)
+        try:
+            for _ in range(p.max_iterations):
+                self._recursive_work[key] = work
+                step = self._c(p.step)
+                if len(step.columns) != len(acc.columns):
+                    raise ValueError(
+                        f"recursive CTE '{p.name}': recursive term "
+                        f"produces {len(step.columns)} columns, "
+                        f"expected {len(acc.columns)}")
+                step = step.toDF(*acc.columns)
+                if not p.union_all:
+                    step = step.subtract(acc)
+                step = step.localCheckpoint(eager=True)
+                if step.count() == 0:
+                    break
+                acc = acc.union(step)
+                work = step
+            else:
+                raise RuntimeError(
+                    f"recursive CTE '{p.name}' did not converge within "
+                    f"{p.max_iterations} iterations (cyclic UNION ALL "
+                    f"recursion, or raise max_iterations)")
+        finally:
+            if prev is None:
+                self._recursive_work.pop(key, None)
+            else:
+                self._recursive_work[key] = prev
+        return acc
 
     # ------------------------------------------------------------------
     def _compile_asof(self, p: AsofJoin):
@@ -1164,6 +1270,15 @@ def _plan_output_cols(p: Plan):
     if isinstance(p, RemoteQueryNode):
         # opaque federated leaf: its output is the claimed sub-plan's
         return _plan_output_cols(p.plan)
+    if isinstance(p, RecursiveCTE):
+        # declared column list wins; otherwise the non-recursive term
+        # names the output (Postgres/DuckDB rule)
+        return list(p.cols) if p.cols is not None \
+            else _plan_output_cols(p.base)
+    if isinstance(p, RecursiveRef):
+        # working-table leaf: schema exists only mid-fixpoint — unknown
+        # is the safe static answer
+        return None
     inputs = p.inputs()
     return _plan_output_cols(inputs[0]) if inputs else None
 

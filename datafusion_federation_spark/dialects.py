@@ -173,6 +173,12 @@ class Dialect:
     supports_semi_anti_join = False
     supports_asof_join = False       # native ASOF JOIN syntax
 
+    #: window null-treatment syntax: "postfix" = `f(x) IGNORE NULLS OVER`
+    #: (SQL:2011, Spark), "inline" = `f(x IGNORE NULLS) OVER` (DuckDB),
+    #: None = no syntax (Postgres/SQLite/MySQL/Derby) — WindowFunc.to_sql
+    #: raises UnsupportedUnparse so the subtree compiles locally
+    ignore_nulls_style: Any = "postfix"
+
     #: keyword for `SELECT * <kw> (cols)` column exclusion — DuckDB spells
     #: it EXCLUDE, Spark/Databricks/BigQuery spell it EXCEPT; None means
     #: the engine has no such syntax and the unparser must expand the star
@@ -251,6 +257,7 @@ class DuckDBDialect(Dialect):
     name = "duckdb"
     supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
     supports_asof_join = True       # native ASOF [LEFT] JOIN
+    ignore_nulls_style = "inline"   # f(x IGNORE NULLS) OVER (...)
     star_exclude_kw = "EXCLUDE"     # SELECT * EXCLUDE (a, b)
     supports_star_replace = True    # SELECT * REPLACE (x*2 AS x)
     function_map = {
@@ -274,6 +281,7 @@ class DuckDBDialect(Dialect):
 class PostgresDialect(Dialect):
     name = "postgres"
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
+    ignore_nulls_style = None      # no IGNORE NULLS syntax
     function_map = {
         "year": _pg_extract("YEAR"), "quarter": _pg_extract("QUARTER"),
         "month": _pg_extract("MONTH"), "day": _pg_extract("DAY"),
@@ -295,6 +303,7 @@ class PostgresDialect(Dialect):
 class SQLiteDialect(Dialect):
     name = "sqlite"
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
+    ignore_nulls_style = None      # no IGNORE NULLS syntax
     quote_char = '"'
     ilike_op = "LIKE"  # sqlite LIKE is case-insensitive for ASCII already
     supports_filter_clause = True
@@ -347,6 +356,7 @@ class SparkSQLDialect(Dialect):
 class MySQLDialect(Dialect):
     name = "mysql"
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
+    ignore_nulls_style = None      # no IGNORE NULLS syntax
     quote_char = "`"
     ilike_op = "LIKE"  # MySQL LIKE is case-insensitive by default collation
     supports_filter_clause = False
@@ -388,6 +398,7 @@ class DerbyDialect(Dialect):
 
     name = "derby"
     supports_star_replace = False   # no * REPLACE/EXCLUDE syntax
+    ignore_nulls_style = None       # no IGNORE NULLS syntax
     supports_filter_clause = False  # no FILTER (WHERE ...) on aggregates
     # CAST to unbounded VARCHAR is a syntax error in Derby: every string
     # cast needs an explicit length (32672 is Derby's VARCHAR maximum)

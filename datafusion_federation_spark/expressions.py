@@ -630,11 +630,18 @@ class AggFunc(Expr):
             s += f" FILTER (WHERE {self.filter.to_sql(d)})"
         return s
 
+    #: aggregates whose result depends on input order — these get a real
+    #: local lowering (collect structs, comparator array_sort, project)
+    ORDERED_AGGS = frozenset({"string_agg", "listagg", "group_concat",
+                              "array_agg", "collect_list"})
+
     def to_spark(self) -> Column:
         if self.order_by:
+            if self.name.lower() in self.ORDERED_AGGS:
+                return self._ordered_agg_spark()
             # silently dropping the ordering would make order-sensitive
-            # aggregates (collect_list ORDER BY ...) nondeterministic on
-            # the local path while the remote SQL honors it
+            # aggregates nondeterministic on the local path while the
+            # remote SQL honors it
             raise NotImplementedError(
                 f"{self.name}(... ORDER BY ...) has no local Spark "
                 "aggregate form; run it federated")
@@ -657,10 +664,72 @@ class AggFunc(Expr):
             return F.expr(f"{name}(DISTINCT {inner})")
         if name == "count" and not cols:
             return F.count(F.lit(1))
+        if name == "group_concat":
+            # MySQL spelling; Spark 4 exposes the ANSI name
+            return F.string_agg(*cols) if len(cols) > 1 \
+                else F.string_agg(cols[0], F.lit(","))
         fn = getattr(F, name, None)
         if fn is None:
             raise ValueError(f"unknown aggregate {self.name}")
         return fn(*cols)
+
+    def _ordered_agg_spark(self) -> Column:
+        """Order-sensitive aggregate lowering: collect (keys..., value)
+        structs, sort with an explicit comparator (array_sort), project
+        the values back out — all JVM-side built-ins, no UDF. The
+        comparator encodes ASC/DESC and NULLS FIRST/LAST per key
+        (defaults follow Spark's sort: ASC->nulls first, DESC->nulls
+        last; state NULLS explicitly in cross-engine queries — DuckDB
+        and Postgres default to nulls LAST on ASC).
+
+        string_agg/listagg/group_concat: concat_ws over the sorted
+        values — concat_ws skips NULL elements, matching the engines'
+        NULL-skipping string_agg. array_agg ORDER BY keeps NULL
+        elements (Postgres array_agg semantics; note the difference
+        from Spark's plain collect_list, which drops them)."""
+        name = self.name.lower()
+        if self.distinct:
+            raise NotImplementedError(
+                f"{name}(DISTINCT ... ORDER BY ...) is unsupported "
+                f"locally")
+        if self.filter is not None:
+            raise NotImplementedError(
+                f"{name}(... ORDER BY ...) FILTER is unsupported "
+                f"locally")
+        sep = ","
+        if name in ("string_agg", "listagg", "group_concat"):
+            if len(self.args) > 1:
+                if not isinstance(self.args[1], Lit):
+                    raise NotImplementedError(
+                        f"{name} separator must be a literal")
+                sep = str(self.args[1].value)
+        fields = [k.expr.to_spark().alias(f"__k{i}")
+                  for i, k in enumerate(self.order_by)]
+        arr = F.collect_list(
+            F.struct(*fields, self.args[0].to_spark().alias("__v")))
+
+        def cmp(left, right):
+            parts = []
+            for i, k in enumerate(self.order_by):
+                lk, rk = left[f"__k{i}"], right[f"__k{i}"]
+                asc = k.ascending
+                nf = k.nulls_first if k.nulls_first is not None else asc
+                parts.append(
+                    F.when(lk.isNull() & rk.isNull(), F.lit(0))
+                    .when(lk.isNull(), F.lit(-1 if nf else 1))
+                    .when(rk.isNull(), F.lit(1 if nf else -1))
+                    .when(lk < rk, F.lit(-1 if asc else 1))
+                    .when(lk > rk, F.lit(1 if asc else -1))
+                    .otherwise(F.lit(0)))
+            out = F.lit(0)
+            for p in reversed(parts):
+                out = F.when(p != F.lit(0), p).otherwise(out)
+            return out
+
+        vals = F.transform(F.array_sort(arr, cmp), lambda s: s["__v"])
+        if name in ("string_agg", "listagg", "group_concat"):
+            return F.concat_ws(sep, vals)
+        return vals
 
     def output_name(self) -> str:
         return self.name
@@ -741,12 +810,20 @@ class WindowFrame:
 
 @dataclass(eq=False)
 class WindowFunc(Expr):
-    """Window function with full frame spec (analyzer.rs:410-447)."""
+    """Window function with full frame spec (analyzer.rs:410-447).
+
+    ``ignore_nulls`` is the SQL:2011 null treatment clause on
+    lead/lag/first_value/last_value/nth_value. Dialect syntax varies:
+    postfix ``f(x) IGNORE NULLS OVER`` (standard, Spark) vs inline
+    ``f(x IGNORE NULLS) OVER`` (DuckDB); Postgres/SQLite/MySQL/Derby
+    have NO syntax for it — their dialects refuse (UnsupportedUnparse)
+    and the enclosing subtree compiles locally."""
 
     func: Expr                              # Func or AggFunc
     partition_by: Sequence[Expr] = ()
     order_by: Sequence[SortKey] = ()
     frame: Optional[WindowFrame] = None
+    ignore_nulls: bool = False
 
     def children(self):
         return (self.func, *self.partition_by, *[k.expr for k in self.order_by])
@@ -761,7 +838,20 @@ class WindowFunc(Expr):
                         ", ".join(k.to_sql(d) for k in self.order_by))
         if self.frame is not None:
             over.append(self.frame.to_sql(d))
-        return f"{self.func.to_sql(d)} OVER ({' '.join(over)})"
+        fsql = self.func.to_sql(d)
+        if self.ignore_nulls:
+            style = getattr(d, "ignore_nulls_style", None)
+            if style == "inline":
+                # function SQL always ends with the closing arg paren
+                fsql = fsql[:-1] + " IGNORE NULLS)"
+            elif style == "postfix":
+                fsql = fsql + " IGNORE NULLS"
+            else:
+                from .dialects import UnsupportedUnparse
+                raise UnsupportedUnparse(
+                    f"dialect {type(d).__name__} has no IGNORE NULLS "
+                    f"syntax")
+        return f"{fsql} OVER ({' '.join(over)})"
 
     def to_spark(self) -> Column:
         from pyspark.sql import Window as W
@@ -773,7 +863,57 @@ class WindowFunc(Expr):
             hi = self.frame._bound_spark(self.frame.end, False)
             w = (w.rowsBetween(lo, hi) if self.frame.kind == "ROWS"
                  else w.rangeBetween(lo, hi))
+        if self.ignore_nulls:
+            return self._ignore_nulls_spark(w)
         return self.func.to_spark().over(w)
+
+    def _ignore_nulls_spark(self, w) -> Column:
+        """IGNORE NULLS lowering. pyspark exposes the flag on
+        first/last/nth_value/any_value directly; lead/lag lack the
+        parameter, so offset-1 forms rewrite EXACTLY to last/first over
+        the one-sided preceding/following frame (the n-th-non-null
+        semantics of larger offsets have no built-in — refused loudly
+        rather than approximated)."""
+        from pyspark.sql import Window as W
+        name = getattr(self.func, "name", "").lower()
+        args = [a.to_spark() for a in getattr(self.func, "args", ())]
+        raw = list(getattr(self.func, "args", ()))
+
+        def lit_int(e):
+            return e.value if isinstance(e, Lit) and \
+                isinstance(e.value, int) else None
+
+        if name in ("first_value", "first"):
+            return F.first(args[0], ignorenulls=True).over(w)
+        if name in ("last_value", "last"):
+            return F.last(args[0], ignorenulls=True).over(w)
+        if name == "nth_value":
+            n = lit_int(raw[1])
+            if n is None:
+                raise NotImplementedError(
+                    "nth_value IGNORE NULLS needs a literal offset")
+            return F.nth_value(args[0], n, ignoreNulls=True).over(w)
+        if name == "any_value":
+            return F.any_value(args[0], True).over(w)
+        if name in ("lag", "lead"):
+            off = 1 if len(raw) < 2 else lit_int(raw[1])
+            if off != 1 or len(raw) > 2:
+                raise NotImplementedError(
+                    f"{name} IGNORE NULLS is supported for offset 1 "
+                    f"with no default (n-th-non-null has no Spark "
+                    f"built-in; an approximation would be wrong)")
+            base = W.partitionBy(
+                *[e.to_spark() for e in self.partition_by])
+            if self.order_by:
+                base = base.orderBy(*[k.to_spark() for k in self.order_by])
+            if name == "lag":
+                # last non-null strictly before the current row
+                return F.last(args[0], ignorenulls=True).over(
+                    base.rowsBetween(W.unboundedPreceding, -1))
+            return F.first(args[0], ignorenulls=True).over(
+                base.rowsBetween(1, W.unboundedFollowing))
+        raise NotImplementedError(
+            f"IGNORE NULLS is not defined for {name}()")
 
 
 # -- grouping sets (analyzer.rs:523-550) ------------------------------------

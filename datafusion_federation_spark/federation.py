@@ -20,8 +20,8 @@ from .expressions import (
     Exists, Expr, InSubquery, OuterRef, ScalarSubquery, SetComparison, walk,
 )
 from .plans.nodes import (
-    AsofJoin, Plan, Project, RemoteQueryNode, Scan, SubqueryAlias,
-    walk_plan,
+    AsofJoin, OneRow, Plan, Project, RecursiveRef, RemoteQueryNode, Scan,
+    SubqueryAlias, walk_plan,
 )
 from .expressions import Col, Star
 from .sources.provider import FederationProvider, LocalSparkProvider
@@ -168,6 +168,17 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
     if isinstance(p, RemoteQueryNode):
         # already federated — double-federation guard
         # (optimizer/mod.rs:142-147)
+        return ScanResult.ambiguous()
+    if isinstance(p, OneRow):
+        # constant one-row relation (FROM-less SELECT): local — claiming
+        # it would make the unparser render a FROM-less branch per
+        # dialect for zero pushdown benefit (there is nothing to push)
+        return ScanResult.distinct(_LOCAL)
+    if isinstance(p, RecursiveRef):
+        # WITH RECURSIVE working table: only the local fixpoint loop can
+        # bind it, so the recursive term (and everything above it) must
+        # stay local; sibling subtrees inside base/step still federate
+        # independently via the recursive optimizer pass
         return ScanResult.ambiguous()
     for e in p.exprs():
         res = res.merge(scan_expr(e, enclosing, outer_vetted))

@@ -1,4 +1,7 @@
 from .nodes import (  # noqa: F401
-    Aggregate, Distinct, Filter, Join, Limit, Plan, Project, RemoteQueryNode,
-    Scan, SetOp, Sort, SubqueryAlias, Union, Window, walk_plan,
+    Aggregate, Distinct, Filter, Join, LateralJoin, Limit, OneRow, Plan,
+    Project,
+    RemoteQueryNode,
+    RecursiveCTE, RecursiveRef, Scan, SetOp, Sort, SubqueryAlias, Union,
+    Window, walk_plan,
 )

@@ -234,6 +234,100 @@ class Distinct(Plan):
 
 
 @dataclass(eq=False)
+class OneRow(Plan):
+    """FROM-less SELECT: one zero-column row, projected over (the
+    DataFusion ``EmptyRelation {{ produce_one_row: true }}`` analog —
+    `SELECT 1` parses to exactly this shape in the reference's SQL
+    layer). Compiles to ``spark.range(1).select()``; stays local (a
+    constant row has no provider to claim it, and every dialect's
+    residue handling composes with it as with any local leaf)."""
+
+    def with_inputs(self, new_inputs):
+        assert not new_inputs
+        return self
+
+
+@dataclass(eq=False)
+class RecursiveRef(Plan):
+    """Self-reference to an enclosing WITH RECURSIVE CTE (the engines'
+    "working table"). Leaf node: at compile time the compiler substitutes
+    the PREVIOUS iteration's newly-produced rows (standard semantics —
+    Postgres/DuckDB evaluate the recursive term against the working
+    table, not the accumulated result). Never federated: the federation
+    pass maps it to ambiguous so the fixpoint always runs locally while
+    sibling subtrees (the non-recursive term, dimension scans inside the
+    step) stay independently claimable."""
+
+    name: str
+
+    def with_inputs(self, new_inputs):
+        assert not new_inputs
+        return self
+
+
+@dataclass(eq=False)
+class RecursiveCTE(Plan):
+    """WITH RECURSIVE fixpoint: ``base UNION [ALL] step`` where ``step``
+    contains a :class:`RecursiveRef` to ``name``. The compiler iterates
+    step-with-working-table until the step yields no rows (UNION ALL) or
+    no NEW rows (UNION — rows already accumulated are subtracted, which
+    is what terminates cyclic graphs), capping at ``max_iterations``.
+
+    Spark has no native recursive CTE; the reference inherits one from
+    DataFusion's SQL layer. This node keeps the recursion OUTSIDE the
+    federation claim (scan_plan sees the RecursiveRef and forces local)
+    while each iteration's step is planned by Catalyst like any other
+    DataFrame — joins in the step broadcast/shuffle normally, and each
+    iteration's delta is localCheckpoint'ed so the logical plan stays
+    LINEAR in the iteration count (the d51/d68 PageRank lesson:
+    un-checkpointed self-referencing iteration doubles the plan every
+    round and OOMs the planner near 7 iterations)."""
+
+    name: str
+    cols: Optional[Sequence[str]]     # declared column list, or None
+    base: Plan                        # non-recursive term (no RecursiveRef)
+    step: Plan                        # recursive term (>=1 RecursiveRef)
+    union_all: bool                   # UNION ALL vs UNION (distinct)
+    max_iterations: int = 100
+
+    def inputs(self): return (self.base, self.step)
+
+    def with_inputs(self, new_inputs):
+        return RecursiveCTE(self.name, self.cols, new_inputs[0],
+                            new_inputs[1], self.union_all,
+                            self.max_iterations)
+
+
+@dataclass(eq=False)
+class LateralJoin(Plan):
+    """LATERAL derived table: ``left [INNER|LEFT] JOIN LATERAL (subquery)
+    alias ON cond`` / ``left, LATERAL (...)``. The right subplan holds
+    OuterRef expressions against the left side's aliases — the per-row
+    dependency engines evaluate by re-running the subquery per outer row.
+    We NEVER execute per-row: the compiler decorrelates to set-level
+    plans (equi-join for plain bodies, grouped-aggregate LEFT join with
+    empty-group fixups for ungrouped aggregates, partitioned row_number
+    for ORDER BY + LIMIT top-k-per-key) and refuses shapes it cannot
+    rewrite faithfully. Never federated — scan_expr sees the unvetted
+    OuterRefs inside ``right`` and forces the node local; the left
+    subtree still claims independently."""
+
+    left: Plan
+    right: Plan
+    how: str = "inner"                 # inner | left | cross
+    condition: Optional[Expr] = None   # explicit ON (compiled post-join)
+
+    def inputs(self): return (self.left, self.right)
+
+    def exprs(self):
+        return (self.condition,) if self.condition is not None else ()
+
+    def with_inputs(self, new_inputs):
+        return LateralJoin(new_inputs[0], new_inputs[1], self.how,
+                           self.condition)
+
+
+@dataclass(eq=False)
 class SubqueryAlias(Plan):
     """Derived table `(...) AS alias` (golden at src/sql/analyzer.rs:786-792)."""
 

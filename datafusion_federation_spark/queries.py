@@ -38,8 +38,16 @@ REGISTRY: Dict[str, Tuple[Callable, Optional[str]]] = {}
 SECONDARY = {
     "q03_shipping_priority",      # q50 (federated pushdown join+agg)
     "q05_regional_revenue",       # q51 (mixed local+federated join+agg)
-    "q20_rollup",                 # q21 CUBE + q54 GROUPING SETS (same
-                                  # grouping-set lowering)
+    "q20_rollup",                 # q54 GROUPING SETS (same grouping-set
+                                  # lowering); local shape in tools+tests
+    # round 7 session 3: q88 (WITH RECURSIVE front door — a whole new
+    # §2C-class construct, and the UNION-distinct form Spark's native
+    # recursive CTE cannot run at all) takes a window slot; CUBE keeps
+    # q54's in-window grouping-set row (ROLLUP/CUBE/GROUPING SETS all
+    # lower through the one grouping-set path in compiler + unparser,
+    # the precedent of the q20/q22 demotions) plus the q21 oracle under
+    # bench + tools/check_correctness
+    "q21_cube",
     # round 7: q81 (two-remote-engines split — VERDICT r6 Next #2) takes
     # a window slot; federated grouping-set machinery keeps an in-window
     # row (q54 federated GROUPING SETS — ROLLUP lowers through the
@@ -402,6 +410,21 @@ SECONDARY = {
                           # machinery (both in-window/secondary with
                           # twins); straddle audit value-checked by
                           # the oracle; PASS both SFs
+    "q91_string_agg",     # groupBy/agg machinery carried in-window by
+                          # q01/q19; the ordered-aggregate lowering is
+                          # pinned vs DuckDB in test_sqlfront (multi-key,
+                          # NULLS, array_agg) ; oracle PASS both SFs
+    "q90_ignore_nulls",   # window machinery carried in-window by
+                          # q52/q70; the IGNORE NULLS lowering is pinned
+                          # vs DuckDB in test_sqlfront + unparser
+                          # goldens; oracle PASS both SFs
+    "q89_recursive_union_all",  # UNION ALL arm of q88's fixpoint
+                                # machinery (q88 in-window carries the
+                                # parser/compiler/federation-refusal
+                                # path; the ALL arm differs only in
+                                # skipping the subtract); oracle PASS
+                                # both SFs + convergence/refusal tests
+                                # in test_recursive_cte
 }
 
 DEC = "decimal(12,2)"

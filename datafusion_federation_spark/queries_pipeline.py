@@ -4562,3 +4562,146 @@ def d91(spark, sf):
           .filter(F.col("_ns") > 1)
           .agg(F.count(F.lit(1)).cast("long").alias("straddled")))
     return per.crossJoin(F.broadcast(st)).orderBy("split")
+
+
+_Q88_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS src, (c_custkey * 2) % 997 + 1 AS dst FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 3) % 997 + 1 FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 5) % 997 + 1 FROM customer
+),
+reach(u) AS (
+  SELECT CAST(1 AS BIGINT) AS u
+  UNION
+  SELECT e.dst FROM reach r JOIN edges e ON e.src = r.u
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_reachable,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer JOIN reach ON c_custkey = u
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@q("q88_recursive_cte", _Q88_SQL)
+def q88(spark, sf):
+    """WITH RECURSIVE through the SQL front door (r7): reachability in a
+    CYCLIC graph — three affine out-edges per customer key (branching
+    factor 3, so the BFS frontier grows geometrically and the fixpoint
+    converges in ~10 rounds instead of the one-node-per-round crawl a
+    single functional edge gives — measured 31.9s -> ~5s at sf0.01),
+    UNION-distinct fixpoint from seed key 1 over the mod-997 key
+    subspace (a strict subset of customers, keeping the aggregate
+    discriminating), reachable set joined back and aggregated by
+    segment.
+    The one SQL string runs on both engines (q75/q80's pattern): DuckDB
+    executes its native recursive CTE; our engine parses it in sqlfront
+    (base/step split, working-table pre-binding), refuses it for
+    federation (RecursiveRef -> ambiguous), and runs the fixpoint in
+    compiler._compile_recursive — per-round deltas are
+    localCheckpoint'ed so the logical plan stays LINEAR in rounds, and
+    UNION's subtract-against-accumulated is what terminates the cycle.
+    Spark 4.1's native recursive CTE support refuses this query
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — UNION ALL only), so the
+    front-door loop is the only Spark path that runs it at all.
+    Reference: DataFusion inherits recursive CTEs in its SQL layer
+    (the reference's ctx.sql accepts them; federation stays out of the
+    recursive scope exactly as here)."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("customer", t(spark, sf, "customer"))
+    return eng.sql(_Q88_SQL)
+
+
+_Q89_SQL = """
+WITH RECURSIVE anc(pk, node, d) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT a.pk, CAST(FLOOR(a.node / 2) AS BIGINT), a.d + 1
+  FROM anc a WHERE a.node > 1
+)
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_sum
+FROM anc GROUP BY d ORDER BY d
+"""
+
+
+@q("q89_recursive_union_all", _Q89_SQL)
+def q89(spark, sf):
+    """UNION ALL recursive CTE (r7): binary-ancestry walk over part keys
+    (node -> floor(node/2) up to the root), depth histogram — the
+    acyclic, naturally-terminating arm of q88's machinery (no subtract;
+    the WHERE in the step empties the working table at the root).
+    Depth is log2(max key): ~11 rounds at sf0.01, one localCheckpoint'ed
+    delta per round, driver state = one row count per round."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("part", t(spark, sf, "part"))
+    return eng.sql(_Q89_SQL)
+
+
+@q("q90_ignore_nulls", """
+SELECT event_type, CAST(COUNT(lp) AS BIGINT) AS n_with_ctx,
+       CAST(SUM(CAST(lp AS DECIMAL(12,2))) AS DOUBLE) AS lp_sum
+FROM (
+  SELECT event_type,
+         LAG(CASE WHEN event_type = 'purchase' THEN value END
+             IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id) AS lp
+  FROM events
+) t GROUP BY event_type ORDER BY event_type
+""")
+def q90(spark, sf):
+    """IGNORE NULLS window null treatment (r7 s3): per user, each
+    event's LAST PRECEDING purchase value — the classic last-touch
+    context carry (LAG over a CASE-masked column skipping the NULLed
+    non-purchases), aggregated per event type. The front door accepts
+    both the SQL:2011 postfix form used here and DuckDB's inline form;
+    the oracle is the same query in DuckDB's `LAG(x IGNORE NULLS)`
+    spelling. Lowering: pyspark exposes ignorenulls on
+    first/last/nth_value only, so LAG(x) IGNORE NULLS rewrites EXACTLY
+    to last(x, ignorenulls=True) over ROWS UNBOUNDED PRECEDING..-1
+    (expressions.WindowFunc._ignore_nulls_spark); one window Exchange
+    on user_id, no joins. Dialects without the syntax
+    (Postgres/SQLite/MySQL/Derby) refuse at unparse and the subtree
+    compiles locally."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("events", t(spark, sf, "events"))
+    return eng.sql("""
+SELECT event_type, CAST(COUNT(lp) AS BIGINT) AS n_with_ctx,
+       CAST(SUM(CAST(lp AS DECIMAL(12,2))) AS DOUBLE) AS lp_sum
+FROM (
+  SELECT event_type,
+         LAG(CASE WHEN event_type = 'purchase' THEN value END)
+           IGNORE NULLS
+           OVER (PARTITION BY user_id ORDER BY event_id) AS lp
+  FROM events
+) t GROUP BY event_type ORDER BY event_type
+""")
+
+
+_Q91_SQL = """
+SELECT r_name, STRING_AGG(n_name, '|' ORDER BY n_name DESC) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+@q("q91_string_agg", _Q91_SQL)
+def q91(spark, sf):
+    """Order-sensitive aggregate (r7 s3): STRING_AGG(x, sep ORDER BY k)
+    through the SQL front door — identical SQL both engines (q75/q80/q88
+    pattern). Spark has no ordered-aggregate syntax; the lowering
+    (expressions.AggFunc._ordered_agg_spark) collects (key, value)
+    structs, comparator-sorts with array_sort (ASC/DESC + NULLS
+    FIRST/LAST per key, all JVM built-ins — no UDF), projects values and
+    concat_ws-joins them (NULL values skipped, matching the engines'
+    string_agg). One groupBy Exchange; the sort is per-group
+    array-local, no extra shuffle."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("nation", t(spark, sf, "nation"))
+    eng.register_local_df("region", t(spark, sf, "region"))
+    return eng.sql(_Q91_SQL)

@@ -32,12 +32,20 @@ from .expressions import (
     WindowFrame, WindowFunc,
 )
 from .plans.nodes import (
-    Aggregate, Distinct, Filter, Join, Limit, Plan, Project, Scan, SetOp,
-    Sort, SubqueryAlias, Union,
+    Aggregate, Distinct, Filter, Join, LateralJoin, Limit, OneRow, Plan,
+    Project, RecursiveCTE, RecursiveRef, Scan, SetOp, Sort, SubqueryAlias,
+    Union, walk_plan,
 )
 
 AGG_NAMES = {"count", "sum", "avg", "min", "max", "stddev", "variance",
-             "first", "last", "collect_list", "collect_set", "median"}
+             "first", "last", "collect_list", "collect_set", "median",
+             "string_agg", "listagg", "group_concat", "array_agg",
+             # GROUPING()/GROUPING_ID() must be computed INSIDE the
+             # grouping Aggregate (Spark: UNSUPPORTED_GROUPING_EXPRESSION
+             # in a post-projection) — classifying them as aggregates
+             # routes them into Aggregate.aggregates where F.grouping /
+             # F.grouping_id are legal
+             "grouping", "grouping_id"}
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
@@ -183,11 +191,39 @@ class Parser:
     # -- entry -------------------------------------------------------------
     def parse(self) -> Plan:
         if self.accept_kw("WITH"):
+            recursive = self.accept_kw("RECURSIVE")
             while True:
                 name = self.take()[1]
+                cols = None
+                if self.peek() == ("op", "("):
+                    # declared column list: WITH [RECURSIVE] t(a, b) AS
+                    self.take()
+                    cols = []
+                    while True:
+                        t = self.take()
+                        if t[0] != "id":
+                            raise SqlParseError(
+                                f"expected column name in CTE column "
+                                f"list, got {t}")
+                        cols.append(t[1])
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
                 self.expect_kw("AS")
                 self.expect_op("(")
-                self.ctes[name.lower()] = self.parse_query(_Scope())
+                if recursive:
+                    # pre-bind the name so self-references inside the
+                    # body resolve to the working-table leaf
+                    self.ctes[name.lower()] = RecursiveRef(name)
+                    body = self.parse_query(_Scope())
+                    self.ctes[name.lower()] = self._finish_recursive_cte(
+                        name, cols, body)
+                else:
+                    if cols is not None:
+                        raise SqlParseError(
+                            "CTE column lists are supported only under "
+                            "WITH RECURSIVE")
+                    self.ctes[name.lower()] = self.parse_query(_Scope())
                 self.expect_op(")")
                 if not self.accept_op(","):
                     break
@@ -195,6 +231,89 @@ class Parser:
         if self.peek() is not None:
             raise SqlParseError(f"trailing tokens at {self.peek()}")
         return plan
+
+    # -- WITH RECURSIVE ----------------------------------------------------
+    def _walk_with_subqueries(self, p: Plan):
+        """walk_plan plus descent into expression-held subquery plans,
+        tagging each node with whether it sits inside such an
+        expression (Postgres refuses working-table references there;
+        our fixpoint compiler never substitutes into them either)."""
+        from .expressions import (
+            Exists, InSubquery, ScalarSubquery, SetComparison,
+            walk as walk_expr)
+        stack = [(p, False)]
+        while stack:
+            node, in_expr = stack.pop()
+            yield node, in_expr
+            for e in node.exprs():
+                for x in walk_expr(e):
+                    if isinstance(x, (Exists, InSubquery, ScalarSubquery,
+                                      SetComparison)):
+                        stack.append((x.plan, True))
+            for k in node.inputs():
+                stack.append((k, in_expr))
+
+    def _finish_recursive_cte(self, name: str, cols, body: Plan) -> Plan:
+        """Split a WITH RECURSIVE body ``base UNION [ALL] step`` into a
+        RecursiveCTE fixpoint node. A body with no self-reference is an
+        ordinary CTE (the RECURSIVE keyword permits, not mandates,
+        recursion — Postgres/DuckDB semantics)."""
+        def has_ref(p: Plan) -> bool:
+            return any(isinstance(n, RecursiveRef) and
+                       n.name.lower() == name.lower()
+                       for n, _ in self._walk_with_subqueries(p))
+
+        if not has_ref(body):
+            if cols is None:
+                return body
+            from .compiler import _plan_output_cols
+            inner = _plan_output_cols(body)
+            if inner is None or len(inner) != len(cols):
+                raise SqlParseError(
+                    f"cannot apply CTE column list to '{name}': output "
+                    f"columns unknown or arity mismatch")
+            return Project(SubqueryAlias(body, name),
+                           [Alias(Col(i, table=name), c)
+                            for i, c in zip(inner, cols)])
+
+        if not isinstance(body, Union):
+            raise SqlParseError(
+                f"recursive CTE '{name}' must be "
+                f"'base UNION [ALL] step' at the top level")
+        base_branches = [b for b in body.branches if not has_ref(b)]
+        step_branches = [b for b in body.branches if has_ref(b)]
+        if not base_branches:
+            raise SqlParseError(
+                f"recursive CTE '{name}' has no non-recursive branch")
+        for b in step_branches:
+            hits = [(n, in_expr)
+                    for n, in_expr in self._walk_with_subqueries(b)
+                    if isinstance(n, RecursiveRef)
+                    and n.name.lower() == name.lower()]
+            if len(hits) > 1:
+                raise SqlParseError(
+                    f"recursive CTE '{name}': the recursive term may "
+                    f"reference the working table only once")
+            if hits[0][1]:
+                raise SqlParseError(
+                    f"recursive CTE '{name}': working-table reference "
+                    f"inside a subquery expression is unsupported")
+            for n, _ in self._walk_with_subqueries(b):
+                if isinstance(n, (Aggregate, SetOp)) and has_ref(n):
+                    raise SqlParseError(
+                        f"recursive CTE '{name}': working-table "
+                        f"reference under "
+                        f"{'aggregation' if isinstance(n, Aggregate) else 'EXCEPT/INTERSECT'}"
+                        f" is unsupported")
+                if isinstance(n, Limit) and has_ref(n):
+                    raise SqlParseError(
+                        f"recursive CTE '{name}': LIMIT over the "
+                        f"working table is unsupported")
+        base = (base_branches[0] if len(base_branches) == 1
+                else Union(base_branches, all=body.all))
+        step = (step_branches[0] if len(step_branches) == 1
+                else Union(step_branches, all=body.all))
+        return RecursiveCTE(name, cols, base, step, union_all=body.all)
 
     # query := intersect_chain ((UNION [ALL]|EXCEPT [ALL])
     #          intersect_chain)* [ORDER BY ...] [LIMIT ...]
@@ -343,20 +462,44 @@ class Parser:
         # past the FROM clause again.
         i_items = self.i
         depth = 0
+        i_from = None
         while True:
             t = self.peek()
             if t is None:
-                raise SqlParseError("expected FROM")
+                break
             if t == ("op", "("):
                 depth += 1
             elif t == ("op", ")"):
+                if depth == 0:
+                    break              # closing a parent's paren
                 depth -= 1
-            elif depth == 0 and t[0] == "id" and t[1].upper() == "FROM":
-                break
+            elif depth == 0 and t[0] == "id":
+                u = t[1].upper()
+                if u == "FROM":
+                    i_from = self.i
+                    break
+                if u in ("UNION", "EXCEPT", "INTERSECT"):
+                    # `* EXCEPT (cols)` is the star-option, not a set-op
+                    # boundary — only the `*`-preceded form (a bare
+                    # set-op EXCEPT after `SELECT *` is impossible: FROM
+                    # would have terminated this scan first)
+                    if u == "EXCEPT" and self.i > i_items \
+                            and self.toks[self.i - 1] == ("op", "*"):
+                        self.i += 1
+                        continue
+                    break              # set-op boundary: next branch
             self.i += 1
-        self.expect_kw("FROM")
-        plan = self.parse_from(scope)
-        i_after_from = self.i
+        if i_from is None:
+            # no FROM clause: `SELECT <exprs>` over one constant row
+            # (DataFusion EmptyRelation produce_one_row — also the
+            # recursive-CTE base term's idiomatic shape)
+            plan: Plan = OneRow()
+            i_after_from = None
+        else:
+            self.i = i_from
+            self.expect_kw("FROM")
+            plan = self.parse_from(scope)
+            i_after_from = self.i
 
         self.i = i_items
         don_exprs = None
@@ -373,10 +516,13 @@ class Parser:
         items = [self.parse_select_item(scope)]
         while self.accept_op(","):
             items.append(self.parse_select_item(scope))
-        if not self.at_kw("FROM"):
-            raise SqlParseError(
-                f"select list ended at {self.peek()}, expected FROM")
-        self.i = i_after_from
+        if i_after_from is not None:
+            if not self.at_kw("FROM"):
+                raise SqlParseError(
+                    f"select list ended at {self.peek()}, expected FROM")
+            self.i = i_after_from
+        # fromless: the items parse already stopped at the clause that
+        # ended the select list (WHERE/UNION/ORDER/')'/end)
 
         if self.accept_kw("WHERE"):
             plan = Filter(plan, self.parse_expr(scope))
@@ -839,6 +985,11 @@ class Parser:
             how = None
             if self.accept_kw("CROSS"):
                 self.expect_kw("JOIN")
+                if self.accept_kw("LATERAL"):
+                    self._lateral_guard()
+                    rhs = self.parse_relation(scope)
+                    plan = LateralJoin(plan, rhs, how="cross")
+                    continue
                 rhs = self.parse_relation(scope)
                 plan = Join(plan, rhs, how="cross")
                 continue
@@ -868,11 +1019,26 @@ class Parser:
             elif self.accept_kw("JOIN"):
                 how = "inner"
             elif self.accept_op(","):
+                if self.accept_kw("LATERAL"):
+                    self._lateral_guard()
+                    rhs = self.parse_relation(scope)
+                    plan = LateralJoin(plan, rhs, how="cross")
+                    continue
                 rhs = self.parse_relation(scope)
                 plan = Join(plan, rhs, how="cross")
                 continue
             else:
                 break
+            if self.accept_kw("LATERAL"):
+                self._lateral_guard()
+                if how not in ("inner", "left"):
+                    raise SqlParseError(
+                        f"{how.upper()} JOIN LATERAL is not valid SQL")
+                rhs = self.parse_relation(scope)
+                self.expect_kw("ON")
+                cond = self.parse_expr(scope)
+                plan = LateralJoin(plan, rhs, how=how, condition=cond)
+                continue
             rhs = self.parse_relation(scope)
             if self.accept_kw("USING"):
                 self.expect_op("(")
@@ -889,6 +1055,8 @@ class Parser:
 
     def parse_relation(self, scope: _Scope) -> Plan:
         if self.accept_op("("):
+            if self.at_kw("VALUES"):
+                return self._parse_values_relation(scope)
             sub = self.parse_query(scope)
             self.expect_op(")")
             alias = self._relation_alias()
@@ -914,6 +1082,64 @@ class Parser:
         if alias and alias != handle.local_name:
             plan = SubqueryAlias(plan, alias)
         return plan
+
+    #: flipped to True when the LateralJoin compile path lands; until
+    #: then LATERAL routes to the Spark-parser fallback via SqlParseError
+    LATERAL_ENABLED = False
+
+    def _lateral_guard(self):
+        if not self.LATERAL_ENABLED:
+            raise SqlParseError(
+                "LATERAL is outside the parser surface (Spark fallback)")
+
+    def _parse_values_relation(self, scope: _Scope) -> Plan:
+        """`(VALUES (e, ...), ...) AS alias(c1, ...)` — an inline
+        constant relation (DataFusion/DuckDB/Postgres all support it;
+        the IN-list-as-join-table pattern). Lowered HERE to existing
+        nodes — a UNION ALL of one-row projections over OneRow — so the
+        compiler, federation pass, and optimizer need no new case; at
+        constant-list sizes Catalyst folds the union to a
+        LocalRelation. The column alias list is REQUIRED: engines
+        disagree on default VALUES column names (DuckDB col0 vs
+        Postgres column1), so relying on them would make the same
+        query mean different things per engine."""
+        self.expect_kw("VALUES")
+        rows: List[List[Expr]] = []
+        while True:
+            self.expect_op("(")
+            row = [self.parse_expr(scope)]
+            while self.accept_op(","):
+                row.append(self.parse_expr(scope))
+            self.expect_op(")")
+            if rows and len(row) != len(rows[0]):
+                raise SqlParseError(
+                    f"VALUES rows have inconsistent arity "
+                    f"({len(rows[0])} vs {len(row)})")
+            rows.append(row)
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        alias = self._relation_alias()
+        if alias is None or self.peek() != ("op", "("):
+            raise SqlParseError(
+                "VALUES requires `AS alias(col, ...)` — default column "
+                "names differ across engines")
+        self.take()
+        cols = [self.take()[1]]
+        while self.accept_op(","):
+            cols.append(self.take()[1])
+        self.expect_op(")")
+        if len(cols) != len(rows[0]):
+            raise SqlParseError(
+                f"VALUES column list names {len(cols)} columns but rows "
+                f"have {len(rows[0])}")
+        branches: List[Plan] = [
+            Project(OneRow(), [Alias(e, c) for e, c in zip(row, cols)])
+            for row in rows]
+        plan: Plan = (branches[0] if len(branches) == 1
+                      else Union(branches, all=True))
+        scope.add(alias)
+        return SubqueryAlias(plan, alias)
 
     def _relation_alias(self) -> Optional[str]:
         if self.accept_kw("AS"):
@@ -1206,47 +1432,85 @@ class Parser:
             args.append(self.parse_expr(scope))
             while self.accept_op(","):
                 args.append(self.parse_expr(scope))
+        ignore_nulls = False
+        agg_order: List[SortKey] = []
         if not star and args:
+            if self.at_kw("ORDER"):
+                # order-sensitive aggregate: f(x, sep ORDER BY k, ...)
+                self.take()
+                self.expect_kw("BY")
+                agg_order.append(self.parse_sort_key(scope))
+                while self.accept_op(","):
+                    agg_order.append(self.parse_sort_key(scope))
+            # DuckDB's inline null treatment: f(x IGNORE NULLS)
+            ignore_nulls = self._null_treatment()
             self.expect_op(")")
         elif star:
             self.expect_op(")")
+        # standard postfix form: f(x) IGNORE NULLS OVER (...)
+        ignore_nulls = self._null_treatment() or ignore_nulls
         lname = name.lower()
         if distinct and lname not in AGG_NAMES:
             # Func has no DISTINCT form; dropping it silently would
             # return duplicates — reject so engine.sql falls back
             raise SqlParseError(
                 f"DISTINCT inside {name}() is outside the parser surface")
+        if agg_order and lname not in AGG_NAMES:
+            raise SqlParseError(
+                f"ORDER BY inside {name}() — not an aggregate")
         if lname in AGG_NAMES:
             if lname == "count" and star:
                 e: Expr = AggFunc("count", [], distinct=distinct)
             else:
-                e = AggFunc(lname, args, distinct=distinct)
+                e = AggFunc(lname, args, distinct=distinct,
+                            order_by=tuple(agg_order))
             if self.accept_kw("FILTER"):
                 self.expect_op("(")
                 self.expect_kw("WHERE")
                 e.filter = self.parse_expr(scope)
                 self.expect_op(")")
             if self.accept_kw("OVER"):
-                return self.parse_over(e, scope)
+                return self.parse_over(e, scope, ignore_nulls)
+            if ignore_nulls:
+                raise SqlParseError(
+                    f"IGNORE NULLS on {name}() requires an OVER clause")
             return e
         f = Func(lname, args)
         if self.accept_kw("OVER"):
-            return self.parse_over(f, scope)
+            return self.parse_over(f, scope, ignore_nulls)
+        if ignore_nulls:
+            raise SqlParseError(
+                f"IGNORE NULLS on {name}() requires an OVER clause")
         return f
 
-    def parse_over(self, func_expr: Expr, scope) -> WindowFunc:
+    def _null_treatment(self) -> bool:
+        """[IGNORE|RESPECT] NULLS (two-token lookahead so a bare alias
+        named `ignore` is never consumed)."""
+        t0, t1 = self.peek(), self.peek(1)
+        if (t0 is not None and t0[0] == "id"
+                and t0[1].upper() in ("IGNORE", "RESPECT")
+                and t1 is not None and t1[0] == "id"
+                and t1[1].upper() == "NULLS"):
+            kw = self.take()[1].upper()
+            self.take()
+            return kw == "IGNORE"
+        return False
+
+    def parse_over(self, func_expr: Expr, scope,
+                   ignore_nulls: bool = False) -> WindowFunc:
         t = self.peek()
         if t is not None and t[0] == "id":
             # OVER w — named window reference; the WINDOW clause appears
             # later in the statement, so record a placeholder and resolve
             # in parse_select once the clause has parsed
-            wf = WindowFunc(func_expr)
+            wf = WindowFunc(func_expr, ignore_nulls=ignore_nulls)
             wf._named_ref = self.take()[1].lower()
             return wf
         self.expect_op("(")
         partition, order, frame = self._window_spec(scope)
         self.expect_op(")")
-        return WindowFunc(func_expr, partition, order, frame)
+        return WindowFunc(func_expr, partition, order, frame,
+                          ignore_nulls=ignore_nulls)
 
     def _window_spec(self, scope):
         """The body of a window specification: [PARTITION BY ...]

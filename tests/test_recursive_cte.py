@@ -1,0 +1,279 @@
+"""WITH RECURSIVE through the SQL front door (r7).
+
+The reference's ctx.sql inherits recursive CTEs from DataFusion's SQL
+layer; Spark 4.1's native support covers UNION ALL only
+(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the front-door fixpoint in
+compiler._compile_recursive is the only Spark path for the distinct
+form. Semantics pinned here against hand-computed fixpoints and DuckDB
+(via the q88/q89 oracle rows); refusals, convergence, the iteration
+cap, NULL set-semantics, plan linearity, and the federation boundary
+each get a test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import TESTDATA
+
+
+def _engine(spark, tables=()):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    for t in tables:
+        eng.register_local_df(
+            t, spark.read.parquet(f"{TESTDATA}/{t}.parquet"))
+    return eng
+
+
+# ---------------------------------------------------------------------------
+# parsing + plan shape
+# ---------------------------------------------------------------------------
+
+def _parse(sql):
+    from datafusion_federation_spark.sqlfront import parse_sql
+
+    class H:
+        def __init__(self, name):
+            self.local_name = name
+            self.provider = None
+            self.schema = None
+            self.fallback_path = None
+
+    return parse_sql(sql, lambda n: H(n))
+
+
+def test_parse_splits_base_and_step():
+    from datafusion_federation_spark.plans.nodes import (
+        RecursiveCTE, walk_plan)
+    p = _parse("WITH RECURSIVE t(n) AS ("
+               "SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5) "
+               "SELECT n FROM t")
+    ctes = [n for n in walk_plan(p) if isinstance(n, RecursiveCTE)]
+    assert len(ctes) == 1
+    cte = ctes[0]
+    assert cte.union_all is True
+    assert cte.cols == ["n"]
+    from datafusion_federation_spark.plans.nodes import RecursiveRef
+    assert not any(isinstance(n, RecursiveRef) for n in walk_plan(cte.base))
+    assert any(isinstance(n, RecursiveRef) for n in walk_plan(cte.step))
+
+
+def test_parse_union_distinct_mode():
+    from datafusion_federation_spark.plans.nodes import (
+        RecursiveCTE, walk_plan)
+    p = _parse("WITH RECURSIVE t(n) AS ("
+               "SELECT 1 UNION SELECT n FROM t) SELECT n FROM t")
+    cte = next(n for n in walk_plan(p) if isinstance(n, RecursiveCTE))
+    assert cte.union_all is False
+
+
+def test_non_recursive_body_under_recursive_keyword():
+    # RECURSIVE permits, not mandates: a body with no self-reference
+    # parses as an ordinary CTE
+    from datafusion_federation_spark.plans.nodes import (
+        RecursiveCTE, walk_plan)
+    p = _parse("WITH RECURSIVE t AS (SELECT 1 AS n) SELECT n FROM t")
+    assert not any(isinstance(n, RecursiveCTE) for n in walk_plan(p))
+
+
+@pytest.mark.parametrize("sql,msg", [
+    # self-reference without any UNION: not base-UNION-step shaped
+    ("WITH RECURSIVE t(n) AS (SELECT n FROM t) SELECT n FROM t",
+     "UNION"),
+    ("WITH RECURSIVE t(n) AS (SELECT n + 1 FROM t WHERE n < 3) "
+     "SELECT n FROM t", "UNION"),
+    # UNION-shaped but every branch references the working table
+    ("WITH RECURSIVE t(n) AS (SELECT n FROM t UNION ALL "
+     "SELECT n + 1 FROM t) SELECT n FROM t", "non-recursive"),
+    # working table referenced twice in one step branch
+    ("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+     "SELECT a.n + b.n FROM t a JOIN t b ON a.n = b.n) SELECT n FROM t",
+     "only once"),
+    # aggregation over the working table
+    ("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+     "SELECT MAX(n) + 1 FROM t GROUP BY n) SELECT n FROM t",
+     "aggregation"),
+    # working table inside a subquery expression
+    ("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+     "SELECT n + 1 FROM t WHERE n IN (SELECT n FROM t)) SELECT n FROM t",
+     "only once"),
+    # INTERSECT over the working table (binds tighter than UNION, so
+    # the second branch is a SetOp containing the self-reference)
+    ("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+     "SELECT n + 1 FROM t INTERSECT SELECT 2) SELECT n FROM t",
+     "EXCEPT/INTERSECT"),
+])
+def test_refusals(sql, msg):
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    with pytest.raises(SqlParseError, match=msg):
+        _parse(sql)
+
+
+def test_column_list_refused_without_recursive():
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    with pytest.raises(SqlParseError, match="RECURSIVE"):
+        _parse("WITH t(n) AS (SELECT 1) SELECT n FROM t")
+
+
+# ---------------------------------------------------------------------------
+# FROM-less SELECT (OneRow)
+# ---------------------------------------------------------------------------
+
+def test_fromless_select_parses_to_onerow():
+    from datafusion_federation_spark.plans.nodes import OneRow, walk_plan
+    p = _parse("SELECT 1 AS a, 'x' AS b")
+    assert any(isinstance(n, OneRow) for n in walk_plan(p))
+
+
+def test_fromless_select_executes(spark):
+    eng = _engine(spark)
+    rows = eng.sql("SELECT 1 AS a, 2 + 3 AS b").collect()
+    assert len(rows) == 1 and rows[0].a == 1 and rows[0].b == 5
+
+
+def test_fromless_union_branches(spark):
+    eng = _engine(spark)
+    got = sorted(r.v for r in
+                 eng.sql("SELECT 1 AS v UNION ALL SELECT 2").collect())
+    assert got == [1, 2]
+
+
+def test_fromless_does_not_break_from_queries(spark):
+    # regression guard for the FROM pre-scan rewrite: a normal query
+    # with a scalar subquery in the select list still binds its FROM
+    eng = _engine(spark, ["region"])
+    rows = eng.sql(
+        "SELECT r_name, (SELECT COUNT(*) FROM region) AS n "
+        "FROM region ORDER BY r_name LIMIT 2").collect()
+    assert len(rows) == 2 and rows[0].n == 5
+
+
+# ---------------------------------------------------------------------------
+# fixpoint execution semantics
+# ---------------------------------------------------------------------------
+
+def test_union_all_series(spark):
+    eng = _engine(spark)
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 10) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS c FROM t"
+    ).collect()
+    assert rows[0].s == 55 and rows[0].c == 10
+
+
+def test_union_distinct_terminates_on_cycle(spark):
+    # 1 -> 2 -> 3 -> 1 cycle: UNION ALL would never converge; UNION's
+    # subtract-against-accumulated reaches the fixpoint in 3 rounds
+    eng = _engine(spark)
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION "
+        "SELECT n % 3 + 1 FROM t) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS s FROM t").collect()
+    assert rows[0].s == 6
+
+
+def test_union_distinct_null_rows_dedup(spark):
+    # NULL rows must dedup under set semantics (subtract/EXCEPT), not
+    # join equality — a NULL-keyed anti-join would keep re-adding the
+    # NULL row forever
+    eng = _engine(spark)
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS ("
+        "SELECT CAST(NULL AS INT) UNION SELECT n FROM t) "
+        "SELECT COUNT(*) AS c FROM t").collect()
+    assert rows[0].c == 1
+
+
+def test_max_iterations_guard(spark):
+    eng = _engine(spark)
+    with pytest.raises(Exception, match="did not converge"):
+        eng.sql(
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+            "SELECT n + 1 FROM t) SELECT COUNT(*) AS c FROM t").collect()
+
+
+def test_multiple_base_and_step_branches(spark):
+    eng = _engine(spark)
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS ("
+        "SELECT 1 UNION SELECT 100 "
+        "UNION SELECT n + 1 FROM t WHERE n < 3) "
+        "SELECT CAST(SUM(n) AS BIGINT) AS s, COUNT(*) AS c FROM t"
+    ).collect()
+    # {1, 100, 2, 3}
+    assert rows[0].s == 106 and rows[0].c == 4
+
+
+def test_cte_referenced_twice_runs_fixpoint_once(spark):
+    # the parser shares one RecursiveCTE node across mentions; the
+    # compiler caches by id() so both references see one fixpoint
+    eng = _engine(spark)
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 4) "
+        "SELECT a.n FROM t a JOIN t b ON a.n = b.n ORDER BY a.n"
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 3, 4]
+
+
+def test_recursive_cte_over_table(spark):
+    # depth histogram equals log-halving of the part keyspace
+    eng = _engine(spark, ["part"])
+    rows = eng.sql(
+        "WITH RECURSIVE anc(pk, node, d) AS ("
+        "SELECT p_partkey, p_partkey, 0 FROM part UNION ALL "
+        "SELECT a.pk, CAST(FLOOR(a.node / 2) AS BIGINT), a.d + 1 "
+        "FROM anc a WHERE a.node > 1) "
+        "SELECT d, COUNT(*) AS n FROM anc GROUP BY d ORDER BY d"
+    ).collect()
+    import duckdb
+    want = duckdb.connect().execute(
+        "WITH RECURSIVE anc(pk, node, d) AS ("
+        "SELECT p_partkey, p_partkey, 0 FROM "
+        f"'{TESTDATA}/part.parquet' UNION ALL "
+        "SELECT pk, CAST(FLOOR(node / 2) AS BIGINT), d + 1 "
+        "FROM anc WHERE node > 1) "
+        "SELECT d, COUNT(*) AS n FROM anc GROUP BY d ORDER BY d"
+    ).fetchall()
+    assert [(r.d, r.n) for r in rows] == want
+
+
+def test_plan_stays_linear_at_depth(spark):
+    # 40 rounds: an un-checkpointed formulation doubles the plan per
+    # round (the d51/d68 lesson) and dies long before 40; the
+    # checkpointed loop's plan is linear and this stays fast
+    eng = _engine(spark)
+    rows = eng.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 40) "
+        "SELECT COUNT(*) AS c FROM t").collect()
+    assert rows[0].c == 40
+
+
+# ---------------------------------------------------------------------------
+# federation boundary
+# ---------------------------------------------------------------------------
+
+def test_recursion_stays_local_but_base_can_federate(duckdb_engine):
+    # base term scans a remote table -> that scan is claimed; the
+    # recursive term (working-table join) stays local
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RecursiveCTE, RecursiveRef, RemoteQueryNode, walk_plan)
+    eng, _ex = duckdb_engine
+    plan = eng.sql_plan(
+        "WITH RECURSIVE t(k) AS ("
+        "SELECT c_custkey FROM customer WHERE c_custkey < 3 "
+        "UNION ALL SELECT k + 100 FROM t WHERE k < 200) "
+        "SELECT COUNT(*) AS c FROM t").plan
+    fed = federate(plan)
+    cte = next(n for n in walk_plan(fed) if isinstance(n, RecursiveCTE))
+    assert any(isinstance(n, RemoteQueryNode) for n in walk_plan(cte.base))
+    assert not any(isinstance(n, RemoteQueryNode)
+                   for n in walk_plan(cte.step))
+    assert any(isinstance(n, RecursiveRef) for n in walk_plan(cte.step))
+    # and it executes correctly end to end
+    rows = eng.execute(fed).collect()
+    assert rows[0].c == 9  # {0,1,2} + {100,101,102} + {200,201,202}

@@ -325,8 +325,10 @@ def test_exists_under_or_rejected_at_parse():
 
 
 def test_distinct_in_unknown_function_rejected():
+    # array_agg graduated to a real aggregate in r7 s3 — use a function
+    # that is genuinely not an aggregate
     with pytest.raises(SqlParseError, match="DISTINCT"):
-        parse("SELECT array_agg(DISTINCT a) AS v FROM t GROUP BY b")
+        parse("SELECT upper(DISTINCT a) AS v FROM t GROUP BY b")
 
 
 def test_correlated_below_aggregate_rejected_locally(spark):
@@ -1128,3 +1130,195 @@ def test_threevl_is_forms_parse_and_lower():
     assert isinstance(p, IsTrue) and not p.negated \
         and p.what == "UNKNOWN"
     assert "IS UNKNOWN" in p.to_sql(d)
+
+
+# -- IGNORE NULLS (r7 s3) ----------------------------------------------------
+
+def test_parse_ignore_nulls_both_spellings():
+    from datafusion_federation_spark.expressions import WindowFunc, walk
+    for sql in (
+        "SELECT LAG(x) IGNORE NULLS OVER (ORDER BY i) AS p FROM t0",
+        "SELECT LAG(x IGNORE NULLS) OVER (ORDER BY i) AS p FROM t0",
+    ):
+        p = parse(sql)
+        wf = next(x for e in p.projections for x in walk(e)
+                  if isinstance(x, WindowFunc))
+        assert wf.ignore_nulls is True
+
+
+def test_parse_respect_nulls_is_default():
+    from datafusion_federation_spark.expressions import WindowFunc, walk
+    p = parse("SELECT LAG(x) RESPECT NULLS OVER (ORDER BY i) AS p FROM t0")
+    wf = next(x for e in p.projections for x in walk(e)
+              if isinstance(x, WindowFunc))
+    assert wf.ignore_nulls is False
+
+
+def test_parse_ignore_nulls_without_over_refused():
+    with pytest.raises(SqlParseError, match="OVER"):
+        parse("SELECT LAG(x) IGNORE NULLS FROM t0")
+
+
+def test_ignore_nulls_alias_named_ignore_not_consumed():
+    # `f(x) ignore` = alias named "ignore", not a null-treatment prefix
+    p = parse("SELECT COALESCE(x, 0) ignore FROM t0")
+    assert p.projections[0].output_name() == "ignore"
+
+
+def test_ignore_nulls_values_vs_duckdb(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "t", spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30), (4, None)], "i int, x int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 10), "
+                "(2, NULL), (3, 30), (4, NULL)) v(i, x)")
+    cases = [
+        ("LAG(x) IGNORE NULLS", "lag(x IGNORE NULLS)"),
+        ("LEAD(x) IGNORE NULLS", "lead(x IGNORE NULLS)"),
+        ("FIRST_VALUE(x) IGNORE NULLS", "first_value(x IGNORE NULLS)"),
+    ]
+    for ours, ducks in cases:
+        got = [tuple(r) for r in eng.sql(
+            f"SELECT i, {ours} OVER (ORDER BY i) AS v "
+            f"FROM t ORDER BY i").collect()]
+        want = con.execute(
+            f"SELECT i, {ducks} OVER (ORDER BY i) AS v "
+            f"FROM t ORDER BY i").fetchall()
+        assert got == want, (ours, got, want)
+
+
+def test_ignore_nulls_lag_offset2_refused(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "t", spark.createDataFrame([(1, 10)], "i int, x int"))
+    with pytest.raises(NotImplementedError, match="offset 1"):
+        eng.sql("SELECT LAG(x, 2) IGNORE NULLS OVER (ORDER BY i) AS v "
+                "FROM t").collect()
+
+
+# -- VALUES inline relation (r7 s3) ------------------------------------------
+
+def test_values_relation_executes(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    rows = eng.sql("SELECT i, s FROM (VALUES (1, 'a'), (2, 'b')) "
+                   "AS v(i, s) ORDER BY i").collect()
+    assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_values_join_against_table(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "region", spark.read.parquet(f"{TESTDATA}/region.parquet"))
+    rows = eng.sql(
+        "SELECT r_name, w FROM region "
+        "JOIN (VALUES (0, 10.5), (2, 20.5)) AS v(k, w) "
+        "ON r_regionkey = k ORDER BY r_name").collect()
+    assert [tuple(r) for r in rows] == [("AFRICA", 10.5), ("ASIA", 20.5)]
+
+
+def test_values_requires_column_alias_list():
+    with pytest.raises(SqlParseError, match="alias"):
+        parse("SELECT * FROM (VALUES (1)) v")
+
+
+def test_values_arity_mismatch_refused():
+    with pytest.raises(SqlParseError, match="arity"):
+        parse("SELECT * FROM (VALUES (1, 2), (3)) v(a, b)")
+    with pytest.raises(SqlParseError, match="columns"):
+        parse("SELECT * FROM (VALUES (1, 2)) v(a)")
+
+
+# -- order-sensitive aggregates (r7 s3) --------------------------------------
+
+def _agg_engine(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "g", spark.createDataFrame(
+            [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"),
+             (2, 1, "x"), (2, None, "y")],
+            "k int, o int, v string"))
+    return eng
+
+
+def test_string_agg_order_by_asc_desc(spark):
+    eng = _agg_engine(spark)
+    rows = eng.sql("SELECT k, STRING_AGG(v, '-' ORDER BY o) AS s "
+                   "FROM g GROUP BY k ORDER BY k").collect()
+    # Spark default: ASC -> NULLS FIRST (o=None sorts first in k=2)
+    assert [tuple(r) for r in rows] == [(1, "a-b-c"), (2, "y-x")]
+    rows = eng.sql("SELECT k, STRING_AGG(v, '-' ORDER BY o DESC) AS s "
+                   "FROM g GROUP BY k ORDER BY k").collect()
+    assert [tuple(r) for r in rows] == [(1, "c-b-a"), (2, "x-y")]
+
+
+def test_string_agg_nulls_last_matches_duckdb(spark):
+    eng = _agg_engine(spark)
+    q = ("SELECT k, STRING_AGG(v, '-' ORDER BY o ASC NULLS LAST) AS s "
+         "FROM g GROUP BY k ORDER BY k")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g AS SELECT * FROM (VALUES "
+                "(1, 3, 'c'), (1, 1, 'a'), (1, 2, 'b'), "
+                "(2, 1, 'x'), (2, NULL, 'y')) t(k, o, v)")
+    assert got == con.execute(q).fetchall()
+
+
+def test_string_agg_skips_null_values(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "g", spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, None), (1, 3, "c")],
+            "k int, o int, v string"))
+    rows = eng.sql("SELECT k, STRING_AGG(v, '-' ORDER BY o) AS s "
+                   "FROM g GROUP BY k").collect()
+    assert rows[0].s == "a-c"
+
+
+def test_array_agg_order_by_multi_key(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "g", spark.createDataFrame(
+            [(1, 1, 9, "a"), (1, 1, 1, "b"), (1, 0, 5, "c")],
+            "k int, o1 int, o2 int, v string"))
+    rows = eng.sql(
+        "SELECT k, ARRAY_AGG(v ORDER BY o1 ASC, o2 DESC) AS vs "
+        "FROM g GROUP BY k").collect()
+    assert rows[0].vs == ["c", "a", "b"]
+
+
+def test_ordered_agg_refusals(spark):
+    eng = _agg_engine(spark)
+    with pytest.raises(SqlParseError, match="not an aggregate"):
+        parse("SELECT COALESCE(v ORDER BY o) FROM g")
+    with pytest.raises(NotImplementedError, match="no local Spark"):
+        eng.sql("SELECT SUM(o ORDER BY o) AS s FROM g").collect()
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        eng.sql("SELECT STRING_AGG(DISTINCT v, '-' ORDER BY v) AS s "
+                "FROM g").collect()
+
+
+def test_grouping_function_rollup_vs_duckdb(spark):
+    # GROUPING() must compile INSIDE the grouping Aggregate — Spark
+    # raises UNSUPPORTED_GROUPING_EXPRESSION in a post-projection (the
+    # pre-r7s3 lowering); classified as an aggregate it lands in
+    # Aggregate.aggregates where F.grouping is legal
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "nation", spark.read.parquet(f"{TESTDATA}/nation.parquet"))
+    q = ("SELECT n_regionkey, CAST(GROUPING(n_regionkey) AS BIGINT) AS g, "
+         "COUNT(*) AS c FROM nation GROUP BY ROLLUP(n_regionkey) "
+         "ORDER BY g, n_regionkey")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"'{TESTDATA}/nation.parquet'")
+    assert got == con.execute(q).fetchall()

@@ -724,3 +724,42 @@ def test_is_distinct_from_dialect_renderings_executed():
         assert native == expanded
         assert all(r[2] in (True, False) for r in native)  # total
     conn.close()
+
+
+# -- IGNORE NULLS null treatment (r7 s3) -------------------------------------
+
+def _ign_plan():
+    from datafusion_federation_spark.expressions import WindowFunc, func
+    lag = Alias(WindowFunc(func("lag", col("x")),
+                           order_by=[SortKey(col("i"))],
+                           ignore_nulls=True), "p")
+    return Project(scan(), [col("i"), lag])
+
+
+def test_ignore_nulls_postfix_ansi_spark():
+    out = sql(_ign_plan())
+    assert 'IGNORE NULLS OVER (ORDER BY "i" ASC)' in out
+    out_s = sql(_ign_plan(), "spark")
+    assert "IGNORE NULLS OVER" in out_s
+
+
+def test_ignore_nulls_inline_duckdb_executes():
+    out = sql(_ign_plan(), "duckdb")
+    assert 'lag("x" IGNORE NULLS) OVER' in out
+    con = duckdb.connect()
+    con.execute("CREATE TABLE remote_table AS SELECT * FROM (VALUES "
+                "(1, 10), (2, NULL), (3, 30)) v(i, x)")
+    got = con.execute(out + " ORDER BY i").fetchall()
+    assert got == [(1, None), (2, 10), (3, 10)]
+
+
+@pytest.mark.parametrize("dialect,msg", [
+    ("postgres", "IGNORE NULLS"), ("sqlite", "IGNORE NULLS"),
+    ("mysql", "IGNORE NULLS"),
+    # derby refuses one step earlier: lag() is not in its function map
+    ("derby", "lag"),
+])
+def test_ignore_nulls_refused_without_syntax(dialect, msg):
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    with pytest.raises(UnsupportedUnparse, match=msg):
+        sql(_ign_plan(), dialect)
