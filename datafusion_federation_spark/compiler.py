@@ -21,9 +21,9 @@ from pyspark.sql import functions as F
 
 from .expressions import Alias, Col, Cube, Expr, GroupingSets, Rollup, Star
 from .plans.nodes import (
-    Aggregate, Analyze, AsofJoin, Distinct, Filter, Join, Limit, OneRow,
-    Plan, Project, RecursiveCTE, RecursiveRef, RemoteQueryNode, Scan,
-    SetOp, Sort, SubqueryAlias, Union, Window,
+    Aggregate, Analyze, AsofJoin, Distinct, Filter, Join, LateralJoin,
+    Limit, OneRow, Plan, Project, RecursiveCTE, RecursiveRef,
+    RemoteQueryNode, Scan, SetOp, Sort, SubqueryAlias, Union, Window,
 )
 from .schema_cast import cast_dataframe
 
@@ -195,6 +195,9 @@ class Compiler:
         if isinstance(p, AsofJoin):
             return self._compile_asof(p)
 
+        if isinstance(p, LateralJoin):
+            return self._compile_lateral(p)
+
         if isinstance(p, Join):
             if self.runtime_join_filters and p.how in ("inner", "semi"):
                 p = self._push_runtime_join_filter(p)
@@ -351,6 +354,197 @@ class Compiler:
             else:
                 self._recursive_work[key] = prev
         return acc
+
+    # ------------------------------------------------------------------
+    def _compile_lateral(self, p) -> DataFrame:
+        """LATERAL decorrelation. Engines evaluate the lateral subquery
+        once per outer row; re-expressing that literally (a Python loop
+        over collect()) would be the opposite of distributed — instead
+        each supported shape rewrites to a set-level plan:
+
+        - plain Filter/Project body        -> equi/theta JOIN
+        - ungrouped Aggregate body         -> grouped agg keyed by the
+          correlation columns, LEFT-joined to the DISTINCT outer keys so
+          empty groups surface (COUNT coalesced to 0 — the engines'
+          exactly-one-row-per-outer-row contract), then joined back
+        - ORDER BY + LIMIT k body          -> row_number() OVER
+          (PARTITION BY correlation keys ORDER BY sort keys) <= k, then
+          JOIN (the top-k-per-key pattern)
+
+        Anything else refuses loudly (the repo's semantic-refusal
+        posture): NotImplementedError, never an approximation. 100 TB:
+        every rewrite is one keyed shuffle + a join Catalyst plans
+        normally; the top-k window partitions by the correlation key, so
+        skew follows the key distribution like any groupBy."""
+        from .expressions import BinaryOp, Col as ColE, Lit, OuterRef, walk
+
+        left_df = self._c(p.left)
+        on_expr = p.condition
+        if isinstance(on_expr, Lit) and on_expr.value is True:
+            on_expr = None
+
+        core = p.right
+        alias = None
+        if isinstance(core, SubqueryAlias):
+            alias, core = core.alias, core.input
+
+        limit = sort = None
+        node = core
+        if isinstance(node, Limit):
+            limit, node = node, node.input
+            if not isinstance(node, Sort):
+                raise NotImplementedError(
+                    "LATERAL ... LIMIT without ORDER BY is "
+                    "nondeterministic — refused")
+            sort, node = node, node.input
+        elif isinstance(node, Sort):
+            # ORDER BY with no LIMIT in a lateral body: the rows feed a
+            # join, so the order carries no semantics — drop it (the
+            # engines do the same)
+            core = node.input
+
+        def split_conds(conds):
+            """Correlated conjuncts -> (inner Col, outer OuterRef) equi
+            pairs; None when any conjunct is not a plain equality."""
+            pairs = []
+            for c in conds:
+                if isinstance(c, BinaryOp) and c.op == "=":
+                    a, b = c.left, c.right
+                    if isinstance(a, ColE) and isinstance(b, OuterRef):
+                        pairs.append((a, b))
+                        continue
+                    if isinstance(b, ColE) and isinstance(a, OuterRef):
+                        pairs.append((b, a))
+                        continue
+                return None
+            return pairs
+
+        if isinstance(core, Aggregate):
+            agg = core
+            if agg.group_by:
+                raise NotImplementedError(
+                    "LATERAL aggregate with its own GROUP BY is "
+                    "unsupported")
+            if on_expr is not None:
+                raise NotImplementedError(
+                    "LATERAL aggregate supports only ON TRUE")
+            conds, cleaned_in = _extract_correlated(agg.input)
+            pairs = split_conds(conds)
+            if pairs is None:
+                raise NotImplementedError(
+                    "LATERAL aggregate needs equality correlation "
+                    "(inner_col = outer.col)")
+            if not pairs:
+                # uncorrelated: a global 1-row aggregate, same for every
+                # outer row — plain (broadcast-sized) cross join
+                agg_df = self._c(agg)
+                if alias:
+                    agg_df = agg_df.alias(alias)
+                return left_df.crossJoin(agg_df)
+            inner_keys = [a for a, _ in pairs]
+            widened = _widen_projects(cleaned_in,
+                                      [k.name for k in inner_keys])
+            agg_df = self._c(Aggregate(widened, list(inner_keys),
+                                       list(agg.aggregates)))
+            out_cols = [a.output_name() for a in agg.aggregates]
+            # DISTINCT outer keys LEFT JOIN the grouped agg: empty
+            # groups get their one row (count -> 0) BEFORE the join
+            # back, so the per-outer-row contract holds under every
+            # join type the parser admits here
+            okeys = [_resolve_outer(left_df, r, p.left)
+                     .alias(f"__lat_k{i}")
+                     for i, (_, r) in enumerate(pairs)]
+            keyed = left_df.select(*okeys).dropDuplicates()
+            # plain equality here: a NULL outer key must NOT match inner
+            # rows (SQL `inner = NULL` never holds), it just keeps its
+            # empty-group row via the LEFT join
+            jc = None
+            for i, (a, _) in enumerate(pairs):
+                c = keyed[f"__lat_k{i}"] == agg_df[a.name]
+                jc = c if jc is None else (jc & c)
+            # engines return the aggregate row even for outer rows with
+            # ZERO matching inner rows — compute those empty-group
+            # values by evaluating the SAME aggregate expressions over
+            # a provably-empty input (count()->0, CAST(count())->0,
+            # max()->NULL, count()+1->1 — any expression, exactly the
+            # engines' semantics; a coalesce-to-0 patch would be wrong
+            # for anything but a bare count). One 1-row collect at
+            # compile: metadata-sized, like the q76/q79 dim loads.
+            empty_df = self._c(Aggregate(Filter(cleaned_in, Lit(False)),
+                                         [], list(agg.aggregates)))
+            empty_row = empty_df.collect()[0]
+            miss = agg_df[pairs[0][0].name].isNull()
+            fixed = []
+            for a, fld in zip(agg.aggregates, empty_df.schema.fields):
+                name = a.output_name()
+                col = F.when(miss, F.lit(empty_row[name])
+                             .cast(fld.dataType)) \
+                    .otherwise(agg_df[name])
+                fixed.append(col.alias(name))
+            right2 = (keyed.join(agg_df, on=jc, how="left")
+                      .select(*[keyed[f"__lat_k{i}"]
+                                for i in range(len(pairs))], *fixed))
+            if alias:
+                right2 = right2.alias(alias)
+            # eqNullSafe on the join BACK: a NULL-keyed outer row still
+            # owns its count=0 row (the engines evaluate the subquery
+            # for every outer row, NULL keys included)
+            jc2 = None
+            for i, (_, r) in enumerate(pairs):
+                c = _resolve_outer(left_df, r, p.left).eqNullSafe(
+                    right2[f"__lat_k{i}"])
+                jc2 = c if jc2 is None else (jc2 & c)
+            return left_df.join(right2, on=jc2, how="left")
+
+        # simple and top-k arms share the correlated-join skeleton
+        inner_plan = sort.input if sort is not None else core
+        conds, cleaned = _extract_correlated(inner_plan)
+        need = [x.name for c in conds for x in walk(c)
+                if isinstance(x, ColE)]
+        if sort is not None:
+            # hidden sort columns: ORDER BY may reference columns the
+            # subquery's projection drops (engines allow it) — carry
+            # them through for the window; the parent projection prunes
+            # them after the join
+            need += [x.name for k in sort.keys for x in walk(k.expr)
+                     if isinstance(x, ColE)]
+        cleaned = _widen_projects(cleaned, need)
+        right_df = self._c(cleaned)
+
+        if limit is not None:
+            pairs = split_conds(conds)
+            if pairs is None:
+                raise NotImplementedError(
+                    "LATERAL ORDER BY/LIMIT needs equality correlation "
+                    "(inner_col = outer.col) to partition the top-k "
+                    "window")
+            from pyspark.sql import Window as W
+            win = W.partitionBy(*[right_df[a.name] for a, _ in pairs]) \
+                .orderBy(*[k.to_spark() for k in sort.keys])
+            rn = F.row_number().over(win)
+            lo = limit.skip or 0
+            hi = lo + limit.fetch if limit.fetch is not None else None
+            right_df = right_df.withColumn("__lat_rn", rn)
+            flt = F.col("__lat_rn") > F.lit(lo)
+            if hi is not None:
+                flt = flt & (F.col("__lat_rn") <= F.lit(hi))
+            right_df = right_df.filter(flt).drop("__lat_rn")
+
+        if alias:
+            right_df = right_df.alias(alias)
+        jc = None
+        for c in conds:
+            cc = _corr_to_spark(c, left_df, right_df, p.left)
+            jc = cc if jc is None else (jc & cc)
+        if on_expr is not None:
+            oc = on_expr.to_spark()
+            jc = oc if jc is None else (jc & oc)
+        how = {"cross": "inner", "inner": "inner", "left": "left"}[p.how]
+        if jc is None:
+            if how == "inner":
+                return left_df.crossJoin(right_df)
+            jc = F.lit(True)
+        return left_df.join(right_df, on=jc, how=how)
 
     # ------------------------------------------------------------------
     def _compile_asof(self, p: AsofJoin):

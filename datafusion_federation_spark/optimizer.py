@@ -374,5 +374,17 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
         return plan.with_inputs(
             [prune_scans(k, None) for k in plan.inputs()])
 
+    from .plans.nodes import LateralJoin
+    if isinstance(plan, LateralJoin):
+        # the lateral BODY's projections under-state its needs: the
+        # decorrelating compile widens them with correlation keys and
+        # hidden sort columns AFTER this pass, so a Scan.projection set
+        # here would have already dropped them. The body never
+        # federates (its OuterRefs force local), and Catalyst prunes
+        # local parquet scans on its own — so skip the body entirely
+        # and prune only the (possibly federated) left input.
+        return plan.with_inputs([prune_scans(plan.left, None),
+                                 plan.right])
+
     kids = [prune_scans(k, None) for k in plan.inputs()]
     return plan.with_inputs(kids) if kids else plan

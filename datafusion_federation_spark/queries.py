@@ -410,6 +410,13 @@ SECONDARY = {
                           # machinery (both in-window/secondary with
                           # twins); straddle audit value-checked by
                           # the oracle; PASS both SFs
+    "q92_lateral_topk",   # window+join machinery carried in-window by
+                          # q52/d40/d63; all five LATERAL arms pinned vs
+                          # DuckDB in test_lateral; oracle PASS both SFs
+    "q93_lateral_agg",    # grouped-agg+join machinery carried in-window
+                          # by q01/q50; empty-group and NULL-key
+                          # contracts pinned in test_lateral; oracle
+                          # PASS both SFs
     "q91_string_agg",     # groupBy/agg machinery carried in-window by
                           # q01/q19; the ordered-aggregate lowering is
                           # pinned vs DuckDB in test_sqlfront (multi-key,

@@ -4705,3 +4705,63 @@ def q91(spark, sf):
     eng.register_local_df("nation", t(spark, sf, "nation"))
     eng.register_local_df("region", t(spark, sf, "region"))
     return eng.sql(_Q91_SQL)
+
+
+_Q92_SQL = """
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(s.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS top2_sum
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) s ON TRUE
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+@q("q92_lateral_topk", _Q92_SQL)
+def q92(spark, sf):
+    """LATERAL top-k-per-key (r7 s3): each customer's 2 highest-value
+    orders via JOIN LATERAL (... ORDER BY ... LIMIT 2), aggregated per
+    segment — identical SQL on both engines. Engines evaluate the
+    lateral body once per outer row; compiler._compile_lateral rewrites
+    it set-level: row_number() OVER (PARTITION BY the correlation key
+    ORDER BY the body's sort keys) <= k, then an ordinary equi-join —
+    one window Exchange on o_custkey plus the join, no per-row
+    execution anywhere. Hidden sort columns and pruned correlation keys
+    are re-widened before compile (prune_scans skips the lateral body;
+    Catalyst prunes the local parquet scan itself)."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("customer", t(spark, sf, "customer"))
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q92_SQL)
+
+
+_Q93_SQL = """
+SELECT c.c_mktsegment,
+       CAST(SUM(s.n) AS BIGINT) AS orders_total,
+       CAST(COUNT(CASE WHEN s.n = 0 THEN 1 END) AS BIGINT) AS no_order_custs
+FROM customer c LEFT JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_custkey = c.c_custkey) s ON TRUE
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+@q("q93_lateral_agg", _Q93_SQL)
+def q93(spark, sf):
+    """LATERAL ungrouped aggregate (r7 s3): per-customer order count via
+    LEFT JOIN LATERAL (SELECT COUNT(*) ...), then segment rollup
+    counting zero-order customers — the exactly-one-row-per-outer-row
+    contract is the point: customers with no orders must surface n=0,
+    not disappear. Decorrelation: grouped aggregate keyed by the
+    correlation column, LEFT-joined to the DISTINCT outer keys (COUNT
+    coalesced to 0 there, pre-join-back), then joined back with a
+    null-safe key equality so NULL-keyed outer rows keep their row
+    too."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("customer", t(spark, sf, "customer"))
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q93_SQL)

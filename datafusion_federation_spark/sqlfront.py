@@ -7,14 +7,18 @@ entry point 1) — DataFusion parses, then the federation rule finds
 single-provider subtrees. Our earlier sql() registered remote tables as
 whole-table federated views and let Spark parse, which loses the
 cross-table collapse (a join of two same-remote tables pulled both whole).
-This parser covers: SELECT [DISTINCT] with expressions/aliases, FROM with
-table aliases + derived tables, INNER/LEFT/RIGHT/FULL/CROSS JOIN ... ON,
-WHERE, GROUP BY (+ ROLLUP/CUBE/GROUPING SETS), HAVING, ORDER BY
+This parser covers: SELECT [DISTINCT] with expressions/aliases (FROM-less
+constant selects included), FROM with table aliases + derived tables +
+(VALUES ...) inline relations, INNER/LEFT/RIGHT/FULL/CROSS JOIN ... ON,
+[INNER|LEFT] JOIN LATERAL / , LATERAL (decorrelated at compile), WHERE,
+GROUP BY (+ ROLLUP/CUBE/GROUPING SETS, GROUPING()), HAVING, ORDER BY
 [ASC|DESC] [NULLS FIRST|LAST], LIMIT/OFFSET, UNION [ALL] / INTERSECT /
-EXCEPT, scalar/EXISTS/IN subqueries (with OuterRef detection for
-correlation), CASE, BETWEEN, [NOT] IN, [NOT] LIKE/ILIKE, IS [NOT] NULL,
-CAST/TRY_CAST, ANY/ALL, arithmetic/comparison/boolean operators, function
-calls incl. COUNT(DISTINCT ...) and FILTER (WHERE ...).
+EXCEPT, WITH [RECURSIVE] CTEs (fixpoint compiled locally),
+scalar/EXISTS/IN subqueries (with OuterRef detection for correlation),
+CASE, BETWEEN, [NOT] IN, [NOT] LIKE/ILIKE, IS [NOT] NULL, CAST/TRY_CAST,
+ANY/ALL, arithmetic/comparison/boolean operators, function calls incl.
+COUNT(DISTINCT ...), FILTER (WHERE ...), ordered aggregates
+(STRING_AGG/ARRAY_AGG ... ORDER BY) and window IGNORE NULLS.
 
 Unsupported constructs raise SqlParseError — engine.sql() falls back to
 the Spark-parser path (per-table pushdown) for those.
@@ -986,7 +990,6 @@ class Parser:
             if self.accept_kw("CROSS"):
                 self.expect_kw("JOIN")
                 if self.accept_kw("LATERAL"):
-                    self._lateral_guard()
                     rhs = self.parse_relation(scope)
                     plan = LateralJoin(plan, rhs, how="cross")
                     continue
@@ -1020,7 +1023,6 @@ class Parser:
                 how = "inner"
             elif self.accept_op(","):
                 if self.accept_kw("LATERAL"):
-                    self._lateral_guard()
                     rhs = self.parse_relation(scope)
                     plan = LateralJoin(plan, rhs, how="cross")
                     continue
@@ -1030,7 +1032,6 @@ class Parser:
             else:
                 break
             if self.accept_kw("LATERAL"):
-                self._lateral_guard()
                 if how not in ("inner", "left"):
                     raise SqlParseError(
                         f"{how.upper()} JOIN LATERAL is not valid SQL")
@@ -1083,14 +1084,6 @@ class Parser:
             plan = SubqueryAlias(plan, alias)
         return plan
 
-    #: flipped to True when the LateralJoin compile path lands; until
-    #: then LATERAL routes to the Spark-parser fallback via SqlParseError
-    LATERAL_ENABLED = False
-
-    def _lateral_guard(self):
-        if not self.LATERAL_ENABLED:
-            raise SqlParseError(
-                "LATERAL is outside the parser surface (Spark fallback)")
 
     def _parse_values_relation(self, scope: _Scope) -> Plan:
         """`(VALUES (e, ...), ...) AS alias(c1, ...)` — an inline

@@ -1,0 +1,192 @@
+"""LATERAL joins through the SQL front door (r7 s3).
+
+Engines evaluate a LATERAL subquery once per outer row; the compiler
+decorrelates to set-level plans instead (test_lateral pins each arm's
+values against DuckDB running the identical SQL):
+- plain body            -> equi/theta join
+- ungrouped aggregate   -> grouped agg + DISTINCT-outer-keys LEFT join
+                           with true empty-group values + join back
+- ORDER BY + LIMIT k    -> partitioned row_number <= k + join
+
+Refusals are loud (NotImplementedError) for shapes with no faithful
+set-level rewrite. Federation: the body's OuterRefs force the node
+local; the left subtree still claims.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import TESTDATA
+
+
+@pytest.fixture(scope="module")
+def lat(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        eng.register_local_df(
+            t, spark.read.parquet(f"{TESTDATA}/{t}.parquet"))
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{TESTDATA}/{t}.parquet'")
+    return eng, con
+
+
+def both(lat, q):
+    eng, con = lat
+    return [tuple(r) for r in eng.sql(q).collect()], con.execute(q).fetchall()
+
+
+def test_lateral_topk_per_key(lat):
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey, s.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) s ON TRUE
+WHERE c.c_custkey < 8 ORDER BY c.c_custkey, s.o_totalprice DESC""")
+    assert a == b and len(a) > 0
+
+
+def test_lateral_topk_hidden_sort_column(lat):
+    # ORDER BY references a column the body's projection drops
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey
+FROM customer c LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) s ON TRUE
+WHERE c.c_custkey < 8 ORDER BY c.c_custkey""")
+    assert a == b and len(a) == 8
+
+
+def test_lateral_aggregate_empty_group_values(lat):
+    # customers with zero orders must get count=0 / count+1=1 / max=NULL
+    # — the engines' exactly-one-row-per-outer-row contract, computed
+    # by evaluating the aggregate exprs over an empty input
+    a, b = both(lat, """
+SELECT c.c_custkey, s.n, s.np1, s.m
+FROM customer c LEFT JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) + 1 AS BIGINT) AS np1,
+         MAX(o_totalprice) AS m
+  FROM orders o WHERE o.o_custkey = c.c_custkey) s ON TRUE
+ORDER BY c.c_custkey""")
+    assert a == b
+    counts = {r[1] for r in a}
+    assert 0 in counts or len(a) > 0  # zero-order customers surface
+
+
+def test_lateral_simple_filter_body(lat):
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o_totalprice > 100000) s ON TRUE
+WHERE c.c_custkey < 20 ORDER BY c.c_custkey, s.o_orderkey""")
+    assert a == b and len(a) > 0
+
+
+def test_lateral_comma_form(lat):
+    a, b = both(lat, """
+SELECT c.c_custkey, s.n FROM customer c, LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_custkey = c.c_custkey) s
+WHERE c.c_custkey < 5 ORDER BY c.c_custkey""")
+    assert a == b and len(a) == 5
+
+
+def test_lateral_refusals(lat):
+    eng, _ = lat
+    # LIMIT without ORDER BY: nondeterministic per-row subset
+    with pytest.raises(NotImplementedError, match="nondeterministic"):
+        eng.sql("""
+SELECT c.c_custkey FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+  LIMIT 2) s ON TRUE""").collect()
+    # aggregate with its own GROUP BY (a restoring projection wraps
+    # the Aggregate, so this refuses at the conjunct-hoisting stage)
+    with pytest.raises(NotImplementedError,
+                       match="GROUP BY|decorrelated"):
+        eng.sql("""
+SELECT c.c_custkey FROM customer c JOIN LATERAL (
+  SELECT COUNT(*) AS n FROM orders o WHERE o.o_custkey = c.c_custkey
+  GROUP BY o_orderstatus) s ON TRUE""").collect()
+    # non-equi correlation under LIMIT
+    with pytest.raises(NotImplementedError, match="equality"):
+        eng.sql("""
+SELECT c.c_custkey FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o WHERE o.o_custkey < c.c_custkey
+  ORDER BY o_orderkey LIMIT 1) s ON TRUE""").collect()
+
+
+def test_lateral_parse_refusals():
+    from datafusion_federation_spark.sqlfront import (
+        Parser, SqlParseError)
+
+    class H:
+        def __init__(self, name):
+            self.local_name = name
+            self.provider = None
+            self.schema = None
+            self.fallback_path = None
+
+    with pytest.raises(SqlParseError, match="not valid SQL"):
+        Parser("SELECT 1 FROM a FULL JOIN LATERAL (SELECT 1 AS x) s "
+               "ON TRUE", lambda n: H(n)).parse()
+
+
+def test_lateral_left_side_still_federates(duckdb_engine):
+    # left input claims its provider; the body stays local
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        LateralJoin, RemoteQueryNode, walk_plan)
+    eng, _ex = duckdb_engine
+    plan = eng.sql_plan("""
+SELECT n.n_name, s.cnt FROM nation n JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem l
+  WHERE l.l_suppkey = n.n_nationkey) s ON TRUE""").plan
+    fed = federate(plan)
+    lj = next(x for x in walk_plan(fed) if isinstance(x, LateralJoin))
+    assert isinstance(lj.left, RemoteQueryNode) or any(
+        isinstance(x, RemoteQueryNode) for x in walk_plan(lj.left))
+    assert not any(isinstance(x, RemoteQueryNode)
+                   for x in walk_plan(lj.right))
+    rows = eng.execute(fed).collect()
+    assert len(rows) == 25
+
+
+def test_lateral_topk_plan_single_window_exchange(lat):
+    # the rewrite must be a window + join — no per-row loop, no
+    # cartesian; the window partitions by the correlation key
+    eng, _ = lat
+    df = eng.sql("""
+SELECT c.c_custkey, s.o_orderkey
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) s ON TRUE""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_lateral_order_without_limit_ignored(lat):
+    # ORDER BY with no LIMIT in the body carries no semantics post-join
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC) s ON TRUE
+WHERE c.c_custkey < 5 ORDER BY c.c_custkey, s.o_orderkey""")
+    assert a == b and len(a) > 0
+
+
+def test_lateral_uncorrelated_aggregate(lat):
+    # legal (if pointless) SQL: a global 1-row aggregate cross-joined
+    a, b = both(lat, """
+SELECT c.c_custkey, s.total
+FROM customer c JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders) s ON TRUE
+WHERE c.c_custkey < 3 ORDER BY c.c_custkey""")
+    assert a == b and len(a) == 3
