@@ -55,6 +55,15 @@ class Compiler:
         #: fixpoint run, and id(node) -> result for repeated references
         self._recursive_work: dict = {}
         self._recursive_results: dict = {}
+        #: id(RemoteQueryNode) -> compiled (lazily checkpointed)
+        #: DataFrame, pinned by iterative compiles so a remote subtree
+        #: referenced once per fixpoint round (or twice by the lateral
+        #: empty-group fixup) executes its remote SQL ONCE
+        self._static_reuse: dict = {}
+        #: diagnostics: fixpoint executions this compiler has run (the
+        #: shared-node cache invariant is asserted against this in
+        #: tests — a CTE referenced twice must run its fixpoint once)
+        self.fixpoint_runs = 0
 
     # ------------------------------------------------------------------
     def compile(self, plan: Plan) -> DataFrame:
@@ -66,12 +75,16 @@ class Compiler:
             # address would silently reuse the wrong DataFrame
             self._probe_reuse.clear()
             self._recursive_results.clear()
+            self._static_reuse.clear()
 
     # ------------------------------------------------------------------
     def _c(self, p: Plan) -> DataFrame:
         reused = self._probe_reuse.pop(id(p), None)
         if reused is not None:
             return reused
+        pinned = self._static_reuse.get(id(p))
+        if pinned is not None:
+            return pinned
         if isinstance(p, Analyze):
             # AnalyzeExec analog: execution + metrics are driven by
             # engine.explain(analyze=True); plain compilation runs the
@@ -278,6 +291,22 @@ class Compiler:
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
     # ------------------------------------------------------------------
+    def _pin_static_leaves(self, plan: Plan) -> None:
+        """Compile every RemoteQueryNode under `plan` once and register
+        the (lazily checkpointed) result for reuse: an iterative compile
+        re-walks the same plan objects each round, and RemoteQueryNode
+        executes its remote SQL at compile time — without pinning, a
+        federated dimension inside a recursive step would be re-fetched
+        up to max_iterations times (review r7 s3 findings #7/#8).
+        Cleared with the other per-compile caches in compile()."""
+        from .plans.nodes import walk_plan
+        for n in walk_plan(plan):
+            if isinstance(n, RemoteQueryNode) \
+                    and id(n) not in self._static_reuse:
+                self._static_reuse[id(n)] = \
+                    self._c(n).localCheckpoint(eager=False)
+
+    # ------------------------------------------------------------------
     def _compile_recursive(self, p: RecursiveCTE) -> DataFrame:
         """WITH RECURSIVE fixpoint (Postgres/DuckDB semantics; the
         reference inherits this from DataFusion's SQL layer — Spark has
@@ -307,6 +336,8 @@ class Compiler:
         ``max_iterations`` (default 100) bounds runaway UNION ALL
         recursions over cyclic inputs — same guard class as the
         engines' recursion depth limits."""
+        self.fixpoint_runs += 1
+        self._pin_static_leaves(p.step)
         base = self._c(p.base)
         if p.cols is not None:
             if len(p.cols) != len(base.columns):
@@ -429,6 +460,7 @@ class Compiler:
                 raise NotImplementedError(
                     "LATERAL aggregate supports only ON TRUE")
             conds, cleaned_in = _extract_correlated(agg.input)
+            self._pin_static_leaves(cleaned_in)
             pairs = split_conds(conds)
             if pairs is None:
                 raise NotImplementedError(
@@ -494,7 +526,13 @@ class Compiler:
                 c = _resolve_outer(left_df, r, p.left).eqNullSafe(
                     right2[f"__lat_k{i}"])
                 jc2 = c if jc2 is None else (jc2 & c)
-            return left_df.join(right2, on=jc2, how="left")
+            joined = left_df.join(right2, on=jc2, how="left")
+            # project the helper key columns away so SELECT * sees
+            # exactly left.* + the body's outputs (review r7 s3 finding
+            # #3); attribute qualifiers survive the projection, so
+            # alias-qualified parent refs (s.n) still resolve
+            return joined.select(left_df["*"],
+                                 *[right2[c] for c in out_cols])
 
         # simple and top-k arms share the correlated-join skeleton
         inner_plan = sort.input if sort is not None else core
@@ -542,9 +580,21 @@ class Compiler:
         how = {"cross": "inner", "inner": "inner", "left": "left"}[p.how]
         if jc is None:
             if how == "inner":
-                return left_df.crossJoin(right_df)
-            jc = F.lit(True)
-        return left_df.join(right_df, on=jc, how=how)
+                joined = left_df.crossJoin(right_df)
+            else:
+                joined = left_df.join(right_df, on=F.lit(True), how=how)
+        else:
+            joined = left_df.join(right_df, on=jc, how=how)
+        # drop the widened correlation-key / hidden-sort helper columns:
+        # SELECT * must see exactly left.* + the body's declared outputs
+        # (review r7 s3 finding #3). Unknown output lists (a star body)
+        # keep the raw join — a star body legitimately exposes
+        # everything, and the widen pass left it untouched.
+        out_cols = _plan_output_cols(p.right)
+        if out_cols is not None:
+            return joined.select(left_df["*"],
+                                 *[right_df[c] for c in out_cols])
+        return joined
 
     # ------------------------------------------------------------------
     def _compile_asof(self, p: AsofJoin):

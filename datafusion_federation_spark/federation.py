@@ -180,6 +180,17 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
         # stay local; sibling subtrees inside base/step still federate
         # independently via the recursive optimizer pass
         return ScanResult.ambiguous()
+    from .plans.nodes import LateralJoin
+    if isinstance(p, LateralJoin):
+        # the decorrelating compile owns this node. A CORRELATED body's
+        # OuterRefs would force ambiguous via the generic walk anyway,
+        # but an UNCORRELATED body over the same provider as the left
+        # side would otherwise mark the whole node claimable — and the
+        # unparser has no LATERAL rendering, so the claim would die
+        # with an uncaught ValueError instead of degrading (review r7
+        # s3 finding #1). Same posture as AsofJoin's dialect gate:
+        # ambiguous here, children still claim individually.
+        return ScanResult.ambiguous()
     for e in p.exprs():
         res = res.merge(scan_expr(e, enclosing, outer_vetted))
     for i in p.inputs():

@@ -119,6 +119,20 @@ def _side_covers(refs: Sequence[Col], cols: Optional[Sequence[str]],
     return True
 
 
+def _rebuild(plan: Plan, new_inputs) -> Plan:
+    """with_inputs that preserves node IDENTITY when nothing changed.
+    Shared plan nodes (a WITH RECURSIVE CTE referenced twice resolves to
+    ONE RecursiveCTE object) must stay shared through the optimizer
+    passes — the compiler's id()-keyed fixpoint cache depends on it, and
+    an unconditional rebuild would silently split the sharing and run
+    the fixpoint once per mention (review r7 s3 finding #6)."""
+    old = plan.inputs()
+    if len(old) == len(new_inputs) and \
+            all(n is o for n, o in zip(new_inputs, old)):
+        return plan
+    return plan.with_inputs(list(new_inputs))
+
+
 def push_filters(plan: Plan) -> Plan:
     """Recursively push Filter conjuncts toward the scans. Returns a new
     plan; unknown node shapes pass through untouched (children still
@@ -126,7 +140,7 @@ def push_filters(plan: Plan) -> Plan:
     # optimize children first so stacked filters cascade in one call
     kids = [push_filters(k) for k in plan.inputs()]
     if kids:
-        plan = plan.with_inputs(kids)
+        plan = _rebuild(plan, kids)
 
     if not isinstance(plan, Filter):
         return plan
@@ -301,7 +315,7 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
 
     if isinstance(plan, Project):
         below = bare_refs(plan.projections)
-        return plan.with_inputs([prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below)])
 
     if isinstance(plan, _F):
         below = bare_refs([plan.predicate])
@@ -309,10 +323,10 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
             below = below | req
         elif req is None:
             below = None
-        return plan.with_inputs([prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below)])
 
     if isinstance(plan, SubqueryAlias):
-        return plan.with_inputs([prune_scans(plan.input, req)])
+        return _rebuild(plan, [prune_scans(plan.input, req)])
 
     if isinstance(plan, Sort):
         below = bare_refs([k.expr for k in plan.keys])
@@ -320,15 +334,15 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
             below = below | req
         elif req is None:
             below = None
-        return plan.with_inputs([prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below)])
 
     if isinstance(plan, Limit):
-        return plan.with_inputs([prune_scans(plan.inputs()[0], req)])
+        return _rebuild(plan, [prune_scans(plan.inputs()[0], req)])
 
     if isinstance(plan, Distinct):
         # DISTINCT dedupes WHOLE rows: pruning below changes the row
         # multiplicities a parent projection sees — keep every column
-        return plan.with_inputs([prune_scans(plan.inputs()[0], None)])
+        return _rebuild(plan, [prune_scans(plan.inputs()[0], None)])
 
     if isinstance(plan, Aggregate):
         from .expressions import Cube, GroupingSets, Rollup
@@ -344,7 +358,7 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
         extra = ([plan.having] if getattr(plan, "having", None) is not None
                  else [])
         below = bare_refs(list(flat) + list(plan.aggregates) + extra)
-        return plan.with_inputs([prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below)])
 
     if isinstance(plan, Join):
         cond_refs = (bare_refs([plan.condition])
@@ -366,13 +380,13 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
                 # tables unpruned for every USING join
                 l = need & lset
                 r = need & rset
-        return plan.with_inputs([prune_scans(plan.left, l),
-                                 prune_scans(plan.right, r)])
+        return _rebuild(plan, [prune_scans(plan.left, l),
+                           prune_scans(plan.right, r)])
 
     if isinstance(plan, (Union, SetOp, Window)):
         # positional semantics / whole-row windows: no pruning below
-        return plan.with_inputs(
-            [prune_scans(k, None) for k in plan.inputs()])
+        return _rebuild(plan,
+                        [prune_scans(k, None) for k in plan.inputs()])
 
     from .plans.nodes import LateralJoin
     if isinstance(plan, LateralJoin):
@@ -383,8 +397,7 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
         # federates (its OuterRefs force local), and Catalyst prunes
         # local parquet scans on its own — so skip the body entirely
         # and prune only the (possibly federated) left input.
-        return plan.with_inputs([prune_scans(plan.left, None),
-                                 plan.right])
+        return _rebuild(plan, [prune_scans(plan.left, None), plan.right])
 
     kids = [prune_scans(k, None) for k in plan.inputs()]
-    return plan.with_inputs(kids) if kids else plan
+    return _rebuild(plan, kids) if kids else plan

@@ -190,3 +190,75 @@ FROM customer c JOIN LATERAL (
   SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders) s ON TRUE
 WHERE c.c_custkey < 3 ORDER BY c.c_custkey""")
     assert a == b and len(a) == 3
+
+
+def test_lateral_uncorrelated_same_provider_does_not_crash(duckdb_engine):
+    # review r7 s3 finding #1: with NO OuterRef in the body, the whole
+    # LateralJoin merged to one distinct provider and the claim died in
+    # the unparser with an uncaught ValueError; the scan_plan guard now
+    # forces the node local (children still claim individually)
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        LateralJoin, RemoteQueryNode, walk_plan)
+    eng, _ex = duckdb_engine
+    plan = eng.sql_plan("""
+SELECT n.n_name, s.total FROM nation n CROSS JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders) s
+ORDER BY n.n_name LIMIT 3""").plan
+    fed = federate(plan)
+    lj = next(x for x in walk_plan(fed) if isinstance(x, LateralJoin))
+    assert not isinstance(lj, RemoteQueryNode)
+    rows = eng.execute(fed).collect()
+    assert len(rows) == 3 and rows[0].total > 0
+
+
+def test_lateral_agg_remote_body_executes_remote_once(spark):
+    # review r7 s3 finding #8: the empty-group fixup compiles the body
+    # a second time — the pinned static leaf must keep that to ONE
+    # remote execution
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+
+    calls = {"n": 0}
+
+    class CountingExec(DuckDBExecutor):
+        def execute(self, spark_, sql, schema=None):
+            calls["n"] += 1
+            return super().execute(spark_, sql, schema)
+
+    ex = CountingExec(name="count_lat", compute_context="test")
+    ex.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "orders")
+    eng.register_local_parquet("customer", f"{TESTDATA}/customer.parquet")
+    df = eng.sql("""
+SELECT c.c_custkey, s.n
+FROM customer c LEFT JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_custkey = c.c_custkey) s ON TRUE""")
+    n_compile = calls["n"]
+    df.collect()
+    assert calls["n"] == n_compile, "action re-fired the remote read"
+    assert n_compile <= 1, f"remote executed {n_compile}x at compile"
+
+
+def test_lateral_select_star_no_helper_columns(lat):
+    # review r7 s3 finding #3: SELECT * must expose exactly left.* +
+    # the body's declared outputs — no __lat_k keys, no widened
+    # correlation/hidden-sort columns
+    eng, con = lat
+    q = """
+SELECT * FROM customer c LEFT JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_custkey = c.c_custkey) s ON TRUE
+WHERE c.c_custkey < 3"""
+    df = eng.sql(q)
+    assert [d[0] for d in con.execute(q).description] == df.columns
+    q2 = """
+SELECT * FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) s ON TRUE
+WHERE c.c_custkey < 3"""
+    df2 = eng.sql(q2)
+    assert [d[0] for d in con.execute(q2).description] == df2.columns
