@@ -668,6 +668,19 @@ class AggFunc(Expr):
             # MySQL spelling; Spark 4 exposes the ANSI name
             return F.string_agg(*cols) if len(cols) > 1 \
                 else F.string_agg(cols[0], F.lit(","))
+        if name == "array_agg":
+            # Spark's array_agg/collect_list drops NULL elements;
+            # Postgres/DuckDB array_agg keeps them (and so does our
+            # ordered arm) — collect non-null STRUCTS carrying the
+            # possibly-NULL value, then unwrap (review r7 s3 finding
+            # #4). FILTER must drop the whole ROW, not keep a NULL
+            # element, so it gates the struct itself (NULL structs are
+            # what collect_list drops) instead of the generic
+            # Case-wrapped value above.
+            st = F.struct(self.args[0].to_spark().alias("__v"))
+            if self.filter is not None:
+                st = F.when(self.filter.to_spark(), st)
+            return F.transform(F.collect_list(st), lambda s: s["__v"])
         fn = getattr(F, name, None)
         if fn is None:
             raise ValueError(f"unknown aggregate {self.name}")
@@ -728,7 +741,13 @@ class AggFunc(Expr):
 
         vals = F.transform(F.array_sort(arr, cmp), lambda s: s["__v"])
         if name in ("string_agg", "listagg", "group_concat"):
-            return F.concat_ws(sep, vals)
+            # concat_ws returns '' for an all-NULL (or empty) value
+            # list; the engines' string_agg returns NULL there — and so
+            # does the unordered F.string_agg path, so without this
+            # guard results would flip on the ORDER BY spelling (review
+            # r7 s3 finding #2)
+            return F.when(F.exists(vals, lambda v: v.isNotNull()),
+                          F.concat_ws(sep, vals))
         return vals
 
     def output_name(self) -> str:
@@ -841,8 +860,21 @@ class WindowFunc(Expr):
         fsql = self.func.to_sql(d)
         if self.ignore_nulls:
             style = getattr(d, "ignore_nulls_style", None)
+            if getattr(self.func, "filter", None) is not None:
+                # no engine we target can express FILTER + IGNORE NULLS
+                # on one window call (DuckDB: 'FILTER is not implemented
+                # for non-aggregate window functions'; Spark: 'Window
+                # aggregate function with filter predicate is not
+                # supported yet') — refuse so the subtree compiles
+                # locally, where the when()-mask lowering is exact
+                # (review r7 s3 finding #5)
+                from .dialects import UnsupportedUnparse
+                raise UnsupportedUnparse(
+                    "FILTER with IGNORE NULLS on a window function has "
+                    "no remote rendering")
             if style == "inline":
-                # function SQL always ends with the closing arg paren
+                # splice inside the CALL's closing arg paren — with no
+                # filter the call's ')' is the last character
                 fsql = fsql[:-1] + " IGNORE NULLS)"
             elif style == "postfix":
                 fsql = fsql + " IGNORE NULLS"
@@ -878,6 +910,12 @@ class WindowFunc(Expr):
         name = getattr(self.func, "name", "").lower()
         args = [a.to_spark() for a in getattr(self.func, "args", ())]
         raw = list(getattr(self.func, "args", ()))
+        filt = getattr(self.func, "filter", None)
+        if filt is not None and args:
+            # FILTER + IGNORE NULLS composes exactly: rows failing the
+            # filter become NULL values, which the ignore-nulls
+            # aggregate then skips (review r7 s3 finding #5)
+            args[0] = F.when(filt.to_spark(), args[0])
 
         def lit_int(e):
             return e.value if isinstance(e, Lit) and \

@@ -1462,6 +1462,9 @@ class Parser:
                 self.expect_kw("WHERE")
                 e.filter = self.parse_expr(scope)
                 self.expect_op(")")
+                # either order: f(x) IGNORE NULLS FILTER ... and
+                # f(x) FILTER ... IGNORE NULLS both appear in the wild
+                ignore_nulls = self._null_treatment() or ignore_nulls
             if self.accept_kw("OVER"):
                 return self.parse_over(e, scope, ignore_nulls)
             if ignore_nulls:

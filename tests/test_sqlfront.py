@@ -1322,3 +1322,57 @@ def test_grouping_function_rollup_vs_duckdb(spark):
     con.execute(f"CREATE VIEW nation AS SELECT * FROM "
                 f"'{TESTDATA}/nation.parquet'")
     assert got == con.execute(q).fetchall()
+
+
+def test_string_agg_all_null_group_is_null(spark):
+    # review r7 s3 finding #2: concat_ws yields '' for an all-NULL
+    # group; engines (and the unordered F.string_agg path) return NULL
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "g", spark.createDataFrame(
+            [(1, 1, None), (1, 2, None), (2, 1, "x")],
+            "k int, o int, v string"))
+    rows = {r.k: r.s for r in eng.sql(
+        "SELECT k, STRING_AGG(v, '-' ORDER BY o) AS s "
+        "FROM g GROUP BY k").collect()}
+    assert rows[1] is None and rows[2] == "x"
+
+
+def test_array_agg_keeps_nulls_both_spellings(spark):
+    # review r7 s3 finding #4: Spark's array_agg drops NULL elements;
+    # Postgres/DuckDB keep them — and results must not flip on ORDER BY
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "g", spark.createDataFrame(
+            [(1, 1, "a"), (1, 2, None), (1, 3, "c")],
+            "k int, o int, v string"))
+    ordered = eng.sql("SELECT ARRAY_AGG(v ORDER BY o) AS vs FROM g "
+                      "GROUP BY k").collect()[0].vs
+    assert ordered == ["a", None, "c"]
+    unordered = eng.sql("SELECT ARRAY_AGG(v) AS vs FROM g "
+                        "GROUP BY k").collect()[0].vs
+    assert sorted(x for x in unordered if x is not None) == ["a", "c"]
+    assert None in unordered
+    # FILTER drops the row, never keeps a NULL element
+    filtered = eng.sql(
+        "SELECT ARRAY_AGG(v) FILTER (WHERE o <> 2) AS vs FROM g "
+        "GROUP BY k").collect()[0].vs
+    assert sorted(filtered) == ["a", "c"]
+
+
+def test_ignore_nulls_with_filter(spark):
+    # review r7 s3 finding #5: FILTER + IGNORE NULLS composes (rows
+    # failing the filter become NULLs the aggregate skips)
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "t", spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 0), (3, None, 1), (4, 40, 1)],
+            "i int, x int, keep int"))
+    q = ("SELECT i, FIRST(x) FILTER (WHERE keep = 1) IGNORE NULLS "
+         "OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND "
+         "UNBOUNDED FOLLOWING) AS fv FROM t ORDER BY i")
+    got = [r.fv for r in eng.sql(q).collect()]
+    assert got == [10, 10, 10, 10]

@@ -763,3 +763,23 @@ def test_ignore_nulls_refused_without_syntax(dialect, msg):
     from datafusion_federation_spark.dialects import UnsupportedUnparse
     with pytest.raises(UnsupportedUnparse, match=msg):
         sql(_ign_plan(), dialect)
+
+
+def test_ignore_nulls_with_filter_refused_every_dialect():
+    # review r7 s3 finding #5: FILTER + IGNORE NULLS on one window call
+    # is inexpressible on every target engine (DuckDB refuses FILTER on
+    # non-aggregate window functions; Spark refuses window-aggregate
+    # FILTER outright) — the unparser must refuse so the subtree
+    # compiles locally, where the when()-mask lowering is exact
+    # (pinned in test_sqlfront.test_ignore_nulls_with_filter)
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    from datafusion_federation_spark.expressions import (
+        AggFunc, WindowFunc)
+    f = AggFunc("first", [col("x")],
+                filter=BinaryOp("=", col("keep"), lit(1)))
+    w = Alias(WindowFunc(f, order_by=[SortKey(col("i"))],
+                         ignore_nulls=True), "fv")
+    p = Project(scan(), [col("i"), w])
+    for dialect in ("duckdb", "ansi", "spark"):
+        with pytest.raises(UnsupportedUnparse, match="no remote"):
+            sql(p, dialect)
