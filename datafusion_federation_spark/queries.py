@@ -425,6 +425,15 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q94_group_order_by_all",  # GROUP BY ALL / ORDER BY ALL desugar at
+                               # parse time into the exact explicit
+                               # plans q01/q19 carry in-window; rule
+                               # pinned vs DuckDB in test_sqlfront;
+                               # oracle (identical SQL) PASS both SFs
+    "q95_semi_anti_join",  # semi/anti Join plumbing carried in-window
+                           # by q60/q61 (EXISTS decorrelation emits the
+                           # same how=semi|anti node); this is only the
+                           # explicit spelling; oracle PASS both SFs
     "q89_recursive_union_all",  # UNION ALL arm of q88's fixpoint
                                 # machinery (q88 in-window carries the
                                 # parser/compiler/federation-refusal

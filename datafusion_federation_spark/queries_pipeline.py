@@ -4765,3 +4765,62 @@ def q93(spark, sf):
     eng.register_local_df("customer", t(spark, sf, "customer"))
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q93_SQL)
+
+
+_Q94_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@q("q94_group_order_by_all", _Q94_SQL)
+def q94(spark, sf):
+    """GROUP BY ALL + ORDER BY ALL (r7 s4): the DuckDB/Snowflake
+    shorthands through the front door, identical SQL on both engines.
+    GROUP BY ALL keys on every non-aggregate select item in select
+    order (sqlfront._group_by_all_keys — exactly DuckDB's rule,
+    all-aggregate lists degrade to the single-row ungrouped form);
+    ORDER BY ALL sorts by every OUTPUT column left-to-right
+    (sqlfront._order_by_all_keys), so the result is fully
+    deterministic without naming a key twice. Plan shape is identical
+    to the explicit spelling: one groupBy Exchange, sort after
+    projection — the sugar desugars at parse time, nothing new
+    executes."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q94_SQL)
+
+
+_Q95_SQL = """
+SELECT 'active' AS cls, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer SEMI JOIN orders ON c_custkey = o_custkey
+UNION ALL
+SELECT 'inactive' AS cls, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer ANTI JOIN orders ON c_custkey = o_custkey
+ORDER BY cls
+"""
+
+
+@q("q95_semi_anti_join", _Q95_SQL)
+def q95(spark, sf):
+    """SEMI/ANTI JOIN syntax (r7 s4): DuckDB's bare SEMI JOIN / ANTI
+    JOIN spellings (Spark's LEFT SEMI / LEFT ANTI also accepted)
+    through the front door — identical SQL on both engines. The Join
+    node already carried how=semi|anti end-to-end (EXISTS
+    decorrelation produces it); this exposes the explicit spelling.
+    Compiles to Spark left_semi/left_anti (no right columns
+    materialize, the build side streams — same plan class the TPC-H
+    EXISTS pins assert); unparses natively on DuckDB/Spark dialects
+    and as (NOT) EXISTS everywhere else (unparser.py semi/anti
+    branch)."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("customer", t(spark, sf, "customer"))
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q95_SQL)

@@ -420,9 +420,17 @@ class Parser:
     def _order_limit(self, plan: Plan, scope: _Scope) -> Plan:
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
-            keys = [self.parse_sort_key(scope)]
-            while self.accept_op(","):
-                keys.append(self.parse_sort_key(scope))
+            if self._at_bare_all():
+                self.take()
+                keys = self._order_by_all_keys(plan)
+                if self.accept_op(","):
+                    raise SqlParseError(
+                        "ORDER BY ALL cannot be combined with further "
+                        "sort keys")
+            else:
+                keys = [self.parse_sort_key(scope)]
+                while self.accept_op(","):
+                    keys.append(self.parse_sort_key(scope))
             plan = Sort(plan, keys)
         fetch = skip = None
         if self.accept_kw("LIMIT"):
@@ -434,6 +442,38 @@ class Parser:
         if fetch is not None or skip is not None:
             plan = Limit(plan, fetch=fetch, skip=skip)
         return plan
+
+    def _order_by_all_keys(self, plan: Plan) -> List[SortKey]:
+        """ORDER BY ALL [ASC|DESC] [NULLS FIRST|LAST] (DuckDB/
+        Snowflake): one sort key per OUTPUT column, in output order,
+        all sharing the one direction/null placement. Keys reference
+        output names, so they bind after projection exactly like an
+        alias in a plain ORDER BY. Shapes whose output list is unknown
+        (a surviving `*`, set-ops over them) refuse loudly rather than
+        guess a column order DuckDB would not use."""
+        asc = True
+        if self.accept_kw("ASC"):
+            asc = True
+        elif self.accept_kw("DESC"):
+            asc = False
+        nulls = None
+        if self.accept_kw("NULLS"):
+            nulls = self.accept_kw("FIRST")
+            if not nulls:
+                self.expect_kw("LAST")
+                nulls = False
+        from .compiler import _plan_output_cols
+        from .plans.nodes import Distinct, Limit as _L, Sort as _S
+        p = plan
+        while isinstance(p, (Distinct, _S, _L)):
+            p = p.inputs()[0]
+        cols = _plan_output_cols(p)
+        if not cols:
+            raise SqlParseError(
+                "ORDER BY ALL over this query shape is outside the "
+                "parser surface (unknown output column list)")
+        return [SortKey(Col(c), ascending=asc, nulls_first=nulls)
+                for c in cols]
 
     def parse_sort_key(self, scope: _Scope) -> SortKey:
         e = self.parse_expr(scope)
@@ -534,44 +574,11 @@ class Parser:
         group_by: List[Expr] = []
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            group_by = [self.parse_group_item(scope)]
-            while self.accept_op(","):
-                group_by.append(self.parse_group_item(scope))
-            # GROUP BY ordinals (1-based positions into the select list)
-            group_by = [
-                items[g.value - 1][0]
-                if isinstance(g, Lit) and isinstance(g.value, int)
-                and 1 <= g.value <= len(items) else g
-                for g in group_by]
-            # GROUP BY select-list alias (Spark/DuckDB both allow it):
-            # a bare name matching an item alias groups by that item's
-            # expression. (If a real input column shadows the alias the
-            # engines prefer the column; that pathological shadowing case
-            # is accepted as alias-first here.)
-            alias_map = {name.lower(): e for e, name in items
-                         if name and not isinstance(e, AggFunc)}
-
-            def _sub_alias(g: Expr) -> Expr:
-                if not (isinstance(g, Col) and g.table is None
-                        and g.name.lower() in alias_map):
-                    return g
-                from .expressions import walk
-                e = alias_map[g.name.lower()]
-                if isinstance(e, Col) and e.name.lower() == g.name.lower():
-                    return e            # trivial self-alias: identical
-                if any(isinstance(x, Col)
-                       and x.name.lower() == g.name.lower()
-                       for x in walk(e)):
-                    # `substr(c,1,1) AS c ... GROUP BY c`: engines
-                    # resolve the COLUMN first; substituting the alias
-                    # would silently change the grouping — refuse so
-                    # the Spark parser handles it with its own rules
-                    raise SqlParseError(
-                        f"GROUP BY {g.name!r} is ambiguous: the alias "
-                        "shadows a column its own expression references")
-                return e
-
-            group_by = [_sub_alias(g) for g in group_by]
+            if self._at_bare_all():
+                self.take()
+                group_by = self._group_by_all_keys(items)
+            else:
+                group_by = self._parse_group_by_list(scope, items)
 
         having = None
         if self.accept_kw("HAVING"):
@@ -603,6 +610,82 @@ class Parser:
         plan = self._assemble(plan, items, distinct, group_by, having,
                               qualify, don_exprs)
         return plan
+
+    def _at_bare_all(self) -> bool:
+        """True when the cursor sits on the keyword ALL used as the
+        GROUP BY ALL / ORDER BY ALL shorthand (DuckDB/Snowflake) — a
+        bare ALL not starting a longer expression (``all.c`` qualified
+        ref or ``all(...)`` call would make it an identifier)."""
+        if not self.at_kw("ALL"):
+            return False
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) \
+            else None
+        return nxt not in (("op", "."), ("op", "("))
+
+    def _group_by_all_keys(self, items) -> List[Expr]:
+        """GROUP BY ALL (DuckDB/Snowflake): every select item NOT
+        containing an aggregate call becomes a group key, in select
+        order; all-aggregate select lists degrade to the ungrouped
+        single-row aggregate — both exactly DuckDB's rule, so the
+        oracle runs identical SQL. Star and window-function items
+        refuse loudly (DuckDB errors on the window form too:
+        'window functions are not allowed in GROUP BY')."""
+        from .expressions import walk
+        keys: List[Expr] = []
+        for e, _name in items:
+            if isinstance(e, Star):
+                raise SqlParseError(
+                    "GROUP BY ALL with `*` is outside the parser "
+                    "surface; list the output columns")
+            if self._contains_agg(e):
+                continue
+            if any(isinstance(x, WindowFunc) for x in walk(e)):
+                raise SqlParseError(
+                    "GROUP BY ALL cannot take a window-function item "
+                    "as a group key")
+            keys.append(e)
+        return keys
+
+    def _parse_group_by_list(self, scope: _Scope, items) -> List[Expr]:
+        group_by = [self.parse_group_item(scope)]
+        while self.accept_op(","):
+            group_by.append(self.parse_group_item(scope))
+        # GROUP BY ordinals (1-based positions into the select list)
+        group_by = [
+            items[g.value - 1][0]
+            if isinstance(g, Lit) and isinstance(g.value, int)
+            and 1 <= g.value <= len(items) else g
+            for g in group_by]
+        # GROUP BY select-list alias (Spark/DuckDB both allow it):
+        # a bare name matching an item alias groups by that item's
+        # expression. (If a real input column shadows the alias the
+        # engines prefer the column; that pathological shadowing case
+        # is accepted as alias-first here.)
+        alias_map = {name.lower(): e for e, name in items
+                     if name and not isinstance(e, AggFunc)}
+
+        def _sub_alias(g: Expr) -> Expr:
+            if not (isinstance(g, Col) and g.table is None
+                    and g.name.lower() in alias_map):
+                return g
+            from .expressions import walk
+            e = alias_map[g.name.lower()]
+            if isinstance(e, Col) and e.name.lower() == g.name.lower():
+                return e            # trivial self-alias: identical
+            if any(isinstance(x, Col)
+                   and x.name.lower() == g.name.lower()
+                   for x in walk(e)):
+                # `substr(c,1,1) AS c ... GROUP BY c`: engines
+                # resolve the COLUMN first; substituting the alias
+                # would silently change the grouping — refuse so
+                # the Spark parser handles it with its own rules
+                raise SqlParseError(
+                    f"GROUP BY {g.name!r} is ambiguous: the alias "
+                    "shadows a column its own expression references")
+            return e
+
+        group_by = [_sub_alias(g) for g in group_by]
+        return group_by
 
     def _resolve_named_windows(self, items, having, windows) -> None:
         from .expressions import walk
@@ -1015,9 +1098,20 @@ class Parser:
             if self.accept_kw("INNER"):
                 how = "inner"
                 self.expect_kw("JOIN")
+            elif self.at_kw("SEMI", "ANTI"):
+                # DuckDB spelling: SEMI JOIN / ANTI JOIN — right side
+                # filters (or anti-filters) the left, contributes no
+                # output columns. Compiles to Spark left_semi/left_anti;
+                # non-native dialects unparse as (NOT) EXISTS.
+                how = self.take()[1].lower()
+                self.expect_kw("JOIN")
             elif self.at_kw("LEFT", "RIGHT", "FULL"):
                 how = self.take()[1].lower()
-                self.accept_kw("OUTER")
+                if how == "left" and self.at_kw("SEMI", "ANTI"):
+                    # Spark SQL spelling: LEFT SEMI / LEFT ANTI JOIN
+                    how = self.take()[1].lower()
+                else:
+                    self.accept_kw("OUTER")
                 self.expect_kw("JOIN")
             elif self.accept_kw("JOIN"):
                 how = "inner"
@@ -1142,7 +1236,8 @@ class Parser:
                     "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
                     "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT",
                     "EXCEPT", "JOIN", "ON", "INNER", "LEFT", "RIGHT",
-                    "FULL", "CROSS", "AS", "USING", "ASOF")):
+                    "FULL", "CROSS", "AS", "USING", "ASOF", "SEMI",
+                    "ANTI")):
             return self.take()[1]
         return None
 

@@ -1376,3 +1376,106 @@ def test_ignore_nulls_with_filter(spark):
          "UNBOUNDED FOLLOWING) AS fv FROM t ORDER BY i")
     got = [r.fv for r in eng.sql(q).collect()]
     assert got == [10, 10, 10, 10]
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL / SEMI-ANTI JOIN (r7 s4)
+# ---------------------------------------------------------------------------
+
+def test_group_by_all_matches_duckdb(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    q = ("SELECT o_orderstatus, SUBSTR(o_orderpriority, 1, 1) AS pri, "
+         "CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+         "GROUP BY ALL ORDER BY ALL")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{TESTDATA}/orders.parquet'")
+    assert got == con.execute(q).fetchall()
+
+
+def test_group_by_all_all_aggregate_degrades_to_ungrouped(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    rows = eng.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation "
+                   "GROUP BY ALL").collect()
+    assert len(rows) == 1 and rows[0].n == 25
+
+
+def test_order_by_all_desc_and_modifier(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    q = ("SELECT n_regionkey, n_name FROM nation WHERE n_nationkey < 6 "
+         "ORDER BY ALL DESC")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"'{TESTDATA}/nation.parquet'")
+    assert got == con.execute(q).fetchall()
+
+
+def test_order_by_all_refusals():
+    # a surviving * has no known output list; mixing ALL with more keys
+    # is not the DuckDB grammar
+    with pytest.raises(SqlParseError, match="ORDER BY ALL"):
+        parse("SELECT * FROM t ORDER BY ALL")
+    with pytest.raises(SqlParseError, match="further"):
+        parse("SELECT a FROM t ORDER BY ALL, a")
+
+
+def test_all_stays_an_identifier_when_qualified():
+    # `all` as a relation alias: ORDER BY all.c must not trigger the
+    # shorthand
+    p = parse("SELECT c FROM t AS all ORDER BY all.c")
+    assert isinstance(p, Sort)
+
+
+def test_group_by_all_window_item_refused():
+    with pytest.raises(SqlParseError, match="window"):
+        parse("SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn, "
+              "COUNT(*) AS n FROM t GROUP BY ALL")
+
+
+def test_semi_anti_join_matches_duckdb(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("customer", f"{TESTDATA}/customer.parquet")
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    q = ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n "
+         "FROM customer SEMI JOIN orders ON c_custkey = o_custkey "
+         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    con = duckdb.connect()
+    for name in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"'{TESTDATA}/{name}.parquet'")
+    assert got == con.execute(q).fetchall()
+    # Spark's LEFT SEMI spelling parses to the same plan
+    q2 = q.replace("SEMI JOIN", "LEFT SEMI JOIN")
+    assert [tuple(r) for r in eng.sql(q2).collect()] == got
+    # ANTI: inactive customers + semi/anti partition the table
+    qa = ("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+          "ANTI JOIN orders ON c_custkey = o_custkey")
+    n_anti = eng.sql(qa).collect()[0].n
+    assert n_anti == con.execute(qa).fetchall()[0][0]
+    n_semi = sum(v for _, v in got)
+    n_all = eng.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n "
+                    "FROM customer").collect()[0].n
+    assert n_semi + n_anti == n_all
+
+
+def test_semi_join_plan_is_left_semi(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("customer", f"{TESTDATA}/customer.parquet")
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    df = eng.sql("SELECT c_name FROM customer SEMI JOIN orders "
+                 "ON c_custkey = o_custkey")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    # no right-side column survives into the output
+    assert df.columns == ["c_name"]
