@@ -172,6 +172,7 @@ class Dialect:
     #: unparser rewrites semi/anti joins to (NOT) EXISTS
     supports_semi_anti_join = False
     supports_asof_join = False       # native ASOF JOIN syntax
+    supports_frame_exclude = False   # SQL:2011 frame EXCLUDE clause
 
     #: window null-treatment syntax: "postfix" = `f(x) IGNORE NULLS OVER`
     #: (SQL:2011, Spark), "inline" = `f(x IGNORE NULLS) OVER` (DuckDB),
@@ -257,6 +258,7 @@ class DuckDBDialect(Dialect):
     name = "duckdb"
     supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
     supports_asof_join = True       # native ASOF [LEFT] JOIN
+    supports_frame_exclude = True   # EXCLUDE CURRENT ROW/GROUP/TIES
     ignore_nulls_style = "inline"   # f(x IGNORE NULLS) OVER (...)
     star_exclude_kw = "EXCLUDE"     # SELECT * EXCLUDE (a, b)
     supports_star_replace = True    # SELECT * REPLACE (x*2 AS x)
@@ -282,6 +284,7 @@ class PostgresDialect(Dialect):
     name = "postgres"
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     ignore_nulls_style = None      # no IGNORE NULLS syntax
+    supports_frame_exclude = True  # EXCLUDE clause since PG 11
     function_map = {
         "year": _pg_extract("YEAR"), "quarter": _pg_extract("QUARTER"),
         "month": _pg_extract("MONTH"), "day": _pg_extract("DAY"),
@@ -304,6 +307,7 @@ class SQLiteDialect(Dialect):
     name = "sqlite"
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     ignore_nulls_style = None      # no IGNORE NULLS syntax
+    supports_frame_exclude = True  # EXCLUDE clause since 3.28
     quote_char = '"'
     ilike_op = "LIKE"  # sqlite LIKE is case-insensitive for ASCII already
     supports_filter_clause = True

@@ -789,11 +789,19 @@ class SortKey(Expr):
 
 @dataclass(eq=False)
 class WindowFrame:
-    """ROWS/RANGE BETWEEN frame spec."""
+    """ROWS/RANGE BETWEEN frame spec.
+
+    ``exclude`` is the SQL:2011 frame-exclusion clause (Postgres 11+/
+    DuckDB/SQLite 3.28+): "CURRENT ROW" | "GROUP" | "TIES"; None covers
+    both no-clause and the no-op EXCLUDE NO OTHERS. Spark has no frame
+    exclusion — WindowFunc._exclude_spark lowers it exactly for
+    count/sum/avg by frame-aggregate arithmetic; dialects without the
+    syntax refuse at unparse so the subtree compiles locally."""
 
     kind: str = "ROWS"                     # ROWS | RANGE
     start: Any = "UNBOUNDED PRECEDING"     # int offset or keyword string
     end: Any = "CURRENT ROW"
+    exclude: Optional[str] = None          # CURRENT ROW | GROUP | TIES
 
     def _bound_sql(self, b) -> str:
         if isinstance(b, int):
@@ -805,8 +813,16 @@ class WindowFrame:
         return str(b)
 
     def to_sql(self, d) -> str:
-        return (f"{self.kind} BETWEEN {self._bound_sql(self.start)} "
+        base = (f"{self.kind} BETWEEN {self._bound_sql(self.start)} "
                 f"AND {self._bound_sql(self.end)}")
+        if self.exclude:
+            if not getattr(d, "supports_frame_exclude", False):
+                from .dialects import UnsupportedUnparse
+                raise UnsupportedUnparse(
+                    f"dialect {type(d).__name__} has no frame EXCLUDE "
+                    f"syntax")
+            base += f" EXCLUDE {self.exclude}"
+        return base
 
     def _bound_spark(self, b, is_start: bool) -> int:
         from pyspark.sql import Window as W
@@ -895,9 +911,114 @@ class WindowFunc(Expr):
             hi = self.frame._bound_spark(self.frame.end, False)
             w = (w.rowsBetween(lo, hi) if self.frame.kind == "ROWS"
                  else w.rangeBetween(lo, hi))
+        if self.frame is not None and self.frame.exclude:
+            if self.ignore_nulls:
+                raise NotImplementedError(
+                    "frame EXCLUDE with IGNORE NULLS is outside the "
+                    "compiler surface")
+            return self._exclude_spark(w)
         if self.ignore_nulls:
             return self._ignore_nulls_spark(w)
         return self.func.to_spark().over(w)
+
+    def _exclude_spark(self, w_full) -> Column:
+        """SQL:2011 frame exclusion, lowered EXACTLY for count/sum/avg
+        by aggregate arithmetic over two windows — no per-row frames,
+        no UDF, one extra window pass at most:
+
+          full  = agg over the declared frame (w_full)
+          peers = agg over the current row's ORDER-BY peer group
+                  (partition extended by the order-key exprs, whole-
+                  partition frame)
+          self  = the current row's own contribution (x IS NOT NULL /
+                  COALESCE(x, 0); count(*) contributes 1)
+
+          EXCLUDE CURRENT ROW -> full - self
+          EXCLUDE GROUP       -> full - peers
+          EXCLUDE TIES        -> full - peers + self
+
+        The subtractions are valid only when the removed rows are
+        STATICALLY guaranteed inside the frame. Exclusion bounds are
+        compile-time constants, so the guarantees are decidable here:
+        the current row is in-frame iff lo <= 0 <= hi (then CURRENT ROW
+        exclusion applies; otherwise it is a provable no-op and the
+        plain aggregate compiles); the full peer group is in-frame iff
+        the frame is RANGE with lo <= 0 <= hi (peers sit at key-distance
+        0; RANGE CURRENT ROW bounds include all peers by definition) or
+        ROWS UNBOUNDED..UNBOUNDED — anything else refuses loudly.
+        count over an all-excluded frame is 0 and sum/avg are NULL,
+        matching Postgres/DuckDB."""
+        func = self.func
+        name = getattr(func, "name", "").lower()
+        if (not isinstance(func, AggFunc)
+                or name not in ("count", "sum", "avg")
+                or getattr(func, "distinct", False)
+                or getattr(func, "filter", None) is not None
+                or getattr(func, "order_by", None)):
+            raise NotImplementedError(
+                f"frame EXCLUDE is lowered for plain COUNT/SUM/AVG "
+                f"only, not {name}()")
+        from pyspark.sql import Window as W
+        fr = self.frame
+        lo = fr._bound_spark(fr.start, True)
+        hi = fr._bound_spark(fr.end, False)
+        current_in_frame = lo <= 0 <= hi
+        mode = fr.exclude.upper()
+        if mode == "CURRENT ROW" and not current_in_frame:
+            return func.to_spark().over(w_full)   # provable no-op
+        if mode in ("GROUP", "TIES"):
+            if not self.order_by:
+                raise NotImplementedError(
+                    "EXCLUDE GROUP/TIES without ORDER BY excludes via "
+                    "an undefined peer relation")
+            peers_in_frame = (
+                (fr.kind == "RANGE" and current_in_frame)
+                or (fr.kind == "ROWS"
+                    and lo == W.unboundedPreceding
+                    and hi == W.unboundedFollowing))
+            if not peers_in_frame:
+                raise NotImplementedError(
+                    "EXCLUDE GROUP/TIES needs the peer group provably "
+                    "inside the frame (RANGE containing offset 0, or "
+                    "ROWS UNBOUNDED..UNBOUNDED)")
+
+        star = (len(func.args) == 1 and isinstance(func.args[0], Star)) \
+            or not func.args
+        x = None if star else func.args[0].to_spark()
+        cnt_arg = F.lit(1) if star else x
+        self_cnt = F.lit(1) if star else \
+            F.when(x.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        self_sum = None if star else F.coalesce(x, F.lit(0))
+
+        cnt_full = F.count(cnt_arg).over(w_full)
+        sum_full = None if star else F.sum(x).over(w_full)
+        if mode == "CURRENT ROW":
+            cnt = cnt_full - self_cnt
+            adj = None if star else sum_full - self_sum
+        else:
+            w_peer = W.partitionBy(
+                *[e.to_spark() for e in self.partition_by],
+                *[k.expr.to_spark() for k in self.order_by])
+            cnt_peer = F.count(cnt_arg).over(w_peer)
+            sum_peer = None if star else \
+                F.coalesce(F.sum(x).over(w_peer), F.lit(0))
+            if mode == "GROUP":
+                cnt = cnt_full - cnt_peer
+                adj = None if star else sum_full - sum_peer
+            elif mode == "TIES":
+                cnt = cnt_full - cnt_peer + self_cnt
+                adj = None if star else sum_full - sum_peer + self_sum
+            else:
+                raise NotImplementedError(
+                    f"unknown frame exclusion {fr.exclude!r}")
+        if name == "count":
+            return cnt.cast("bigint")
+        if adj is None:
+            raise NotImplementedError(f"{name}(*) is not SQL")
+        guarded = F.when(cnt > 0, adj)
+        if name == "sum":
+            return guarded
+        return guarded / cnt                       # avg
 
     def _ignore_nulls_spark(self, w) -> Column:
         """IGNORE NULLS lowering. pyspark exposes the flag on

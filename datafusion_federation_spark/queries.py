@@ -425,6 +425,12 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q96_frame_exclude",  # window machinery carried in-window by
+                          # q52/q70/q90; the EXCLUDE lowering is pinned
+                          # vs DuckDB across 10 shapes + 3 refusals in
+                          # test_sqlfront and rendered/refused per
+                          # dialect in unparser goldens; oracle
+                          # (identical SQL) PASS both SFs
     "q94_group_order_by_all",  # GROUP BY ALL / ORDER BY ALL desugar at
                                # parse time into the exact explicit
                                # plans q01/q19 carry in-window; rule

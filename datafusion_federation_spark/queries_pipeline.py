@@ -4824,3 +4824,46 @@ def q95(spark, sf):
     eng.register_local_df("customer", t(spark, sf, "customer"))
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q95_SQL)
+
+
+_Q96_SQL = """
+SELECT event_type,
+       CAST(SUM(cohort_val) AS DOUBLE) AS others_running_sum,
+       CAST(SUM(nbr_cnt) AS BIGINT) AS neighbor_events
+FROM (
+  SELECT event_type,
+         SUM(CAST(value AS DECIMAL(12,2)))
+           OVER (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 EXCLUDE GROUP) AS cohort_val,
+         COUNT(value)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS nbr_cnt
+  FROM events
+) t GROUP BY event_type ORDER BY event_type
+"""
+
+
+@q("q96_frame_exclude", _Q96_SQL)
+def q96(spark, sf):
+    """SQL:2011 window frame EXCLUDE (r7 s4) — identical SQL on both
+    engines. Per user: each event's running value sum EXCLUDING its
+    own-timestamp peer group (RANGE ... EXCLUDE GROUP — 'what had this
+    user spent before this instant'), and its ±2-event neighbor count
+    EXCLUDING itself (ROWS ... EXCLUDE CURRENT ROW), rolled up per
+    event type. Spark has no frame exclusion; the lowering
+    (expressions.WindowFunc._exclude_spark) is exact aggregate
+    arithmetic — full-frame agg minus the peer-group agg (a second
+    window keyed by partition+order exprs) or minus the row's own
+    contribution — so count/sum/avg need at most two window passes and
+    zero UDFs; validity (peers provably in-frame) is decided at
+    compile time from the static bounds, everything else refuses
+    loudly. DECIMAL inside the window keeps the subtraction exact (a
+    double SUM would drift vs the engines' recompute). Unparses
+    natively on DuckDB/Postgres/SQLite; other dialects refuse and the
+    subtree compiles locally."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("events", t(spark, sf, "events"))
+    return eng.sql(_Q96_SQL)

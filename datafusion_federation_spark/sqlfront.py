@@ -1626,7 +1626,21 @@ class Parser:
             start = self._frame_bound()
             self.expect_kw("AND")
             end = self._frame_bound()
-            frame = WindowFrame(kind, start, end)
+            exclude = None
+            if self.accept_kw("EXCLUDE"):
+                # SQL:2011 frame exclusion (Postgres/DuckDB/SQLite);
+                # EXCLUDE NO OTHERS is the explicit no-op spelling
+                if self.accept_kw("CURRENT"):
+                    self.expect_kw("ROW")
+                    exclude = "CURRENT ROW"
+                elif self.accept_kw("GROUP"):
+                    exclude = "GROUP"
+                elif self.accept_kw("TIES"):
+                    exclude = "TIES"
+                else:
+                    self.expect_kw("NO")
+                    self.expect_kw("OTHERS")
+            frame = WindowFrame(kind, start, end, exclude=exclude)
         return partition, order, frame
 
     def _frame_bound(self):

@@ -673,3 +673,75 @@ def test_threevl_local_and_federated_match_duckdb(engines, sql):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# frame-exclusion shapes (r7 s4): EXCLUDE CURRENT ROW/GROUP/TIES over
+# the statically-valid frame classes, LOCAL (the _exclude_spark
+# aggregate-arithmetic lowering) and FEDERATED (DuckDB renders the
+# clause natively) vs DuckDB direct. ORDER BY n_regionkey draws give
+# real peer groups (5 ties per key at sf0.001); n_nationkey draws
+# degenerate GROUP to CURRENT ROW — both must agree.
+# ---------------------------------------------------------------------------
+
+_EXCL_FUNCS = ["CAST(COUNT(*) OVER ({spec}) AS BIGINT)",
+               "CAST(COUNT(n_regionkey) OVER ({spec}) AS BIGINT)",
+               "SUM(n_regionkey) OVER ({spec})",
+               "SUM(n_nationkey) OVER ({spec})",
+               "CAST(AVG(n_regionkey) OVER ({spec}) AS DOUBLE)"]
+_EXCL_PARTS = ["", "PARTITION BY n_regionkey % 2"]
+# frames valid for EXCLUDE CURRENT ROW (need only contain offset 0 —
+# the last one does NOT and must be a provable no-op on both paths)
+_EXCL_ROWS_FRAMES = [
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING",
+]
+# frames where the peer group is provably in-frame (EXCLUDE GROUP/TIES)
+_EXCL_PEER_FRAMES = [
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN CURRENT ROW AND CURRENT ROW",
+    "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+]
+
+
+@st.composite
+def _exclude_queries(draw):
+    fn = draw(st.sampled_from(_EXCL_FUNCS))
+    part = draw(st.sampled_from(_EXCL_PARTS))
+    mode = draw(st.sampled_from(["CURRENT ROW", "GROUP", "TIES",
+                                 "NO OTHERS"]))
+    if mode in ("GROUP", "TIES"):
+        frame = draw(st.sampled_from(_EXCL_PEER_FRAMES))
+        order = draw(st.sampled_from(
+            ["ORDER BY n_regionkey", "ORDER BY n_nationkey"]))
+    else:
+        frame = draw(st.sampled_from(_EXCL_ROWS_FRAMES))
+        # ROWS frames need a total order or frame contents are
+        # engine-arbitrary
+        order = "ORDER BY n_nationkey"
+    spec = " ".join(s for s in (part, order,
+                                f"{frame} EXCLUDE {mode}") if s)
+    return (f"SELECT n_nationkey, {fn.format(spec=spec)} AS w "
+            f"FROM nation")
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_exclude_queries())
+def test_frame_exclude_local_and_federated_match_duckdb(engines, sql):
+    import duckdb
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = sorted(map(tuple, conn.execute(sql).fetchall()))
+    conn.close()
+    got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"

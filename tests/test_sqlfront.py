@@ -1479,3 +1479,78 @@ def test_semi_join_plan_is_left_semi(spark):
     assert "LeftSemi" in plan
     # no right-side column survives into the output
     assert df.columns == ["c_name"]
+
+
+# ---------------------------------------------------------------------------
+# window frame EXCLUDE (r7 s4)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def _excl_fixture(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    rows = [(1, 1, 10), (1, 2, 20), (1, 2, None), (1, 3, 30),
+            (2, 1, 5), (2, 1, 7), (2, 2, None)]
+    eng.register_local_df(
+        "t", spark.createDataFrame(rows, "g int, k int, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g int, k int, v int)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    return eng, con
+
+
+@pytest.mark.parametrize("call", [
+    # NULLS FIRST pins the one engine-default divergence (Spark ASC is
+    # NULLS FIRST, DuckDB NULLS LAST) so frames hold identical rows
+    "SUM(v) OVER (PARTITION BY g ORDER BY k, v NULLS FIRST ROWS BETWEEN "
+    "1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)",
+    "CAST(COUNT(v) OVER (PARTITION BY g ORDER BY k, v NULLS FIRST ROWS "
+    "BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT)",
+    "CAST(COUNT(*) OVER (PARTITION BY g ORDER BY k, v NULLS FIRST ROWS "
+    "BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT)",
+    "SUM(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW EXCLUDE GROUP)",
+    "SUM(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW EXCLUDE TIES)",
+    "CAST(AVG(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS DOUBLE)",
+    # all-excluded frame: count 0, sum NULL
+    "CAST(COUNT(*) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN CURRENT "
+    "ROW AND CURRENT ROW EXCLUDE GROUP) AS BIGINT)",
+    # the one ROWS shape where peers are provably in-frame
+    "SUM(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES)",
+    # explicit no-op spelling
+    "SUM(v) OVER (PARTITION BY g ORDER BY k, v NULLS FIRST ROWS BETWEEN "
+    "1 PRECEDING AND CURRENT ROW EXCLUDE NO OTHERS)",
+    # frame without the current row: EXCLUDE CURRENT ROW is a static
+    # no-op (the plain aggregate must compile, not subtract)
+    "SUM(v) OVER (PARTITION BY g ORDER BY k, v NULLS FIRST ROWS BETWEEN "
+    "3 PRECEDING AND 1 PRECEDING EXCLUDE CURRENT ROW)",
+])
+def test_frame_exclude_matches_duckdb(_excl_fixture, call):
+    eng, con = _excl_fixture
+    q = (f"SELECT g, k, v, {call} AS x FROM t "
+         f"ORDER BY g, k, v NULLS FIRST")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == con.execute(q).fetchall()
+
+
+def test_frame_exclude_refusals(_excl_fixture):
+    eng, _ = _excl_fixture
+    # peers not provably inside a bounded ROWS frame
+    with pytest.raises(NotImplementedError, match="peer group"):
+        eng.sql(
+            "SELECT SUM(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN "
+            "1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS x FROM t")
+    # non-invertible aggregate
+    with pytest.raises(NotImplementedError, match="COUNT/SUM/AVG"):
+        eng.sql(
+            "SELECT MIN(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS x "
+            "FROM t")
+    # GROUP/TIES need a peer relation
+    with pytest.raises(NotImplementedError, match="ORDER BY"):
+        eng.sql(
+            "SELECT SUM(v) OVER (PARTITION BY g ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS x FROM t")

@@ -783,3 +783,37 @@ def test_ignore_nulls_with_filter_refused_every_dialect():
     for dialect in ("duckdb", "ansi", "spark"):
         with pytest.raises(UnsupportedUnparse, match="no remote"):
             sql(p, dialect)
+
+
+def _excl_plan():
+    from datafusion_federation_spark.expressions import (
+        AggFunc, WindowFrame, WindowFunc)
+    s = Alias(WindowFunc(
+        AggFunc("sum", [col("x")]),
+        order_by=[SortKey(col("i"))],
+        frame=WindowFrame("RANGE", "UNBOUNDED PRECEDING", 0,
+                          exclude="GROUP")), "s")
+    return Project(scan(), [col("i"), s])
+
+
+def test_frame_exclude_renders_on_duckdb_and_executes():
+    out = sql(_excl_plan(), "duckdb")
+    assert "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW " \
+           "EXCLUDE GROUP" in out
+    con = duckdb.connect()
+    con.execute('CREATE TABLE remote_table (i INT, x INT)')
+    con.execute("INSERT INTO remote_table VALUES (1, 10), (2, 20), (2, 5)")
+    rows = con.execute(out).fetchall()
+    # i=2 rows are each other's peers: each sees only i=1's 10; the
+    # i=1 row's frame minus its peer group is empty -> NULL
+    assert {(r[0], r[1]) for r in rows} == {(1, None), (2, 10)}
+
+
+def test_frame_exclude_refused_without_syntax():
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    for dialect in ("spark", "mysql", "derby", "ansi"):
+        with pytest.raises(UnsupportedUnparse, match="EXCLUDE"):
+            sql(_excl_plan(), dialect)
+    # Postgres/SQLite carry the SQL:2011 clause
+    assert "EXCLUDE GROUP" in sql(_excl_plan(), "postgres")
+    assert "EXCLUDE GROUP" in sql(_excl_plan(), "sqlite")
