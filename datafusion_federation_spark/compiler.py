@@ -149,6 +149,7 @@ class Compiler:
             df = self._c(p.input)
             projections = self._expand_star_options(df, p.projections)
             df, projs, _ = self._prepare_exprs(df, projections, p.input)
+            df, projs = self._lower_groups_frames(df, projs)
             return df.select(*[e.to_spark() for e in projs])
 
         if isinstance(p, Filter):
@@ -759,6 +760,74 @@ class Compiler:
                     else df.columns)
             out.extend(expand_star_options(cols, e))
         return out
+
+    def _lower_groups_frames(self, df: DataFrame, exprs):
+        """SQL:2011 GROUPS frame mode (Postgres 11+/SQLite 3.28+; Spark
+        and DuckDB lack it). A GROUPS frame counts PEER GROUPS, and the
+        peer-group ordinal is exactly dense_rank over the window's
+        partition/order — so ``GROUPS a PRECEDING AND b FOLLOWING``
+        rewrites EXACTLY to ``RANGE a PRECEDING AND b FOLLOWING`` over
+        that ordinal: the ordinal ascends 1-per-group along the declared
+        order (direction and NULLS placement folded in by dense_rank),
+        so group-distance equals value-distance on it. One helper column
+        per distinct (partition, order) spec, shared across window calls;
+        the outer select projects helpers away. EXCLUDE composes
+        unchanged through _exclude_spark: peers of the ordinal ARE the
+        original peer group, and the static validity checks read the
+        same numeric bounds. Aggregate functions only — a ranking or
+        value function's output depends on within-frame row order, which
+        the ordinal collapses for ties."""
+        from pyspark.sql import Window as W
+        from .expressions import (
+            AggFunc, Col as ColE, SortKey, WindowFrame, WindowFunc,
+            walk as walk_expr)
+        need = {}
+        for e in exprs:
+            for x in walk_expr(e):
+                if not (isinstance(x, WindowFunc) and x.frame is not None
+                        and x.frame.kind == "GROUPS"):
+                    continue
+                if not isinstance(x.func, AggFunc):
+                    raise NotImplementedError(
+                        "GROUPS frames are lowered for aggregate "
+                        "functions only (a ranking/value function over "
+                        "the peer ordinal would be order-arbitrary "
+                        "within ties)")
+                if not x.order_by:
+                    raise NotImplementedError(
+                        "GROUPS frame without ORDER BY has no peer "
+                        "relation (the engines reject it too)")
+                key = (tuple(str(e2.to_spark()) for e2 in x.partition_by),
+                       tuple(str(k.to_spark()) for k in x.order_by))
+                if key not in need:
+                    need[key] = (f"__grp_ord{len(need)}", x)
+        if not need:
+            return df, exprs
+        taken = set(df.columns)
+        mapping = {}
+        for key, (helper, wf) in need.items():
+            while helper in taken:
+                helper += "_"
+            taken.add(helper)
+            mapping[key] = helper
+            w = W.partitionBy(*[e2.to_spark() for e2 in wf.partition_by])
+            w = w.orderBy(*[k.to_spark() for k in wf.order_by])
+            df = df.withColumn(helper, F.dense_rank().over(w))
+
+        def repl(x):
+            if (isinstance(x, WindowFunc) and x.frame is not None
+                    and x.frame.kind == "GROUPS"):
+                key = (tuple(str(e2.to_spark()) for e2 in x.partition_by),
+                       tuple(str(k.to_spark()) for k in x.order_by))
+                return WindowFunc(
+                    x.func, x.partition_by,
+                    (SortKey(ColE(mapping[key])),),
+                    WindowFrame("RANGE", x.frame.start, x.frame.end,
+                                exclude=x.frame.exclude),
+                    ignore_nulls=x.ignore_nulls)
+            return x
+
+        return df, [_rewrite_expr(e, repl) for e in exprs]
 
     def _prepare_exprs(self, df: DataFrame, exprs, outer_plan: Plan = None):
         """Expression lowering for the local path: quantified comparisons

@@ -173,6 +173,7 @@ class Dialect:
     supports_semi_anti_join = False
     supports_asof_join = False       # native ASOF JOIN syntax
     supports_frame_exclude = False   # SQL:2011 frame EXCLUDE clause
+    supports_groups_frame = False    # SQL:2011 GROUPS frame mode
 
     #: window null-treatment syntax: "postfix" = `f(x) IGNORE NULLS OVER`
     #: (SQL:2011, Spark), "inline" = `f(x IGNORE NULLS) OVER` (DuckDB),
@@ -285,6 +286,7 @@ class PostgresDialect(Dialect):
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     ignore_nulls_style = None      # no IGNORE NULLS syntax
     supports_frame_exclude = True  # EXCLUDE clause since PG 11
+    supports_groups_frame = True   # GROUPS mode since PG 11
     function_map = {
         "year": _pg_extract("YEAR"), "quarter": _pg_extract("QUARTER"),
         "month": _pg_extract("MONTH"), "day": _pg_extract("DAY"),
@@ -308,6 +310,7 @@ class SQLiteDialect(Dialect):
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     ignore_nulls_style = None      # no IGNORE NULLS syntax
     supports_frame_exclude = True  # EXCLUDE clause since 3.28
+    supports_groups_frame = True   # GROUPS mode since 3.28
     quote_char = '"'
     ilike_op = "LIKE"  # sqlite LIKE is case-insensitive for ASCII already
     supports_filter_clause = True

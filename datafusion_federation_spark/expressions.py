@@ -815,6 +815,11 @@ class WindowFrame:
     def to_sql(self, d) -> str:
         base = (f"{self.kind} BETWEEN {self._bound_sql(self.start)} "
                 f"AND {self._bound_sql(self.end)}")
+        if self.kind == "GROUPS" and not getattr(
+                d, "supports_groups_frame", False):
+            from .dialects import UnsupportedUnparse
+            raise UnsupportedUnparse(
+                f"dialect {type(d).__name__} has no GROUPS frame mode")
         if self.exclude:
             if not getattr(d, "supports_frame_exclude", False):
                 from .dialects import UnsupportedUnparse
@@ -907,6 +912,15 @@ class WindowFunc(Expr):
         if self.order_by:
             w = w.orderBy(*[k.to_spark() for k in self.order_by])
         if self.frame is not None:
+            if self.frame.kind == "GROUPS":
+                # Spark has no GROUPS mode; the compiler lowers it to
+                # RANGE over a dense_rank ordinal BEFORE expressions
+                # compile (compiler._lower_groups_frames) — reaching
+                # here means a GROUPS window sits somewhere that
+                # rewrite does not cover (a sort key, a filter)
+                raise NotImplementedError(
+                    "GROUPS frames compile only in a projection (the "
+                    "dense_rank-ordinal lowering needs a pre-pass)")
             lo = self.frame._bound_spark(self.frame.start, True)
             hi = self.frame._bound_spark(self.frame.end, False)
             w = (w.rowsBetween(lo, hi) if self.frame.kind == "ROWS"

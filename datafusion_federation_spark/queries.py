@@ -425,6 +425,12 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q97_groups_frame",  # window machinery carried in-window by
+                         # q52/q70/q90; the dense_rank-ordinal lowering
+                         # is pinned vs LIVE SQLite (native GROUPS)
+                         # across 7 shapes in test_sqlfront; oracle is
+                         # the INDEPENDENT hand-spelled dense_rank+RANGE
+                         # derivation on DuckDB; PASS both SFs
     "q96_frame_exclude",  # window machinery carried in-window by
                           # q52/q70/q90; the EXCLUDE lowering is pinned
                           # vs DuckDB across 10 shapes + 3 refusals in

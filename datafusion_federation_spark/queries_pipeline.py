@@ -4867,3 +4867,55 @@ def q96(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("events", t(spark, sf, "events"))
     return eng.sql(_Q96_SQL)
+
+
+_Q97_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(w) AS DOUBLE) AS sliding_total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS w
+  FROM (
+    SELECT o_orderpriority, o_custkey, o_totalprice,
+           DENSE_RANK() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate) AS dr
+    FROM orders) b
+) t GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("q97_groups_frame", _Q97_ORACLE)
+def q97(spark, sf):
+    """SQL:2011 GROUPS frame mode (r7 s4): per customer, each order's
+    spend summed with its same-date peer group AND the previous date
+    group (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW), rolled up per
+    priority. Spark and DuckDB both lack GROUPS mode; the engine
+    lowers it EXACTLY (compiler._lower_groups_frames): the peer-group
+    ordinal is dense_rank over the window's partition/order, and a
+    GROUPS frame is literally a RANGE frame over that ordinal — one
+    helper column shared across same-spec windows, aggregates only,
+    EXCLUDE composing unchanged. The ORACLE is the same derivation
+    hand-spelled in plain SQL (dense_rank subquery + RANGE window) —
+    an independent check of the rewrite, not an echo of it. Live
+    SQLite (3.28+ has native GROUPS) pins the identical-SQL form in
+    test_sqlfront; Postgres/SQLite dialects render GROUPS natively at
+    unparse, every other dialect refuses so the subtree compiles
+    locally."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql("""
+SELECT o_orderpriority,
+       CAST(SUM(w) AS DOUBLE) AS sliding_total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w
+  FROM orders
+) t GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")

@@ -1620,7 +1620,7 @@ class Parser:
             order.append(self.parse_sort_key(scope))
             while self.accept_op(","):
                 order.append(self.parse_sort_key(scope))
-        if self.at_kw("ROWS", "RANGE"):
+        if self.at_kw("ROWS", "RANGE", "GROUPS"):
             kind = self.take()[1].upper()
             self.expect_kw("BETWEEN")
             start = self._frame_bound()

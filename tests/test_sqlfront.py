@@ -1554,3 +1554,69 @@ def test_frame_exclude_refusals(_excl_fixture):
         eng.sql(
             "SELECT SUM(v) OVER (PARTITION BY g ROWS BETWEEN UNBOUNDED "
             "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS x FROM t")
+
+
+# ---------------------------------------------------------------------------
+# GROUPS frame mode (r7 s4) — live SQLite (native GROUPS) is the pin
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def _groups_fixture(spark):
+    import sqlite3
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    rows = [(1, 1, 10), (1, 2, 20), (1, 2, None), (1, 3, 30), (1, 4, 40),
+            (2, 1, 5), (2, 1, 7), (2, 2, None)]
+    eng.register_local_df(
+        "t", spark.createDataFrame(rows, "g int, k int, v int"))
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t(g int, k int, v int)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    return eng, con
+
+
+@pytest.mark.parametrize("call", [
+    "SUM(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN 1 PRECEDING "
+    "AND CURRENT ROW)",
+    "MAX(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN 2 PRECEDING "
+    "AND 1 FOLLOWING)",
+    "MIN(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING)",
+    # direction folds into the ordinal
+    "COUNT(v) OVER (PARTITION BY g ORDER BY k DESC GROUPS BETWEEN "
+    "1 PRECEDING AND CURRENT ROW)",
+    # EXCLUDE composes through the same ordinal (peers of the ordinal
+    # ARE the original peer group)
+    "SUM(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN 1 PRECEDING "
+    "AND 1 FOLLOWING EXCLUDE GROUP)",
+    "SUM(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN CURRENT ROW "
+    "AND CURRENT ROW EXCLUDE TIES)",
+    # two same-spec windows share one helper column
+    "SUM(v) OVER (PARTITION BY g ORDER BY k GROUPS BETWEEN 1 PRECEDING "
+    "AND CURRENT ROW) + COUNT(*) OVER (PARTITION BY g ORDER BY k GROUPS "
+    "BETWEEN 1 PRECEDING AND CURRENT ROW)",
+])
+def test_groups_frame_matches_sqlite(_groups_fixture, call):
+    eng, con = _groups_fixture
+    q = f"SELECT g, k, v, {call} AS x FROM t ORDER BY g, k, v NULLS FIRST"
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    want = [tuple(r) for r in con.execute(
+        q.replace("v NULLS FIRST", "v"))]   # sqlite: NULLs first is ASC default
+    assert got == want
+
+
+def test_groups_frame_refusals(_groups_fixture):
+    eng, _ = _groups_fixture
+    with pytest.raises(NotImplementedError, match="aggregate"):
+        eng.sql("SELECT FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY k "
+                "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x FROM t")
+    with pytest.raises(NotImplementedError, match="ORDER BY"):
+        eng.sql("SELECT SUM(v) OVER (PARTITION BY g GROUPS BETWEEN "
+                "1 PRECEDING AND CURRENT ROW) AS x FROM t")
+
+
+def test_groups_frame_helper_not_leaked(_groups_fixture):
+    eng, _ = _groups_fixture
+    df = eng.sql("SELECT g, SUM(v) OVER (PARTITION BY g ORDER BY k "
+                 "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x FROM t")
+    assert df.columns == ["g", "x"]

@@ -817,3 +817,35 @@ def test_frame_exclude_refused_without_syntax():
     # Postgres/SQLite carry the SQL:2011 clause
     assert "EXCLUDE GROUP" in sql(_excl_plan(), "postgres")
     assert "EXCLUDE GROUP" in sql(_excl_plan(), "sqlite")
+
+
+def _groups_plan():
+    from datafusion_federation_spark.expressions import (
+        AggFunc, WindowFrame, WindowFunc)
+    s = Alias(WindowFunc(
+        AggFunc("sum", [col("x")]),
+        order_by=[SortKey(col("i"))],
+        frame=WindowFrame("GROUPS", -1, 0)), "s")
+    return Project(scan(), [col("i"), s])
+
+
+def test_groups_frame_renders_on_sqlite_and_executes():
+    out = sql(_groups_plan(), "sqlite")
+    assert "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW" in out
+    import sqlite3
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE remote_table (i INT, x INT)")
+    con.executemany("INSERT INTO remote_table VALUES (?, ?)",
+                    [(1, 10), (2, 20), (2, 5), (3, 40)])
+    rows = con.execute(out).fetchall()
+    # i=2 peers aggregate together; 1-PRECEDING spans one peer GROUP
+    assert {tuple(r) for r in rows} == {(1, 10), (2, 35), (2, 35),
+                                        (3, 65)}
+    assert "GROUPS BETWEEN" in sql(_groups_plan(), "postgres")
+
+
+def test_groups_frame_refused_without_mode():
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    for dialect in ("duckdb", "spark", "mysql", "derby", "ansi"):
+        with pytest.raises(UnsupportedUnparse, match="GROUPS"):
+            sql(_groups_plan(), dialect)
