@@ -174,6 +174,7 @@ class Dialect:
     supports_asof_join = False       # native ASOF JOIN syntax
     supports_frame_exclude = False   # SQL:2011 frame EXCLUDE clause
     supports_groups_frame = False    # SQL:2011 GROUPS frame mode
+    supports_within_group = False    # ordered-set aggregate syntax
 
     #: window null-treatment syntax: "postfix" = `f(x) IGNORE NULLS OVER`
     #: (SQL:2011, Spark), "inline" = `f(x IGNORE NULLS) OVER` (DuckDB),
@@ -260,6 +261,7 @@ class DuckDBDialect(Dialect):
     supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
     supports_asof_join = True       # native ASOF [LEFT] JOIN
     supports_frame_exclude = True   # EXCLUDE CURRENT ROW/GROUP/TIES
+    supports_within_group = True    # percentile_cont/disc, mode
     ignore_nulls_style = "inline"   # f(x IGNORE NULLS) OVER (...)
     star_exclude_kw = "EXCLUDE"     # SELECT * EXCLUDE (a, b)
     supports_star_replace = True    # SELECT * REPLACE (x*2 AS x)
@@ -287,6 +289,7 @@ class PostgresDialect(Dialect):
     ignore_nulls_style = None      # no IGNORE NULLS syntax
     supports_frame_exclude = True  # EXCLUDE clause since PG 11
     supports_groups_frame = True   # GROUPS mode since PG 11
+    supports_within_group = True   # ordered-set aggregates (PG 9.4+)
     function_map = {
         "year": _pg_extract("YEAR"), "quarter": _pg_extract("QUARTER"),
         "month": _pg_extract("MONTH"), "day": _pg_extract("DAY"),
@@ -347,6 +350,7 @@ class SparkSQLDialect(Dialect):
     name = "spark"
     quote_char = "`"
     supports_semi_anti_join = True  # LEFT SEMI / LEFT ANTI JOIN
+    supports_within_group = True    # percentile_cont/disc (3.4+), mode
     star_exclude_kw = "EXCEPT"      # SELECT * EXCEPT (a, b), Spark >= 3.4
     supports_star_replace = False   # open-source Spark has no * REPLACE
     join_keywords = dict(Dialect.join_keywords,

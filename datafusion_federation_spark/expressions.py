@@ -611,6 +611,9 @@ class AggFunc(Expr):
     distinct: bool = False
     filter: Optional[Expr] = None
     order_by: Sequence["SortKey"] = ()
+    #: ordered-set aggregate: f(frac) WITHIN GROUP (ORDER BY x) —
+    #: order_by holds the WITHIN GROUP keys
+    within_group: bool = False
 
     def children(self):
         out = list(self.args)
@@ -620,6 +623,19 @@ class AggFunc(Expr):
         return tuple(out)
 
     def to_sql(self, d) -> str:
+        if self.within_group:
+            if not getattr(d, "supports_within_group", False):
+                from .dialects import UnsupportedUnparse
+                raise UnsupportedUnparse(
+                    f"dialect {type(d).__name__} has no WITHIN GROUP "
+                    "syntax")
+            inner = ", ".join(a.to_sql(d) for a in self.args)
+            keys = ", ".join(k.to_sql(d) for k in self.order_by)
+            s = (f"{d.agg_function(self.name)}({inner}) "
+                 f"WITHIN GROUP (ORDER BY {keys})")
+            if self.filter is not None:
+                s += f" FILTER (WHERE {self.filter.to_sql(d)})"
+            return s
         inner = ", ".join(a.to_sql(d) for a in self.args) or "*"
         if self.distinct:
             inner = "DISTINCT " + inner
@@ -636,6 +652,8 @@ class AggFunc(Expr):
                               "array_agg", "collect_list"})
 
     def to_spark(self) -> Column:
+        if self.within_group:
+            return self._within_group_spark()
         if self.order_by:
             if self.name.lower() in self.ORDERED_AGGS:
                 return self._ordered_agg_spark()
@@ -749,6 +767,49 @@ class AggFunc(Expr):
             return F.when(F.exists(vals, lambda v: v.isNotNull()),
                           F.concat_ws(sep, vals))
         return vals
+
+    def _within_group_spark(self) -> Column:
+        """Ordered-set aggregates, f(frac) WITHIN GROUP (ORDER BY x).
+
+        percentile_cont -> F.percentile (exact, linear interpolation,
+        NULLs skipped — same rule as the engines); a DESC sort key maps
+        to fraction 1-f, exact by the symmetry of linear interpolation.
+        percentile_disc has no Spark builtin: sort the collected
+        non-null values (collect_list drops NULLs = the engines' skip
+        rule) and index at ceil(f*n) clamped to [1, n] — the first
+        value whose cumulative distribution reaches f; DESC indexes
+        from the other end (n - pos + 1). mode() maps to F.mode; its
+        tie-break is engine-arbitrary on Postgres/DuckDB too, so no
+        determinism is lost (tests pin tie-free data). NULLS FIRST/LAST
+        on the sort key is accepted and irrelevant: every form skips
+        NULL inputs."""
+        name = self.name.lower()
+        if len(self.order_by) != 1:
+            raise NotImplementedError(
+                "WITHIN GROUP takes exactly one sort key here")
+        k = self.order_by[0]
+        x = k.expr.to_spark()
+        if self.filter is not None:
+            # rows failing the filter become NULLs every form skips
+            x = F.when(self.filter.to_spark(), x)
+        if name == "mode":
+            if self.args:
+                raise NotImplementedError("mode() takes no arguments")
+            return F.mode(x)
+        if len(self.args) != 1 or not isinstance(self.args[0], Lit) \
+                or not isinstance(self.args[0].value, (int, float)) \
+                or not 0 <= self.args[0].value <= 1:
+            raise NotImplementedError(
+                f"{name} needs one literal fraction in [0, 1]")
+        f = float(self.args[0].value)
+        if name == "percentile_cont":
+            return F.percentile(x, F.lit(f if k.ascending else 1.0 - f))
+        vals = F.array_sort(F.collect_list(x))
+        n = F.size(vals)
+        pos = F.greatest(F.lit(1), F.ceil(F.lit(f) * n))
+        if not k.ascending:
+            pos = n - pos + F.lit(1)
+        return F.when(n > 0, F.element_at(vals, pos.cast("int")))
 
     def output_name(self) -> str:
         return self.name

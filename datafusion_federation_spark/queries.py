@@ -425,6 +425,11 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q98_within_group",  # groupBy/agg machinery carried in-window by
+                         # q01/q19; the percentile lowerings are pinned
+                         # vs DuckDB across 7 shapes + live federated
+                         # rendering in test_sqlfront; oracle
+                         # (identical SQL) PASS both SFs
     "q97_groups_frame",  # window machinery carried in-window by
                          # q52/q70/q90; the dense_rank-ordinal lowering
                          # is pinned vs LIVE SQLite (native GROUPS)

@@ -4919,3 +4919,34 @@ FROM (
   FROM orders
 ) t GROUP BY o_orderpriority ORDER BY o_orderpriority
 """)
+
+
+_Q98_SQL = """
+SELECT o_orderpriority,
+       CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE) AS median_price,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE) AS p90_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("q98_within_group", _Q98_SQL)
+def q98(spark, sf):
+    """Ordered-set aggregates (r7 s4): PERCENTILE_CONT / PERCENTILE_DISC
+    WITHIN GROUP (ORDER BY ...) — identical SQL on both engines.
+    percentile_cont lowers to Spark's exact F.percentile (linear
+    interpolation, NULLs skipped; DESC keys map to fraction 1-f,
+    exact by interpolation symmetry). percentile_disc has no Spark
+    builtin: sort the collected non-null values and index at
+    ceil(f*n) clamped to [1,n] — the first value whose cumulative
+    distribution reaches f (expressions.AggFunc._within_group_spark),
+    per-group array-local work after the one groupBy Exchange, no
+    UDF. DuckDB/Postgres/Spark dialects render WITHIN GROUP natively
+    at unparse (live federated DuckDB test); SQLite/MySQL/Derby
+    refuse so the subtree compiles locally."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q98_SQL)

@@ -49,7 +49,12 @@ AGG_NAMES = {"count", "sum", "avg", "min", "max", "stddev", "variance",
              # in a post-projection) — classifying them as aggregates
              # routes them into Aggregate.aggregates where F.grouping /
              # F.grouping_id are legal
-             "grouping", "grouping_id"}
+             "grouping", "grouping_id",
+             # ordered-set aggregates (WITHIN GROUP)
+             "percentile_cont", "percentile_disc", "mode"}
+
+#: names WITHIN GROUP (ORDER BY ...) attaches to
+WITHIN_GROUP_AGGS = {"percentile_cont", "percentile_disc", "mode"}
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
@@ -1538,6 +1543,27 @@ class Parser:
         # standard postfix form: f(x) IGNORE NULLS OVER (...)
         ignore_nulls = self._null_treatment() or ignore_nulls
         lname = name.lower()
+        within_group = False
+        if self.at_kw("WITHIN"):
+            # ordered-set aggregate: f(frac) WITHIN GROUP (ORDER BY x)
+            if lname not in WITHIN_GROUP_AGGS:
+                raise SqlParseError(
+                    f"WITHIN GROUP on {name}() is outside the parser "
+                    "surface (percentile_cont/percentile_disc/mode)")
+            if agg_order or distinct or star:
+                raise SqlParseError(
+                    "WITHIN GROUP cannot combine with DISTINCT, *, or "
+                    "an in-call ORDER BY")
+            self.take()
+            self.expect_kw("GROUP")
+            self.expect_op("(")
+            self.expect_kw("ORDER")
+            self.expect_kw("BY")
+            agg_order.append(self.parse_sort_key(scope))
+            while self.accept_op(","):
+                agg_order.append(self.parse_sort_key(scope))
+            self.expect_op(")")
+            within_group = True
         if distinct and lname not in AGG_NAMES:
             # Func has no DISTINCT form; dropping it silently would
             # return duplicates — reject so engine.sql falls back
@@ -1551,7 +1577,8 @@ class Parser:
                 e: Expr = AggFunc("count", [], distinct=distinct)
             else:
                 e = AggFunc(lname, args, distinct=distinct,
-                            order_by=tuple(agg_order))
+                            order_by=tuple(agg_order),
+                            within_group=within_group)
             if self.accept_kw("FILTER"):
                 self.expect_op("(")
                 self.expect_kw("WHERE")

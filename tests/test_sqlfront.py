@@ -1620,3 +1620,83 @@ def test_groups_frame_helper_not_leaked(_groups_fixture):
     df = eng.sql("SELECT g, SUM(v) OVER (PARTITION BY g ORDER BY k "
                  "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS x FROM t")
     assert df.columns == ["g", "x"]
+
+
+# ---------------------------------------------------------------------------
+# WITHIN GROUP ordered-set aggregates (r7 s4)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def _wg_fixture(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    rows = [(1, 10.0), (1, 20.0), (1, None), (1, 30.0), (1, 40.0),
+            (2, 5.0), (2, 7.0), (2, None), (3, 1.0)]
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "t", spark.createDataFrame(rows, "g int, v double"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g int, v double)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    return eng, con
+
+
+@pytest.mark.parametrize("call", [
+    "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v)",
+    # DESC maps to fraction 1-f (exact by interpolation symmetry)
+    "PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY v DESC)",
+    "PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v)",
+    # boundary fractions: 0 -> min, 1 -> max (ceil clamped to [1, n])
+    "PERCENTILE_DISC(0.0) WITHIN GROUP (ORDER BY v)",
+    "PERCENTILE_DISC(1.0) WITHIN GROUP (ORDER BY v)",
+    "PERCENTILE_DISC(0.3) WITHIN GROUP (ORDER BY v DESC)",
+    # FILTER: rows failing it become NULLs every form skips
+    "PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) "
+    "FILTER (WHERE v > 10)",
+])
+def test_within_group_matches_duckdb(_wg_fixture, call):
+    eng, con = _wg_fixture
+    q = f"SELECT g, {call} AS p FROM t GROUP BY g ORDER BY g"
+    assert [tuple(r) for r in eng.sql(q).collect()] \
+        == con.execute(q).fetchall()
+
+
+def test_within_group_ungrouped_and_refusals(_wg_fixture):
+    eng, con = _wg_fixture
+    q = ("SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) AS p "
+         "FROM t")
+    assert [tuple(r) for r in eng.sql(q).collect()] \
+        == con.execute(q).fetchall()
+    with pytest.raises(SqlParseError, match="WITHIN GROUP"):
+        parse("SELECT SUM(0.5) WITHIN GROUP (ORDER BY v) FROM t")
+    with pytest.raises(SqlParseError, match="DISTINCT"):
+        parse("SELECT PERCENTILE_CONT(DISTINCT 0.5) WITHIN GROUP "
+              "(ORDER BY v) FROM t")
+    with pytest.raises(NotImplementedError, match="fraction"):
+        eng.sql("SELECT PERCENTILE_CONT(v) WITHIN GROUP (ORDER BY v) "
+                "AS p FROM t")
+
+
+def test_within_group_federated_duckdb(spark):
+    # the unparse path: DuckDB renders WITHIN GROUP natively
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wg_duck", compute_context="test")
+    ex.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "orders")
+    q = ("SELECT o_orderpriority, CAST(PERCENTILE_CONT(0.5) WITHIN "
+         "GROUP (ORDER BY o_totalprice) AS DOUBLE) AS med "
+         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{TESTDATA}/orders.parquet'")
+    assert got == con.execute(q).fetchall()
+    # and the plan actually federated (one remote query node)
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, walk_plan)
+    fed = federate(eng.sql_plan(q).plan)
+    assert sum(isinstance(x, RemoteQueryNode)
+               for x in walk_plan(fed)) == 1

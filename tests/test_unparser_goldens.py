@@ -849,3 +849,23 @@ def test_groups_frame_refused_without_mode():
     for dialect in ("duckdb", "spark", "mysql", "derby", "ansi"):
         with pytest.raises(UnsupportedUnparse, match="GROUPS"):
             sql(_groups_plan(), dialect)
+
+
+def test_within_group_renders_and_refuses():
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    from datafusion_federation_spark.expressions import AggFunc
+    a = Alias(AggFunc("percentile_cont", [lit(0.5)],
+                      order_by=[SortKey(col("x"))], within_group=True),
+              "med")
+    p = Aggregate(scan(), [col("g")], [a])
+    out = sql(p, "duckdb")
+    assert 'PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY "x" ASC)' in out
+    con = duckdb.connect()
+    con.execute("CREATE TABLE remote_table (g INT, x INT)")
+    con.execute("INSERT INTO remote_table VALUES (1, 10), (1, 20), (2, 5)")
+    assert {tuple(r) for r in con.execute(out).fetchall()} \
+        == {(1, 15.0), (2, 5.0)}
+    assert "WITHIN GROUP" in sql(p, "spark")
+    for dialect in ("sqlite", "mysql", "derby", "ansi"):
+        with pytest.raises(UnsupportedUnparse, match="WITHIN GROUP"):
+            sql(p, dialect)
