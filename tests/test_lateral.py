@@ -262,3 +262,31 @@ SELECT * FROM customer c JOIN LATERAL (
 WHERE c.c_custkey < 3"""
     df2 = eng.sql(q2)
     assert [d[0] for d in con.execute(q2).description] == df2.columns
+
+
+def test_inner_lateral_agg_empty_group_divergence(spark):
+    # Engines DISAGREE here, so the semantics choice is pinned (r7 s4
+    # fuzzer finding): per-row evaluation of an ungrouped-aggregate
+    # LATERAL body yields exactly ONE row even over empty input
+    # (count -> 0, sum -> NULL), so INNER JOIN ... ON TRUE keeps every
+    # outer row — Postgres semantics, and this engine's exactly-one-
+    # row contract. DuckDB's decorrelation DROPS the empty-group outer
+    # rows on INNER (it keeps them on LEFT, where both engines agree —
+    # q93's oracle-backed shape).
+    import duckdb
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("a", spark.createDataFrame(
+        [(0,), (1,)], "k int"))
+    eng.register_local_df("b", spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, v int"))
+    q = ("SELECT a.k, s.v FROM a JOIN LATERAL ("
+         "SELECT CAST(SUM(b.v) AS BIGINT) AS v FROM b WHERE b.k = a.k"
+         ") s ON TRUE ORDER BY a.k")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == [(0, None), (1, 30)]        # one row per outer row
+    con = duckdb.connect()
+    con.execute("CREATE TABLE a(k int); INSERT INTO a VALUES (0), (1)")
+    con.execute("CREATE TABLE b(k int, v int); "
+                "INSERT INTO b VALUES (1, 10), (1, 20)")
+    assert con.execute(q).fetchall() == [(1, 30)]   # DuckDB drops k=0
