@@ -682,6 +682,20 @@ class AggFunc(Expr):
             return F.expr(f"{name}(DISTINCT {inner})")
         if name == "count" and not cols:
             return F.count(F.lit(1))
+        if name == "corr":
+            # Spark 4's native corr divides by the variance product and
+            # THROWS under the ANSI default when a group's x or y is
+            # constant; every engine returns NULL there. Pearson's r IS
+            # covar_pop / (stddev_pop * stddev_pop) over pairwise-
+            # complete observations — same stable co-moment state, one
+            # guarded division. The pairwise mask matters: bare
+            # stddev_pop(x) would count rows whose y is NULL, which
+            # corr's pairwise deletion excludes.
+            x, y = cols
+            both = x.isNotNull() & y.isNotNull()
+            xm, ym = F.when(both, x), F.when(both, y)
+            den = F.stddev_pop(xm) * F.stddev_pop(ym)
+            return F.when(den != 0, F.covar_pop(xm, ym) / den)
         if name == "group_concat":
             # MySQL spelling; Spark 4 exposes the ANSI name
             return F.string_agg(*cols) if len(cols) > 1 \

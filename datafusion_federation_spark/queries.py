@@ -425,6 +425,11 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q99_stat_aggregates",  # groupBy/agg machinery carried in-window
+                            # by q01/q19; definitional-parity gate and
+                            # the corr NULL-edge lowering pinned vs
+                            # DuckDB in test_sqlfront; oracle
+                            # (identical SQL) PASS both SFs
     "q98_within_group",  # groupBy/agg machinery carried in-window by
                          # q01/q19; the percentile lowerings are pinned
                          # vs DuckDB across 7 shapes + live federated

@@ -4950,3 +4950,37 @@ def q98(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q98_SQL)
+
+
+_Q99_SQL = """
+SELECT o_orderstatus,
+       CAST(ROUND(STDDEV_SAMP(o_totalprice), 2) AS DOUBLE) AS sd_samp,
+       CAST(ROUND(STDDEV_POP(o_totalprice), 2) AS DOUBLE) AS sd_pop,
+       CAST(ROUND(CORR(o_totalprice, o_custkey), 6) AS DOUBLE) AS pc_corr,
+       CAST(ROUND(COVAR_SAMP(o_totalprice, o_custkey) / 1000000, 4)
+            AS DOUBLE) AS cov_m,
+       BOOL_AND(o_totalprice > 0) AS all_positive,
+       BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@q("q99_stat_aggregates", _Q99_SQL)
+def q99(spark, sf):
+    """Statistical aggregate family (r7 s4): STDDEV_SAMP/POP, CORR,
+    COVAR_SAMP, BOOL_AND/BOOL_OR — identical SQL on both engines.
+    Only names whose DEFINITIONS agree engine-to-engine are exposed
+    (AGG_NAMES note: skewness/kurtosis are deliberately refused — Spark
+    uses population moments, DuckDB sample-corrected ones, and a
+    federated call would silently flip definitions). In-query ROUND
+    before the hash: both engines run Welford/two-pass style summation
+    whose last-ulp order differs, so raw doubles at 1e9 magnitude can
+    drift ~1e-3 absolute; rounding at 2-6 digits (scaled for
+    covariance) puts agreement far outside the drift band while the
+    driver hashes at 9 digits. All JVM-side builtins, one groupBy
+    Exchange."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q99_SQL)

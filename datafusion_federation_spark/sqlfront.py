@@ -51,7 +51,18 @@ AGG_NAMES = {"count", "sum", "avg", "min", "max", "stddev", "variance",
              # F.grouping_id are legal
              "grouping", "grouping_id",
              # ordered-set aggregates (WITHIN GROUP)
-             "percentile_cont", "percentile_disc", "mode"}
+             "percentile_cont", "percentile_disc", "mode",
+             # statistical family — names whose DEFINITIONS agree on
+             # Spark and the remote engines, so the generic F.<name>
+             # lowering and the remote rendering compute the same
+             # thing. skewness/kurtosis are deliberately absent: Spark
+             # uses population moments, DuckDB sample-corrected ones —
+             # a silent definitional mismatch across the federation
+             # boundary
+             "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+             "corr", "covar_samp", "covar_pop",
+             "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
+             "any_value"}
 
 #: names WITHIN GROUP (ORDER BY ...) attaches to
 WITHIN_GROUP_AGGS = {"percentile_cont", "percentile_disc", "mode"}

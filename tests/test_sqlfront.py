@@ -1700,3 +1700,66 @@ def test_within_group_federated_duckdb(spark):
     fed = federate(eng.sql_plan(q).plan)
     assert sum(isinstance(x, RemoteQueryNode)
                for x in walk_plan(fed)) == 1
+
+
+def test_stat_aggregates_federated_and_local_match(spark):
+    # the statistical family federates (generic uppercase rendering)
+    # and computes the same values locally — bool/bit forms are exact,
+    # moment forms rounded in-query (fp summation order differs)
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    q = ("SELECT n_regionkey, "
+         "CAST(ROUND(STDDEV_SAMP(n_nationkey), 6) AS DOUBLE) AS sd, "
+         "CAST(ROUND(VAR_POP(n_nationkey), 6) AS DOUBLE) AS vp, "
+         "CAST(ROUND(CORR(n_nationkey, n_regionkey), 6) AS DOUBLE) AS c, "
+         "BOOL_AND(n_nationkey >= 0) AS ba, "
+         "BIT_OR(n_nationkey) AS bo "
+         "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey")
+    local = FederationEngine(spark)
+    local.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    got_local = [tuple(r) for r in local.sql(q).collect()]
+    ex = DuckDBExecutor(name="stat_duck", compute_context="test")
+    ex.register_parquet("nation", f"{TESTDATA}/nation.parquet")
+    fed = FederationEngine(spark)
+    fed.register_remote(SQLProvider(ex), "nation")
+    got_fed = [tuple(r) for r in fed.sql(q).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"'{TESTDATA}/nation.parquet'")
+    want = con.execute(q).fetchall()
+    assert got_local == want
+    assert got_fed == want
+
+
+def test_skewness_stays_out_of_the_aggregate_map():
+    # Spark computes population moments, DuckDB sample-corrected ones:
+    # admitting the name would silently flip definitions across the
+    # federation boundary. The parser treats it as a plain Func, so
+    # grouped use fails loudly instead of computing either definition.
+    from datafusion_federation_spark.sqlfront import AGG_NAMES
+    assert "skewness" not in AGG_NAMES and "kurtosis" not in AGG_NAMES
+
+
+def test_corr_constant_group_is_null_not_ansi_throw(spark):
+    # Spark 4's native corr THROWS (ANSI divide-by-zero) when a group's
+    # x or y is constant; the engines return NULL. The lowering
+    # (covar_pop over the pairwise-complete mask, guarded division)
+    # matches the engines — and the pairwise mask is load-bearing:
+    # rows whose OTHER column is NULL must not count.
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("t", spark.createDataFrame(
+        [(1, 5.0, 3.0), (1, 5.0, 4.0),       # x constant -> NULL
+         (2, 1.0, 1.0), (2, 2.0, 3.0), (2, None, 9.0), (2, 4.0, None)],
+        "g int, x double, y double"))
+    q = ("SELECT g, CAST(ROUND(CORR(x, y), 6) AS DOUBLE) AS c FROM t "
+         "GROUP BY g ORDER BY g")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g int, x double, y double)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [(1, 5.0, 3.0), (1, 5.0, 4.0), (2, 1.0, 1.0),
+                     (2, 2.0, 3.0), (2, None, 9.0), (2, 4.0, None)])
+    assert got == con.execute(q).fetchall()
+    assert got[0][1] is None and got[1][1] == 1.0
