@@ -289,6 +289,31 @@ class Compiler:
         if isinstance(p, SubqueryAlias):
             return self._c(p.input).alias(p.alias)
 
+        from .plans.nodes import Pivot, Unpivot
+        if isinstance(p, Unpivot):
+            df = self._c(p.input)
+            missing = [c for c in p.cols if c not in df.columns]
+            if missing:
+                raise ValueError(f"UNPIVOT columns not found: {missing}")
+            ids = [c for c in df.columns if c not in set(p.cols)]
+            out = df.unpivot(ids, list(p.cols), p.name_col, p.value_col)
+            if not p.include_nulls:
+                # engines drop NULL values by default; Spark's
+                # DataFrame.unpivot keeps them
+                out = out.filter(F.col(p.value_col).isNotNull())
+            return out
+
+        if isinstance(p, Pivot):
+            from .expressions import walk as walk_expr
+            df = self._c(p.input)
+            agg_refs = {x.name for x in walk_expr(p.agg)
+                        if isinstance(x, Col)}
+            ids = [c for c in df.columns
+                   if c != p.pivot_col and c not in agg_refs]
+            return (df.groupBy(*ids)
+                    .pivot(p.pivot_col, list(p.values))
+                    .agg(p.agg.to_spark()))
+
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
     # ------------------------------------------------------------------

@@ -180,6 +180,13 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
         # stay local; sibling subtrees inside base/step still federate
         # independently via the recursive optimizer pass
         return ScanResult.ambiguous()
+    from .plans.nodes import Pivot, Unpivot
+    if isinstance(p, (Pivot, Unpivot)):
+        # no unparser rendering (PIVOT/UNPIVOT spellings vary per
+        # engine and Spark compiles them natively); the compiler owns
+        # these nodes — children still claim individually, so the
+        # pivoted input arrives as one remote read
+        return ScanResult.ambiguous()
     from .plans.nodes import LateralJoin
     if isinstance(p, LateralJoin):
         # the decorrelating compile owns this node. A CORRELATED body's

@@ -388,6 +388,56 @@ class RemoteQueryNode(Plan):
                                tuple(self.runtime_filters) + tuple(filters))
 
 
+@dataclass(eq=False)
+class Unpivot(Plan):
+    """`rel UNPIVOT [INCLUDE NULLS] (value FOR name IN (c1, c2, ...))`
+    (SQL:2016-style; DuckDB and Spark SQL share the spelling). Rows
+    widen: each input row yields one output row per named column, the
+    NAME column carrying the source column's name and the VALUE column
+    its value; NULL values drop unless INCLUDE NULLS. Compiles to
+    DataFrame.unpivot (ids = every other column) + a value filter —
+    a narrow per-row expansion, no shuffle. Kept local (scan_plan
+    posture like LateralJoin); the input still federates."""
+
+    input: Plan
+    cols: Sequence[str] = ()
+    value_col: str = "value"
+    name_col: str = "name"
+    include_nulls: bool = False
+
+    def inputs(self): return (self.input,)
+
+    def exprs(self): return ()
+
+    def with_inputs(self, new_inputs):
+        return Unpivot(new_inputs[0], self.cols, self.value_col,
+                       self.name_col, self.include_nulls)
+
+
+@dataclass(eq=False)
+class Pivot(Plan):
+    """`rel PIVOT (agg(x) FOR key IN (v1, v2, ...))` (DuckDB/Spark SQL
+    spelling, explicit value list only — implicit value discovery would
+    need a pre-query). Groups implicitly by every column not consumed
+    by the aggregate or the key, one output column per IN value named
+    by the value. Compiles to groupBy(ids).pivot(key, values).agg(...)
+    — one shuffle, same as the equivalent FILTER-aggregate spelling.
+    Kept local; the input still federates."""
+
+    input: Plan
+    agg: Expr = None                     # AggFunc
+    pivot_col: str = ""
+    values: Sequence[Any] = ()           # python literal values
+
+    def inputs(self): return (self.input,)
+
+    def exprs(self): return (self.agg,) if self.agg is not None else ()
+
+    def with_inputs(self, new_inputs):
+        return Pivot(new_inputs[0], self.agg, self.pivot_col,
+                     self.values)
+
+
 def walk_plan(p: Plan):
     """Yield p and all descendant plan nodes."""
     yield p

@@ -425,6 +425,12 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q100_unpivot",  # narrow per-row expansion; front-door plan pin +
+                     # federated-input pin in test_sqlfront; oracle
+                     # (identical SQL) PASS both SFs
+    "q101_pivot",    # groupBy().pivot() lowering; front-door plan pin
+                     # + refusals in test_sqlfront; oracle (identical
+                     # SQL) PASS both SFs
     "q99_stat_aggregates",  # groupBy/agg machinery carried in-window
                             # by q01/q19; definitional-parity gate and
                             # the corr NULL-edge lowering pinned vs

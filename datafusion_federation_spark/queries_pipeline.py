@@ -4984,3 +4984,61 @@ def q99(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q99_SQL)
+
+
+_Q100_SQL = """
+SELECT l_returnflag, measure,
+       CAST(SUM(CAST(amt AS DECIMAL(14,2))) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT l_returnflag, l_quantity, l_discount, l_tax FROM lineitem) b
+  UNPIVOT (amt FOR measure IN (l_quantity, l_discount, l_tax))
+GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure
+"""
+
+
+@q("q100_unpivot", _Q100_SQL)
+def q100(spark, sf):
+    """UNPIVOT relation suffix (r7 s4): wide measure columns to long
+    (measure, value) rows — the SQL:2016-style spelling DuckDB and
+    Spark SQL share, so the oracle runs the identical string. Lowering:
+    DataFrame.unpivot with ids = every other column (a narrow per-row
+    expansion inside the scan stage, no shuffle) + the engines'
+    default NULL-value drop (Spark's unpivot keeps NULLs; INCLUDE
+    NULLS skips the filter). The node stays local (scan_plan posture
+    like LateralJoin) while its input federates as one remote read.
+    DECIMAL cast before SUM keeps the aggregate exact across
+    engines."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("lineitem", t(spark, sf, "lineitem"))
+    return eng.sql(_Q100_SQL)
+
+
+_Q101_SQL = """
+SELECT o_orderpriority,
+       CAST("O" AS DOUBLE) AS open_total,
+       CAST("F" AS DOUBLE) AS filled_total,
+       CAST("P" AS DOUBLE) AS partial_total
+FROM (SELECT o_orderpriority, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders) b
+  PIVOT (SUM(price) FOR o_orderstatus IN ('O', 'F', 'P'))
+ORDER BY o_orderpriority
+"""
+
+
+@q("q101_pivot", _Q101_SQL)
+def q101(spark, sf):
+    """PIVOT relation suffix (r7 s4): long key rows to wide columns,
+    explicit IN list (implicit value discovery would need a pre-query
+    — refused), one output column per value named by the value — the
+    spelling DuckDB and Spark SQL share, identical SQL both engines.
+    The implicit grouping is every column the aggregate and key don't
+    consume, exactly the engines' rule, which is why the source is a
+    3-column derived table. Lowering: groupBy(ids).pivot(key,
+    values).agg(...) — one shuffle, the same plan as the equivalent
+    FILTER-aggregate spelling, values pinned so no discovery job
+    runs. DECIMAL keeps the sums exact."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q101_SQL)

@@ -1170,11 +1170,17 @@ class Parser:
                 return self._parse_values_relation(scope)
             sub = self.parse_query(scope)
             self.expect_op(")")
+            pivoted = self._maybe_pivot_suffix(sub, scope)
+            if pivoted is not None:
+                return pivoted
             alias = self._relation_alias()
             if alias:
                 scope.add(alias)
-                return SubqueryAlias(sub, alias)
-            return sub
+                sub = SubqueryAlias(sub, alias)
+            # DuckDB also accepts the alias BEFORE the pivot clause:
+            # (SELECT ...) b PIVOT (...)
+            pivoted = self._maybe_pivot_suffix(sub, scope)
+            return pivoted if pivoted is not None else sub
         name = self.take()
         if name[0] != "id":
             raise SqlParseError(f"expected table name, got {name}")
@@ -1183,16 +1189,90 @@ class Parser:
             self.take()
             tname += "." + self.take()[1]
         if tname.lower() in self.ctes:
+            pivoted = self._maybe_pivot_suffix(
+                self.ctes[tname.lower()], scope)
+            if pivoted is not None:
+                return pivoted
             alias = self._relation_alias() or tname
             scope.add(alias)
             return SubqueryAlias(self.ctes[tname.lower()], alias)
         handle = self.resolve_table(tname)
         plan: Plan = Scan(handle)
+        pivoted = self._maybe_pivot_suffix(plan, scope)
+        if pivoted is not None:
+            return pivoted
         alias = self._relation_alias()
         scope.add(alias or handle.local_name)
         if alias and alias != handle.local_name:
             plan = SubqueryAlias(plan, alias)
-        return plan
+        pivoted = self._maybe_pivot_suffix(plan, scope)
+        return pivoted if pivoted is not None else plan
+
+    def _maybe_pivot_suffix(self, plan: Plan, scope: _Scope
+                            ) -> Optional[Plan]:
+        """`rel UNPIVOT [INCLUDE NULLS] (v FOR n IN (c1, ...))` and
+        `rel PIVOT (agg(x) FOR key IN (lit1, ...))` relation suffixes
+        (SQL:2016-style spelling shared by DuckDB and Spark SQL — the
+        oracle runs the identical string). Returns None when the
+        cursor is not on either keyword."""
+        from .plans.nodes import Pivot, Unpivot
+        if self.at_kw("UNPIVOT"):
+            self.take()
+            include_nulls = False
+            if self.accept_kw("INCLUDE"):
+                self.expect_kw("NULLS")
+                include_nulls = True
+            self.expect_op("(")
+            value_col = self.take()[1]
+            self.expect_kw("FOR")
+            name_col = self.take()[1]
+            self.expect_kw("IN")
+            self.expect_op("(")
+            cols = [self.take()[1]]
+            while self.accept_op(","):
+                cols.append(self.take()[1])
+            self.expect_op(")")
+            self.expect_op(")")
+            out: Plan = Unpivot(plan, tuple(cols), value_col, name_col,
+                                include_nulls)
+        elif self.at_kw("PIVOT"):
+            self.take()
+            self.expect_op("(")
+            fname = self.take()
+            if fname[0] != "id" or self.peek() != ("op", "("):
+                raise SqlParseError(
+                    "PIVOT needs an aggregate call: PIVOT (agg(x) FOR "
+                    "key IN (...))")
+            self.i -= 1
+            agg = self.parse_func_call(scope)
+            if not isinstance(agg, AggFunc):
+                raise SqlParseError(
+                    f"PIVOT over non-aggregate {fname[1]}() is outside "
+                    "the parser surface")
+            self.expect_kw("FOR")
+            pivot_col = self.take()[1]
+            self.expect_kw("IN")
+            self.expect_op("(")
+            values = []
+            while True:
+                v = self.parse_expr(scope)
+                if not isinstance(v, Lit):
+                    raise SqlParseError(
+                        "PIVOT IN list takes literals (implicit value "
+                        "discovery would need a pre-query)")
+                values.append(v.value)
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            self.expect_op(")")
+            out = Pivot(plan, agg, pivot_col, tuple(values))
+        else:
+            return None
+        alias = self._relation_alias()
+        if alias:
+            scope.add(alias)
+            return SubqueryAlias(out, alias)
+        return out
 
 
     def _parse_values_relation(self, scope: _Scope) -> Plan:

@@ -1763,3 +1763,84 @@ def test_corr_constant_group_is_null_not_ansi_throw(spark):
                      (2, 2.0, 3.0), (2, None, 9.0), (2, 4.0, None)])
     assert got == con.execute(q).fetchall()
     assert got[0][1] is None and got[1][1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PIVOT / UNPIVOT relation suffixes (r7 s4)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def _pivot_fixture(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("t", spark.createDataFrame(
+        [(1, 10, None), (2, 30, 40)], "id int, a int, b int"))
+    eng.register_local_df("p", spark.createDataFrame(
+        [(1, 'x', 5), (1, 'y', 6), (2, 'x', 7)], "g int, k string, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id int, a int, b int); "
+                "INSERT INTO t VALUES (1,10,NULL),(2,30,40)")
+    con.execute("CREATE TABLE p(g int, k varchar, v int); "
+                "INSERT INTO p VALUES (1,'x',5),(1,'y',6),(2,'x',7)")
+    return eng, con
+
+
+@pytest.mark.parametrize("q", [
+    # default drops NULL values; INCLUDE NULLS keeps them
+    "SELECT id, n, v FROM t UNPIVOT (v FOR n IN (a, b)) ORDER BY id, n",
+    "SELECT id, n, v FROM t UNPIVOT INCLUDE NULLS (v FOR n IN (a, b)) "
+    "ORDER BY id, n",
+    # alias after the clause, qualified refs
+    "SELECT u.id, u.v FROM t UNPIVOT (v FOR n IN (a, b)) u "
+    "WHERE u.n = 'a' ORDER BY u.id",
+    # derived-table source with the alias BEFORE the clause (DuckDB
+    # accepts both orders)
+    "SELECT * FROM (SELECT id, a, b FROM t) d "
+    "UNPIVOT (v FOR n IN (a, b)) ORDER BY id, n",
+    "SELECT * FROM p PIVOT (SUM(v) FOR k IN ('x', 'y')) ORDER BY g",
+    "SELECT g, CAST(\"x\" AS BIGINT) AS cx FROM p "
+    "PIVOT (COUNT(v) FOR k IN ('x')) ORDER BY g",
+])
+def test_pivot_unpivot_matches_duckdb(_pivot_fixture, q):
+    eng, con = _pivot_fixture
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == con.execute(q).fetchall()
+    # and through OUR front door, not the Spark-parser fallback
+    from datafusion_federation_spark.plans.nodes import (
+        Pivot, Unpivot, walk_plan)
+    plan = eng.sql_plan(q).plan
+    assert any(isinstance(x, (Pivot, Unpivot)) for x in walk_plan(plan))
+
+
+def test_pivot_refusals(_pivot_fixture):
+    eng, _ = _pivot_fixture
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    with pytest.raises(SqlParseError, match="literal"):
+        eng.sql_plan("SELECT * FROM p PIVOT (SUM(v) FOR k IN (g))")
+    with pytest.raises(SqlParseError, match="aggregate"):
+        eng.sql_plan("SELECT * FROM p PIVOT (ABS(v) FOR k IN ('x'))")
+
+
+def test_unpivot_input_federates_node_stays_local(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, Unpivot, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="unpv_duck", compute_context="test")
+    ex.register_parquet("lineitem", f"{TESTDATA}/lineitem.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "lineitem")
+    q = ("SELECT measure, CAST(COUNT(*) AS BIGINT) AS n FROM "
+         "(SELECT l_quantity, l_tax FROM lineitem) b "
+         "UNPIVOT (amt FOR measure IN (l_quantity, l_tax)) "
+         "GROUP BY measure ORDER BY measure")
+    fed = federate(eng.sql_plan(q).plan)
+    up = next(x for x in walk_plan(fed) if isinstance(x, Unpivot))
+    assert isinstance(up.input, RemoteQueryNode)   # input claimed
+    rows = {r.measure: r.n for r in eng.execute(fed).collect()}
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM "
+                    f"'{TESTDATA}/lineitem.parquet'").fetchone()[0]
+    assert rows == {"l_quantity": n, "l_tax": n}
