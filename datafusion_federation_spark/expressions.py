@@ -782,7 +782,7 @@ class AggFunc(Expr):
                           F.concat_ws(sep, vals))
         return vals
 
-    def _within_group_spark(self) -> Column:
+    def _within_group_spark(self, w=None) -> Column:
         """Ordered-set aggregates, f(frac) WITHIN GROUP (ORDER BY x).
 
         percentile_cont -> F.percentile (exact, linear interpolation,
@@ -796,7 +796,17 @@ class AggFunc(Expr):
         tie-break is engine-arbitrary on Postgres/DuckDB too, so no
         determinism is lost (tests pin tie-free data). NULLS FIRST/LAST
         on the sort key is accepted and irrelevant: every form skips
-        NULL inputs."""
+        NULL inputs.
+
+        ``w`` (a WindowSpec) windows the form: only the AGGREGATE
+        inside each composition gets ``.over(w)`` — the disc index
+        arithmetic stays row-level, which is exactly why the generic
+        ``func.to_spark().over(w)`` path cannot serve these (Spark
+        rejects OVER on a non-aggregate composite). No remote engine
+        runs ordered-set aggregates as window functions at all, so the
+        unparser refuses and this is the only execution path."""
+        def A(c):
+            return c.over(w) if w is not None else c
         name = self.name.lower()
         if len(self.order_by) != 1:
             raise NotImplementedError(
@@ -809,7 +819,7 @@ class AggFunc(Expr):
         if name == "mode":
             if self.args:
                 raise NotImplementedError("mode() takes no arguments")
-            return F.mode(x)
+            return A(F.mode(x))
         if len(self.args) != 1 or not isinstance(self.args[0], Lit) \
                 or not isinstance(self.args[0].value, (int, float)) \
                 or not 0 <= self.args[0].value <= 1:
@@ -817,8 +827,9 @@ class AggFunc(Expr):
                 f"{name} needs one literal fraction in [0, 1]")
         f = float(self.args[0].value)
         if name == "percentile_cont":
-            return F.percentile(x, F.lit(f if k.ascending else 1.0 - f))
-        vals = F.array_sort(F.collect_list(x))
+            return A(F.percentile(
+                x, F.lit(f if k.ascending else 1.0 - f)))
+        vals = F.array_sort(A(F.collect_list(x)))
         n = F.size(vals)
         pos = F.greatest(F.lit(1), F.ceil(F.lit(f) * n))
         if not k.ascending:
@@ -944,6 +955,17 @@ class WindowFunc(Expr):
         return (self.func, *self.partition_by, *[k.expr for k in self.order_by])
 
     def to_sql(self, d) -> str:
+        if getattr(self.func, "within_group", False):
+            # no target engine runs an ordered-set aggregate as a
+            # window function (DuckDB: 'ORDER BY is not implemented for
+            # window functions'; Postgres rejects ordered-set aggs in
+            # OVER) — refuse at unparse so the subtree compiles
+            # locally, where F.percentile/.over and the disc lowering
+            # are well-defined (review r7 s4)
+            from .dialects import UnsupportedUnparse
+            raise UnsupportedUnparse(
+                "WITHIN GROUP under an OVER clause has no remote "
+                "rendering")
         over = []
         if self.partition_by:
             over.append("PARTITION BY " +
@@ -1000,6 +1022,15 @@ class WindowFunc(Expr):
             hi = self.frame._bound_spark(self.frame.end, False)
             w = (w.rowsBetween(lo, hi) if self.frame.kind == "ROWS"
                  else w.rangeBetween(lo, hi))
+        if getattr(self.func, "within_group", False):
+            # the generic .over() below would wrap the disc form's
+            # non-aggregate index arithmetic — window only the inner
+            # aggregate instead (review r7 s4)
+            if self.frame is not None and self.frame.exclude:
+                raise NotImplementedError(
+                    "frame EXCLUDE on a WITHIN GROUP window is outside "
+                    "the compiler surface")
+            return self.func._within_group_spark(w)
         if self.frame is not None and self.frame.exclude:
             if self.ignore_nulls:
                 raise NotImplementedError(
@@ -1042,7 +1073,6 @@ class WindowFunc(Expr):
         if (not isinstance(func, AggFunc)
                 or name not in ("count", "sum", "avg")
                 or getattr(func, "distinct", False)
-                or getattr(func, "filter", None) is not None
                 or getattr(func, "order_by", None)):
             raise NotImplementedError(
                 f"frame EXCLUDE is lowered for plain COUNT/SUM/AVG "
@@ -1074,9 +1104,20 @@ class WindowFunc(Expr):
         star = (len(func.args) == 1 and isinstance(func.args[0], Star)) \
             or not func.args
         x = None if star else func.args[0].to_spark()
-        cnt_arg = F.lit(1) if star else x
-        self_cnt = F.lit(1) if star else \
-            F.when(x.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        filt = getattr(func, "filter", None)
+        if filt is not None:
+            # FILTER composes with the exclusion arithmetic: rows
+            # failing it become NULLs that count/sum skip — in the
+            # full-frame agg, the peer agg, AND the row's own
+            # contribution alike (review r7 s4)
+            fc = filt.to_spark()
+            x = None if star else F.when(fc, x)
+            star_one = F.when(fc, F.lit(1))
+        else:
+            star_one = F.lit(1)
+        cnt_arg = star_one if star else x
+        self_cnt = (F.coalesce(star_one, F.lit(0)) if star else
+                    F.when(x.isNotNull(), F.lit(1)).otherwise(F.lit(0)))
         self_sum = None if star else F.coalesce(x, F.lit(0))
 
         cnt_full = F.count(cnt_arg).over(w_full)

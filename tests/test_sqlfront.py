@@ -1844,3 +1844,77 @@ def test_unpivot_input_federates_node_stays_local(spark):
     n = con.execute(f"SELECT COUNT(*) FROM "
                     f"'{TESTDATA}/lineitem.parquet'").fetchone()[0]
     assert rows == {"l_quantity": n, "l_tax": n}
+
+
+def test_semi_join_federates_to_native_duckdb(spark):
+    # both sides on ONE DuckDB provider: the SEMI JOIN must claim as a
+    # single remote query rendered with DuckDB's native SEMI JOIN
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="semi_duck", compute_context="test")
+    ex.register_parquet("customer", f"{TESTDATA}/customer.parquet")
+    ex.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "customer")
+    eng.register_remote(prov, "orders")
+    q = ("SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n "
+         "FROM customer SEMI JOIN orders ON c_custkey = o_custkey "
+         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    fed = federate(eng.sql_plan(q).plan)
+    remotes = [x for x in walk_plan(fed)
+               if isinstance(x, RemoteQueryNode)]
+    assert len(remotes) == 1 and "SEMI JOIN" in remotes[0].sql
+    got = [tuple(r) for r in eng.execute(fed).collect()]
+    con = duckdb.connect()
+    for t_ in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t_} AS SELECT * FROM "
+                    f"'{TESTDATA}/{t_}.parquet'")
+    assert got == con.execute(q).fetchall()
+
+
+def test_within_group_windowed_local_only(spark):
+    # no target engine runs ordered-set aggregates as window functions
+    # (DuckDB parse error, Postgres rejects OVER) — the unparser
+    # refuses (golden) and the LOCAL lowering windows only the inner
+    # aggregate, keeping the disc index arithmetic row-level
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("t", spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 9.0), (2, 5.0)], "g int, v double"))
+    rows = eng.sql(
+        "SELECT g, v, "
+        "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY v) "
+        "  OVER (PARTITION BY g) AS med, "
+        "PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) "
+        "  OVER (PARTITION BY g) AS dmed "
+        "FROM t ORDER BY g, v").collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 1.0, 2.0, 2.0), (1, 2.0, 2.0, 2.0), (1, 9.0, 2.0, 2.0),
+        (2, 5.0, 5.0, 5.0)]
+
+
+@pytest.mark.parametrize("call", [
+    "SUM(v) FILTER (WHERE v > 10) OVER (PARTITION BY g ORDER BY k, v "
+    "NULLS FIRST ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE "
+    "CURRENT ROW)",
+    "CAST(COUNT(*) FILTER (WHERE v IS NOT NULL) OVER (PARTITION BY g "
+    "ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW "
+    "EXCLUDE GROUP) AS BIGINT)",
+    "CAST(AVG(v) FILTER (WHERE v <> 20) OVER (PARTITION BY g ORDER BY "
+    "k RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE "
+    "TIES) AS DOUBLE)",
+])
+def test_frame_exclude_with_filter_matches_duckdb(_excl_fixture, call):
+    # FILTER composes with the exclusion arithmetic (review r7 s4):
+    # the mask applies to the full-frame agg, the peer agg, AND the
+    # row's own contribution
+    eng, con = _excl_fixture
+    q = (f"SELECT g, k, v, {call} AS x FROM t "
+         f"ORDER BY g, k, v NULLS FIRST")
+    assert [tuple(r) for r in eng.sql(q).collect()] \
+        == con.execute(q).fetchall()

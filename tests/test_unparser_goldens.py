@@ -869,3 +869,21 @@ def test_within_group_renders_and_refuses():
     for dialect in ("sqlite", "mysql", "derby", "ansi"):
         with pytest.raises(UnsupportedUnparse, match="WITHIN GROUP"):
             sql(p, dialect)
+
+
+def test_within_group_over_window_refused_every_dialect():
+    # DuckDB parses 'agg WITHIN GROUP OVER' to 'ORDER BY is not
+    # implemented for window functions'; Postgres rejects ordered-set
+    # aggregates in OVER — rendering it would fail REMOTELY at runtime
+    # instead of degrading to the exact local lowering (review r7 s4)
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    from datafusion_federation_spark.expressions import (
+        AggFunc, WindowFunc)
+    wf = Alias(WindowFunc(
+        AggFunc("percentile_cont", [lit(0.5)],
+                order_by=[SortKey(col("x"))], within_group=True),
+        partition_by=[col("g")]), "p")
+    p = Project(scan(), [col("g"), wf])
+    for dialect in ("duckdb", "postgres", "spark", "ansi"):
+        with pytest.raises(UnsupportedUnparse, match="no remote"):
+            sql(p, dialect)
