@@ -108,10 +108,12 @@ def test_parse_rollup_distinct():
 
 
 def test_parse_rejects_unsupported():
-    with pytest.raises(SqlParseError):
-        parse("SELECT a FROM t PIVOT (SUM(b) FOR c IN (1,2))")
+    # (PIVOT graduated from this list in r7 s4 — see the pivot tests)
     with pytest.raises(SqlParseError):
         parse("SELECT a FROM t TABLESAMPLE (10 PERCENT)")
+    with pytest.raises(SqlParseError):
+        # PIVOT without an explicit literal IN list stays refused
+        parse("SELECT a FROM t PIVOT (SUM(b) FOR c IN (d, e))")
 
 
 def test_parse_cte():
