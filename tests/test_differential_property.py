@@ -821,3 +821,53 @@ def test_lateral_shapes_local_and_federated_match_duckdb(engines, sql):
     # still exercises claim vetting + the left-input federation boundary
     got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL shapes (r7 s4): drawn select lists mixing
+# key expressions and aggregates in random positions — the desugar rule
+# (non-aggregate items become keys IN SELECT ORDER; every output column
+# sorts) must agree with DuckDB on the identical string, LOCAL and
+# FEDERATED.
+# ---------------------------------------------------------------------------
+
+_GBA_KEYS = ["n_regionkey", "n_regionkey % 2", "SUBSTR(n_name, 1, 1)",
+             "n_nationkey < 10"]
+_GBA_AGGS = ["CAST(COUNT(*) AS BIGINT)", "CAST(SUM(n_nationkey) AS BIGINT)",
+             "MIN(n_name)", "CAST(AVG(n_regionkey) AS DOUBLE)",
+             "CAST(COUNT(*) FILTER (WHERE n_nationkey > 5) AS BIGINT)"]
+
+
+@st.composite
+def _group_by_all_queries(draw):
+    keys = draw(st.lists(st.sampled_from(_GBA_KEYS), min_size=0,
+                         max_size=2, unique=True))
+    aggs = draw(st.lists(st.sampled_from(_GBA_AGGS), min_size=1,
+                         max_size=2, unique=True))
+    items = [(k, f"k{i}") for i, k in enumerate(keys)] \
+        + [(a, f"a{i}") for i, a in enumerate(aggs)]
+    # keys and aggregates INTERLEAVED: the desugar must pick keys by
+    # select position, not by a keys-first assumption
+    order = draw(st.permutations(items))
+    sel = ", ".join(f"{e} AS {n}" for e, n in order)
+    head = draw(st.sampled_from(["", "DESC", "ASC NULLS FIRST"]))
+    return (f"SELECT {sel} FROM nation GROUP BY ALL "
+            f"ORDER BY ALL {head}").strip()
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_group_by_all_queries())
+def test_group_by_all_local_and_federated_match_duckdb(engines, sql):
+    import duckdb
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = sorted(map(tuple, conn.execute(sql).fetchall()))
+    conn.close()
+    got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"
