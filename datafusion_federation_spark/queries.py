@@ -425,6 +425,10 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q102_qualify_over_agg",  # graduated r3 refusal; both select
+                              # orders + hidden-agg + HAVING shapes
+                              # pinned vs DuckDB in test_sqlfront;
+                              # oracle (identical SQL) PASS both SFs
     "q100_unpivot",  # narrow per-row expansion; front-door plan pin +
                      # federated-input pin in test_sqlfront; oracle
                      # (identical SQL) PASS both SFs

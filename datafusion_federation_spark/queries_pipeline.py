@@ -5042,3 +5042,34 @@ def q101(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q101_SQL)
+
+
+_Q102_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY SUM(o_totalprice) DESC,
+                                    o_orderstatus) = 1
+ORDER BY o_orderpriority
+"""
+
+
+@q("q102_qualify_over_agg", _Q102_SQL)
+def q102(spark, sf):
+    """QUALIFY over an aggregate query (r7 s4; graduated from an r3
+    refusal): per priority, the STATUS with the highest total spend —
+    the window's ORDER BY contains a bare aggregate call, which must
+    bind to the aggregate's output (the HAVING hidden-agg treatment
+    extended INTO window specs, sqlfront._rewrite_qualify_aggs;
+    aggregates absent from the select list get hidden output columns
+    dropped by the restoring projection). Identical SQL on both
+    engines. Plan: one groupBy Exchange, one window Exchange on the
+    partition key, filter, restore — the same shape the explicit
+    derived-table spelling builds."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q102_SQL)

@@ -755,14 +755,6 @@ class Parser:
                   don_exprs: Optional[List[Expr]] = None) -> Plan:
         has_agg = any(self._contains_agg(e) for e, _ in items) or group_by \
             or (having is not None)
-        if qualify is not None and has_agg:
-            # windows-over-aggregates need the HAVING hidden-agg
-            # treatment inside the window spec; rejecting BOTH select
-            # orders consistently beats accepting one and shipping
-            # invalid remote SQL (review r3)
-            raise SqlParseError(
-                "QUALIFY over aggregate queries is outside the parser "
-                "surface")
         if has_agg:
             # aggregates: every select item that contains an agg call;
             # plain items must be group keys (validated loosely)
@@ -812,7 +804,17 @@ class Parser:
             hidden = []
             if having is not None:
                 having, hidden = self._extract_having_aggs(having, aggs)
-            plan = Aggregate(plan, new_group, aggs + hidden)
+            qhidden: List[Alias] = []
+            if qualify is not None:
+                # QUALIFY over an aggregate query (r7 s4): aggregate
+                # calls inside the predicate — bare, or inside a
+                # window's arguments/partition/order — become refs to
+                # aggregate outputs (the HAVING treatment extended INTO
+                # window specs), with hidden aggregates added when the
+                # select list lacks them
+                qualify = self._rewrite_qualify_aggs(qualify, aggs,
+                                                     qhidden)
+            plan = Aggregate(plan, new_group, aggs + hidden + qhidden)
             if having is not None:
                 plan = Filter(plan, having)
             # The Aggregate node outputs group-keys-then-aggregates; when
@@ -882,7 +884,24 @@ class Parser:
                                 "the aggregate (group key relabeled or "
                                 "qualifier unresolvable); select the "
                                 "key under its own name")
-            if hidden or natural != out_names or post:
+            if qualify is not None:
+                if post:
+                    raise SqlParseError(
+                        "QUALIFY with post-aggregation key expressions "
+                        "is outside the parser surface; alias the key "
+                        "and compute the expression in an outer query")
+                # expose the aggregate's outputs (plus the hidden
+                # QUALIFY aggregates) so the window predicate can bind,
+                # filter, then restore the select order — hidden
+                # columns drop at the restore
+                expose = list(dict.fromkeys(
+                    natural + [a.name for a in qhidden]))
+                plan = Project(plan, [Col(n) for n in expose])
+                plan = self._apply_qualify(
+                    plan, [(Col(n), n) for n in expose], qualify)
+                plan = Project(plan, [Col(n) for n in out_names])
+                qualify = None                 # consumed here
+            elif hidden or natural != out_names or post:
                 plan = Project(plan, [
                     Alias(post[n], n) if n in post else Col(n)
                     for n in out_names])
@@ -957,6 +976,55 @@ class Parser:
             plan = Filter(plan, pred)
             return Project(plan, [Col(n) for n in out_names])
         return Filter(plan, pred)
+
+    def _rewrite_qualify_aggs(self, qualify: Expr, aggs: List[Alias],
+                              qhidden: List[Alias]) -> Expr:
+        """QUALIFY-over-aggregates support: aggregate calls inside the
+        predicate become references to aggregate OUTPUT columns, adding
+        hidden aggregates when the select list lacks them — exactly the
+        HAVING treatment, but it must also reach INSIDE window specs
+        (``RANK() OVER (ORDER BY SUM(v))``) without touching the
+        window's own call: a WindowFunc whose func is an AggFunc keeps
+        that call and rewrites only its arguments/filter/order, plus
+        the spec's partition and order expressions."""
+        from .compiler import _rewrite_expr
+        existing = {self._expr_key(a.expr): a.name for a in aggs}
+
+        def sub_agg(x: Expr) -> Expr:
+            if isinstance(x, AggFunc):
+                key = self._expr_key(x)
+                if key not in existing:
+                    name = f"__qa{len(qhidden)}"
+                    qhidden.append(Alias(x, name))
+                    existing[key] = name
+                return Col(existing[key])
+            return x
+
+        def skey(k: SortKey) -> SortKey:
+            return SortKey(_rewrite_expr(k.expr, sub_agg),
+                           k.ascending, k.nulls_first)
+
+        def rew(x: Expr) -> Expr:
+            if isinstance(x, WindowFunc):
+                f = x.func
+                if isinstance(f, AggFunc):
+                    f = AggFunc(
+                        f.name,
+                        [_rewrite_expr(a, sub_agg) for a in f.args],
+                        f.distinct,
+                        (None if f.filter is None
+                         else _rewrite_expr(f.filter, sub_agg)),
+                        tuple(skey(k) for k in f.order_by),
+                        f.within_group)
+                return WindowFunc(
+                    f,
+                    tuple(_rewrite_expr(e, sub_agg)
+                          for e in x.partition_by),
+                    tuple(skey(k) for k in x.order_by),
+                    x.frame, x.ignore_nulls)
+            return sub_agg(x)
+
+        return _rewrite_expr(qualify, rew)
 
     def _extract_having_aggs(self, having: Expr, aggs: List[Alias]):
         """Rewrite aggregate calls inside HAVING to references to output

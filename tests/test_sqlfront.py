@@ -800,13 +800,25 @@ def test_qualify_references_unprojected_column(duckdb_engine):
     assert got == _oracle(sql)
 
 
-def test_qualify_over_aggregates_rejected_both_orders():
-    for sql in ("SELECT c, COUNT(*) AS n FROM t GROUP BY c "
-                "QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC) <= 2",
-                "SELECT COUNT(*) AS n, c FROM t GROUP BY c "
-                "QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC) <= 2"):
-        with pytest.raises(SqlParseError, match="QUALIFY"):
-            parse(sql)
+def test_qualify_over_aggregates_both_select_orders(spark):
+    # graduated from a refusal in r7 s4 — and the r3 concern (one
+    # select order accepted, the other shipping invalid SQL) is now
+    # the test: BOTH orders must compile and agree with DuckDB
+    from datafusion_federation_spark.engine import FederationEngine
+    rows = [(1, 10), (1, 30), (2, 5), (3, 100)]
+    eng = FederationEngine(spark)
+    eng.register_local_df("tq", spark.createDataFrame(rows, "c int, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tq(c int, v int)")
+    con.executemany("INSERT INTO tq VALUES (?,?)", rows)
+    for sql in ("SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM tq GROUP "
+                "BY c QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, c) "
+                "<= 2 ORDER BY c",
+                "SELECT CAST(COUNT(*) AS BIGINT) AS n, c FROM tq GROUP "
+                "BY c QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, c) "
+                "<= 2 ORDER BY c"):
+        got = [tuple(r) for r in eng.sql(sql).collect()]
+        assert got == con.execute(sql).fetchall(), sql
 
 
 def test_unqualified_self_correlation_stays_local(duckdb_engine):
@@ -1920,3 +1932,36 @@ def test_frame_exclude_with_filter_matches_duckdb(_excl_fixture, call):
          f"ORDER BY g, k, v NULLS FIRST")
     assert [tuple(r) for r in eng.sql(q).collect()] \
         == con.execute(q).fetchall()
+
+
+def test_qualify_over_aggregates_shapes(spark):
+    # window-spec aggregates (bare and inside ORDER BY), hidden
+    # aggregates not in the select list, HAVING composition — all vs
+    # DuckDB on identical SQL (r7 s4)
+    from datafusion_federation_spark.engine import FederationEngine
+    rows = [(1, 'a', 10), (1, 'b', 30), (2, 'a', 5), (2, 'b', 6),
+            (3, 'a', 100)]
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "tq", spark.createDataFrame(rows, "g int, k string, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tq(g int, k varchar, v int)")
+    con.executemany("INSERT INTO tq VALUES (?,?,?)", rows)
+    for q in (
+        "SELECT g, k, CAST(SUM(v) AS BIGINT) AS s FROM tq GROUP BY g, k "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY SUM(v) "
+        "DESC, k) = 1 ORDER BY g",
+        "SELECT g FROM tq GROUP BY g "
+        "QUALIFY RANK() OVER (ORDER BY COUNT(*) DESC, g) <= 2 ORDER BY g",
+        "SELECT g, CAST(SUM(v) AS BIGINT) AS s FROM tq GROUP BY g "
+        "HAVING COUNT(*) >= 1 QUALIFY SUM(v) > 10 AND ROW_NUMBER() "
+        "OVER (ORDER BY SUM(v) DESC) <= 2 ORDER BY g",
+    ):
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        assert got == con.execute(q).fetchall(), q
+    # post-aggregation key expressions stay refused with QUALIFY
+    with pytest.raises(SqlParseError, match="post-aggregation"):
+        eng.sql_plan(
+            "SELECT COALESCE(CAST(g AS VARCHAR), 'x') AS gg, COUNT(*) "
+            "AS n FROM tq GROUP BY g QUALIFY ROW_NUMBER() OVER "
+            "(ORDER BY n) = 1")
