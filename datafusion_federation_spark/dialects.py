@@ -175,6 +175,7 @@ class Dialect:
     supports_frame_exclude = False   # SQL:2011 frame EXCLUDE clause
     supports_groups_frame = False    # SQL:2011 GROUPS frame mode
     supports_within_group = False    # ordered-set aggregate syntax
+    supports_window_distinct_agg = False  # COUNT(DISTINCT x) OVER (...)
 
     #: window null-treatment syntax: "postfix" = `f(x) IGNORE NULLS OVER`
     #: (SQL:2011, Spark), "inline" = `f(x IGNORE NULLS) OVER` (DuckDB),
@@ -262,6 +263,7 @@ class DuckDBDialect(Dialect):
     supports_asof_join = True       # native ASOF [LEFT] JOIN
     supports_frame_exclude = True   # EXCLUDE CURRENT ROW/GROUP/TIES
     supports_within_group = True    # percentile_cont/disc, mode
+    supports_window_distinct_agg = True   # DISTINCT aggs run windowed
     ignore_nulls_style = "inline"   # f(x IGNORE NULLS) OVER (...)
     star_exclude_kw = "EXCLUDE"     # SELECT * EXCLUDE (a, b)
     supports_star_replace = True    # SELECT * REPLACE (x*2 AS x)

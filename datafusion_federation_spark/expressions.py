@@ -966,6 +966,14 @@ class WindowFunc(Expr):
             raise UnsupportedUnparse(
                 "WITHIN GROUP under an OVER clause has no remote "
                 "rendering")
+        if getattr(self.func, "distinct", False) and not getattr(
+                d, "supports_window_distinct_agg", False):
+            # DuckDB runs DISTINCT window aggregates; Postgres/SQLite/
+            # MySQL/Spark refuse them — render only where it executes
+            from .dialects import UnsupportedUnparse
+            raise UnsupportedUnparse(
+                f"dialect {type(d).__name__} does not run DISTINCT "
+                "window aggregates")
         over = []
         if self.partition_by:
             over.append("PARTITION BY " +
@@ -1031,6 +1039,28 @@ class WindowFunc(Expr):
                     "frame EXCLUDE on a WITHIN GROUP window is outside "
                     "the compiler surface")
             return self.func._within_group_spark(w)
+        if getattr(self.func, "distinct", False):
+            # Spark refuses DISTINCT window aggregates outright.
+            # COUNT(DISTINCT x) OVER w IS the size of the frame's
+            # distinct value set — collect_set honors the frame and
+            # drops NULLs, exactly count-distinct's skip rule; FILTER
+            # composes as the usual NULL mask. SUM/AVG DISTINCT would
+            # need a typed fold over the set (a silent double cast
+            # would diverge from the engines' integer sums) — refused.
+            f = self.func
+            if getattr(f, "name", "").lower() != "count" \
+                    or len(f.args) != 1 or isinstance(f.args[0], Star):
+                raise NotImplementedError(
+                    "DISTINCT window aggregates are lowered for "
+                    "single-argument COUNT only")
+            x = f.args[0].to_spark()
+            if f.filter is not None:
+                x = F.when(f.filter.to_spark(), x)
+            if self.frame is not None and self.frame.exclude:
+                raise NotImplementedError(
+                    "frame EXCLUDE with a DISTINCT window aggregate is "
+                    "outside the compiler surface")
+            return F.size(F.collect_set(x).over(w)).cast("bigint")
         if self.frame is not None and self.frame.exclude:
             if self.ignore_nulls:
                 raise NotImplementedError(

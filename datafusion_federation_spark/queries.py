@@ -425,6 +425,11 @@ SECONDARY = {
                           # q52/q70; the IGNORE NULLS lowering is pinned
                           # vs DuckDB in test_sqlfront + unparser
                           # goldens; oracle PASS both SFs
+    "q103_count_distinct_window",  # collect_set-size lowering pinned
+                                   # vs DuckDB (frames, FILTER,
+                                   # NULL-skip) + per-dialect
+                                   # render/refuse golden; oracle
+                                   # (identical SQL) PASS both SFs
     "q102_qualify_over_agg",  # graduated r3 refusal; both select
                               # orders + hidden-agg + HAVING shapes
                               # pinned vs DuckDB in test_sqlfront;

@@ -5073,3 +5073,38 @@ def q102(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q102_SQL)
+
+
+_Q103_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(dc) AS BIGINT) AS sum_running_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT o_orderpriority,
+         COUNT(DISTINCT o_orderstatus)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS dc
+  FROM orders
+) t GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("q103_count_distinct_window", _Q103_SQL)
+def q103(spark, sf):
+    """DISTINCT window aggregate (r7 s4): per customer, the RUNNING
+    count of distinct order statuses (how fast each account's status
+    mix diversifies), rolled up per priority — identical SQL on both
+    engines. Spark refuses DISTINCT window aggregates outright; the
+    lowering is size(collect_set(x) OVER w) — collect_set honors the
+    frame and drops NULLs, exactly count-distinct's skip rule, and
+    FILTER composes as the usual NULL mask. State per row is the
+    frame's distinct-value set (bounded by the status domain here —
+    at 100 TB, bound the domain or the frame, same as the engines).
+    SUM/AVG DISTINCT refuse loudly (a silent double fold would
+    diverge from integer sums); only DuckDB renders the form
+    remotely, every other dialect refuses so the subtree stays
+    local."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q103_SQL)

@@ -1965,3 +1965,34 @@ def test_qualify_over_aggregates_shapes(spark):
             "SELECT COALESCE(CAST(g AS VARCHAR), 'x') AS gg, COUNT(*) "
             "AS n FROM tq GROUP BY g QUALIFY ROW_NUMBER() OVER "
             "(ORDER BY n) = 1")
+
+
+def test_count_distinct_over_window_matches_duckdb(spark):
+    # Spark refuses DISTINCT window aggregates; the collect_set-size
+    # lowering honors frames, NULL-skip, and FILTER (r7 s4)
+    from datafusion_federation_spark.engine import FederationEngine
+    rows = [(1, 1, 'a'), (1, 2, 'a'), (1, 3, 'b'), (1, 4, None),
+            (2, 1, 'z')]
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "t", spark.createDataFrame(rows, "g int, k int, s string"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g int, k int, s varchar)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    for q in (
+        "SELECT g, k, CAST(COUNT(DISTINCT s) OVER (PARTITION BY g "
+        "ORDER BY k) AS BIGINT) c FROM t ORDER BY g, k",
+        "SELECT g, k, CAST(COUNT(DISTINCT s) FILTER (WHERE k <> 2) "
+        "OVER (PARTITION BY g ORDER BY k) AS BIGINT) c FROM t "
+        "ORDER BY g, k",
+        "SELECT g, k, CAST(COUNT(DISTINCT s) OVER (PARTITION BY g "
+        "ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS "
+        "BIGINT) c FROM t ORDER BY g, k",
+    ):
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        assert got == con.execute(q).fetchall(), q
+    # SUM DISTINCT over a window: a silent double fold would diverge
+    # from the engines' integer sums — refused
+    with pytest.raises(NotImplementedError, match="COUNT only"):
+        eng.sql("SELECT SUM(DISTINCT k) OVER (PARTITION BY g) AS x "
+                "FROM t")

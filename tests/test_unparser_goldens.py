@@ -887,3 +887,21 @@ def test_within_group_over_window_refused_every_dialect():
     for dialect in ("duckdb", "postgres", "spark", "ansi"):
         with pytest.raises(UnsupportedUnparse, match="no remote"):
             sql(p, dialect)
+
+
+def test_count_distinct_window_renders_duckdb_only():
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    from datafusion_federation_spark.expressions import (
+        AggFunc, WindowFunc)
+    wf = Alias(WindowFunc(AggFunc("count", [col("x")], distinct=True),
+                          partition_by=[col("g")]), "c")
+    p = Project(scan(), [col("g"), wf])
+    out = sql(p, "duckdb")
+    assert 'COUNT(DISTINCT "x") OVER (PARTITION BY "g")' in out
+    con = duckdb.connect()
+    con.execute("CREATE TABLE remote_table (g INT, x INT)")
+    con.execute("INSERT INTO remote_table VALUES (1,1),(1,1),(1,2)")
+    assert {tuple(r) for r in con.execute(out).fetchall()} == {(1, 2)}
+    for dialect in ("postgres", "sqlite", "mysql", "spark", "ansi"):
+        with pytest.raises(UnsupportedUnparse, match="DISTINCT window"):
+            sql(p, dialect)
