@@ -1996,3 +1996,35 @@ def test_count_distinct_over_window_matches_duckdb(spark):
     with pytest.raises(NotImplementedError, match="COUNT only"):
         eng.sql("SELECT SUM(DISTINCT k) OVER (PARTITION BY g) AS x "
                 "FROM t")
+
+
+def test_qualify_over_agg_federates_whole_query(spark):
+    # single-provider QUALIFY-over-aggregate collapses to ONE remote
+    # query: the hidden __qa aggregate and the window filter render as
+    # nested derived tables (r7 s4 probe, promoted to a pin)
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="qa_duck", compute_context="test")
+    ex.register_parquet("orders", f"{TESTDATA}/orders.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "orders")
+    q = ("SELECT o_orderpriority, o_orderstatus, "
+         "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS "
+         "DOUBLE) AS total FROM orders "
+         "GROUP BY o_orderpriority, o_orderstatus "
+         "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+         "ORDER BY SUM(o_totalprice) DESC, o_orderstatus) = 1 "
+         "ORDER BY o_orderpriority")
+    fed = federate(eng.sql_plan(q).plan)
+    remotes = [x for x in walk_plan(fed)
+               if isinstance(x, RemoteQueryNode)]
+    assert len(remotes) == 1 and "row_number() OVER" in remotes[0].sql
+    got = [tuple(r) for r in eng.execute(fed).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{TESTDATA}/orders.parquet'")
+    assert got == con.execute(q).fetchall()
