@@ -445,10 +445,22 @@ class Compiler:
         if isinstance(core, SubqueryAlias):
             alias, core = core.alias, core.input
 
+        def _unwrap_restore(n):
+            # sqlfront._sort_with_hidden wraps ORDER-BY-hidden-column
+            # bodies as Project(Sort(widened)); the lateral rewrite
+            # owns hidden sort columns itself, and the join's final
+            # output list comes from p.right (unchanged), so unwrap to
+            # the Sort and let the re-widening below see the raw shape
+            if (isinstance(n, Project) and isinstance(n.input, Sort)
+                    and all(isinstance(e, ColE)
+                            for e in n.projections)):
+                return n.input
+            return n
+
         limit = sort = None
-        node = core
+        node = _unwrap_restore(core)
         if isinstance(node, Limit):
-            limit, node = node, node.input
+            limit, node = node, _unwrap_restore(node.input)
             if not isinstance(node, Sort):
                 raise NotImplementedError(
                     "LATERAL ... LIMIT without ORDER BY is "

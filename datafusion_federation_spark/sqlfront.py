@@ -447,17 +447,58 @@ class Parser:
                 keys = [self.parse_sort_key(scope)]
                 while self.accept_op(","):
                     keys.append(self.parse_sort_key(scope))
-            plan = Sort(plan, keys)
+            plan = self._sort_with_hidden(plan, keys)
         fetch = skip = None
         if self.accept_kw("LIMIT"):
             fetch = int(self.take()[1])
         if self.accept_kw("OFFSET"):
             skip = int(self.take()[1])
+            self.accept_kw("ROWS") or self.accept_kw("ROW")  # ANSI noise
         if self.accept_kw("LIMIT"):        # OFFSET n LIMIT m order
             fetch = int(self.take()[1])
+        if fetch is None and self.accept_kw("FETCH"):
+            # ANSI spelling: FETCH FIRST|NEXT [n] ROW[S] ONLY
+            if not (self.accept_kw("FIRST") or self.accept_kw("NEXT")):
+                raise SqlParseError("expected FIRST or NEXT after FETCH")
+            t = self.peek()
+            fetch = 1
+            if t is not None and t[0] == "num":
+                fetch = int(self.take()[1])
+            if not (self.accept_kw("ROWS") or self.accept_kw("ROW")):
+                raise SqlParseError("expected ROW[S] in FETCH clause")
+            self.expect_kw("ONLY")   # WITH TIES is not a LIMIT — refuse
         if fetch is not None or skip is not None:
             plan = Limit(plan, fetch=fetch, skip=skip)
         return plan
+
+    def _sort_with_hidden(self, plan: Plan, keys: List[SortKey]) -> Plan:
+        """ORDER BY over columns the select list does not expose
+        (standard SQL: ``SELECT n_name FROM nation ORDER BY
+        n_nationkey``). Over a plain non-star Project, the referenced
+        base columns are carried as hidden projection columns, the Sort
+        runs over the widened frame, and a restoring projection drops
+        them — the DISTINCT-ON carry pattern (and the same
+        Project(Sort(Project)) shape the unparser already renders).
+        Other shapes (stars expose everything; aggregates/DISTINCT keep
+        their engines' stricter rules) pass through unchanged."""
+        from .compiler import _plan_output_cols
+        if not isinstance(plan, Project) \
+                or any(isinstance(e, Star) for e in plan.projections):
+            return Sort(plan, keys)
+        outs = _plan_output_cols(plan)
+        if outs is None:
+            return Sort(plan, keys)
+        carried = set(outs)
+        hidden: List[Alias] = []
+        for k in keys:
+            for c in self._base_cols(k.expr):
+                if c.table is None and c.name not in carried:
+                    carried.add(c.name)
+                    hidden.append(Alias(Col(c.name), c.name))
+        if not hidden:
+            return Sort(plan, keys)
+        aug = Project(plan.input, list(plan.projections) + hidden)
+        return Project(Sort(aug, keys), [Col(n) for n in outs])
 
     def _order_by_all_keys(self, plan: Plan) -> List[SortKey]:
         """ORDER BY ALL [ASC|DESC] [NULLS FIRST|LAST] (DuckDB/

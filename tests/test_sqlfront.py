@@ -2028,3 +2028,52 @@ def test_qualify_over_agg_federates_whole_query(spark):
     con.execute(f"CREATE VIEW orders AS SELECT * FROM "
                 f"'{TESTDATA}/orders.parquet'")
     assert got == con.execute(q).fetchall()
+
+
+def test_fetch_first_ansi_spelling(spark):
+    # FETCH FIRST|NEXT [n] ROW[S] ONLY and OFFSET n ROWS — ANSI
+    # alternatives to LIMIT/OFFSET, same Limit node (r7 s4)
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"'{TESTDATA}/nation.parquet'")
+    for q in (
+        "SELECT n_name FROM nation ORDER BY n_nationkey "
+        "FETCH FIRST 3 ROWS ONLY",
+        "SELECT n_name FROM nation ORDER BY n_nationkey "
+        "OFFSET 2 ROWS FETCH NEXT 2 ROWS ONLY",
+        "SELECT n_name FROM nation ORDER BY n_nationkey "
+        "FETCH FIRST ROW ONLY",
+    ):
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        assert got == con.execute(q).fetchall(), q
+    # WITH TIES is not a plain LIMIT — must not silently truncate
+    with pytest.raises(SqlParseError):
+        parse("SELECT a FROM t ORDER BY a FETCH FIRST 2 ROWS WITH TIES")
+
+
+def test_order_by_hidden_column(spark):
+    # ORDER BY a column the select list does not expose — carried as a
+    # hidden projection column and dropped after the sort (r7 s4); the
+    # group-key form rides the same path because the restoring
+    # projection's input still outputs the key
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"'{TESTDATA}/nation.parquet'")
+    for q in (
+        "SELECT n_name FROM nation WHERE n_regionkey < 3 "
+        "ORDER BY n_nationkey DESC LIMIT 4",
+        "SELECT UPPER(n_name) AS u FROM nation "
+        "ORDER BY n_regionkey, n_nationkey LIMIT 5",
+        "SELECT CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation "
+        "GROUP BY n_regionkey ORDER BY n_regionkey",
+    ):
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        assert got == con.execute(q).fetchall(), q
+    df = eng.sql("SELECT n_name FROM nation ORDER BY n_nationkey")
+    assert df.columns == ["n_name"]          # hidden column dropped
