@@ -14,7 +14,7 @@ takes over (SURVEY.md §4, §7).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 from .expressions import (
     Exists, Expr, InSubquery, OuterRef, ScalarSubquery, SetComparison, walk,
@@ -23,7 +23,7 @@ from .plans.nodes import (
     AsofJoin, OneRow, Plan, Project, RecursiveRef, RemoteQueryNode, Scan,
     SubqueryAlias, walk_plan,
 )
-from .expressions import Col, Star
+from .expressions import Star
 from .sources.provider import FederationProvider, LocalSparkProvider
 
 _LOCAL = LocalSparkProvider()

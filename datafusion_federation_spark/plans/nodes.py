@@ -12,7 +12,7 @@ pruning, codegen and shuffle for the local residue (SURVEY.md §4).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
 from ..expressions import Expr, SortKey

@@ -27,7 +27,7 @@ the Spark-parser path (per-table pushdown) for those.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 from .expressions import (
     AggFunc, Alias, Between, BinaryOp, Case, Cast, Col, Cube, Exists, Expr,
