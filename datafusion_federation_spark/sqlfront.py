@@ -655,8 +655,19 @@ class Parser:
                     wname = self.take()[1].lower()
                     self.expect_kw("AS")
                     self.expect_op("(")
-                    windows[wname] = self._window_spec(scope)
+                    part, order, frame, base = self._window_spec(scope)
                     self.expect_op(")")
+                    if base is not None:
+                        # chained definition: WINDOW w2 AS (w1 ...) —
+                        # the standard requires the base to be defined
+                        # EARLIER in the clause
+                        if base not in windows:
+                            raise SqlParseError(
+                                f"window {wname!r} chains off undefined "
+                                f"window {base!r}")
+                        part, order, frame = self._merge_window(
+                            windows[base], part, order, frame)
+                    windows[wname] = (part, order, frame)
                     if not self.accept_op(","):
                         break
                 continue
@@ -744,6 +755,29 @@ class Parser:
         group_by = [_sub_alias(g) for g in group_by]
         return group_by
 
+    def _merge_window(self, base_spec, part, order, frame):
+        """SQL:2003 window inheritance: the base window supplies the
+        partitioning (the child must not re-specify it), ordering may
+        be added only when the base has none, and the base must carry
+        no frame (a framed window cannot be referenced)."""
+        bpart, border, bframe = base_spec
+        if not part and not order and frame is None:
+            # bare `OVER w`: the named window applies whole, frame
+            # included — the no-frame rule below restricts CHAINING
+            return bpart, border, bframe
+        if part:
+            raise SqlParseError(
+                "a chained window cannot specify PARTITION BY (it "
+                "inherits the base window's partitioning)")
+        if border and order:
+            raise SqlParseError(
+                "a chained window cannot add ORDER BY when the base "
+                "window already orders")
+        if bframe is not None:
+            raise SqlParseError(
+                "a window with a frame clause cannot be chained from")
+        return bpart, (order or border), frame
+
     def _resolve_named_windows(self, items, having, windows) -> None:
         from .expressions import walk
         roots = [e for e, _ in items]
@@ -756,7 +790,9 @@ class Parser:
                     continue
                 if name not in windows:
                     raise SqlParseError(f"unknown window name {name!r}")
-                part, order, frame = windows[name]
+                part, order, frame = self._merge_window(
+                    windows[name], list(x.partition_by),
+                    list(x.order_by), x.frame)
                 x.partition_by, x.order_by, x.frame = part, order, frame
                 x._named_ref = None
 
@@ -1825,15 +1861,31 @@ class Parser:
             wf._named_ref = self.take()[1].lower()
             return wf
         self.expect_op("(")
-        partition, order, frame = self._window_spec(scope)
+        partition, order, frame, base = self._window_spec(scope)
         self.expect_op(")")
-        return WindowFunc(func_expr, partition, order, frame,
-                          ignore_nulls=ignore_nulls)
+        wf = WindowFunc(func_expr, partition, order, frame,
+                        ignore_nulls=ignore_nulls)
+        if base is not None:
+            # inline chaining: OVER (w1 ORDER BY ...) — w1's definition
+            # parses later in the statement; keep the partial spec and
+            # merge at resolution (SQL:2003 window inheritance)
+            wf._named_ref = base
+        return wf
 
     def _window_spec(self, scope):
-        """The body of a window specification: [PARTITION BY ...]
-        [ORDER BY ...] [ROWS|RANGE BETWEEN ...] (shared by OVER (...) and
-        the named WINDOW clause)."""
+        """The body of a window specification: [base_window_name]
+        [PARTITION BY ...] [ORDER BY ...] [ROWS|RANGE|GROUPS BETWEEN
+        ...] (shared by OVER (...) and the named WINDOW clause).
+        Returns (partition, order, frame, base_name) — base_name set
+        when the spec CHAINS off a named window (SQL:2003: the base
+        supplies the partitioning; ordering may be added only if the
+        base has none; the base must carry no frame)."""
+        base = None
+        t = self.peek()
+        if (t is not None and t[0] == "id"
+                and t[1].upper() not in ("PARTITION", "ORDER", "ROWS",
+                                         "RANGE", "GROUPS")):
+            base = self.take()[1].lower()
         partition: List[Expr] = []
         order: List[SortKey] = []
         frame = None
@@ -1868,7 +1920,7 @@ class Parser:
                     self.expect_kw("NO")
                     self.expect_kw("OTHERS")
             frame = WindowFrame(kind, start, end, exclude=exclude)
-        return partition, order, frame
+        return partition, order, frame, base
 
     def _frame_bound(self):
         if self.accept_kw("UNBOUNDED"):

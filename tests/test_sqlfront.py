@@ -2077,3 +2077,46 @@ def test_order_by_hidden_column(spark):
         assert got == con.execute(q).fetchall(), q
     df = eng.sql("SELECT n_name FROM nation ORDER BY n_nationkey")
     assert df.columns == ["n_name"]          # hidden column dropped
+
+
+def test_window_chaining(spark):
+    # SQL:2003 window inheritance (r7 s4): WINDOW w2 AS (w1 ORDER BY k)
+    # and inline OVER (w1 ORDER BY k [frame]) — the base supplies the
+    # partitioning; bare OVER w keeps applying whole, frame included
+    from datafusion_federation_spark.engine import FederationEngine
+    rows = [(1, 1, 10), (1, 2, 20), (2, 1, 5)]
+    eng = FederationEngine(spark)
+    eng.register_local_df(
+        "t", spark.createDataFrame(rows, "g int, k int, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g int, k int, v int)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    for q in (
+        "SELECT g, k, CAST(SUM(v) OVER w2 AS BIGINT) AS s FROM t "
+        "WINDOW w1 AS (PARTITION BY g), w2 AS (w1 ORDER BY k) "
+        "ORDER BY g, k",
+        "SELECT g, k, CAST(RANK() OVER (w1 ORDER BY k) AS BIGINT) AS r "
+        "FROM t WINDOW w1 AS (PARTITION BY g) ORDER BY g, k",
+        "SELECT g, k, CAST(SUM(v) OVER (w1 ORDER BY k ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS s FROM t "
+        "WINDOW w1 AS (PARTITION BY g) ORDER BY g, k",
+        "SELECT g, k, CAST(SUM(v) OVER w1 AS BIGINT) AS s FROM t "
+        "WINDOW w1 AS (PARTITION BY g ORDER BY k ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) ORDER BY g, k",
+    ):
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        assert got == con.execute(q).fetchall(), q
+    # inheritance violations refuse loudly
+    with pytest.raises(SqlParseError, match="PARTITION BY"):
+        parse("SELECT SUM(v) OVER (w1 PARTITION BY k) FROM t "
+              "WINDOW w1 AS (PARTITION BY g)")
+    with pytest.raises(SqlParseError, match="already orders"):
+        parse("SELECT SUM(v) OVER (w1 ORDER BY v) FROM t "
+              "WINDOW w1 AS (PARTITION BY g ORDER BY k)")
+    with pytest.raises(SqlParseError, match="frame"):
+        parse("SELECT SUM(v) OVER (w1 ORDER BY v) FROM t WINDOW w1 AS "
+              "(PARTITION BY g ROWS BETWEEN 1 PRECEDING AND "
+              "CURRENT ROW)")
+    with pytest.raises(SqlParseError, match="undefined"):
+        parse("SELECT SUM(v) OVER w2 FROM t "
+              "WINDOW w2 AS (w9 ORDER BY k)")
