@@ -310,9 +310,20 @@ class Compiler:
                         if isinstance(x, Col)}
             ids = [c for c in df.columns
                    if c != p.pivot_col and c not in agg_refs]
-            return (df.groupBy(*ids)
-                    .pivot(p.pivot_col, list(p.values))
-                    .agg(p.agg.to_spark()))
+            out = (df.groupBy(*ids)
+                   .pivot(p.pivot_col, list(p.values))
+                   .agg(p.agg.to_spark()))
+            if getattr(p.agg, "name", "").lower() == "count":
+                # an empty pivot cell is the aggregate over ZERO rows:
+                # COUNT gives 0, not the NULL Spark's pivot leaves (the
+                # engines evaluate the aggregate per cell; fuzzer
+                # finding r7 s4). Every other admitted aggregate is
+                # NULL over empty input, where Spark already agrees.
+                for c in out.columns:
+                    if c not in ids:
+                        out = out.withColumn(
+                            c, F.coalesce(F.col(f"`{c}`"), F.lit(0)))
+            return out
 
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 

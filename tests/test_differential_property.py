@@ -871,3 +871,59 @@ def test_group_by_all_local_and_federated_match_duckdb(engines, sql):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# PIVOT / UNPIVOT shapes (r7 s4): drawn measure subsets, INCLUDE NULLS,
+# aggregates and IN lists — identical SQL vs DuckDB, LOCAL and
+# FEDERATED (the node stays local; the input claims).
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _pivot_queries(draw):
+    if draw(st.booleans()):
+        cols = draw(st.lists(
+            st.sampled_from(["n_nationkey", "n_regionkey"]),
+            min_size=1, max_size=2, unique=True))
+        inc = draw(st.sampled_from(["", "INCLUDE NULLS "]))
+        return (f"SELECT n_name, m, CAST(v AS BIGINT) AS v FROM "
+                f"(SELECT n_name, n_nationkey, n_regionkey FROM nation) b "
+                f"UNPIVOT {inc}(v FOR m IN ({', '.join(cols)})) "
+                f"ORDER BY n_name, m")
+    # DuckDB requires the pivot expression to be a BARE aggregate (no
+    # CAST wrapper); plain int comparisons are type-agnostic here
+    agg = draw(st.sampled_from(
+        ["COUNT(n_nationkey)", "SUM(n_nationkey)", "MAX(n_name)"]))
+    vals = draw(st.lists(st.integers(0, 4), min_size=1, max_size=3,
+                         unique=True))
+    vlist = ", ".join(str(v) for v in vals)
+    outs = ", ".join(f'"{v}"' for v in vals)
+    # DuckDB also rejects QUALIFIED columns inside the pivot expression
+    return (f"SELECT {outs} FROM "
+            f"(SELECT n_name, n_nationkey, n_regionkey % 5 AS bucket "
+            f"FROM nation) b "
+            f"PIVOT ({agg} FOR bucket IN ({vlist}))")
+
+
+def _nsort(rows):
+    # NULL-bearing pivot cells: plain sorted() chokes on None < int
+    return sorted(rows, key=lambda r: tuple(
+        (v is None, str(v)) for v in r))
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_pivot_queries())
+def test_pivot_unpivot_local_and_federated_match_duckdb(engines, sql):
+    import duckdb
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = _nsort(map(tuple, conn.execute(sql).fetchall()))
+    conn.close()
+    got_local = _nsort(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = _nsort(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"

@@ -2120,3 +2120,20 @@ def test_window_chaining(spark):
     with pytest.raises(SqlParseError, match="undefined"):
         parse("SELECT SUM(v) OVER w2 FROM t "
               "WINDOW w2 AS (w9 ORDER BY k)")
+
+
+def test_pivot_empty_count_cell_is_zero(_pivot_fixture):
+    # fuzzer finding (r7 s4): an empty pivot cell is the aggregate over
+    # ZERO rows — COUNT gives 0 where Spark's pivot leaves NULL; SUM
+    # stays NULL on both
+    eng, con = _pivot_fixture
+    q = ("SELECT g, CAST(\"z\" AS BIGINT) AS zc FROM p "
+         "PIVOT (COUNT(v) FOR k IN ('z')) ORDER BY g")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == con.execute(q).fetchall()
+    assert all(r[1] == 0 for r in got)
+    qs = ("SELECT g, \"z\" AS zs FROM p "
+          "PIVOT (SUM(v) FOR k IN ('z')) ORDER BY g")
+    gots = [tuple(r) for r in eng.sql(qs).collect()]
+    assert gots == con.execute(qs).fetchall()
+    assert all(r[1] is None for r in gots)
