@@ -176,6 +176,16 @@ class Dialect:
     supports_groups_frame = False    # SQL:2011 GROUPS frame mode
     supports_within_group = False    # ordered-set aggregate syntax
     supports_window_distinct_agg = False  # COUNT(DISTINCT x) OVER (...)
+    #: ANSI `FETCH FIRST n ROWS WITH TIES` (DuckDB / Postgres 13+);
+    #: engines without it get the local boundary-probe lowering
+    supports_fetch_with_ties = False
+    #: in-call ordered aggregates: `string_agg(x, sep ORDER BY k)`.
+    #: DuckDB/Postgres spell it; MySQL (GROUP_CONCAT ... SEPARATOR),
+    #: Derby, and Spark SQL do not — shipping it anyway fails with a
+    #: remote engine error instead of the refuse-at-unparse/compile-
+    #: locally posture (ADVICE r7). False keeps the subtree local via
+    #: AggFunc._ordered_agg_spark.
+    supports_agg_order_by = False
 
     #: window null-treatment syntax: "postfix" = `f(x) IGNORE NULLS OVER`
     #: (SQL:2011, Spark), "inline" = `f(x IGNORE NULLS) OVER` (DuckDB),
@@ -264,6 +274,9 @@ class DuckDBDialect(Dialect):
     supports_frame_exclude = True   # EXCLUDE CURRENT ROW/GROUP/TIES
     supports_within_group = True    # percentile_cont/disc, mode
     supports_window_distinct_agg = True   # DISTINCT aggs run windowed
+    supports_agg_order_by = True    # string_agg(x, sep ORDER BY k)
+    # NO FETCH ... WITH TIES: DuckDB's parser rejects the clause
+    # (probed v1.x: "syntax error at or near WITH") — local lowering
     ignore_nulls_style = "inline"   # f(x IGNORE NULLS) OVER (...)
     star_exclude_kw = "EXCLUDE"     # SELECT * EXCLUDE (a, b)
     supports_star_replace = True    # SELECT * REPLACE (x*2 AS x)
@@ -292,6 +305,8 @@ class PostgresDialect(Dialect):
     supports_frame_exclude = True  # EXCLUDE clause since PG 11
     supports_groups_frame = True   # GROUPS mode since PG 11
     supports_within_group = True   # ordered-set aggregates (PG 9.4+)
+    supports_agg_order_by = True   # string_agg(x, sep ORDER BY k)
+    supports_fetch_with_ties = True  # WITH TIES since PG 13
     function_map = {
         "year": _pg_extract("YEAR"), "quarter": _pg_extract("QUARTER"),
         "month": _pg_extract("MONTH"), "day": _pg_extract("DAY"),

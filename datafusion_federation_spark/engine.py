@@ -74,10 +74,15 @@ class FederationEngine:
         Constructs outside the parser's surface fall back to Spark's
         parser over per-table federated views (per-table pushdown only).
         """
+        from .dialects import UnsupportedUnparse
         from .sqlfront import SqlParseError, parse_sql
         try:
             plan = parse_sql(query, self.catalog.table)
-        except (SqlParseError, KeyError):
+        except (SqlParseError, KeyError, UnsupportedUnparse):
+            # UnsupportedUnparse escaping the parser means some internal
+            # canonicalization hit a construct no dialect spells — the
+            # query may still be locally executable, so degrade to the
+            # per-table-view path rather than hard-error (ADVICE r7).
             return self._sql_via_views(query, params)
         return self.execute(plan, params=params)
 

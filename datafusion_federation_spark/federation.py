@@ -228,7 +228,7 @@ def federate(plan: Plan) -> Plan:
     _reject_star_over_asof(plan)
     plan = push_filters(plan)
     plan = prune_scans(plan)
-    new_plan, _ = _optimize_recursively(plan, is_root=True)
+    new_plan, _ = _optimize_recursively(plan, is_root=True, memo={})
     return new_plan
 
 
@@ -264,14 +264,31 @@ def _reject_star_over_asof(plan: Plan) -> None:
                 "'<ts>_right')")
 
 
-def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
+def _optimize_recursively(plan: Plan, is_root: bool,
+                          memo: Optional[dict] = None) -> Tuple[Plan, bool]:
+    """``memo`` maps id(node) -> (rewritten, changed) for the is_root=True
+    walk so SHARED plan nodes (a WITH RECURSIVE CTE referenced twice
+    resolves to ONE RecursiveCTE object) stay shared after federation
+    rewrites — the compiler's id()-keyed fixpoint/static-reuse caches
+    depend on it; without this a shared federated subtree splits into two
+    node objects and its remote SQL executes once per mention (ADVICE r7;
+    same class as optimizer._rebuild's r7 fix)."""
+    if memo is None:
+        memo = {}
+    hit = memo.get(id(plan))
+    if hit is not None:
+        return hit
+
     from .plans.nodes import Analyze
     if isinstance(plan, Analyze):
         # EXPLAIN ANALYZE is never federated as a whole — the unparser
         # cannot emit it; only the inner query federates (reference
         # src/optimizer/mod.rs:194-209, test src/sql/mod.rs:772-818).
-        new_input, changed = _optimize_recursively(plan.input, is_root=True)
-        return plan.with_inputs([new_input]), changed
+        new_input, changed = _optimize_recursively(plan.input, is_root=True,
+                                                   memo=memo)
+        out = (plan.with_inputs([new_input]) if changed else plan), changed
+        memo[id(plan)] = out
+        return out
 
     from .dialects import UnsupportedUnparse
 
@@ -281,7 +298,9 @@ def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
         if is_root:
             try:
                 # whole plan belongs to one federatable provider
-                return _claim(res.provider, plan), True
+                out = _claim(res.provider, plan), True
+                memo[id(plan)] = out
+                return out
             except UnsupportedUnparse:
                 # the dialect cannot express this plan's root operators
                 # (e.g. * EXCEPT on an engine without the syntax and
@@ -302,23 +321,31 @@ def _optimize_recursively(plan: Plan, is_root: bool) -> Tuple[Plan, bool]:
     new_inputs = []
     changed = False
     for child in plan.inputs():
+        hit = memo.get(id(child))
+        if hit is not None:
+            new_inputs.append(hit[0])
+            changed = changed or hit[1]
+            continue
         child_res = scan_plan(child)
         if child_res.is_distinct() and child_res.provider.can_federate():
             try:
-                new_inputs.append(_claim(child_res.provider, child))
+                claimed = _claim(child_res.provider, child)
+                memo[id(child)] = (claimed, True)
+                new_inputs.append(claimed)
                 changed = True
                 continue
             except UnsupportedUnparse:
                 pass        # claim smaller pieces of this child instead
-        new_child, ch = _optimize_recursively(child, is_root=True)
+        new_child, ch = _optimize_recursively(child, is_root=True, memo=memo)
         new_inputs.append(new_child)
         changed = changed or ch
     # subquery expressions federate independently as their own roots
     # (optimize_plan_exprs — optimizer/mod.rs:266-305)
     _federate_subquery_exprs(plan)
-    if changed:
-        return plan.with_inputs(new_inputs), True
-    return plan, False
+    out = ((plan.with_inputs(new_inputs), True) if changed
+           else (plan, False))
+    memo[id(plan)] = out
+    return out
 
 
 def _federate_subquery_exprs(plan: Plan) -> None:

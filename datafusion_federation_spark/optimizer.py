@@ -133,12 +133,46 @@ def _rebuild(plan: Plan, new_inputs) -> Plan:
     return plan.with_inputs(list(new_inputs))
 
 
-def push_filters(plan: Plan) -> Plan:
+def _find_shared_ids(plan: Plan) -> set:
+    """ids of plan nodes reachable through MORE than one parent (a WITH
+    [RECURSIVE] CTE referenced twice resolves to one shared object).
+    These must keep a single identity through the rewrite passes — the
+    compiler's id()-keyed fixpoint/static-reuse caches depend on it."""
+    seen: set = set()
+    shared: set = set()
+
+    def go(p: Plan) -> None:
+        if id(p) in seen:
+            shared.add(id(p))
+            return
+        seen.add(id(p))
+        for k in p.inputs():
+            go(k)
+
+    go(plan)
+    return shared
+
+
+def push_filters(plan: Plan, _memo: Optional[dict] = None) -> Plan:
     """Recursively push Filter conjuncts toward the scans. Returns a new
     plan; unknown node shapes pass through untouched (children still
-    optimized)."""
+    optimized). ``_memo`` (id -> rewritten) keeps shared nodes shared:
+    the result depends only on the node, so two parents of one child
+    must receive the SAME rewritten object (ADVICE r8 — without this a
+    changed shared subtree splits into one copy per mention)."""
+    if _memo is None:
+        _memo = {}
+    hit = _memo.get(id(plan))
+    if hit is not None:
+        return hit
+    out = _push_filters_node(plan, _memo)
+    _memo[id(plan)] = out
+    return out
+
+
+def _push_filters_node(plan: Plan, _memo: dict) -> Plan:
     # optimize children first so stacked filters cascade in one call
-    kids = [push_filters(k) for k in plan.inputs()]
+    kids = [push_filters(k, _memo) for k in plan.inputs()]
     if kids:
         plan = _rebuild(plan, kids)
 
@@ -165,7 +199,7 @@ def push_filters(plan: Plan) -> Plan:
         return plan
     # re-run on the rewritten subtree so a conjunct pushed below a join
     # continues down through further joins/projects
-    target = push_filters(target)
+    target = push_filters(target, _memo)
     if kept:
         return Filter(target, _and_all(kept))
     return target
@@ -263,8 +297,9 @@ def _plan_cols(p: Plan):
 # column pruning (the projection-pushdown half of the standard passes)
 # ---------------------------------------------------------------------------
 
-def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
-                ) -> Plan:
+def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None,
+                _shared: Optional[set] = None,
+                _memo: Optional[dict] = None) -> Plan:
     """Thread required-column sets top-down and set ``Scan.projection``
     wherever the set is fully determined — so a federated whole-table
     child ships `SELECT needed, cols` instead of `SELECT *`, and a local
@@ -277,7 +312,29 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
     attribution in joins, expression subqueries), so pruning is only
     ever applied when provably safe. HOW a requirement is discharged:
     every referenced name in projections/predicates/keys joins the set
-    flowing to children."""
+    flowing to children.
+
+    A node referenced by MORE than one parent (shared CTE object) is
+    pruned ONCE, conservatively (required=None — each mention may need
+    different columns), and every mention receives the same rewritten
+    object (ADVICE r8: per-mention rebuilds split shared nodes and
+    defeat the compiler's id()-keyed caches)."""
+    if _shared is None:
+        _shared = _find_shared_ids(plan)
+        _memo = {}
+    is_shared = id(plan) in _shared
+    if is_shared:
+        hit = _memo.get(id(plan))
+        if hit is not None:
+            return hit
+        required = None
+    out = _prune_node(plan, required, _shared, _memo)
+    if is_shared:
+        _memo[id(plan)] = out
+    return out
+
+
+def _prune_node(plan: Plan, required, _shared: set, _memo: dict) -> Plan:
     req = (None if required is None
            else {c.lower() for c in required})
 
@@ -315,7 +372,7 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
 
     if isinstance(plan, Project):
         below = bare_refs(plan.projections)
-        return _rebuild(plan, [prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below, _shared, _memo)])
 
     if isinstance(plan, _F):
         below = bare_refs([plan.predicate])
@@ -323,10 +380,10 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
             below = below | req
         elif req is None:
             below = None
-        return _rebuild(plan, [prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below, _shared, _memo)])
 
     if isinstance(plan, SubqueryAlias):
-        return _rebuild(plan, [prune_scans(plan.input, req)])
+        return _rebuild(plan, [prune_scans(plan.input, req, _shared, _memo)])
 
     if isinstance(plan, Sort):
         below = bare_refs([k.expr for k in plan.keys])
@@ -334,15 +391,15 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
             below = below | req
         elif req is None:
             below = None
-        return _rebuild(plan, [prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below, _shared, _memo)])
 
     if isinstance(plan, Limit):
-        return _rebuild(plan, [prune_scans(plan.inputs()[0], req)])
+        return _rebuild(plan, [prune_scans(plan.inputs()[0], req, _shared, _memo)])
 
     if isinstance(plan, Distinct):
         # DISTINCT dedupes WHOLE rows: pruning below changes the row
         # multiplicities a parent projection sees — keep every column
-        return _rebuild(plan, [prune_scans(plan.inputs()[0], None)])
+        return _rebuild(plan, [prune_scans(plan.inputs()[0], None, _shared, _memo)])
 
     if isinstance(plan, Aggregate):
         from .expressions import Cube, GroupingSets, Rollup
@@ -358,7 +415,7 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
         extra = ([plan.having] if getattr(plan, "having", None) is not None
                  else [])
         below = bare_refs(list(flat) + list(plan.aggregates) + extra)
-        return _rebuild(plan, [prune_scans(plan.input, below)])
+        return _rebuild(plan, [prune_scans(plan.input, below, _shared, _memo)])
 
     if isinstance(plan, Join):
         cond_refs = (bare_refs([plan.condition])
@@ -380,13 +437,13 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
                 # tables unpruned for every USING join
                 l = need & lset
                 r = need & rset
-        return _rebuild(plan, [prune_scans(plan.left, l),
-                           prune_scans(plan.right, r)])
+        return _rebuild(plan, [prune_scans(plan.left, l, _shared, _memo),
+                           prune_scans(plan.right, r, _shared, _memo)])
 
     if isinstance(plan, (Union, SetOp, Window)):
         # positional semantics / whole-row windows: no pruning below
         return _rebuild(plan,
-                        [prune_scans(k, None) for k in plan.inputs()])
+                        [prune_scans(k, None, _shared, _memo) for k in plan.inputs()])
 
     from .plans.nodes import LateralJoin
     if isinstance(plan, LateralJoin):
@@ -397,7 +454,7 @@ def prune_scans(plan: Plan, required: Optional[Sequence[str]] = None
         # federates (its OuterRefs force local), and Catalyst prunes
         # local parquet scans on its own — so skip the body entirely
         # and prune only the (possibly federated) left input.
-        return _rebuild(plan, [prune_scans(plan.left, None), plan.right])
+        return _rebuild(plan, [prune_scans(plan.left, None, _shared, _memo), plan.right])
 
-    kids = [prune_scans(k, None) for k in plan.inputs()]
+    kids = [prune_scans(k, None, _shared, _memo) for k in plan.inputs()]
     return _rebuild(plan, kids) if kids else plan

@@ -187,11 +187,17 @@ class Limit(Plan):
     input: Plan
     fetch: Optional[int] = None
     skip: Optional[int] = None
+    #: ANSI `FETCH FIRST n ROWS WITH TIES`: peers of the boundary row
+    #: (under the governing ORDER BY) are kept too. Requires a Sort
+    #: beneath; lowered by the compiler via a boundary-key probe, or
+    #: unparsed natively on engines that spell it (DuckDB/Postgres).
+    with_ties: bool = False
 
     def inputs(self): return (self.input,)
 
     def with_inputs(self, new_inputs):
-        return Limit(new_inputs[0], self.fetch, self.skip)
+        return Limit(new_inputs[0], self.fetch, self.skip,
+                     self.with_ties)
 
 
 @dataclass(eq=False)

@@ -478,6 +478,13 @@ SECONDARY = {
                                 # skipping the subtract); oracle PASS
                                 # both SFs + convergence/refusal tests
                                 # in test_recursive_cte
+    # round 8: the four r7 exact-lowering graduations (VERDICT r7
+    # "What's missing" #1) — window/limit machinery carried in-window
+    # by q52/q55/q70/q90/q96/q103; each lowering pinned vs DuckDB
+    "q104_fetch_with_ties",
+    "q105_lag_lead_ignore_nulls_n",
+    "q106_sum_avg_distinct_window",
+    "q107_minmax_frame_exclude",
 }
 
 DEC = "decimal(12,2)"

@@ -5108,3 +5108,146 @@ def q103(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q103_SQL)
+
+
+_Q104_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderdate
+FROM (SELECT o_orderkey, o_orderdate,
+             RANK() OVER (ORDER BY o_orderdate) AS r FROM orders) b
+WHERE r <= 20
+"""
+
+
+@q("q104_fetch_with_ties", _Q104_SQL)
+def q104(spark, sf):
+    """ANSI FETCH FIRST n ROWS WITH TIES (r8; graduated from an r7
+    refusal). Spark query is the front-door clause; the oracle is the
+    defining RANK() <= n spelling (DuckDB's parser rejects WITH TIES —
+    probed). Lowering is scale-first: NOT a no-partition global rank
+    window (one task at 100 TB) but a boundary probe — fetch the n-th
+    row's sort-key tuple once (LIMIT-n driver probe), then a
+    distributed lexicographic <= filter that Catalyst can push down
+    (compiler._compile_limit_ties). Result is a deterministic SET
+    (ties fully expanded); the driver compares order-free."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(
+        "SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderdate "
+        "FROM orders ORDER BY o_orderdate "
+        "FETCH FIRST 20 ROWS WITH TIES")
+
+
+_Q105_SQL = """
+SELECT o_orderpriority,
+       CAST(ROUND(SUM(lag2), 2) AS DOUBLE) AS sum_lag2,
+       CAST(COUNT(lag2) AS BIGINT) AS n_lag2,
+       CAST(ROUND(SUM(lead3), 2) AS DOUBLE) AS sum_lead3
+FROM (
+  SELECT o_orderpriority,
+         lag(px, 2 IGNORE NULLS) OVER w AS lag2,
+         lead(px, 3, CAST(-1 AS DECIMAL(12,2)) IGNORE NULLS) OVER w
+           AS lead3
+  FROM (SELECT o_orderpriority, o_custkey, o_orderdate, o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN NULL
+                    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS px
+        FROM orders) b
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+) v GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("q105_lag_lead_ignore_nulls_n", _Q105_SQL)
+def q105(spark, sf):
+    """lag/lead IGNORE NULLS with offset > 1 and a default (r8;
+    graduated from an r7 offset-1-only refusal). Identical SQL on both
+    engines (DuckDB's inline null-treatment spelling). Exact lowering:
+    collect_list skips NULLs and honors the one-sided frame, so
+    lag(x, n) is the n-th-from-END of the preceding non-null values
+    and lead(x, n) the n-th-from-START of the following ones; the
+    3-arg default fills when fewer than n non-nulls exist on that
+    side. DECIMAL keeps the sums exact across engines."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q105_SQL)
+
+
+_Q106_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(sd) AS BIGINT) AS sum_sd,
+       CAST(ROUND(SUM(ad), 4) AS DOUBLE) AS sum_ad
+FROM (
+  SELECT o_orderpriority,
+         SUM(DISTINCT o_orderkey % 7) OVER w AS sd,
+         AVG(DISTINCT o_orderkey % 7) OVER w AS ad
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+) v GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("q106_sum_avg_distinct_window", _Q106_SQL)
+def q106(spark, sf):
+    """SUM/AVG DISTINCT window aggregates (r8; graduated from an r7
+    COUNT-only refusal). Identical SQL on both engines; running frame.
+    Spark refuses the DISTINCT spelling outright; the lowering folds
+    the frame's distinct-value set — collect_set OVER w, seeded with
+    the set's FIRST element so the accumulator keeps the column's own
+    type (integer sums stay integral; empty set => NULL, the SQL
+    identity); AVG divides the fold by the set size as double.
+    MIN/MAX DISTINCT collapse to the plain windowed aggregate
+    (DISTINCT is a no-op there). State per row is the frame's
+    distinct set, bounded by the modulo domain here — at 100 TB,
+    bound the domain or the frame, same as the engines."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q106_SQL)
+
+
+_Q107_SQL = """
+SELECT o_orderpriority,
+       CAST(ROUND(SUM(mn), 2) AS DOUBLE) AS sum_mn,
+       CAST(ROUND(SUM(mx), 2) AS DOUBLE) AS sum_mx,
+       CAST(ROUND(SUM(mt), 2) AS DOUBLE) AS sum_mt
+FROM (
+  SELECT o_orderpriority,
+         MIN(px) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                       EXCLUDE CURRENT ROW) AS mn,
+         MAX(px) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING
+                       EXCLUDE GROUP) AS mx,
+         MIN(px) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING
+                       EXCLUDE TIES) AS mt
+  FROM (SELECT o_orderpriority, o_custkey, o_orderdate, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS px
+        FROM orders) b
+) v GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@q("q107_minmax_frame_exclude", _Q107_SQL)
+def q107(spark, sf):
+    """MIN/MAX under SQL:2011 frame EXCLUDE, all three exclusion modes
+    (r8; graduated from an r7 count/sum/avg-only refusal — removing a
+    row can EXPOSE a new extremum, so no subtraction arithmetic
+    exists). Identical SQL on both engines. Exact lowering
+    (compiler._lower_exclude_minmax): a row_number identity column,
+    collect_list(struct(rn, order-key, x)) over the DECLARED frame,
+    an array filter dropping the excluded rows by identity/peer-key,
+    array_min/array_max over the survivors — works for ANY
+    frame+mode combination because out-of-frame rows were never
+    collected. DECIMAL keeps the sums exact; all-excluded frames
+    yield NULL, which SUM skips on both engines."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q107_SQL)

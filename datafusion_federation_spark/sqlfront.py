@@ -81,6 +81,27 @@ class SqlParseError(ValueError):
     pass
 
 
+def _structural_key(x) -> str:
+    """Total, deterministic identity string for an expression tree.
+
+    Fallback for ``_expr_key`` when the ANSI unparser (rightly) refuses a
+    construct: class name + dataclass fields, recursively. Never raises."""
+    import dataclasses
+
+    from .expressions import Expr
+    if isinstance(x, Expr):
+        if dataclasses.is_dataclass(x):
+            parts = ",".join(
+                f"{f.name}={_structural_key(getattr(x, f.name))}"
+                for f in dataclasses.fields(x))
+        else:  # non-dataclass node: identity from children only
+            parts = ",".join(_structural_key(c) for c in x.children())
+        return f"{type(x).__name__}({parts})"
+    if isinstance(x, (list, tuple)):
+        return "[" + ",".join(_structural_key(v) for v in x) + "]"
+    return repr(x)
+
+
 def _strip_comments(sql: str) -> str:
     """Remove -- line and /* */ block comments, quote-aware: comment
     markers inside ' " ` quoted spans are preserved verbatim."""
@@ -434,6 +455,7 @@ class Parser:
         return plan
 
     def _order_limit(self, plan: Plan, scope: _Scope) -> Plan:
+        has_order = self.at_kw("ORDER")
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
             if self._at_bare_all():
@@ -466,7 +488,20 @@ class Parser:
                 fetch = int(self.take()[1])
             if not (self.accept_kw("ROWS") or self.accept_kw("ROW")):
                 raise SqlParseError("expected ROW[S] in FETCH clause")
-            self.expect_kw("ONLY")   # WITH TIES is not a LIMIT — refuse
+            if self.accept_kw("WITH"):
+                self.expect_kw("TIES")
+                if not has_order:
+                    # ANSI: WITH TIES without ORDER BY is an error (the
+                    # peer relation is undefined) — engines agree
+                    raise SqlParseError(
+                        "FETCH ... WITH TIES requires ORDER BY")
+                with_ties = True
+            else:
+                self.expect_kw("ONLY")
+                with_ties = False
+            if fetch is not None or skip is not None:
+                return Limit(plan, fetch=fetch, skip=skip,
+                             with_ties=with_ties)
         if fetch is not None or skip is not None:
             plan = Limit(plan, fetch=fetch, skip=skip)
         return plan
@@ -1153,8 +1188,18 @@ class Parser:
 
     @staticmethod
     def _expr_key(e: Expr) -> str:
-        from .dialects import get_dialect
-        return e.to_sql(get_dialect("ansi"))
+        from .dialects import UnsupportedUnparse, get_dialect
+        try:
+            return e.to_sql(get_dialect("ansi"))
+        except UnsupportedUnparse:
+            # The key is only ever compared against other keys from this
+            # function, so totality matters more than SQL fidelity: an
+            # expression no dialect can spell (WITHIN GROUP aggregates,
+            # DISTINCT window aggregates, frame EXCLUDE, ...) still needs
+            # a stable identity for GROUP BY / HAVING / QUALIFY matching.
+            # Fall back to a purely structural key; identical trees always
+            # take the same branch, so keys stay comparable.
+            return _structural_key(e)
 
     def _contains_agg(self, e: Expr) -> bool:
         # a window function is NOT an aggregate for grouping purposes,
@@ -1179,7 +1224,8 @@ class Parser:
             name = self.take()[1]
         elif (self.peek() is not None and self.peek()[0] == "id"
               and not self.at_kw("FROM", "WHERE", "GROUP", "HAVING",
-                                 "ORDER", "LIMIT", "OFFSET", "UNION",
+                                 "ORDER", "LIMIT", "OFFSET", "FETCH",
+                                 "UNION",
                                  "INTERSECT", "EXCEPT", "JOIN", "ON",
                                  "INNER", "LEFT", "RIGHT", "FULL",
                                  "CROSS", "AND", "OR")):
@@ -1475,10 +1521,10 @@ class Parser:
         if (self.peek() is not None and self.peek()[0] == "id"
                 and not self.at_kw(
                     "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
-                    "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT",
-                    "EXCEPT", "JOIN", "ON", "INNER", "LEFT", "RIGHT",
-                    "FULL", "CROSS", "AS", "USING", "ASOF", "SEMI",
-                    "ANTI")):
+                    "ORDER", "LIMIT", "OFFSET", "FETCH", "UNION",
+                    "INTERSECT", "EXCEPT", "JOIN", "ON", "INNER",
+                    "LEFT", "RIGHT", "FULL", "CROSS", "AS", "USING",
+                    "ASOF", "SEMI", "ANTI")):
             return self.take()[1]
         return None
 

@@ -114,8 +114,21 @@ class Unparser:
                 sql += " ORDER BY " + ", ".join(
                     k.to_sql(self.dialect) for k in sort_n.keys)
             if limit_n is not None:
-                sql += " " + self.dialect.limit_clause(limit_n.fetch,
-                                                       limit_n.skip)
+                if getattr(limit_n, "with_ties", False):
+                    from .dialects import UnsupportedUnparse
+                    if not (getattr(self.dialect,
+                                    "supports_fetch_with_ties", False)
+                            and sort_n is not None):
+                        raise UnsupportedUnparse(
+                            "FETCH ... WITH TIES over a set operation "
+                            "has no rendering for this dialect")
+                    skip_sql = (f"OFFSET {limit_n.skip} "
+                                if limit_n.skip is not None else "")
+                    sql += (f" {skip_sql}FETCH FIRST {limit_n.fetch} "
+                            f"ROWS WITH TIES")
+                else:
+                    sql += " " + self.dialect.limit_clause(
+                        limit_n.fetch, limit_n.skip)
             return sql
         shell = self._build_shell(plan)
         return shell.render()
@@ -368,7 +381,24 @@ class Unparser:
             sh = self._build_shell(plan.input)
             if sh.limit:
                 sh = _Shell(from_sql=f"({sh.render()}) AS {d.quote(self._fresh_alias())}")
-            sh.limit = d.limit_clause(plan.fetch, plan.skip)
+            if getattr(plan, "with_ties", False):
+                from .dialects import UnsupportedUnparse
+                if not getattr(d, "supports_fetch_with_ties", False):
+                    raise UnsupportedUnparse(
+                        f"dialect {d.name!r} has no FETCH ... WITH TIES "
+                        "syntax")
+                if not sh.order_by:
+                    # WITH TIES is invalid SQL without ORDER BY in the
+                    # same query block — compile locally instead
+                    raise UnsupportedUnparse(
+                        "FETCH ... WITH TIES lost its ORDER BY block "
+                        "during shell nesting")
+                skip_sql = (f"OFFSET {plan.skip} "
+                            if plan.skip is not None else "")
+                sh.limit = (f"{skip_sql}FETCH FIRST {plan.fetch} "
+                            f"ROWS WITH TIES")
+            else:
+                sh.limit = d.limit_clause(plan.fetch, plan.skip)
             return sh
 
         if isinstance(plan, Distinct):

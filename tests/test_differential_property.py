@@ -927,3 +927,109 @@ def test_pivot_unpivot_local_and_federated_match_duckdb(engines, sql):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = _nsort(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# round-8 exact-lowering graduations: DISTINCT window aggregates
+# (SUM/AVG/MIN/MAX join COUNT), lag/lead IGNORE NULLS at any offset
+# (with/without default), FETCH ... WITH TIES (boundary-probe
+# lowering), MIN/MAX under frame EXCLUDE (collect lowering). NULLs are
+# manufactured with NULLIF; LOCAL and FEDERATED both checked vs DuckDB
+# (the federated arm exercises per-dialect refuse-then-compile-local
+# for the constructs DuckDB cannot spell, e.g. WITH TIES).
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _r8_queries(draw):
+    kind = draw(st.sampled_from(
+        ["distinct_agg", "nth_null", "ties", "minmax_exclude"]))
+    nv = f"NULLIF(n_regionkey, {draw(st.integers(0, 4))})"
+    part = draw(st.sampled_from(["", "PARTITION BY n_regionkey"]))
+
+    if kind == "distinct_agg":
+        fn = draw(st.sampled_from(["SUM", "AVG", "COUNT", "MIN", "MAX"]))
+        arg = draw(st.sampled_from(
+            ["n_regionkey", nv, "n_nationkey % 4"]))
+        order = draw(st.sampled_from(["", "ORDER BY n_nationkey"]))
+        spec = " ".join(s for s in (part, order) if s)
+        call = f"{fn}(DISTINCT {arg}) OVER ({spec})"
+        e = (f"CAST(ROUND({call}, 4) AS DOUBLE)" if fn == "AVG"
+             else f"CAST({call} AS BIGINT)")
+        sql = f"SELECT n_nationkey, {e} AS w FROM nation"
+        return sql, sql
+
+    if kind == "nth_null":
+        fn = draw(st.sampled_from(["lag", "lead"]))
+        off = draw(st.integers(0, 4))
+        dflt = draw(st.sampled_from(["", ", -9"]))
+        spec = " ".join(s for s in (part, "ORDER BY n_nationkey") if s)
+        sql = (f"SELECT n_nationkey, CAST({fn}({nv}, {off}{dflt} "
+               f"IGNORE NULLS) OVER ({spec}) AS BIGINT) AS w "
+               f"FROM nation")
+        return sql, sql
+
+    if kind == "ties":
+        n = draw(st.integers(1, 30))
+        m = draw(st.integers(0, 5))
+        if m:
+            # OFFSET inside a tie group is nondeterministic in EVERY
+            # engine — only fuzz offsets over a total order
+            keys = draw(st.sampled_from(
+                ["n_nationkey", "n_regionkey, n_nationkey",
+                 "n_regionkey DESC, n_name"]))
+            duck = (f"SELECT n_nationkey, n_regionkey FROM "
+                    f"(SELECT n_nationkey, n_regionkey, RANK() OVER "
+                    f"(ORDER BY {keys}) AS r FROM nation) t "
+                    f"WHERE r > {m} AND r <= {m + n}")
+            off = f"OFFSET {m} ROWS "
+        else:
+            keys = draw(st.sampled_from(
+                ["n_regionkey", "n_regionkey DESC", "n_name",
+                 "n_regionkey, n_name DESC", "n_nationkey"]))
+            duck = (f"SELECT n_nationkey, n_regionkey FROM "
+                    f"(SELECT n_nationkey, n_regionkey, RANK() OVER "
+                    f"(ORDER BY {keys}) AS r FROM nation) t "
+                    f"WHERE r <= {n}")
+            off = ""
+        sql = (f"SELECT n_nationkey, n_regionkey FROM nation "
+               f"ORDER BY {keys} {off}"
+               f"FETCH FIRST {n} ROWS WITH TIES")
+        return sql, duck
+
+    # minmax_exclude
+    fn = draw(st.sampled_from(["MIN", "MAX"]))
+    frame, order = draw(st.sampled_from([
+        ("ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+         "ORDER BY n_nationkey"),
+        ("ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+         "ORDER BY n_regionkey, n_name"),
+        ("RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+         "ORDER BY n_regionkey"),
+        ("RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+         "ORDER BY n_regionkey"),
+    ]))
+    mode = draw(st.sampled_from(
+        ["CURRENT ROW", "GROUP", "TIES"]))
+    spec = " ".join(s for s in (part, order, frame) if s)
+    sql = (f"SELECT n_nationkey, CAST({fn}({nv}) OVER "
+           f"({spec} EXCLUDE {mode}) AS BIGINT) AS w FROM nation")
+    return sql, sql
+
+
+@settings(max_examples=70, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(pair=_r8_queries())
+def test_r8_lowerings_local_and_federated_match_duckdb(engines, pair):
+    import duckdb
+    sql, duck_sql = pair
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = sorted(map(tuple, conn.execute(duck_sql).fetchall()))
+    conn.close()
+    got_local = sorted(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"

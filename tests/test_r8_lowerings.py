@@ -1,0 +1,214 @@
+"""Round-8 exact-lowering graduations (VERDICT r7 "What's missing" #1):
+FETCH FIRST n ROWS WITH TIES, lag/lead IGNORE NULLS with offset > 1,
+SUM/AVG DISTINCT window aggregates, MIN/MAX under frame EXCLUDE.
+Each pinned value-for-value against DuckDB on NULL-heavy, tie-heavy
+synthetic frames (sharper than the orders-table oracle rows q104-q107)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from datafusion_federation_spark.sqlfront import SqlParseError
+from tests.conftest import TESTDATA
+
+
+def _engine(spark, df_by_name):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    for name, df in df_by_name.items():
+        eng.register_local_df(name, df)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # ties in g (peer groups), NULLs in x, small partitions
+    rows = [(i, i % 3, i % 4, None if i % 4 == 0 else float(i * 10))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k INT, p INT, g INT, x DOUBLE")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, p INT, g INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    return df, con
+
+
+def _both(eng, con, spark_sql, duck_sql=None):
+    got = sorted(map(tuple, eng.sql(spark_sql).collect()))
+    want = sorted(map(tuple, con.execute(duck_sql or spark_sql).fetchall()))
+    assert got == want, f"\ngot:  {got[:6]}...\nwant: {want[:6]}..."
+
+
+# ---------------------------------------------------------------------------
+# FETCH FIRST ... WITH TIES
+# ---------------------------------------------------------------------------
+
+def test_with_ties_basic(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, g FROM t ORDER BY g FETCH FIRST 5 ROWS WITH TIES",
+          "SELECT k, g FROM (SELECT k, g, RANK() OVER (ORDER BY g) r "
+          "FROM t) b WHERE r <= 5")
+
+
+def test_with_ties_offset(spark, frame):
+    # Postgres 13: OFFSET applies after tie expansion at boundary m+n
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, g FROM t ORDER BY g, k "
+          "OFFSET 3 ROWS FETCH FIRST 4 ROWS WITH TIES",
+          "SELECT k, g FROM (SELECT k, g, RANK() OVER (ORDER BY g, k) r "
+          "FROM t) b WHERE r <= 7 OFFSET 3")
+
+
+def test_with_ties_desc_nulls(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    # x has NULLs; DESC => Spark default NULLS LAST, match explicitly
+    _both(eng, con,
+          "SELECT k, x FROM t ORDER BY x DESC NULLS LAST "
+          "FETCH FIRST 6 ROWS WITH TIES",
+          "SELECT k, x FROM (SELECT k, x, RANK() OVER "
+          "(ORDER BY x DESC NULLS LAST) r FROM t) b WHERE r <= 6")
+
+
+def test_with_ties_exceeds_rowcount(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    rows = eng.sql("SELECT k FROM t ORDER BY g "
+                   "FETCH FIRST 500 ROWS WITH TIES").collect()
+    assert len(rows) == 40
+
+
+def test_with_ties_requires_order_by(spark, frame):
+    df, _con = frame
+    eng = _engine(spark, {"t": df})
+    with pytest.raises((SqlParseError, Exception), match="TIES"):
+        eng.sql_plan("SELECT k FROM t FETCH FIRST 5 ROWS WITH TIES")
+
+
+def test_with_ties_unparse_postgres_only():
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    from datafusion_federation_spark.expressions import SortKey, col
+    from datafusion_federation_spark.plans.nodes import Limit, Project, Sort
+    from datafusion_federation_spark.unparser import Unparser
+    from tests.test_unparser_goldens import h
+    from datafusion_federation_spark.plans.nodes import Scan
+    p = Limit(Sort(Project(Scan(h("t")), [col("a")]),
+                   [SortKey(col("a"))]), fetch=5, with_ties=True)
+    s = Unparser("postgres").plan_to_sql(p)
+    assert "FETCH FIRST 5 ROWS WITH TIES" in s
+    for d in ("duckdb", "sqlite", "mysql", "derby", "spark"):
+        with pytest.raises(UnsupportedUnparse):
+            Unparser(d).plan_to_sql(p)
+
+
+# ---------------------------------------------------------------------------
+# lag/lead IGNORE NULLS, offset > 1 / default
+# ---------------------------------------------------------------------------
+
+def test_lag_ignore_nulls_offset2(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, lag(x, 2 IGNORE NULLS) "
+          "OVER (PARTITION BY p ORDER BY k) AS l2 FROM t")
+
+
+def test_lead_ignore_nulls_offset3_default(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, lead(x, 3, -1.0 IGNORE NULLS) "
+          "OVER (PARTITION BY p ORDER BY k) AS l3 FROM t")
+
+
+def test_lag_ignore_nulls_offset1_default(spark, frame):
+    # 3-arg offset-1 used to be refused too (the exact-offset-1 rewrite
+    # had no default slot) — now the collect path covers it
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, lag(x, 1, -5.0 IGNORE NULLS) "
+          "OVER (PARTITION BY p ORDER BY k) AS l1 FROM t")
+
+
+# ---------------------------------------------------------------------------
+# SUM / AVG DISTINCT window aggregates
+# ---------------------------------------------------------------------------
+
+def test_sum_distinct_window_running(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, CAST(SUM(DISTINCT g) OVER "
+          "(PARTITION BY p ORDER BY k) AS BIGINT) AS sd FROM t")
+
+
+def test_sum_distinct_window_skips_nulls(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, SUM(DISTINCT x) OVER (PARTITION BY p) AS sd FROM t")
+
+
+def test_avg_distinct_window(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, AVG(DISTINCT g) OVER "
+          "(PARTITION BY p ORDER BY k) AS ad FROM t")
+
+
+def test_min_max_distinct_window_collapse(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MIN(DISTINCT x) OVER (PARTITION BY p) AS mn, "
+          "MAX(DISTINCT x) OVER (PARTITION BY p) AS mx FROM t")
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX under frame EXCLUDE
+# ---------------------------------------------------------------------------
+
+def test_min_exclude_current_row(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MIN(x) OVER (PARTITION BY p ORDER BY k "
+          "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING "
+          "EXCLUDE CURRENT ROW) AS mn FROM t")
+
+
+def test_max_exclude_group_with_ties(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MAX(x) OVER (PARTITION BY p ORDER BY g "
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+          "EXCLUDE GROUP) AS mx FROM t")
+
+
+def test_min_exclude_ties_moving_range(spark, frame):
+    # a MOVING RANGE frame + EXCLUDE TIES: impossible for the
+    # arithmetic path, natural for the collect path
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MIN(x) OVER (PARTITION BY p ORDER BY g "
+          "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING "
+          "EXCLUDE TIES) AS mn FROM t")
+
+
+def test_max_exclude_current_all_excluded_is_null(spark):
+    # single-row partitions: EXCLUDE CURRENT ROW empties every frame
+    rows = [(1, 1.0), (2, 2.0)]
+    df = spark.createDataFrame(rows, "k INT, x DOUBLE")
+    eng = _engine(spark, {"t": df})
+    got = eng.sql("SELECT k, MAX(x) OVER (PARTITION BY k ORDER BY k "
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                  "FOLLOWING EXCLUDE CURRENT ROW) AS mx FROM t").collect()
+    assert all(r.mx is None for r in got)

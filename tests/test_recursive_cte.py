@@ -325,3 +325,47 @@ SELECT CAST(COUNT(*) AS BIGINT) AS c FROM reach""")
     assert rows[0].c >= 1
     assert calls["n"] <= 2, \
         f"remote dim executed {calls['n']}x across fixpoint rounds"
+
+
+def test_federated_base_cte_referenced_twice_stays_shared(spark):
+    # ADVICE r8: _optimize_recursively rebuilt parents with no per-id
+    # memoization, so a RecursiveCTE referenced twice whose BASE holds a
+    # federated claim split into two node objects after federate() —
+    # defeating the compiler's id()-keyed caches (fixpoint + static
+    # leaf reuse) and running the fixpoint/remote SQL once per mention.
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.plans.nodes import (
+        RecursiveCTE, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+
+    calls = {"n": 0}
+
+    class CountingExec(DuckDBExecutor):
+        def execute(self, spark_, sql, schema=None):
+            calls["n"] += 1
+            return super().execute(spark_, sql, schema)
+
+    ex = CountingExec(name="count_shared", compute_context="test")
+    ex.register_parquet("customer", f"{TESTDATA}/customer.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "customer")
+
+    plan = eng.sql_plan(
+        "WITH RECURSIVE t(k) AS ("
+        "SELECT c_custkey FROM customer WHERE c_custkey < 3 "
+        "UNION ALL SELECT k + 100 FROM t WHERE k < 200) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM t a JOIN t b "
+        "ON a.k = b.k").plan
+    from datafusion_federation_spark.federation import federate
+    fed = federate(plan)
+    ctes = [n for n in walk_plan(fed) if isinstance(n, RecursiveCTE)]
+    ids = {id(n) for n in ctes}
+    assert len(ids) == 1, \
+        f"shared RecursiveCTE split into {len(ids)} objects by federate()"
+
+    rows = eng.execute(fed).collect()
+    assert rows[0].c == 9
+    assert eng.compiler.fixpoint_runs == 1
+    assert calls["n"] <= 1, \
+        f"federated base executed {calls['n']}x for one shared CTE"

@@ -1203,14 +1203,18 @@ def test_ignore_nulls_values_vs_duckdb(spark):
         assert got == want, (ours, got, want)
 
 
-def test_ignore_nulls_lag_offset2_refused(spark):
+def test_ignore_nulls_lag_offset2_lowered(spark):
+    # graduated r8 (was an offset-1-only refusal): n-th-non-null via a
+    # one-sided frame collect — value-pinned vs DuckDB in
+    # tests/test_r8_lowerings.py; here just the postfix spelling
     from datafusion_federation_spark.engine import FederationEngine
     eng = FederationEngine(spark)
     eng.register_local_df(
-        "t", spark.createDataFrame([(1, 10)], "i int, x int"))
-    with pytest.raises(NotImplementedError, match="offset 1"):
-        eng.sql("SELECT LAG(x, 2) IGNORE NULLS OVER (ORDER BY i) AS v "
-                "FROM t").collect()
+        "t", spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30), (4, 40)], "i int, x int"))
+    rows = eng.sql("SELECT i, LAG(x, 2) IGNORE NULLS OVER (ORDER BY i) "
+                   "AS v FROM t ORDER BY i").collect()
+    assert [r.v for r in rows] == [None, None, None, 10]
 
 
 # -- VALUES inline relation (r7 s3) ------------------------------------------
@@ -1557,12 +1561,13 @@ def test_frame_exclude_refusals(_excl_fixture):
         eng.sql(
             "SELECT SUM(v) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN "
             "1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS x FROM t")
-    # non-invertible aggregate
+    # non-invertible aggregates OTHER than min/max (which graduated to
+    # the r8 collect lowering) still refuse on the arithmetic path
     with pytest.raises(NotImplementedError, match="COUNT/SUM/AVG"):
         eng.sql(
-            "SELECT MIN(v) OVER (PARTITION BY g ORDER BY k RANGE BETWEEN "
-            "UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS x "
-            "FROM t")
+            "SELECT STDDEV(v) OVER (PARTITION BY g ORDER BY k RANGE "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) "
+            "AS x FROM t")
     # GROUP/TIES need a peer relation
     with pytest.raises(NotImplementedError, match="ORDER BY"):
         eng.sql(
@@ -1991,10 +1996,16 @@ def test_count_distinct_over_window_matches_duckdb(spark):
     ):
         got = [tuple(r) for r in eng.sql(q).collect()]
         assert got == con.execute(q).fetchall(), q
-    # SUM DISTINCT over a window: a silent double fold would diverge
-    # from the engines' integer sums — refused
-    with pytest.raises(NotImplementedError, match="COUNT only"):
-        eng.sql("SELECT SUM(DISTINCT k) OVER (PARTITION BY g) AS x "
+    # SUM DISTINCT over a window graduated r8: typed collect_set fold
+    # (seeded with the set's first element, keeping integer sums
+    # integral) — value-pinned vs DuckDB in tests/test_r8_lowerings.py
+    q = ("SELECT g, k, CAST(SUM(DISTINCT k) OVER (PARTITION BY g) AS "
+         "BIGINT) AS x FROM t ORDER BY g, k")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == con.execute(q).fetchall()
+    # aggregates with no distinct-set lowering still refuse
+    with pytest.raises(NotImplementedError, match="COUNT/SUM/AVG"):
+        eng.sql("SELECT STDDEV(DISTINCT k) OVER (PARTITION BY g) AS x "
                 "FROM t")
 
 
@@ -2049,9 +2060,13 @@ def test_fetch_first_ansi_spelling(spark):
     ):
         got = [tuple(r) for r in eng.sql(q).collect()]
         assert got == con.execute(q).fetchall(), q
-    # WITH TIES is not a plain LIMIT — must not silently truncate
-    with pytest.raises(SqlParseError):
-        parse("SELECT a FROM t ORDER BY a FETCH FIRST 2 ROWS WITH TIES")
+    # WITH TIES graduated r8 (boundary-probe lowering, value-pinned vs
+    # DuckDB in tests/test_r8_lowerings.py); it still parses to a
+    # DISTINCT node shape — and refuses without ORDER BY (ANSI)
+    p = parse("SELECT a FROM t ORDER BY a FETCH FIRST 2 ROWS WITH TIES")
+    assert isinstance(p, Limit) and p.with_ties and p.fetch == 2
+    with pytest.raises(SqlParseError, match="ORDER BY"):
+        parse("SELECT a FROM t FETCH FIRST 2 ROWS WITH TIES")
 
 
 def test_order_by_hidden_column(spark):
@@ -2137,3 +2152,74 @@ def test_pivot_empty_count_cell_is_zero(_pivot_fixture):
     gots = [tuple(r) for r in eng.sql(qs).collect()]
     assert gots == con.execute(qs).fetchall()
     assert all(r[1] is None for r in gots)
+
+
+# ---------------------------------------------------------------------------
+# _expr_key totality (ADVICE r8): HAVING/QUALIFY alongside constructs the
+# ANSI unparser refuses must still parse and run locally
+# ---------------------------------------------------------------------------
+
+def test_having_with_within_group_parses():
+    p = parse("SELECT a, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY b) "
+              "AS med FROM t GROUP BY a HAVING COUNT(*) > 1")
+    assert isinstance(p, (Project, Filter))
+
+
+def test_qualify_with_distinct_window_agg_parses():
+    # SUM(DISTINCT) OVER has no ANSI spelling; the canonical key must
+    # fall back structurally instead of crashing the parse
+    p = parse("SELECT a, COUNT(DISTINCT b) OVER (PARTITION BY a) AS s "
+              "FROM t QUALIFY s > 1")
+    assert isinstance(p, Filter)
+
+
+def test_having_within_group_executes_against_oracle(duckdb_engine):
+    eng, _ex = duckdb_engine
+    sql = ("SELECT o_orderpriority, "
+           "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) "
+           "AS med FROM orders GROUP BY o_orderpriority "
+           "HAVING COUNT(*) > 5")
+    got = sorted((r[0], round(r[1], 4)) for r in eng.sql(sql).collect())
+    want = sorted((r[0], round(r[1], 4)) for r in _oracle(sql))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# supports_agg_order_by (ADVICE r8): in-call ordered aggregates only ship
+# to dialects that spell them; everyone else compiles locally
+# ---------------------------------------------------------------------------
+
+def test_ordered_agg_unparse_gated_by_dialect():
+    from datafusion_federation_spark.dialects import (
+        UnsupportedUnparse, get_dialect)
+    from datafusion_federation_spark.expressions import (
+        AggFunc, Col, Lit, SortKey)
+    agg = AggFunc("string_agg", [Col("x"), Lit(",")],
+                  order_by=[SortKey(Col("k"), ascending=True)])
+    for name in ("duckdb", "postgres"):
+        s = agg.to_sql(get_dialect(name))
+        assert "ORDER BY" in s
+    for name in ("mysql", "derby", "spark", "ansi"):
+        with pytest.raises(UnsupportedUnparse):
+            agg.to_sql(get_dialect(name))
+
+
+def test_ordered_agg_keeps_subtree_local_on_nonsupporting_dialect(spark):
+    # a Derby-backed claim containing string_agg(... ORDER BY ...) must
+    # refuse at unparse and compile locally — not ship invalid SQL
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    sql = ("SELECT o_orderpriority, "
+           "STRING_AGG(CAST(o_orderkey AS STRING), ',' "
+           "ORDER BY o_orderkey) AS ks "
+           "FROM orders WHERE o_orderkey < 100 GROUP BY o_orderpriority")
+    got = {r.o_orderpriority: r.ks for r in eng.sql(sql).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/orders.parquet')")
+    want = {r[0]: r[1] for r in con.execute(
+        "SELECT o_orderpriority, STRING_AGG(CAST(o_orderkey AS VARCHAR), "
+        "',' ORDER BY o_orderkey) FROM orders WHERE o_orderkey < 100 "
+        "GROUP BY o_orderpriority").fetchall()}
+    assert got == want
