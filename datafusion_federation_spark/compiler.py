@@ -423,6 +423,14 @@ class Compiler:
                     break
                 acc = acc.union(step)
                 work = step
+                if p.cycle_col is not None:
+                    # CYCLE clause (SQL:1999): cycle-marked rows appear
+                    # in the result but never recurse — this is what
+                    # terminates UNION ALL over a cyclic graph. A round
+                    # whose rows are ALL marked leaves an empty working
+                    # table; the next step yields 0 and the loop exits.
+                    work = work.filter(
+                        F.col(p.cycle_col) == F.lit(False))
             else:
                 raise RuntimeError(
                     f"recursive CTE '{p.name}' did not converge within "

@@ -366,6 +366,7 @@ class SparkSQLDialect(Dialect):
 
     name = "spark"
     quote_char = "`"
+    supports_lambda = True          # higher-order `x -> body` syntax
     supports_semi_anti_join = True  # LEFT SEMI / LEFT ANTI JOIN
     supports_within_group = True    # percentile_cont/disc (3.4+), mode
     star_exclude_kw = "EXCEPT"      # SELECT * EXCEPT (a, b), Spark >= 3.4

@@ -573,6 +573,40 @@ class Cast(Expr):
 
 
 @dataclass(eq=False)
+class Lambda(Expr):
+    """Higher-order-function lambda argument: ``x -> body`` /
+    ``(a, b) -> body`` (Spark SQL and DuckDB share the arrow syntax;
+    function NAMES differ — transform vs list_transform — so only the
+    Spark dialect renders these and every remote claim refuses,
+    compiling the subtree locally). Parameters shadow input columns;
+    the body is ordinary expression IR whose param references parse as
+    plain Cols."""
+
+    params: Sequence[str]
+    body: Expr
+
+    def children(self): return (self.body,)
+
+    def to_sql(self, d) -> str:
+        if not getattr(d, "supports_lambda", False):
+            from .dialects import UnsupportedUnparse
+            raise UnsupportedUnparse(
+                f"dialect {getattr(d, 'name', type(d).__name__)!r} has "
+                "no higher-order lambda syntax")
+        ps = (self.params[0] if len(self.params) == 1
+              else "(" + ", ".join(self.params) + ")")
+        return f"{ps} -> {self.body.to_sql(d)}"
+
+    def to_spark(self) -> Column:
+        raise NotImplementedError(
+            "a lambda compiles only as a higher-order function "
+            "argument")
+
+    def output_name(self) -> str:
+        return "lambda"
+
+
+@dataclass(eq=False)
 class Func(Expr):
     """Scalar function call (analyzer.rs:363-373). Name-mapped per dialect."""
 
@@ -585,6 +619,11 @@ class Func(Expr):
         return d.scalar_function(self.name, [a.to_sql(d) for a in self.args])
 
     def to_spark(self) -> Column:
+        if any(isinstance(a, Lambda) for a in self.args):
+            # higher-order call: Spark SQL parses the arrow syntax
+            # natively, and the param Cols render as plain (quoted)
+            # identifiers that bind to the lambda scope
+            return F.expr(self.to_sql(_SPARK_DIALECT))
         fn = getattr(F, self.name, None)
         if fn is not None:
             try:
@@ -857,6 +896,9 @@ class SparkCol(Expr):
     form by construction. Local-only: unparsing refuses so federation
     vetting keeps the enclosing subtree local."""
 
+    #: a pyspark Column, or a zero-arg factory returning one — the
+    #: factory form lets PARSE-time desugars (SEARCH/CYCLE) stay
+    #: session-free; construction happens at compile time
     col: Any
     name: str = "expr"
 
@@ -866,7 +908,7 @@ class SparkCol(Expr):
             "pre-lowered local Spark column has no SQL rendering")
 
     def to_spark(self) -> Column:
-        return self.col
+        return self.col() if callable(self.col) else self.col
 
     def output_name(self) -> str:
         return self.name
@@ -1581,6 +1623,7 @@ class _SparkSQLDialectProxy:
     """Minimal dialect used when Func falls back to F.expr(...)."""
 
     ilike_op = "ILIKE"
+    supports_lambda = True    # Spark SQL parses `x -> body` natively
 
     def quote(self, s: str) -> str:
         return f"`{s}`"

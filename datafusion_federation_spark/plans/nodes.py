@@ -295,13 +295,17 @@ class RecursiveCTE(Plan):
     step: Plan                        # recursive term (>=1 RecursiveRef)
     union_all: bool                   # UNION ALL vs UNION (distinct)
     max_iterations: int = 100
+    #: SQL:1999 CYCLE clause mark column (parser-desugared): rows whose
+    #: mark is TRUE surface in the result but are NOT fed back into the
+    #: next round — what terminates UNION ALL walks over cyclic graphs.
+    cycle_col: Optional[str] = None
 
     def inputs(self): return (self.base, self.step)
 
     def with_inputs(self, new_inputs):
         return RecursiveCTE(self.name, self.cols, new_inputs[0],
                             new_inputs[1], self.union_all,
-                            self.max_iterations)
+                            self.max_iterations, self.cycle_col)
 
 
 @dataclass(eq=False)

@@ -485,6 +485,14 @@ SECONDARY = {
     "q105_lag_lead_ignore_nulls_n",
     "q106_sum_avg_distinct_window",
     "q107_minmax_frame_exclude",
+    # round 8: SQL:1999/PG14 SEARCH + CYCLE clauses over the q88/q89
+    # fixpoint machinery (in-window); oracles are the manual
+    # path/level rewrites hand-spelled in DuckDB
+    "q108_recursive_cycle",
+    "q109_recursive_search",
+    # round 8: higher-order lambda syntax (array math in pure SQL);
+    # Spark-dialect-only render, oracle in DuckDB list_* spellings
+    "q110_hof_lambdas",
 }
 
 DEC = "decimal(12,2)"

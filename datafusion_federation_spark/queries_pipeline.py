@@ -5251,3 +5251,116 @@ def q107(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q107_SQL)
+
+
+_Q108_SQL = """
+WITH RECURSIVE walk(start, n, ic, p) AS (
+  SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT), false,
+         [CAST(r_regionkey AS BIGINT)]
+  FROM region
+  UNION ALL
+  SELECT start, (n*7+3)%10, list_contains(p, (n*7+3)%10),
+         list_append(p, (n*7+3)%10)
+  FROM walk WHERE NOT ic
+)
+SELECT start, n, ic, array_to_string(p, '->') AS p FROM walk
+"""
+
+
+@q("q108_recursive_cycle", _Q108_SQL)
+def q108(spark, sf):
+    """SQL:1999 / Postgres 14 CYCLE clause (r8): five concurrent walks
+    over a cyclic functional graph n -> (7n+3) mod 25, one per region
+    start node — UNION ALL recursion that would run forever without
+    cycle detection; marked rows surface in the result but never
+    recurse. The Spark query is the declarative front-door clause; the
+    oracle is Postgres's OWN documented manual rewrite (path array +
+    containment + NOT-cycle gate) hand-spelled in DuckDB list
+    functions — an independent derivation, not an echo. The parser
+    desugars the clause into exactly that rewrite (session-free
+    SparkCol factories appended to both branch projections), and the
+    fixpoint gates recursion on the mark column. The path array is
+    serialized DataFrame-side (front door has no lambda syntax)."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("region", t(spark, sf, "region"))
+    df = eng.sql("""
+WITH RECURSIVE walk(start, n) AS (
+  SELECT CAST(r_regionkey AS BIGINT), CAST(r_regionkey AS BIGINT)
+  FROM region
+  UNION ALL
+  SELECT start, (n * 7 + 3) % 10 FROM walk
+) CYCLE n SET ic USING p
+SELECT start, n, ic, p FROM walk""")
+    return df.select(
+        "start", "n", "ic",
+        F.array_join(F.transform("p", lambda x: x.cast("string")),
+                     "->").alias("p"))
+
+
+_Q109_SQL = """
+WITH RECURSIVE r(n, lvl) AS (
+  SELECT CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT)
+  FROM nation WHERE n_nationkey < 3
+  UNION ALL SELECT n + 5, lvl + 1 FROM r WHERE n < 20
+)
+SELECT n, lvl FROM r
+"""
+
+
+@q("q109_recursive_search", _Q109_SQL)
+def q109(spark, sf):
+    """SQL:1999 / Postgres 14 SEARCH BREADTH FIRST clause (r8): the
+    ordering column is struct(level, key) — level IS the recursion
+    depth, so projecting it gives the BFS ordinal the clause exists
+    for. Oracle: the manual level-tracking rewrite in DuckDB
+    (independent derivation). DEPTH FIRST (path-array ordering) is
+    pinned in tests; its column shape mirrors CYCLE's path."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("nation", t(spark, sf, "nation"))
+    return eng.sql("""
+WITH RECURSIVE r(n) AS (
+  SELECT CAST(n_nationkey AS BIGINT) FROM nation WHERE n_nationkey < 3
+  UNION ALL SELECT n + 5 FROM r WHERE n < 20
+) SEARCH BREADTH FIRST BY n SET ord
+SELECT n, ord.level AS lvl FROM r""")
+
+
+_Q110_SQL = """
+SELECT label,
+  CAST(ROUND(SUM(list_reduce(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE) * x),
+                             (a, b) -> a + b)), 2) AS DOUBLE)
+    AS sum_norm2,
+  CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT)
+    AS total_pos
+FROM embeddings GROUP BY label
+"""
+
+
+@q("q110_hof_lambdas", _Q110_SQL)
+def q110(spark, sf):
+    """Higher-order-function lambda syntax through the front door (r8):
+    `x -> body` / `(a, b) -> body` at function-argument position —
+    aggregate/zip_with/filter over the embeddings array column, the
+    everyday vector math of a training-data pipeline in pure SQL. The
+    IR Lambda node renders only in the Spark dialect (engines disagree
+    on HOF NAMES — transform vs list_transform — so remote claims
+    refuse and the subtree compiles locally); compile is one
+    F.expr over the rendered call, fully inside codegen, no UDF. The
+    oracle is the same math in DuckDB's list_* spellings. Per-row
+    norms sum order-free enough at 2dp because each norm is exactly
+    1.0 (unit-normalized fixture) — the interesting check is the
+    lambda plumbing, filter counts, and the two-param reduce."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("embeddings", t(spark, sf, "embeddings"))
+    return eng.sql("""
+SELECT label,
+  CAST(ROUND(SUM(aggregate(zip_with(embedding, embedding,
+                                    (x, y) -> CAST(x AS DOUBLE) * y),
+                           CAST(0 AS DOUBLE), (acc, v) -> acc + v)), 2)
+       AS DOUBLE) AS sum_norm2,
+  CAST(SUM(size(filter(embedding, x -> x > 0))) AS BIGINT) AS total_pos
+FROM embeddings GROUP BY label""")

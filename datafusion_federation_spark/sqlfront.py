@@ -73,7 +73,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<str>'(?:[^']|'')*')
     | (?P<qid>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
     | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
-    | (?P<op><=|>=|<>|!=|\|\||[=<>+\-*/%(),.*])
+    | (?P<op>->|<=|>=|<>|!=|\|\||[=<>+\-*/%(),.*])
     )""", re.X)
 
 
@@ -266,6 +266,9 @@ class Parser:
                             "WITH RECURSIVE")
                     self.ctes[name.lower()] = self.parse_query(_Scope())
                 self.expect_op(")")
+                if recursive and self.at_kw("SEARCH", "CYCLE"):
+                    self.ctes[name.lower()] = self._apply_search_cycle(
+                        name, self.ctes[name.lower()])
                 if not self.accept_op(","):
                     break
         plan = self.parse_query(_Scope())
@@ -355,6 +358,150 @@ class Parser:
         step = (step_branches[0] if len(step_branches) == 1
                 else Union(step_branches, all=body.all))
         return RecursiveCTE(name, cols, base, step, union_all=body.all)
+
+    def _apply_search_cycle(self, name: str, node: Plan) -> Plan:
+        """SQL:1999 / Postgres 14 SEARCH and CYCLE clauses, desugared at
+        parse time into extra projection columns over the fixpoint —
+        exactly Postgres's documented manual rewrite:
+
+          SEARCH DEPTH FIRST BY c SET o   ->  o = path array of c values
+          SEARCH BREADTH FIRST BY c SET o ->  o = struct(level, c...)
+          CYCLE c SET m USING p           ->  p = visited-key array,
+                                              m = new key already in p;
+                                              marked rows never recurse
+                                              (compiler gates on m)
+
+        The appended expressions are local-only SparkCol wrappers
+        (unparse refuses), so a fully-remote base/step claim degrades
+        to compiling locally rather than shipping engine-specific
+        array/struct spellings. The single-key form tracks bare values;
+        multi-key forms track structs of the keys."""
+        from pyspark.sql import functions as F
+
+        from .compiler import _plan_output_cols
+        from .expressions import SparkCol, Star
+
+        search = None                     # (depth: bool, by: [str], col)
+        if self.accept_kw("SEARCH"):
+            if self.accept_kw("DEPTH"):
+                depth = True
+            elif self.accept_kw("BREADTH"):
+                depth = False
+            else:
+                raise SqlParseError("expected DEPTH or BREADTH after "
+                                    "SEARCH")
+            self.expect_kw("FIRST")
+            self.expect_kw("BY")
+            by = [self.take()[1]]
+            while self.accept_op(","):
+                by.append(self.take()[1])
+            self.expect_kw("SET")
+            search = (depth, by, self.take()[1])
+        cycle = None                      # (by: [str], mark, path)
+        if self.accept_kw("CYCLE"):
+            by = [self.take()[1]]
+            while self.accept_op(","):
+                by.append(self.take()[1])
+            self.expect_kw("SET")
+            mark = self.take()[1]
+            if self.at_kw("TO"):
+                raise SqlParseError(
+                    "CYCLE ... SET col TO v DEFAULT dv (custom mark "
+                    "values) is outside the parser surface; the "
+                    "boolean default form is supported")
+            self.expect_kw("USING")
+            cycle = (by, mark, self.take()[1])
+
+        if not isinstance(node, RecursiveCTE):
+            raise SqlParseError(
+                f"SEARCH/CYCLE require '{name}' to actually recurse")
+        if not node.union_all:
+            # UNION (distinct) would dedupe over the appended per-path
+            # columns, silently changing which rows survive — Postgres
+            # computes distinctness on the USER columns only, a
+            # semantics this desugar cannot express
+            raise SqlParseError(
+                "SEARCH/CYCLE are supported with UNION ALL recursion "
+                "only")
+        base, step = node.base, node.step
+        if not isinstance(base, Project) or not isinstance(step, Project):
+            raise SqlParseError(
+                "SEARCH/CYCLE need plain SELECT base and step terms")
+        if any(isinstance(e, Star) for e in
+               list(base.projections) + list(step.projections)):
+            raise SqlParseError(
+                "SEARCH/CYCLE over `*` terms: list the columns "
+                "explicitly")
+        outs = (list(node.cols) if node.cols is not None
+                else _plan_output_cols(base))
+        if outs is None:
+            raise SqlParseError(
+                f"SEARCH/CYCLE: output columns of '{name}' unknown")
+        low = [c.lower() for c in outs]
+
+        def branch_irs(proj, by):
+            es = []
+            for c in by:
+                if c.lower() not in low:
+                    raise SqlParseError(
+                        f"SEARCH/CYCLE BY column '{c}' is not an "
+                        f"output column of '{name}'")
+                item = proj.projections[low.index(c.lower())]
+                es.append(item.expr if isinstance(item, Alias) else item)
+            return es
+
+        def key(irs, by):
+            # built lazily (inside SparkCol factories): parse time must
+            # stay session-free — F.lit/F.struct need an active context
+            es = [e.to_spark() for e in irs]
+            return (es[0] if len(es) == 1 else
+                    F.struct(*[e.alias(c) for e, c in zip(es, by)]))
+
+        new_cols = list(outs)
+        base_items = list(base.projections)
+        step_items = list(step.projections)
+
+        def append(bexpr, sexpr, col):
+            if col.lower() in [c.lower() for c in new_cols]:
+                raise SqlParseError(
+                    f"SEARCH/CYCLE SET column '{col}' collides with an "
+                    f"output column of '{name}'")
+            base_items.append(Alias(SparkCol(bexpr, col), col))
+            step_items.append(Alias(SparkCol(sexpr, col), col))
+            new_cols.append(col)
+
+        if search is not None:
+            depth, by, oc = search
+            bi, si = branch_irs(base, by), branch_irs(step, by)
+            if depth:
+                append(lambda: F.array(key(bi, by)),
+                       lambda: F.array_append(F.col(oc), key(si, by)),
+                       oc)
+            else:
+                append(
+                    lambda: F.struct(
+                        F.lit(0).cast("bigint").alias("level"),
+                        key(bi, by).alias("k")),
+                    lambda: F.struct(
+                        (F.col(oc)["level"] + F.lit(1)).alias("level"),
+                        key(si, by).alias("k")),
+                    oc)
+        if cycle is not None:
+            by2, mark, pc = cycle
+            bi2, si2 = branch_irs(base, by2), branch_irs(step, by2)
+            append(lambda: F.lit(False),
+                   lambda: F.array_contains(F.col(pc), key(si2, by2)),
+                   mark)
+            append(lambda: F.array(key(bi2, by2)),
+                   lambda: F.array_append(F.col(pc), key(si2, by2)),
+                   pc)
+
+        return RecursiveCTE(
+            name, new_cols,
+            Project(base.input, base_items),
+            Project(step.input, step_items),
+            union_all=True, max_iterations=node.max_iterations,
+            cycle_col=cycle[1] if cycle is not None else None)
 
     # query := intersect_chain ((UNION [ALL]|EXCEPT [ALL])
     #          intersect_chain)* [ORDER BY ...] [LIMIT ...]
@@ -1794,6 +1941,41 @@ class Parser:
         self.expect_kw("END")
         return Case(branches, else_e, operand)
 
+    def _maybe_lambda(self, scope) -> Optional[Expr]:
+        """Higher-order lambda argument: ``x -> body`` or
+        ``(a, b) -> body`` — only at function-argument position (the
+        sole place engines accept the arrow). Pure lookahead: anything
+        not matching the parameter-list shape falls back to ordinary
+        expression parsing untouched."""
+        from .expressions import Lambda
+        t0, t1 = self.peek(), self.peek(1)
+        if t0 is not None and t0[0] == "id" and t1 == ("op", "->"):
+            params = [self.take()[1]]
+            self.take()                               # ->
+        elif t0 == ("op", "("):
+            j, params = 1, []
+            while True:
+                tj = self.peek(j)
+                if tj is None or tj[0] != "id":
+                    return None
+                params.append(tj[1])
+                j += 1
+                tj = self.peek(j)
+                if tj == ("op", ","):
+                    j += 1
+                    continue
+                if tj == ("op", ")"):
+                    j += 1
+                    break
+                return None
+            if self.peek(j) != ("op", "->"):
+                return None
+            for _ in range(j + 1):
+                self.take()
+        else:
+            return None
+        return Lambda(params, self.parse_expr(scope))
+
     def parse_func_call(self, scope) -> Expr:
         name = self.take()[1]
         self.expect_op("(")
@@ -1804,9 +1986,10 @@ class Parser:
             star = True
         elif not self.accept_op(")"):
             distinct = self.accept_kw("DISTINCT")
-            args.append(self.parse_expr(scope))
+            args.append(self._maybe_lambda(scope) or self.parse_expr(scope))
             while self.accept_op(","):
-                args.append(self.parse_expr(scope))
+                args.append(self._maybe_lambda(scope)
+                            or self.parse_expr(scope))
         ignore_nulls = False
         agg_order: List[SortKey] = []
         if not star and args:

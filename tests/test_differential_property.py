@@ -1033,3 +1033,57 @@ def test_r8_lowerings_local_and_federated_match_duckdb(engines, pair):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = sorted(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# round-8 session 2: CYCLE-clause fuzzer — parameterized modular walks
+# n -> (a*n + b) mod m from every region start node, front-door CYCLE
+# vs DuckDB's manual path rewrite (the defining semantics). Every draw
+# is a UNION ALL recursion that only terminates BECAUSE of the clause.
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _cycle_walks(draw):
+    a = draw(st.integers(1, 7))
+    b = draw(st.integers(0, 7))
+    m = draw(st.integers(3, 12))
+    return a, b, m
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(w=_cycle_walks())
+def test_cycle_walks_match_duckdb_manual_rewrite(engines, w):
+    import duckdb
+    a, b, m = w
+    local_eng, _ = engines
+    from pyspark.sql import functions as F
+    df = local_eng.sql(f"""
+WITH RECURSIVE walk(s, n) AS (
+  SELECT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT)
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT s, ({a} * n + {b}) % {m} FROM walk
+) CYCLE n SET ic USING p
+SELECT s, n, ic, p FROM walk""")
+    got = sorted(tuple(r) for r in df.select(
+        "s", "n", "ic",
+        F.array_join(F.transform("p", lambda x: x.cast("string")),
+                     ",").alias("p")).collect())
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = sorted(map(tuple, conn.execute(f"""
+WITH RECURSIVE walk(s, n, ic, p) AS (
+  SELECT CAST(n_regionkey AS BIGINT), CAST(n_regionkey AS BIGINT),
+         false, [CAST(n_regionkey AS BIGINT)]
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT s, ({a}*n+{b})%{m}, list_contains(p, ({a}*n+{b})%{m}),
+         list_append(p, ({a}*n+{b})%{m})
+  FROM walk WHERE NOT ic
+)
+SELECT s, n, ic, array_to_string(p, ',') FROM walk""").fetchall()))
+    conn.close()
+    assert got == want, f"CYCLE diverged on n -> ({a}n+{b}) % {m}"

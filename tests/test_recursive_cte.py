@@ -369,3 +369,165 @@ def test_federated_base_cte_referenced_twice_stays_shared(spark):
     assert eng.compiler.fixpoint_runs == 1
     assert calls["n"] <= 1, \
         f"federated base executed {calls['n']}x for one shared CTE"
+
+
+# ---------------------------------------------------------------------------
+# SQL:1999 / Postgres 14 SEARCH + CYCLE clauses (r8)
+# ---------------------------------------------------------------------------
+
+def _duck(sql):
+    import duckdb
+    con = duckdb.connect()
+    try:
+        return sorted(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+
+
+def test_cycle_terminates_union_all_on_cyclic_graph(spark):
+    # without CYCLE this recursion never converges (max_iterations);
+    # with it, the repeat row surfaces marked and recursion stops
+    from pyspark.sql import functions as F
+    eng = _engine(spark)
+    df = eng.sql("""
+WITH RECURSIVE walk(n) AS (
+  SELECT 0 UNION ALL SELECT (3 * n + 1) % 10 FROM walk
+) CYCLE n SET is_cycle USING path
+SELECT n, is_cycle, path FROM walk""")
+    got = sorted(tuple(r) for r in df.select(
+        "n", "is_cycle",
+        F.array_join(F.transform("path", lambda x: x.cast("string")),
+                     "->").alias("p")).collect())
+    want = _duck("""
+WITH RECURSIVE walk(n, is_cycle, path) AS (
+  SELECT 0, false, [0]
+  UNION ALL
+  SELECT (3*n+1)%10, list_contains(path, (3*n+1)%10),
+         list_append(path, (3*n+1)%10)
+  FROM walk WHERE NOT is_cycle
+)
+SELECT n, is_cycle, array_to_string(path, '->') FROM walk""")
+    assert got == want
+    # the unguarded recursion really is the non-terminating class
+    with pytest.raises(RuntimeError, match="did not converge"):
+        eng.sql("WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
+                "SELECT (3 * n + 1) % 10 FROM w) "
+                "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM w").collect()
+
+
+def test_cycle_multi_key_struct_path(spark):
+    # composite cycle key: the path tracks (a, b) STRUCTS; the orbit of
+    # ((a+1)%3, (b+2)%4) from (0,0) has lcm(3, 2)=6 states (b strides
+    # by 2, so its period is 2) — cross-checked against DuckDB's manual
+    # rewrite rather than hand math
+    eng = _engine(spark)
+    got = sorted(tuple(r) for r in eng.sql("""
+WITH RECURSIVE w(a, b) AS (
+  SELECT 0, 0
+  UNION ALL SELECT (a + 1) % 3, (b + 2) % 4 FROM w
+) CYCLE a, b SET ic USING p
+SELECT a, b, ic FROM w""").collect())
+    want = _duck("""
+WITH RECURSIVE w(a, b, ic, p) AS (
+  SELECT 0, 0, false, [(0, 0)]
+  UNION ALL
+  SELECT (a+1)%3, (b+2)%4,
+         list_contains(p, ((a+1)%3, (b+2)%4)),
+         list_append(p, ((a+1)%3, (b+2)%4))
+  FROM w WHERE NOT ic
+)
+SELECT a, b, ic FROM w""")
+    assert got == want
+    assert len(got) == 7 and sum(1 for r in got if r[2]) == 1
+
+
+def test_search_breadth_first_levels(spark):
+    eng = _engine(spark)
+    got = sorted(tuple(r) for r in eng.sql("""
+WITH RECURSIVE r(n) AS (
+  SELECT 1 UNION ALL SELECT n * 2 FROM r WHERE n < 8
+) SEARCH BREADTH FIRST BY n SET o
+SELECT n, o.level AS lvl FROM r""").collect())
+    assert got == [(1, 0), (2, 1), (4, 2), (8, 3)]
+
+
+def test_search_depth_first_path_ordering(spark):
+    from pyspark.sql import functions as F
+    eng = _engine(spark)
+    df = eng.sql("""
+WITH RECURSIVE r(n) AS (
+  SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 4
+) SEARCH DEPTH FIRST BY n SET o
+SELECT n, o FROM r""")
+    # the DFS ordering column IS the root-to-row key path
+    got = {r.n: r.p for r in df.select(
+        "n", F.array_join(F.transform("o", lambda x: x.cast("string")),
+                          ".").alias("p")).collect()}
+    assert got == {1: "1", 2: "1.2", 3: "1.2.3", 4: "1.2.3.4"}
+    # and Spark can ORDER BY the array column (DFS iteration order)
+    ordered = [r.n for r in df.orderBy("o").collect()]
+    assert ordered == [1, 2, 3, 4]
+
+
+def test_search_and_cycle_compose(spark):
+    eng = _engine(spark)
+    rows = eng.sql("""
+WITH RECURSIVE w(n) AS (
+  SELECT 0 UNION ALL SELECT (n + 3) % 5 FROM w
+) SEARCH BREADTH FIRST BY n SET o
+  CYCLE n SET ic USING p
+SELECT n, o.level AS lvl, ic FROM w""").collect()
+    assert len(rows) == 6                       # 5 states + marked repeat
+    assert max(r.lvl for r in rows) == 5
+    assert sum(1 for r in rows if r.ic) == 1
+
+
+def test_search_cycle_refusals(spark):
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    eng = _engine(spark)
+    cases = [
+        # UNION distinct
+        ("WITH RECURSIVE w(n) AS (SELECT 0 UNION "
+         "SELECT n + 1 FROM w WHERE n < 3) CYCLE n SET ic USING p "
+         "SELECT n FROM w", "UNION ALL"),
+        # BY column not an output
+        ("WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
+         "SELECT n + 1 FROM w WHERE n < 3) CYCLE zz SET ic USING p "
+         "SELECT n FROM w", "not an output"),
+        # SET collides with an output column
+        ("WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
+         "SELECT n + 1 FROM w WHERE n < 3) CYCLE n SET n USING p "
+         "SELECT n FROM w", "collides"),
+        # custom mark values
+        ("WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
+         "SELECT n + 1 FROM w WHERE n < 3) "
+         "CYCLE n SET ic TO 1 DEFAULT 0 USING p "
+         "SELECT n FROM w", "TO v DEFAULT"),
+        # non-recursive CTE
+        ("WITH RECURSIVE w(n) AS (SELECT 0) CYCLE n SET ic USING p "
+         "SELECT n FROM w", "actually recurse"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(SqlParseError, match=msg):
+            eng.sql_plan(sql)
+
+
+def test_cycle_base_stays_federatable(duckdb_engine):
+    # the appended SparkCol columns refuse to unparse, so a fully
+    # remote BASE degrades to local compile of the root projection
+    # while the scan beneath it still claims
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RecursiveCTE, RemoteQueryNode, walk_plan)
+    eng, _ex = duckdb_engine
+    plan = eng.sql_plan("""
+WITH RECURSIVE t(k) AS (
+  SELECT c_custkey FROM customer WHERE c_custkey < 3
+  UNION ALL SELECT (k * 7 + 3) % 50 FROM t
+) CYCLE k SET ic USING p
+SELECT CAST(COUNT(*) AS BIGINT) AS c FROM t""").plan
+    fed = federate(plan)
+    cte = next(n for n in walk_plan(fed) if isinstance(n, RecursiveCTE))
+    assert any(isinstance(n, RemoteQueryNode) for n in walk_plan(cte.base))
+    rows = eng.execute(fed).collect()
+    assert rows[0].c >= 3

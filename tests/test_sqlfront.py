@@ -2223,3 +2223,80 @@ def test_ordered_agg_keeps_subtree_local_on_nonsupporting_dialect(spark):
         "',' ORDER BY o_orderkey) FROM orders WHERE o_orderkey < 100 "
         "GROUP BY o_orderpriority").fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# higher-order lambda syntax (r8): x -> body at function-argument position
+# ---------------------------------------------------------------------------
+
+def test_lambda_parses_single_and_multi_param():
+    from datafusion_federation_spark.expressions import Func, Lambda, walk
+    p = parse("SELECT transform(a, x -> x + 1) AS t, "
+              "aggregate(a, 0, (acc, v) -> acc + v) AS s FROM t")
+    lams = [x for e in p.projections for x in walk(e)
+            if isinstance(x, Lambda)]
+    assert len(lams) == 2
+    assert lams[0].params == ["x"] and lams[1].params == ["acc", "v"]
+
+
+def test_lambda_lookahead_does_not_eat_parenthesized_exprs():
+    # (a, b) without an arrow is an ordinary argument list; (a + b) is
+    # an ordinary parenthesized expression
+    p = parse("SELECT least((a), b) AS m, greatest((a + b), c) AS g "
+              "FROM t")
+    assert len(p.projections) == 2
+
+
+def test_lambda_renders_spark_only():
+    from datafusion_federation_spark.dialects import (
+        UnsupportedUnparse, get_dialect)
+    from datafusion_federation_spark.expressions import (
+        Col, Func, Lambda, Lit)
+    f = Func("transform", [Col("a"),
+                           Lambda(["x"], Col("x") + Lit(1))])
+    s = f.to_sql(get_dialect("spark"))
+    assert "x -> (`x` + 1)" in s
+    for d in ("ansi", "duckdb", "postgres", "sqlite", "mysql", "derby"):
+        with pytest.raises(UnsupportedUnparse):
+            f.to_sql(get_dialect(d))
+
+
+def test_lambda_executes_against_duckdb(spark):
+    # same math, per-engine HOF names (Spark transform/filter/aggregate
+    # vs DuckDB list_transform/list_filter/list_reduce)
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("t", spark.createDataFrame(
+        [(1, [1.0, -2.0, 3.0]), (2, [0.5, 0.5, None])],
+        "k INT, a ARRAY<DOUBLE>"))
+    got = sorted(tuple(r) for r in eng.sql(
+        "SELECT k, aggregate(filter(a, x -> x > 0), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v) AS s, "
+        "size(transform(a, x -> x * 2)) AS n FROM t").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, a DOUBLE[])")
+    con.execute("INSERT INTO t VALUES (1, [1.0, -2.0, 3.0]), "
+                "(2, [0.5, 0.5, NULL])")
+    want = sorted(map(tuple, con.execute(
+        "SELECT k, list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_filter(a, x -> x > 0)), (acc, v) -> acc + v) AS s, "
+        "len(list_transform(a, x -> x * 2)) AS n FROM t").fetchall()))
+    assert got == want
+
+
+def test_lambda_keeps_scan_federated_but_call_local(duckdb_engine):
+    # the Lambda renders only in the Spark dialect, so a fully-remote
+    # claim refuses and the projection compiles locally — while the
+    # scan beneath still federates
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, walk_plan)
+    eng, _ex = duckdb_engine
+    plan = eng.sql_plan(
+        "SELECT c_custkey, size(filter(ARRAY(c_custkey, c_nationkey), "
+        "x -> x > 5)) AS n FROM customer WHERE c_custkey < 10").plan
+    fed = federate(plan)
+    assert not isinstance(fed, RemoteQueryNode)
+    assert any(isinstance(n, RemoteQueryNode) for n in walk_plan(fed))
+    rows = eng.execute(fed).collect()
+    assert len(rows) == 10                      # custkeys 0..9
