@@ -289,7 +289,28 @@ def _push_one(p: Plan, c: Expr) -> Optional[Plan]:
 
 
 def _plan_cols(p: Plan):
+    """Output columns for PUSHDOWN coverage checks. Unlike the
+    compiler's provenance-guard resolver (which answers None for Join —
+    attributing a column to ONE side there would be wrong), the
+    pushdown check needs the UNION of a join's sides: in a left-deep
+    3-way join the top filter's conjuncts must see through the inner
+    Join to reach their scans (r8: the q111 three-engine split exposed
+    this — with None here, a WHERE over customer⋈nation⋈region pushed
+    NOTHING and every engine got a whole-table read). Ambiguity stays
+    safe: a name on BOTH sides of the top join is caught by the
+    otherset check in _side_covers, and a name duplicated WITHIN one
+    side fails the per-side check one level deeper, landing the
+    conjunct above the inner join — still a correct placement."""
     from .compiler import _plan_output_cols
+    from .plans.nodes import Filter as _F
+    if isinstance(p, Join) and p.how in ("inner", "cross", "left",
+                                         "right", "full"):
+        left, right = _plan_cols(p.left), _plan_cols(p.right)
+        if left is None or right is None:
+            return None
+        return list(left) + list(right)
+    if isinstance(p, (SubqueryAlias, _F)):
+        return _plan_cols(p.input)
     return _plan_output_cols(p)
 
 

@@ -493,6 +493,10 @@ SECONDARY = {
     # round 8: higher-order lambda syntax (array math in pure SQL);
     # Spark-dialect-only render, oracle in DuckDB list_* spellings
     "q110_hof_lambdas",
+    # round 8: three-engine split (DuckDB + SQLite + Derby in one SQL,
+    # 3-provider plan pin inline) — q81's two-engine row carries the
+    # split machinery in-window
+    "q111_three_engine_split",
 }
 
 DEC = "decimal(12,2)"

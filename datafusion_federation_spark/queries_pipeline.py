@@ -5364,3 +5364,105 @@ SELECT label,
        AS DOUBLE) AS sum_norm2,
   CAST(SUM(size(filter(embedding, x -> x > 0))) AS BIGINT) AS total_pos
 FROM embeddings GROUP BY label""")
+
+
+@q("q111_three_engine_split", """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_acctbal > 1000 AND n_nationkey >= 2 AND r_regionkey < 4
+GROUP BY r_name ORDER BY r_name
+""")
+def q111(spark, sf):
+    """THREE live remote engines split by one SQL (r8; extends q81's
+    two-engine flagship): customer in DuckDB (parquet-backed, the
+    engine scans the file itself), nation in stdlib SQLite, region in
+    embedded Derby over a real JDBC round-trip — three different
+    transports, three different dialects, one query. The federation
+    pass claims each provider's subtree separately: the c_acctbal
+    filter rides inside the DuckDB SQL, n_nationkey inside SQLite,
+    r_regionkey inside Derby (quoted per each dialect), and the 3-way
+    join + agg + sort run in Spark. Plan-pinned inline on every
+    invocation: exactly three RemoteQueryNodes, three DISTINCT
+    providers, zero cross-engine table leakage, each filter inside its
+    own remote SQL. At 100 TB this is the shape that matters: every
+    engine sees only its own predicate-narrowed slice; nothing but
+    join-ready rows ever reach Spark."""
+    import hashlib
+    import os
+    from .engine import FederationEngine
+    from .federation import federate
+    from .plans.nodes import RemoteQueryNode, walk_plan
+    from .sources.provider import (
+        DuckDBExecutor, JDBCExecutor, SQLiteExecutor, SQLProvider)
+
+    duck = DuckDBExecutor(name="duck_q111", compute_context=f"q111:{sf}")
+    duck.register_parquet("customer", f"{sf}/customer.parquet")
+
+    lite = SQLiteExecutor(name="lite_q111", compute_context=f"q111:{sf}")
+    nat = [(int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+           for r in spark.read.parquet(f"{sf}/nation.parquet")
+           .select("n_nationkey", "n_name", "n_regionkey").collect()]
+    lite.load_rows("nation", "CREATE TABLE nation (n_nationkey INTEGER, "
+                   "n_name TEXT, n_regionkey INTEGER)", nat)
+
+    tag = hashlib.md5(
+        f"{sf}:{os.path.getmtime(f'{sf}/region.parquet')}".encode()
+    ).hexdigest()[:10]
+    url = f"jdbc:derby:memory:fedq111_{tag}"
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.java.sql.DriverManager.getConnection(url).close()
+    except Exception:  # noqa: BLE001 - not created yet in this JVM
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url + ";create=true")
+        try:
+            st = conn.createStatement()
+            st.executeUpdate('CREATE TABLE "region" ("r_regionkey" '
+                             'BIGINT, "r_name" VARCHAR(64))')
+            ps = conn.prepareStatement(
+                'INSERT INTO "region" VALUES (?, ?)')
+            for r in (spark.read.parquet(f"{sf}/region.parquet")
+                      .select("r_regionkey", "r_name").collect()):
+                ps.setLong(1, int(r.r_regionkey))
+                ps.setString(2, r.r_name)
+                ps.executeUpdate()
+            conn.commit()
+        finally:
+            conn.close()
+    derby = JDBCExecutor(url=url, name="derby_q111", dialect="derby")
+
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(duck), "customer")
+    eng.register_remote(SQLProvider(lite), "nation")
+    eng.register_remote(SQLProvider(derby), "region")
+    sql_text = (
+        "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS "
+        "DOUBLE) AS total_bal "
+        "FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_acctbal > 1000 AND n_nationkey >= 2 AND r_regionkey < 4 "
+        "GROUP BY r_name ORDER BY r_name")
+    fed = federate(eng.sql_plan(sql_text).plan)
+    remotes = [n for n in walk_plan(fed)
+               if isinstance(n, RemoteQueryNode)]
+    assert len(remotes) == 3, f"expected 3 remote claims: {len(remotes)}"
+    assert len({n.provider.name for n in remotes}) == 3, \
+        "subtrees not split across three providers"
+    own_filter = {"duck_q111": ("customer", "c_acctbal"),
+                  "lite_q111": ("nation", "n_nationkey"),
+                  "derby_q111": ("region", "r_regionkey")}
+    all_tables = {"customer", "nation", "region"}
+    for n in remotes:
+        own, filt = own_filter[n.provider.name]
+        assert f'"{own}"' in n.sql and filt in n.sql, \
+            f"{n.provider.name} lost its table/filter: {n.sql}"
+        for other in all_tables - {own}:
+            assert f'"{other}"' not in n.sql, \
+                f"cross-engine leak in {n.provider.name}: {n.sql}"
+    return eng.execute(fed)

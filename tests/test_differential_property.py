@@ -1087,3 +1087,69 @@ WITH RECURSIVE walk(s, n, ic, p) AS (
 SELECT s, n, ic, array_to_string(p, ',') FROM walk""").fetchall()))
     conn.close()
     assert got == want, f"CYCLE diverged on n -> ({a}n+{b}) % {m}"
+
+
+# ---------------------------------------------------------------------------
+# round-8 session 3: OUTER-JOIN fuzzer — LEFT/RIGHT/FULL/INNER with
+# NULLIF-manufactured NULL join keys on either side, null-rejecting and
+# NULL-tolerant WHERE above the join, COALESCE projections. Pins that
+# push_filters' conservatism over outer joins is CORRECT (a predicate
+# must not slip below the null-producing side) on LOCAL and FEDERATED
+# (single-provider claims render the join remotely) vs DuckDB.
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _outer_join_queries(draw):
+    how = draw(st.sampled_from(["LEFT", "RIGHT", "FULL", "INNER"]))
+    # poison some join keys with NULLs on one or both sides
+    lkey = draw(st.sampled_from(
+        ["c_custkey", "NULLIF(c_custkey, 7)", "NULLIF(c_custkey, 11)"]))
+    rkey = draw(st.sampled_from(
+        ["o_custkey", "NULLIF(o_custkey, 7)"]))
+    where = draw(st.sampled_from([
+        "",                                        # none
+        "WHERE n > 0",                             # on an aggregate
+        "WHERE k IS NOT NULL",                     # null-rejecting left
+        "WHERE k IS NULL OR total > 1000",         # null-tolerant mix
+        "WHERE COALESCE(total, -1) < 50000",
+    ]))
+    agg = draw(st.sampled_from(
+        ["CAST(COUNT(o_orderkey) AS BIGINT)",
+         "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) "
+         "AS DOUBLE)"]))
+    return (
+        f"SELECT k, n, total FROM ("
+        f"SELECT c.k, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n, "
+        f"{agg} AS total "
+        f"FROM (SELECT {lkey} AS k, c_acctbal FROM customer "
+        f"      WHERE c_custkey < 40) c "
+        f"{how} JOIN "
+        f"(SELECT {rkey} AS o_custkey, o_orderkey, o_totalprice "
+        f" FROM orders WHERE o_orderkey % 3 = 0) o "
+        f"ON c.k = o.o_custkey "
+        f"GROUP BY c.k) t {where}")
+
+
+def _nsort(rows):
+    """None-safe row sort: outer joins emit NULL keys."""
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_outer_join_queries())
+def test_outer_join_shapes_local_and_federated_match_duckdb(engines2,
+                                                            sql):
+    import duckdb
+    local_eng, remote_eng = engines2
+    conn = duckdb.connect()
+    for t in ("orders", "customer"):
+        conn.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                     f"read_parquet('{TESTDATA}/{t}.parquet')")
+    want = _nsort(map(tuple, conn.execute(sql).fetchall()))
+    conn.close()
+    got_local = _nsort(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = _nsort(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"

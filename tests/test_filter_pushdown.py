@@ -239,3 +239,46 @@ def test_using_join_prunes_with_shared_key():
              for n in walk_plan(pruned) if isinstance(n, Scan)}
     assert scans["ta"] == ["k", "x"], scans
     assert scans["tb"] == ["k", "y"], scans
+
+
+def test_three_way_join_pushes_each_conjunct_to_its_scan():
+    # r8 (exposed by q111): _plan_cols answered None for Join, so in a
+    # left-deep 3-way join NO conjunct could see through the inner join
+    # — every engine got a whole-table read. The pushdown resolver now
+    # unions a join's sides (the provenance guard keeps its own
+    # stricter resolver).
+    from tests.test_unparser_goldens import h as mk_handle
+    from datafusion_federation_spark.optimizer import push_filters
+    from datafusion_federation_spark.plans.nodes import (
+        Filter, Join, Scan, walk_plan)
+    from datafusion_federation_spark.sqlfront import parse_sql
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    def handle(name, cols):
+        h = mk_handle(name)
+        h.schema = StructType([StructField(c, LongType(), True)
+                               for c in cols])
+        return h
+
+    tables = {
+        "customer": handle("customer", ["c_custkey", "c_nationkey",
+                                        "c_acctbal"]),
+        "nation": handle("nation", ["n_nationkey", "n_regionkey"]),
+        "region": handle("region", ["r_regionkey", "r_name"]),
+    }
+    plan = parse_sql(
+        "SELECT r_name, COUNT(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_acctbal > 1000 AND n_nationkey >= 2 "
+        "AND r_regionkey < 4 GROUP BY r_name",
+        lambda n: tables[n.split(".")[-1]])
+    pushed = push_filters(plan)
+    # every conjunct must sit DIRECTLY above its scan now
+    scan_filters = {}
+    for n in walk_plan(pushed):
+        if isinstance(n, Filter) and isinstance(n.input, Scan):
+            scan_filters[n.input.table.local_name] = n
+    assert set(scan_filters) == {"customer", "nation", "region"}, \
+        f"conjuncts not at their scans: {sorted(scan_filters)}"

@@ -212,3 +212,89 @@ def test_max_exclude_current_all_excluded_is_null(spark):
                   "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
                   "FOLLOWING EXCLUDE CURRENT ROW) AS mx FROM t").collect()
     assert all(r.mx is None for r in got)
+
+
+# ---------------------------------------------------------------------------
+# plan pins: the 100 TB posture of the new lowerings
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_with_ties_plan_has_no_window_and_pushes_boundary(spark):
+    # the scale-first design: a LIMIT-n probe then a DISTRIBUTED filter
+    # that reaches the parquet scan — NOT a no-partition global rank
+    # window (which would funnel every row through one task)
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    df = eng.sql("SELECT o_orderkey, o_orderdate FROM orders "
+                 "ORDER BY o_orderdate FETCH FIRST 20 ROWS WITH TIES")
+    plan = _plan(df)
+    assert "Window" not in plan, "global rank window defeats the design"
+    assert "PushedFilters: [Or" in plan, \
+        "boundary filter must reach the scan"
+
+
+def test_minmax_exclude_plan_stays_jvm_side(spark):
+    # the collect/filter/array_min pipeline is Catalyst lambdas — no
+    # Python evaluation anywhere; windows share one partitioning
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    df = eng.sql(
+        "SELECT MIN(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING "
+        "AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS mn FROM orders")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 1, \
+        "rn helper and frame collect must share the window partitioning"
+
+
+def test_sum_distinct_window_plan_stays_jvm_side(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    df = eng.sql(
+        "SELECT SUM(DISTINCT o_orderkey % 7) OVER "
+        "(PARTITION BY o_custkey) AS sd FROM orders")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# empty-input edges
+# ---------------------------------------------------------------------------
+
+def test_with_ties_empty_input(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("e", spark.createDataFrame([], "k INT, g INT"))
+    rows = eng.sql("SELECT k FROM e ORDER BY g "
+                   "FETCH FIRST 3 ROWS WITH TIES").collect()
+    assert rows == []
+
+
+def test_cycle_empty_base(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("e", spark.createDataFrame([], "k BIGINT"))
+    rows = eng.sql("""
+WITH RECURSIVE w(n) AS (
+  SELECT k FROM e UNION ALL SELECT (n + 1) % 5 FROM w
+) CYCLE n SET ic USING p
+SELECT n FROM w""").collect()
+    assert rows == []
+
+
+def test_lambda_null_array(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("t", spark.createDataFrame(
+        [(1, None)], "k INT, a ARRAY<DOUBLE>"))
+    rows = eng.sql("SELECT k, transform(a, x -> x * 2) AS t2, "
+                   "size(filter(a, x -> x > 0)) AS n FROM t").collect()
+    assert rows[0].t2 is None and rows[0].n is None
