@@ -28,7 +28,7 @@ key combine with operators/skew.py salting.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -426,3 +426,66 @@ def mix_corpora(sources, key: str, method: str = "md5",
             .withColumn("mix_source", F.lit(name))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def ipf_mixing_weights(df: DataFrame, row_col: str, col_col: str,
+                       iters: int = 8,
+                       row_targets: Optional[Dict[str, float]] = None,
+                       col_targets: Optional[Dict[str, float]] = None
+                       ) -> DataFrame:
+    """Iterative proportional fitting (raking) over the (row, col)
+    contingency table — the classic corpus-mixing primitive: find
+    per-cell resampling weights so the weighted corpus matches TARGET
+    marginals on BOTH axes at once (e.g. rebalance source x language
+    to uniform languages without skewing the source recipe). Uniform
+    targets by default; dicts override per value (missing keys get the
+    uniform share of the remainder-free total — callers wanting exact
+    control pass every key).
+
+    Algorithm: m := n, then alternately m *= target_r / rowsum(m) and
+    m *= target_c / colsum(m); converges for any strictly-positive
+    table (Sinkhorn). Output columns: (row, col, n, expected, weight)
+    with expected = fitted cell mass and weight = expected / n — feed
+    ``weight`` to weighted_hash_sample for the deterministic resample.
+
+    Scale posture: the ONE heavy pass is the groupBy building the
+    contingency table (map-side combined, one shuffle at any corpus
+    size); the fitted table is vocabulary-sized (sources x languages),
+    so the iterations are 2*iters window passes over a broadcast-scale
+    frame — no driver-side math, no RNG, plan linear in iters. At
+    100 TB the table is still tiny; the weights join back as a
+    broadcast."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    cells = (df.groupBy(row_col, col_col)
+             .agg(F.count("*").cast("double").alias("n")))
+    tot = cells.agg(F.sum("n").alias("__tot"),
+                    F.countDistinct(row_col).alias("__nr"),
+                    F.countDistinct(col_col).alias("__nc"))
+    cells = cells.crossJoin(F.broadcast(tot))
+
+    def target(axis_col, mapping, n_axis):
+        if mapping is None:
+            return F.col("__tot") / F.col(n_axis)
+        pairs = []
+        for k, v in mapping.items():
+            pairs += [F.lit(k), F.lit(float(v))]
+        m = F.create_map(*pairs)
+        return F.coalesce(m[F.col(axis_col)],
+                          F.col("__tot") / F.col(n_axis))
+
+    rt = target(row_col, row_targets, "__nr")
+    ct = target(col_col, col_targets, "__nc")
+    wr = W.partitionBy(row_col)
+    wc = W.partitionBy(col_col)
+    cells = cells.withColumn("m", F.col("n"))
+    for _ in range(iters):
+        cells = cells.withColumn(
+            "m", F.col("m") * rt / F.sum("m").over(wr))
+        cells = cells.withColumn(
+            "m", F.col("m") * ct / F.sum("m").over(wc))
+    return cells.select(
+        F.col(row_col), F.col(col_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("m").alias("expected"),
+        (F.col("m") / F.col("n")).alias("weight"))

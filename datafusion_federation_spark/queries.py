@@ -497,6 +497,9 @@ SECONDARY = {
     # 3-provider plan pin inline) — q81's two-engine row carries the
     # split machinery in-window
     "q111_three_engine_split",
+    # round 8: IPF/raking corpus-mix weights; oracle is the identical
+    # three iterations unrolled as chained CTEs in DuckDB
+    "d92_ipf_mixing",
 }
 
 DEC = "decimal(12,2)"

@@ -5466,3 +5466,56 @@ def q111(spark, sf):
             assert f'"{other}"' not in n.sql, \
                 f"cross-engine leak in {n.provider.name}: {n.sql}"
     return eng.execute(fed)
+
+
+_D92_SQL = """
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS tot, COUNT(DISTINCT source) AS nr,
+             COUNT(DISTINCT lang) AS nc FROM c),
+m0 AS (SELECT source, lang, n, n AS m FROM c),
+a1 AS (SELECT source, lang, n,
+              m * ((SELECT tot / nr FROM t)
+                   / SUM(m) OVER (PARTITION BY source)) AS m FROM m0),
+b1 AS (SELECT source, lang, n,
+              m * ((SELECT tot / nc FROM t)
+                   / SUM(m) OVER (PARTITION BY lang)) AS m FROM a1),
+a2 AS (SELECT source, lang, n,
+              m * ((SELECT tot / nr FROM t)
+                   / SUM(m) OVER (PARTITION BY source)) AS m FROM b1),
+b2 AS (SELECT source, lang, n,
+              m * ((SELECT tot / nc FROM t)
+                   / SUM(m) OVER (PARTITION BY lang)) AS m FROM a2),
+a3 AS (SELECT source, lang, n,
+              m * ((SELECT tot / nr FROM t)
+                   / SUM(m) OVER (PARTITION BY source)) AS m FROM b2),
+b3 AS (SELECT source, lang, n,
+              m * ((SELECT tot / nc FROM t)
+                   / SUM(m) OVER (PARTITION BY lang)) AS m FROM a3)
+SELECT source, lang, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(m, 6) AS DOUBLE) AS expected,
+       CAST(ROUND(m / n, 6) AS DOUBLE) AS weight
+FROM b3
+"""
+
+
+@q("d92_ipf_mixing", _D92_SQL)
+def d92(spark, sf):
+    """Iterative proportional fitting / raking (r8): per-cell
+    resampling weights that hit TARGET marginals on source AND
+    language simultaneously — the corpus-rebalancing primitive
+    (uniform targets here; Sinkhorn-convergent for positive tables).
+    The ONE heavy pass is the contingency groupBy (map-side combined,
+    one shuffle at any corpus size); the fit itself is 2*iters window
+    passes over the vocabulary-sized cell table — no driver math, no
+    RNG; ``weight`` feeds weighted_hash_sample for the deterministic
+    resample. Oracle: the SAME three iterations unrolled as chained
+    CTEs in DuckDB (window sums per axis), values rounded at 6dp —
+    group sums are ~10 doubles, far inside the band."""
+    from .operators.sampling import ipf_mixing_weights
+    out = ipf_mixing_weights(t(spark, sf, "documents"),
+                             "source", "lang", iters=3)
+    return out.select(
+        "source", "lang", "n",
+        F.round("expected", 6).cast("double").alias("expected"),
+        F.round("weight", 6).cast("double").alias("weight"))

@@ -417,3 +417,63 @@ def test_mix_corpora_layout_invariant_and_validated(spark):
     with _pt.raises(ValueError, match="mix_source"):
         mix_corpora([("x", df.withColumn("mix_source", F.lit("z")),
                       0.5)], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IPF / raking mixing weights (r8)
+# ---------------------------------------------------------------------------
+
+def test_ipf_uniform_marginals_converge(spark):
+    from datafusion_federation_spark.operators.sampling import (
+        ipf_mixing_weights)
+    rows = [("a", "x")] * 8 + [("a", "y")] * 2 + \
+           [("b", "x")] * 3 + [("b", "y")] * 7
+    df = spark.createDataFrame(rows, "src STRING, lng STRING")
+    out = ipf_mixing_weights(df, "src", "lng", iters=20).collect()
+    tot = sum(r.expected for r in out)
+    assert abs(tot - 20) < 1e-6
+    by_src, by_lng = {}, {}
+    for r in out:
+        by_src[r.src] = by_src.get(r.src, 0) + r.expected
+        by_lng[r.lng] = by_lng.get(r.lng, 0) + r.expected
+    for v in by_src.values():
+        assert abs(v - 10) < 1e-6          # tot / n_src
+    for v in by_lng.values():
+        assert abs(v - 10) < 1e-6
+
+
+def test_ipf_custom_targets(spark):
+    from datafusion_federation_spark.operators.sampling import (
+        ipf_mixing_weights)
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + \
+           [("b", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "src STRING, lng STRING")
+    out = ipf_mixing_weights(
+        df, "src", "lng", iters=25,
+        row_targets={"a": 15.0, "b": 5.0},
+        col_targets={"x": 12.0, "y": 8.0}).collect()
+    by_src, by_lng = {}, {}
+    for r in out:
+        by_src[r.src] = by_src.get(r.src, 0) + r.expected
+        by_lng[r.lng] = by_lng.get(r.lng, 0) + r.expected
+    assert abs(by_src["a"] - 15) < 1e-6 and abs(by_src["b"] - 5) < 1e-6
+    assert abs(by_lng["x"] - 12) < 1e-6 and abs(by_lng["y"] - 8) < 1e-6
+
+
+def test_ipf_single_cell_identity(spark):
+    from datafusion_federation_spark.operators.sampling import (
+        ipf_mixing_weights)
+    df = spark.createDataFrame([("a", "x")] * 4, "src STRING, lng STRING")
+    out = ipf_mixing_weights(df, "src", "lng", iters=3).collect()
+    assert len(out) == 1
+    assert abs(out[0].expected - 4) < 1e-9
+    assert abs(out[0].weight - 1) < 1e-9
+
+
+def test_ipf_rejects_zero_iters(spark):
+    import pytest as _pt
+    from datafusion_federation_spark.operators.sampling import (
+        ipf_mixing_weights)
+    df = spark.createDataFrame([("a", "x")], "src STRING, lng STRING")
+    with _pt.raises(ValueError, match="iters"):
+        ipf_mixing_weights(df, "src", "lng", iters=0)
