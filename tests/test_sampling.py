@@ -477,3 +477,32 @@ def test_ipf_rejects_zero_iters(spark):
     df = spark.createDataFrame([("a", "x")], "src STRING, lng STRING")
     with _pt.raises(ValueError, match="iters"):
         ipf_mixing_weights(df, "src", "lng", iters=0)
+
+
+def test_ipf_weights_compose_with_weighted_resample(spark):
+    # end-to-end rebalance: IPF weights -> weighted_hash_sample; the
+    # realized language marginals must move TOWARD uniform (the
+    # deterministic Bernoulli keeps min(1, frac*w) cap the heavy cells
+    # and keep the light ones)
+    from datafusion_federation_spark.operators.sampling import (
+        ipf_mixing_weights, weighted_hash_sample)
+    from datafusion_federation_spark.queries import t
+    from pyspark.sql import functions as F
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    w = ipf_mixing_weights(docs, "source", "lang", iters=8)
+    dfw = docs.join(F.broadcast(w.select("source", "lang", "weight")),
+                    ["source", "lang"])
+    kept = weighted_hash_sample(dfw, "doc_id", "weight", 0.5)
+    before = {r.lang: r.c for r in
+              docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    after = {r.lang: r.c for r in
+             kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    def spread(d):
+        vs = sorted(d.values())
+        return vs[-1] / max(vs[0], 1)
+    assert spread(after) <= spread(before), \
+        f"rebalance made marginals WORSE: {before} -> {after}"
+    # and determinism: same inputs -> same rows
+    again = weighted_hash_sample(dfw, "doc_id", "weight", 0.5)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in again.select("doc_id").collect())
