@@ -229,7 +229,7 @@ class Compiler:
             df = self._c(p.input)
             df, aggs_x, _ = self._prepare_exprs(df, p.aggregates, p.input)
             aggs = [a.to_spark() for a in aggs_x]
-            gb = self._grouping(df, p.group_by)
+            gb, key_names = self._grouping(df, p.group_by)
             if aggs:
                 out = gb.agg(*aggs)
             else:
@@ -238,6 +238,18 @@ class Compiler:
                 # and drop it so the output schema matches the SQL
                 out = gb.agg(F.count(F.lit(1)).alias("__dummy")) \
                         .drop("__dummy")
+            if key_names and any(n is not None for n in key_names):
+                # grouping-set keys were declared with select-list
+                # labels (Alias members): Spark's rollup/cube/
+                # groupingSets must receive the BARE expressions —
+                # GROUPING(x) refuses to resolve against an aliased
+                # grouping column (GROUPING_COLUMN_MISMATCH) — so the
+                # labels are applied positionally AFTER the aggregate
+                # (keys lead the output in declaration order).
+                cols = out.columns
+                renamed = [kn if kn is not None else cols[i]
+                           for i, kn in enumerate(key_names)]
+                out = out.toDF(*renamed, *cols[len(key_names):])
             if p.having is not None:
                 from .expressions import ScalarSubquery, walk as walk_expr
                 if any(isinstance(x, ScalarSubquery)
@@ -1327,33 +1339,51 @@ class Compiler:
         return out
 
     def _grouping(self, df: DataFrame, group_by):
+        """Returns (GroupedData, key_names): key_names has one entry per
+        leading key column of the aggregated output — the select-list
+        label for Alias-relabeled grouping-set members (applied by the
+        caller AFTER the agg: Spark's GROUPING() refuses aliased
+        grouping columns), None where Spark's own name stands."""
+        from .expressions import Alias as _Alias
+
+        def bare(e):
+            return e.expr if isinstance(e, _Alias) else e
+
+        def label(e):
+            return e.name if isinstance(e, _Alias) else None
+
         plain = [g for g in group_by
                  if not isinstance(g, (Rollup, Cube, GroupingSets))]
         special = [g for g in group_by
                    if isinstance(g, (Rollup, Cube, GroupingSets))]
         if not special:
-            return df.groupBy(*[g.to_spark() for g in plain])
+            # plain keys keep their aliases inline (no GROUPING() here —
+            # Spark rejects it outside grouping sets)
+            return df.groupBy(*[g.to_spark() for g in plain]), []
         assert len(special) == 1 and not plain, \
             "mixed grouping-set forms are not supported"
         s = special[0]
         if isinstance(s, Rollup):
-            return df.rollup(*[e.to_spark() for e in s.exprs])
+            return (df.rollup(*[bare(e).to_spark() for e in s.exprs]),
+                    [label(e) for e in s.exprs])
         if isinstance(s, Cube):
-            return df.cube(*[e.to_spark() for e in s.exprs])
+            return (df.cube(*[bare(e).to_spark() for e in s.exprs]),
+                    [label(e) for e in s.exprs])
         # GROUPING SETS via the DataFrame API (Spark >= 4.0): the
         # trailing *cols must list the union of grouping columns, or the
         # key columns are missing from the aggregated output
         from .dialects import get_dialect
         d = get_dialect("ansi")
-        sets = [[e.to_spark() for e in one] for one in s.sets]
-        seen, all_cols = set(), []
+        sets = [[bare(e).to_spark() for e in one] for one in s.sets]
+        seen, all_cols, names = set(), [], []
         for one in s.sets:
             for e in one:
-                key = e.to_sql(d)
+                key = bare(e).to_sql(d)
                 if key not in seen:
                     seen.add(key)
-                    all_cols.append(e.to_spark())
-        return df.groupingSets(sets, *all_cols)
+                    all_cols.append(bare(e).to_spark())
+                    names.append(label(e))
+        return df.groupingSets(sets, *all_cols), names
 
     def _filter_plain(self, df: DataFrame, pred: Expr,
                       outer_plan: Plan = None) -> DataFrame:

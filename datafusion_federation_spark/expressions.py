@@ -1361,6 +1361,13 @@ class WindowFunc(Expr):
 
 # -- grouping sets (analyzer.rs:523-550) ------------------------------------
 
+def _bare_member(e: "Expr") -> "Expr":
+    """GROUP BY clauses take bare expressions — a select-list-relabeled
+    member (Alias) renders its underlying expr; the LABEL belongs to the
+    select list only."""
+    return e.expr if isinstance(e, Alias) else e
+
+
 @dataclass(eq=False)
 class Rollup(Expr):
     exprs: Sequence[Expr]
@@ -1368,7 +1375,8 @@ class Rollup(Expr):
     def children(self): return tuple(self.exprs)
 
     def to_sql(self, d) -> str:
-        return "ROLLUP (" + ", ".join(e.to_sql(d) for e in self.exprs) + ")"
+        return "ROLLUP (" + ", ".join(
+            _bare_member(e).to_sql(d) for e in self.exprs) + ")"
 
 
 @dataclass(eq=False)
@@ -1378,7 +1386,8 @@ class Cube(Expr):
     def children(self): return tuple(self.exprs)
 
     def to_sql(self, d) -> str:
-        return "CUBE (" + ", ".join(e.to_sql(d) for e in self.exprs) + ")"
+        return "CUBE (" + ", ".join(
+            _bare_member(e).to_sql(d) for e in self.exprs) + ")"
 
 
 @dataclass(eq=False)
@@ -1390,7 +1399,8 @@ class GroupingSets(Expr):
 
     def to_sql(self, d) -> str:
         inner = ", ".join(
-            "(" + ", ".join(e.to_sql(d) for e in s) + ")" for s in self.sets
+            "(" + ", ".join(_bare_member(e).to_sql(d) for e in s) + ")"
+            for s in self.sets
         )
         return f"GROUPING SETS ({inner})"
 

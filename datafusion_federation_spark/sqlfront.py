@@ -1047,10 +1047,31 @@ class Parser:
                             continue
                         raise SqlParseError(
                             f"non-aggregated column {out!r} not in GROUP BY")
+            def _member_label(e: Expr):
+                """select-list label for a grouping-set member, when an
+                item matches it under a DIFFERENT name (r8 fuzzer find:
+                `SELECT k AS a ... GROUP BY ROLLUP(k, ...)` restored
+                Col('a') against an output named 'k')."""
+                lbl = next((nm or it.output_name() for it, nm in items
+                            if self._expr_key(it) == self._expr_key(e)),
+                           None)
+                if lbl is not None and lbl != e.output_name():
+                    return Alias(e, lbl)
+                return e
+
             new_group = []
             for g in group_by:
-                if isinstance(g, (Rollup, Cube, GroupingSets)):
-                    new_group.append(g)
+                if isinstance(g, Rollup):
+                    new_group.append(
+                        Rollup([_member_label(e) for e in g.exprs]))
+                    continue
+                if isinstance(g, Cube):
+                    new_group.append(
+                        Cube([_member_label(e) for e in g.exprs]))
+                    continue
+                if isinstance(g, GroupingSets):
+                    new_group.append(GroupingSets(
+                        [[_member_label(e) for e in s] for s in g.sets]))
                     continue
                 # alias group keys with their select-list name when present
                 label = next((nm or e.output_name() for e, nm in items
@@ -1111,12 +1132,14 @@ class Parser:
                 for g in new_group:
                     if isinstance(g, (Rollup, Cube)):
                         for e in g.exprs:
-                            key_label.setdefault(self._expr_key(e),
+                            k = e.expr if isinstance(e, Alias) else e
+                            key_label.setdefault(self._expr_key(k),
                                                  e.output_name())
                     elif isinstance(g, GroupingSets):
                         for s in g.sets:
                             for e in s:
-                                key_label.setdefault(self._expr_key(e),
+                                k = e.expr if isinstance(e, Alias) else e
+                                key_label.setdefault(self._expr_key(k),
                                                      e.output_name())
                     elif isinstance(g, Alias):
                         key_label[self._expr_key(g.expr)] = g.name

@@ -1153,3 +1153,52 @@ def test_outer_join_shapes_local_and_federated_match_duckdb(engines2,
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = _nsort(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# round-8 session 4: grouping-sets fuzzer — ROLLUP/CUBE/GROUPING SETS x
+# GROUPING() markers x HAVING x aggregate mixes, LOCAL and FEDERATED
+# (single-provider claims render the grouping sets remotely) vs DuckDB.
+# NULL group keys come from both the set expansion AND NULLIF data.
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _grouping_set_queries(draw):
+    k1 = draw(st.sampled_from(["n_regionkey", "NULLIF(n_regionkey, 2)"]))
+    k2 = "n_nationkey % 3"
+    form = draw(st.sampled_from([
+        f"ROLLUP ({k1}, {k2})",
+        f"CUBE ({k1}, {k2})",
+        f"GROUPING SETS (({k1}, {k2}), ({k1}), ())",
+        f"GROUPING SETS (({k1}), ({k2}))",
+    ]))
+    aggs = draw(st.sampled_from([
+        "CAST(COUNT(*) AS BIGINT) AS c",
+        "CAST(SUM(n_nationkey) AS BIGINT) AS s, "
+        "CAST(COUNT(DISTINCT n_name) AS BIGINT) AS dc",
+        "MIN(n_name) AS mn, CAST(COUNT(*) AS BIGINT) AS c",
+    ]))
+    mark = draw(st.sampled_from(
+        ["", f", CAST(GROUPING({k1}) AS BIGINT) AS g1"]))
+    having = draw(st.sampled_from(
+        ["", " HAVING COUNT(*) > 2", " HAVING COUNT(*) > 1"]))
+    return (f"SELECT {k1} AS a, {k2} AS b{mark}, {aggs} "
+            f"FROM nation GROUP BY {form}{having}")
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_grouping_set_queries())
+def test_grouping_sets_local_and_federated_match_duckdb(engines, sql):
+    import duckdb
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = _nsort(map(tuple, conn.execute(sql).fetchall()))
+    conn.close()
+    got_local = _nsort(tuple(r) for r in local_eng.sql(sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {sql}"
+    got_fed = _nsort(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"

@@ -2300,3 +2300,34 @@ def test_lambda_keeps_scan_federated_but_call_local(duckdb_engine):
     assert any(isinstance(n, RemoteQueryNode) for n in walk_plan(fed))
     rows = eng.execute(fed).collect()
     assert len(rows) == 10                      # custkeys 0..9
+
+
+def test_grouping_set_keys_with_select_aliases(spark):
+    # r8 grouping-sets fuzzer find: `SELECT k AS a ... GROUP BY
+    # ROLLUP(k, ...)` restored Col('a') against an aggregate output
+    # named 'k' (UNRESOLVED_COLUMN). Keys now carry select-list labels
+    # as Alias members — applied POSITIONALLY after the agg because
+    # Spark's GROUPING() refuses aliased grouping columns — and the
+    # GROUP BY renderings strip the alias. GROUPING() composes.
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("nation", f"{TESTDATA}/nation.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/nation.parquet')")
+    for q in (
+        "SELECT n_regionkey AS a, n_nationkey % 3 AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+        "GROUP BY ROLLUP (n_regionkey, n_nationkey % 3)",
+        "SELECT n_regionkey AS a, CAST(GROUPING(n_regionkey) AS BIGINT) "
+        "AS g, CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+        "GROUP BY CUBE (n_regionkey)",
+        "SELECT n_regionkey AS a, n_nationkey % 2 AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM nation "
+        "GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey % 2))",
+    ):
+        got = sorted((tuple(r) for r in eng.sql(q).collect()),
+                     key=lambda t: tuple((v is None, v) for v in t))
+        want = sorted(map(tuple, con.execute(q).fetchall()),
+                      key=lambda t: tuple((v is None, v) for v in t))
+        assert got == want, q
