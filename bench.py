@@ -61,11 +61,33 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int") \
         .mapInPandas(lambda it: it, "x int").count()
 
-    try:
-        load_start = round(float(open("/proc/loadavg").read().split()[0]),
-                           1)
-    except OSError:
-        load_start = None
+    def loadavg1():
+        try:
+            return float(open("/proc/loadavg").read().split()[0])
+        except OSError:
+            return None
+
+    # Idle guard (VERDICT r8 Next #5): r7/r8 headlines were recorded
+    # under ambient load (loadavg 2.8-3.6 at start) and every apparent
+    # regression decomposed to load, not plans. Refuse to START while
+    # loadavg(1) > 1.5: back off up to ~5 minutes. If the box never
+    # quiets, proceed anyway (the driver's window is bounded) and
+    # record the evidence — loadavg at start + seconds waited — so the
+    # judge can discount inflation without isolated reruns.
+    load_wait_s = 0
+    load_initial = loadavg1()
+    while True:
+        la = loadavg1()
+        if la is None or la <= 1.5 or load_wait_s >= 300:
+            break
+        log(f"bench idle-guard: loadavg {la:.2f} > 1.5, waiting 30s "
+            f"(waited {load_wait_s}s)")
+        time.sleep(30)
+        load_wait_s += 30
+    load_start = (round(loadavg1(), 1)
+                  if loadavg1() is not None else None)
+    load_initial = (round(load_initial, 1)
+                    if load_initial is not None else None)
 
     # Two full passes, report the per-query MINIMUM (VERDICT r6 Next #1):
     # this box shows EXTERNAL load spikes (loadavg 5+ with zero user
@@ -141,6 +163,11 @@ def main() -> None:
         "pass1_total": round(sum(pass1.values()), 3),
         "passes": 2,
     }
+    if load_wait_s:
+        # idle-guard evidence: ambient load at invocation + how long
+        # the guard backed off before starting the timed passes
+        out["load_guard"] = {"initial": load_initial,
+                             "waited_s": load_wait_s}
     if failures:
         # a crashed query must not read as a speedup: surface the count
         # in the headline object and exit nonzero so the driver flags it

@@ -653,6 +653,13 @@ class AggFunc(Expr):
     #: ordered-set aggregate: f(frac) WITHIN GROUP (ORDER BY x) —
     #: order_by holds the WITHIN GROUP keys
     within_group: bool = False
+    #: (precision, scale) of a DECIMAL argument, probed by the
+    #: compiler's schema-aware pass (ADVICE r9): the DISTINCT-window
+    #: fold must pin the accumulator type for decimals — Spark widens
+    #: acc+v past the seed's precision and ArrayAggregate requires the
+    #: merge type to equal the seed type, so an unhinted decimal fold
+    #: raises AnalysisException. None for non-decimal inputs.
+    decimal_hint: Optional[tuple] = None
 
     def children(self):
         out = list(self.args)
@@ -1151,6 +1158,32 @@ class WindowFunc(Expr):
             # collect_set drops NULLs, matching DISTINCT-agg null skip.
             rest = F.slice(s, F.lit(2),
                            F.greatest(F.size(s) - 1, F.lit(0)))
+            hint = getattr(f, "decimal_hint", None)
+            if hint is not None:
+                # DECIMAL fold (ADVICE r9): acc+v widens past the seed's
+                # precision and ArrayAggregate requires merge type ==
+                # seed type, so cast seed AND every merge result to a
+                # pinned accumulator type. The accumulator precision is
+                # 37 (not 38): acc(37,s)+v(p,s) peaks at EXACTLY
+                # precision 38, so Spark's precision-loss adjustment
+                # never fires and the scale survives intact — at 38 the
+                # intermediate would hit 39 and shrink the scale to
+                # max(s-1, 6), silently rounding the 8th+ fraction
+                # digit. Only p=38 inputs need the 38-accumulator (and
+                # inherit that documented shrink — sums near 38 integer
+                # digits overflow natively too). The final sum is cast
+                # to Spark's native SUM(decimal(p,s)) result type,
+                # DECIMAL(min(38,p+10),s).
+                from pyspark.sql.types import DecimalType
+                p_, s_ = hint
+                acc_t = DecimalType(37 if p_ <= 37 else 38, s_)
+                total = F.aggregate(
+                    rest, F.get(s, F.lit(0)).cast(acc_t),
+                    lambda acc, v: (acc + v).cast(acc_t))
+                if fname == "sum":
+                    return total.cast(DecimalType(min(38, p_ + 10), s_))
+                return F.when(F.size(s) > 0,
+                              total.cast("double") / F.size(s))
             total = F.aggregate(rest, F.get(s, F.lit(0)),
                                 lambda acc, v: acc + v)
             if fname == "sum":

@@ -42,16 +42,25 @@ def attach_binary_payload(df: DataFrame, src_col: str,
 
 
 def real_decode(payload: bytes) -> dict:
-    """The genuine decode step — requires PIL/ffmpeg, absent here.
+    """The genuine decode step. r9: UNCOMPRESSED images (P6 PPM,
+    24-bit BI_RGB BMP) now decode for real via the stdlib-struct
+    parsers below (``decode_image`` — header, dimensions, raster, BMP
+    padding/bottom-up/BGR handling, oracle-tested d93); the
+    NotImplementedError remains honest for COMPRESSED formats only.
 
     Sandbox probe (r5): none of PIL / cv2 / imageio / av / soundfile /
-    librosa / libmagic import in this environment, so the decode stays
-    an honest stub; the Spark-side plumbing (Arrow batching via
-    mapInPandas, schema, partitioning) is real and oracle-tested (d13).
-    Wiring a real decoder is a one-function swap behind this seam."""
+    librosa / libmagic import in this environment, so PNG/JPEG/audio/
+    video decoding stays a stub; the Spark-side plumbing (Arrow
+    batching via mapInPandas, schema, partitioning) is real and
+    oracle-tested (d13). Wiring a full decoder is a one-function swap
+    behind this seam."""
+    if payload[:2] in (b"P6", b"BM"):
+        return decode_image(payload)
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg which are not installed; "
-        "use fake_decode_meta for deterministic testing")
+        "compressed-media decoding requires PIL/ffmpeg which are not "
+        "installed; uncompressed P6 PPM / 24-bit BMP decode via "
+        "decode_image, or use fake_decode_meta for deterministic "
+        "testing")
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -144,3 +153,148 @@ def resize_stub(df: DataFrame, payload_col: str = "payload",
             yield out
 
     return df.select(payload_col).mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# r9 (VERDICT r8 Next #4): REAL decode for uncompressed formats, pure
+# stdlib `struct` — P6 PPM and 24-bit BI_RGB BMP. The "no decoder in this
+# sandbox" caveat above now applies to COMPRESSED formats only (PNG/JPEG/
+# video need PIL/ffmpeg); these two parse genuine binary payloads:
+# header, dimensions, raster, BMP row padding and bottom-up order.
+# ---------------------------------------------------------------------------
+
+def encode_ppm_p6(width: int, height: int, raster: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255). ``raster`` = RGB row-major
+    top-down, len == width*height*3."""
+    if len(raster) != width * height * 3:
+        raise ValueError("raster length != width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + raster
+
+
+def encode_bmp24(width: int, height: int, raster: bytes) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP. ``raster`` = RGB row-major
+    top-down; rows are stored bottom-up with 4-byte padding and BGR
+    channel order, exactly as the format demands."""
+    import struct as _s
+    if len(raster) != width * height * 3:
+        raise ValueError("raster length != width*height*3")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):       # bottom-up
+        row = raster[r * width * 3:(r + 1) * width * 3]
+        # RGB -> BGR
+        for c in range(width):
+            px = row[c * 3:c * 3 + 3]
+            body += bytes((px[2], px[1], px[0]))
+        body += pad
+    off = 14 + 40
+    header = _s.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                  len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def _parse_ppm_p6(b: bytes) -> dict:
+    """P6 header: magic, whitespace/#-comments, width height maxval,
+    single whitespace, raster."""
+    import re as _re
+    m = _re.match(
+        rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)"
+        rb"\s+(?:#[^\n]*\n\s*)*(\d+)\s", b)
+    if not m:
+        raise ValueError("malformed P6 header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise NotImplementedError(
+            f"P6 maxval {maxval}: only 8-bit-per-channel supported")
+    raster = b[m.end():m.end() + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("P6 raster truncated")
+    return {"media_type": "image", "n_bytes": len(b), "width": w,
+            "height": h, "duration_ms": None, "codec": "ppm/p6",
+            "raster": raster}
+
+
+def _parse_bmp24(b: bytes) -> dict:
+    """BITMAPINFOHEADER, 24 bpp, BI_RGB only; normalizes the stored
+    bottom-up padded BGR rows to top-down RGB."""
+    import struct as _s
+    if len(b) < 54:
+        raise ValueError("BMP too short")
+    magic, _fsz, _r1, _r2, off = _s.unpack_from("<2sIHHI", b, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    hsz, w, h, _planes, bpp, comp = _s.unpack_from("<IiiHHI", b, 14)
+    if hsz < 40:
+        raise NotImplementedError(f"BMP header size {hsz} unsupported")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decoded here (bpp={bpp}, "
+            f"compression={comp}); compressed BMP/PNG/JPEG need PIL")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray(w * h * 3)
+    for r in range(h):
+        src = r if not bottom_up else (h - 1 - r)
+        row = b[off + src * stride: off + src * stride + w * 3]
+        if len(row) != w * 3:
+            raise ValueError("BMP raster truncated")
+        for c in range(w):
+            # BGR -> RGB
+            raster[(r * w + c) * 3 + 0] = row[c * 3 + 2]
+            raster[(r * w + c) * 3 + 1] = row[c * 3 + 1]
+            raster[(r * w + c) * 3 + 2] = row[c * 3 + 0]
+    return {"media_type": "image", "n_bytes": len(b), "width": w,
+            "height": h, "duration_ms": None, "codec": "bmp/rgb24",
+            "raster": bytes(raster)}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an UNCOMPRESSED image payload (stdlib only): P6 PPM or
+    24-bit BI_RGB BMP -> meta dict + ``raster`` (RGB, row-major,
+    top-down). Compressed formats raise the honest NotImplementedError
+    the module-level stub documents."""
+    if payload[:2] == b"P6":
+        return _parse_ppm_p6(payload)
+    if payload[:2] == b"BM":
+        return _parse_bmp24(payload)
+    raise NotImplementedError(
+        "only uncompressed P6 PPM / 24-bit BMP decode without PIL; "
+        "this payload's magic is neither")
+
+
+def extract_image_stats(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """REAL decode inside the Arrow-batched mapInPandas seam: parse
+    each payload's header + raster with ``decode_image`` and emit
+    per-image channel statistics. One Python crossing per batch;
+    payload bytes never shuffle (the projection drops them)."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+    ])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[payload_col]):
+                d = decode_image(bytes(b))
+                ras = d["raster"]
+                rows.append((int(i), d["width"], d["height"], d["codec"],
+                             sum(ras[0::3]), sum(ras[1::3]),
+                             sum(ras[2::3]),
+                             d["width"] * d["height"]))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "width", "height", "codec",
+                "sum_r", "sum_g", "sum_b", "n_px"])
+
+    return (df.select(id_col, payload_col)
+              .mapInPandas(_batches, schema=out_schema))

@@ -156,17 +156,26 @@ def _find_shared_ids(plan: Plan) -> set:
 def push_filters(plan: Plan, _memo: Optional[dict] = None) -> Plan:
     """Recursively push Filter conjuncts toward the scans. Returns a new
     plan; unknown node shapes pass through untouched (children still
-    optimized). ``_memo`` (id -> rewritten) keeps shared nodes shared:
-    the result depends only on the node, so two parents of one child
-    must receive the SAME rewritten object (ADVICE r8 — without this a
-    changed shared subtree splits into one copy per mention)."""
+    optimized). ``_memo`` (id -> (node, rewritten)) keeps shared nodes
+    shared: the result depends only on the node, so two parents of one
+    child must receive the SAME rewritten object (ADVICE r8 — without
+    this a changed shared subtree splits into one copy per mention).
+
+    The memo stores the KEYED NODE alongside its result (ADVICE r9):
+    transient nodes built in ``_push_one`` are also memoized here, and
+    if the value were the result alone, a transient key could be
+    garbage-collected while its id stays in the memo — a later node
+    allocated at the same address would get a stale hit and splice an
+    unrelated subtree into the plan. Holding the node in the value
+    pins its id for the memo's lifetime; the ``is`` check is
+    belt-and-braces."""
     if _memo is None:
         _memo = {}
     hit = _memo.get(id(plan))
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is plan:
+        return hit[1]
     out = _push_filters_node(plan, _memo)
-    _memo[id(plan)] = out
+    _memo[id(plan)] = (plan, out)
     return out
 
 

@@ -299,13 +299,24 @@ class RecursiveCTE(Plan):
     #: mark is TRUE surface in the result but are NOT fed back into the
     #: next round — what terminates UNION ALL walks over cyclic graphs.
     cycle_col: Optional[str] = None
+    #: UNION-distinct SEARCH/CYCLE (r9): distinctness is computed on
+    #: these USER columns only — the parser-appended seq/mark/path
+    #: columns are excluded from the dedup key (Postgres semantics:
+    #: rewriteSearchCycle keeps added columns out of the set-op's
+    #: duplicate elimination). First-seen row wins; within a round,
+    #: ties resolve to the minimal appended-column tuple (documented
+    #: deterministic rule; for CYCLE paths this equals the
+    #: lexicographically-minimal shortest path). None = dedup on all
+    #: columns (plain UNION distinct).
+    dedup_cols: Optional[Sequence[str]] = None
 
     def inputs(self): return (self.base, self.step)
 
     def with_inputs(self, new_inputs):
         return RecursiveCTE(self.name, self.cols, new_inputs[0],
                             new_inputs[1], self.union_all,
-                            self.max_iterations, self.cycle_col)
+                            self.max_iterations, self.cycle_col,
+                            self.dedup_cols)
 
 
 @dataclass(eq=False)

@@ -500,6 +500,12 @@ SECONDARY = {
     # round 8: IPF/raking corpus-mix weights; oracle is the identical
     # three iterations unrolled as chained CTEs in DuckDB
     "d92_ipf_mixing",
+    # round 9: CYCLE under UNION-distinct recursion (graduated from the
+    # r8 parse-time refusal); oracle is the unrolled BFS-argmin rewrite
+    "q112_cycle_union_distinct",
+    # round 9: REAL P6-PPM decode (stdlib struct) in the multimodal
+    # seam; oracle derives channel sums arithmetically, never sees bytes
+    "d93_image_decode",
 }
 
 DEC = "decimal(12,2)"

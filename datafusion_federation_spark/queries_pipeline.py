@@ -5519,3 +5519,142 @@ def d92(spark, sf):
         "source", "lang", "n",
         F.round("expected", 6).cast("double").alias("expected"),
         F.round("weight", 6).cast("double").alias("weight"))
+
+
+def _q112_oracle() -> str:
+    """Unrolled-CTE oracle (the d92 pattern) for CYCLE under UNION
+    (distinct) recursion: the engine's fixpoint keeps the FIRST-SEEN
+    row per user tuple, within-round ties resolved to the minimal
+    appended tuple — which composes to the lexicographically-minimal
+    shortest path (equal-length arrays compare by prefix, so the
+    per-round min over predecessors' minimal paths is the global min
+    over all shortest paths, by induction on BFS level). DuckDB spells
+    exactly that: 14 unrolled BFS rounds (fixpoint at depth 8 — the
+    last six rounds are provably empty), each round `min(p)` per new
+    node against the seen-set. MATERIALIZED, or the seen-set chain
+    inlines exponentially."""
+    M, A, NB, ROUNDS = 47, 3, 2, 14
+    parts = [
+        "e AS MATERIALIZED (SELECT CAST(r_regionkey AS BIGINT) AS r "
+        f"FROM region WHERE r_regionkey < {NB})",
+        "r0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS u, "
+        "[CAST(1 AS BIGINT)] AS p)",
+        "s0 AS MATERIALIZED (SELECT u FROM r0)",
+    ]
+    for i in range(1, ROUNDS + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT (r{i-1}.u*{A} + e.r) % {M} "
+            f"AS u, list_append(r{i-1}.p, (r{i-1}.u*{A} + e.r) % {M}) "
+            f"AS p FROM r{i-1}, e)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT u, min(p) AS p FROM c{i} "
+            f"WHERE u NOT IN (SELECT u FROM s{i-1}) GROUP BY u)")
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT u FROM s{i-1} "
+            f"UNION ALL SELECT u FROM r{i})")
+    allr = " UNION ALL ".join(f"SELECT u, p FROM r{i}"
+                              for i in range(ROUNDS + 1))
+    return ("WITH " + ",\n".join(parts) + f", allr AS ({allr}) "
+            "SELECT u, false AS ic, CAST(len(p) AS BIGINT) AS depth, "
+            "array_to_string(p, '->') AS path FROM allr ORDER BY u")
+
+
+@q("q112_cycle_union_distinct", _q112_oracle())
+def q112(spark, sf):
+    """CYCLE under UNION (distinct) recursion (r9; graduated from the
+    r8 parse-time refusal at sqlfront SEARCH/CYCLE). Postgres computes
+    the set-op's distinctness on the USER columns only — the appended
+    mark/path columns are excluded from the dedup key
+    (rewriteSearchCycle keeps added columns out of duplicate
+    elimination); first-seen row wins, so every node carries the
+    lexicographically-minimal shortest path from the seed and the mark
+    is provably FALSE on every survivor (a marked row's user tuple is
+    by definition already accumulated). The fixpoint's fused
+    dedupe+subtract aggregate groups by dedup_cols and takes
+    min(struct(appended)) as the within-round representative — one
+    exchange per round, broadcast-hinted working table. Oracle: the
+    unrolled BFS-argmin rewrite above (independent derivation).
+    Reference: DataFusion recursive CTEs (UNION distinct mode) via its
+    SQL layer; the CYCLE clause itself is the SQL:1999 surface."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("region", t(spark, sf, "region"))
+    df = eng.sql("""
+WITH RECURSIVE walk(u) AS (
+  SELECT CAST(1 AS BIGINT) AS u
+  UNION
+  SELECT (w.u * 3 + CAST(r_regionkey AS BIGINT)) % 47
+  FROM walk w CROSS JOIN region WHERE r_regionkey < 2
+) CYCLE u SET ic USING p
+SELECT u, ic, CAST(SIZE(p) AS BIGINT) AS depth, p FROM walk""")
+    return (df.select(
+        "u", "ic", "depth",
+        F.array_join(F.transform("p", lambda x: x.cast("string")),
+                     "->").alias("path"))
+        .orderBy("u"))
+
+
+_D93_SQL = """
+WITH dims AS (
+  SELECT doc_id, n_chars % 8 + 2 AS w, (n_chars // 8) % 6 + 2 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS j FROM dims
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       'ppm/p6' AS codec,
+       CAST(SUM(CASE WHEN j % 3 = 0
+                     THEN (doc_id*7 + j) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN j % 3 = 1
+                     THEN (doc_id*7 + j) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN j % 3 = 2
+                     THEN (doc_id*7 + j) % 256 END) AS BIGINT) AS sum_b,
+       CAST(w * h AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+@q("d93_image_decode", _D93_SQL)
+def d93(spark, sf):
+    """REAL image decode in the multimodal seam (r9; VERDICT r8 Next
+    #4 — the stub caveat now narrowed to compressed formats). Each
+    document gets a genuine binary P6 PPM payload (header + raster,
+    pixel j = (doc_id*7 + j) % 256, dims from n_chars); the stdlib
+    ``decode_image`` parses the REAL bytes — magic, whitespace-
+    delimited header, raster extraction — inside the Arrow-batched
+    mapInPandas seam, and per-channel sums are computed from the
+    parsed raster. The oracle derives the same sums ARITHMETICALLY
+    (generate_series over the pixel index — it never sees the bytes),
+    so a decoder that misparsed the header, miscounted the raster
+    offset, or swapped channels would mismatch. BMP round-trips
+    (padding, bottom-up rows, BGR order) are pinned in
+    tests/test_operators.py. 100 TB: payloads are built and decoded
+    inside one mapInPandas pass each — bytes cross Python once per
+    Arrow batch and never shuffle."""
+    import pandas as _pd
+
+    from .operators.multimodal import encode_ppm_p6, extract_image_stats
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def _mk(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(nc) % 8 + 2
+                h = (int(nc) // 8) % 6 + 2
+                ras = bytes((int(did) * 7 + j) % 256
+                            for j in range(w * h * 3))
+                payloads.append(encode_ppm_p6(w, h, ras))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        _mk, schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType())]))
+    return (extract_image_stats(with_payload)
+            .orderBy("doc_id"))

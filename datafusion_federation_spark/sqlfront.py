@@ -88,7 +88,16 @@ def _structural_key(x) -> str:
     construct: class name + dataclass fields, recursively. Never raises."""
     import dataclasses
 
-    from .expressions import Expr
+    from .expressions import Expr, SparkCol
+    if isinstance(x, SparkCol):
+        # ADVICE r9: SparkCol.col holds a pyspark Column or a lambda
+        # whose repr embeds a memory address — two structurally
+        # identical desugar products would get different keys, breaking
+        # GROUP BY/HAVING matching. Key by the `name` field instead:
+        # every parse-time SparkCol factory (SEARCH/CYCLE appends)
+        # carries a unique, collision-checked column name, so the name
+        # IS the structural identity.
+        return f"SparkCol(name={x.name!r})"
     if isinstance(x, Expr):
         if dataclasses.is_dataclass(x):
             parts = ",".join(
@@ -415,14 +424,6 @@ class Parser:
         if not isinstance(node, RecursiveCTE):
             raise SqlParseError(
                 f"SEARCH/CYCLE require '{name}' to actually recurse")
-        if not node.union_all:
-            # UNION (distinct) would dedupe over the appended per-path
-            # columns, silently changing which rows survive — Postgres
-            # computes distinctness on the USER columns only, a
-            # semantics this desugar cannot express
-            raise SqlParseError(
-                "SEARCH/CYCLE are supported with UNION ALL recursion "
-                "only")
         base, step = node.base, node.step
         if not isinstance(base, Project) or not isinstance(step, Project):
             raise SqlParseError(
@@ -496,12 +497,22 @@ class Parser:
                    lambda: F.array_append(F.col(pc), key(si2, by2)),
                    pc)
 
+        # UNION (distinct) recursion (r9, graduated from a refusal):
+        # Postgres computes set-op distinctness on the USER columns
+        # only — the appended seq/mark/path columns are excluded from
+        # the dedup key (rewriteSearchCycle.c keeps them out of the
+        # duplicate elimination). dedup_cols carries that key to the
+        # compiler's fixpoint; first-seen row wins, within-round ties
+        # resolve to the minimal appended tuple (= lexicographically-
+        # minimal shortest path for CYCLE).
         return RecursiveCTE(
             name, new_cols,
             Project(base.input, base_items),
             Project(step.input, step_items),
-            union_all=True, max_iterations=node.max_iterations,
-            cycle_col=cycle[1] if cycle is not None else None)
+            union_all=node.union_all,
+            max_iterations=node.max_iterations,
+            cycle_col=cycle[1] if cycle is not None else None,
+            dedup_cols=None if node.union_all else list(outs))
 
     # query := intersect_chain ((UNION [ALL]|EXCEPT [ALL])
     #          intersect_chain)* [ORDER BY ...] [LIMIT ...]

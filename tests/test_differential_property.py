@@ -1202,3 +1202,127 @@ def test_grouping_sets_local_and_federated_match_duckdb(engines, sql):
     assert got_local == want, f"LOCAL diverged on: {sql}"
     got_fed = _nsort(tuple(r) for r in remote_eng.sql(sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# r9 (VERDICT r8 Next #2): COMPOSED shapes — each feature below is
+# individually fuzzed above; these drive them through each other:
+# recursive CTEs under window functions (outer AND base term), CYCLE
+# output feeding a LATERAL, LATERAL over set-op chains, PIVOT input from
+# a QUALIFY'd derived table. Engine and DuckDB run identical SQL except
+# the CYCLE clause (no DuckDB spelling — the manual path rewrite is the
+# oracle there, the q108 pattern).
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _composed_queries(draw):
+    kind = draw(st.sampled_from(
+        ["rec_window", "rec_window_base", "cycle_lateral",
+         "lateral_setop", "pivot_qualify"]))
+
+    if kind == "rec_window":
+        step = draw(st.integers(1, 3))
+        stop = draw(st.integers(8, 15))
+        union = draw(st.sampled_from(["UNION ALL", "UNION"]))
+        wf = draw(st.sampled_from([
+            "ROW_NUMBER() OVER (ORDER BY n)",
+            "SUM(n) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)",
+            "LAG(n, 1) OVER (ORDER BY n)",
+            "RANK() OVER (PARTITION BY n % 2 ORDER BY n)",
+            "COUNT(*) OVER (PARTITION BY n % 3)",
+        ]))
+        sql = (f"WITH RECURSIVE t(n) AS (SELECT 1 {union} "
+               f"SELECT n + {step} FROM t WHERE n < {stop}) "
+               f"SELECT n, CAST({wf} AS BIGINT) AS w FROM t")
+        return sql, sql
+
+    if kind == "rec_window_base":
+        rk = draw(st.integers(0, 4))
+        add = draw(st.integers(10, 20))
+        stop = draw(st.integers(30, 60))
+        sql = (f"WITH RECURSIVE t(n, r) AS ("
+               f"SELECT n_nationkey, ROW_NUMBER() OVER "
+               f"(ORDER BY n_nationkey) FROM nation "
+               f"WHERE n_regionkey = {rk} "
+               f"UNION ALL SELECT n + {add}, r FROM t WHERE n < {stop}) "
+               f"SELECT n, CAST(r AS BIGINT) AS r FROM t")
+        return sql, sql
+
+    if kind == "cycle_lateral":
+        a = draw(st.sampled_from([3, 7, 9]))
+        b = draw(st.integers(1, 5))
+        m = draw(st.sampled_from([10, 12, 15]))
+        nxt = f"(n * {a} + {b}) % {m}"
+        body = draw(st.sampled_from([
+            "SELECT CAST(SUM(n_nationkey) AS BIGINT) AS s "
+            "FROM nation WHERE n_regionkey = w.n % 5",
+            "SELECT CAST(COUNT(*) AS BIGINT) AS s "
+            "FROM nation WHERE n_regionkey = w.n % 5 "
+            "AND n_nationkey > w.n",
+        ]))
+        eng_sql = (f"WITH RECURSIVE w(n) AS (SELECT 0 AS n UNION ALL "
+                   f"SELECT {nxt} FROM w) CYCLE n SET ic USING p "
+                   f"SELECT w.n, w.ic, l.s FROM w, LATERAL ({body}) l")
+        duck_sql = (f"WITH RECURSIVE w(n, ic, p) AS ("
+                    f"SELECT 0, false, [0] UNION ALL "
+                    f"SELECT {nxt}, list_contains(p, {nxt}), "
+                    f"list_append(p, {nxt}) FROM w WHERE NOT ic) "
+                    f"SELECT w.n, w.ic, l.s FROM w, LATERAL ({body}) l")
+        return eng_sql, duck_sql
+
+    if kind == "lateral_setop":
+        cut = draw(st.integers(2, 8))
+        shift = draw(st.integers(0, 3))
+        setop = draw(st.sampled_from(["UNION", "UNION ALL", "EXCEPT"]))
+        chain = (f"SELECT n_nationkey AS k FROM nation "
+                 f"WHERE n_nationkey < {cut} "
+                 f"{setop} SELECT n_regionkey + {shift} FROM nation")
+        body = draw(st.sampled_from([
+            "SELECT CAST(COUNT(*) AS BIGINT) AS c, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS s "
+            "FROM nation WHERE n_regionkey = t.k % 5",
+            "SELECT n_name AS nm FROM nation "
+            "WHERE n_regionkey = t.k % 5 "
+            "ORDER BY n_nationkey LIMIT 2",
+        ]))
+        cols = "l.c, l.s" if "COUNT" in body else "l.nm"
+        sql = (f"SELECT t.k, {cols} FROM ({chain}) t, "
+               f"LATERAL ({body}) l")
+        return sql, sql
+
+    # pivot_qualify
+    k = draw(st.integers(1, 3))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    aggc = draw(st.sampled_from(
+        ["COUNT(n_nationkey)", "SUM(n_nationkey)", "MAX(n_name)"]))
+    vals = draw(st.lists(st.integers(0, 4), min_size=1, max_size=3,
+                         unique=True))
+    vlist = ", ".join(str(v) for v in vals)
+    outs = ", ".join(f'"{v}"' for v in vals)
+    sql = (f"SELECT {outs} FROM "
+           f"(SELECT n_name, n_nationkey, n_regionkey % 5 AS bucket "
+           f"FROM nation QUALIFY ROW_NUMBER() OVER "
+           f"(PARTITION BY n_regionkey ORDER BY n_nationkey "
+           f"{direction}) <= {k}) b "
+           f"PIVOT ({aggc} FOR bucket IN ({vlist}))")
+    return sql, sql
+
+
+@settings(max_examples=70, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(pair=_composed_queries())
+def test_composed_shapes_local_and_federated_match_duckdb(engines, pair):
+    import duckdb
+    eng_sql, duck_sql = pair
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = _nsort(map(tuple, conn.execute(duck_sql).fetchall()))
+    conn.close()
+    got_local = _nsort(tuple(r) for r in local_eng.sql(eng_sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {eng_sql}"
+    got_fed = _nsort(tuple(r) for r in remote_eng.sql(eng_sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {eng_sql}"

@@ -276,3 +276,80 @@ def test_q84_broadcast_posture_pins(spark):
     want = [tuple(r) for r in conn.execute(oracle).fetchall()]
     conn.close()
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# r9 (VERDICT r8 Next #7): the r8 dialect gates exercised END TO END on a
+# live engine — the gated construct must degrade to local compile, with the
+# scan/sort subtree still claimed remotely and ZERO remote attempts at the
+# construct itself.
+# ---------------------------------------------------------------------------
+
+class _RecordingSQLite:
+    """SQLiteExecutor wrapper factory: captures every executed SQL."""
+
+    @staticmethod
+    def make(name, ctx):
+        from datafusion_federation_spark.sources.provider import (
+            SQLiteExecutor)
+
+        class Rec(SQLiteExecutor):
+            def __init__(self):
+                super().__init__(name=name, compute_context=ctx)
+                self.sent = []
+
+            def execute(self, spark, sql, schema=None):
+                self.sent.append(sql)
+                return super().execute(spark, sql, schema)
+
+        return Rec()
+
+
+def test_with_ties_gate_degrades_live_on_sqlite(spark):
+    """supports_fetch_with_ties=False (every dialect but Postgres): the
+    whole-plan claim must refuse at unparse, the governing Sort must
+    still ship, and no remote SQL may ever contain WITH TIES."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import SQLProvider
+
+    ex = _RecordingSQLite.make("lite_ties", "ties")
+    ex.load_rows("tt", "CREATE TABLE tt (k INT, g INT)",
+                 [(i, [10, 10, 20, 20, 20, 30, 40][i]) for i in range(7)])
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "tt")
+    rows = eng.sql("SELECT k, g FROM tt ORDER BY g "
+                   "FETCH FIRST 3 ROWS WITH TIES").collect()
+    # boundary g=20 has 3 peers -> 5 rows (Postgres 13 semantics)
+    assert sorted((r.k, r.g) for r in rows) == \
+        [(0, 10), (1, 10), (2, 20), (3, 20), (4, 20)]
+    assert ex.sent, "the scan/sort subtree must still execute remotely"
+    assert not any("WITH TIES" in s.upper() for s in ex.sent), \
+        f"gated construct reached the remote engine: {ex.sent}"
+
+
+def test_ordered_agg_gate_degrades_live_on_sqlite(spark):
+    """supports_agg_order_by=False on SQLite: STRING_AGG(... ORDER BY)
+    must compile locally; the scan still ships; zero remote attempts
+    at the ordered aggregate."""
+    import duckdb
+
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import SQLProvider
+
+    data = [(i, i % 3, f"v{i}") for i in range(12)]
+    ex = _RecordingSQLite.make("lite_oagg", "oagg")
+    ex.load_rows("ta", "CREATE TABLE ta (k INT, g INT, v TEXT)", data)
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "ta")
+    sql = ("SELECT g, STRING_AGG(v, ',' ORDER BY k DESC) AS s "
+           "FROM ta GROUP BY g ORDER BY g")
+    got = [(r.g, r.s) for r in eng.sql(sql).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (k INT, g INT, v TEXT)")
+    con.executemany("INSERT INTO ta VALUES (?,?,?)", data)
+    want = con.execute(sql).fetchall()
+    assert got == want
+    assert ex.sent, "the scan must still execute remotely"
+    joined = " ".join(s.upper() for s in ex.sent)
+    assert "STRING_AGG" not in joined and "GROUP_CONCAT" not in joined, \
+        f"ordered aggregate reached the remote engine: {ex.sent}"

@@ -282,3 +282,42 @@ def test_three_way_join_pushes_each_conjunct_to_its_scan():
             scan_filters[n.input.table.local_name] = n
     assert set(scan_filters) == {"customer", "nation", "region"}, \
         f"conjuncts not at their scans: {sorted(scan_filters)}"
+
+
+def test_memo_keys_stay_alive_and_identity_checked():
+    """ADVICE r9 (high): push_filters memoizes transient nodes built in
+    _push_one; if the memo value were the result alone, a GC'd transient
+    key's id could be recycled by a later node which would then get a
+    stale hit (an unrelated subtree spliced in, nondeterministically).
+    Pin the fix: every memo entry stores the keyed node itself (pinning
+    its id for the memo's lifetime) and the key equals that node's id."""
+    a = _scan("ta", ["k", "x"])
+    b = _scan("tb", ["k2", "y"])
+    j = Join(a, b, "inner", BinaryOp("=", Col("k"), Col("k2")))
+    pred = BinaryOp("AND",
+                    BinaryOp(">", Col("x"), Lit(1)),
+                    BinaryOp("<", Col("y"), Lit(9)))
+    memo = {}
+    out = push_filters(Filter(j, pred), memo)
+    assert isinstance(out, Join)
+    assert memo, "memo must be populated"
+    for key, val in memo.items():
+        assert isinstance(val, tuple) and len(val) == 2, \
+            "memo values must be (node, result) pairs — the node " \
+            "reference is what pins the id"
+        node, _res = val
+        assert id(node) == key, \
+            "memo key must be the id of the stored node"
+
+
+def test_memo_stale_id_hit_is_rejected():
+    """A poisoned memo entry whose stored node is NOT the queried node
+    (the address-reuse scenario) must be ignored, not returned."""
+    a = _scan("ta", ["k", "x"])
+    f = Filter(a, BinaryOp(">", Col("x"), Lit(1)))
+    poison = _scan("poison", ["z"])
+    memo = {id(f): (poison, poison)}       # stale: stored node != f
+    out = push_filters(f, memo)
+    assert out is not poison, \
+        "identity check must reject a recycled-id memo hit"
+    assert isinstance(out, Filter)

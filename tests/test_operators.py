@@ -1143,3 +1143,75 @@ def test_pq_validation(spark):
         pq_encode(df, "embedding", "vec_id", dim=8, m=3)
     with pytest.raises(ValueError, match="query dim"):
         pq_adc_topk(df, "embedding", [0.0] * 5, dim=8, m=2)
+
+
+# ---------------------------------------------------------------------------
+# r9: stdlib image decode (multimodal) — real binary parsing, no PIL
+# ---------------------------------------------------------------------------
+
+def test_image_decode_round_trips_ppm_and_bmp():
+    import random
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_image, encode_bmp24, encode_ppm_p6)
+    rng = random.Random(11)
+    for w, h in [(1, 1), (2, 3), (5, 4), (7, 2), (4, 7), (3, 3)]:
+        ras = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        for enc, codec in ((encode_ppm_p6, "ppm/p6"),
+                           (encode_bmp24, "bmp/rgb24")):
+            d = decode_image(enc(w, h, ras))
+            assert (d["width"], d["height"], d["codec"]) == (w, h, codec)
+            assert d["raster"] == ras, \
+                f"{codec} {w}x{h}: raster mismatch (padding/BGR/row " \
+                f"order bug)"
+
+
+def test_image_decode_ppm_header_with_comments():
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_image)
+    ras = bytes(range(2 * 2 * 3))
+    payload = b"P6\n# a comment\n2 2\n# another\n255\n" + ras
+    d = decode_image(payload)
+    assert (d["width"], d["height"]) == (2, 2) and d["raster"] == ras
+
+
+def test_image_decode_refuses_compressed_and_deep():
+    import pytest
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_image, real_decode)
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="P6 PPM"):
+        decode_image(png_magic)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        real_decode(png_magic)
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_real_decode_routes_uncompressed():
+    from datafusion_federation_spark.operators.multimodal import (
+        encode_ppm_p6, real_decode)
+    ras = bytes(range(1 * 2 * 3))
+    d = real_decode(encode_ppm_p6(1, 2, ras))
+    assert d["codec"] == "ppm/p6" and d["raster"] == ras
+
+
+def test_extract_image_stats_plan_is_mapinpandas(spark):
+    from pyspark.sql import functions as F, types as T
+
+    from datafusion_federation_spark.operators.multimodal import (
+        encode_ppm_p6, extract_image_stats)
+    rows = [(i, encode_ppm_p6(2, 2, bytes(((i * 7 + j) % 256)
+                                          for j in range(12))))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    out = extract_image_stats(df)
+    got = {r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b,
+                      r.n_px) for r in out.collect()}
+    for i in range(6):
+        vals = [(i * 7 + j) % 256 for j in range(12)]
+        assert got[i] == (2, 2, sum(vals[0::3]), sum(vals[1::3]),
+                          sum(vals[2::3]), 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan

@@ -176,3 +176,42 @@ def test_one_slice_per_task_no_shuffle(spark, dbfile):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert df.rdd.getNumPartitions() == 8
+
+
+def test_runtime_join_filter_reaches_slices(spark, dbfile):
+    """VERDICT r8 Next #6: a federated join's min/max runtime probe
+    must bound the PARTITIONED remote read too — each slice's SQL
+    carries the dim-derived key bounds, so a 100 TB fact fetch prunes
+    at the remote engine instead of shipping whole slices."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.partitioned import (
+        _slice_sql)
+    from datafusion_federation_spark.sources.provider import SQLProvider
+
+    ex = PartitionedDuckDBExecutor(dbfile, split_col="o_orderkey",
+                                   n_slices=4)
+    eng = FederationEngine(spark)
+    eng.compiler.runtime_join_filters = True
+    eng.register_remote(SQLProvider(ex), "orders")
+    # local dim: a narrow key range -> the probe must bound the fetch
+    dim = spark.createDataFrame([(37,), (38,), (41,)], "ck BIGINT")
+    eng.register_local_df("dim", dim)
+    out = eng.sql(
+        "SELECT o_orderkey, ck FROM orders JOIN dim ON o_custkey = ck")
+    got = sorted((r.o_orderkey, r.ck) for r in out.collect())
+
+    import duckdb
+    con = duckdb.connect(dbfile, read_only=True)
+    want = sorted(con.execute(
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey IN (37, 38, 41)").fetchall())
+    con.close()
+    assert got == want and got, "bounded read must still join correctly"
+
+    sql = ex.metrics()["last_sql"]
+    assert ">= 37" in sql and "<= 41" in sql, \
+        f"probe bounds missing from the partitioned executor's SQL: {sql}"
+    # and the per-slice SQL wraps that bounded query — every slice
+    # carries the pruning predicate to the remote engine
+    s0 = _slice_sql(sql, "o_orderkey", 4, 0)
+    assert ">= 37" in s0 and "<= 41" in s0

@@ -298,3 +298,80 @@ def test_lambda_null_array(spark):
     rows = eng.sql("SELECT k, transform(a, x -> x * 2) AS t2, "
                    "size(filter(a, x -> x > 0)) AS n FROM t").collect()
     assert rows[0].t2 is None and rows[0].n is None
+
+
+def test_with_ties_fetch_zero(spark, frame):
+    """ADVICE r9: FETCH FIRST 0 ROWS WITH TIES must return ZERO rows —
+    before the fix the empty probe skipped the boundary filter and the
+    query returned the whole table."""
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    got = eng.sql("SELECT k, g FROM t ORDER BY g "
+                  "FETCH FIRST 0 ROWS WITH TIES").collect()
+    assert got == []
+
+
+def test_with_ties_fetch_zero_with_offset(spark, frame):
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    got = eng.sql("SELECT k, g FROM t ORDER BY g, k OFFSET 3 ROWS "
+                  "FETCH FIRST 0 ROWS WITH TIES").collect()
+    assert got == []
+
+
+def test_sum_distinct_window_decimal(spark):
+    """ADVICE r9: SUM(DISTINCT <decimal>) OVER previously raised an
+    AnalysisException — Spark widens acc+v past the fold seed's
+    precision and ArrayAggregate requires merge type == seed type.
+    The compiler now probes the dtype and pins the accumulator."""
+    from decimal import Decimal
+
+    rows = [(i, i % 2, Decimal(str((i % 5) * 7 + 0.25)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "k INT, p INT, d DECIMAL(12,2)")
+    eng = _engine(spark, {"t": df})
+    got = eng.sql(
+        "SELECT k, SUM(DISTINCT d) OVER (PARTITION BY p ORDER BY k "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sd "
+        "FROM t ORDER BY k").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, p INT, d DECIMAL(12,2))")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [(k, p, float(d)) for k, p, d in rows])
+    want = con.execute(
+        "SELECT k, SUM(DISTINCT d) OVER (PARTITION BY p ORDER BY k "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sd "
+        "FROM t ORDER BY k").fetchall()
+    assert [(r.k, float(r.sd)) for r in got] == \
+           [(k, float(v)) for k, v in want]
+    # result type mirrors Spark's native SUM(decimal(12,2)): (22,2)
+    sd_type = [f.dataType.simpleString() for f in
+               eng.sql("SELECT SUM(DISTINCT d) OVER (ORDER BY k) AS sd "
+                       "FROM t").schema.fields]
+    assert sd_type == ["decimal(22,2)"]
+
+
+def test_avg_distinct_window_decimal_high_scale(spark):
+    """Scale > 6 would shrink under Spark's precision-loss adjustment
+    if the merge result were left uncast — pin the s=8 path too."""
+    from decimal import Decimal
+
+    rows = [(i, Decimal(str((i % 4) + 1)) / Decimal("3"))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "k INT, d DECIMAL(20,8)")
+    eng = _engine(spark, {"t": df})
+    got = eng.sql(
+        "SELECT k, AVG(DISTINCT d) OVER (ORDER BY k "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad "
+        "FROM t ORDER BY k").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k INT, d DECIMAL(20,8))")
+    con.executemany("INSERT INTO t VALUES (?,?)",
+                    [(k, float(d)) for k, d in rows])
+    want = con.execute(
+        "SELECT k, AVG(DISTINCT d) OVER (ORDER BY k "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad "
+        "FROM t ORDER BY k").fetchall()
+    for (gk, gv), (wk, wv) in zip([(r.k, float(r.ad)) for r in got],
+                                  [(k, float(v)) for k, v in want]):
+        assert gk == wk and abs(gv - wv) < 1e-9

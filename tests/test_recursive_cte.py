@@ -486,10 +486,6 @@ def test_search_cycle_refusals(spark):
     from datafusion_federation_spark.sqlfront import SqlParseError
     eng = _engine(spark)
     cases = [
-        # UNION distinct
-        ("WITH RECURSIVE w(n) AS (SELECT 0 UNION "
-         "SELECT n + 1 FROM w WHERE n < 3) CYCLE n SET ic USING p "
-         "SELECT n FROM w", "UNION ALL"),
         # BY column not an output
         ("WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
          "SELECT n + 1 FROM w WHERE n < 3) CYCLE zz SET ic USING p "
@@ -531,3 +527,83 @@ SELECT CAST(COUNT(*) AS BIGINT) AS c FROM t""").plan
     assert any(isinstance(n, RemoteQueryNode) for n in walk_plan(cte.base))
     rows = eng.execute(fed).collect()
     assert rows[0].c >= 3
+
+
+# ---------------------------------------------------------------------------
+# r9: SEARCH/CYCLE under UNION (distinct) — graduated from the r8 refusal.
+# Postgres semantics: distinctness on USER columns only (rewriteSearchCycle
+# keeps appended columns out of the duplicate elimination); first-seen row
+# wins, within-round ties -> minimal appended tuple.
+# ---------------------------------------------------------------------------
+
+def test_cycle_union_distinct_first_seen_min_path(spark):
+    eng = _engine(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (1, 5), (5, 1),
+         (2, 4)],                       # 4 reachable at depth 3 two ways
+        "src INT, dst INT")
+    eng.register_local_df("edges", edges)
+    rows = eng.sql("""
+WITH RECURSIVE walk(u) AS (
+  SELECT 1 AS u
+  UNION
+  SELECT e.dst FROM walk w JOIN edges e ON e.src = w.u
+) CYCLE u SET ic USING p
+SELECT u, ic, p FROM walk""").collect()
+    got = {r.u: (r.ic, list(r.p)) for r in rows}
+    # first-seen depth = BFS level; path = lexicographically-minimal
+    # shortest path; marks all FALSE (a marked row's user tuple is by
+    # definition already accumulated, so it never survives the dedup)
+    assert got == {
+        1: (False, [1]),
+        2: (False, [1, 2]),
+        5: (False, [1, 5]),
+        3: (False, [1, 2, 3]),
+        4: (False, [1, 2, 4]),          # min([1,2,4], [1,2,3,4] is longer)
+    }
+    assert len(rows) == 5               # user-column dedup, no dup paths
+
+
+def test_cycle_union_distinct_dedups_within_round(spark):
+    # two same-round paths to one node: the minimal path must win
+    eng = _engine(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 9), (3, 9)], "src INT, dst INT")
+    eng.register_local_df("edges", edges)
+    rows = eng.sql("""
+WITH RECURSIVE walk(u) AS (
+  SELECT 1 AS u
+  UNION
+  SELECT e.dst FROM walk w JOIN edges e ON e.src = w.u
+) CYCLE u SET ic USING p
+SELECT u, p FROM walk""").collect()
+    got = {r.u: list(r.p) for r in rows}
+    assert got[9] == [1, 2, 9], "within-round tie must take min path"
+
+
+def test_search_bfs_union_distinct(spark):
+    # SEARCH under distinct rides the same dedup_cols machinery:
+    # first-seen level per node
+    eng = _engine(spark)
+    rows = eng.sql("""
+WITH RECURSIVE r(n) AS (
+  SELECT 0 AS n
+  UNION
+  SELECT (n + 3) % 5 FROM r
+) SEARCH BREADTH FIRST BY n SET o
+SELECT n, o.level AS lvl FROM r""").collect()
+    got = {r.n: r.lvl for r in rows}
+    assert got == {0: 0, 3: 1, 1: 2, 4: 3, 2: 4}
+
+
+def test_plain_union_distinct_unaffected(spark):
+    # no SEARCH/CYCLE clause: dedup stays on ALL columns
+    eng = _engine(spark)
+    rows = eng.sql("""
+WITH RECURSIVE r(n, tag) AS (
+  SELECT 0, 'a'
+  UNION
+  SELECT (n + 2) % 4, 'a' FROM r
+)
+SELECT n, tag FROM r""").collect()
+    assert sorted(r.n for r in rows) == [0, 2]

@@ -2331,3 +2331,22 @@ def test_grouping_set_keys_with_select_aliases(spark):
         want = sorted(map(tuple, con.execute(q).fetchall()),
                       key=lambda t: tuple((v is None, v) for v in t))
         assert got == want, q
+
+
+# ---------------------------------------------------------------------------
+# _structural_key on SparkCol (ADVICE r9): the lambda payload's repr embeds
+# a memory address — keys must come from the stable `name` field instead
+# ---------------------------------------------------------------------------
+
+def test_structural_key_sparkcol_is_stable():
+    from datafusion_federation_spark.expressions import Alias, SparkCol
+    from datafusion_federation_spark.sqlfront import _structural_key
+    a = SparkCol(lambda: None, "is_cycle")
+    b = SparkCol(lambda: None, "is_cycle")     # distinct lambda object
+    assert _structural_key(a) == _structural_key(b), \
+        "structurally identical SparkCols must share one key"
+    c = SparkCol(lambda: None, "other_col")
+    assert _structural_key(a) != _structural_key(c)
+    # nested inside a tree the property must survive the recursion
+    assert _structural_key(Alias(a, "m")) == _structural_key(Alias(b, "m"))
+    assert "0x" not in _structural_key(a), "no memory addresses in keys"
