@@ -190,6 +190,18 @@ class Compiler:
             # over it (EmptyRelation produce_one_row analog)
             return self.spark.range(1).select()
 
+        from .plans.nodes import SeriesScan
+        if isinstance(p, SeriesScan):
+            # inclusive bounds (Postgres/DuckDB) -> exclusive range;
+            # a sign-mismatched span yields empty on both engines, and
+            # spark.range does the same once the stop adjustment never
+            # flips an empty span non-empty
+            stop = p.stop + (1 if p.step > 0 else -1)
+            if (p.step > 0 and p.start > p.stop) or \
+                    (p.step < 0 and p.start < p.stop):
+                stop = p.start          # provably empty either way
+            return self.spark.range(p.start, stop, p.step).toDF(p.col)
+
         if isinstance(p, RecursiveCTE):
             # one fixpoint run per compile() even when the CTE is
             # referenced several times: the parser shares one node
@@ -573,8 +585,13 @@ class Compiler:
                     # terminates UNION ALL over a cyclic graph. A round
                     # whose rows are ALL marked leaves an empty working
                     # table; the next step yields 0 and the loop exits.
+                    # The mark's "detected" value is True for the
+                    # boolean form or the user's TO constant (r9); the
+                    # mark is never NULL, so the null-safe negation
+                    # keeps exactly the unmarked rows.
                     work = work.filter(
-                        F.col(p.cycle_col) == F.lit(False))
+                        ~F.col(p.cycle_col).eqNullSafe(
+                            F.lit(p.cycle_mark_value)))
                 if n_new <= 1_000_000:
                     # the next round binds the working table into the
                     # step's join: a delta this small (row count is
@@ -702,12 +719,26 @@ class Compiler:
                 return x
             return _rewrite_expr(e, repl).to_spark()
 
+        # grouped lateral body (r9, graduated from a refusal): SELECT
+        # over GROUP BY inside LATERAL returns one row PER GROUP per
+        # outer row. The parser wraps order-shuffled select lists as a
+        # restoring Project of plain Cols over the Aggregate — unwrap.
+        g_core = core
+        if (isinstance(g_core, Project)
+                and isinstance(g_core.input, Aggregate)
+                and all(isinstance(e, ColE)
+                        for e in g_core.projections)):
+            g_core = g_core.input
+        if isinstance(g_core, Aggregate) and g_core.group_by:
+            if on_expr is not None:
+                raise NotImplementedError(
+                    "LATERAL aggregate supports only ON TRUE")
+            return self._lateral_grouped_agg(
+                p, g_core, left_df, alias, _outer_expr_col,
+                _is_outer_expr)
+
         if isinstance(core, Aggregate):
             agg = core
-            if agg.group_by:
-                raise NotImplementedError(
-                    "LATERAL aggregate with its own GROUP BY is "
-                    "unsupported")
             if on_expr is not None:
                 raise NotImplementedError(
                     "LATERAL aggregate supports only ON TRUE")
@@ -822,10 +853,13 @@ class Compiler:
         if limit is not None:
             pairs = split_conds(conds)
             if pairs is None:
-                raise NotImplementedError(
-                    "LATERAL ORDER BY/LIMIT needs equality correlation "
-                    "(inner_col = outer.col) to partition the top-k "
-                    "window")
+                # r9: theta residue (inequalities alongside equality
+                # keys) takes the join-then-window arm — the per-outer-
+                # row filtered set changes the ranking, so the window
+                # must partition by the OUTER tuple, not the inner key
+                return self._lateral_theta_topk(
+                    p, conds, cleaned, sort, limit, left_df, alias,
+                    _outer_expr_col, _is_outer_expr)
             from pyspark.sql import Window as W
             win = W.partitionBy(*[right_df[a.name] for a, _ in pairs]) \
                 .orderBy(*[k.to_spark() for k in sort.keys])
@@ -864,6 +898,170 @@ class Compiler:
         if out_cols is not None:
             return joined.select(left_df["*"],
                                  *[right_df[c] for c in out_cols])
+        return joined
+
+    def _lateral_theta_topk(self, p, conds, cleaned, sort, limit,
+                            left_df, alias, outer_expr_col,
+                            is_outer_expr):
+        """Theta-correlated LATERAL top-k (r9; graduated from the
+        equality-only refusal). An inequality conjunct makes the
+        ranked set per-outer-row, so the inner-key-partitioned window
+        of the equality arm is wrong — instead: DISTINCT outer tuples
+        (equality key exprs + theta outer refs) INNER-join the inner
+        side on eq keys + theta residue, row_number partitions by the
+        OUTER tuple, rows outside (skip, skip+fetch] drop, and the
+        ranked rows join back null-safely (LEFT for LEFT JOIN LATERAL
+        — unmatched outer rows null-extend; comma/CROSS drops them).
+        Requires >= 1 equality pair so the join hashes with theta as
+        residual conditions. 100 TB: one keyed shuffle + one window
+        over the outer-tuple partitioning — skew follows the outer key
+        distribution like any top-k-per-key."""
+        from pyspark.sql import Window as W
+
+        from .expressions import (
+            BinaryOp, Col as ColE, Exists, InSubquery, OuterRef,
+            ScalarSubquery, SparkCol, walk as walk_expr)
+        eq_pairs, theta = [], []
+        for c0 in conds:
+            if isinstance(c0, BinaryOp) and c0.op == "=":
+                a0, b0 = c0.left, c0.right
+                if isinstance(a0, ColE) and is_outer_expr(b0):
+                    eq_pairs.append((a0, b0))
+                    continue
+                if isinstance(b0, ColE) and is_outer_expr(a0):
+                    eq_pairs.append((b0, a0))
+                    continue
+            theta.append(c0)
+        if not eq_pairs:
+            raise NotImplementedError(
+                "LATERAL ORDER BY/LIMIT with ONLY non-equality "
+                "correlation would need an unbounded nested-loop "
+                "join — add an equality conjunct")
+        for c0 in theta:
+            for x in walk_expr(c0):
+                if isinstance(x, (Exists, InSubquery, ScalarSubquery)):
+                    raise NotImplementedError(
+                        "LATERAL correlation may not contain "
+                        "subqueries")
+        inner_df = self._c(cleaned)
+        theta_refs, seen = [], {}
+        for c0 in theta:
+            for x in walk_expr(c0):
+                if isinstance(x, OuterRef) \
+                        and x.name.lower() not in seen:
+                    seen[x.name.lower()] = len(theta_refs)
+                    theta_refs.append(x)
+        k_names = [f"__lat_k{i}" for i in range(len(eq_pairs))]
+        t_names = [f"__lat_t{j}" for j in range(len(theta_refs))]
+        helpers = k_names + t_names
+        okeys = ([outer_expr_col(r).alias(n)
+                  for (_, r), n in zip(eq_pairs, k_names)] +
+                 [outer_expr_col(x).alias(n)
+                  for x, n in zip(theta_refs, t_names)])
+        keyed = left_df.select(*okeys).dropDuplicates()
+        jc = None
+        for (a, _), n in zip(eq_pairs, k_names):
+            c1 = keyed[n] == inner_df[a.name]
+            jc = c1 if jc is None else jc & c1
+        for c0 in theta:
+            def repl(x):
+                if isinstance(x, OuterRef):
+                    return SparkCol(
+                        keyed[t_names[seen[x.name.lower()]]], x.name)
+                if isinstance(x, ColE):
+                    return SparkCol(inner_df[x.name], x.name)
+                return x
+            jc = jc & _rewrite_expr(c0, repl).to_spark()
+        joined = keyed.join(inner_df, on=jc, how="inner")
+        win = (W.partitionBy(*[keyed[n] for n in helpers])
+               .orderBy(*[k.to_spark() for k in sort.keys]))
+        lo = limit.skip or 0
+        hi = lo + limit.fetch if limit.fetch is not None else None
+        j2 = joined.withColumn("__lat_rn", F.row_number().over(win))
+        flt = F.col("__lat_rn") > F.lit(lo)
+        if hi is not None:
+            flt = flt & (F.col("__lat_rn") <= F.lit(hi))
+        right2 = j2.filter(flt).drop("__lat_rn")
+        if alias:
+            right2 = right2.alias(alias)
+        how = {"cross": "inner", "inner": "inner", "left": "left"}[p.how]
+        jc2 = None
+        for (_, r), n in zip(eq_pairs, k_names):
+            c1 = outer_expr_col(r).eqNullSafe(right2[n])
+            jc2 = c1 if jc2 is None else jc2 & c1
+        for x, n in zip(theta_refs, t_names):
+            c1 = outer_expr_col(x).eqNullSafe(right2[n])
+            jc2 = c1 if jc2 is None else jc2 & c1
+        joined2 = left_df.join(right2, on=jc2, how=how)
+        out_cols = _plan_output_cols(p.right)
+        if out_cols is not None:
+            return joined2.select(left_df["*"],
+                                  *[right2[c] for c in out_cols])
+        return joined2
+
+    def _lateral_grouped_agg(self, p, agg, left_df, alias,
+                             outer_expr_col, is_outer_expr):
+        """LATERAL body with its own GROUP BY (r9; graduated from a
+        refusal). Engines return one row per GROUP per outer row;
+        set-level rewrite: group the inner side by (correlation keys +
+        user group keys) ONCE, then join the outer rows to the grouped
+        result on the correlation keys. No empty-group fixup exists
+        here by design — a grouped aggregate over zero rows returns
+        ZERO rows (not one), so unmatched outer rows simply drop under
+        comma/CROSS lateral and null-extend under LEFT JOIN LATERAL,
+        which the plain (non-null-safe) equality join gives for free
+        (`inner = NULL` never matches, exactly the engines' behavior
+        for NULL outer keys). 100 TB: one keyed shuffle for the
+        grouped aggregate, then an ordinary equi-join Catalyst plans
+        (broadcast when the grouped side is small)."""
+        from .expressions import (
+            BinaryOp, Col as ColE, walk as walk_expr)
+
+        conds, cleaned_in = _extract_correlated(agg.input)
+        self._pin_static_leaves(cleaned_in)
+        pairs = []
+        for c0 in conds:
+            if isinstance(c0, BinaryOp) and c0.op == "=":
+                a0, b0 = c0.left, c0.right
+                if isinstance(a0, ColE) and is_outer_expr(b0):
+                    pairs.append((a0, b0))
+                    continue
+                if isinstance(b0, ColE) and is_outer_expr(a0):
+                    pairs.append((b0, a0))
+                    continue
+            raise NotImplementedError(
+                "grouped LATERAL aggregate needs pure equality "
+                "correlation (inner_col = <expr over outer columns>)")
+        how = {"cross": "inner", "inner": "inner", "left": "left"}[p.how]
+        if not pairs:
+            # uncorrelated grouped body: same groups for every outer row
+            body = self._c(p.right)
+            if how == "inner":
+                return left_df.crossJoin(body)
+            return left_df.join(body, on=F.lit(True), how="left")
+        inner_keys = [a for a, _ in pairs]
+        ik_names = {k.name.lower() for k in inner_keys}
+        extra_groups = [g for g in agg.group_by
+                        if not (isinstance(g, ColE)
+                                and g.name.lower() in ik_names)]
+        need = [k.name for k in inner_keys] + \
+               [x.name for g in agg.group_by for x in walk_expr(g)
+                if isinstance(x, ColE)]
+        widened = _widen_projects(cleaned_in, need)
+        agg_df = self._c(Aggregate(widened,
+                                   list(inner_keys) + extra_groups,
+                                   list(agg.aggregates)))
+        if alias:
+            agg_df = agg_df.alias(alias)
+        jc = None
+        for (a, r) in pairs:
+            c0 = outer_expr_col(r) == agg_df[a.name]
+            jc = c0 if jc is None else jc & c0
+        joined = left_df.join(agg_df, on=jc, how=how)
+        out_cols = _plan_output_cols(p.right)
+        if out_cols is not None:
+            return joined.select(left_df["*"],
+                                 *[agg_df[c] for c in out_cols])
         return joined
 
     def _lateral_theta_agg(self, p, agg, cleaned_in, pairs, theta,
@@ -2196,6 +2394,9 @@ def _plan_output_cols(p: Plan):
         return None
     if isinstance(p, (Union, SetOp)):
         return _plan_output_cols(p.inputs()[0])
+    from .plans.nodes import SeriesScan as _SS
+    if isinstance(p, _SS):
+        return [p.col]
     if isinstance(p, AsofJoin):
         # like Join: the output spans both sides (left cols + carried
         # right cols) — the generic first-input fallthrough would hide

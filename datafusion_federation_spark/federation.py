@@ -174,6 +174,11 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
         # it would make the unparser render a FROM-less branch per
         # dialect for zero pushdown benefit (there is nothing to push)
         return ScanResult.distinct(_LOCAL)
+    from .plans.nodes import SeriesScan
+    if isinstance(p, SeriesScan):
+        # generated integer series (r9): a constant relation with no
+        # provider — local like OneRow; siblings still claim
+        return ScanResult.distinct(_LOCAL)
     if isinstance(p, RecursiveRef):
         # WITH RECURSIVE working table: only the local fixpoint loop can
         # bind it, so the recursive term (and everything above it) must

@@ -254,6 +254,30 @@ class OneRow(Plan):
 
 
 @dataclass(eq=False)
+class SeriesScan(Plan):
+    """``FROM generate_series(start, stop [, step])`` table factor
+    (Postgres / DuckDB; r9) — INCLUSIVE bounds, unlike Spark's
+    exclusive ``range`` TVF. Compiles to ``spark.range`` with the stop
+    adjusted by the step's sign; a sign-mismatched range (start > stop
+    with a positive step) is empty, matching both engines. Bounds are
+    parse-time integer constants (a column-dependent series belongs in
+    a LATERAL body, which this node deliberately does not model).
+    Local-only leaf like OneRow: scan_plan assigns the local provider,
+    so siblings still claim while the series row source never blocks a
+    federation split. 100 TB posture: spark.range distributes the span
+    across the default parallelism — no driver materialization."""
+
+    start: int
+    stop: int
+    step: int = 1
+    col: str = "generate_series"
+
+    def with_inputs(self, new_inputs):
+        assert not new_inputs
+        return self
+
+
+@dataclass(eq=False)
 class RecursiveRef(Plan):
     """Self-reference to an enclosing WITH RECURSIVE CTE (the engines'
     "working table"). Leaf node: at compile time the compiler substitutes
@@ -309,6 +333,10 @@ class RecursiveCTE(Plan):
     #: lexicographically-minimal shortest path). None = dedup on all
     #: columns (plain UNION distinct).
     dedup_cols: Optional[Sequence[str]] = None
+    #: the CYCLE mark's "cycle detected" value (SQL:1999 TO v DEFAULT
+    #: dv, r9): rows whose mark equals this value never recurse. True
+    #: for the plain boolean form.
+    cycle_mark_value: Any = True
 
     def inputs(self): return (self.base, self.step)
 
@@ -316,7 +344,7 @@ class RecursiveCTE(Plan):
         return RecursiveCTE(self.name, self.cols, new_inputs[0],
                             new_inputs[1], self.union_all,
                             self.max_iterations, self.cycle_col,
-                            self.dedup_cols)
+                            self.dedup_cols, self.cycle_mark_value)
 
 
 @dataclass(eq=False)

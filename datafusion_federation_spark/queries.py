@@ -506,6 +506,15 @@ SECONDARY = {
     # round 9: REAL P6-PPM decode (stdlib struct) in the multimodal
     # seam; oracle derives channel sums arithmetically, never sees bytes
     "d93_image_decode",
+    # round 9: REAL RIFF/WAVE PCM-16 decode (chunk walk + int16 frames);
+    # same arithmetic-oracle pattern as d93
+    "d94_audio_decode",
+    # round 9: grouped LATERAL bodies (one row per group per outer row);
+    # identical SQL both engines
+    "q113_grouped_lateral",
+    # round 9: generate_series table factor (inclusive series, the
+    # densification idiom); identical SQL both engines
+    "q114_generate_series",
 }
 
 DEC = "decimal(12,2)"

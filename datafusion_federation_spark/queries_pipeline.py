@@ -5658,3 +5658,124 @@ def d93(spark, sf):
             T.StructField("payload", T.BinaryType())]))
     return (extract_image_stats(with_payload)
             .orderBy("doc_id"))
+
+
+_D94_SQL = """
+WITH dims AS (
+  SELECT doc_id, n_chars % 50 + 10 AS frames,
+         CAST(1 + doc_id % 2 AS INTEGER) AS channels
+  FROM documents
+),
+sam AS (
+  SELECT doc_id, frames, channels,
+         unnest(range(0, frames * channels)) AS k
+  FROM dims
+)
+SELECT doc_id,
+       8000 AS sample_rate, channels,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM((doc_id*13 + k) % 4001 - 2000) AS BIGINT)
+         AS sum_samples,
+       CAST(SUM(abs((doc_id*13 + k) % 4001 - 2000)) AS BIGINT)
+         AS sum_abs
+FROM sam GROUP BY doc_id, frames, channels ORDER BY doc_id
+"""
+
+
+@q("d94_audio_decode", _D94_SQL)
+def d94(spark, sf):
+    """REAL audio decode (r9): every document gets a genuine RIFF/WAVE
+    PCM-16 payload (fmt + data chunks, interleaved frames; sample k =
+    (doc_id*13 + k) % 4001 - 2000, frame count from n_chars, mono or
+    stereo by doc_id parity); the stdlib ``decode_wav`` walks the REAL
+    chunk list, validates PCM-16, unpacks the int16 frames inside the
+    Arrow-batched mapInPandas seam, and per-clip sample sums come from
+    the parsed frames. The oracle derives the same sums ARITHMETICALLY
+    (generate-range over the interleaved sample index — it never sees
+    bytes), so a decoder that misread the fmt chunk, dropped frames,
+    or broke on word alignment would mismatch. 100 TB: payloads are
+    built and decoded inside one mapInPandas pass each — bytes cross
+    Python once per Arrow batch and never shuffle."""
+    import pandas as _pd
+
+    from .operators.multimodal import encode_wav_pcm16, \
+        extract_audio_stats
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def _mk(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                frames = int(nc) % 50 + 10
+                ch = 1 + int(did) % 2
+                samples = [(int(did) * 13 + k) % 4001 - 2000
+                           for k in range(frames * ch)]
+                payloads.append(encode_wav_pcm16(8000, ch, samples))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        _mk, schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType())]))
+    return extract_audio_stats(with_payload).orderBy("doc_id")
+
+
+_Q113_SQL = """
+SELECT c.c_mktsegment, l.st, CAST(SUM(l.n) AS BIGINT) AS total_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c, LATERAL (
+  SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  GROUP BY o_orderstatus) l
+GROUP BY c.c_mktsegment, l.st ORDER BY c.c_mktsegment, l.st
+"""
+
+
+@q("q113_grouped_lateral", _Q113_SQL)
+def q113(spark, sf):
+    """LATERAL body with its own GROUP BY (r9; graduated from a
+    refusal the composed fuzzer surfaced while driving LATERAL
+    through other features). Engines evaluate the grouped subquery
+    per outer row — one row PER GROUP per customer; the set-level
+    rewrite groups the inner side ONCE by (correlation key, group
+    key) and equi-joins back, with comma-lateral dropping outer rows
+    whose aggregate is empty (a grouped aggregate over zero rows
+    returns zero rows — no empty-group fixup, unlike the ungrouped
+    arm). Identical SQL on both engines. 100 TB: one keyed shuffle
+    for the grouped aggregate, one ordinary equi-join."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    for tb in ("customer", "orders"):
+        eng.register_local_df(tb, t(spark, sf, tb))
+    return eng.sql(_Q113_SQL)
+
+
+_Q114_SQL = """
+SELECT g.n AS bucket, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(o.o_custkey), 0) AS BIGINT) AS cust_sum
+FROM generate_series(0, 11) AS g(n)
+LEFT JOIN orders o ON o.o_orderkey % 12 = g.n
+GROUP BY g.n ORDER BY g.n
+"""
+
+
+@q("q114_generate_series", _Q114_SQL)
+def q114(spark, sf):
+    """generate_series table factor (r9): the Postgres/DuckDB
+    INCLUSIVE integer series as a FROM-clause row source — the
+    densification idiom (calendar/gapfill skeletons LEFT-JOINed to
+    facts so empty buckets surface with zero counts). Compiles to
+    spark.range with the stop adjusted by the step sign; sign-
+    mismatched spans are EMPTY (Postgres semantics; DuckDB raises —
+    pinned in tests). Identical SQL on both engines. The series is a
+    local constant leaf like OneRow: a federated sibling still claims
+    its provider (pinned). 100 TB: spark.range distributes the span;
+    the join is an ordinary equi-join Catalyst plans."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("orders", t(spark, sf, "orders"))
+    return eng.sql(_Q114_SQL)

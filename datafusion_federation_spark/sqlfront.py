@@ -406,20 +406,49 @@ class Parser:
                 by.append(self.take()[1])
             self.expect_kw("SET")
             search = (depth, by, self.take()[1])
-        cycle = None                      # (by: [str], mark, path)
+        def _mark_literal():
+            """Constant for CYCLE ... TO v DEFAULT dv: number, string,
+            TRUE/FALSE (Postgres 14 requires constants)."""
+            neg = False
+            if self.peek() == ("op", "-"):
+                self.take()
+                neg = True
+            t = self.take()
+            if t[0] == "num":
+                v = float(t[1]) if "." in t[1] else int(t[1])
+                return -v if neg else v
+            if neg:
+                raise SqlParseError("CYCLE mark value: '-' before a "
+                                    "non-numeric constant")
+            if t[0] == "str":
+                return t[1]
+            if t[0] == "id" and t[1].upper() in ("TRUE", "FALSE"):
+                return t[1].upper() == "TRUE"
+            raise SqlParseError(
+                f"CYCLE mark value must be a constant, got {t!r}")
+
+        cycle = None            # (by: [str], mark, path, to_v, dflt_v)
         if self.accept_kw("CYCLE"):
             by = [self.take()[1]]
             while self.accept_op(","):
                 by.append(self.take()[1])
             self.expect_kw("SET")
             mark = self.take()[1]
-            if self.at_kw("TO"):
-                raise SqlParseError(
-                    "CYCLE ... SET col TO v DEFAULT dv (custom mark "
-                    "values) is outside the parser surface; the "
-                    "boolean default form is supported")
+            to_v, dflt_v = True, False
+            if self.accept_kw("TO"):
+                # r9 (graduated from a refusal): custom mark values —
+                # CYCLE c SET m TO 'Y' DEFAULT 'N' USING p. Postgres 14
+                # semantics: both constants, same type, distinct.
+                to_v = _mark_literal()
+                self.expect_kw("DEFAULT")
+                dflt_v = _mark_literal()
+                if to_v is None or dflt_v is None or to_v == dflt_v \
+                        or type(to_v) is not type(dflt_v):
+                    raise SqlParseError(
+                        "CYCLE mark values must be distinct non-NULL "
+                        "constants of one type")
             self.expect_kw("USING")
-            cycle = (by, mark, self.take()[1])
+            cycle = (by, mark, self.take()[1], to_v, dflt_v)
 
         if not isinstance(node, RecursiveCTE):
             raise SqlParseError(
@@ -488,11 +517,20 @@ class Parser:
                         key(si, by).alias("k")),
                     oc)
         if cycle is not None:
-            by2, mark, pc = cycle
+            by2, mark, pc, to_v, dflt_v = cycle
             bi2, si2 = branch_irs(base, by2), branch_irs(step, by2)
-            append(lambda: F.lit(False),
-                   lambda: F.array_contains(F.col(pc), key(si2, by2)),
-                   mark)
+            if to_v is True and dflt_v is False:
+                append(lambda: F.lit(False),
+                       lambda: F.array_contains(F.col(pc), key(si2, by2)),
+                       mark)
+            else:
+                # custom mark values (r9): CASE contains THEN to_v
+                # ELSE dflt_v — the mark is never NULL
+                append(lambda: F.lit(dflt_v),
+                       lambda: F.when(
+                           F.array_contains(F.col(pc), key(si2, by2)),
+                           F.lit(to_v)).otherwise(F.lit(dflt_v)),
+                       mark)
             append(lambda: F.array(key(bi2, by2)),
                    lambda: F.array_append(F.col(pc), key(si2, by2)),
                    pc)
@@ -512,7 +550,8 @@ class Parser:
             union_all=node.union_all,
             max_iterations=node.max_iterations,
             cycle_col=cycle[1] if cycle is not None else None,
-            dedup_cols=None if node.union_all else list(outs))
+            dedup_cols=None if node.union_all else list(outs),
+            cycle_mark_value=cycle[3] if cycle is not None else True)
 
     # query := intersect_chain ((UNION [ALL]|EXCEPT [ALL])
     #          intersect_chain)* [ORDER BY ...] [LIMIT ...]
@@ -1568,6 +1607,9 @@ class Parser:
             alias = self._relation_alias() or tname
             scope.add(alias)
             return SubqueryAlias(self.ctes[tname.lower()], alias)
+        if tname.lower() == "generate_series" \
+                and self.peek() == ("op", "("):
+            return self._parse_generate_series(scope)
         handle = self.resolve_table(tname)
         plan: Plan = Scan(handle)
         pivoted = self._maybe_pivot_suffix(plan, scope)
@@ -1695,6 +1737,53 @@ class Parser:
                       else Union(branches, all=True))
         scope.add(alias)
         return SubqueryAlias(plan, alias)
+
+    def _parse_generate_series(self, scope: _Scope) -> Plan:
+        """``generate_series(start, stop [, step]) [AS] alias[(col)]``
+        table factor (Postgres/DuckDB; r9): INCLUSIVE integer series.
+        Bounds must be integer constants — a column-dependent series
+        is per-row semantics, which belongs in LATERAL (refused here
+        rather than silently mis-scoped). Default column name matches
+        Postgres: ``generate_series``."""
+        from .plans.nodes import SeriesScan
+        self.expect_op("(")
+
+        def const_int() -> int:
+            neg = False
+            if self.peek() == ("op", "-"):
+                self.take()
+                neg = True
+            t = self.take()
+            if t[0] != "num" or "." in t[1]:
+                raise SqlParseError(
+                    "generate_series bounds must be integer constants "
+                    "(a column-dependent series belongs in LATERAL, "
+                    "which this table factor does not model)")
+            v = int(t[1])
+            return -v if neg else v
+
+        start = const_int()
+        self.expect_op(",")
+        stop = const_int()
+        step = 1
+        if self.accept_op(","):
+            step = const_int()
+        if step == 0:
+            raise SqlParseError("generate_series step must not be zero")
+        self.expect_op(")")
+        alias = self._relation_alias()
+        col = "generate_series"
+        if alias and self.accept_op("("):
+            col = self.take()[1]
+            if self.accept_op(","):
+                raise SqlParseError(
+                    "generate_series produces exactly one column")
+            self.expect_op(")")
+        plan: Plan = SeriesScan(start, stop, step, col)
+        scope.add(alias or "generate_series")
+        if alias:
+            return SubqueryAlias(plan, alias)
+        return plan
 
     def _relation_alias(self) -> Optional[str]:
         if self.accept_kw("AS"):

@@ -1218,7 +1218,28 @@ def test_grouping_sets_local_and_federated_match_duckdb(engines, sql):
 def _composed_queries(draw):
     kind = draw(st.sampled_from(
         ["rec_window", "rec_window_base", "cycle_lateral",
-         "lateral_setop", "pivot_qualify"]))
+         "lateral_setop", "pivot_qualify", "grouped_lateral"]))
+
+    if kind == "grouped_lateral":
+        # r9 graduation: LATERAL body with its own GROUP BY — one row
+        # per group per outer row; comma form drops unmatched outer
+        # rows, LEFT JOIN LATERAL null-extends them
+        cut = draw(st.integers(2, 8))
+        form = draw(st.sampled_from(["comma", "left"]))
+        key = draw(st.sampled_from(["t.k", "t.k % 3"]))
+        gcol = draw(st.sampled_from(["n_regionkey % 2", "n_name"]))
+        body = (f"SELECT {gcol} AS g, CAST(COUNT(*) AS BIGINT) AS c, "
+                f"CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation "
+                f"WHERE n_regionkey = {key} GROUP BY {gcol}")
+        left = (f"(SELECT n_nationkey AS k FROM nation "
+                f"WHERE n_nationkey < {cut}) t")
+        if form == "comma":
+            sql = (f"SELECT t.k, l.g, l.c, l.s FROM {left}, "
+                   f"LATERAL ({body}) l")
+        else:
+            sql = (f"SELECT t.k, l.g, l.c, l.s FROM {left} "
+                   f"LEFT JOIN LATERAL ({body}) l ON TRUE")
+        return sql, sql
 
     if kind == "rec_window":
         step = draw(st.integers(1, 3))
@@ -1284,6 +1305,11 @@ def _composed_queries(draw):
             "FROM nation WHERE n_regionkey = t.k % 5",
             "SELECT n_name AS nm FROM nation "
             "WHERE n_regionkey = t.k % 5 "
+            "ORDER BY n_nationkey LIMIT 2",
+            # r9: theta residue through the top-k arm (outer-tuple
+            # partitioned window)
+            "SELECT n_name AS nm FROM nation "
+            "WHERE n_regionkey = t.k % 5 AND n_nationkey > t.k "
             "ORDER BY n_nationkey LIMIT 2",
         ]))
         cols = "l.c, l.s" if "COUNT" in body else "l.nm"

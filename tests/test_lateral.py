@@ -105,14 +105,6 @@ def test_lateral_refusals(lat):
 SELECT c.c_custkey FROM customer c JOIN LATERAL (
   SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
   LIMIT 2) s ON TRUE""").collect()
-    # aggregate with its own GROUP BY (a restoring projection wraps
-    # the Aggregate, so this refuses at the conjunct-hoisting stage)
-    with pytest.raises(NotImplementedError,
-                       match="GROUP BY|decorrelated"):
-        eng.sql("""
-SELECT c.c_custkey FROM customer c JOIN LATERAL (
-  SELECT COUNT(*) AS n FROM orders o WHERE o.o_custkey = c.c_custkey
-  GROUP BY o_orderstatus) s ON TRUE""").collect()
     # non-equi correlation under LIMIT
     with pytest.raises(NotImplementedError, match="equality"):
         eng.sql("""
@@ -290,3 +282,110 @@ def test_inner_lateral_agg_empty_group_divergence(spark):
     con.execute("CREATE TABLE b(k int, v int); "
                 "INSERT INTO b VALUES (1, 10), (1, 20)")
     assert con.execute(q).fetchall() == [(1, 30)]   # DuckDB drops k=0
+
+
+# ---------------------------------------------------------------------------
+# r9: grouped LATERAL bodies (graduated from the GROUP BY refusal) —
+# one row per group per outer row; no empty-group fixup by design (a
+# grouped aggregate over zero rows returns ZERO rows, so unmatched
+# outer rows drop under comma/CROSS lateral and null-extend under LEFT
+# JOIN LATERAL).
+# ---------------------------------------------------------------------------
+
+def test_lateral_grouped_agg_matches_duckdb(lat):
+    a, b = both(lat, """
+SELECT c.c_custkey, s.st, s.n FROM customer c, LATERAL (
+  SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  GROUP BY o_orderstatus) s
+WHERE c.c_custkey < 40 ORDER BY c.c_custkey, s.st""")
+    assert a == b and len(a) > 10
+
+
+def test_lateral_grouped_agg_shuffled_select_order(lat):
+    # (agg, key) select order -> the restoring-Project unwrap path
+    a, b = both(lat, """
+SELECT c.c_custkey, s.n, s.st FROM customer c, LATERAL (
+  SELECT CAST(SUM(o_orderkey) AS BIGINT) AS n, o_orderstatus AS st
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  GROUP BY o_orderstatus) s
+WHERE c.c_custkey < 40 ORDER BY c.c_custkey, s.st""")
+    assert a == b and len(a) > 10
+
+
+def test_lateral_grouped_left_join_null_extends(lat):
+    # an impossible inner filter: every outer row must survive exactly
+    # once with NULL group/agg columns
+    a, b = both(lat, """
+SELECT c.c_custkey, s.st, s.n FROM customer c LEFT JOIN LATERAL (
+  SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 0
+  GROUP BY o_orderstatus) s ON TRUE
+WHERE c.c_custkey < 15 ORDER BY c.c_custkey""")
+    assert a == b
+    assert all(r[1] is None and r[2] is None for r in a) and len(a) > 5
+
+
+def test_lateral_grouped_comma_drops_unmatched(lat):
+    # comma lateral: outer rows with zero groups disappear entirely
+    a, b = both(lat, """
+SELECT c.c_custkey, s.n FROM customer c, LATERAL (
+  SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 0
+  GROUP BY o_orderstatus) s""")
+    assert a == b == []
+
+
+def test_lateral_grouped_group_key_is_correlation_key(lat):
+    # GROUP BY the correlation column itself: the dedup guard must not
+    # emit a duplicate grouping column
+    a, b = both(lat, """
+SELECT c.c_custkey, s.k2, s.n FROM customer c, LATERAL (
+  SELECT o_custkey AS k2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  GROUP BY o_custkey) s
+WHERE c.c_custkey < 40 ORDER BY c.c_custkey""")
+    assert a == b and len(a) > 10
+
+
+def test_lateral_topk_theta_correlation(lat):
+    """r9: inequality conjunct alongside the equality key — top-1 order
+    above the customer's OWN totalprice median proxy (theta filters the
+    ranked set per outer row, so the window partitions by outer tuple)."""
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal * 30
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) s ON TRUE
+WHERE c.c_custkey < 60 ORDER BY c.c_custkey""")
+    assert a == b and len(a) > 3
+
+
+def test_lateral_topk_theta_left_null_extends(lat):
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey FROM customer c LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < -1
+  ORDER BY o_orderkey LIMIT 2) s ON TRUE
+WHERE c.c_custkey < 10 ORDER BY c.c_custkey""")
+    assert a == b and all(r[1] is None for r in a) and len(a) > 3
+
+
+def test_lateral_topk_theta_offset(lat):
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey FROM customer c, LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderkey > c.c_custkey * 2
+  ORDER BY o_orderkey LIMIT 2 OFFSET 1) s
+WHERE c.c_custkey < 40 ORDER BY c.c_custkey, s.o_orderkey""")
+    assert a == b and len(a) > 3
+
+
+def test_lateral_grouped_uncorrelated_cross(lat):
+    # uncorrelated grouped body: same group rows repeated per outer row
+    a, b = both(lat, """
+SELECT c.c_custkey, s.st, s.n FROM customer c, LATERAL (
+  SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderstatus) s
+WHERE c.c_custkey < 4 ORDER BY c.c_custkey, s.st""")
+    assert a == b and len(a) == 4 * 3

@@ -1215,3 +1215,40 @@ def test_extract_image_stats_plan_is_mapinpandas(spark):
                           sum(vals[2::3]), 4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_wav_decode_round_trips():
+    import random
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_wav, encode_wav_pcm16)
+    rng = random.Random(5)
+    for rate, ch, fr in [(8000, 1, 13), (16000, 2, 40), (44100, 2, 7)]:
+        samples = [rng.randrange(-32768, 32768) for _ in range(fr * ch)]
+        d = decode_wav(encode_wav_pcm16(rate, ch, samples))
+        assert (d["sample_rate"], d["channels"], d["n_frames"],
+                d["codec"]) == (rate, ch, fr, "wav/pcm16")
+        assert d["samples"] == samples
+        assert d["duration_ms"] == fr * 1000 // rate
+
+
+def test_wav_decode_skips_extra_chunks_and_refuses_nonpcm():
+    import struct
+
+    import pytest
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_wav, encode_wav_pcm16, real_decode)
+    b = encode_wav_pcm16(8000, 1, [1, -2, 3])
+    # inject a LIST chunk before fmt/data: the chunk walk must skip it
+    rest = b[12:]                      # fmt + data chunks
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    b2 = (b"RIFF" + struct.pack("<I", 4 + len(lst) + len(rest))
+          + b"WAVE" + lst + rest)
+    assert decode_wav(b2)["samples"] == [1, -2, 3]
+    # real_decode routes WAV; non-PCM refuses with the honest error
+    assert real_decode(b)["codec"] == "wav/pcm16"
+    bad = bytearray(b)
+    bad[20] = 3                        # format tag 3 = IEEE float
+    with pytest.raises(NotImplementedError, match="PCM-16"):
+        decode_wav(bytes(bad))

@@ -494,11 +494,6 @@ def test_search_cycle_refusals(spark):
         ("WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
          "SELECT n + 1 FROM w WHERE n < 3) CYCLE n SET n USING p "
          "SELECT n FROM w", "collides"),
-        # custom mark values
-        ("WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
-         "SELECT n + 1 FROM w WHERE n < 3) "
-         "CYCLE n SET ic TO 1 DEFAULT 0 USING p "
-         "SELECT n FROM w", "TO v DEFAULT"),
         # non-recursive CTE
         ("WITH RECURSIVE w(n) AS (SELECT 0) CYCLE n SET ic USING p "
          "SELECT n FROM w", "actually recurse"),
@@ -607,3 +602,42 @@ WITH RECURSIVE r(n, tag) AS (
 )
 SELECT n, tag FROM r""").collect()
     assert sorted(r.n for r in rows) == [0, 2]
+
+
+def test_cycle_custom_mark_values(spark):
+    """r9: CYCLE c SET m TO v DEFAULT dv (graduated from the parse
+    refusal) — Postgres 14 custom constant marks; marked rows carry
+    the TO value and never recurse."""
+    eng = _engine(spark)
+    rows = eng.sql("""
+WITH RECURSIVE w(n) AS (
+  SELECT 0 AS n UNION ALL SELECT (n + 3) % 5 FROM w
+) CYCLE n SET flag TO 'Y' DEFAULT 'N' USING p
+SELECT n, flag FROM w""").collect()
+    assert len(rows) == 6                     # 5 states + marked repeat
+    marks = sorted(r.flag for r in rows)
+    assert marks == ["N", "N", "N", "N", "N", "Y"]
+
+
+def test_cycle_custom_numeric_marks(spark):
+    eng = _engine(spark)
+    rows = eng.sql("""
+WITH RECURSIVE w(n) AS (
+  SELECT 0 AS n UNION ALL SELECT (n + 2) % 4 FROM w
+) CYCLE n SET flag TO 1 DEFAULT 0 USING p
+SELECT n, flag FROM w""").collect()
+    assert sorted((r.n, r.flag) for r in rows) == \
+        [(0, 0), (0, 1), (2, 0)]
+
+
+def test_cycle_custom_mark_validation(spark):
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    eng = _engine(spark)
+    for bad in ("TO 'Y' DEFAULT 'Y'",        # not distinct
+                "TO 1 DEFAULT 'N'",          # mixed types
+                "TO n DEFAULT 0"):           # not a constant
+        with pytest.raises(SqlParseError):
+            eng.sql_plan(
+                "WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
+                "SELECT (n+1)%3 FROM w) "
+                f"CYCLE n SET m {bad} USING p SELECT n FROM w")

@@ -2350,3 +2350,63 @@ def test_structural_key_sparkcol_is_stable():
     # nested inside a tree the property must survive the recursion
     assert _structural_key(Alias(a, "m")) == _structural_key(Alias(b, "m"))
     assert "0x" not in _structural_key(a), "no memory addresses in keys"
+
+
+# ---------------------------------------------------------------------------
+# generate_series table factor (r9): Postgres/DuckDB INCLUSIVE series
+# ---------------------------------------------------------------------------
+
+def test_generate_series_matches_duckdb(duckdb_engine):
+    import duckdb as _d
+    eng, _ex = duckdb_engine
+    con = _d.connect()
+    for sql in [
+        "SELECT * FROM generate_series(1, 5) AS g(n)",
+        "SELECT n FROM generate_series(2, 20, 3) AS g(n)",
+        "SELECT n FROM generate_series(5, 1, -2) AS g(n)",
+        "SELECT n FROM generate_series(-3, 3) AS g(n)",
+        "SELECT CAST(SUM(n) AS BIGINT) AS s "
+        "FROM generate_series(1, 100) AS g(n)",
+    ]:
+        got = sorted(tuple(r) for r in eng.sql(sql).collect())
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want, f"diverged on: {sql}\n{got}\n{want}"
+    # sign-mismatched span: Postgres returns EMPTY; DuckDB raises a
+    # binder error instead — this engine follows Postgres
+    assert eng.sql("SELECT n FROM generate_series(5, 1) AS g(n)") \
+        .collect() == []
+
+
+def test_generate_series_default_column_name(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    df = eng.sql("SELECT * FROM generate_series(1, 3)")
+    assert df.columns == ["generate_series"]
+    assert sorted(r[0] for r in df.collect()) == [1, 2, 3]
+
+
+def test_generate_series_joins_against_remote(duckdb_engine):
+    # local series joined to a federated dim: the dim subtree still
+    # claims its provider — the series never blocks the split
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, walk_plan)
+    eng, _ex = duckdb_engine
+    b = eng.sql_plan(
+        "SELECT g.n, o.o_orderkey FROM generate_series(1, 5) AS g(n) "
+        "JOIN orders o ON o.o_orderkey = g.n")
+    fed = federate(b.plan)
+    assert any(isinstance(x, RemoteQueryNode) for x in walk_plan(fed))
+    rows = sorted(tuple(r) for r in eng.execute(b.plan).collect())
+    assert rows == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]
+
+
+def test_generate_series_refusals(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    eng = FederationEngine(spark)
+    import pytest as _pt
+    with _pt.raises(SqlParseError, match="step"):
+        eng.sql_plan("SELECT * FROM generate_series(1, 5, 0) g(n)")
+    with _pt.raises(SqlParseError, match="integer constants"):
+        eng.sql_plan("SELECT * FROM generate_series(1, 5.5) g(n)")
