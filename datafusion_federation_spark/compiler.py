@@ -1773,6 +1773,69 @@ class Compiler:
         new = [_rewrite_expr(e, replace) for e in exprs]
         return state["df"], new, state["cols"]
 
+    def _scalar_theta_grouped(self, state, node, cleaned, keys, theta,
+                              inner_keys, n, outer_col):
+        """Keyed rewrite for THETA-correlated scalar aggregates (r9):
+        DISTINCT outer tuples (equality key exprs + theta outer refs)
+        INNER-join the inner side on eq keys + theta residue, group by
+        the outer tuple. The caller LEFT-joins the result back and its
+        existing empty-set coalesce supplies values for outer rows the
+        inner join dropped — including NULL theta operands, whose
+        comparisons are UNKNOWN on the engines too. Returns (sub frame,
+        key_helper, val_helper) in the caller's naming scheme."""
+        from .expressions import (
+            Col, OuterRef, SparkCol, walk as walk_expr)
+        if len(keys) != len(inner_keys):
+            raise NotImplementedError(
+                "duplicate-inner-key equality correlation combined "
+                "with theta residue is unsupported")
+        need = list(inner_keys) + [
+            x.name for c in theta for x in walk_expr(c)
+            if isinstance(x, Col)]
+        widened = _widen_projects(cleaned, need)
+        inner_df = self._c(widened)
+        theta_refs, seen = [], {}
+        for c in theta:
+            for x in walk_expr(c):
+                if isinstance(x, OuterRef) \
+                        and x.name.lower() not in seen:
+                    seen[x.name.lower()] = len(theta_refs)
+                    theta_refs.append(x)
+        key_helper = {k: f"__sq{n}_k{i}"
+                      for i, k in enumerate(inner_keys)}
+        t_names = [f"__sq{n}_t{j}" for j in range(len(theta_refs))]
+        okeys = ([outer_col(expr).alias(key_helper[ik])
+                  for expr, ik in keys] +
+                 [outer_col(x).alias(nm)
+                  for x, nm in zip(theta_refs, t_names)])
+        keyed = state["df"].select(*okeys).dropDuplicates()
+        jc = None
+        for ik in inner_keys:
+            c0 = keyed[key_helper[ik]] == inner_df[ik]
+            jc = c0 if jc is None else jc & c0
+        for c in theta:
+            def repl(x):
+                if isinstance(x, OuterRef):
+                    return SparkCol(
+                        keyed[t_names[seen[x.name.lower()]]], x.name)
+                if isinstance(x, Col):
+                    return SparkCol(inner_df[x.name], x.name)
+                return x
+            jc = jc & _rewrite_expr(c, repl).to_spark()
+        helpers = list(key_helper.values()) + t_names
+        grouped = (keyed.join(inner_df, on=jc, how="inner")
+                   .groupBy(*[keyed[h] for h in helpers])
+                   .agg(*[a.to_spark() for a in node.aggregates]))
+        val_cols = grouped.columns[len(helpers):]
+        val_helper = {c: f"__sq{n}_{i}" if i else f"__sq{n}"
+                      for i, c in enumerate(val_cols)}
+        sub = grouped.select(
+            *[F.col(h) for h in helpers],
+            *[F.col(c).alias(hh) for c, hh in val_helper.items()])
+        state["_theta_refs"] = list(zip(theta_refs, t_names))
+        state["cols"].extend(t_names)
+        return sub, key_helper, val_helper
+
     def _attach_correlated_scalar(self, state, plan: Plan, n: int):
         """Decorrelate a correlated scalar aggregate subquery. The shape
         ``(SELECT agg(e) FROM t WHERE t.k = outer.k [AND local preds])``
@@ -1789,14 +1852,19 @@ class Compiler:
         Aggregate items containing COUNT coalesce to their empty-set
         value on no-match (SQL: the subquery over an empty correlated set
         still evaluates the expression — COUNT()=0, so COUNT(*)+1 = 1;
-        SUM over empty stays NULL). Only equi-correlation (bare inner
-        column = bare outer column) is supported; anything else raises
-        rather than risking silently-wrong hoisting.
+        SUM over empty stays NULL). r9: the equality's outer side may be
+        ANY expression over outer columns (evaluated on the outer frame
+        verbatim), and non-equality (theta) conjuncts decorrelate via
+        the lateral machinery's keyed rewrite — DISTINCT outer tuples
+        INNER-join the inner side on eq keys + theta residue, group by
+        the outer tuple, LEFT-join back; the existing empty-set coalesce
+        supplies unmatched rows' values, so no anti-join is needed here.
 
         Returns a mapping: aggregate output name -> replacement Expr.
         """
         from .expressions import (
-            AggFunc, Alias, BinaryOp, Col, Func, Lit, OuterRef)
+            AggFunc, Alias, BinaryOp, Col, Exists, Func, InSubquery, Lit,
+            OuterRef, ScalarSubquery, SparkCol, walk as walk_expr)
         node = plan
         while isinstance(node, SubqueryAlias):
             node = node.input
@@ -1806,49 +1874,89 @@ class Compiler:
                 "correlated scalar subquery must be a single ungrouped "
                 "aggregate (SELECT agg(...) FROM ... WHERE correlation)")
         conds, cleaned = _extract_correlated(node.input)
-        keys: List[Tuple[OuterRef, str]] = []  # (outer ref, inner column)
+
+        def _is_outer_expr(e):
+            ns = list(walk_expr(e))
+            return (any(isinstance(x, OuterRef) for x in ns)
+                    and not any(isinstance(x, Col) for x in ns)
+                    and not any(isinstance(
+                        x, (Exists, InSubquery, ScalarSubquery))
+                        for x in ns))
+
+        def outer_col(e):
+            """Outer-side expression -> Column against the outer frame."""
+            def repl(x):
+                if isinstance(x, OuterRef):
+                    return SparkCol(
+                        _resolve_outer(state["df"], x,
+                                       state["outer_plan"]), x.name)
+                return x
+            return _rewrite_expr(e, repl).to_spark()
+
+        keys = []            # (outer expr, inner column name)
+        theta = []
         for c in conds:
-            pair = None
             if isinstance(c, BinaryOp) and c.op == "=":
                 left, right = c.left, c.right
-                if isinstance(left, OuterRef) and isinstance(right, Col):
-                    pair = (left, right.name)
-                elif isinstance(right, OuterRef) and isinstance(left, Col):
-                    pair = (right, left.name)
-            if pair is None:
-                raise NotImplementedError(
-                    "correlated scalar subquery: only equi-correlation "
-                    "(inner column = outer column) decorrelates to a "
-                    "grouped aggregate")
-            keys.append(pair)
+                if _is_outer_expr(left) and isinstance(right, Col):
+                    keys.append((left, right.name))
+                    continue
+                if _is_outer_expr(right) and isinstance(left, Col):
+                    keys.append((right, left.name))
+                    continue
+            theta.append(c)
         if not keys:
             raise NotImplementedError(
+                "correlated scalar subquery needs at least one equality "
+                "correlation conjunct (inner column = <expression over "
+                "outer columns>) in its Filter spine"
+                if theta else
                 "correlated scalar subquery has no correlation predicate "
                 "in its Filter spine")
+        for c in theta:
+            for x in walk_expr(c):
+                if isinstance(x, (Exists, InSubquery, ScalarSubquery)):
+                    raise NotImplementedError(
+                        "correlated scalar subquery: correlation may "
+                        "not contain nested subqueries")
         inner_keys: List[str] = []
         for _, ik in keys:
             if ik not in inner_keys:
                 inner_keys.append(ik)
-        # the subquery's own projection may have dropped the correlation
-        # keys (quantifier rewrites project only the compared column):
-        # widen explicit Projects on the spine so the grouping resolves
-        cleaned = _widen_projects(cleaned, inner_keys)
-        grouped = Aggregate(cleaned, [Col(k) for k in inner_keys],
-                            node.aggregates)
-        sub = self._c(grouped)
-        key_helper = {k: f"__sq{n}_k{i}" for i, k in enumerate(inner_keys)}
-        val_cols = sub.columns[len(inner_keys):]
-        val_helper = {c: f"__sq{n}_{i}" if i else f"__sq{n}"
-                      for i, c in enumerate(val_cols)}
-        sub = sub.select(
-            *[F.col(k).alias(h) for k, h in key_helper.items()],
-            *[F.col(c).alias(h) for c, h in val_helper.items()])
+        if theta:
+            sub, key_helper, val_helper = self._scalar_theta_grouped(
+                state, node, cleaned, keys, theta, inner_keys, n,
+                outer_col)
+        else:
+            # the subquery's own projection may have dropped the
+            # correlation keys (quantifier rewrites project only the
+            # compared column): widen explicit Projects on the spine so
+            # the grouping resolves
+            cleaned = _widen_projects(cleaned, inner_keys)
+            grouped = Aggregate(cleaned, [Col(k) for k in inner_keys],
+                                node.aggregates)
+            sub = self._c(grouped)
+            key_helper = {k: f"__sq{n}_k{i}"
+                          for i, k in enumerate(inner_keys)}
+            val_cols = sub.columns[len(inner_keys):]
+            val_helper = {c: f"__sq{n}_{i}" if i else f"__sq{n}"
+                          for i, c in enumerate(val_cols)}
+            sub = sub.select(
+                *[F.col(k).alias(h) for k, h in key_helper.items()],
+                *[F.col(c).alias(h) for c, h in val_helper.items()])
         on = None
-        for outer_ref, ik in keys:
-            cond = (_resolve_outer(state["df"], outer_ref,
-                                   state["outer_plan"])
-                    == sub[key_helper[ik]])
+        for outer_expr, ik in keys:
+            cond = outer_col(outer_expr) == sub[key_helper[ik]]
             on = cond if on is None else (on & cond)
+        if theta:
+            # theta groups key on the outer TUPLE: the extra outer-ref
+            # helper columns must join too (null-safely is unnecessary —
+            # a NULL operand makes the theta comparison UNKNOWN, the
+            # group never exists, and the coalesce supplies the
+            # empty-set value either way)
+            for href, hname in state.pop("_theta_refs", []):
+                cond = outer_col(href) == sub[hname]
+                on = on & cond
         state["df"] = state["df"].join(sub, on=on, how="left")
         state["cols"].extend(list(key_helper.values())
                              + list(val_helper.values()))

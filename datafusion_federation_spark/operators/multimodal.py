@@ -2,10 +2,15 @@
 with typed metadata (north-star extension).
 
 The Spark-side plumbing is real — schemas, Arrow-batched mapInPandas
-transforms, partitioning — while the actual codec work is stubbed behind
-clearly-marked NotImplementedError / deterministic fakes, because no
-image/audio libraries ship in this container. Swapping the stub for
-PIL/librosa is a one-function change; batch shapes and schemas hold.
+transforms, partitioning — and as of r9 every MODALITY has a REAL
+stdlib-struct decoder for its uncompressed format: P6 PPM / 24-bit BMP
+images (decode_image), PCM-16 WAV audio (decode_wav), raw-DIB AVI video
+(decode_avi_dib), each oracle-tested (d93/d94/d95) against arithmetic
+derivations that never see the bytes. Only COMPRESSED codecs
+(PNG/JPEG/MP3/MJPEG/H.264) remain stubbed behind clearly-marked
+NotImplementedError, because no codec libraries ship in this container;
+swapping in PIL/ffmpeg is a one-function change behind real_decode and
+batch shapes/schemas hold.
 
 Scale notes: decode/feature-extract runs in mapInPandas so each Arrow batch
 crosses the Python boundary once; binary payloads never shuffle unless the
@@ -58,11 +63,14 @@ def real_decode(payload: bytes) -> dict:
         return decode_image(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi_dib(payload)
     raise NotImplementedError(
         "compressed-media decoding requires PIL/ffmpeg which are not "
-        "installed; uncompressed P6 PPM / 24-bit BMP (decode_image) "
-        "and PCM-16 WAV (decode_wav) parse via stdlib struct, or use "
-        "fake_decode_meta for deterministic testing")
+        "installed; uncompressed P6 PPM / 24-bit BMP (decode_image), "
+        "PCM-16 WAV (decode_wav) and raw-DIB AVI (decode_avi_dib) "
+        "parse via stdlib struct, or use fake_decode_meta for "
+        "deterministic testing")
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -387,6 +395,173 @@ def extract_audio_stats(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows, columns=[
                 id_col, "sample_rate", "channels", "n_frames",
                 "duration_ms", "sum_samples", "sum_abs"])
+
+    return (df.select(id_col, payload_col)
+              .mapInPandas(_batches, schema=out_schema))
+
+
+# ---------------------------------------------------------------------------
+# r9: VIDEO joins the real-decode story — AVI containers with raw DIB
+# ('vids'/'DIB ', 24-bit BI_RGB) frames parse with stdlib struct: nested
+# RIFF LIST walk, avih/strh/strf validation, per-frame raster extraction
+# reusing the BMP row logic (stride padding, bottom-up, BGR). Compressed
+# video (MJPEG/H.264/...) stays behind the honest stub.
+# ---------------------------------------------------------------------------
+
+def encode_avi_dib(width: int, height: int, fps: int,
+                   rasters) -> bytes:
+    """Minimal single-stream AVI: ``rasters`` = list of RGB row-major
+    top-down frames (each len == width*height*3), stored as raw DIB
+    '00db' chunks (bottom-up, BGR, 4-byte row padding)."""
+    import struct as _s
+    stride = (width * 3 + 3) & ~3
+    frame_bytes = stride * height
+
+    def dib(raster):
+        if len(raster) != width * height * 3:
+            raise ValueError("raster length != width*height*3")
+        body = bytearray()
+        pad = b"\x00" * (stride - width * 3)
+        for r in range(height - 1, -1, -1):
+            row = raster[r * width * 3:(r + 1) * width * 3]
+            for c in range(width):
+                px = row[c * 3:c * 3 + 3]
+                body += bytes((px[2], px[1], px[0]))
+            body += pad
+        return bytes(body)
+
+    def chunk(cid, body):
+        out = cid + _s.pack("<I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+        return out
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = _s.pack("<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0,
+                   len(rasters), 0, 1, frame_bytes, width, height,
+                   0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " +
+            _s.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                    len(rasters), frame_bytes, 0, 0) +
+            _s.pack("<4H", 0, 0, width, height))
+    strf = _s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                   frame_bytes, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(r))
+                                 for r in rasters))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def decode_avi_dib(payload: bytes) -> dict:
+    """AVI raw-DIB decode: walks nested RIFF LISTs, validates the video
+    stream is uncompressed 24-bit DIB, and returns meta + ``frames``
+    (list of RGB row-major top-down rasters). Compressed codecs raise
+    the honest NotImplementedError."""
+    import struct as _s
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk_chunks(buf, pos, end):
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            sz = _s.unpack_from("<I", buf, pos + 4)[0]
+            yield cid, pos + 8, sz
+            pos += 8 + sz + (sz & 1)
+
+    avih = strf = None
+    frames_raw = []
+    handler = None
+
+    def scan(pos, end):
+        nonlocal avih, strf, handler
+        for cid, off, sz in walk_chunks(payload, pos, end):
+            if cid == b"LIST":
+                scan(off + 4, off + sz)          # skip the list kind
+            elif cid == b"avih":
+                avih = _s.unpack_from("<14I", payload, off)
+            elif cid == b"strh":
+                if payload[off:off + 4] == b"vids":
+                    handler = payload[off + 4:off + 8]
+            elif cid == b"strf" and strf is None:
+                strf = _s.unpack_from("<IiiHHI", payload, off)
+            elif cid in (b"00db", b"00dB"):
+                frames_raw.append(payload[off:off + sz])
+
+    scan(12, len(payload))
+    if avih is None or strf is None:
+        raise ValueError("AVI missing avih/strf header")
+    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(
+            f"only raw-DIB AVI decodes without video libs "
+            f"(handler {handler!r}) — MJPEG/H.264 need ffmpeg")
+    _hsz, w, h, _planes, bpp, comp = strf
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB frames decode here "
+            f"(bpp={bpp}, compression={comp})")
+    h = abs(h)
+    usec_per_frame = avih[0]
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        ras = bytearray(w * h * 3)
+        for r in range(h):
+            src = h - 1 - r                       # bottom-up
+            row = raw[src * stride: src * stride + w * 3]
+            if len(row) != w * 3:
+                raise ValueError("AVI frame raster truncated")
+            for c in range(w):
+                ras[(r * w + c) * 3 + 0] = row[c * 3 + 2]
+                ras[(r * w + c) * 3 + 1] = row[c * 3 + 1]
+                ras[(r * w + c) * 3 + 2] = row[c * 3 + 0]
+        frames.append(bytes(ras))
+    n = len(frames)
+    dur = n * usec_per_frame // 1000
+    return {"media_type": "video", "n_bytes": len(payload),
+            "width": w, "height": h, "duration_ms": dur,
+            "codec": "avi/dib24", "fps": 1_000_000 // usec_per_frame,
+            "n_frames": n, "frames": frames}
+
+
+def frame_sample_real(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id",
+                      every_n: int = 1) -> DataFrame:
+    """REAL video frame sampling (r9; the stub above remains for
+    formats without a decoder): parse each AVI payload, keep every
+    ``every_n``-th frame, and emit one row per sampled frame with its
+    timestamp and channel sums — the one-row-to-many-frames shape with
+    payload bytes never shuffling (they cross Python once per Arrow
+    batch and leave as fixed-width stats)."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col].values, pdf[payload_col]):
+                d = decode_avi_dib(bytes(b))
+                for fi in range(0, d["n_frames"], every_n):
+                    ras = d["frames"][fi]
+                    rows.append((int(i), fi,
+                                 fi * 1000 // d["fps"],
+                                 d["width"], d["height"],
+                                 sum(ras[0::3]), sum(ras[1::3]),
+                                 sum(ras[2::3])))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "frame_ts_ms", "width", "height",
+                "sum_r", "sum_g", "sum_b"])
 
     return (df.select(id_col, payload_col)
               .mapInPandas(_batches, schema=out_schema))

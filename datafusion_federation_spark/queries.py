@@ -515,6 +515,9 @@ SECONDARY = {
     # round 9: generate_series table factor (inclusive series, the
     # densification idiom); identical SQL both engines
     "q114_generate_series",
+    # round 9: REAL AVI raw-DIB video decode + frame sampling (nested
+    # RIFF walk); completes the image/audio/video real-decode trifecta
+    "d95_video_frame_sample",
 }
 
 DEC = "decimal(12,2)"

@@ -5779,3 +5779,74 @@ def q114(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
     return eng.sql(_Q114_SQL)
+
+
+_D95_SQL = """
+WITH dims AS (
+  SELECT doc_id, n_chars % 4 + 2 AS nf FROM documents
+),
+fr AS (
+  SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM dims
+),
+px AS (
+  SELECT doc_id, f, unnest(range(0, 3*2*3)) AS j FROM fr
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 1000 // 10 AS BIGINT) AS frame_ts_ms,
+       3 AS width, 2 AS height,
+       CAST(SUM(CASE WHEN j % 3 = 0
+                     THEN (doc_id*7 + f*97 + j) % 256 END) AS BIGINT)
+         AS sum_r,
+       CAST(SUM(CASE WHEN j % 3 = 1
+                     THEN (doc_id*7 + f*97 + j) % 256 END) AS BIGINT)
+         AS sum_g,
+       CAST(SUM(CASE WHEN j % 3 = 2
+                     THEN (doc_id*7 + f*97 + j) % 256 END) AS BIGINT)
+         AS sum_b
+FROM px GROUP BY doc_id, f ORDER BY doc_id, f
+"""
+
+
+@q("d95_video_frame_sample", _D95_SQL)
+def d95(spark, sf):
+    """REAL video decode + frame sampling (r9): every document gets a
+    genuine AVI container (RIFF with nested hdrl/strl LISTs, avih/strh/
+    strf headers, raw 24-bit DIB '00db' frames at 10 fps; frame f pixel
+    j = (doc_id*7 + f*97 + j) % 256, 3x2 px, frame count from n_chars);
+    ``decode_avi_dib`` walks the REAL nested chunk tree, validates the
+    DIB stream, un-pads/un-flips each frame, and frame_sample_real
+    explodes one row per frame with per-channel sums — all inside the
+    Arrow-batched mapInPandas seam. The oracle derives the same sums
+    ARITHMETICALLY over (frame, pixel) indices and never sees bytes, so
+    a decoder that misparsed the LIST nesting, frame order, stride
+    padding, or BGR order would mismatch. With d93 (image) and d94
+    (audio), every modality now has a REAL stdlib decoder — the stub
+    caveat is compressed codecs only. 100 TB: payloads are built and
+    decoded inside one mapInPandas pass; the one-row-to-many-frames
+    explode happens AFTER bytes become fixed-width stats."""
+    import pandas as _pd
+
+    from .operators.multimodal import encode_avi_dib, frame_sample_real
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    W, H = 3, 2
+
+    def _mk(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = int(nc) % 4 + 2
+                frames = [bytes((int(did) * 7 + f * 97 + j) % 256
+                                for j in range(W * H * 3))
+                          for f in range(nf)]
+                payloads.append(encode_avi_dib(W, H, 10, frames))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        _mk, schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType())]))
+    return (frame_sample_real(with_payload)
+            .orderBy("doc_id", "frame_idx"))

@@ -403,3 +403,63 @@ def test_correlated_not_in_unqualified_probe(spark):
     got = [r[0] for r in _engine(spark, ["nation"]).sql(sql).collect()]
     want = [r[0] for r in _duck(sql, ["nation"])]
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# r9: theta + expression-keyed correlated scalar aggregates (graduated
+# from the equi-only refusal via the lateral machinery's keyed rewrite)
+# ---------------------------------------------------------------------------
+
+def test_correlated_scalar_theta_residue(spark):
+    """Equality key + inequality residue: orders above the customer's
+    own scaled balance — the theta filter is per-outer-row, so the
+    grouped-by-inner-key shortcut is invalid and the keyed rewrite
+    must engage. Empty sets coalesce to COUNT=0."""
+    sql = """
+    SELECT c_custkey,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > c.c_acctbal * 200) AS n
+    FROM customer c WHERE c_custkey < 60 ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    want = _duck(sql, ["customer", "orders"])
+    assert got == want and any(r[1] == 0 for r in got) \
+        and any(r[1] > 0 for r in got)
+
+
+def test_correlated_scalar_theta_strict_agg_null(spark):
+    # MAX over an empty theta-filtered set stays NULL (strict agg)
+    sql = """
+    SELECT c_custkey,
+           (SELECT MAX(o.o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice < c.c_acctbal / 1000) AS m
+    FROM customer c WHERE c_custkey < 40 ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    got = [(r[0], None if r[1] is None else round(float(r[1]), 2))
+           for r in eng.sql(sql).collect()]
+    want = [(k, None if v is None else round(float(v), 2))
+            for k, v in _duck(sql, ["customer", "orders"])]
+    assert got == want and any(v is None for _, v in got)
+
+
+def test_correlated_scalar_expression_outer_key(spark):
+    sql = """
+    SELECT c_custkey,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey = c.c_custkey % 100) AS n
+    FROM customer c WHERE c_custkey < 30 ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    assert got == _duck(sql, ["customer", "orders"])
+
+
+def test_correlated_scalar_pure_theta_refuses(spark):
+    eng = _engine(spark, ["customer", "orders"])
+    with pytest.raises(NotImplementedError, match="equality"):
+        eng.sql("""
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_totalprice > c.c_acctbal) AS n
+        FROM customer c""").collect()

@@ -1252,3 +1252,53 @@ def test_wav_decode_skips_extra_chunks_and_refuses_nonpcm():
     bad[20] = 3                        # format tag 3 = IEEE float
     with pytest.raises(NotImplementedError, match="PCM-16"):
         decode_wav(bytes(bad))
+
+
+def test_avi_decode_round_trips():
+    import random
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_avi_dib, encode_avi_dib)
+    rng = random.Random(3)
+    for w, h, fps, nf in [(2, 3, 10, 4), (5, 2, 25, 1), (3, 3, 5, 6)]:
+        frames = [bytes(rng.randrange(256) for _ in range(w * h * 3))
+                  for _ in range(nf)]
+        d = decode_avi_dib(encode_avi_dib(w, h, fps, frames))
+        assert (d["width"], d["height"], d["fps"], d["n_frames"],
+                d["codec"]) == (w, h, fps, nf, "avi/dib24")
+        assert d["frames"] == frames, \
+            "frame raster mismatch (nesting/stride/BGR/flip bug)"
+        assert d["duration_ms"] == nf * (1_000_000 // fps) // 1000
+
+
+def test_avi_decode_refuses_compressed_and_routes():
+    import pytest
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_avi_dib, encode_avi_dib, real_decode)
+    b = encode_avi_dib(2, 2, 10, [bytes(range(12))])
+    assert real_decode(b)["codec"] == "avi/dib24"
+    # swap the stream handler to MJPG: must refuse, not misdecode
+    bad = b.replace(b"vidsDIB ", b"vidsMJPG")
+    with pytest.raises(NotImplementedError, match="raw-DIB"):
+        decode_avi_dib(bad)
+
+
+def test_frame_sample_real_every_n(spark):
+    from datafusion_federation_spark.operators.multimodal import (
+        encode_avi_dib, frame_sample_real)
+    rows = []
+    for i in range(4):
+        frames = [bytes(((i * 7 + f * 97 + j) % 256)
+                        for j in range(2 * 2 * 3)) for f in range(5)]
+        rows.append((i, encode_avi_dib(2, 2, 10, frames)))
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    out = frame_sample_real(df, every_n=2)
+    got = {(r.doc_id, r.frame_idx): (r.frame_ts_ms, r.sum_r)
+           for r in out.collect()}
+    assert set(fi for _, fi in got) == {0, 2, 4}, "every-2nd sampling"
+    for (i, fi), (ts, sr) in got.items():
+        vals = [(i * 7 + fi * 97 + j) % 256 for j in range(12)]
+        assert ts == fi * 100 and sr == sum(vals[0::3])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
