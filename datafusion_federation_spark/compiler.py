@@ -1693,13 +1693,19 @@ class Compiler:
             raise NotImplementedError(
                 f"local {op} {quant} (subquery) has no simple aggregate "
                 "rewrite; run it federated")
-        out_col = _plan_output_col(x.plan)
+        # r9: a bare-expression subquery projection (SELECT x/100 FROM
+        # ...) compiles to Spark's auto-generated column name, not
+        # output_name()'s "expr" fallback — alias it explicitly so the
+        # aggregate below resolves (found by a correlated `< ANY
+        # (SELECT o_totalprice / 100 ...)` probe failing with
+        # UNRESOLVED_COLUMN `expr`)
+        plan, out_col = _stabilize_first_output(x.plan)
         # ONE shared aggregate plan emits both the extremum and the
         # count: both ScalarSubquery nodes point at the SAME object, so
         # _attach_scalar_subqueries compiles (and a federated subquery
         # executes remotely) exactly once, and the two values are
         # consistent even against a changing remote
-        agg_plan = Aggregate(x.plan, [],
+        agg_plan = Aggregate(plan, [],
                              [Alias(AggFunc(name, [Col(out_col)]),
                                     f"__{name}"),
                               Alias(AggFunc("count", []), "__cnt")])
@@ -2549,6 +2555,40 @@ def _plan_output_cols(p: Plan):
         return None
     inputs = p.inputs()
     return _plan_output_cols(inputs[0]) if inputs else None
+
+
+def _stabilize_first_output(p: Plan):
+    """(plan, first-output-name) with the name GUARANTEED to exist on
+    the compiled frame: a bare-expression first projection/aggregate
+    gets an explicit ``__qv`` alias (Spark auto-names unaliased
+    expressions after their SQL text, so output_name()'s "expr"
+    fallback never resolves — r9, quantifier-rewrite fix). Named
+    outputs (Alias/Col) pass through untouched."""
+    from .expressions import Alias as _A, Col as _C
+
+    if isinstance(p, SubqueryAlias):
+        inner, col = _stabilize_first_output(p.input)
+        if inner is p.input:
+            return p, col
+        return SubqueryAlias(inner, p.alias), col
+    if isinstance(p, Project) and p.projections:
+        e0 = p.projections[0]
+        if isinstance(e0, (_A, _C)):
+            return p, e0.output_name()
+        if isinstance(e0, Star):
+            return p, _plan_output_col(p)
+        return (Project(p.input, [_A(e0, "__qv"),
+                                  *list(p.projections)[1:]]), "__qv")
+    if isinstance(p, Aggregate):
+        out = list(p.group_by) + list(p.aggregates)
+        if out and not isinstance(out[0], (_A, _C)) \
+                and not p.group_by:
+            return (Aggregate(p.input, [],
+                              [_A(p.aggregates[0], "__qv"),
+                               *list(p.aggregates)[1:]],
+                              p.having), "__qv")
+        return p, _plan_output_col(p)
+    return p, _plan_output_col(p)
 
 
 def _plan_output_col(p: Plan) -> str:

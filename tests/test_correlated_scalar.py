@@ -463,3 +463,47 @@ def test_correlated_scalar_pure_theta_refuses(spark):
                (SELECT COUNT(*) FROM orders o
                 WHERE o.o_totalprice > c.c_acctbal) AS n
         FROM customer c""").collect()
+
+
+def test_any_with_expression_body(spark):
+    """r9 fix: `< ANY (SELECT expr ...)` with a BARE expression body
+    failed with UNRESOLVED_COLUMN `expr` — the quantifier rewrite
+    referenced output_name()'s fallback label, which Spark never
+    assigns (it auto-names unaliased expressions after their SQL
+    text). The first output is now explicitly aliased."""
+    sql = """
+    SELECT c_custkey FROM customer c WHERE c_acctbal < ANY
+    (SELECT o_totalprice / 100 FROM orders o
+     WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    got = [r[0] for r in eng.sql(sql).collect()]
+    assert got == [r[0] for r in _duck(sql, ["customer", "orders"])]
+    assert got, "non-vacuous"
+
+
+def test_any_with_theta_correlation(spark):
+    """theta conjunct inside the ANY body: the quantifier rewrite's
+    scalar MAX subquery flows through the r9 theta-capable
+    decorrelation end to end."""
+    sql = """
+    SELECT c_custkey FROM customer c WHERE c_acctbal < ANY
+    (SELECT o_totalprice / 100 FROM orders o
+     WHERE o.o_custkey = c.c_custkey AND o.o_orderkey > c.c_custkey)
+    ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    got = [r[0] for r in eng.sql(sql).collect()]
+    assert got == [r[0] for r in _duck(sql, ["customer", "orders"])]
+    assert got
+
+
+def test_all_empty_set_identity_with_expression_body(spark):
+    # x > ALL(empty) is TRUE: the count guard must survive the aliasing
+    sql = """
+    SELECT c_custkey FROM customer c WHERE c_acctbal > ALL
+    (SELECT o_totalprice * 2 FROM orders o
+     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 0)
+    ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    got = [r[0] for r in eng.sql(sql).collect()]
+    assert got == [r[0] for r in _duck(sql, ["customer", "orders"])]
+    assert len(got) == 150, "every customer passes the empty-set ALL"
