@@ -39,6 +39,17 @@ class Compiler:
                  runtime_join_filters: bool = False):
         self.spark = spark
         self.broadcast_threshold_rows = broadcast_threshold_rows
+        #: implicit-PIVOT discovery cap (r10): mirrors Spark's own
+        #: spark.sql.pivotMaxValues default — the two-phase pre-query
+        #: refuses loudly above it instead of building a 100k-column
+        #: frame by accident
+        self.pivot_max_values = 10_000
+        #: pure-theta correlation gate (r10, VERDICT r9 Next #4):
+        #: LATERAL aggregates/top-k and scalar subqueries with NO
+        #: equality conjunct compile as a broadcast nested loop when
+        #: the inner side is PROVABLY at or below this row count;
+        #: above it the historical refusal stands
+        self.theta_bnl_rows = 10_000
         #: opt-in: before executing a federated join input, compute
         #: min/max of the other side's join key and inline the bounds
         #: into the remote SQL (the automated form of the reference's
@@ -338,8 +349,33 @@ class Compiler:
                         if isinstance(x, Col)}
             ids = [c for c in df.columns
                    if c != p.pivot_col and c not in agg_refs]
+            values = p.values
+            if values is None:
+                # r10 (VERDICT r9 Next #3): implicit value discovery —
+                # the engines' own two-phase protocol (DuckDB's binder
+                # runs a hidden `SELECT DISTINCT ... LIMIT pivot_limit`
+                # pre-query; Spark's pivot() without values does the
+                # same under spark.sql.pivotMaxValues). Bounded: the
+                # driver holds at most cap+1 scalar keys, never data
+                # rows; ascending order matches DuckDB's column order.
+                cap = self.pivot_max_values
+                rows = (df.select(p.pivot_col).distinct()
+                        .orderBy(p.pivot_col).limit(cap + 1).collect())
+                values = [r[0] for r in rows]
+                if len(values) > cap:
+                    raise ValueError(
+                        f"PIVOT column '{p.pivot_col}' has more than "
+                        f"{cap} distinct values — an implicit pivot "
+                        f"this wide is almost certainly a mistake; "
+                        f"spell the IN list explicitly or raise "
+                        f"pivot_max_values")
+                if any(v is None for v in values):
+                    raise NotImplementedError(
+                        "implicit PIVOT over a key column containing "
+                        "NULL: engines disagree on the NULL column's "
+                        "name — spell the IN list explicitly")
             out = (df.groupBy(*ids)
-                   .pivot(p.pivot_col, list(p.values))
+                   .pivot(p.pivot_col, list(values))
                    .agg(p.agg.to_spark()))
             if getattr(p.agg, "name", "").lower() == "count":
                 # an empty pivot cell is the aggregate over ZERO rows:
@@ -356,14 +392,21 @@ class Compiler:
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
     # ------------------------------------------------------------------
-    def _pin_static_leaves(self, plan: Plan) -> None:
+    def _pin_static_leaves(self, plan: Plan,
+                           pin_static_subtrees: bool = False) -> None:
         """Compile every RemoteQueryNode under `plan` once and register
         the (lazily checkpointed) result for reuse: an iterative compile
         re-walks the same plan objects each round, and RemoteQueryNode
         executes its remote SQL at compile time — without pinning, a
         federated dimension inside a recursive step would be re-fetched
         up to max_iterations times (review r7 s3 findings #7/#8).
-        Cleared with the other per-compile caches in compile()."""
+        Cleared with the other per-compile caches in compile().
+
+        ``pin_static_subtrees`` additionally checkpoints maximal
+        RecursiveRef-free COMPUTE subtrees — only the recursive-CTE
+        caller sets it (r10, ADVICE r9 #2): the lateral arms compile
+        their body exactly once, so checkpointing a single-use joined
+        frame to executor disk would be pure cost with zero reuse."""
         from .plans.nodes import (
             Aggregate, Distinct, Join, RecursiveRef, SetOp, Union,
             Window, walk_plan)
@@ -385,6 +428,9 @@ class Compiler:
         # copy a possibly-100TB table to executor disks for zero
         # compute savings. (Measured: q88 per-round edges re-scan was
         # ~half the fixpoint's wall time at sf0.1.)
+        if not pin_static_subtrees:
+            return
+
         def _has_ref(n) -> bool:
             return any(isinstance(x, RecursiveRef) for x in walk_plan(n))
 
@@ -403,6 +449,49 @@ class Compiler:
                 _go(k)
 
         _go(plan)
+
+    # ------------------------------------------------------------------
+    def _theta_bnl_gate(self, df: DataFrame, what: str) -> DataFrame:
+        """Size gate for PURE-theta correlation (r10, VERDICT r9 Next
+        #4 — graduated from an unconditional refusal). With no equality
+        conjunct the only faithful rewrite is a nested-loop join, which
+        is exact and scale-safe ONLY when the inner side is provably
+        small (Postgres runs these shapes the same way: its executor
+        rescans a materialized inner per outer row). Proof = one
+        bounded probe job: limit(gate+1).count() stops the scan at
+        gate+1 rows, so the probe costs O(gate) rows even against a
+        100 TB inner (same probe class as the runtime-filter min/max
+        at compiler.py _runtime_filter sites). At or below the gate the
+        frame comes back broadcast-hinted — Catalyst plans the theta
+        join as BroadcastNestedLoopJoin, O(outer x gate) with no
+        shuffle of the outer side. Above it: the refusal, now naming
+        the gate."""
+        gate = self.theta_bnl_rows
+        if df.limit(gate + 1).count() <= gate:
+            return F.broadcast(df)
+        raise NotImplementedError(
+            f"{what} with ONLY non-equality correlation compiles as a "
+            f"broadcast nested loop only when the inner side is "
+            f"provably small (<= {gate} rows; this one is not) — add "
+            f"an equality conjunct")
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _fixpoint_bcast_cap(schema, round_idx: int) -> int:
+        """Row-count cap for the fixpoint delta's broadcast hint,
+        width-aware (r10, ADVICE r9 #3: a pure row-count gate can force
+        a multi-GB broadcast when SEARCH/CYCLE path arrays grow one
+        element per round). Fixed-width schemas keep the 1M-row cap
+        (~tens of MB). Schemas with array/map columns start at 100k and
+        decay linearly with the round index — path length grows
+        linearly in rounds, so the decay holds the estimated broadcast
+        bytes roughly constant — with a 5k floor (a 5k-row frontier
+        broadcasts safely at any realistic path depth)."""
+        from pyspark.sql.types import ArrayType, MapType
+        if any(isinstance(f.dataType, (ArrayType, MapType))
+               for f in schema.fields):
+            return max(5_000, 100_000 // (1 + round_idx))
+        return 1_000_000
 
     # ------------------------------------------------------------------
     def _compile_recursive(self, p: RecursiveCTE) -> DataFrame:
@@ -446,7 +535,7 @@ class Compiler:
         recursions over cyclic inputs — same guard class as the
         engines' recursion depth limits."""
         self.fixpoint_runs += 1
-        self._pin_static_leaves(p.step)
+        self._pin_static_leaves(p.step, pin_static_subtrees=True)
         base = self._c(p.base)
         if p.cols is not None:
             if len(p.cols) != len(base.columns):
@@ -502,7 +591,7 @@ class Compiler:
         key = p.name.lower()
         prev = self._recursive_work.get(key)
         try:
-            for _ in range(p.max_iterations):
+            for it in range(p.max_iterations):
                 self._recursive_work[key] = work
                 step = self._c(p.step)
                 if len(step.columns) != len(acc.columns):
@@ -592,14 +681,17 @@ class Compiler:
                     work = work.filter(
                         ~F.col(p.cycle_col).eqNullSafe(
                             F.lit(p.cycle_mark_value)))
-                if n_new <= 1_000_000:
+                if n_new <= self._fixpoint_bcast_cap(work.schema, it):
                     # the next round binds the working table into the
                     # step's join: a delta this small (row count is
                     # EXACT — we just counted the checkpoint) should
                     # broadcast, not shuffle a 100 TB fact side. AQE
                     # cannot always see through the checkpointed scan's
                     # stats, so hint it explicitly; above the threshold
-                    # let Catalyst/AQE plan the shuffle.
+                    # let Catalyst/AQE plan the shuffle. The cap is
+                    # width-aware (r10, ADVICE r9 #3): row count alone
+                    # under-prices SEARCH/CYCLE working tables whose
+                    # path arrays grow one element per round.
                     work = F.broadcast(work)
             else:
                 raise RuntimeError(
@@ -767,11 +859,10 @@ class Compiler:
                     agg_df = agg_df.alias(alias)
                 return left_df.crossJoin(agg_df)
             if theta:
-                if not pairs:
-                    raise NotImplementedError(
-                        "LATERAL aggregate with ONLY non-equality "
-                        "correlation would need an unbounded "
-                        "nested-loop join — add an equality conjunct")
+                # r10: pure theta (no equality pair) no longer refuses
+                # unconditionally — _lateral_theta_agg applies the
+                # size-gated broadcast-nested-loop path when the inner
+                # side proves small, and refuses above the gate
                 return self._lateral_theta_agg(
                     p, agg, cleaned_in, pairs, theta, left_df, alias,
                     _outer_expr_col)
@@ -859,7 +950,7 @@ class Compiler:
                 # must partition by the OUTER tuple, not the inner key
                 return self._lateral_theta_topk(
                     p, conds, cleaned, sort, limit, left_df, alias,
-                    _outer_expr_col, _is_outer_expr)
+                    _outer_expr_col, _is_outer_expr, on_expr)
             from pyspark.sql import Window as W
             win = W.partitionBy(*[right_df[a.name] for a, _ in pairs]) \
                 .orderBy(*[k.to_spark() for k in sort.keys])
@@ -902,7 +993,7 @@ class Compiler:
 
     def _lateral_theta_topk(self, p, conds, cleaned, sort, limit,
                             left_df, alias, outer_expr_col,
-                            is_outer_expr):
+                            is_outer_expr, on_expr=None):
         """Theta-correlated LATERAL top-k (r9; graduated from the
         equality-only refusal). An inequality conjunct makes the
         ranked set per-outer-row, so the inner-key-partitioned window
@@ -912,10 +1003,12 @@ class Compiler:
         OUTER tuple, rows outside (skip, skip+fetch] drop, and the
         ranked rows join back null-safely (LEFT for LEFT JOIN LATERAL
         — unmatched outer rows null-extend; comma/CROSS drops them).
-        Requires >= 1 equality pair so the join hashes with theta as
-        residual conditions. 100 TB: one keyed shuffle + one window
-        over the outer-tuple partitioning — skew follows the outer key
-        distribution like any top-k-per-key."""
+        With >= 1 equality pair the join hashes with theta as residual
+        conditions; PURE theta (r10) takes the size-gated broadcast-
+        nested-loop path. 100 TB: one keyed shuffle + one window over
+        the outer-tuple partitioning (or a broadcast BNL bounded by
+        the gate) — skew follows the outer key distribution like any
+        top-k-per-key."""
         from pyspark.sql import Window as W
 
         from .expressions import (
@@ -932,11 +1025,6 @@ class Compiler:
                     eq_pairs.append((b0, a0))
                     continue
             theta.append(c0)
-        if not eq_pairs:
-            raise NotImplementedError(
-                "LATERAL ORDER BY/LIMIT with ONLY non-equality "
-                "correlation would need an unbounded nested-loop "
-                "join — add an equality conjunct")
         for c0 in theta:
             for x in walk_expr(c0):
                 if isinstance(x, (Exists, InSubquery, ScalarSubquery)):
@@ -944,6 +1032,12 @@ class Compiler:
                         "LATERAL correlation may not contain "
                         "subqueries")
         inner_df = self._c(cleaned)
+        if not eq_pairs:
+            # r10: pure theta — size-gated broadcast nested loop (the
+            # window below partitions by the theta outer refs alone,
+            # which IS the outer tuple the ranking depends on)
+            inner_df = self._theta_bnl_gate(
+                inner_df, "LATERAL ORDER BY/LIMIT")
         theta_refs, seen = [], {}
         for c0 in theta:
             for x in walk_expr(c0):
@@ -971,7 +1065,8 @@ class Compiler:
                 if isinstance(x, ColE):
                     return SparkCol(inner_df[x.name], x.name)
                 return x
-            jc = jc & _rewrite_expr(c0, repl).to_spark()
+            c1 = _rewrite_expr(c0, repl).to_spark()
+            jc = c1 if jc is None else jc & c1
         joined = keyed.join(inner_df, on=jc, how="inner")
         win = (W.partitionBy(*[keyed[n] for n in helpers])
                .orderBy(*[k.to_spark() for k in sort.keys]))
@@ -992,6 +1087,12 @@ class Compiler:
         for x, n in zip(theta_refs, t_names):
             c1 = outer_expr_col(x).eqNullSafe(right2[n])
             jc2 = c1 if jc2 is None else jc2 & c1
+        if on_expr is not None:
+            # r10 (ADVICE high): a non-trivial ON predicate filters the
+            # ranked rows AFTER ranking, exactly like the equality arm
+            # — AND it into the join-back condition (LEFT JOIN LATERAL
+            # null-extends when it fails; inner/comma drops the row)
+            jc2 = jc2 & on_expr.to_spark()
         joined2 = left_df.join(right2, on=jc2, how=how)
         out_cols = _plan_output_cols(p.right)
         if out_cols is not None:
@@ -1089,11 +1190,13 @@ class Compiler:
         A NULL outer operand makes every theta comparison UNKNOWN —
         the inner join drops it, the anti-join resurrects it with
         empty-group values, which is exactly `inner > NULL` never
-        matching. Requires >= 1 equality pair so the join stays a hash
-        join with theta as residual conditions — pure-theta would be
-        an unbounded nested loop and refuses upstream. 100 TB: one
-        keyed shuffle on the equality keys, the dedup'd outer-tuple
-        frame is usually dim-sized."""
+        matching. With >= 1 equality pair the join stays a hash join
+        with theta as residual conditions; PURE theta (r10) takes the
+        size-gated broadcast-nested-loop path — exact when the inner
+        side proves small, refused above the gate. 100 TB: one keyed
+        shuffle on the equality keys (or a broadcast BNL bounded by
+        the gate), the dedup'd outer-tuple frame is usually
+        dim-sized."""
         from .expressions import (
             Col as ColE, Exists, InSubquery, Lit, OuterRef,
             ScalarSubquery, SparkCol, walk)
@@ -1109,6 +1212,9 @@ class Compiler:
                 if isinstance(x, ColE)]
         widened = _widen_projects(cleaned_in, need)
         inner_df = self._c(widened)
+        if not pairs:
+            inner_df = self._theta_bnl_gate(
+                inner_df, "LATERAL aggregate")
         theta_refs, seen = [], {}
         for c in theta:
             for x in walk(c):
@@ -1136,7 +1242,8 @@ class Compiler:
                 if isinstance(x, ColE):
                     return SparkCol(inner_df[x.name], x.name)
                 return x
-            jc = jc & _rewrite_expr(c, repl).to_spark()
+            c1 = _rewrite_expr(c, repl).to_spark()
+            jc = c1 if jc is None else jc & c1
         out_cols = [a.output_name() for a in agg.aggregates]
         matched = (keyed.join(inner_df, on=jc, how="inner")
                    .groupBy(*[keyed[n] for n in helpers])
@@ -1800,6 +1907,9 @@ class Compiler:
             if isinstance(x, Col)]
         widened = _widen_projects(cleaned, need)
         inner_df = self._c(widened)
+        if not keys:
+            inner_df = self._theta_bnl_gate(
+                inner_df, "correlated scalar subquery")
         theta_refs, seen = [], {}
         for c in theta:
             for x in walk_expr(c):
@@ -1827,7 +1937,8 @@ class Compiler:
                 if isinstance(x, Col):
                     return SparkCol(inner_df[x.name], x.name)
                 return x
-            jc = jc & _rewrite_expr(c, repl).to_spark()
+            c1 = _rewrite_expr(c, repl).to_spark()
+            jc = c1 if jc is None else jc & c1
         helpers = list(key_helper.values()) + t_names
         grouped = (keyed.join(inner_df, on=jc, how="inner")
                    .groupBy(*[keyed[h] for h in helpers])
@@ -1911,14 +2022,13 @@ class Compiler:
                     keys.append((right, left.name))
                     continue
             theta.append(c)
-        if not keys:
+        if not keys and not theta:
             raise NotImplementedError(
-                "correlated scalar subquery needs at least one equality "
-                "correlation conjunct (inner column = <expression over "
-                "outer columns>) in its Filter spine"
-                if theta else
                 "correlated scalar subquery has no correlation predicate "
                 "in its Filter spine")
+        # r10: pure theta (no equality key) flows into the keyed rewrite
+        # with an empty key set — _scalar_theta_grouped applies the
+        # size-gated broadcast-nested-loop path and refuses above it
         for c in theta:
             for x in walk_expr(c):
                 if isinstance(x, (Exists, InSubquery, ScalarSubquery)):
@@ -1962,7 +2072,7 @@ class Compiler:
             # empty-set value either way)
             for href, hname in state.pop("_theta_refs", []):
                 cond = outer_col(href) == sub[hname]
-                on = on & cond
+                on = cond if on is None else on & cond
         state["df"] = state["df"].join(sub, on=on, how="left")
         state["cols"].extend(list(key_helper.values())
                              + list(val_helper.values()))
@@ -2581,12 +2691,24 @@ def _stabilize_first_output(p: Plan):
                                   *list(p.projections)[1:]]), "__qv")
     if isinstance(p, Aggregate):
         out = list(p.group_by) + list(p.aggregates)
-        if out and not isinstance(out[0], (_A, _C)) \
-                and not p.group_by:
-            return (Aggregate(p.input, [],
-                              [_A(p.aggregates[0], "__qv"),
-                               *list(p.aggregates)[1:]],
-                              p.having), "__qv")
+        if out and not isinstance(out[0], (_A, _C)):
+            if not p.group_by:
+                return (Aggregate(p.input, [],
+                                  [_A(p.aggregates[0], "__qv"),
+                                   *list(p.aggregates)[1:]],
+                                  p.having), "__qv")
+            # r10 (ADVICE r9 #4): a GROUPED aggregate whose first group
+            # key is a bare expression (ANY (SELECT x % 2 FROM t GROUP
+            # BY x % 2)) needs the same alias — plain group keys keep
+            # aliases inline in _grouping, so relabeling is safe, but
+            # grouping-set forms (Rollup/Cube/GroupingSets) apply
+            # labels post-agg; leave those to _plan_output_col.
+            g0 = p.group_by[0]
+            if not isinstance(g0, (Rollup, Cube, GroupingSets)):
+                return (Aggregate(p.input,
+                                  [_A(g0, "__qv"),
+                                   *list(p.group_by)[1:]],
+                                  list(p.aggregates), p.having), "__qv")
         return p, _plan_output_col(p)
     return p, _plan_output_col(p)
 

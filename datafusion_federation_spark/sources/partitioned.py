@@ -181,3 +181,31 @@ class PartitionedDuckDBExecutor(SQLExecutor):
         # Spark tasks, so remote wall time lives in the Spark UI/metrics
         self._record(sql, time.time() - t0)
         return df
+
+    def statistics(self, sql: str) -> Optional[int]:
+        """Catalog-estimate statistics for the slice path (r10, VERDICT
+        r9 Next #6). The single-stream DuckDBExecutor caches exact
+        post-execution counts, but slice results never return to the
+        driver — so this hook upper-bounds the result instead: for a
+        single-table, non-expanding extract (`SELECT ... FROM "t"
+        [WHERE ...]`), the source table's catalog cardinality
+        (duckdb_tables().estimated_size — a catalog read, NEVER query
+        execution) bounds the rows any filter can return. Over-estimates
+        only suppress the broadcast hint, never force a bad one; shapes
+        that can expand rows (joins, unnest, second FROM anywhere)
+        return unknown."""
+        import re
+        low = sql.lower()
+        if (len(re.findall(r"\bfrom\b", low)) != 1
+                or re.search(r"\bjoin\b|\bunnest\b", low)):
+            return None
+        m = re.search(r'\bfrom\s+((?:"[^"]+"|[A-Za-z_][\w$]*)'
+                      r'(?:\.(?:"[^"]+"|[A-Za-z_][\w$]*))*)', sql,
+                      re.IGNORECASE)
+        if m is None:
+            return None
+        tbl = m.group(1).split(".")[-1].strip('"')
+        row = self._conn.execute(
+            "SELECT estimated_size FROM duckdb_tables() "
+            "WHERE table_name = ?", [tbl]).fetchone()
+        return int(row[0]) if row else None

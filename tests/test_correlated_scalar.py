@@ -159,16 +159,19 @@ def test_builder_having_scalar_subquery(spark):
     assert len(rows) > 0
 
 
-def test_correlated_non_equi_refused(spark):
-    """A non-equi correlated scalar (inner.k > outer.k) cannot group —
-    must raise, never silently mis-answer."""
+def test_correlated_non_equi_in_where_bnl(spark):
+    """r10: a non-equi correlated scalar in WHERE (inner.k > outer.k)
+    — previously refused — now takes the size-gated broadcast nested
+    loop and must match DuckDB exactly (NULL AVG over the empty theta
+    set makes the comparison UNKNOWN: those rows drop)."""
+    sql = """
+    SELECT s.s_suppkey FROM supplier s
+    WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey > s.s_nationkey)
+    ORDER BY s.s_suppkey"""
     eng = _engine(spark, ["supplier"])
-    with pytest.raises(NotImplementedError):
-        eng.sql("""
-        SELECT s.s_suppkey FROM supplier s
-        WHERE s.s_acctbal > (SELECT AVG(s2.s_acctbal) FROM supplier s2
-                             WHERE s2.s_nationkey > s.s_nationkey)
-        """).collect()
+    got = [r[0] for r in eng.sql(sql).collect()]
+    assert got == [r[0] for r in _duck(sql, ["supplier"])]
 
 
 def test_having_uncorrelated_scalar_subquery(spark):
@@ -455,14 +458,39 @@ def test_correlated_scalar_expression_outer_key(spark):
     assert got == _duck(sql, ["customer", "orders"])
 
 
-def test_correlated_scalar_pure_theta_refuses(spark):
+def test_correlated_scalar_pure_theta_refuses_above_gate(spark):
+    # r10: the refusal survives ONLY above the BNL size gate — below
+    # it the broadcast-nested-loop path runs (next test)
     eng = _engine(spark, ["customer", "orders"])
-    with pytest.raises(NotImplementedError, match="equality"):
-        eng.sql("""
-        SELECT c_custkey,
-               (SELECT COUNT(*) FROM orders o
-                WHERE o.o_totalprice > c.c_acctbal) AS n
-        FROM customer c""").collect()
+    eng.compiler.theta_bnl_rows = 100
+    try:
+        with pytest.raises(NotImplementedError, match="equality"):
+            eng.sql("""
+            SELECT c_custkey,
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE o.o_totalprice > c.c_acctbal) AS n
+            FROM customer c""").collect()
+    finally:
+        eng.compiler.theta_bnl_rows = 10_000
+
+
+def test_correlated_scalar_pure_theta_bnl(spark):
+    """r10 (VERDICT r9 Next #4): pure-theta correlated scalar
+    aggregate — size-gated broadcast nested loop, exact vs DuckDB
+    including empty-set COUNT=0 rows."""
+    sql = """
+    SELECT c_custkey,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_totalprice > c.c_acctbal * 60) AS n
+    FROM customer c WHERE c_custkey < 40 ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    df = eng.sql(sql)
+    got = [tuple(r) for r in df.collect()]
+    assert got == _duck(sql, ["customer", "orders"])
+    assert any(r[1] == 0 for r in got), "empty-set COUNT=0 exercised"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_any_with_expression_body(spark):
@@ -507,3 +535,19 @@ def test_all_empty_set_identity_with_expression_body(spark):
     got = [r[0] for r in eng.sql(sql).collect()]
     assert got == [r[0] for r in _duck(sql, ["customer", "orders"])]
     assert len(got) == 150, "every customer passes the empty-set ALL"
+
+
+def test_any_grouped_bare_expression_group_key(spark):
+    """r10 (ADVICE r9 #4): ANY over a grouped body whose first (only)
+    group key is a bare expression — _stabilize_first_output now
+    aliases the group key too, not just ungrouped aggregates.
+    (`= ANY` lowers to IN and skips the quantifier rewrite, so the
+    test uses `<` — verified failing pre-fix with UNRESOLVED_COLUMN.)"""
+    sql = """
+    SELECT c_custkey FROM customer c WHERE c_custkey < ANY
+    (SELECT o_orderkey % 50 FROM orders GROUP BY o_orderkey % 50)
+    ORDER BY c_custkey"""
+    eng = _engine(spark, ["customer", "orders"])
+    got = [r[0] for r in eng.sql(sql).collect()]
+    assert got == [r[0] for r in _duck(sql, ["customer", "orders"])]
+    assert got, "non-vacuous"

@@ -105,12 +105,19 @@ def test_lateral_refusals(lat):
 SELECT c.c_custkey FROM customer c JOIN LATERAL (
   SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
   LIMIT 2) s ON TRUE""").collect()
-    # non-equi correlation under LIMIT
-    with pytest.raises(NotImplementedError, match="equality"):
-        eng.sql("""
+    # non-equi correlation under LIMIT: refuses ABOVE the r10 BNL size
+    # gate (below it the broadcast-nested-loop path now runs — see
+    # test_lateral_pure_theta_*)
+    old_gate = eng.compiler.theta_bnl_rows
+    eng.compiler.theta_bnl_rows = 100
+    try:
+        with pytest.raises(NotImplementedError, match="equality"):
+            eng.sql("""
 SELECT c.c_custkey FROM customer c JOIN LATERAL (
   SELECT o_orderkey FROM orders o WHERE o.o_custkey < c.c_custkey
   ORDER BY o_orderkey LIMIT 1) s ON TRUE""").collect()
+    finally:
+        eng.compiler.theta_bnl_rows = old_gate
 
 
 def test_lateral_parse_refusals():
@@ -389,3 +396,72 @@ SELECT c.c_custkey, s.st, s.n FROM customer c, LATERAL (
   FROM orders GROUP BY o_orderstatus) s
 WHERE c.c_custkey < 4 ORDER BY c.c_custkey, s.st""")
     assert a == b and len(a) == 4 * 3
+
+
+def test_lateral_topk_theta_on_condition_applied(lat):
+    """r10 (ADVICE high): the theta top-k arm must apply a non-trivial
+    ON predicate — previously it was silently dropped and every ranked
+    row joined back."""
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderkey > c.c_custkey * 2
+  ORDER BY o_orderkey LIMIT 2) s ON s.o_orderkey % 2 = 0
+WHERE c.c_custkey < 40 ORDER BY c.c_custkey, s.o_orderkey""")
+    assert a == b and len(a) > 0
+
+
+def test_lateral_topk_theta_on_condition_left_null_extends(lat):
+    """LEFT JOIN LATERAL with a failing ON predicate null-extends the
+    outer row instead of dropping it."""
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey FROM customer c LEFT JOIN LATERAL (
+  SELECT o_orderkey FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderkey > c.c_custkey * 2
+  ORDER BY o_orderkey LIMIT 1) s ON s.o_orderkey % 2 = 1
+WHERE c.c_custkey < 20 ORDER BY c.c_custkey""")
+    assert a == b and len(a) > 3
+
+
+def test_lateral_pure_theta_agg_bnl(lat):
+    """r10 (VERDICT r9 Next #4): LATERAL aggregate with ONLY theta
+    correlation — size-gated broadcast nested loop (orders at this SF
+    proves below the gate), exact vs DuckDB including the empty-set
+    aggregate values."""
+    a, b = both(lat, """
+SELECT c.c_custkey, s.n FROM customer c LEFT JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_totalprice > c.c_acctbal * 40) s ON TRUE
+WHERE c.c_custkey < 30 ORDER BY c.c_custkey""")
+    assert a == b and len(a) > 5
+
+
+def test_lateral_pure_theta_topk_bnl(lat):
+    a, b = both(lat, """
+SELECT c.c_custkey, s.o_orderkey FROM customer c JOIN LATERAL (
+  SELECT o_orderkey FROM orders o WHERE o.o_orderkey > c.c_custkey * 9
+  ORDER BY o_orderkey LIMIT 2) s ON TRUE
+WHERE c.c_custkey < 25 ORDER BY c.c_custkey, s.o_orderkey""")
+    assert a == b and len(a) > 5
+
+
+def test_lateral_pure_theta_bnl_plan_is_broadcast(lat):
+    """The graduated pure-theta path must plan a
+    BroadcastNestedLoopJoin — never an unhinted cartesian — and the
+    refusal must return above the gate."""
+    eng, _ = lat
+    sql = """
+SELECT c.c_custkey, s.n FROM customer c JOIN LATERAL (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE o.o_totalprice > c.c_acctbal * 40) s ON TRUE"""
+    df = eng.sql(sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    old_gate = eng.compiler.theta_bnl_rows
+    eng.compiler.theta_bnl_rows = 10
+    try:
+        with pytest.raises(NotImplementedError, match="equality"):
+            eng.sql(sql).collect()
+    finally:
+        eng.compiler.theta_bnl_rows = old_gate

@@ -215,3 +215,47 @@ def test_runtime_join_filter_reaches_slices(spark, dbfile):
     # carries the pruning predicate to the remote engine
     s0 = _slice_sql(sql, "o_orderkey", 4, 0)
     assert ">= 37" in s0 and "<= 41" in s0
+
+
+def test_partitioned_small_dim_gets_broadcast_hint(spark, dbfile):
+    """r10 (VERDICT r9 Next #6): statistics()-driven broadcast on the
+    PARTITIONED path — a small partitioned dim joined to a local fact
+    must plan a BroadcastHashJoin even though the slice-union frame
+    carries no Spark-visible size stats (the catalog-estimate
+    statistics() hook supplies the bound, no remote query work)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import SQLProvider
+
+    ex = PartitionedDuckDBExecutor(dbfile, split_col="c_custkey",
+                                   n_slices=4)
+    # the hook itself: single-table extract -> catalog cardinality;
+    # expanding shapes -> unknown
+    est = ex.statistics('SELECT c_custkey FROM "customer" '
+                        "WHERE c_acctbal > 0")
+    assert est is not None and 0 < est <= 200
+    assert ex.statistics(
+        "SELECT 1 FROM customer JOIN orders ON o_custkey = c_custkey"
+    ) is None
+    assert ex.statistics(
+        "SELECT 1 FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders)") is None
+
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "customer")
+    fact = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+    eng.register_local_df("orders", fact)
+    out = eng.sql(
+        "SELECT o.o_orderkey, c.c_mktsegment FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_acctbal > 0")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # and the values still match a direct DuckDB run
+    import duckdb
+    con = duckdb.connect(dbfile, read_only=True)
+    want = sorted(con.execute(
+        "SELECT o.o_orderkey, c.c_mktsegment FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_acctbal > 0").fetchall())
+    con.close()
+    assert sorted(tuple(r) for r in out.collect()) == want

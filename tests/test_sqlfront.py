@@ -2410,3 +2410,72 @@ def test_generate_series_refusals(spark):
         eng.sql_plan("SELECT * FROM generate_series(1, 5, 0) g(n)")
     with _pt.raises(SqlParseError, match="integer constants"):
         eng.sql_plan("SELECT * FROM generate_series(1, 5.5) g(n)")
+
+
+def test_generate_series_bare_alias_names_column(spark):
+    """r10 (ADVICE r9 #5): Postgres single-column SRF rule — a bare
+    alias with no column list renames the output column, so
+    `SELECT g FROM generate_series(1,3) g` resolves."""
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    df = eng.sql("SELECT g FROM generate_series(1, 3) g")
+    assert df.columns == ["g"]
+    assert sorted(r[0] for r in df.collect()) == [1, 2, 3]
+    # qualified form resolves too (Postgres: g.g)
+    df2 = eng.sql("SELECT g.g FROM generate_series(1, 3) AS g")
+    assert sorted(r[0] for r in df2.collect()) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# r10: simplified PIVOT statement with implicit value discovery
+# ---------------------------------------------------------------------------
+
+def test_bare_pivot_matches_duckdb(_pivot_fixture):
+    eng, con = _pivot_fixture
+    for q in [
+        "PIVOT p ON k USING sum(v)",
+        "PIVOT p ON k USING sum(v) GROUP BY g",
+        "WITH w AS (PIVOT p ON k USING sum(v) GROUP BY g) "
+        "SELECT g, x FROM w ORDER BY g",
+    ]:
+        got = sorted(tuple(r) for r in eng.sql(q).collect())
+        want = sorted(map(tuple, con.execute(q).fetchall()))
+        assert got == want, q
+        assert eng.sql(q).columns == [d[0] for d in con.execute(q).description]
+
+
+def test_bare_pivot_cap_refusal(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("wide", spark.range(200).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS v", "id % 3 AS g"))
+    eng.compiler.pivot_max_values = 50
+    try:
+        with pytest.raises(ValueError, match="more than 50 distinct"):
+            eng.sql("PIVOT wide ON k USING sum(v) GROUP BY g").collect()
+    finally:
+        eng.compiler.pivot_max_values = 10_000
+
+
+def test_bare_pivot_null_key_refusal(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("nk", spark.createDataFrame(
+        [(1, "x", 5), (2, None, 6)], "g int, k string, v int"))
+    with pytest.raises(NotImplementedError, match="NULL"):
+        eng.sql("PIVOT nk ON k USING sum(v) GROUP BY g").collect()
+
+
+def test_bare_pivot_parse_refusals(_pivot_fixture):
+    eng, _ = _pivot_fixture
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    with pytest.raises(SqlParseError, match="one column"):
+        eng.sql_plan("PIVOT p ON k, g USING sum(v)")
+    with pytest.raises(SqlParseError, match="aggregate"):
+        eng.sql_plan("PIVOT p ON k USING abs(v)")
+    with pytest.raises(SqlParseError, match="alias"):
+        eng.sql_plan("PIVOT p ON k USING sum(v) AS s")
+    with pytest.raises(SqlParseError, match="one aggregate"):
+        eng.sql_plan("PIVOT p ON k USING sum(v), count(v)")
+    with pytest.raises(SqlParseError, match="suffix"):
+        eng.sql_plan("PIVOT p ON k IN ('x') USING sum(v)")

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Isolated fresh-session bench for the suite-ceiling queries (r10;
+VERDICT r9 Next #2/#8 — the judge's reconciliation tool).
+
+Each named query runs in its OWN subprocess: fresh JVM, fresh Arrow
+pool, no pytest residue — the measurement the judge takes when
+re-verifying SURVEY claims. Inside the subprocess the query runs
+``repeats`` times so cold (first call: JVM + plan + checkpoint
+materialization) and warm (steady-state) separate cleanly.
+
+Usage:
+    python tools/bench_isolated.py [sf_dir] [q1,q2,...] [repeats]
+Defaults: /root/testdata/sf0.1, the five ceiling queries, 3 repeats.
+
+Prints one JSON line per query:
+    {"query": ..., "runs_s": [cold, warm, warm...], "loadavg": ...}
+and a trailing summary line. Refuses to run when the 1-min loadavg
+is above 1.5 at start (the idle protocol bench.py uses).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CEILING = ["d68_pagerank_dangling", "d65_jaccard_prefix",
+           "d51_pagerank", "q88_recursive_cte",
+           "q112_cycle_union_distinct"]
+
+_CHILD = r"""
+import json, sys, time
+sf = sys.argv[1]; name = sys.argv[2]; repeats = int(sys.argv[3])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.adaptive.enabled", "true")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from datafusion_federation_spark.queries import REGISTRY
+import datafusion_federation_spark.queries_pipeline  # noqa: F401
+import datafusion_federation_spark.queries_tpch      # noqa: F401
+fn, _ = REGISTRY[name]
+runs = []
+for _ in range(repeats):
+    t0 = time.time()
+    fn(spark, sf).collect()
+    runs.append(round(time.time() - t0, 2))
+print("CHILD_RESULT " + json.dumps(runs))
+"""
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = (sys.argv[2].split(",") if len(sys.argv) > 2 else CEILING)
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    load = os.getloadavg()[0]
+    if load > 1.5:
+        print(json.dumps({"error": "box not idle", "loadavg": load}))
+        return 1
+    out = {}
+    for name in names:
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-c", _CHILD, sf, name, str(repeats)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        wall = round(time.time() - t0, 1)
+        runs = None
+        for line in r.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                runs = json.loads(line[len("CHILD_RESULT "):])
+        if runs is None:
+            print(json.dumps({"query": name, "error":
+                              r.stderr.strip()[-400:]}))
+            continue
+        rec = {"query": name, "runs_s": runs, "subprocess_wall_s": wall,
+               "loadavg": round(os.getloadavg()[0], 2)}
+        out[name] = rec
+        print(json.dumps(rec), flush=True)
+    if out:
+        print(json.dumps({
+            "summary": {n: {"cold": v["runs_s"][0],
+                            "warm_min": min(v["runs_s"][1:] or
+                                            v["runs_s"])}
+                        for n, v in out.items()},
+            "sf": sf}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
