@@ -2663,6 +2663,33 @@ def _plan_output_cols(p: Plan):
         # working-table leaf: schema exists only mid-fixpoint — unknown
         # is the safe static answer
         return None
+    from .plans.nodes import Pivot as _Pv, Unpivot as _Uv
+    if isinstance(p, _Pv):
+        # r10 (bare-pivot fuzzer catch, first run): the generic
+        # first-input fallthrough returned the pivot INPUT's columns,
+        # so ORDER BY ALL over a pivoted CTE sorted by columns the
+        # output no longer has. Explicit-list pivots have a static
+        # output (ids + one column per value, named by the value);
+        # implicit discovery resolves at compile time -> unknown.
+        if p.values is None:
+            return None
+        inner = _plan_output_cols(p.input)
+        if inner is None:
+            return None
+        from .expressions import walk as _walkE
+        agg_refs = {x.name for x in _walkE(p.agg) if isinstance(x, Col)}
+        ids = [c for c in inner
+               if c != p.pivot_col and c not in agg_refs]
+        return ids + [("true" if v is True else
+                       "false" if v is False else str(v))
+                      for v in p.values]
+    if isinstance(p, _Uv):
+        inner = _plan_output_cols(p.input)
+        if inner is None:
+            return None
+        dropped = {c.lower() for c in p.cols}
+        return [c for c in inner if c.lower() not in dropped] \
+            + [p.name_col, p.value_col]
     inputs = p.inputs()
     return _plan_output_cols(inputs[0]) if inputs else None
 

@@ -3,14 +3,15 @@ with typed metadata (north-star extension).
 
 The Spark-side plumbing is real — schemas, Arrow-batched mapInPandas
 transforms, partitioning — and as of r9 every MODALITY has a REAL
-stdlib-struct decoder for its uncompressed format: P6 PPM / 24-bit BMP
-images (decode_image), PCM-16 WAV audio (decode_wav), raw-DIB AVI video
-(decode_avi_dib), each oracle-tested (d93/d94/d95) against arithmetic
-derivations that never see the bytes. Only COMPRESSED codecs
-(PNG/JPEG/MP3/MJPEG/H.264) remain stubbed behind clearly-marked
-NotImplementedError, because no codec libraries ship in this container;
-swapping in PIL/ffmpeg is a one-function change behind real_decode and
-batch shapes/schemas hold.
+stdlib decoder: P6 PPM / 24-bit BMP images (decode_image), PCM-16 WAV
+audio (decode_wav), raw-DIB AVI video (decode_avi_dib), each
+oracle-tested (d93/d94/d95) against arithmetic derivations that never
+see the bytes. r10 adds PNG — DEFLATE via stdlib zlib, all five
+scanline filters, gray/RGB/RGBA/palette/sub-byte depths (d96) — so
+only LOSSY/complex codecs (JPEG/MP3/MJPEG/H.264, 16-bit or Adam7 PNG)
+remain stubbed behind clearly-marked NotImplementedError, because no
+codec libraries ship in this container; swapping in PIL/ffmpeg is a
+one-function change behind real_decode and batch shapes/schemas hold.
 
 Scale notes: decode/feature-extract runs in mapInPandas so each Arrow batch
 crosses the Python boundary once; binary payloads never shuffle unless the
@@ -56,7 +57,7 @@ def real_decode(payload: bytes) -> dict:
 
     Sandbox probe (r5): none of PIL / cv2 / imageio / av / soundfile /
     librosa / libmagic import in this environment, so JPEG/MP3/H.264
-    (and palette/16-bit/Adam7 PNG) stay a stub; the Spark-side plumbing
+    (and 16-bit/Adam7 PNG) stay a stub; the Spark-side plumbing
     (Arrow batching via mapInPandas, schema, partitioning) is real and
     oracle-tested (d13). Wiring a full decoder is a one-function swap
     behind this seam."""
@@ -273,8 +274,8 @@ def _parse_bmp24(b: bytes) -> dict:
 # compression is DEFLATE and zlib IS stdlib, so an IHDR/IDAT chunk walk +
 # bounded zlib.decompress + the five scanline filters (None/Sub/Up/
 # Average/Paeth) decode 8-bit gray/RGB/RGBA PNG with no new deps. The
-# honest refusal now covers LOSSY/complex codecs only (JPEG, 16-bit or
-# palette PNG, Adam7 interlace).
+# honest refusal now covers LOSSY/complex codecs only (JPEG, 16-bit
+# channels, Adam7 interlace; palette and sub-byte depths decode too).
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -362,14 +363,19 @@ def _parse_png(b: bytes) -> dict:
     """Real PNG decode, stdlib zlib: chunk walk with CRC validation,
     IHDR sanity, bounded inflate (a lying zip-bomb IDAT cannot
     allocate past the h*(stride+1) bytes the declared dims justify),
-    and the five scanline defilters. 8-bit gray (0) / RGB (2) /
-    RGBA (6); palette, 16-bit, and Adam7 refuse honestly."""
+    the five scanline defilters, and sub-byte/palette unpacking.
+    Supported: gray (0) at depth 1/2/4/8, RGB (2) at 8, palette (3)
+    at 1/2/4/8 via PLTE, gray+alpha (4) at 8, RGBA (6) at 8 — i.e.
+    everything but 16-bit channels and Adam7 interlace, which refuse
+    honestly (r10: the gitweb/doc-theme PNGs in this container decode;
+    only deep-color and progressive files need PIL)."""
     import struct as _s
     import zlib as _z
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, n = 8, len(b)
     ihdr = None
+    plte = None
     idat = bytearray()
     seen_iend = False
     while pos + 12 <= n:
@@ -384,6 +390,10 @@ def _parse_png(b: bytes) -> dict:
             if ihdr is not None:
                 raise ValueError("duplicate IHDR")
             ihdr = data
+        elif tag == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -406,12 +416,17 @@ def _parse_png(b: bytes) -> dict:
             "de-interlacing needs a real imaging lib)")
     if inter != 0:
         raise ValueError(f"PNG interlace method {inter} invalid")
-    if depth != 8 or ctype not in (0, 2, 6):
+    allowed = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8),
+               4: (8,), 6: (8,)}
+    if ctype not in allowed or depth not in allowed[ctype]:
         raise NotImplementedError(
-            f"only 8-bit gray/RGB/RGBA PNG decodes here (bit depth "
-            f"{depth}, color type {ctype}); palette/16-bit need PIL")
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * ch
+            f"PNG bit depth {depth} / color type {ctype} not decoded "
+            f"here (16-bit channels need PIL)")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = (w * ch * depth + 7) // 8      # packed bytes per scanline
+    bpp = max(1, ch * depth // 8)           # filter distance (spec 9.2)
     expected = h * (stride + 1)
     if expected > 256 * 1024 * 1024:
         raise ValueError("PNG dimensions exceed the 256 MiB decode cap")
@@ -424,50 +439,86 @@ def _parse_png(b: bytes) -> dict:
         raise ValueError(
             f"PNG pixel data is {len(raw)}+ bytes, IHDR dims demand "
             f"exactly {expected}")
-    px = bytearray(w * h * ch)
+    px = bytearray(h * stride)
     prev = bytes(stride)
     for r in range(h):
         f = raw[r * (stride + 1)]
         row = bytearray(raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)])
         if f == 1:
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif f == 2:
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif f == 3:
             for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
         elif f == 4:
             for i in range(stride):
                 row[i] = (row[i] + _paeth(
-                    row[i - ch] if i >= ch else 0, prev[i],
-                    prev[i - ch] if i >= ch else 0)) & 0xFF
+                    row[i - bpp] if i >= bpp else 0, prev[i],
+                    prev[i - bpp] if i >= bpp else 0)) & 0xFF
         elif f != 0:
             raise ValueError(f"PNG scanline filter type {f} invalid")
         px[r * stride:(r + 1) * stride] = row
         prev = bytes(row)
+
+    def unpack_subbyte(row_bytes):
+        """w left-to-right samples of `depth` bits, MSB first."""
+        vals = []
+        mask = (1 << depth) - 1
+        for j in range(w):
+            byte = row_bytes[(j * depth) // 8]
+            shift = 8 - depth - (j * depth) % 8
+            vals.append((byte >> shift) & mask)
+        return vals
+
     # normalize to the decode_image contract: RGB row-major top-down
-    if ch == 1:
-        raster = bytes(v for v in px for _ in range(3))
-        codec = "png/gray8"
-    elif ch == 3:
-        raster = bytes(px)
+    out = bytearray(w * h * 3)
+    if ctype == 2:
+        out = px
         codec = "png/rgb8"
-    else:
-        raster = bytes(v for i, v in enumerate(px) if i % 4 != 3)
+    elif ctype == 6:
+        out = bytearray(v for i, v in enumerate(px) if i % 4 != 3)
         codec = "png/rgba8"
+    elif ctype == 4:
+        out = bytearray(px[i] for i in range(0, len(px), 2)
+                        for _ in range(3))
+        codec = "png/graya8"
+    elif ctype == 0 and depth == 8:
+        out = bytearray(v for v in px for _ in range(3))
+        codec = "png/gray8"
+    else:
+        # sub-byte gray (scaled to full range) or palette lookup
+        scale = 255 // ((1 << depth) - 1) if ctype == 0 else 1
+        pmax = len(plte) // 3 if ctype == 3 else 0
+        k = 0
+        for r in range(h):
+            vals = unpack_subbyte(px[r * stride:(r + 1) * stride])
+            for v in vals:
+                if ctype == 0:
+                    g = v * scale
+                    out[k] = out[k + 1] = out[k + 2] = g
+                else:
+                    if v >= pmax:
+                        raise ValueError(
+                            f"PNG palette index {v} outside PLTE "
+                            f"({pmax} entries)")
+                    out[k:k + 3] = plte[v * 3:v * 3 + 3]
+                k += 3
+        codec = (f"png/gray{depth}" if ctype == 0
+                 else f"png/pal{depth}")
     return {"media_type": "image", "n_bytes": len(b), "width": w,
             "height": h, "duration_ms": None, "codec": codec,
-            "raster": raster}
+            "raster": bytes(out)}
 
 
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload (stdlib only): P6 PPM, 24-bit BI_RGB
     BMP, or 8-bit gray/RGB/RGBA PNG (r10 — DEFLATE via stdlib zlib)
     -> meta dict + ``raster`` (RGB, row-major, top-down). Lossy/
-    complex codecs (JPEG, palette/16-bit/Adam7 PNG) raise the honest
+    complex codecs (JPEG, 16-bit/Adam7 PNG) raise the honest
     NotImplementedError the module-level stub documents."""
     if payload[:2] == b"P6":
         return _parse_ppm_p6(payload)

@@ -911,6 +911,47 @@ def _nsort(rows):
         (v is None, str(v)) for v in r))
 
 
+@st.composite
+def _bare_pivot_queries(draw):
+    """r10: DuckDB's simplified PIVOT statement — implicit value
+    discovery, drawn aggregates and GROUP BY shapes, identical SQL on
+    both engines (the discovery pre-query must reproduce DuckDB's
+    ascending column order exactly or the projection fails)."""
+    agg = draw(st.sampled_from(
+        ["count(n_nationkey)", "sum(n_nationkey)", "max(n_name)",
+         "min(n_nationkey)"]))
+    grp = draw(st.sampled_from(["", " GROUP BY bucket2"]))
+    key = draw(st.sampled_from(["n_regionkey % 3", "n_regionkey"]))
+    body = (f"(SELECT n_name, n_nationkey, {key} AS k, "
+            f"n_nationkey % 2 AS bucket2 FROM nation)")
+    inner = f"PIVOT {body} ON k USING {agg}{grp}"
+    # no ORDER BY ALL here: the implicit pivot's output list resolves
+    # at compile time, so ALL-expansion refuses loudly (rows are
+    # sorted in Python below; column order still asserted)
+    return f"WITH p AS ({inner}) SELECT * FROM p"
+
+
+@settings(max_examples=25, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(sql=_bare_pivot_queries())
+def test_bare_pivot_local_and_federated_match_duckdb(engines, sql):
+    import duckdb
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = _nsort(map(tuple, conn.execute(sql).fetchall()))
+    cols = [d[0] for d in conn.execute(sql).description]
+    conn.close()
+    got_local = local_eng.sql(sql)
+    assert got_local.columns == cols, f"column order diverged: {sql}"
+    assert _nsort(tuple(r) for r in got_local.collect()) == want, \
+        f"LOCAL diverged on: {sql}"
+    got_fed = _nsort(tuple(r) for r in remote_eng.sql(sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {sql}"
+
+
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])

@@ -1370,7 +1370,8 @@ def test_png_decodes_real_world_files():
 
     from datafusion_federation_spark.operators.multimodal import (
         decode_image)
-    files = sorted(glob.glob("/usr/share/doc/python3/_static/*.png"))
+    files = sorted(glob.glob("/usr/share/doc/python3/_static/*.png")
+                   + glob.glob("/usr/share/gitweb/static/*.png"))
     if not files:
         pytest.skip("no system PNGs in this container")
     decoded = 0
@@ -1380,11 +1381,71 @@ def test_png_decodes_real_world_files():
         try:
             d = decode_image(b)
         except NotImplementedError:
-            continue          # palette/16-bit: honest refusal
+            continue          # 16-bit/Adam7: honest refusal
         assert d["width"] > 0 and d["height"] > 0
         assert len(d["raster"]) == d["width"] * d["height"] * 3
         decoded += 1
-    assert decoded >= 1, "expected at least one decodable system PNG"
+    # r10: RGBA, gray, AND palette (pal8 logo, pal2 favicon) all decode
+    assert decoded >= 4, f"expected the system PNGs to decode, got " \
+        f"{decoded} of {len(files)}"
+
+
+def test_png_subbyte_and_palette_hand_built():
+    """Sub-byte gray (bit depths 1/2/4), palette via PLTE, and
+    gray+alpha — hand-built chunk layouts with known pixel values."""
+    import struct
+    import zlib
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_image)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # depth-4 gray 5x2 (odd width: the last nibble pads)
+    vals = [[1, 15, 0, 7, 8], [3, 4, 5, 6, 2]]
+    rows = b""
+    for r in range(2):
+        packed, byte, nb = bytearray(), 0, 0
+        for v in vals[r]:
+            byte, nb = (byte << 4) | v, nb + 1
+            if nb == 2:
+                packed.append(byte)
+                byte, nb = 0, 0
+        if nb:
+            packed.append(byte << 4)
+        rows += b"\x00" + bytes(packed)
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                            5, 2, 4, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+    d = decode_image(png)
+    assert d["codec"] == "png/gray4"
+    assert d["raster"] == bytes(v * 17 for row in vals
+                                for v in row for _ in range(3))
+    # depth-2 palette 4x2
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = [[0, 1, 2, 3], [3, 2, 1, 0]]
+    rows = b"".join(
+        b"\x00" + bytes([(r[0] << 6) | (r[1] << 4) | (r[2] << 2) | r[3]])
+        for r in idx)
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                            4, 2, 2, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+    d = decode_image(png)
+    assert d["codec"] == "png/pal2"
+    assert d["raster"] == b"".join(pal[i * 3:i * 3 + 3]
+                                   for row in idx for i in row)
+    # gray+alpha 8-bit: alpha drops, gray replicates
+    rows = b"\x00" + bytes([100, 255, 200, 0])
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                            2, 1, 8, 4, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+    d = decode_image(png)
+    assert d["codec"] == "png/graya8"
+    assert d["raster"] == bytes([100] * 3 + [200] * 3)
 
 
 def test_png_refusals_and_corruption():
@@ -1422,15 +1483,28 @@ def test_png_refusals_and_corruption():
             + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="Adam7"):
         decode_image(adam)
-    # 16-bit and palette refuse honestly
-    for depth, ctype in ((16, 2), (8, 3)):
-        p = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
-                                              2, 2, depth, ctype,
-                                              0, 0, 0))
-             + chunk(b"IDAT", zlib.compress(b"\x00" * 20))
-             + chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError):
-            decode_image(p)
+    # 16-bit channels refuse honestly (palette/sub-byte now decode)
+    p16 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                            2, 2, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_image(p16)
+    # palette file with a missing PLTE is corrupt, not unsupported
+    p3 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                           2, 2, 8, 3, 0, 0, 0))
+          + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x00"))
+          + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(p3)
+    # palette index past the PLTE is corrupt
+    p3b = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                            2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", bytes([1, 2, 3]))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x05\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(p3b)
     # IDAT byte count disagreeing with IHDR dims (zip-bomb posture:
     # inflate is BOUNDED by the dims, never by the attacker's stream)
     bomb = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",

@@ -2479,3 +2479,19 @@ def test_bare_pivot_parse_refusals(_pivot_fixture):
         eng.sql_plan("PIVOT p ON k USING sum(v), count(v)")
     with pytest.raises(SqlParseError, match="suffix"):
         eng.sql_plan("PIVOT p ON k IN ('x') USING sum(v)")
+
+
+def test_order_by_all_over_pivot_output(_pivot_fixture):
+    """r10 (bare-pivot fuzzer catch): _plan_output_cols fell through
+    Pivot/Unpivot to the INPUT's columns, so ORDER BY ALL over a
+    pivoted relation expanded to columns the output no longer has.
+    Explicit-list pivots now expand to (ids + value columns)."""
+    eng, con = _pivot_fixture
+    q = ("SELECT * FROM p PIVOT (SUM(v) FOR k IN ('x', 'y')) "
+         "ORDER BY ALL")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == con.execute(q).fetchall()
+    q2 = ("SELECT id, n, v FROM t UNPIVOT (v FOR n IN (a, b)) "
+          "ORDER BY ALL")
+    got2 = [tuple(r) for r in eng.sql(q2).collect()]
+    assert got2 == con.execute(q2).fetchall()

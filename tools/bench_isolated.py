@@ -45,6 +45,12 @@ from datafusion_federation_spark.queries import REGISTRY
 import datafusion_federation_spark.queries_pipeline  # noqa: F401
 import datafusion_federation_spark.queries_tpch      # noqa: F401
 fn, _ = REGISTRY[name]
+# session warmup: one trivial job + one parquet read, so run[0] is
+# "first call on a warm session" (JVM/codegen/Arrow init excluded) —
+# the reading a human takes after starting a shell
+from pyspark.sql import functions as F
+spark.range(1000).groupBy(F.col("id") % 7).count().collect()
+spark.read.parquet(sf + "/region.parquet").collect()
 runs = []
 for _ in range(repeats):
     t0 = time.time()
@@ -64,6 +70,13 @@ def main() -> int:
         return 1
     out = {}
     for name in names:
+        # settle between subprocesses: the previous child's JVM
+        # shutdown + page-cache churn inflates the next cold reading
+        # (observed: 1-min loadavg 4+ mid-sequence on an idle box)
+        for _ in range(24):
+            if os.getloadavg()[0] <= 1.0:
+                break
+            time.sleep(5)
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, "-c", _CHILD, sf, name, str(repeats)],
