@@ -345,7 +345,8 @@ class Compiler:
         if isinstance(p, Pivot):
             from .expressions import walk as walk_expr
             df = self._c(p.input)
-            agg_refs = {x.name for x in walk_expr(p.agg)
+            agg_list = list(p.aggs) if p.aggs is not None else [p.agg]
+            agg_refs = {x.name for a in agg_list for x in walk_expr(a)
                         if isinstance(x, Col)}
             ids = [c for c in df.columns
                    if c != p.pivot_col and c not in agg_refs]
@@ -374,10 +375,38 @@ class Compiler:
                         "implicit PIVOT over a key column containing "
                         "NULL: engines disagree on the NULL column's "
                         "name — spell the IN list explicitly")
-            out = (df.groupBy(*ids)
-                   .pivot(p.pivot_col, list(values))
-                   .agg(p.agg.to_spark()))
-            if getattr(p.agg, "name", "").lower() == "count":
+            gp = df.groupBy(*ids).pivot(p.pivot_col, list(values))
+            if p.aggs is not None:
+                # r10 multi-aggregate USING: Spark and DuckDB agree on
+                # both naming ({value}_{alias}) and order (value-major)
+                # — verified empirically, pinned in tests. Empty COUNT
+                # cells coalesce to 0 per the same engine rule as the
+                # single-agg arm.
+                from .expressions import Alias as _AliasX
+                out = gp.agg(*[a.to_spark() for a in agg_list])
+                count_aliases = [
+                    a.name for a in agg_list
+                    if isinstance(a, _AliasX)
+                    and getattr(a.expr, "name", "").lower() == "count"]
+                for al in count_aliases:
+                    for v in values:
+                        c = f"{v}_{al}"
+                        if c in out.columns:
+                            out = out.withColumn(
+                                c, F.coalesce(F.col(f"`{c}`"),
+                                              F.lit(0)))
+                return out
+            out = gp.agg(p.agg.to_spark())
+            single_alias = None
+            from .expressions import Alias as _AliasX
+            if isinstance(p.agg, _AliasX):
+                # DuckDB suffixes the alias even for a SINGLE aliased
+                # aggregate (x_s, y_s); Spark drops it — rename
+                single_alias = p.agg.name
+                base = getattr(p.agg.expr, "name", "")
+            else:
+                base = getattr(p.agg, "name", "")
+            if base.lower() == "count":
                 # an empty pivot cell is the aggregate over ZERO rows:
                 # COUNT gives 0, not the NULL Spark's pivot leaves (the
                 # engines evaluate the aggregate per cell; fuzzer
@@ -387,6 +416,12 @@ class Compiler:
                     if c not in ids:
                         out = out.withColumn(
                             c, F.coalesce(F.col(f"`{c}`"), F.lit(0)))
+            if single_alias is not None:
+                for v in values:
+                    c = str(v)
+                    if c in out.columns:
+                        out = out.withColumnRenamed(
+                            c, f"{c}_{single_alias}")
             return out
 
         raise ValueError(f"cannot compile plan node {type(p).__name__}")

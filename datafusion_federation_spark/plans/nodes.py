@@ -478,17 +478,25 @@ class Pivot(Plan):
     local; the input still federates."""
 
     input: Plan
-    agg: Expr = None                     # AggFunc
+    agg: Expr = None                     # AggFunc (single-agg form)
     pivot_col: str = ""
     values: Optional[Sequence[Any]] = ()  # literals; None = discover
+    #: r10: multi-aggregate USING (each an Alias over an AggFunc);
+    #: when set, ``agg`` is ignored. Output columns follow the shared
+    #: DuckDB/Spark naming: one {value}_{alias} per (value, agg),
+    #: value-major order.
+    aggs: Optional[Sequence[Expr]] = None
 
     def inputs(self): return (self.input,)
 
-    def exprs(self): return (self.agg,) if self.agg is not None else ()
+    def exprs(self):
+        if self.aggs is not None:
+            return tuple(self.aggs)
+        return (self.agg,) if self.agg is not None else ()
 
     def with_inputs(self, new_inputs):
         return Pivot(new_inputs[0], self.agg, self.pivot_col,
-                     self.values)
+                     self.values, self.aggs)
 
 
 def walk_plan(p: Plan):

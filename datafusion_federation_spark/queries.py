@@ -525,6 +525,12 @@ SECONDARY = {
     # two-phase bounded-DISTINCT protocol); explicit-list PIVOT keeps
     # q100's in-window row
     "q115_bare_pivot",
+    # round 10: simplified UNPIVOT statement (lowers to the q100
+    # Unpivot node)
+    "q116_bare_unpivot",
+    # round 10: multi-aggregate simplified PIVOT (value-major
+    # {value}_{alias} columns, the q115 discovery path)
+    "q117_multi_agg_pivot",
 }
 
 DEC = "decimal(12,2)"

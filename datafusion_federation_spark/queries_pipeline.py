@@ -5954,3 +5954,60 @@ def q115(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("documents", t(spark, sf, "documents"))
     return eng.sql(_Q115_SQL)
+
+
+_Q116_SQL = """
+WITH u AS (
+  UNPIVOT (SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+                  CAST(LENGTH(text) AS BIGINT) AS txt_len
+           FROM documents)
+  ON chars, txt_len INTO NAME metric VALUE v
+)
+SELECT doc_id, metric, v FROM u ORDER BY doc_id, metric
+"""
+
+
+@q("q116_bare_unpivot", _Q116_SQL)
+def q116(spark, sf):
+    """DuckDB's simplified UNPIVOT statement (r10; the PIVOT
+    statement's sibling): `UNPIVOT rel ON cols INTO NAME n VALUE v`
+    parses anywhere a query is legal and lowers to the existing
+    Unpivot node (DataFrame.unpivot + the engines' default NULL-value
+    drop — a narrow per-row expansion, NO shuffle). Identical SQL on
+    both engines; output column ORDER pinned (remaining columns, then
+    name, then value — both engines agree). 100 TB: row expansion is
+    pipelined inside the scan stage; nothing wide happens until the
+    caller aggregates."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("documents", t(spark, sf, "documents"))
+    return eng.sql(_Q116_SQL)
+
+
+_Q117_SQL = """
+WITH w AS (
+  PIVOT (SELECT source, lang, n_chars FROM documents)
+  ON lang USING sum(n_chars) AS s, count(n_chars) AS c
+  GROUP BY source
+)
+SELECT source,
+       CAST(de_s AS BIGINT) AS de_s, CAST(de_c AS BIGINT) AS de_c,
+       CAST(en_s AS BIGINT) AS en_s, CAST(en_c AS BIGINT) AS en_c,
+       CAST(zh_s AS BIGINT) AS zh_s, CAST(zh_c AS BIGINT) AS zh_c
+FROM w ORDER BY source
+"""
+
+
+@q("q117_multi_agg_pivot", _Q117_SQL)
+def q117(spark, sf):
+    """Simplified PIVOT with MULTIPLE aliased aggregates (r10): one
+    output column per (discovered value, aggregate) in value-major
+    order, named {value}_{alias} — Spark's multi-agg pivot naming and
+    DuckDB's agree exactly (pinned), and empty COUNT cells coalesce
+    to 0 per the engines' evaluate-per-cell rule. Identical SQL on
+    both engines; still ONE shuffle (groupBy.pivot with N aggregate
+    expressions widens the same exchange, it does not add one)."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("documents", t(spark, sf, "documents"))
+    return eng.sql(_Q117_SQL)

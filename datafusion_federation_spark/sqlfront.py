@@ -641,6 +641,8 @@ class Parser:
     def _parse_intersect_chain(self, outer: _Scope) -> Plan:
         if self.at_kw("PIVOT"):
             plan = self._parse_pivot_statement(outer)
+        elif self.at_kw("UNPIVOT"):
+            plan = self._parse_unpivot_statement(outer)
         else:
             plan = self.parse_select(outer)
         while self.at_kw("INTERSECT"):
@@ -1655,22 +1657,32 @@ class Parser:
                 "simplified PIVOT with an IN list: use the relation-"
                 "suffix form `rel PIVOT (agg(x) FOR key IN (...))`")
         self.expect_kw("USING")
-        fname = self.take()
-        if fname[0] != "id" or self.peek() != ("op", "("):
+
+        def one_agg():
+            fname = self.take()
+            if fname[0] != "id" or self.peek() != ("op", "("):
+                raise SqlParseError(
+                    "PIVOT ... USING needs an aggregate call")
+            self.i -= 1
+            a = self.parse_func_call(scope)
+            if not isinstance(a, AggFunc):
+                raise SqlParseError(
+                    f"PIVOT USING {fname[1]}() is not an aggregate")
+            if self.accept_kw("AS"):
+                return Alias(a, self.take()[1])
+            return a
+
+        aggs = [one_agg()]
+        while self.accept_op(","):
+            aggs.append(one_agg())
+        if len(aggs) > 1 and not all(isinstance(a, Alias)
+                                     for a in aggs):
+            # DuckDB auto-names unaliased multi-agg columns after the
+            # aggregate's SQL text (x_sum(v)); reproducing that text
+            # byte-for-byte is brittle — require aliases instead
             raise SqlParseError(
-                "PIVOT ... USING needs an aggregate call")
-        self.i -= 1
-        agg = self.parse_func_call(scope)
-        if not isinstance(agg, AggFunc):
-            raise SqlParseError(
-                f"PIVOT USING {fname[1]}() is not an aggregate")
-        if self.accept_kw("AS"):
-            raise SqlParseError(
-                "PIVOT USING ... AS alias (suffixed column names) is "
-                "outside the parser surface")
-        if self.accept_op(","):
-            raise SqlParseError(
-                "PIVOT USING takes one aggregate here")
+                "PIVOT USING with multiple aggregates requires an "
+                "alias on each (agg(x) AS name)")
         if self.accept_kw("GROUP"):
             # explicit grouping: project the input down to (group cols
             # + key + aggregate refs) so Pivot's implicit all-other-
@@ -1680,10 +1692,44 @@ class Parser:
             while self.accept_op(","):
                 gcols.append(self.take()[1])
             from .expressions import walk as _walk
-            refs = [x.name for x in _walk(agg) if isinstance(x, Col)]
+            refs = [x.name for a in aggs for x in _walk(a)
+                    if isinstance(x, Col)]
             keep = list(dict.fromkeys(gcols + [pivot_col] + refs))
             plan = Project(plan, [Col(c) for c in keep])
-        return Pivot(plan, agg, pivot_col, None)
+        if len(aggs) > 1:
+            return Pivot(plan, None, pivot_col, None, tuple(aggs))
+        return Pivot(plan, aggs[0], pivot_col, None)
+
+    def _parse_unpivot_statement(self, outer: _Scope) -> Plan:
+        """DuckDB's simplified UNPIVOT statement (r10, the PIVOT
+        statement's sibling)::
+
+            UNPIVOT rel ON c1, c2, ... [INTO NAME n VALUE v]
+
+        Default output column names are ``name``/``value`` (DuckDB's);
+        NULL values drop, exactly the suffix form's default. Lowers to
+        the existing Unpivot node — remaining columns ride through,
+        then (name, value) append."""
+        from .plans.nodes import Unpivot
+        self.expect_kw("UNPIVOT")
+        scope = _Scope(parent=outer)
+        plan = self.parse_relation(scope)
+        self.expect_kw("ON")
+        cols = [self.take()[1]]
+        while self.accept_op(","):
+            cols.append(self.take()[1])
+        name_col, value_col = "name", "value"
+        if self.accept_kw("INTO"):
+            self.expect_kw("NAME")
+            name_col = self.take()[1]
+            self.expect_kw("VALUE")
+            value_col = self.take()[1]
+            if self.accept_op(","):
+                raise SqlParseError(
+                    "simplified UNPIVOT takes one VALUE column here "
+                    "(multi-value unpivot is outside the parser "
+                    "surface)")
+        return Unpivot(plan, tuple(cols), value_col, name_col, False)
 
     def _maybe_pivot_suffix(self, plan: Plan, scope: _Scope
                             ) -> Optional[Plan]:

@@ -2473,9 +2473,10 @@ def test_bare_pivot_parse_refusals(_pivot_fixture):
         eng.sql_plan("PIVOT p ON k, g USING sum(v)")
     with pytest.raises(SqlParseError, match="aggregate"):
         eng.sql_plan("PIVOT p ON k USING abs(v)")
+    # multi-agg without aliases: DuckDB auto-names after the SQL text,
+    # which we refuse to reproduce byte-for-byte (aliased forms are a
+    # feature — test_bare_pivot_multi_aggregate)
     with pytest.raises(SqlParseError, match="alias"):
-        eng.sql_plan("PIVOT p ON k USING sum(v) AS s")
-    with pytest.raises(SqlParseError, match="one aggregate"):
         eng.sql_plan("PIVOT p ON k USING sum(v), count(v)")
     with pytest.raises(SqlParseError, match="suffix"):
         eng.sql_plan("PIVOT p ON k IN ('x') USING sum(v)")
@@ -2495,3 +2496,39 @@ def test_order_by_all_over_pivot_output(_pivot_fixture):
           "ORDER BY ALL")
     got2 = [tuple(r) for r in eng.sql(q2).collect()]
     assert got2 == con.execute(q2).fetchall()
+
+
+def test_bare_unpivot_matches_duckdb(_pivot_fixture):
+    """r10: DuckDB's simplified UNPIVOT statement — default and INTO
+    NAME/VALUE forms, top level and as a CTE body."""
+    eng, con = _pivot_fixture
+    for q in [
+        "UNPIVOT t ON a, b",
+        "UNPIVOT t ON a, b INTO NAME m VALUE v",
+        "WITH u AS (UNPIVOT t ON a, b INTO NAME m VALUE v) "
+        "SELECT * FROM u ORDER BY ALL",
+    ]:
+        got = eng.sql(q)
+        assert got.columns == [d[0] for d in con.execute(q).description]
+        assert sorted(tuple(r) for r in got.collect()) \
+            == sorted(map(tuple, con.execute(q).fetchall())), q
+
+
+def test_bare_pivot_multi_aggregate(_pivot_fixture):
+    """r10: multi-aggregate USING with aliases — column naming
+    ({value}_{alias}) and value-major order match DuckDB; empty COUNT
+    cells are 0, empty SUM cells NULL."""
+    eng, con = _pivot_fixture
+    for q in [
+        "PIVOT p ON k USING sum(v) AS s, count(v) AS c GROUP BY g",
+        "PIVOT p ON k USING sum(v) AS s GROUP BY g",
+        "WITH w AS (PIVOT p ON k USING min(v) AS lo, max(v) AS hi "
+        "GROUP BY g) SELECT g, x_lo, y_hi FROM w ORDER BY g",
+    ]:
+        got = eng.sql(q)
+        assert got.columns == [d[0] for d in con.execute(q).description], q
+        assert sorted(tuple(r) for r in got.collect()) \
+            == sorted(map(tuple, con.execute(q).fetchall())), q
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    with pytest.raises(SqlParseError, match="alias"):
+        eng.sql_plan("PIVOT p ON k USING sum(v), count(v) GROUP BY g")
