@@ -50,6 +50,11 @@ class Compiler:
         #: the inner side is PROVABLY at or below this row count;
         #: above it the historical refusal stands
         self.theta_bnl_rows = 10_000
+        #: r11: probe-verdict memo for _theta_bnl_gate (keyed on the
+        #: subquery body's structural repr) + a probe counter the
+        #: memoization tests read
+        self._bnl_gate_cache: dict = {}
+        self._bnl_probe_count = 0
         #: opt-in: before executing a federated join input, compute
         #: min/max of the other side's join key and inline the bounds
         #: into the remote SQL (the automated form of the reference's
@@ -348,6 +353,9 @@ class Compiler:
             agg_list = list(p.aggs) if p.aggs is not None else [p.agg]
             agg_refs = {x.name for a in agg_list for x in walk_expr(a)
                         if isinstance(x, Col)}
+            if p.pivot_cols is not None:
+                return self._compile_multikey_pivot(
+                    p, df, agg_list, agg_refs)
             ids = [c for c in df.columns
                    if c != p.pivot_col and c not in agg_refs]
             values = p.values
@@ -376,55 +384,185 @@ class Compiler:
                         "NULL: engines disagree on the NULL column's "
                         "name — spell the IN list explicitly")
             gp = df.groupBy(*ids).pivot(p.pivot_col, list(values))
-            if p.aggs is not None:
-                # r10 multi-aggregate USING: Spark and DuckDB agree on
-                # both naming ({value}_{alias}) and order (value-major)
-                # — verified empirically, pinned in tests. Empty COUNT
-                # cells coalesce to 0 per the same engine rule as the
-                # single-agg arm.
-                from .expressions import Alias as _AliasX
-                out = gp.agg(*[a.to_spark() for a in agg_list])
-                count_aliases = [
-                    a.name for a in agg_list
-                    if isinstance(a, _AliasX)
-                    and getattr(a.expr, "name", "").lower() == "count"]
-                for al in count_aliases:
-                    for v in values:
-                        c = f"{v}_{al}"
-                        if c in out.columns:
-                            out = out.withColumn(
-                                c, F.coalesce(F.col(f"`{c}`"),
-                                              F.lit(0)))
-                return out
-            out = gp.agg(p.agg.to_spark())
-            single_alias = None
             from .expressions import Alias as _AliasX
-            if isinstance(p.agg, _AliasX):
-                # DuckDB suffixes the alias even for a SINGLE aliased
-                # aggregate (x_s, y_s); Spark drops it — rename
-                single_alias = p.agg.name
-                base = getattr(p.agg.expr, "name", "")
+            if p.aggs is not None:
+                # r10 multi-aggregate USING: value-major {value}_{alias}
+                # columns, the shared Spark/DuckDB order
+                out = gp.agg(*[a.to_spark() for a in agg_list])
+                per_value = [a.name for a in agg_list]
+                count_idx = {
+                    i for i, a in enumerate(agg_list)
+                    if getattr(a.expr, "name", "").lower() == "count"}
             else:
-                base = getattr(p.agg, "name", "")
-            if base.lower() == "count":
-                # an empty pivot cell is the aggregate over ZERO rows:
-                # COUNT gives 0, not the NULL Spark's pivot leaves (the
-                # engines evaluate the aggregate per cell; fuzzer
-                # finding r7 s4). Every other admitted aggregate is
-                # NULL over empty input, where Spark already agrees.
-                for c in out.columns:
-                    if c not in ids:
-                        out = out.withColumn(
-                            c, F.coalesce(F.col(f"`{c}`"), F.lit(0)))
-            if single_alias is not None:
-                for v in values:
-                    c = str(v)
-                    if c in out.columns:
-                        out = out.withColumnRenamed(
-                            c, f"{c}_{single_alias}")
+                out = gp.agg(p.agg.to_spark())
+                # DuckDB suffixes the alias even for a SINGLE aliased
+                # aggregate (x_s, y_s); Spark drops it
+                single_alias = (p.agg.name
+                                if isinstance(p.agg, _AliasX) else None)
+                base_agg = (p.agg.expr if isinstance(p.agg, _AliasX)
+                            else p.agg)
+                per_value = [single_alias]
+                count_idx = ({0} if getattr(base_agg, "name", ""
+                                            ).lower() == "count"
+                             else set())
+            # r11 (VERDICT r10 Next #7 review): rename POSITIONALLY —
+            # Spark's pivot output is ids then one column per (value,
+            # agg) in list order, so toDF can never touch an id column
+            # (withColumnRenamed renamed BOTH 'g's when a discovered
+            # value collided with an id column, clobbering the id).
+            # A value name colliding with an id (or an earlier value)
+            # dedups with DuckDB's _1/_2 suffix rule. COUNT cells over
+            # zero rows coalesce to 0 by the FINAL unique name (the
+            # engines evaluate the aggregate per cell; fuzzer r7 s4) —
+            # the name-membership guards this replaces silently
+            # skipped repr-divergent names (ADVICE r10 #1).
+            taken = {c.lower() for c in ids}
+            vnames, vcount = [], []
+            for v in values:
+                for ai, al in enumerate(per_value):
+                    nm = _pivot_value_name(v) + (f"_{al}" if al else "")
+                    nm0, k = nm, 1
+                    while nm.lower() in taken:
+                        nm = f"{nm0}_{k}"
+                        k += 1
+                    taken.add(nm.lower())
+                    vnames.append(nm)
+                    vcount.append(ai in count_idx)
+            out = out.toDF(*ids, *vnames)
+            for nm, isc in zip(vnames, vcount):
+                if isc:
+                    out = out.withColumn(
+                        nm, F.coalesce(F.col(f"`{nm}`"), F.lit(0)))
             return out
 
+        from .plans.nodes import TableSample
+        if isinstance(p, TableSample):
+            # r11 (VERDICT r10 Next #6): deterministic hash-Bernoulli.
+            # Key = the seed-salted full-row rendering (concat_ws skips
+            # NULLs identically in Spark and DuckDB); threshold = the
+            # d18 2-hex-digit md5 prefix, 1/256 granularity. Narrow —
+            # a filter on the scan, no shuffle, no RNG.
+            df = self._c(p.input)
+            idx = max(0, round(p.pct / 100.0 * 256))
+            if idx >= 256:
+                return df            # p ~ 100%: whole relation
+            bound = format(idx, "02x")
+            key = F.concat_ws(
+                "|", F.lit(str(p.seed)),
+                *[F.col(f"`{c}`").cast("string") for c in df.columns])
+            return df.filter(F.substring(F.md5(key), 1, 2) < bound)
+
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
+
+    # ------------------------------------------------------------------
+    def _compile_multikey_pivot(self, p, df, agg_list, agg_refs):
+        """Multi-key simplified PIVOT (`PIVOT rel ON a, b USING ...`,
+        r11, VERDICT r10 Next #5). DuckDB's rule, verified empirically:
+        each key's distinct values discover INDEPENDENTLY and CROSS —
+        one output column per combination, observed or not — named
+        `{va}_{vb}[_{alias}]`, first key major, each key ascending.
+        Rows MATCH on a unit-separator concat of the cast-string keys
+        (tuple-exact — a value containing '_' cannot alias another
+        combination; the '_'-joined DuckDB names stay cosmetic), then
+        rename to the display names, refusing loudly on any final-name
+        collision (with each other or with an id column). 100 TB: one
+        bounded DISTINCT pre-query per key (driver holds <= cap scalar
+        values, never rows) + the same single pivot shuffle as the
+        one-key form."""
+        import itertools
+
+        from .expressions import Alias as _AliasX
+        US = "\x1f"
+        keys = list(p.pivot_cols)
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"PIVOT ON columns not found: {missing}")
+        ids = [c for c in df.columns
+               if c not in set(keys) and c not in agg_refs]
+        cap = self.pivot_max_values
+        per_key_renders = []
+        for k in keys:
+            rows = (df.select(k).distinct()
+                    .orderBy(k).limit(cap + 1).collect())
+            vals = [r[0] for r in rows]
+            if len(vals) > cap:
+                raise ValueError(
+                    f"PIVOT key '{k}' has more than {cap} distinct "
+                    f"values — spell the combination columns "
+                    f"explicitly or raise pivot_max_values")
+            if any(v is None for v in vals):
+                raise NotImplementedError(
+                    f"multi-key PIVOT over key '{k}' containing NULL: "
+                    f"engines disagree on NULL-key handling — filter "
+                    f"the NULLs out first")
+            rendered = [_pivot_value_name(v) for v in vals]
+            if any(US in r for r in rendered):
+                raise ValueError(
+                    f"PIVOT key '{k}' value contains the reserved "
+                    f"tuple separator U+001F")
+            per_key_renders.append(rendered)
+        combos = list(itertools.product(*per_key_renders))
+        if len(combos) > cap:
+            raise ValueError(
+                f"multi-key PIVOT crosses to {len(combos)} columns, "
+                f"more than the {cap} cap — an implicit pivot this "
+                f"wide is almost certainly a mistake")
+        match_vals = [US.join(c) for c in combos]
+        disp = ["_".join(c) for c in combos]
+        aliases = ([a.name for a in agg_list]
+                   if p.aggs is not None
+                   else [p.agg.name] if isinstance(p.agg, _AliasX)
+                   else [None])
+        final = [d if al is None else f"{d}_{al}"
+                 for d in disp for al in aliases]
+        clashes = {n for n in final
+                   if final.count(n) > 1 or n in set(ids)}
+        if clashes:
+            raise ValueError(
+                f"multi-key PIVOT output names collide: "
+                f"{sorted(clashes)} — rename the inputs or alias the "
+                f"aggregates apart")
+        pk = "__pivot_key"
+        dfx = df.withColumn(pk, F.concat_ws(
+            US, *[F.col(f"`{k}`").cast("string") for k in keys]))
+        gp = dfx.groupBy(*[f"`{c}`" for c in ids]).pivot(pk, match_vals)
+        if p.aggs is not None:
+            out = gp.agg(*[a.to_spark() for a in agg_list])
+        else:
+            out = gp.agg((p.agg.expr if isinstance(p.agg, _AliasX)
+                          else p.agg).to_spark())
+        # COUNT cells over zero rows are 0, not NULL (same engine rule
+        # as the single-key arm), keyed by the PRE-rename names
+        count_aliases = []
+        if p.aggs is not None:
+            count_aliases = [
+                a.name for a in agg_list
+                if getattr(a.expr, "name", "").lower() == "count"]
+        base_agg = (p.agg.expr if isinstance(p.agg, _AliasX) else p.agg)
+        single_is_count = (p.aggs is None
+                           and getattr(base_agg, "name", ""
+                                       ).lower() == "count")
+        for mv in match_vals:
+            if single_is_count and mv in out.columns:
+                out = out.withColumn(
+                    mv, F.coalesce(F.col(f"`{mv}`"), F.lit(0)))
+            for al in count_aliases:
+                c = f"{mv}_{al}"
+                if c in out.columns:
+                    out = out.withColumn(
+                        c, F.coalesce(F.col(f"`{c}`"), F.lit(0)))
+        # rename US-joined match names -> '_'-joined display names
+        # (+ alias suffix), in one select to keep the plan narrow
+        sel = [F.col(f"`{c}`") for c in ids]
+        for mv, d in zip(match_vals, disp):
+            if p.aggs is not None:
+                for al in aliases:
+                    sel.append(F.col(f"`{mv}_{al}`").alias(f"{d}_{al}"))
+            elif aliases[0] is not None:
+                sel.append(F.col(f"`{mv}`").alias(f"{d}_{aliases[0]}"))
+            else:
+                sel.append(F.col(f"`{mv}`").alias(d))
+        return out.select(*sel)
 
     # ------------------------------------------------------------------
     def _pin_static_leaves(self, plan: Plan,
@@ -486,7 +624,8 @@ class Compiler:
         _go(plan)
 
     # ------------------------------------------------------------------
-    def _theta_bnl_gate(self, df: DataFrame, what: str) -> DataFrame:
+    def _theta_bnl_gate(self, df: DataFrame, what: str,
+                        key_node=None) -> DataFrame:
         """Size gate for PURE-theta correlation (r10, VERDICT r9 Next
         #4 — graduated from an unconditional refusal). With no equality
         conjunct the only faithful rewrite is a nested-loop join, which
@@ -502,7 +641,28 @@ class Compiler:
         shuffle of the outer side. Above it: the refusal, now naming
         the gate."""
         gate = self.theta_bnl_rows
-        if df.limit(gate + 1).count() <= gate:
+        # r11 (VERDICT r10 Next #7): memoize the probe VERDICT per
+        # structural plan — a subquery body appearing twice in one
+        # statement (or recompiled across engine.sql calls on the same
+        # registered tables) must not pay a second probe job. Keyed on
+        # the source node's dataclass repr (structural; registered
+        # table handles repr stably within a session); only the
+        # boolean verdict caches — each call site re-wraps ITS OWN
+        # frame, so no DataFrame crosses between compiles.
+        # the verdict depends on the gate VALUE too — tests (and
+        # callers) lower theta_bnl_rows mid-session, and a verdict
+        # cached at gate 10k must not answer for gate 10
+        key = ((gate, repr(key_node)) if key_node is not None
+               else None)
+        verdict = self._bnl_gate_cache.get(key) if key else None
+        if verdict is None:
+            self._bnl_probe_count += 1
+            verdict = df.limit(gate + 1).count() <= gate
+            if key is not None:
+                if len(self._bnl_gate_cache) > 256:
+                    self._bnl_gate_cache.clear()
+                self._bnl_gate_cache[key] = verdict
+        if verdict:
             return F.broadcast(df)
         raise NotImplementedError(
             f"{what} with ONLY non-equality correlation compiles as a "
@@ -1072,7 +1232,7 @@ class Compiler:
             # window below partitions by the theta outer refs alone,
             # which IS the outer tuple the ranking depends on)
             inner_df = self._theta_bnl_gate(
-                inner_df, "LATERAL ORDER BY/LIMIT")
+                inner_df, "LATERAL ORDER BY/LIMIT", key_node=cleaned)
         theta_refs, seen = [], {}
         for c0 in theta:
             for x in walk_expr(c0):
@@ -1249,7 +1409,7 @@ class Compiler:
         inner_df = self._c(widened)
         if not pairs:
             inner_df = self._theta_bnl_gate(
-                inner_df, "LATERAL aggregate")
+                inner_df, "LATERAL aggregate", key_node=widened)
         theta_refs, seen = [], {}
         for c in theta:
             for x in walk(c):
@@ -1944,7 +2104,8 @@ class Compiler:
         inner_df = self._c(widened)
         if not keys:
             inner_df = self._theta_bnl_gate(
-                inner_df, "correlated scalar subquery")
+                inner_df, "correlated scalar subquery",
+                key_node=widened)
         theta_refs, seen = [], {}
         for c in theta:
             for x in walk_expr(c):
@@ -2621,6 +2782,19 @@ def _root_alias(p: Plan):
     return None
 
 
+def _pivot_value_name(v) -> str:
+    """Spark's pivot() names output columns after the VALUE's Spark
+    string form — booleans render 'true'/'false', not Python's
+    str(True)='True' (ADVICE r10 #1: the repr divergence made the
+    compiler's name-reconstruction miss the column, silently skipping
+    both the COUNT zero-coalesce and the {value}_{alias} rename)."""
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    return str(v)
+
+
 def _plan_output_cols(p: Plan):
     """Output column names of a plan, or None if unknown (Star etc.)."""
     if isinstance(p, Project):
@@ -2711,13 +2885,34 @@ def _plan_output_cols(p: Plan):
         inner = _plan_output_cols(p.input)
         if inner is None:
             return None
-        from .expressions import walk as _walkE
-        agg_refs = {x.name for x in _walkE(p.agg) if isinstance(x, Col)}
+        from .expressions import Alias as _AliasE2, walk as _walkE
+        # r11 (ADVICE r10 #4): mirror the compiler's naming rules for
+        # the aliased/multi-agg forms instead of walking p.agg
+        # unconditionally (p.agg is None when p.aggs is set — the old
+        # branch crashed on walk(None)) and value-name columns that
+        # actually carry a {value}_{alias} suffix.
+        agg_list = list(p.aggs) if p.aggs is not None else [p.agg]
+        agg_refs = {x.name for a in agg_list for x in _walkE(a)
+                    if isinstance(x, Col)}
         ids = [c for c in inner
                if c != p.pivot_col and c not in agg_refs]
-        return ids + [("true" if v is True else
-                       "false" if v is False else str(v))
-                      for v in p.values]
+        vnames = [_pivot_value_name(v) for v in p.values]
+        if p.aggs is not None:
+            if not all(isinstance(a, _AliasE2) for a in agg_list):
+                return None          # un-aliased multi-agg: unknown
+            out = ids + [f"{v}_{a.name}" for v in vnames
+                         for a in agg_list]
+        elif isinstance(p.agg, _AliasE2):
+            out = ids + [f"{v}_{p.agg.name}" for v in vnames]
+        else:
+            out = ids + vnames
+        low = [c.lower() for c in out]
+        if len(set(low)) != len(low):
+            # a value name colliding with an id (or another value)
+            # takes the compiler's _1/_2 dedup — not modeled here, so
+            # unknown is the safe static answer (r11)
+            return None
+        return out
     if isinstance(p, _Uv):
         inner = _plan_output_cols(p.input)
         if inner is None:

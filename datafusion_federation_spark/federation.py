@@ -185,12 +185,18 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
         # stay local; sibling subtrees inside base/step still federate
         # independently via the recursive optimizer pass
         return ScanResult.ambiguous()
-    from .plans.nodes import Pivot, Unpivot
+    from .plans.nodes import Pivot, TableSample, Unpivot
     if isinstance(p, (Pivot, Unpivot)):
         # no unparser rendering (PIVOT/UNPIVOT spellings vary per
         # engine and Spark compiles them natively); the compiler owns
         # these nodes — children still claim individually, so the
         # pivoted input arrives as one remote read
+        return ScanResult.ambiguous()
+    if isinstance(p, TableSample):
+        # deterministic hash-Bernoulli: remote engines' TABLESAMPLE is
+        # an RNG draw (not rerun-stable) and the md5 predicate needs
+        # the compiled frame's column list — the compiler owns the
+        # node; the sampled input still federates as one remote read
         return ScanResult.ambiguous()
     from .plans.nodes import LateralJoin
     if isinstance(p, LateralJoin):

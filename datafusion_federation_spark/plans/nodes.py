@@ -486,6 +486,13 @@ class Pivot(Plan):
     #: DuckDB/Spark naming: one {value}_{alias} per (value, agg),
     #: value-major order.
     aggs: Optional[Sequence[Expr]] = None
+    #: r11 (VERDICT r10 Next #5): multi-key simplified `PIVOT rel ON
+    #: a, b USING ...` — when set, ``pivot_col`` is ignored and the
+    #: compiler discovers each key's distinct values INDEPENDENTLY,
+    #: crossing them (DuckDB's rule: columns for every combination,
+    #: observed or not) into `{va}_{vb}[_{alias}]` names, first key
+    #: major. Always implicit discovery (``values`` must be None).
+    pivot_cols: Optional[Sequence[str]] = None
 
     def inputs(self): return (self.input,)
 
@@ -496,7 +503,35 @@ class Pivot(Plan):
 
     def with_inputs(self, new_inputs):
         return Pivot(new_inputs[0], self.agg, self.pivot_col,
-                     self.values, self.aggs)
+                     self.values, self.aggs, self.pivot_cols)
+
+
+@dataclass(eq=False)
+class TableSample(Plan):
+    """`rel TABLESAMPLE BERNOULLI(p [PERCENT]) [REPEATABLE (seed)]`
+    (SQL:2003 / Postgres / DuckDB spelling; r11, VERDICT r10 Next #6).
+    DETERMINISTIC hash-Bernoulli: both engines' native TABLESAMPLE is
+    an RNG draw, which this repo's rerun-stable contract forbids —
+    the lowering keeps a row iff the 2-hex-digit md5 prefix of its
+    seed-salted full-row rendering sorts below round(p*256/100) (the
+    d18 hash_sample md5 mode, operators/sampling.py:60 — oracle SQL
+    replays the identical predicate). Identical rows co-sample, and
+    the sample is independent of partition layout: at 100 TB it is a
+    narrow filter on the scan, no shuffle, no RNG state. SYSTEM
+    (block) sampling refuses honestly — Spark has no stable notion of
+    a storage block to sample. Kept local (the predicate needs the
+    compiled frame's column list); the input still federates."""
+
+    input: Plan
+    pct: float = 0.0
+    seed: int = 0
+
+    def inputs(self): return (self.input,)
+
+    def exprs(self): return ()
+
+    def with_inputs(self, new_inputs):
+        return TableSample(new_inputs[0], self.pct, self.seed)
 
 
 def walk_plan(p: Plan):

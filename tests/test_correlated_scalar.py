@@ -551,3 +551,27 @@ def test_any_grouped_bare_expression_group_key(spark):
     got = [r[0] for r in eng.sql(sql).collect()]
     assert got == [r[0] for r in _duck(sql, ["customer", "orders"])]
     assert got, "non-vacuous"
+
+
+def test_pure_theta_probe_memoized_for_repeated_body(spark):
+    """r11 (VERDICT r10 Next #7): the BNL size probe is one bounded
+    Spark job — a statement where the SAME pure-theta subquery body
+    appears twice must pay it ONCE (verdict memoized on the body's
+    structural plan), and a recompile of the same statement against
+    the same registered tables must pay zero more."""
+    eng = _engine(spark, ["customer", "orders"])
+    sql = """
+    SELECT c_custkey,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_totalprice > c.c_acctbal) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE o.o_totalprice > c.c_acctbal) AS n2
+    FROM customer c WHERE c_custkey < 20 ORDER BY c_custkey"""
+    eng.compiler._bnl_gate_cache.clear()
+    eng.compiler._bnl_probe_count = 0
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    assert eng.compiler._bnl_probe_count == 1
+    eng.sql(sql).collect()      # recompile: verdict still cached
+    assert eng.compiler._bnl_probe_count == 1
+    want = _duck(sql, ["customer", "orders"])
+    assert got == want and all(r[1] == r[2] for r in got)

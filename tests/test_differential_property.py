@@ -924,7 +924,15 @@ def _bare_pivot_queries(draw):
     key = draw(st.sampled_from(["n_regionkey % 3", "n_regionkey"]))
     body = (f"(SELECT n_name, n_nationkey, {key} AS k, "
             f"n_nationkey % 2 AS bucket2 FROM nation)")
-    inner = f"PIVOT {body} ON k USING {agg}{grp}"
+    # r11: multi-key ON k, k2 draws exercise the per-key discovery +
+    # cross-product + '_'-joined naming path (DuckDB's rule)
+    on_cols = draw(st.sampled_from(["k", "k, bucket2"]))
+    if on_cols != "k":
+        body = (f"(SELECT n_name, n_nationkey, {key} AS k, "
+                f"n_nationkey % 2 AS bucket2, "
+                f"n_regionkey % 2 AS grp3 FROM nation)")
+        grp = " GROUP BY grp3"
+    inner = f"PIVOT {body} ON {on_cols} USING {agg}{grp}"
     # no ORDER BY ALL here: the implicit pivot's output list resolves
     # at compile time, so ALL-expansion refuses loudly (rows are
     # sorted in Python below; column order still asserted)

@@ -641,3 +641,35 @@ def test_cycle_custom_mark_validation(spark):
                 "WITH RECURSIVE w(n) AS (SELECT 0 UNION ALL "
                 "SELECT (n+1)%3 FROM w) "
                 f"CYCLE n SET m {bad} USING p SELECT n FROM w")
+
+
+def test_fixpoint_values_invariant_to_broadcast_cap(spark):
+    """r11 (VERDICT r10 Next #7 review): the width-aware broadcast
+    cap must be VALUE-NEUTRAL — the min(struct) first-seen
+    representative under SEARCH/CYCLE dedup is identical whether the
+    working table broadcasts every round (cap huge) or never (cap 0);
+    only the join strategy may differ."""
+    from datafusion_federation_spark.compiler import Compiler
+    q = """
+WITH RECURSIVE walk(u) AS (
+  SELECT 0 AS u
+  UNION
+  SELECT (w.u * 2 + d) % 23 FROM walk w
+  CROSS JOIN (SELECT 1 AS d UNION ALL SELECT 3 AS d) s
+) CYCLE u SET ic USING p
+SELECT u, ic, CAST(SIZE(p) AS BIGINT) AS depth FROM walk
+ORDER BY u"""
+    orig = Compiler._fixpoint_bcast_cap
+    results = {}
+    try:
+        for label, capfn in [("never", staticmethod(
+                                  lambda schema, it: 0)),
+                             ("always", staticmethod(
+                                  lambda schema, it: 1 << 60))]:
+            Compiler._fixpoint_bcast_cap = capfn
+            eng = _engine(spark)
+            results[label] = [tuple(r) for r in eng.sql(q).collect()]
+    finally:
+        Compiler._fixpoint_bcast_cap = orig
+    assert results["never"] == results["always"]
+    assert len(results["never"]) == 23

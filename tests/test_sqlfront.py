@@ -1840,6 +1840,196 @@ def test_pivot_refusals(_pivot_fixture):
         eng.sql_plan("SELECT * FROM p PIVOT (ABS(v) FOR k IN ('x'))")
 
 
+@pytest.fixture()
+def _bool_pivot_fixture(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("b", spark.createDataFrame(
+        [(1, True, 5), (1, False, 6), (2, True, 7)],
+        "g int, flag boolean, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b(g int, flag boolean, v int); "
+                "INSERT INTO b VALUES (1,true,5),(1,false,6),(2,true,7)")
+    return eng, con
+
+
+@pytest.mark.parametrize("q", [
+    # single aliased COUNT over a BOOLEAN pivot key (ADVICE r10 #1):
+    # Spark names the pivot columns "true"/"false" but the compiler
+    # reconstructed them as str(True)="True"/"False", so BOTH the
+    # {value}_{alias} rename and the COUNT zero-coalesce silently
+    # skipped — g=2's false_c cell stayed NULL instead of 0 and the
+    # columns missed their _c suffix
+    'WITH p AS (PIVOT b ON flag USING count(v) AS c GROUP BY g) '
+    'SELECT g, CAST(false_c AS BIGINT) AS fc, CAST(true_c AS BIGINT) '
+    'AS tc FROM p ORDER BY g',
+    # multi-aggregate form: same reconstruction bug in the multi-agg
+    # coalesce loop
+    'WITH p AS (PIVOT b ON flag USING count(v) AS c, sum(v) AS s '
+    'GROUP BY g) SELECT g, CAST(false_c AS BIGINT) AS fc, '
+    'CAST(false_s AS BIGINT) AS fs, CAST(true_c AS BIGINT) AS tc, '
+    'CAST(true_s AS BIGINT) AS ts FROM p ORDER BY g',
+])
+def test_boolean_pivot_matches_duckdb(_bool_pivot_fixture, q):
+    eng, con = _bool_pivot_fixture
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == con.execute(q).fetchall()
+
+
+@pytest.fixture()
+def _mk_pivot_fixture(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("mk", spark.createDataFrame(
+        [(1, 'x', 1, 5), (1, 'y', 2, 6), (2, 'x', 1, 7)],
+        "g int, a string, b int, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE mk(g int, a varchar, b int, v int); "
+                "INSERT INTO mk VALUES (1,'x',1,5),(1,'y',2,6),"
+                "(2,'x',1,7)")
+    return eng, con
+
+
+@pytest.mark.parametrize("q", [
+    # r11 (VERDICT r10 Next #5): multi-key simplified PIVOT — each
+    # key discovers independently, columns CROSS (x_2/y_1 never
+    # co-occur yet exist), first key major, '_'-joined names
+    "WITH w AS (PIVOT mk ON a, b USING sum(v) GROUP BY g) "
+    "SELECT g, CAST(x_1 AS BIGINT) AS x1, CAST(x_2 AS BIGINT) AS x2, "
+    "CAST(y_1 AS BIGINT) AS y1, CAST(y_2 AS BIGINT) AS y2 "
+    "FROM w ORDER BY g",
+    # aliased single aggregate: {va}_{vb}_{alias}
+    "WITH w AS (PIVOT mk ON a, b USING sum(v) AS s GROUP BY g) "
+    "SELECT g, CAST(x_1_s AS BIGINT) AS x1s, CAST(y_2_s AS BIGINT) "
+    "AS y2s FROM w ORDER BY g",
+    # multi-aggregate: agg-minor within each combination, COUNT
+    # empty cells coalesce to 0
+    "WITH w AS (PIVOT mk ON a, b USING sum(v) AS s, count(v) AS c "
+    "GROUP BY g) SELECT g, CAST(x_1_s AS BIGINT) AS a1, "
+    "CAST(x_1_c AS BIGINT) AS a2, CAST(x_2_c AS BIGINT) AS a3, "
+    "CAST(y_2_s AS BIGINT) AS a4 FROM w ORDER BY g",
+])
+def test_multikey_pivot_matches_duckdb(_mk_pivot_fixture, q):
+    eng, con = _mk_pivot_fixture
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == con.execute(q).fetchall()
+
+
+def test_multikey_pivot_column_order_matches_duckdb(_mk_pivot_fixture):
+    eng, con = _mk_pivot_fixture
+    q = "PIVOT mk ON a, b USING sum(v) GROUP BY g"
+    assert eng.sql(q).columns == \
+        [d[0] for d in con.execute(q).description]
+
+
+def test_pivot_value_colliding_with_id_column_matches_duckdb(spark):
+    """r11 (VERDICT r10 Next #7 review): a discovered pivot value
+    whose name equals an id column. The rename is POSITIONAL now —
+    the old name-based withColumnRenamed renamed BOTH 'g' columns,
+    clobbering the id; DuckDB dedups the VALUE column to g_1 /
+    keeps g_s apart, and column order + values must match."""
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("pc", spark.createDataFrame(
+        [(1, 'g', 5), (1, 'x', 6), (2, 'g', 7)],
+        "g int, k string, v int"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pc(g int, k varchar, v int); "
+                "INSERT INTO pc VALUES (1,'g',5),(1,'x',6),(2,'g',7)")
+    for q in ["PIVOT pc ON k USING sum(v) GROUP BY g",
+              "PIVOT pc ON k USING sum(v) AS s GROUP BY g",
+              "PIVOT pc ON k USING count(v) AS c, sum(v) AS s "
+              "GROUP BY g"]:
+        sdf = eng.sql(q).orderBy("g")
+        r = con.execute(q + " ORDER BY g")
+        assert sdf.columns == [d[0] for d in r.description], q
+        assert [tuple(x) for x in sdf.collect()] == r.fetchall(), q
+
+
+def test_multikey_pivot_refusals(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("mn", spark.createDataFrame(
+        [(1, 'x', None, 5), (1, 'y', 1, 6)],
+        "g int, a string, b int, v int"))
+    with pytest.raises(NotImplementedError, match="NULL"):
+        eng.sql("PIVOT mn ON a, b USING sum(v) GROUP BY g").collect()
+    # final-name collision: ('x','1_1') and ('x_1','1') both render
+    # x_1_1 once '_'-joined — the tuple-exact matching stays sound
+    # but the DISPLAY names collide, so refuse loudly
+    eng.register_local_df("mc", spark.createDataFrame(
+        [(1, 'x', '1_1', 5), (1, 'x_1', '1', 6)],
+        "g int, a string, b string, v int"))
+    with pytest.raises(ValueError, match="collide"):
+        eng.sql("PIVOT mc ON a, b USING sum(v) GROUP BY g").collect()
+
+
+def test_tablesample_deterministic_and_matches_replayed_predicate(spark):
+    """r11 (VERDICT r10 Next #6): TABLESAMPLE BERNOULLI lowers to the
+    deterministic seed-salted md5-prefix filter; DuckDB replays the
+    identical predicate (its native TABLESAMPLE is an RNG draw)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("s", spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(200)], "k bigint, lab string"))
+    q = ("SELECT k, lab FROM s TABLESAMPLE BERNOULLI(25) "
+         "REPEATABLE (7) ORDER BY k")
+    got = [tuple(r) for r in eng.sql(q).collect()]
+    got2 = [tuple(r) for r in eng.sql(q).collect()]
+    assert got == got2 and 0 < len(got) < 200
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s AS SELECT * FROM (SELECT "
+                "unnest(range(200)) AS k)")
+    want = con.execute(
+        "SELECT k, 'v' || CAST(k % 3 AS VARCHAR) AS lab FROM s "
+        "WHERE substring(md5(concat_ws('|', '7', CAST(k AS VARCHAR), "
+        "'v' || CAST(k % 3 AS VARCHAR))), 1, 2) < '40' "
+        "ORDER BY k").fetchall()
+    assert got == want
+    # alias + percent keyword forms parse; p=100 keeps everything
+    assert eng.sql("SELECT t.k FROM s t TABLESAMPLE BERNOULLI"
+                   "(100 PERCENT)").count() == 200
+    # NULL columns co-hash via concat_ws's NULL-skip on both engines
+    eng.register_local_df("sn", spark.createDataFrame(
+        [(1, None), (2, "x")], "k bigint, lab string"))
+    assert eng.sql("SELECT k FROM sn TABLESAMPLE BERNOULLI(50) "
+                   "REPEATABLE (1)").count() >= 0
+
+
+def test_tablesample_refusals(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    eng = FederationEngine(spark)
+    eng.register_local_df("s", spark.createDataFrame(
+        [(1,)], "k bigint"))
+    with pytest.raises(SqlParseError, match="block sampling"):
+        eng.sql_plan("SELECT * FROM s TABLESAMPLE SYSTEM(10)")
+    with pytest.raises(SqlParseError, match="BERNOULLI"):
+        eng.sql_plan("SELECT * FROM s TABLESAMPLE RESERVOIR(10)")
+    with pytest.raises(SqlParseError, match="outside"):
+        eng.sql_plan("SELECT * FROM s TABLESAMPLE BERNOULLI(150)")
+
+
+def test_tablesample_input_federates_node_stays_local(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, TableSample, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="ts_duck", compute_context="test")
+    ex.register_parquet("customer", f"{TESTDATA}/customer.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "customer")
+    q = ("SELECT c_custkey FROM (SELECT c_custkey FROM customer) c "
+         "TABLESAMPLE BERNOULLI(50) REPEATABLE (3)")
+    fed = federate(eng.sql_plan(q).plan)
+    ts = next(x for x in walk_plan(fed) if isinstance(x, TableSample))
+    assert isinstance(ts.input, RemoteQueryNode)   # input claimed
+    n = eng.execute(fed).count()
+    assert 0 < n < 150
+
+
 def test_unpivot_input_federates_node_stays_local(spark):
     from datafusion_federation_spark.engine import FederationEngine
     from datafusion_federation_spark.federation import federate
@@ -2469,8 +2659,13 @@ def test_bare_pivot_null_key_refusal(spark):
 def test_bare_pivot_parse_refusals(_pivot_fixture):
     eng, _ = _pivot_fixture
     from datafusion_federation_spark.sqlfront import SqlParseError
-    with pytest.raises(SqlParseError, match="one column"):
-        eng.sql_plan("PIVOT p ON k, g USING sum(v)")
+    # r11: multi-key ON a, b GRADUATED from the 'one column' refusal —
+    # it parses to a Pivot with pivot_cols set
+    from datafusion_federation_spark.plans.nodes import (
+        Pivot as _Pv, walk_plan as _wp)
+    mk = eng.sql_plan("PIVOT p ON k, g USING sum(v)").plan
+    assert any(isinstance(x, _Pv) and x.pivot_cols == ("k", "g")
+               for x in _wp(mk))
     with pytest.raises(SqlParseError, match="aggregate"):
         eng.sql_plan("PIVOT p ON k USING abs(v)")
     # multi-agg without aliases: DuckDB auto-names after the SQL text,
