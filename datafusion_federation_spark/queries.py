@@ -518,19 +518,41 @@ SECONDARY = {
     # round 9: REAL AVI raw-DIB video decode + frame sampling (nested
     # RIFF walk); completes the image/audio/video real-decode trifecta
     "d95_video_frame_sample",
-    # round 10: REAL PNG decode (stdlib zlib inflate + the five
-    # scanline filters); narrows the multimodal caveat to lossy codecs
-    "d96_png_decode",
-    # round 10: simplified PIVOT with implicit value discovery (the
-    # two-phase bounded-DISTINCT protocol); explicit-list PIVOT keeps
-    # q100's in-window row
-    "q115_bare_pivot",
     # round 10: simplified UNPIVOT statement (lowers to the q100
     # Unpivot node)
     "q116_bare_unpivot",
     # round 10: multi-aggregate simplified PIVOT (value-major
-    # {value}_{alias} columns, the q115 discovery path)
+    # {value}_{alias} columns, the q115 discovery path — carried
+    # in-window by q115 since the r11 rotation)
     "q117_multi_agg_pivot",
+    # round 11 rotation (VERDICT r10 Next #2): d96 (real PNG decode)
+    # and q115 (simplified PIVOT, implicit discovery) take window
+    # slots — the hard signal recorded nothing newer than q88. The two
+    # demotions below each keep an in-window twin for the pattern they
+    # carry: d24 (MinHash md5-twin) stays in-window for the banded-LSH
+    # md5-oracle pattern; SimHash keeps d05 (bench + tools + pinned
+    # operator tests) and winnowing keeps d12 the same way.
+    "d25_simhash_md5",
+    "d26_winnow_md5",
+    # round 11 rotation, part 2: the four NEW r11 rows (d97 complete
+    # PNG, d98 baseline JPEG, q118 TABLESAMPLE, q119 multi-key PIVOT)
+    # enter the window; each demotion below keeps an in-window twin
+    # for every operator it carries:
+    # - d27 (IVF md5 twin): similarity search keeps d06 (brute cosine
+    #   top-k) + d08 (LSH-bucketed near pairs) in-window; d14/d27 stay
+    #   under bench + tools/check_correctness + pinned operator tests
+    "d27_ivf_md5",
+    # - d30 (repetition stats): the text-stats family keeps d09
+    #   (token stats) + d10 (quality features) in-window; d30 stays
+    #   under bench + tools + test_operators pins
+    "d30_repetition_stats",
+    # - d42 (hourly gapfill): temporal keeps d40 (asof attribution) +
+    #   d41 (interval containment) in-window; gapfill stays under
+    #   bench + tools + test_temporal pins
+    "d42_hourly_gapfill",
+    # - d67 (shard manifest): the index-build pair keeps d66 (dense
+    #   index) in-window; d67 stays under bench + tools
+    "d67_shard_manifest",
 }
 
 DEC = "decimal(12,2)"

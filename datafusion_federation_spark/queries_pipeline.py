@@ -6011,3 +6011,237 @@ def q117(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("documents", t(spark, sf, "documents"))
     return eng.sql(_Q117_SQL)
+
+
+_Q118_SPARK_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (SELECT doc_id, lang, n_chars FROM documents) d
+     TABLESAMPLE BERNOULLI(20) REPEATABLE (42)
+GROUP BY lang ORDER BY lang
+"""
+
+# the oracle REPLAYS the deterministic hash predicate (the d18
+# pattern): DuckDB's own TABLESAMPLE is an RNG draw, so instead of
+# running it the oracle applies the exact seed-salted md5-prefix
+# filter the Spark lowering compiles — round(20/100*256) = 51 = 0x33
+_Q118_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (SELECT doc_id, lang, n_chars FROM documents) d
+WHERE substring(md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR),
+                              lang, CAST(n_chars AS VARCHAR))),
+                1, 2) < '33'
+GROUP BY lang ORDER BY lang
+"""
+
+
+@q("q118_tablesample", _Q118_SQL)
+def q118(spark, sf):
+    """TABLESAMPLE BERNOULLI through the SQL front door (r11; VERDICT
+    r10 Next #6). `rel TABLESAMPLE BERNOULLI(p) REPEATABLE (seed)`
+    lowers to the DETERMINISTIC d18 hash-Bernoulli — keep a row iff
+    the 2-hex-digit md5 prefix of its seed-salted full-row rendering
+    sorts below round(p*256/100) — because both engines' native
+    TABLESAMPLE is an RNG draw, which the rerun-stable contract
+    forbids. The oracle replays the identical predicate in DuckDB
+    (concat_ws NULL-skipping and md5 hex agree across engines), so a
+    lowering that mis-rounded the threshold, dropped the seed salt,
+    or hashed the wrong column set would mismatch. SYSTEM (block)
+    sampling refuses honestly. 100 TB: the sample is a NARROW filter
+    on the scan — no shuffle, no RNG state, independent of partition
+    layout (reruns and repartitioned copies select identical rows)."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("documents", t(spark, sf, "documents"))
+    return eng.sql(_Q118_SPARK_SQL)
+
+
+_Q119_SQL = """
+WITH w AS (
+  PIVOT (SELECT lang, source, n_chars, n_chars % 3 AS bucket
+         FROM documents)
+  ON lang, bucket USING sum(n_chars) AS s GROUP BY source
+)
+SELECT source,
+       CAST(de_0_s AS BIGINT) AS de_0_s, CAST(de_1_s AS BIGINT) AS de_1_s,
+       CAST(de_2_s AS BIGINT) AS de_2_s, CAST(en_0_s AS BIGINT) AS en_0_s,
+       CAST(en_1_s AS BIGINT) AS en_1_s, CAST(en_2_s AS BIGINT) AS en_2_s,
+       CAST(es_0_s AS BIGINT) AS es_0_s, CAST(es_1_s AS BIGINT) AS es_1_s,
+       CAST(es_2_s AS BIGINT) AS es_2_s, CAST(fr_0_s AS BIGINT) AS fr_0_s,
+       CAST(fr_1_s AS BIGINT) AS fr_1_s, CAST(fr_2_s AS BIGINT) AS fr_2_s,
+       CAST(zh_0_s AS BIGINT) AS zh_0_s, CAST(zh_1_s AS BIGINT) AS zh_1_s,
+       CAST(zh_2_s AS BIGINT) AS zh_2_s
+FROM w ORDER BY source
+"""
+
+
+@q("q119_multikey_pivot", _Q119_SQL)
+def q119(spark, sf):
+    """Multi-key simplified PIVOT (r11; VERDICT r10 Next #5 —
+    graduated from the `PIVOT ON takes one column` refusal).
+    `PIVOT rel ON lang, bucket USING sum(..) AS s` discovers EACH
+    key's distinct values independently (one bounded DISTINCT
+    pre-query per key) and CROSSES them — one column per combination,
+    observed or not, named {lang}_{bucket}_s first-key-major — the
+    DuckDB rule, pinned including column ORDER in tests. Rows match
+    on a unit-separator concat of the cast-string key tuple, so a
+    value containing '_' cannot alias another combination (display-
+    name collisions refuse loudly instead). Identical SQL on both
+    engines. 100 TB: per-key DISTINCT pre-queries hold <= cap scalars
+    on the driver; the pivot itself stays the single groupBy.pivot
+    shuffle of the one-key form."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("documents", t(spark, sf, "documents"))
+    return eng.sql(_Q119_SQL)
+
+
+_D97_SQL = """
+WITH dims AS (
+  SELECT doc_id, n_chars % 6 + 2 AS w, (n_chars // 6) % 4 + 2 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS j FROM dims
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       'png/rgb' || CASE WHEN doc_id % 3 = 0 THEN '16' ELSE '8' END
+                 || CASE WHEN doc_id % 2 = 0 THEN 'i' ELSE '' END
+           AS codec,
+       CAST(SUM(CASE WHEN j % 3 = 0
+                     THEN (doc_id*13 + j) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN j % 3 = 1
+                     THEN (doc_id*13 + j) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN j % 3 = 2
+                     THEN (doc_id*13 + j) % 256 END) AS BIGINT) AS sum_b,
+       CAST(w * h AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+@q("d97_png_complete_decode", _D97_SQL)
+def d97(spark, sf):
+    """COMPLETE PNG decode: Adam7 interlace + 16-bit channels (r11;
+    VERDICT r10 Next #3 — the PNG refusal list is now EMPTY). Every
+    document gets a genuine PNG whose shape varies BY doc_id across
+    all four (interlace x depth) combinations: doc_id%2=0 writes the
+    seven Adam7 passes (each pass filtered independently, empty
+    passes contributing zero scanlines), doc_id%3=0 writes 16-bit
+    channels (samples expanded v*257 so the canonical MSB reduction
+    round-trips exactly); filters still cycle all five per scanline.
+    ``decode_image`` walks the real chunks, inflates with the
+    pass-summed bounds cap, defilters per pass, and SCATTERS samples
+    to (y0+r*dy, x0+j*dx). The oracle derives the channel sums
+    ARITHMETICALLY (it never sees bytes) and pins the codec string
+    per combination, so a decoder that misplaced one pass origin,
+    swapped pass order, or read the wrong byte of a 16-bit sample
+    would mismatch. Cross-checked on system PNGs this repo did not
+    produce (tests/test_operators.py — interlaced files previously
+    skipped now assert-decode). 100 TB: same Arrow-batched
+    mapInPandas seam as d93-d96; bytes never shuffle."""
+    import pandas as _pd
+
+    from .operators.multimodal import encode_png, extract_image_stats
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def _mk(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(nc) % 6 + 2
+                h = (int(nc) // 6) % 4 + 2
+                ras = bytes((int(did) * 13 + j) % 256
+                            for j in range(w * h * 3))
+                payloads.append(encode_png(
+                    w, h, ras,
+                    depth=16 if int(did) % 3 == 0 else 8,
+                    interlace=int(did) % 2 == 0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        _mk, schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType())]))
+    return (extract_image_stats(with_payload)
+            .orderBy("doc_id"))
+
+
+_D98_SQL = """
+WITH dims AS (
+  SELECT doc_id, (n_chars % 3 + 1) * 8 AS w,
+         ((n_chars // 3) % 2 + 1) * 8 AS h
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, w, h, unnest(range(0, (w//8)*(h//8))) AS b FROM dims
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       'jpeg/baseline-gray' AS codec,
+       CAST(SUM(64 * ((doc_id*17 + b*29) % 256)) AS BIGINT) AS sum_r,
+       CAST(SUM(64 * ((doc_id*17 + b*29) % 256)) AS BIGINT) AS sum_g,
+       CAST(SUM(64 * ((doc_id*17 + b*29) % 256)) AS BIGINT) AS sum_b,
+       CAST(w * h AS BIGINT) AS n_px
+FROM blk GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+@q("d98_jpeg_decode", _D98_SQL)
+def d98(spark, sf):
+    """REAL baseline JPEG decode (r11; VERDICT r10 Next #4 — the
+    first LOSSY codec, ITU-T T.81 in operators/jpeg.py: marker walk,
+    Annex-K canonical Huffman decode, dequantization, orthonormal
+    8x8 IDCT, level shift). Each document gets a genuine JFIF
+    bitstream: real SOI/DQT/SOF0/DHT/SOS segments, Huffman-coded
+    DC-differential entropy data with FF-00 byte stuffing, and for
+    doc_id%4=0 a DRI segment with RST markers every MCU (predictor
+    resets exercised). The fixture is BLOCK-CONSTANT grayscale under
+    the all-ones quantizer, the one JPEG family whose decode is
+    EXACT (only the DC coefficient is nonzero; it quantizes
+    losslessly and inverse-transforms back to the constant), so the
+    oracle derives the channel sums ARITHMETICALLY — 64 x the block
+    value per 8x8 block — without ever seeing bytes. A decoder that
+    misbuilt a canonical Huffman table, broke the DC prediction
+    chain, mis-unstuffed FF 00, or misplaced a restart would
+    mismatch. Lossy color paths (4:4:4/4:2:2/4:2:0, quantizer > 1)
+    are pinned in tests with +-1 tolerance; progressive/arithmetic
+    coding refuses honestly. 100 TB: same Arrow-batched mapInPandas
+    seam as d93-d97; bytes never shuffle."""
+    import pandas as _pd
+
+    from .operators.jpeg import encode_jpeg_baseline
+    from .operators.multimodal import extract_image_stats
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def _mk(it):
+        for pdf in it:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w = (nc % 3 + 1) * 8
+                h = ((nc // 3) % 2 + 1) * 8
+                nbx = w // 8
+                g = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        b_ = (y // 8) * nbx + (x // 8)
+                        g.append((did * 17 + b_ * 29) % 256)
+                payloads.append(encode_jpeg_baseline(
+                    w, h, gray=bytes(g), quant=1,
+                    restart_interval=1 if did % 4 == 0 else 0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
+                                 "payload": payloads})
+
+    with_payload = docs.mapInPandas(
+        _mk, schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType())]))
+    return (extract_image_stats(with_payload)
+            .orderBy("doc_id"))

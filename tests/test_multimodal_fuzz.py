@@ -61,7 +61,31 @@ def png_payload(draw):
     if draw(st.booleans()):
         alpha = draw(st.binary(min_size=w * h, max_size=w * h))
     filters = draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
-    return encode_png(w, h, ras, alpha=alpha, row_filters=filters)
+    # r11: interlace + 16-bit draws fuzz the scatter decoder too
+    depth = draw(st.sampled_from([8, 16]))
+    interlace = draw(st.booleans())
+    return encode_png(w, h, ras, alpha=alpha, row_filters=filters,
+                      depth=depth, interlace=interlace)
+
+
+@st.composite
+def jpeg_payload(draw):
+    # r11: baseline JPEG as the sixth fuzzed format — gray or color,
+    # 4:4:4 / 4:2:0, quantizer and restart interval drawn too
+    from datafusion_federation_spark.operators.jpeg import (
+        encode_jpeg_baseline)
+    w = draw(st.integers(1, 18))
+    h = draw(st.integers(1, 14))
+    quant = draw(st.sampled_from([1, 2, 8, 40]))
+    rst = draw(st.sampled_from([0, 0, 1, 2]))
+    if draw(st.booleans()):
+        g = draw(st.binary(min_size=w * h, max_size=w * h))
+        return encode_jpeg_baseline(w, h, gray=g, quant=quant,
+                                    restart_interval=rst)
+    ras = draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+    return encode_jpeg_baseline(w, h, raster=ras, quant=quant,
+                                subsample=draw(st.booleans()),
+                                restart_interval=rst)
 
 
 @st.composite
@@ -163,6 +187,16 @@ def test_fuzz_png(payload):
         assert len(d["raster"]) == d["width"] * d["height"] * 3
         # DEFLATE can compress, so raster may exceed payload — but the
         # decode cap bounds it absolutely
+        assert len(d["raster"]) <= 256 * 1024 * 1024
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None)
+@given(mutated(jpeg_payload()))
+def test_fuzz_jpeg(payload):
+    d = _decode_bounded(decode_image, payload)
+    if d is not None:
+        assert len(d["raster"]) == d["width"] * d["height"] * 3
+        # SOF dims bound the allocation absolutely (decode cap)
         assert len(d["raster"]) <= 256 * 1024 * 1024
 
 
@@ -271,3 +305,71 @@ def test_fuzz_directed_png_idat_split_across_chunks():
              + chunk(b"IDAT", idat_data[half:]) + iend)
     d = decode_image(split)
     assert d["raster"] == ras
+
+
+def test_fuzz_directed_png_overlong_idat_rejected():
+    # ADVICE r10 #3: an IDAT stream inflating PAST the IHDR-implied
+    # size used to slip through when the surplus compressed input was
+    # parked in decompressobj.unconsumed_tail by the bounded inflate —
+    # dec.decompress(b"", 1) then returned empty and the image was
+    # silently accepted truncated. Both surplus shapes must refuse:
+    ras = bytes(range(48))
+    good = encode_png(4, 4, ras)
+    # rebuild the IDAT with 64 junk bytes appended to the RAW stream
+    filtered = bytearray()
+    prev = bytes(12)
+    for r in range(4):
+        row = ras[r * 12:(r + 1) * 12]
+        filtered += b"\x00" + row
+        prev = row
+    overlong = zlib.compress(bytes(filtered) + b"\xAB" * 64)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    sig, rest = good[:8], good[8:]
+    ln = struct.unpack(">I", rest[0:4])[0]
+    ihdr = rest[:12 + ln]
+    bad = sig + ihdr + chunk(b"IDAT", overlong) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR dims|pixel data"):
+        decode_image(bad)
+
+
+def _png_with_idat(idat_payload: bytes) -> bytes:
+    ras = bytes(range(48))
+    good = encode_png(4, 4, ras)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    sig, rest = good[:8], good[8:]
+    ln = struct.unpack(">I", rest[0:4])[0]
+    ihdr = rest[:12 + ln]
+    return sig + ihdr + chunk(b"IDAT", idat_payload) + chunk(b"IEND", b"")
+
+
+def _png_filtered_rows() -> bytes:
+    ras = bytes(range(48))
+    filtered = bytearray()
+    for r in range(4):
+        filtered += b"\x00" + ras[r * 12:(r + 1) * 12]
+    return bytes(filtered)
+
+
+def test_fuzz_directed_png_garbage_after_zlib_stream_rejected():
+    # ADVICE r10 #3 family: a COMPLETE zlib stream followed by junk
+    # bytes inside the IDAT used to be silently accepted (probe
+    # returned empty, surplus sat in unused_data)
+    bad = _png_with_idat(zlib.compress(_png_filtered_rows()) + b"JUNK5678")
+    with pytest.raises(ValueError, match="IHDR dims|pixel data"):
+        decode_image(bad)
+
+
+def test_fuzz_directed_png_truncated_zlib_trailer_rejected():
+    # stream yields exactly the expected bytes but is cut before its
+    # adler32 trailer: eof never fires — corrupt, must refuse
+    bad = _png_with_idat(zlib.compress(_png_filtered_rows())[:-4])
+    with pytest.raises(ValueError, match="IHDR dims|pixel data|inflate"):
+        decode_image(bad)

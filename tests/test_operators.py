@@ -180,7 +180,7 @@ def test_multimodal_frame_sampling(spark):
 def test_multimodal_real_decode_raises(spark):
     from datafusion_federation_spark.operators import multimodal as mm
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    with _pytest.raises(NotImplementedError, match="ffmpeg-class"):
         mm.real_decode(b"xx")
 
 
@@ -1180,11 +1180,17 @@ def test_image_decode_refuses_compressed_and_deep():
 
     from datafusion_federation_spark.operators.multimodal import (
         decode_image, real_decode)
+    # r11: JPEG magic now routes to the REAL baseline parser — a
+    # garbage body after SOI is a corrupt file (ValueError), not a
+    # refusal, on both entry points
     jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 64
-    with pytest.raises(NotImplementedError, match="PPM"):
+    with pytest.raises(ValueError):
         decode_image(jpeg_magic)
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(ValueError):
         real_decode(jpeg_magic)
+    # a codec with NO parser here still refuses with the honest stub
+    with pytest.raises(NotImplementedError, match="ffmpeg-class"):
+        real_decode(b"ID3\x04" + b"\x00" * 64)      # MP3
     # r10: PNG magic now routes to the REAL parser — garbage after the
     # signature is a corrupt file (ValueError), not a refusal
     png_garbage = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
@@ -1378,10 +1384,9 @@ def test_png_decodes_real_world_files():
     for f in files:
         with open(f, "rb") as fh:
             b = fh.read()
-        try:
-            d = decode_image(b)
-        except NotImplementedError:
-            continue          # 16-bit/Adam7: honest refusal
+        # r11: EVERY valid PNG decodes now (Adam7 + 16-bit landed) —
+        # a NotImplementedError here is a regression, not a refusal
+        d = decode_image(b)
         assert d["width"] > 0 and d["height"] > 0
         assert len(d["raster"]) == d["width"] * d["height"] * 3
         decoded += 1
@@ -1476,20 +1481,29 @@ def test_png_refusals_and_corruption():
     lying[8:12] = struct.pack(">I", 10_000)  # IHDR length
     with pytest.raises(ValueError, match="EOF"):
         decode_image(bytes(lying))
-    # Adam7 refuses honestly
-    adam = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
-                                             2, 2, 8, 2, 0, 0, 1))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
-            + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_image(adam)
-    # 16-bit channels refuse honestly (palette/sub-byte now decode)
-    p16 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
-                                            2, 2, 16, 2, 0, 0, 0))
-           + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
-           + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        decode_image(p16)
+    # r11: Adam7 and 16-bit DECODE now (graduated from the r10
+    # refusals); an Adam7 stream sized for the old sequential layout
+    # (2 rows x (1+6) = 14 bytes instead of the 15 the pass layout
+    # demands) is corrupt, not unsupported
+    adam_bad = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                                 2, 2, 8, 2, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR dims"):
+        decode_image(adam_bad)
+    ras22 = bytes(range(12))
+    d = decode_image(encode_png(2, 2, ras22, interlace=True))
+    assert d["codec"] == "png/rgb8i" and d["raster"] == ras22
+    d = decode_image(encode_png(2, 2, ras22, depth=16))
+    assert d["codec"] == "png/rgb16" and d["raster"] == ras22
+    # 16-bit PALETTE is outside the spec's valid combinations
+    p16pal = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
+                                               2, 2, 16, 3, 0, 0, 0))
+              + chunk(b"PLTE", bytes([1, 2, 3]))
+              + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+              + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="outside the spec"):
+        decode_image(p16pal)
     # palette file with a missing PLTE is corrupt, not unsupported
     p3 = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB",
                                            2, 2, 8, 3, 0, 0, 0))
@@ -1520,3 +1534,156 @@ def test_png_refusals_and_corruption():
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="zero"):
         decode_image(zero)
+
+
+def test_png_adam7_and_16bit_round_trip_every_combination():
+    """r11 (VERDICT r10 Next #3): the scatter decoder — Adam7 pass
+    geometry x 16-bit channels x alpha, across dims that exercise
+    empty passes (w or h < pass origin) and single-pixel passes. The
+    encoder expands 8-bit v to the canonical v*257, so MSB
+    downsampling must round-trip EXACTLY."""
+    import itertools
+
+    from datafusion_federation_spark.operators.multimodal import (
+        decode_image, encode_png)
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (1, 9),
+                 (9, 1), (16, 17)]:
+        ras = bytes((w * 33 + j * 7) % 256 for j in range(w * h * 3))
+        al = bytes((j * 13) % 256 for j in range(w * h))
+        for inter, d16, alpha in itertools.product(
+                (False, True), (False, True), (None, al)):
+            b = encode_png(w, h, ras, alpha=alpha,
+                           depth=16 if d16 else 8, interlace=inter)
+            d = decode_image(b)
+            assert d["raster"] == ras, (w, h, inter, d16, bool(alpha))
+            base = "rgba" if alpha is not None else "rgb"
+            assert d["codec"] == (f"png/{base}{16 if d16 else 8}"
+                                  + ("i" if inter else ""))
+
+
+def test_jpeg_block_constant_gray_decodes_exactly():
+    """r11 (VERDICT r10 Next #4): the d98 exactness basis — block-
+    constant grayscale under the all-ones quantizer decodes EXACTLY
+    (only the DC coefficient is nonzero), with and without restart
+    markers, through REAL Huffman/byte-stuffed entropy data."""
+    import numpy as np
+
+    from datafusion_federation_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_baseline)
+    for w, h, rst in [(8, 8, 0), (16, 8, 0), (24, 16, 0),
+                      (16, 16, 1), (24, 8, 2)]:
+        nbx = w // 8
+        g = bytes((((y // 8) * nbx + (x // 8)) * 29 + 7) % 256
+                  for y in range(h) for x in range(w))
+        b = encode_jpeg_baseline(w, h, gray=g, quant=1,
+                                 restart_interval=rst)
+        d = decode_jpeg(b)
+        got = np.frombuffer(d["raster"], np.uint8).reshape(h, w, 3)
+        want = np.frombuffer(g, np.uint8).reshape(h, w)
+        assert np.array_equal(got[..., 0], want), (w, h, rst)
+        assert np.array_equal(got[..., 1], want)
+        assert np.array_equal(got[..., 2], want)
+        assert d["codec"] == "jpeg/baseline-gray"
+
+
+def test_jpeg_color_round_trip_within_tolerance():
+    """Color 4:4:4 and 4:2:0 through the full pipeline (RGB->YCbCr,
+    FDCT, quantize, Huffman, decode back): with the all-ones
+    quantizer the only loss is color-convert rounding — pinned at
+    +-1 per channel. 4:2:0 uses r=g=b inputs (constant chroma) so
+    the subsampling itself is lossless and the tolerance stays 1."""
+    import numpy as np
+
+    from datafusion_federation_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_baseline)
+    w, h = 24, 16
+    ras = bytes(((x * 7 + y * 3 + c * 5) % 256)
+                for y in range(h) for x in range(w) for c in range(3))
+    d = decode_jpeg(encode_jpeg_baseline(w, h, raster=ras, quant=1))
+    got = np.frombuffer(d["raster"], np.uint8).astype(int)
+    want = np.frombuffer(ras, np.uint8).astype(int)
+    assert np.max(np.abs(got - want)) <= 1
+    assert d["codec"] == "jpeg/baseline"
+    grayv = bytes(((x * 5 + y * 11) % 256)
+                  for y in range(h) for x in range(w))
+    ras4 = bytes(v for v in grayv for _ in range(3))
+    d4 = decode_jpeg(encode_jpeg_baseline(w, h, raster=ras4, quant=1,
+                                          subsample=True))
+    got4 = np.frombuffer(d4["raster"], np.uint8).astype(int)
+    want4 = np.frombuffer(ras4, np.uint8).astype(int)
+    assert np.max(np.abs(got4 - want4)) <= 1
+    assert d4["codec"] == "jpeg/baseline-420"
+    # odd (non-MCU-aligned) dims crop correctly
+    w, h = 13, 9
+    ras5 = bytes(((x * 9 + y * 2 + c) % 256)
+                 for y in range(h) for x in range(w) for c in range(3))
+    d5 = decode_jpeg(encode_jpeg_baseline(w, h, raster=ras5, quant=2,
+                                          subsample=True))
+    assert (d5["width"], d5["height"]) == (w, h)
+    assert len(d5["raster"]) == w * h * 3
+
+
+def test_jpeg_refusals_and_corruption():
+    import struct
+
+    import pytest
+
+    from datafusion_federation_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_baseline)
+    w, h = 16, 8
+    good = encode_jpeg_baseline(w, h, gray=bytes(w * h), quant=1)
+    # marker family refusals carry the shape's name
+    for sof_byte, msg in [(0xC2, "progressive"), (0xC3, "lossless"),
+                          (0xC9, "arithmetic")]:
+        bad = bytearray(good)
+        idx = bad.find(b"\xFF\xC0")
+        bad[idx + 1] = sof_byte
+        with pytest.raises(NotImplementedError, match=msg):
+            decode_jpeg(bytes(bad))
+    # truncated scan data
+    with pytest.raises(ValueError, match="truncated|EOF"):
+        decode_jpeg(good[:len(good) - 8])
+    # lying segment length
+    lying = bytearray(good)
+    idx = lying.find(b"\xFF\xDB")
+    lying[idx + 2:idx + 4] = struct.pack(">H", 60000)
+    with pytest.raises(ValueError, match="EOF"):
+        decode_jpeg(bytes(lying))
+    # zero quantizer entry
+    zq = bytearray(good)
+    idx = zq.find(b"\xFF\xDB")
+    zq[idx + 5] = 0          # first table entry
+    with pytest.raises(ValueError, match="zero quantizer"):
+        decode_jpeg(bytes(zq))
+    # overfull Huffman table (BITS sum lies)
+    oh = bytearray(good)
+    idx = oh.find(b"\xFF\xC4")
+    oh[idx + 5] = 255        # BITS[1] = 255 codes of length 1
+    with pytest.raises(ValueError, match="DHT"):
+        decode_jpeg(bytes(oh))
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_real_world_files_parse_or_refuse_honestly():
+    # the only JPEGs shipped in this container are PROGRESSIVE
+    # (nodejs doc stripes): the marker walk must parse their real
+    # segment layout far enough to NAME the refusal — a crash or a
+    # misparse would surface here
+    import glob
+
+    import pytest
+
+    from datafusion_federation_spark.operators.jpeg import decode_jpeg
+    files = sorted(glob.glob("/usr/share/doc/nodejs/*.jpg"))
+    if not files:
+        pytest.skip("no system JPEGs in this container")
+    for f in files:
+        with open(f, "rb") as fh:
+            b = fh.read()
+        try:
+            d = decode_jpeg(b)
+            assert len(d["raster"]) == d["width"] * d["height"] * 3
+        except NotImplementedError as e:
+            assert "progressive" in str(e)
