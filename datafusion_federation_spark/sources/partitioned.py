@@ -208,4 +208,14 @@ class PartitionedDuckDBExecutor(SQLExecutor):
         row = self._conn.execute(
             "SELECT estimated_size FROM duckdb_tables() "
             "WHERE table_name = ?", [tbl]).fetchone()
-        return int(row[0]) if row else None
+        if row is None:
+            return None
+        # r11 (ADVICE r10 #2): estimated_size is DuckDB's catalog
+        # ESTIMATE, not a guaranteed ceiling — for a write-once table it
+        # equals the exact count, but in-flight transactions can lag it
+        # low, and an under-estimate below the broadcast threshold would
+        # force a hint onto a large slice result. Report DOUBLE the
+        # estimate as the bound: the 2x margin means only tables whose
+        # catalog count sits well below the threshold ever hint, and an
+        # over-report can only SUPPRESS a hint, never force one.
+        return int(row[0]) * 2
