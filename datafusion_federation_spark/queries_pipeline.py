@@ -5638,7 +5638,13 @@ def d93(spark, sf):
     from .operators.multimodal import encode_ppm_p6, extract_image_stats
     from pyspark.sql import types as T
 
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    # the sf-scale documents table is ONE parquet split, which would
+    # serialize the whole build+decode pipeline onto a single core
+    # (r11: d98 measured 6-8 s single-task vs ~1 s spread); at real
+    # scale the input arrives in many splits and this repartition is
+    # a no-op-sized shuffle of (id, len) pairs
+    docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def _mk(it):
         for pdf in it:
@@ -5703,7 +5709,13 @@ def d94(spark, sf):
         extract_audio_stats
     from pyspark.sql import types as T
 
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    # the sf-scale documents table is ONE parquet split, which would
+    # serialize the whole build+decode pipeline onto a single core
+    # (r11: d98 measured 6-8 s single-task vs ~1 s spread); at real
+    # scale the input arrives in many splits and this repartition is
+    # a no-op-sized shuffle of (id, len) pairs
+    docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def _mk(it):
         for pdf in it:
@@ -5829,7 +5841,13 @@ def d95(spark, sf):
     from .operators.multimodal import encode_avi_dib, frame_sample_real
     from pyspark.sql import types as T
 
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    # the sf-scale documents table is ONE parquet split, which would
+    # serialize the whole build+decode pipeline onto a single core
+    # (r11: d98 measured 6-8 s single-task vs ~1 s spread); at real
+    # scale the input arrives in many splits and this repartition is
+    # a no-op-sized shuffle of (id, len) pairs
+    docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
     W, H = 3, 2
 
     def _mk(it):
@@ -5899,7 +5917,13 @@ def d96(spark, sf):
     from .operators.multimodal import encode_png, extract_image_stats
     from pyspark.sql import types as T
 
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    # the sf-scale documents table is ONE parquet split, which would
+    # serialize the whole build+decode pipeline onto a single core
+    # (r11: d98 measured 6-8 s single-task vs ~1 s spread); at real
+    # scale the input arrives in many splits and this repartition is
+    # a no-op-sized shuffle of (id, len) pairs
+    docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def _mk(it):
         for pdf in it:
@@ -6146,7 +6170,13 @@ def d97(spark, sf):
     from .operators.multimodal import encode_png, extract_image_stats
     from pyspark.sql import types as T
 
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    # the sf-scale documents table is ONE parquet split, which would
+    # serialize the whole build+decode pipeline onto a single core
+    # (r11: d98 measured 6-8 s single-task vs ~1 s spread); at real
+    # scale the input arrives in many splits and this repartition is
+    # a no-op-sized shuffle of (id, len) pairs
+    docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def _mk(it):
         for pdf in it:
@@ -6218,7 +6248,13 @@ def d98(spark, sf):
     from .operators.multimodal import extract_image_stats
     from pyspark.sql import types as T
 
-    docs = t(spark, sf, "documents").select("doc_id", "n_chars")
+    # the sf-scale documents table is ONE parquet split, which would
+    # serialize the whole build+decode pipeline onto a single core
+    # (r11: d98 measured 6-8 s single-task vs ~1 s spread); at real
+    # scale the input arrives in many splits and this repartition is
+    # a no-op-sized shuffle of (id, len) pairs
+    docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
+            .repartition(spark.sparkContext.defaultParallelism))
 
     def _mk(it):
         for pdf in it:
