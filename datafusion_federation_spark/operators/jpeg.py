@@ -1,5 +1,6 @@
-"""Baseline JPEG (SOF0) codec — stdlib ``struct`` + numpy only (r11,
-VERDICT r10 Next #4: the single biggest remaining real-corpora gap).
+"""JPEG codec — stdlib ``struct`` + numpy only (r11, VERDICT r10 Next
+#4: the single biggest remaining real-corpora gap). Baseline
+sequential (SOF0/SOF1) AND progressive (SOF2).
 
 Implements the PUBLIC ITU-T T.81 spec directly: marker segments, Annex
 K standard Huffman + quantization machinery (canonical code
@@ -7,20 +8,29 @@ construction from BITS/HUFFVAL), zigzag order, level-shifted 2-D
 DCT-II via an orthonormal 8x8 matrix product (numpy), entropy-coded
 byte stuffing (FF 00) and DRI/RSTn restart intervals.
 
-Decoder surface: baseline sequential DCT, Huffman entropy coding,
-8-bit precision, 1 or 3 components, per-component sampling factors in
-{1, 2} (4:4:4, 4:2:2, 4:2:0), multi-table DQT/DHT segments (8- and
-16-bit quantizer precision), restart markers. Honest refusals:
-progressive (SOF2), lossless (SOF3), hierarchical, arithmetic coding
-(SOF9+), 12-bit precision — each names the shape it refuses.
+Decoder surface: baseline sequential DCT and progressive DCT (spectral
+selection + successive approximation, T.81 G.2 — DC first/refinement
+scans, per-component AC band scans with EOBn runs, AC refinement with
+correction bits), Huffman entropy coding, 8-bit precision, 1 or 3
+components, per-component sampling factors in {1, 2} (4:4:4, 4:2:2,
+4:2:0), multi-table DQT/DHT segments (8- and 16-bit quantizer
+precision, mid-file overrides), restart markers. Honest refusals:
+lossless (SOF3), hierarchical, arithmetic coding (SOF9+), 12-bit
+precision — each names the shape it refuses.
 
-Encoder exists for fixtures and tests: 4:4:4 or 4:2:0, grayscale or
-RGB, selectable uniform quantizer. With the all-ones quantizer a
+Encoders exist for fixtures and tests: baseline (4:4:4 or 4:2:0,
+grayscale or RGB, selectable uniform quantizer, restart intervals) and
+progressive (libjpeg-style scan script: interleaved DC first at Al=1,
+per-component AC band scans, DC refinement, AC refinement). Both
+produce IDENTICAL quantized coefficients for the same input, so a
+correct decoder returns byte-identical rasters for the two encodings —
+the progressive paths are validated against the independent baseline
+path, not just against themselves. With the all-ones quantizer a
 block-CONSTANT image round-trips EXACTLY (the only nonzero
 coefficient is the DC term, which quantizes losslessly and inverse-
-transforms back to the constant), which is what makes the d98 oracle
-row byte-free: the arithmetic oracle derives the decoded sums without
-ever seeing the bitstream, through a REAL Huffman/DCT pipeline.
+transforms back to the constant), which is what makes the d98/d99
+oracle rows byte-free: the arithmetic oracle derives the decoded sums
+without ever seeing the bitstream, through REAL Huffman/DCT pipelines.
 
 Reference parity: the reference repo (datafusion-federation) has no
 media decode at all — this is north-star multimodal surface for
@@ -408,11 +418,8 @@ def encode_jpeg_baseline(width: int, height: int,
 # decoder
 # ---------------------------------------------------------------------------
 
+
 _SOF_REFUSE = {
-    0xC2: "progressive JPEG (SOF2) — spectral-selection passes need "
-          "a multi-scan accumulator this baseline decoder refuses "
-          "honestly",
-    0xC1: None,   # extended sequential, Huffman: same layout as SOF0
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -426,10 +433,28 @@ _SOF_REFUSE = {
 }
 
 
+def _next_marker(b: bytes, j: int) -> int:
+    """Position of the FF that starts the next marker at/after j
+    (skipping entropy bytes, stuffed FF 00 pairs, and FF fill)."""
+    n = len(b)
+    while j + 1 < n:
+        if b[j] == 0xFF and b[j + 1] != 0x00:
+            while j + 1 < n and b[j + 1] == 0xFF:   # fill bytes
+                j += 1
+            return j
+        j += 1
+    raise ValueError("JPEG truncated inside/after scan data")
+
+
 def decode_jpeg(b: bytes) -> dict:
-    """Baseline JPEG decode -> meta dict + ``raster`` (RGB row-major
-    top-down), the decode_image contract. See module docstring for
-    the supported surface and honest refusals."""
+    """Baseline (SOF0/SOF1) AND progressive (SOF2, r11) JPEG decode ->
+    meta dict + ``raster`` (RGB row-major top-down), the decode_image
+    contract. One unified path: every scan — a baseline full-band
+    scan, a progressive DC first/refinement scan, or a progressive AC
+    spectral-selection / successive-approximation scan (T.81 G.2,
+    EOBn runs and correction bits included) — accumulates into
+    per-component quantized-coefficient buffers; dequantization +
+    IDCT run once at EOI. See module docstring for refusals."""
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -438,9 +463,95 @@ def decode_jpeg(b: bytes) -> dict:
     dc_luts: dict[int, dict] = {}
     ac_luts: dict[int, dict] = {}
     sof = None
+    progressive = False
     restart = 0
-    scan = None
-    while i + 4 <= n:
+    comps = None           # [cid, ch, cv, tq] per component
+    coefs = None           # per comp: np.int32 (nby, nbx, 64) zz order
+    preds_grid = None
+    mcux = mcuy = max_h = max_v = 0
+    w = h = 0
+    scans = 0
+
+    def decode_dc_first(br, dlut, blk, al, ci, preds):
+        s = _decode_symbol(br, dlut)
+        if s > 11:
+            raise ValueError(f"JPEG DC category {s} out of range")
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[ci] += diff
+        blk[0] = preds[ci] << al
+
+    def decode_ac_first(br, alut, blk, ss, se, al, state):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(br, alut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16          # ZRL
+                    continue
+                if not progressive and r:
+                    raise ValueError(
+                        "JPEG baseline scan carries a progressive "
+                        "EOBn symbol")
+                state["eobrun"] = (1 << r)
+                if r:
+                    state["eobrun"] += br.bits(r)
+                state["eobrun"] -= 1
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def decode_ac_refine(br, alut, blk, ss, se, al, state):
+        p1 = 1 << al
+        m1 = -p1
+
+        def correct(k_):
+            if br.bits(1) and (int(blk[k_]) & p1) == 0:
+                blk[k_] += p1 if blk[k_] >= 0 else m1
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_symbol(br, alut)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += br.bits(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG AC refinement magnitude != 1")
+                    val = p1 if br.bits(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    while i + 2 <= n:
         if b[i] != 0xFF:
             raise ValueError(f"JPEG expected marker at byte {i}")
         marker = b[i + 1]
@@ -449,6 +560,8 @@ def decode_jpeg(b: bytes) -> dict:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2                                    # standalone
             continue
+        if i + 4 > n:
+            raise ValueError("JPEG segment header truncated")
         ln = struct.unpack_from(">H", b, i + 2)[0]
         if ln < 2 or i + 2 + ln > n:
             raise ValueError("JPEG segment length runs past EOF")
@@ -478,6 +591,8 @@ def decode_jpeg(b: bytes) -> dict:
             p = 0
             while p + 17 <= len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
+                if tc > 1:
+                    raise ValueError(f"JPEG DHT class {tc} invalid")
                 bits = list(seg[p + 1:p + 17])
                 cnt = sum(bits)
                 vals = list(seg[p + 17:p + 17 + cnt])
@@ -486,13 +601,15 @@ def decode_jpeg(b: bytes) -> dict:
                 p += 17 + cnt
                 lut = _build_decode_lut(bits, vals)
                 (dc_luts if tc == 0 else ac_luts)[th] = lut
-                if tc > 1:
-                    raise ValueError(f"JPEG DHT class {tc} invalid")
-        elif marker in (0xC0, 0xC1):                  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):            # SOF0/1/2
+            if sof is not None:
+                raise ValueError("JPEG duplicate SOF")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(
-                    f"JPEG {prec}-bit precision (baseline is 8-bit)")
+                    f"JPEG {prec}-bit precision (baseline/progressive "
+                    f"here is 8-bit)")
             if nc not in (1, 3):
                 raise NotImplementedError(
                     f"JPEG with {nc} components (1=gray, 3=YCbCr "
@@ -511,122 +628,436 @@ def decode_jpeg(b: bytes) -> dict:
                         f"JPEG sampling factor {ch}x{cv} (1-2 each "
                         f"supported: 4:4:4 / 4:2:2 / 4:2:0)")
                 comps.append([cid, ch, cv, tq])
-            sof = (w, h, comps)
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            mcux = (w + 8 * max_h - 1) // (8 * max_h)
+            mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+            coefs = [np.zeros((c[2] * mcuy, c[1] * mcux, 64),
+                              np.int32) for c in comps]
+            sof = (w, h)
         elif marker in _SOF_REFUSE:
-            msg = _SOF_REFUSE[marker]
-            raise NotImplementedError(f"JPEG: {msg}")
+            raise NotImplementedError(f"JPEG: {_SOF_REFUSE[marker]}")
         elif marker == 0xDD:                          # DRI
             restart = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:                          # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if len(seg) < 4 + ns * 2:
+                raise ValueError("JPEG SOS header truncated")
             smap = []
             for c in range(ns):
                 cid, tt = seg[1 + c * 2:3 + c * 2]
                 smap.append((cid, tt >> 4, tt & 0x0F))
-            ss, se, ahal = seg[1 + ns * 2:4 + ns * 2]
-            if (ss, se, ahal) != (0, 63, 0):
-                raise NotImplementedError(
-                    "JPEG non-baseline spectral selection "
-                    "(progressive scan parameters)")
-            scan = (smap, i + 2 + ln)
-            break                 # entropy data follows; stop walking
+            ss, se, a = seg[1 + ns * 2:4 + ns * 2]
+            ah, al = a >> 4, a & 0x0F
+            by_idx = {c[0]: ci for ci, c in enumerate(comps)}
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError(
+                        "JPEG progressive scan cannot carry both DC "
+                        "and AC coefficients")
+                if ss > 0 and ns != 1:
+                    raise ValueError(
+                        "JPEG progressive AC scan must be single-"
+                        "component")
+                if se > 63 or ss > 63 or (ss > 0 and se < ss):
+                    raise ValueError("JPEG invalid spectral band")
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "JPEG baseline scan with progressive "
+                        "parameters")
+            order = []
+            for (cid, td, ta) in smap:
+                if cid not in by_idx:
+                    raise ValueError(
+                        f"JPEG SOS names unknown component {cid}")
+                ci = by_idx[cid]
+                need_dc = ss == 0 and ah == 0
+                need_ac = se > 0
+                if need_dc and td not in dc_luts:
+                    raise ValueError("JPEG SOS references missing "
+                                     "DC DHT table")
+                if need_ac and ta not in ac_luts:
+                    raise ValueError("JPEG SOS references missing "
+                                     "AC DHT table")
+                order.append((ci, dc_luts.get(td), ac_luts.get(ta)))
+            data_pos = i + 2 + ln
+            br = _BitReader(b, data_pos)
+            state = {"eobrun": 0}
+            preds = [0] * len(comps)
+
+            # data-unit traversal for this scan
+            if ns == 1:
+                ci, dlut, alut = order[0]
+                _cid, cch, ccv, _tq = comps[ci]
+                cw = (w * cch + max_h - 1) // max_h
+                chh = (h * ccv + max_v - 1) // max_v
+                nbx = (cw + 7) // 8
+                nby = (chh + 7) // 8
+                units = (((ci, by, bx, dlut, alut),)
+                         for by in range(nby) for bx in range(nbx))
+            else:
+                def mcu_units():
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            group = []
+                            for (ci, dlut, alut) in order:
+                                _cid, cch, ccv, _tq = comps[ci]
+                                for byy in range(ccv):
+                                    for bxx in range(cch):
+                                        group.append(
+                                            (ci, my * ccv + byy,
+                                             mx * cch + bxx,
+                                             dlut, alut))
+                            yield tuple(group)
+                units = mcu_units()
+
+            mcu_count = 0
+            rst_idx = 0
+            for group in units:
+                if restart and mcu_count and mcu_count % restart == 0:
+                    br.align_expect_rst(rst_idx)
+                    rst_idx += 1
+                    preds = [0] * len(comps)
+                    state["eobrun"] = 0
+                for (ci, by, bx, dlut, alut) in group:
+                    blk = coefs[ci][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            decode_dc_first(br, dlut, blk, al, ci,
+                                            preds)
+                        elif br.bits(1):
+                            blk[0] = int(blk[0]) | (1 << al)
+                        if se > 0:     # baseline full-band scan
+                            decode_ac_first(br, alut, blk, 1, se,
+                                            0, state)
+                    elif ah == 0:
+                        decode_ac_first(br, alut, blk, ss, se, al,
+                                        state)
+                    else:
+                        decode_ac_refine(br, alut, blk, ss, se, al,
+                                         state)
+                mcu_count += 1
+            scans += 1
+            i = _next_marker(b, br.i)
+            continue
         # APPn / COM / others: skip
         i += 2 + ln
-    if sof is None or scan is None:
+
+    if sof is None or scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
-    w, h, comps = sof
-    smap, data_pos = scan
-    if len(smap) != len(comps):
-        raise NotImplementedError(
-            "JPEG multi-scan image (baseline decodes single "
-            "interleaved scans)")
-    by_id = {c[0]: c for c in comps}
-    order = []
-    for (cid, td, ta) in smap:
-        if cid not in by_id:
-            raise ValueError(f"JPEG SOS names unknown component {cid}")
-        if td not in dc_luts or ta not in ac_luts:
-            raise ValueError("JPEG SOS references missing DHT table")
-        c = by_id[cid]
-        if c[3] not in qtabs:
+
+    planes = []
+    for ci, (cid, cch, ccv, tq) in enumerate(comps):
+        if tq not in qtabs:
             raise ValueError("JPEG SOF references missing DQT table")
-        order.append((c, dc_luts[td], ac_luts[ta], qtabs[c[3]]))
+        qarr = qtabs[tq]
+        nby, nbx, _ = coefs[ci].shape
+        plane = np.zeros((nby * 8, nbx * 8), np.float64)
+        zz = list(ZIGZAG)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = np.zeros((8, 8), np.float64)
+                coef.flat[zz] = coefs[ci][by, bx]
+                coef *= qarr
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _M.T @ coef @ _M + 128.0
+        up = np.repeat(np.repeat(plane, max_v // ccv, axis=0),
+                       max_h // cch, axis=1)
+        planes.append(up[:h, :w])
 
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    mcux = (w + 8 * max_h - 1) // (8 * max_h)
-    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
-    planes = [np.zeros((8 * c[2] * mcuy, 8 * c[1] * mcux), np.float64)
-              for (c, _d, _a, _q) in order]
-
-    br = _BitReader(b, data_pos)
-    preds = [0] * len(order)
-    mcu_count = 0
-    rst_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                br.align_expect_rst(rst_idx)
-                rst_idx += 1
-                preds = [0] * len(order)
-            for ci, ((cid, ch, cv, tq), dlut, alut, qarr) \
-                    in enumerate(order):
-                for byy in range(cv):
-                    for bxx in range(ch):
-                        zz = np.zeros(64, np.float64)
-                        s = _decode_symbol(br, dlut)
-                        if s > 11:
-                            raise ValueError(
-                                f"JPEG DC category {s} out of range")
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(br, alut)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16      # ZRL
-                                    continue
-                                break            # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG AC run past block end")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        coef = np.zeros((8, 8), np.float64)
-                        coef.flat[list(ZIGZAG)] = zz
-                        coef *= qarr
-                        blk = _M.T @ coef @ _M + 128.0
-                        y0 = (my * cv + byy) * 8
-                        x0 = (mx * ch + bxx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
-            mcu_count += 1
-
-    full = []
-    for ((cid, ch, cv, tq), _d, _a, _q), plane in zip(order, planes):
-        up = np.repeat(np.repeat(plane, max_v // cv, axis=0),
-                       max_h // ch, axis=1)
-        full.append(up[:h, :w])
-    if len(full) == 1:
-        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    kind = "progressive" if progressive else "baseline"
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         rgb = np.stack([g, g, g], axis=-1)
-        codec = "jpeg/baseline-gray"
+        codec = f"jpeg/{kind}-gray"
     else:
-        y, cb, cr = full
+        y, cb, cr = planes
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
         bl = y + 1.772 * (cb - 128.0)
         rgb = np.stack([np.clip(np.round(p), 0, 255).astype(np.uint8)
                         for p in (r, g, bl)], axis=-1)
-        codec = ("jpeg/baseline-420" if (max_h, max_v) == (2, 2)
-                 else "jpeg/baseline-422"
+        codec = (f"jpeg/{kind}-420" if (max_h, max_v) == (2, 2)
+                 else f"jpeg/{kind}-422"
                  if (max_h, max_v) in ((2, 1), (1, 2))
-                 else "jpeg/baseline")
+                 else f"jpeg/{kind}")
     return {"media_type": "image", "n_bytes": len(b),
             "width": w, "height": h, "duration_ms": None,
             "codec": codec, "raster": rgb.tobytes()}
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixtures/tests)
+# ---------------------------------------------------------------------------
+
+def _mshift(v: int, al: int) -> int:
+    """Successive-approximation magnitude shift (T.81 G.1.2.2): shift
+    |v| — NOT two's complement — so -3 >> 1 is -1, not -2. DC uses the
+    arithmetic shift instead (G.1.2.1)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def encode_jpeg_progressive(width: int, height: int,
+                            raster: bytes | None = None,
+                            gray: bytes | None = None,
+                            quant: int = 1) -> bytes:
+    """Progressive (SOF2) JFIF encoder for fixtures and tests:
+    grayscale or 4:4:4 color, libjpeg-style scan script —
+    (1) interleaved DC first scan at Al=1, (2) per-component AC
+    spectral scans 1..63 first at Al=1 (EOBn runs + ZRL), (3) DC
+    refinement to Al=0, (4) per-component AC refinement Ah=1 -> Al=0
+    (newly-significant symbols, buffered correction bits, EOB-folded
+    runs — T.81 G.1.2.3). The quantized coefficients are IDENTICAL to
+    ``encode_jpeg_baseline``'s for the same input, so a correct
+    decoder must return byte-identical rasters for both encodings."""
+    if (raster is None) == (gray is None):
+        raise ValueError("pass exactly one of raster= or gray=")
+    if quant < 1 or quant > 255:
+        raise ValueError("quant must be in [1, 255]")
+    if width <= 0 or height <= 0:
+        raise ValueError("zero-dimension JPEG")
+    qtab = [quant] * 64
+    if gray is not None:
+        if len(gray) != width * height:
+            raise ValueError("gray length != width*height")
+        plane = np.frombuffer(gray, np.uint8).reshape(
+            height, width).astype(np.float64)
+        comps = [(1, 0, plane)]
+        n_q = 1
+    else:
+        if len(raster) != width * height * 3:
+            raise ValueError("raster length != width*height*3")
+        rgb = np.frombuffer(raster, np.uint8).reshape(
+            height, width, 3).astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        comps = [(1, 0, y), (2, 1, cb), (3, 1, cr)]
+        n_q = 2
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    qarr = np.array(qtab, np.float64)[np.argsort(ZIGZAG)].reshape(8, 8)
+    zz = list(ZIGZAG)
+    # quantized zz-order coefficient blocks per component
+    zblocks = []
+    for (_cid, _tq, plane) in comps:
+        p = np.pad(plane, ((0, mcuy * 8 - plane.shape[0]),
+                           (0, mcux * 8 - plane.shape[1])),
+                   mode="edge")
+        rows = []
+        for by in range(mcuy):
+            row = []
+            for bx in range(mcux):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                qz = np.round((_M @ blk @ _M.T) / qarr).astype(np.int64)
+                row.append([int(qz.flat[zz[i]]) for i in range(64)])
+            rows.append(row)
+        zblocks.append(rows)
+
+    dc_codes = (_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA))
+    # progressive AC scans need EOBn symbols (r<<4 for r=1..14), which
+    # the Annex-K SEQUENTIAL tables do not contain (libjpeg computes
+    # custom tables for exactly this reason). Emit a flat canonical
+    # table carrying every symbol (255 codes of length 9 + one of 10)
+    # for the AC scans — bigger bitstream, simple, and it exercises
+    # the decoder's mid-file DHT-override path the way real
+    # progressive files do.
+    flat_bits = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+    flat_vals = list(range(256))
+    ac_flat = _build_codes(flat_bits, flat_vals)
+    ac_codes = (ac_flat, ac_flat)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker,
+                           len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq in range(n_q):
+        out += seg(0xDB, bytes([tq]) + bytes(qtab))
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for (cid, tq, _p) in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xC2, sof)                             # SOF2
+    for tc, (bits, vals) in ((0, _DC_LUMA), (1, _AC_LUMA)):
+        out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+    if n_q == 2:
+        for tc, (bits, vals) in ((0, _DC_CHROMA), (1, _AC_CHROMA)):
+            out += seg(0xC4, bytes([(tc << 4) | 1])
+                       + bytes(bits) + bytes(vals))
+
+    def sos_header(sel, ss, se, ah, al):
+        body = bytes([len(sel)])
+        for (cid, t) in sel:
+            body += bytes([cid, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # scan 1: interleaved DC first, Al=1
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for ci, (_cid, tq, _p) in enumerate(comps):
+                t = 0 if tq == 0 else 1
+                v = zblocks[ci][by][bx][0] >> 1     # arithmetic shift
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _cat(diff)
+                c, ln = dc_codes[t][s]
+                bw.write(c, ln)
+                if s:
+                    bw.write(diff if diff >= 0
+                             else diff + (1 << s) - 1, s)
+    bw.pad_to_byte()
+    out += sos_header([(cid, 0 if tq == 0 else 1)
+                       for (cid, tq, _p) in comps], 0, 0, 0, 1)
+    out += bw.buf
+
+    def enc_ac_first(blocks, t, al):
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_codes[t][nb << 4]
+                bw.write(c, ln)
+                if nb:
+                    bw.write(eobrun - (1 << nb), nb)
+                eobrun = 0
+        for blk in blocks:
+            tv = [_mshift(v, al) for v in blk]
+            last = 0
+            for k in range(63, 0, -1):
+                if tv[k]:
+                    last = k
+                    break
+            if last == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for k in range(1, last + 1):
+                v = tv[k]
+                if v == 0:
+                    r += 1
+                    continue
+                while r >= 16:
+                    c, ln = ac_codes[t][0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                s = _cat(v)
+                c, ln = ac_codes[t][(r << 4) | s]
+                bw.write(c, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < 63:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        bw.pad_to_byte()
+        return bw.buf
+
+    def enc_ac_refine(blocks, t, al):
+        bw = _BitWriter()
+        eobrun = 0
+        be: list[int] = []
+
+        def flush():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                c, ln = ac_codes[t][nb << 4]
+                bw.write(c, ln)
+                if nb:
+                    bw.write(eobrun - (1 << nb), nb)
+            for bit in be:
+                bw.write(bit, 1)
+            eobrun = 0
+            be = []
+        for blk in blocks:
+            tv = [abs(v) >> al for v in blk]
+            eobpos = 0
+            for k in range(1, 64):
+                if tv[k] == 1:
+                    eobpos = k
+            r = 0
+            br_bits: list[int] = []
+            for k in range(1, 64):
+                temp = tv[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush()
+                    c, ln = ac_codes[t][0xF0]
+                    bw.write(c, ln)
+                    r -= 16
+                    for bit in br_bits:
+                        bw.write(bit, 1)
+                    br_bits = []
+                if temp > 1:
+                    br_bits.append(temp & 1)
+                    continue
+                flush()
+                c, ln = ac_codes[t][(r << 4) | 1]
+                bw.write(c, ln)
+                bw.write(1 if blk[k] >= 0 else 0, 1)
+                for bit in br_bits:
+                    bw.write(bit, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                be.extend(br_bits)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush()
+        flush()
+        bw.pad_to_byte()
+        return bw.buf
+
+    def comp_blocks(ci):
+        for by in range(mcuy):
+            for bx in range(mcux):
+                yield zblocks[ci][by][bx]
+
+    # override the AC tables with the flat all-symbol table before the
+    # AC scans (classes re-keyed mid-file, like real progressive files)
+    for th in range(n_q):
+        out += seg(0xC4, bytes([(1 << 4) | th]) + bytes(flat_bits)
+                   + bytes(flat_vals))
+    # scans 2..: per-component AC first at Al=1
+    for ci, (cid, tq, _p) in enumerate(comps):
+        t = 0 if tq == 0 else 1
+        out += sos_header([(cid, t)], 1, 63, 0, 1)
+        out += enc_ac_first(comp_blocks(ci), t, 1)
+    # DC refinement to Al=0 (no Huffman coding — raw bits)
+    bw = _BitWriter()
+    for by in range(mcuy):
+        for bx in range(mcux):
+            for ci in range(len(comps)):
+                bw.write(zblocks[ci][by][bx][0] & 1, 1)
+    bw.pad_to_byte()
+    body = bytes([len(comps)])
+    for (cid, tq, _p) in comps:
+        body += bytes([cid, 0])
+    body += bytes([0, 0, 0x10])
+    out += seg(0xDA, body)
+    out += bw.buf
+    # per-component AC refinement Ah=1 -> Al=0
+    for ci, (cid, tq, _p) in enumerate(comps):
+        t = 0 if tq == 0 else 1
+        out += sos_header([(cid, t)], 1, 63, 1, 0)
+        out += enc_ac_refine(comp_blocks(ci), t, 0)
+    out += b"\xFF\xD9"
+    return bytes(out)

@@ -9,11 +9,13 @@ oracle-tested (d93/d94/d95) against arithmetic derivations that never
 see the bytes. r10 adds PNG — DEFLATE via stdlib zlib, all five
 scanline filters, gray/RGB/RGBA/palette/sub-byte depths (d96). r11
 completes PNG (Adam7 interlace + 16-bit channels, d97) and adds the
-first LOSSY codec: baseline JPEG — ITU-T T.81 Huffman + dequant +
-IDCT in operators/jpeg.py, 4:4:4/4:2:2/4:2:0, restart markers (d98).
-Remaining refusals are narrow and named: progressive/arithmetic
-JPEG, MP3, MJPEG/H.264 — swapping in PIL/ffmpeg stays a one-function
-change behind real_decode and batch shapes/schemas hold.
+first LOSSY codec: JPEG — ITU-T T.81 Huffman + dequant + IDCT in
+operators/jpeg.py, baseline (4:4:4/4:2:2/4:2:0, restart markers, d98)
+AND progressive (spectral selection + successive approximation, d99;
+the container's real progressive files decode). Remaining refusals
+are narrow and named: arithmetic/lossless JPEG, MP3, MJPEG/H.264 —
+swapping in PIL/ffmpeg stays a one-function change behind real_decode
+and batch shapes/schemas hold.
 
 Scale notes: decode/feature-extract runs in mapInPandas so each Arrow batch
 crosses the Python boundary once; binary payloads never shuffle unless the
@@ -55,10 +57,11 @@ def real_decode(payload: bytes) -> dict:
     ``struct``; r10 adds 8-bit gray/RGB/RGBA PNG — DEFLATE inflates
     with stdlib ``zlib``, the five scanline filters reverse by hand
     (oracle-tested d96); r11 COMPLETES PNG (Adam7 + 16-bit, d97) and
-    adds baseline JPEG (T.81 Huffman/dequant/IDCT, operators/jpeg.py,
-    d98). The NotImplementedError remains honest for the codecs that
-    genuinely need external libs: progressive/arithmetic JPEG, MP3,
-    MJPEG/H.264.
+    adds JPEG — baseline (d98) AND progressive (d99): T.81 Huffman/
+    dequant/IDCT in operators/jpeg.py, incl. spectral selection +
+    successive approximation. The NotImplementedError remains honest
+    for the codecs that genuinely need external libs: arithmetic/
+    lossless JPEG, MP3, MJPEG/H.264.
 
     Sandbox probe (r5): none of PIL / cv2 / imageio / av / soundfile /
     librosa / libmagic import in this environment; the Spark-side
@@ -653,11 +656,11 @@ def _parse_png(b: bytes) -> dict:
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload (stdlib + numpy): P6 PPM, 24-bit
     BI_RGB BMP, COMPLETE PNG (every valid IHDR combination incl.
-    Adam7 + 16-bit, r11), or baseline JPEG (SOF0/SOF1 Huffman —
-    r11, the first lossy codec) -> meta dict + ``raster`` (RGB,
-    row-major, top-down). Progressive/arithmetic JPEG and video/audio
-    lossy codecs raise the honest NotImplementedError the
-    module-level stub documents."""
+    Adam7 + 16-bit, r11), or JPEG (baseline SOF0/SOF1 AND progressive
+    SOF2 Huffman — r11, the first lossy codec) -> meta dict +
+    ``raster`` (RGB, row-major, top-down). Arithmetic/lossless JPEG
+    and video/audio lossy codecs raise the honest NotImplementedError
+    the module-level stub documents."""
     if payload[:2] == b"P6":
         return _parse_ppm_p6(payload)
     if payload[:2] == b"BM":

@@ -553,6 +553,12 @@ SECONDARY = {
     # - d67 (shard manifest): the index-build pair keeps d66 (dense
     #   index) in-window; d67 stays under bench + tools
     "d67_shard_manifest",
+    # round 11: progressive JPEG — d98 carries the JPEG arithmetic-
+    # oracle pattern in-window; the SOF2 surface is pinned by the
+    # progressive==baseline byte-equality test and the real-world
+    # nodejs decode (tests/test_operators.py) plus this oracle row
+    # under bench + tools/check_correctness
+    "d99_jpeg_progressive_decode",
 }
 
 DEC = "decimal(12,2)"

@@ -73,16 +73,21 @@ def jpeg_payload(draw):
     # r11: baseline JPEG as the sixth fuzzed format — gray or color,
     # 4:4:4 / 4:2:0, quantizer and restart interval drawn too
     from datafusion_federation_spark.operators.jpeg import (
-        encode_jpeg_baseline)
+        encode_jpeg_baseline, encode_jpeg_progressive)
     w = draw(st.integers(1, 18))
     h = draw(st.integers(1, 14))
     quant = draw(st.sampled_from([1, 2, 8, 40]))
     rst = draw(st.sampled_from([0, 0, 1, 2]))
+    progressive = draw(st.booleans())     # r11: SOF2 multi-scan draws
     if draw(st.booleans()):
         g = draw(st.binary(min_size=w * h, max_size=w * h))
+        if progressive:
+            return encode_jpeg_progressive(w, h, gray=g, quant=quant)
         return encode_jpeg_baseline(w, h, gray=g, quant=quant,
                                     restart_interval=rst)
     ras = draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+    if progressive:
+        return encode_jpeg_progressive(w, h, raster=ras, quant=quant)
     return encode_jpeg_baseline(w, h, raster=ras, quant=quant,
                                 subsample=draw(st.booleans()),
                                 restart_interval=rst)

@@ -1633,13 +1633,19 @@ def test_jpeg_refusals_and_corruption():
     w, h = 16, 8
     good = encode_jpeg_baseline(w, h, gray=bytes(w * h), quant=1)
     # marker family refusals carry the shape's name
-    for sof_byte, msg in [(0xC2, "progressive"), (0xC3, "lossless"),
-                          (0xC9, "arithmetic")]:
+    for sof_byte, msg in [(0xC3, "lossless"), (0xC9, "arithmetic")]:
         bad = bytearray(good)
         idx = bad.find(b"\xFF\xC0")
         bad[idx + 1] = sof_byte
         with pytest.raises(NotImplementedError, match=msg):
             decode_jpeg(bytes(bad))
+    # r11: SOF2 DECODES now — but a baseline stream relabeled SOF2 is
+    # CORRUPT (a progressive scan may not carry DC and AC together)
+    bad = bytearray(good)
+    idx = bad.find(b"\xFF\xC0")
+    bad[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="both DC"):
+        decode_jpeg(bytes(bad))
     # truncated scan data
     with pytest.raises(ValueError, match="truncated|EOF"):
         decode_jpeg(good[:len(good) - 8])
@@ -1666,13 +1672,15 @@ def test_jpeg_refusals_and_corruption():
         decode_jpeg(b"\x00\x01\x02")
 
 
-def test_jpeg_real_world_files_parse_or_refuse_honestly():
-    # the only JPEGs shipped in this container are PROGRESSIVE
-    # (nodejs doc stripes): the marker walk must parse their real
-    # segment layout far enough to NAME the refusal — a crash or a
-    # misparse would surface here
+def test_jpeg_real_world_progressive_files_decode():
+    """r11: the container's only real JPEGs are PROGRESSIVE (nodejs
+    doc 'white-stripe' images) — files this repo did not produce.
+    They must DECODE now (spectral selection + successive
+    approximation, the libjpeg default scan script), and their
+    content must look like what the filenames say: mostly white."""
     import glob
 
+    import numpy as np
     import pytest
 
     from datafusion_federation_spark.operators.jpeg import decode_jpeg
@@ -1682,8 +1690,47 @@ def test_jpeg_real_world_files_parse_or_refuse_honestly():
     for f in files:
         with open(f, "rb") as fh:
             b = fh.read()
-        try:
-            d = decode_jpeg(b)
-            assert len(d["raster"]) == d["width"] * d["height"] * 3
-        except NotImplementedError as e:
-            assert "progressive" in str(e)
+        d = decode_jpeg(b)
+        assert d["codec"].startswith("jpeg/progressive")
+        ras = np.frombuffer(d["raster"], np.uint8)
+        assert len(ras) == d["width"] * d["height"] * 3
+        assert float(ras.mean()) > 220 and int(ras.max()) == 255
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The strongest progressive pin: our progressive encoder emits
+    the libjpeg-style scan script (DC first at Al=1, AC band scans,
+    DC refinement, AC refinement with EOBn runs and correction bits)
+    over the SAME quantized coefficients as the baseline encoder —
+    a correct decoder must return byte-identical rasters for both
+    encodings, across gray/color, quantizers, and non-MCU-aligned
+    dims."""
+    import numpy as np
+
+    from datafusion_federation_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg_baseline, encode_jpeg_progressive)
+    rng = np.random.default_rng(7)
+    for (w, h, quant, color) in [(8, 8, 1, False), (16, 8, 1, False),
+                                 (24, 16, 1, True), (13, 9, 2, True),
+                                 (16, 16, 8, True), (8, 8, 40, True),
+                                 (17, 23, 3, True), (64, 8, 1, False)]:
+        if color:
+            ras = rng.integers(0, 256, w * h * 3,
+                               dtype=np.uint8).tobytes()
+            bb = encode_jpeg_baseline(w, h, raster=ras, quant=quant)
+            bp = encode_jpeg_progressive(w, h, raster=ras, quant=quant)
+        else:
+            g = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+            bb = encode_jpeg_baseline(w, h, gray=g, quant=quant)
+            bp = encode_jpeg_progressive(w, h, gray=g, quant=quant)
+        db, dp = decode_jpeg(bb), decode_jpeg(bp)
+        assert db["raster"] == dp["raster"], (w, h, quant, color)
+        assert dp["codec"].startswith("jpeg/progressive")
+    # block-constant gray (the d99 fixture shape): the EOBRUN-heavy
+    # path — entire AC scans are end-of-band runs — decodes EXACTLY
+    g = bytes((((x // 8) + (y // 8) * 3) * 29 + 5) % 256
+              for y in range(24) for x in range(24))
+    dp = decode_jpeg(encode_jpeg_progressive(24, 24, gray=g, quant=1))
+    got = np.frombuffer(dp["raster"], np.uint8).reshape(24, 24, 3)
+    assert np.array_equal(got[..., 0],
+                          np.frombuffer(g, np.uint8).reshape(24, 24))
