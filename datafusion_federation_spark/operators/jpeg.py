@@ -803,29 +803,38 @@ def _mshift(v: int, al: int) -> int:
 def encode_jpeg_progressive(width: int, height: int,
                             raster: bytes | None = None,
                             gray: bytes | None = None,
-                            quant: int = 1) -> bytes:
+                            quant: int = 1,
+                            subsample: bool = False,
+                            band_split: int | None = None) -> bytes:
     """Progressive (SOF2) JFIF encoder for fixtures and tests:
-    grayscale or 4:4:4 color, libjpeg-style scan script —
-    (1) interleaved DC first scan at Al=1, (2) per-component AC
-    spectral scans 1..63 first at Al=1 (EOBn runs + ZRL), (3) DC
-    refinement to Al=0, (4) per-component AC refinement Ah=1 -> Al=0
+    grayscale, 4:4:4, or 4:2:0 color; libjpeg-style scan script —
+    (1) interleaved DC first scan at Al=1 (h x v luma blocks per MCU
+    when subsampled), (2) per-component AC spectral scans over the
+    component's REAL block grid at Al=1 (EOBn runs + ZRL; optionally
+    split at ``band_split`` into 1..split / split+1..63 bands, the
+    way libjpeg's default script splits luma), (3) DC refinement to
+    Al=0, (4) per-component AC refinement Ah=1 -> Al=0
     (newly-significant symbols, buffered correction bits, EOB-folded
     runs — T.81 G.1.2.3). The quantized coefficients are IDENTICAL to
     ``encode_jpeg_baseline``'s for the same input, so a correct
-    decoder must return byte-identical rasters for both encodings."""
+    decoder must return byte-identical rasters for both encodings
+    (after the w x h crop, which discards the MCU padding where the
+    two scans' coverage legitimately differs)."""
     if (raster is None) == (gray is None):
         raise ValueError("pass exactly one of raster= or gray=")
     if quant < 1 or quant > 255:
         raise ValueError("quant must be in [1, 255]")
     if width <= 0 or height <= 0:
         raise ValueError("zero-dimension JPEG")
+    if subsample and gray is not None:
+        raise ValueError("subsample applies to color input")
     qtab = [quant] * 64
     if gray is not None:
         if len(gray) != width * height:
             raise ValueError("gray length != width*height")
         plane = np.frombuffer(gray, np.uint8).reshape(
             height, width).astype(np.float64)
-        comps = [(1, 0, plane)]
+        comps = [(1, 1, 1, 0, plane)]
         n_q = 1
     else:
         if len(raster) != width * height * 3:
@@ -837,27 +846,48 @@ def encode_jpeg_progressive(width: int, height: int,
         cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
         y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
-        comps = [(1, 0, y), (2, 1, cb), (3, 1, cr)]
+        if subsample:
+            he = height + (height & 1)
+            we = width + (width & 1)
+
+            def half(p):
+                p2 = np.pad(p, ((0, he - height), (0, we - width)),
+                            mode="edge")
+                return np.round((p2[0::2, 0::2] + p2[0::2, 1::2]
+                                 + p2[1::2, 0::2] + p2[1::2, 1::2])
+                                / 4.0)
+            comps = [(1, 2, 2, 0, y), (2, 1, 1, 1, half(cb)),
+                     (3, 1, 1, 1, half(cr))]
+        else:
+            comps = [(1, 1, 1, 0, y), (2, 1, 1, 1, cb),
+                     (3, 1, 1, 1, cr)]
         n_q = 2
-    mcux = (width + 7) // 8
-    mcuy = (height + 7) // 8
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = (width + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (height + 8 * max_v - 1) // (8 * max_v)
     qarr = np.array(qtab, np.float64)[np.argsort(ZIGZAG)].reshape(8, 8)
     zz = list(ZIGZAG)
-    # quantized zz-order coefficient blocks per component
+    # quantized zz-order coefficient blocks per component, over the
+    # MCU-padded grid; AC scans cover only the REAL sub-grid
     zblocks = []
-    for (_cid, _tq, plane) in comps:
-        p = np.pad(plane, ((0, mcuy * 8 - plane.shape[0]),
-                           (0, mcux * 8 - plane.shape[1])),
-                   mode="edge")
+    real_grid = []
+    for (_cid, cch, ccv, _tq, plane) in comps:
+        ph, pw = 8 * ccv * mcuy, 8 * cch * mcux
+        p = np.pad(plane, ((0, ph - plane.shape[0]),
+                           (0, pw - plane.shape[1])), mode="edge")
         rows = []
-        for by in range(mcuy):
+        for by in range(ccv * mcuy):
             row = []
-            for bx in range(mcux):
+            for bx in range(cch * mcux):
                 blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 qz = np.round((_M @ blk @ _M.T) / qarr).astype(np.int64)
                 row.append([int(qz.flat[zz[i]]) for i in range(64)])
             rows.append(row)
         zblocks.append(rows)
+        cw = (width * cch + max_h - 1) // max_h
+        chh = (height * ccv + max_v - 1) // max_v
+        real_grid.append(((chh + 7) // 8, (cw + 7) // 8))
 
     dc_codes = (_build_codes(*_DC_LUMA), _build_codes(*_DC_CHROMA))
     # progressive AC scans need EOBn symbols (r<<4 for r=1..14), which
@@ -881,8 +911,8 @@ def encode_jpeg_progressive(width: int, height: int,
     for tq in range(n_q):
         out += seg(0xDB, bytes([tq]) + bytes(qtab))
     sof = struct.pack(">BHHB", 8, height, width, len(comps))
-    for (cid, tq, _p) in comps:
-        sof += bytes([cid, 0x11, tq])
+    for (cid, cch, ccv, tq, _p) in comps:
+        sof += bytes([cid, (cch << 4) | ccv, tq])
     out += seg(0xC2, sof)                             # SOF2
     for tc, (bits, vals) in ((0, _DC_LUMA), (1, _AC_LUMA)):
         out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
@@ -898,28 +928,31 @@ def encode_jpeg_progressive(width: int, height: int,
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xDA, body)
 
-    # scan 1: interleaved DC first, Al=1
+    # scan 1: interleaved DC first, Al=1 (h x v blocks per comp/MCU)
     bw = _BitWriter()
     preds = [0] * len(comps)
-    for by in range(mcuy):
-        for bx in range(mcux):
-            for ci, (_cid, tq, _p) in enumerate(comps):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_cid, cch, ccv, tq, _p) in enumerate(comps):
                 t = 0 if tq == 0 else 1
-                v = zblocks[ci][by][bx][0] >> 1     # arithmetic shift
-                diff = v - preds[ci]
-                preds[ci] = v
-                s = _cat(diff)
-                c, ln = dc_codes[t][s]
-                bw.write(c, ln)
-                if s:
-                    bw.write(diff if diff >= 0
-                             else diff + (1 << s) - 1, s)
+                for byy in range(ccv):
+                    for bxx in range(cch):
+                        v = zblocks[ci][my * ccv + byy][
+                            mx * cch + bxx][0] >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _cat(diff)
+                        c, ln = dc_codes[t][s]
+                        bw.write(c, ln)
+                        if s:
+                            bw.write(diff if diff >= 0
+                                     else diff + (1 << s) - 1, s)
     bw.pad_to_byte()
     out += sos_header([(cid, 0 if tq == 0 else 1)
-                       for (cid, tq, _p) in comps], 0, 0, 0, 1)
+                       for (cid, _h, _v, tq, _p) in comps], 0, 0, 0, 1)
     out += bw.buf
 
-    def enc_ac_first(blocks, t, al):
+    def enc_ac_first(blocks, t, ss, se, al):
         bw = _BitWriter()
         eobrun = 0
 
@@ -935,18 +968,18 @@ def encode_jpeg_progressive(width: int, height: int,
         for blk in blocks:
             tv = [_mshift(v, al) for v in blk]
             last = 0
-            for k in range(63, 0, -1):
+            for k in range(se, ss - 1, -1):
                 if tv[k]:
                     last = k
                     break
-            if last == 0:
+            if last < ss:
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush()
                 continue
             flush()
             r = 0
-            for k in range(1, last + 1):
+            for k in range(ss, last + 1):
                 v = tv[k]
                 if v == 0:
                     r += 1
@@ -960,7 +993,7 @@ def encode_jpeg_progressive(width: int, height: int,
                 bw.write(c, ln)
                 bw.write(v if v >= 0 else v + (1 << s) - 1, s)
                 r = 0
-            if last < 63:
+            if last < se:
                 eobrun += 1
                 if eobrun == 0x7FFF:
                     flush()
@@ -968,7 +1001,7 @@ def encode_jpeg_progressive(width: int, height: int,
         bw.pad_to_byte()
         return bw.buf
 
-    def enc_ac_refine(blocks, t, al):
+    def enc_ac_refine(blocks, t, ss, se, al):
         bw = _BitWriter()
         eobrun = 0
         be: list[int] = []
@@ -987,13 +1020,13 @@ def encode_jpeg_progressive(width: int, height: int,
             be = []
         for blk in blocks:
             tv = [abs(v) >> al for v in blk]
-            eobpos = 0
-            for k in range(1, 64):
+            eobpos = ss - 1
+            for k in range(ss, se + 1):
                 if tv[k] == 1:
                     eobpos = k
             r = 0
             br_bits: list[int] = []
-            for k in range(1, 64):
+            for k in range(ss, se + 1):
                 temp = tv[k]
                 if temp == 0:
                     r += 1
@@ -1027,8 +1060,9 @@ def encode_jpeg_progressive(width: int, height: int,
         return bw.buf
 
     def comp_blocks(ci):
-        for by in range(mcuy):
-            for bx in range(mcux):
+        nby, nbx = real_grid[ci]
+        for by in range(nby):
+            for bx in range(nbx):
                 yield zblocks[ci][by][bx]
 
     # override the AC tables with the flat all-symbol table before the
@@ -1036,28 +1070,35 @@ def encode_jpeg_progressive(width: int, height: int,
     for th in range(n_q):
         out += seg(0xC4, bytes([(1 << 4) | th]) + bytes(flat_bits)
                    + bytes(flat_vals))
-    # scans 2..: per-component AC first at Al=1
-    for ci, (cid, tq, _p) in enumerate(comps):
+    # scans 2..: per-component AC first at Al=1, optionally band-split
+    bands = ([(1, band_split), (band_split + 1, 63)]
+             if band_split else [(1, 63)])
+    for ci, (cid, _h, _v, tq, _p) in enumerate(comps):
         t = 0 if tq == 0 else 1
-        out += sos_header([(cid, t)], 1, 63, 0, 1)
-        out += enc_ac_first(comp_blocks(ci), t, 1)
+        for (ss, se) in bands:
+            out += sos_header([(cid, t)], ss, se, 0, 1)
+            out += enc_ac_first(comp_blocks(ci), t, ss, se, 1)
     # DC refinement to Al=0 (no Huffman coding — raw bits)
     bw = _BitWriter()
-    for by in range(mcuy):
-        for bx in range(mcux):
-            for ci in range(len(comps)):
-                bw.write(zblocks[ci][by][bx][0] & 1, 1)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_cid, cch, ccv, _tq, _p) in enumerate(comps):
+                for byy in range(ccv):
+                    for bxx in range(cch):
+                        bw.write(zblocks[ci][my * ccv + byy][
+                            mx * cch + bxx][0] & 1, 1)
     bw.pad_to_byte()
     body = bytes([len(comps)])
-    for (cid, tq, _p) in comps:
+    for (cid, _h, _v, _tq, _p) in comps:
         body += bytes([cid, 0])
     body += bytes([0, 0, 0x10])
     out += seg(0xDA, body)
     out += bw.buf
-    # per-component AC refinement Ah=1 -> Al=0
-    for ci, (cid, tq, _p) in enumerate(comps):
+    # per-component AC refinement Ah=1 -> Al=0 (same bands)
+    for ci, (cid, _h, _v, tq, _p) in enumerate(comps):
         t = 0 if tq == 0 else 1
-        out += sos_header([(cid, t)], 1, 63, 1, 0)
-        out += enc_ac_refine(comp_blocks(ci), t, 0)
+        for (ss, se) in bands:
+            out += sos_header([(cid, t)], ss, se, 1, 0)
+            out += enc_ac_refine(comp_blocks(ci), t, ss, se, 0)
     out += b"\xFF\xD9"
     return bytes(out)

@@ -87,7 +87,10 @@ def jpeg_payload(draw):
                                     restart_interval=rst)
     ras = draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
     if progressive:
-        return encode_jpeg_progressive(w, h, raster=ras, quant=quant)
+        return encode_jpeg_progressive(
+            w, h, raster=ras, quant=quant,
+            subsample=draw(st.booleans()),
+            band_split=draw(st.sampled_from([None, 8])))
     return encode_jpeg_baseline(w, h, raster=ras, quant=quant,
                                 subsample=draw(st.booleans()),
                                 restart_interval=rst)

@@ -1726,6 +1726,19 @@ def test_jpeg_progressive_equals_baseline_decode():
         db, dp = decode_jpeg(bb), decode_jpeg(bp)
         assert db["raster"] == dp["raster"], (w, h, quant, color)
         assert dp["codec"].startswith("jpeg/progressive")
+    # 4:2:0 subsampled progressive (per-component AC scans cover the
+    # chroma's SMALLER real block grid) and band-split scans (1..8 /
+    # 9..63, per-band EOBRUN state — the real-file scan script)
+    for (w, h, quant, split) in [(16, 16, 1, None), (13, 9, 2, 8),
+                                 (32, 24, 8, 8), (9, 9, 1, None)]:
+        ras = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        bb = encode_jpeg_baseline(w, h, raster=ras, quant=quant,
+                                  subsample=True)
+        bp = encode_jpeg_progressive(w, h, raster=ras, quant=quant,
+                                     subsample=True, band_split=split)
+        db, dp = decode_jpeg(bb), decode_jpeg(bp)
+        assert db["raster"] == dp["raster"], (w, h, quant, split)
+        assert dp["codec"] == "jpeg/progressive-420"
     # block-constant gray (the d99 fixture shape): the EOBRUN-heavy
     # path — entire AC scans are end-of-band runs — decodes EXACTLY
     g = bytes((((x // 8) + (y // 8) * 3) * 29 + 5) % 256
