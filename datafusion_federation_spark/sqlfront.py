@@ -1591,6 +1591,15 @@ class Parser:
         both engines' native TABLESAMPLE is an RNG draw, which the
         rerun-stable contract forbids; the oracle replays the hash
         predicate instead. SYSTEM (block) sampling refuses honestly."""
+        if self.at_kw("USING"):
+            # DuckDB's `rel USING SAMPLE ...` spelling (r11) — two-
+            # token lookahead keeps join-USING(col) intact
+            nxt = self.peek(1)
+            if (nxt is not None and nxt[0] == "id"
+                    and nxt[1].upper() == "SAMPLE"):
+                self.take()
+                self.take()
+                return self._parse_using_sample(plan)
         if not self.at_kw("TABLESAMPLE"):
             return plan
         self.take()
@@ -1625,6 +1634,83 @@ class Parser:
                     f"REPEATABLE takes an integer seed, got {s}")
             seed = int(s[1])
             self.expect_op(")")
+        return TableSample(plan, pct=pct, seed=seed)
+
+    def _parse_using_sample(self, plan: Plan) -> Plan:
+        """DuckDB's `rel USING SAMPLE ...` (r11). Accepted forms —
+        each lowering to the same deterministic hash-Bernoulli as
+        TABLESAMPLE:
+
+            USING SAMPLE bernoulli(p%) [REPEATABLE (seed)]
+            USING SAMPLE p% (bernoulli [, seed])
+            USING SAMPLE p PERCENT (bernoulli [, seed])
+
+        Honest refusals: a bare percentage (DuckDB defaults it to
+        SYSTEM block sampling, which is storage-layout-dependent),
+        reservoir/system methods, and row-count sampling (reservoir
+        semantics — not rerun-stable)."""
+        from .plans.nodes import TableSample
+
+        def pct_value():
+            t = self.take()
+            if t[0] != "num":
+                raise SqlParseError(
+                    f"USING SAMPLE takes a numeric percentage, "
+                    f"got {t}")
+            p = float(t[1])
+            if not 0.0 <= p <= 100.0:
+                raise SqlParseError(
+                    f"USING SAMPLE percentage {p} outside [0, 100]")
+            return p
+
+        if self.at_kw("BERNOULLI"):
+            self.take()
+            self.expect_op("(")
+            pct = pct_value()
+            if not self.accept_op("%"):
+                self.accept_kw("PERCENT")
+            self.expect_op(")")
+            seed = 0
+            if self.accept_kw("REPEATABLE"):
+                self.expect_op("(")
+                s = self.take()
+                if s[0] != "num":
+                    raise SqlParseError(
+                        f"REPEATABLE takes an integer seed, got {s}")
+                seed = int(s[1])
+                self.expect_op(")")
+            return TableSample(plan, pct=pct, seed=seed)
+        if self.at_kw("RESERVOIR", "SYSTEM"):
+            raise SqlParseError(
+                "USING SAMPLE reservoir/system: block and reservoir "
+                "sampling are not rerun-stable — use bernoulli(p%)")
+        pct = pct_value()
+        is_pct = self.accept_op("%") or self.accept_kw("PERCENT")
+        if not is_pct:
+            if self.accept_kw("ROWS"):
+                raise SqlParseError(
+                    "USING SAMPLE n ROWS is reservoir sampling (not "
+                    "rerun-stable) — use bernoulli(p%)")
+            raise SqlParseError(
+                "USING SAMPLE takes p% / p PERCENT here")
+        if not self.accept_op("("):
+            raise SqlParseError(
+                "a bare USING SAMPLE p% defaults to SYSTEM (block) "
+                "sampling in DuckDB, which is storage-layout-"
+                "dependent — spell USING SAMPLE p% (bernoulli "
+                "[, seed])")
+        if not self.accept_kw("BERNOULLI"):
+            raise SqlParseError(
+                "USING SAMPLE method must be bernoulli "
+                "(deterministic hash-Bernoulli lowering)")
+        seed = 0
+        if self.accept_op(","):
+            s = self.take()
+            if s[0] != "num":
+                raise SqlParseError(
+                    f"USING SAMPLE seed must be an integer, got {s}")
+            seed = int(s[1])
+        self.expect_op(")")
         return TableSample(plan, pct=pct, seed=seed)
 
     def _parse_relation_core(self, scope: _Scope) -> Plan:

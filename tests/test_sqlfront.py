@@ -1996,6 +1996,49 @@ def test_tablesample_deterministic_and_matches_replayed_predicate(spark):
                    "REPEATABLE (1)").count() >= 0
 
 
+def test_using_sample_matches_tablesample(spark):
+    """r11: DuckDB's `USING SAMPLE` spelling lowers to the SAME
+    deterministic hash-Bernoulli as TABLESAMPLE — equal seeds select
+    equal rows across all three accepted forms — and join-USING(col)
+    stays intact (two-token lookahead)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("s", spark.createDataFrame(
+        [(i, i % 3) for i in range(200)], "k bigint, g bigint"))
+    want = [tuple(r) for r in eng.sql(
+        "SELECT k FROM s TABLESAMPLE BERNOULLI(25) REPEATABLE (7) "
+        "ORDER BY k").collect()]
+    for q in [
+        "SELECT k FROM s USING SAMPLE bernoulli(25%) REPEATABLE (7) "
+        "ORDER BY k",
+        "SELECT k FROM s USING SAMPLE 25% (bernoulli, 7) ORDER BY k",
+        "SELECT k FROM s USING SAMPLE 25 PERCENT (bernoulli, 7) "
+        "ORDER BY k",
+    ]:
+        assert [tuple(r) for r in eng.sql(q).collect()] == want, q
+    # join USING (col) is untouched by the lookahead
+    eng.register_local_df("t2", spark.createDataFrame(
+        [(0, 'a'), (1, 'b')], "g bigint, lab string"))
+    n = eng.sql("SELECT s.k, t2.lab FROM s JOIN t2 USING (g)").count()
+    assert n > 0
+
+
+def test_using_sample_refusals(spark):
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sqlfront import SqlParseError
+    eng = FederationEngine(spark)
+    eng.register_local_df("s", spark.createDataFrame(
+        [(1,)], "k bigint"))
+    with pytest.raises(SqlParseError, match="SYSTEM"):
+        eng.sql_plan("SELECT * FROM s USING SAMPLE 10%")
+    with pytest.raises(SqlParseError, match="reservoir"):
+        eng.sql_plan("SELECT * FROM s USING SAMPLE 10 ROWS")
+    with pytest.raises(SqlParseError, match="not rerun-stable"):
+        eng.sql_plan("SELECT * FROM s USING SAMPLE reservoir(10%)")
+    with pytest.raises(SqlParseError, match="bernoulli"):
+        eng.sql_plan("SELECT * FROM s USING SAMPLE 10% (system)")
+
+
 def test_tablesample_refusals(spark):
     from datafusion_federation_spark.engine import FederationEngine
     from datafusion_federation_spark.sqlfront import SqlParseError
