@@ -643,6 +643,9 @@ def decode_jpeg(b: bytes) -> dict:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if not 1 <= ns <= 4:
+                raise ValueError(f"JPEG SOS component count {ns} "
+                                 f"outside 1..4")
             if len(seg) < 4 + ns * 2:
                 raise ValueError("JPEG SOS header truncated")
             smap = []
