@@ -559,6 +559,11 @@ SECONDARY = {
     # nodejs decode (tests/test_operators.py) plus this oracle row
     # under bench + tools/check_correctness
     "d99_jpeg_progressive_decode",
+    # round 11: USING SAMPLE spelling — q118 carries the
+    # deterministic hash-Bernoulli lowering in-window; the spelling
+    # itself is pinned by the cross-spelling equal-rows test plus
+    # this oracle row under bench + tools/check_correctness
+    "q120_using_sample",
 }
 
 DEC = "decimal(12,2)"

@@ -6358,3 +6358,42 @@ def d99(spark, sf):
             T.StructField("payload", T.BinaryType())]))
     return (extract_image_stats(with_payload)
             .orderBy("doc_id"))
+
+
+_Q120_SPARK_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (SELECT doc_id, source, n_chars FROM documents) d
+     USING SAMPLE 30 PERCENT (bernoulli, 9)
+GROUP BY source ORDER BY source
+"""
+
+# round(30/100*256) = 77 = 0x4d; the oracle replays the predicate
+# (DuckDB's own USING SAMPLE is an RNG draw — the q118 pattern)
+_Q120_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (SELECT doc_id, source, n_chars FROM documents) d
+WHERE substring(md5(concat_ws('|', '9', CAST(doc_id AS VARCHAR),
+                              source, CAST(n_chars AS VARCHAR))),
+                1, 2) < '4d'
+GROUP BY source ORDER BY source
+"""
+
+
+@q("q120_using_sample", _Q120_SQL)
+def q120(spark, sf):
+    """DuckDB's `USING SAMPLE` spelling (r11, the TABLESAMPLE
+    sibling): `rel USING SAMPLE p PERCENT (bernoulli, seed)` lowers
+    to the same deterministic seed-salted md5-prefix hash-Bernoulli
+    as q118 — the oracle replays the predicate because the engines'
+    native sampling is an RNG draw. Equal seeds select equal rows
+    across both spellings (pinned); a two-token lookahead keeps
+    join-USING(col) intact. Bare percentages refuse (DuckDB defaults
+    them to SYSTEM block sampling); reservoir/ROWS refuse as
+    not-rerun-stable. 100 TB: a narrow filter on the scan, no
+    shuffle, no RNG state."""
+    from .engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("documents", t(spark, sf, "documents"))
+    return eng.sql(_Q120_SPARK_SQL)
