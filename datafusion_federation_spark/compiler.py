@@ -132,8 +132,18 @@ class Compiler:
             # fetches it as an optional async hint, never by re-running
             # the plan.
             est = p.provider.executor.statistics(p.sql)
-            if est is not None and est <= self.broadcast_threshold_rows:
-                df = F.broadcast(df)
+            if est is not None:
+                # r12 (ADVICE r11 #4): executors whose hook reports a
+                # catalog ESTIMATE (not an exact cached count) declare
+                # statistics_is_estimate; the 2x lag-safety margin is
+                # applied HERE at the threshold comparison — an
+                # inflated figure can only SUPPRESS the hint — while
+                # every other statistics() reader sees the raw value.
+                if getattr(p.provider.executor,
+                           "statistics_is_estimate", False):
+                    est *= 2
+                if est <= self.broadcast_threshold_rows:
+                    df = F.broadcast(df)
             # the claimed sub-plan's root alias was absorbed into the
             # remote SQL; re-apply it on the DataFrame so local parents
             # (joins above the federation cut) can still qualify columns
@@ -438,19 +448,37 @@ class Compiler:
         from .plans.nodes import TableSample
         if isinstance(p, TableSample):
             # r11 (VERDICT r10 Next #6): deterministic hash-Bernoulli.
-            # Key = the seed-salted full-row rendering (concat_ws skips
-            # NULLs identically in Spark and DuckDB); threshold = the
-            # d18 2-hex-digit md5 prefix, 1/256 granularity. Narrow —
-            # a filter on the scan, no shuffle, no RNG.
+            # r12 rework (ADVICE r11 #3 + VERDICT r11 Next #4): the key
+            # is now UNAMBIGUOUS — every column renders through its own
+            # md5 (fixed 32-hex width), NULL renders the sentinel 'N'
+            # (not a hex character), and the seed terminates with '|',
+            # so no value content or NULL placement can make two
+            # distinct rows render identically (the old concat_ws key
+            # co-sampled ('a|b','c') with ('a','b|c') and ('a',NULL)
+            # with (NULL,'a')). Threshold granularity rises 2-hex ->
+            # 4-hex (1/65536): sub-0.2% rates — exactly what a 100 TB
+            # corpus invites — stay non-degenerate, and a rate below
+            # the granularity refuses loudly instead of silently
+            # returning nothing. Still a NARROW filter on the scan —
+            # no shuffle, no RNG state, layout-independent.
             df = self._c(p.input)
-            idx = max(0, round(p.pct / 100.0 * 256))
-            if idx >= 256:
+            idx = round(p.pct / 100.0 * 65536)
+            if idx >= 65536:
                 return df            # p ~ 100%: whole relation
-            bound = format(idx, "02x")
-            key = F.concat_ws(
-                "|", F.lit(str(p.seed)),
-                *[F.col(f"`{c}`").cast("string") for c in df.columns])
-            return df.filter(F.substring(F.md5(key), 1, 2) < bound)
+            if idx <= 0:
+                if p.pct == 0:
+                    return df.filter(F.lit(False))
+                raise ValueError(
+                    f"TABLESAMPLE rate {p.pct}% is below the 1/65536 "
+                    f"hash granularity (~0.0015%) — the sample would "
+                    f"be silently empty; use a rate >= 0.002% or an "
+                    f"explicit hash filter")
+            bound = format(idx, "04x")
+            key = F.concat(
+                F.lit(f"{p.seed}|"),
+                *[F.coalesce(F.md5(F.col(f"`{c}`").cast("string")),
+                             F.lit("N")) for c in df.columns])
+            return df.filter(F.substring(F.md5(key), 1, 4) < bound)
 
         raise ValueError(f"cannot compile plan node {type(p).__name__}")
 
@@ -495,7 +523,26 @@ class Compiler:
                     f"multi-key PIVOT over key '{k}' containing NULL: "
                     f"engines disagree on NULL-key handling — filter "
                     f"the NULLs out first")
-            rendered = [_pivot_value_name(v) for v in vals]
+            # r12 (VERDICT r11 wrong #2): render the match values
+            # through Spark ITSELF, typed as the key column — the
+            # match column below is cast("string"), so a Python str()
+            # render diverging from Spark's (DOUBLE 1e20 -> '1e+20'
+            # vs '1.0E20') made the pivot cell silently all-NULL.
+            # One driver-local one-row-per-value frame per key; the
+            # index column pins collect order.
+            from pyspark.sql import types as _T
+            ktype = df.schema[k].dataType
+            rdf = df.sparkSession.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)],
+                _T.StructType([_T.StructField("i", _T.IntegerType()),
+                               _T.StructField("v", ktype)]))
+            rendered = [
+                r[0] for r in rdf.orderBy("i")
+                .select(F.col("v").cast("string")).collect()]
+            if any(r is None for r in rendered):
+                raise ValueError(
+                    f"PIVOT key '{k}' has a value Spark cannot render "
+                    f"as a string — cast the key column explicitly")
             if any(US in r for r in rendered):
                 raise ValueError(
                     f"PIVOT key '{k}' value contains the reserved "
@@ -2787,7 +2834,13 @@ def _pivot_value_name(v) -> str:
     string form — booleans render 'true'/'false', not Python's
     str(True)='True' (ADVICE r10 #1: the repr divergence made the
     compiler's name-reconstruction miss the column, silently skipping
-    both the COUNT zero-coalesce and the {value}_{alias} rename)."""
+    both the COUNT zero-coalesce and the {value}_{alias} rename).
+    NULL renders 'null' — Spark's own name for a None pivot value
+    (ADVICE r11 #2: Python's str(None)='None' matched neither Spark's
+    'null' nor DuckDB's 'NULL'; 'null' equals DuckDB's name
+    case-insensitively, which is how SQL identifiers compare)."""
+    if v is None:
+        return "null"
     if v is True:
         return "true"
     if v is False:

@@ -312,14 +312,21 @@ def _filter_scanlines(px: bytes, height: int, stride: int, bpp: int,
     """Apply PNG scanline filters (spec §9) to one (sub-)image of
     ``height`` rows of ``stride`` packed bytes; filter distance
     ``bpp``. Default cycles all five types so round-trip fixtures
-    prove every defilter path."""
+    prove every defilter path. A CALLER-supplied row_filters must
+    cover every row (r12, ADVICE r11 #5: silently cycling a short
+    list masked fixture bugs that believed they pinned per-scanline
+    types); only the default list cycles."""
     if row_filters is None:
         row_filters = [r % 5 for r in range(height)]
+    elif len(row_filters) < height:
+        raise ValueError(
+            f"row_filters has {len(row_filters)} entries for "
+            f"{height} rows — supply one filter type per scanline")
     prev = bytes(stride)
     out = bytearray()
     for r in range(height):
         row = px[r * stride:(r + 1) * stride]
-        f = row_filters[r % len(row_filters)]
+        f = row_filters[r]
         out.append(f)
         if f == 0:
             out += row

@@ -512,10 +512,12 @@ class TableSample(Plan):
     (SQL:2003 / Postgres / DuckDB spelling; r11, VERDICT r10 Next #6).
     DETERMINISTIC hash-Bernoulli: both engines' native TABLESAMPLE is
     an RNG draw, which this repo's rerun-stable contract forbids —
-    the lowering keeps a row iff the 2-hex-digit md5 prefix of its
-    seed-salted full-row rendering sorts below round(p*256/100) (the
-    d18 hash_sample md5 mode, operators/sampling.py:60 — oracle SQL
-    replays the identical predicate). Identical rows co-sample, and
+    the lowering keeps a row iff the 4-hex-digit md5 prefix of its
+    seed-salted row key sorts below round(p*65536/100) (r12: each
+    column renders through its own md5 with a NULL sentinel — an
+    unambiguous key, unlike concat_ws — and rates below the 1/65536
+    granularity refuse; oracle SQL replays the identical predicate).
+    Identical rows co-sample, and
     the sample is independent of partition layout: at 100 TB it is a
     narrow filter on the scan, no shuffle, no RNG state. SYSTEM
     (block) sampling refuses honestly — Spark has no stable notion of

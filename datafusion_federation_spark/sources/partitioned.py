@@ -145,6 +145,11 @@ class PartitionedDuckDBExecutor(SQLExecutor):
     """
 
     dialect = "duckdb"
+    # r12 (ADVICE r11 #4): statistics() reports the RAW catalog
+    # estimate; this flag tells the broadcast-threshold comparison to
+    # apply its own safety margin (in-flight transactions can lag the
+    # catalog count low). Exact-count executors leave it False.
+    statistics_is_estimate = True
 
     def __init__(self, database: str, split_col: str,
                  name: str = "duckdb_part",
@@ -210,12 +215,10 @@ class PartitionedDuckDBExecutor(SQLExecutor):
             "WHERE table_name = ?", [tbl]).fetchone()
         if row is None:
             return None
-        # r11 (ADVICE r10 #2): estimated_size is DuckDB's catalog
-        # ESTIMATE, not a guaranteed ceiling — for a write-once table it
-        # equals the exact count, but in-flight transactions can lag it
-        # low, and an under-estimate below the broadcast threshold would
-        # force a hint onto a large slice result. Report DOUBLE the
-        # estimate as the bound: the 2x margin means only tables whose
-        # catalog count sits well below the threshold ever hint, and an
-        # over-report can only SUPPRESS a hint, never force one.
-        return int(row[0]) * 2
+        # r12 (ADVICE r11 #4, reworking ADVICE r10 #2): return the RAW
+        # catalog estimate — the 2x safety margin against a lagging
+        # catalog count now lives at the broadcast-threshold comparison
+        # (compiler.py RemoteQueryNode arm, keyed on
+        # statistics_is_estimate), so stats displays and planning
+        # heuristics reading this hook see the real figure.
+        return int(row[0])

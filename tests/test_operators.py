@@ -1319,6 +1319,20 @@ def test_frame_sample_real_every_n(spark):
 # r10: REAL PNG decode — stdlib zlib inflate + the five scanline filters
 # ---------------------------------------------------------------------------
 
+def test_png_short_row_filters_raises():
+    """r12 (ADVICE r11 #5): a caller-supplied row_filters shorter than
+    the image height raises instead of silently cycling — a fixture
+    that believes it pinned per-scanline filter types must learn it
+    did not."""
+    import pytest
+
+    from datafusion_federation_spark.operators.multimodal import (
+        encode_png)
+    ras = bytes(range(0, 90, 1))       # 5x6 RGB = 90 bytes
+    with pytest.raises(ValueError, match="row_filters"):
+        encode_png(5, 6, ras, row_filters=[0, 1])
+
+
 def test_png_round_trips_every_filter_type():
     import random
 

@@ -232,11 +232,12 @@ def test_partitioned_small_dim_gets_broadcast_hint(spark, dbfile):
     # expanding shapes -> unknown
     est = ex.statistics('SELECT c_custkey FROM "customer" '
                         "WHERE c_acctbal > 0")
-    # r11 (ADVICE r10 #2): the hook reports 2x the catalog estimate —
-    # estimated_size is not a guaranteed ceiling, so the margin makes
-    # an under-estimate suppress the hint rather than force one.
-    # sf0.001 customer has 150 rows -> bound reports exactly 300.
-    assert est == 300
+    # r12 (ADVICE r11 #4): the hook reports the RAW catalog estimate
+    # (sf0.001 customer = 150 rows); the 2x lag-safety margin moved to
+    # the broadcast-threshold comparison, keyed on the executor's
+    # statistics_is_estimate declaration.
+    assert est == 150
+    assert type(ex).statistics_is_estimate is True
     assert ex.statistics(
         "SELECT 1 FROM customer JOIN orders ON o_custkey = c_custkey"
     ) is None
