@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re as _re
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 
 class UnsupportedUnparse(ValueError):
@@ -81,6 +81,12 @@ class Dialect:
     name = "ansi"
     quote_char = '"'
     ilike_op = "ILIKE"               # dialects without ILIKE override
+    #: FROM clause for a one-row, zero-column relation (FROM-less
+    #: SELECT). None = the engine accepts SELECT without FROM
+    #: (DuckDB/Postgres/SQLite/MySQL/Spark); engines that require a
+    #: dummy table override (Derby: SYSIBM.SYSDUMMY1). r12, used by
+    #: the scanless write-back unparse.
+    one_row_from: Optional[str] = None
     supports_filter_clause = True    # FILTER (WHERE ...) on aggregates
     #: scalar function specs: canonical (Spark) name -> one of
     #:   str without braces  — plain rename: "substr"
@@ -426,6 +432,7 @@ class DerbyDialect(Dialect):
     federation vetting keeps them local instead of shipping bad SQL."""
 
     name = "derby"
+    one_row_from = "SYSIBM.SYSDUMMY1"  # Derby refuses FROM-less SELECT
     supports_star_replace = False   # no * REPLACE/EXCLUDE syntax
     ignore_nulls_style = None       # no IGNORE NULLS syntax
     supports_filter_clause = False  # no FILTER (WHERE ...) on aggregates

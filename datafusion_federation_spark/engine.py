@@ -39,27 +39,45 @@ class FederationEngine:
         self.compiler = Compiler(spark)
 
     # -- registration ------------------------------------------------------
+    def _data_changed(self) -> None:
+        """Invalidate size-dependent compile caches (r12, ADVICE r11
+        #1): the theta-BNL probe memoizes a table's small-enough
+        verdict per structural plan, valid only while the underlying
+        data is immutable. Every path that can change what a name
+        resolves to — registration, discovery, inserts — clears it so
+        a table that grows past the gate re-probes instead of
+        broadcasting an oversized inner (and a shrunk one stops
+        refusing)."""
+        self.compiler._bnl_gate_cache.clear()
+
     def register_local_parquet(self, name: str, path: str):
+        self._data_changed()
         return self.catalog.register_local_parquet(name, path)
 
     def register_local_df(self, name: str, df):
+        self._data_changed()
         return self.catalog.register_local_df(name, df)
 
     def register_local_csv(self, name: str, path: str, **options):
+        self._data_changed()
         return self.catalog.register_local_csv(name, path, **options)
 
     def register_local_json(self, name: str, path: str, **options):
+        self._data_changed()
         return self.catalog.register_local_json(name, path, **options)
 
     def register_local_orc(self, name: str, path: str):
+        self._data_changed()
         return self.catalog.register_local_orc(name, path)
 
     def register_remote(self, provider: SQLProvider, local_name: str,
                         remote_name: Optional[str] = None, schema=None):
+        self._data_changed()
         return self.catalog.register_remote(provider, local_name,
                                             remote_name, schema)
 
     def discover(self, provider: SQLProvider, prefix: str = ""):
+        self._data_changed()
         return self.catalog.discover(provider, prefix)
 
     # -- plan building -----------------------------------------------------
@@ -75,7 +93,13 @@ class FederationEngine:
         parser over per-table federated views (per-table pushdown only).
         """
         from .dialects import UnsupportedUnparse
-        from .sqlfront import SqlParseError, parse_sql
+        from .sqlfront import SqlParseError, parse_sql, tokenize
+        try:
+            t0 = tokenize(query)[:1]
+        except (SqlParseError, ValueError):
+            t0 = []
+        if t0 and t0[0][0] == "id" and t0[0][1].upper() == "INSERT":
+            return self._sql_insert(query)
         try:
             plan = parse_sql(query, self.catalog.table)
         except (SqlParseError, KeyError, UnsupportedUnparse):
@@ -142,12 +166,83 @@ class FederationEngine:
             bind_placeholders(plan, params)
         return self.compiler.compile(federate(plan))
 
+    def _sql_insert(self, query: str):
+        """``INSERT INTO <table> [(cols)] <query>`` front door (r12,
+        VERDICT r11 Next #6 — write-back beyond local passthrough).
+
+        Remote target whose source fully claims to the SAME provider:
+        the SELECT unparses to the remote dialect and the whole
+        INSERT ... SELECT executes REMOTELY via the executor's
+        execute_statement hook — one round-trip, zero data through
+        Spark (the reference only delegates insert_into to a fallback
+        provider, src/table_provider.rs:126-139; this extends it the
+        way a SQL engine would). Cross-provider writes refuse loudly —
+        silently materializing a 100 TB source through the driver to
+        ship it row-by-row is exactly the wrong default; the explicit
+        ``insert_into(name, df)`` API is the opt-in for that. Local
+        targets compute the source (federating any remote subtrees)
+        and append via the existing passthrough. Returns the affected
+        row count when the engine reports one (remote path) or None
+        (local path)."""
+        from .plans.nodes import Project, RemoteQueryNode
+        from .sqlfront import parse_insert
+        name, cols, plan = parse_insert(query, self.catalog.table)
+        h = self.catalog.table(name)
+        self._data_changed()        # rows will move: BNL verdicts out
+        fed = federate(plan)
+        # look through the wrap_projection SELECT-* shell: a fully
+        # claimed plan is a RemoteQueryNode, possibly under Project(*)
+        core = fed
+        while (isinstance(core, Project) and len(core.projections) == 1
+               and isinstance(core.projections[0], Star)
+               and core.projections[0].table is None
+               and not core.projections[0].replace
+               and not core.projections[0].exclude):
+            core = core.input
+        if h.provider is not None and hasattr(h.provider, "executor"):
+            remote_sql = None
+            if (isinstance(core, RemoteQueryNode)
+                    and core.provider is h.provider):
+                remote_sql = core.sql
+            elif not any(isinstance(x, (Scan, RemoteQueryNode))
+                         for x in walk_plan(fed)):
+                # scanless literal source (FROM-less SELECT / VALUES-
+                # as-UNION): reads nothing anywhere, so it renders
+                # directly in the target dialect and ships with the DML
+                from .unparser import Unparser
+                remote_sql = Unparser(
+                    h.provider.executor.dialect).plan_to_sql(plan)
+            if remote_sql is None:
+                raise NotImplementedError(
+                    f"INSERT INTO remote table {name!r}: the source "
+                    f"query does not fully claim to the same provider "
+                    f"({h.provider.name}) — a cross-provider write "
+                    f"would materialize the source through the Spark "
+                    f"driver; compute it explicitly and use "
+                    f"engine.insert_into(name, df)")
+            d = h.provider.dialect
+            tbl = (h.remote.ref.to_sql(d) if h.remote is not None
+                   else d.quote_table(name))
+            collist = ("" if not cols
+                       else " (" + ", ".join(d.quote(c) for c in cols)
+                       + ")")
+            stmt = f"INSERT INTO {tbl}{collist} {remote_sql}"
+            return h.provider.executor.execute_statement(
+                self.spark, stmt)
+        # local target: compute the source (remote subtrees still
+        # federate) and append through the passthrough path
+        df = self.compiler.compile(fed)
+        if cols:
+            df = df.toDF(*cols)
+        return self.insert_into(name, df)
+
     def insert_into(self, table_name: str, df: DataFrame,
                     mode: str = "append"):
         """INSERT INTO passthrough (reference delegates to the fallback
         provider, src/table_provider.rs:126-139): remote tables go
         through the executor's insert hook; local parquet tables append
         to their path."""
+        self._data_changed()     # rows added: stale BNL verdicts out
         h = self.catalog.table(table_name)
         if h.provider is not None and hasattr(h.provider, "executor"):
             ref = h.remote.ref if h.remote is not None else table_name

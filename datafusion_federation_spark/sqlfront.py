@@ -2581,6 +2581,62 @@ def _validate_supported(plan: Plan) -> None:
                         "the compiler surface")
 
 
+def parse_insert(sql: str, resolve_table: Callable[[str], Any]):
+    """Parse ``INSERT INTO name [(col, ...)] <query>`` (r12, VERDICT
+    r11 Next #6 — federated write-back). Returns
+    ``(table_name, cols_or_None, source_plan)``; the source is any
+    query the front door accepts (SELECT/WITH/set ops). Raises
+    SqlParseError when the text is not an INSERT (callers treat that
+    as "route elsewhere")."""
+    p = Parser(sql, resolve_table)
+    if not p.at_kw("INSERT"):
+        raise SqlParseError("not an INSERT statement")
+    p.take()
+    p.expect_kw("INTO")
+    t = p.take()
+    if t[0] != "id":
+        raise SqlParseError(f"expected table name after INTO, got {t}")
+    name = t[1]
+    while p.accept_op("."):
+        part = p.take()
+        if part[0] != "id":
+            raise SqlParseError(
+                f"expected identifier after '.', got {part}")
+        name += "." + part[1]
+    cols = None
+    # a '(' here is a column list only if it closes before a query
+    # keyword — `INSERT INTO t (SELECT ...)` is a parenthesized source
+    if p.peek() == ("op", "(") and not (
+            p.peek(1) is not None and p.peek(1)[0] == "id"
+            and p.peek(1)[1].upper() in ("SELECT", "WITH", "VALUES")):
+        p.take()
+        cols = []
+        while True:
+            c = p.take()
+            if c[0] != "id":
+                raise SqlParseError(
+                    f"expected column name in INSERT column list, "
+                    f"got {c}")
+            cols.append(c[1])
+            if p.accept_op(","):
+                continue
+            p.expect_op(")")
+            break
+    if p.at_kw("VALUES"):
+        raise SqlParseError(
+            "INSERT ... VALUES is outside the parser surface — spell "
+            "the rows as SELECT ... UNION ALL SELECT ..., or use "
+            "engine.insert_into with a DataFrame")
+    try:
+        plan = p.parse()
+    except SqlParseError:
+        raise
+    except (ValueError, IndexError, AttributeError, TypeError) as e:
+        raise SqlParseError(str(e)) from e
+    _validate_supported(plan)
+    return name, cols, plan
+
+
 def parse_sql(sql: str, resolve_table: Callable[[str], Any]) -> Plan:
     """Parse a SQL string into plan IR. ``resolve_table`` maps a table
     name to a catalog TableHandle. Any parse-stage failure surfaces as

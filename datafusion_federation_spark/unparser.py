@@ -53,7 +53,10 @@ class _Shell:
         sel = ", ".join(self.select) if self.select else "*"
         if self.distinct:
             sel = "DISTINCT " + sel
-        sql = f"SELECT {sel} FROM {self.from_sql}"
+        # empty from_sql = a OneRow (FROM-less) shell: the dialect
+        # accepted it (one_row_from None) so the FROM clause is omitted
+        sql = (f"SELECT {sel} FROM {self.from_sql}" if self.from_sql
+               else f"SELECT {sel}")
         for j in self.joins:
             sql += " " + j
         if self.where:
@@ -412,6 +415,14 @@ class Unparser:
         if isinstance(plan, (Union, SetOp)):
             return _Shell(
                 from_sql=f"({self._to_query(plan)}) AS {d.quote(self._fresh_alias())}")
+
+        from .plans.nodes import OneRow as _OneRow
+        if isinstance(plan, _OneRow):
+            # FROM-less SELECT (r12, scanless write-back): dialects
+            # that accept SELECT-without-FROM render an empty shell;
+            # the rest get their one-row dummy table (Derby:
+            # SYSIBM.SYSDUMMY1)
+            return _Shell(from_sql=d.one_row_from or "")
 
         raise ValueError(f"cannot unparse plan node {type(plan).__name__}")
 

@@ -575,3 +575,31 @@ def test_pure_theta_probe_memoized_for_repeated_body(spark):
     assert eng.compiler._bnl_probe_count == 1
     want = _duck(sql, ["customer", "orders"])
     assert got == want and all(r[1] == r[2] for r in got)
+
+
+def test_bnl_verdict_cache_invalidated_on_registration(spark):
+    """r12 (ADVICE r11 #1 / VERDICT r11 Next #3): the memoized BNL
+    small-enough verdict must not survive a registration change — a
+    re-registered (grown) table re-probes, so a stale 'small' verdict
+    can never broadcast a now-oversized inner."""
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("c", spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k int, bal double"))
+    eng.register_local_df("o", spark.createDataFrame(
+        [(i, float(i * 3)) for i in range(8)], "ok int, price double"))
+    sql = ("SELECT k, (SELECT CAST(COUNT(*) AS BIGINT) FROM o "
+           "WHERE o.price > c.bal) AS n FROM c ORDER BY k")
+    eng.compiler._bnl_probe_count = 0
+    eng.sql(sql).collect()
+    assert eng.compiler._bnl_probe_count == 1
+    eng.sql(sql).collect()                    # memo hit
+    assert eng.compiler._bnl_probe_count == 1
+    eng.compiler.theta_bnl_rows = 10
+    eng.register_local_df("o", spark.createDataFrame(
+        [(i, float(i * 3)) for i in range(20)], "ok int, price double"))
+    # grown past the (lowered) gate: must RE-probe and now refuse
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="provably small"):
+        eng.sql(sql).collect()
+    assert eng.compiler._bnl_probe_count == 2
