@@ -553,17 +553,24 @@ SECONDARY = {
     # - d67 (shard manifest): the index-build pair keeps d66 (dense
     #   index) in-window; d67 stays under bench + tools
     "d67_shard_manifest",
-    # round 11: progressive JPEG — d98 carries the JPEG arithmetic-
-    # oracle pattern in-window; the SOF2 surface is pinned by the
-    # progressive==baseline byte-equality test and the real-world
-    # nodejs decode (tests/test_operators.py) plus this oracle row
-    # under bench + tools/check_correctness
-    "d99_jpeg_progressive_decode",
-    # round 11: USING SAMPLE spelling — q118 carries the
-    # deterministic hash-Bernoulli lowering in-window; the spelling
-    # itself is pinned by the cross-spelling equal-rows test plus
-    # this oracle row under bench + tools/check_correctness
-    "q120_using_sample",
+    # round 12 rotation (VERDICT r11 Next #7): d99 (progressive JPEG),
+    # q120 (USING SAMPLE) and the NEW q121 (federated write-back)
+    # take window slots; each demotion below keeps an in-window twin
+    # for every operator it carries:
+    # - d96 (r10 partial-PNG decode): fully subsumed by d97 (COMPLETE
+    #   PNG incl. Adam7 + 16-bit, in-window); d96 stays under bench +
+    #   tools + the decoder fuzz suite
+    "d96_png_decode",
+    # - d98 (baseline JPEG): d99 carries the JPEG arithmetic-oracle
+    #   pattern in-window, and the progressive==baseline byte-equality
+    #   test ties the two decoders together; d98 stays under bench +
+    #   tools + the triple-validation tests
+    "d98_jpeg_decode",
+    # - q118 (TABLESAMPLE): q120 carries the IDENTICAL deterministic
+    #   hash-Bernoulli lowering in-window (equal seeds select equal
+    #   rows across both spellings, pinned); q118 stays under bench +
+    #   tools + the replayed-predicate test
+    "q118_tablesample",
 }
 
 DEC = "decimal(12,2)"

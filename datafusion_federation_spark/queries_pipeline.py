@@ -6047,15 +6047,18 @@ GROUP BY lang ORDER BY lang
 
 # the oracle REPLAYS the deterministic hash predicate (the d18
 # pattern): DuckDB's own TABLESAMPLE is an RNG draw, so instead of
-# running it the oracle applies the exact seed-salted md5-prefix
-# filter the Spark lowering compiles — round(20/100*256) = 51 = 0x33
+# running it the oracle applies the exact seed-salted per-column-md5
+# filter the Spark lowering compiles (r12 unambiguous-key form) —
+# round(20/100*65536) = 13107 = 0x3333
 _Q118_SQL = """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM (SELECT doc_id, lang, n_chars FROM documents) d
-WHERE substring(md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR),
-                              lang, CAST(n_chars AS VARCHAR))),
-                1, 2) < '33'
+WHERE substring(md5(concat('42|',
+                coalesce(md5(CAST(doc_id AS VARCHAR)), 'N'),
+                coalesce(md5(lang), 'N'),
+                coalesce(md5(CAST(n_chars AS VARCHAR)), 'N'))),
+                1, 4) < '3333'
 GROUP BY lang ORDER BY lang
 """
 
@@ -6065,16 +6068,21 @@ def q118(spark, sf):
     """TABLESAMPLE BERNOULLI through the SQL front door (r11; VERDICT
     r10 Next #6). `rel TABLESAMPLE BERNOULLI(p) REPEATABLE (seed)`
     lowers to the DETERMINISTIC d18 hash-Bernoulli — keep a row iff
-    the 2-hex-digit md5 prefix of its seed-salted full-row rendering
-    sorts below round(p*256/100) — because both engines' native
-    TABLESAMPLE is an RNG draw, which the rerun-stable contract
-    forbids. The oracle replays the identical predicate in DuckDB
-    (concat_ws NULL-skipping and md5 hex agree across engines), so a
-    lowering that mis-rounded the threshold, dropped the seed salt,
-    or hashed the wrong column set would mismatch. SYSTEM (block)
-    sampling refuses honestly. 100 TB: the sample is a NARROW filter
-    on the scan — no shuffle, no RNG state, independent of partition
-    layout (reruns and repartitioned copies select identical rows)."""
+    the 4-hex-digit md5 prefix of its seed-salted row key sorts below
+    round(p*65536/100) — because both engines' native TABLESAMPLE is
+    an RNG draw, which the rerun-stable contract forbids. The r12 key
+    (ADVICE r11 #3) is UNAMBIGUOUS: each column renders through its
+    own md5 (fixed 32-hex width), NULL renders the non-hex sentinel
+    'N', and the seed terminates with '|' — distinct rows can never
+    co-sample via separator injection or concat_ws NULL-skipping. The
+    oracle replays the identical predicate in DuckDB (md5 hex agrees
+    across engines), so a lowering that mis-rounded the threshold,
+    dropped the seed salt, or hashed the wrong column set would
+    mismatch. SYSTEM (block) sampling refuses honestly; rates below
+    the 1/65536 granularity refuse rather than silently sample
+    nothing. 100 TB: the sample is a NARROW filter on the scan — no
+    shuffle, no RNG state, independent of partition layout (reruns
+    and repartitioned copies select identical rows)."""
     from .engine import FederationEngine
     eng = FederationEngine(spark)
     eng.register_local_df("documents", t(spark, sf, "documents"))
@@ -6368,15 +6376,18 @@ FROM (SELECT doc_id, source, n_chars FROM documents) d
 GROUP BY source ORDER BY source
 """
 
-# round(30/100*256) = 77 = 0x4d; the oracle replays the predicate
-# (DuckDB's own USING SAMPLE is an RNG draw — the q118 pattern)
+# round(30/100*65536) = 19661 = 0x4ccd; the oracle replays the
+# predicate in the r12 unambiguous per-column-md5 form (DuckDB's own
+# USING SAMPLE is an RNG draw — the q118 pattern)
 _Q120_SQL = """
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM (SELECT doc_id, source, n_chars FROM documents) d
-WHERE substring(md5(concat_ws('|', '9', CAST(doc_id AS VARCHAR),
-                              source, CAST(n_chars AS VARCHAR))),
-                1, 2) < '4d'
+WHERE substring(md5(concat('9|',
+                coalesce(md5(CAST(doc_id AS VARCHAR)), 'N'),
+                coalesce(md5(source), 'N'),
+                coalesce(md5(CAST(n_chars AS VARCHAR)), 'N'))),
+                1, 4) < '4ccd'
 GROUP BY source ORDER BY source
 """
 
@@ -6397,3 +6408,50 @@ def q120(spark, sf):
     eng = FederationEngine(spark)
     eng.register_local_df("documents", t(spark, sf, "documents"))
     return eng.sql(_Q120_SPARK_SQL)
+
+
+_Q121_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@q("q121_remote_writeback", _Q121_SQL)
+def q121(spark, sf):
+    """Federated write-back (r12, VERDICT r11 Next #6): `INSERT INTO
+    <remote> SELECT ...` where the source fully claims to the target's
+    provider executes the WHOLE statement remotely — the SELECT
+    unparses to the remote dialect, the executor's execute_statement
+    hook runs one DML round trip, and no row data crosses Spark
+    (extends the reference's fallback-provider insert delegation,
+    src/table_provider.rs:126-139). The read-back re-federates, so
+    the oracle's direct recomputation checks the full write-then-read
+    loop. Inline pins: the engine-reported affected count matches the
+    group count, and the executor's last statement is the INSERT
+    itself (proof the aggregate never came back to Spark).
+    Idempotent per invocation (fresh in-memory database). 100 TB:
+    this is the zero-movement write path — a same-engine insert-select
+    at any scale costs Spark nothing but the statement string."""
+    from .engine import FederationEngine
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q121", compute_context=f"q121:{sf}")
+    ex.register_parquet("documents", f"{sf}/documents.parquet")
+    ex.conn.execute("CREATE OR REPLACE TABLE lang_stats "
+                    "(lang VARCHAR, n_docs BIGINT, chars BIGINT)")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "documents")
+    eng.register_remote(prov, "lang_stats")
+    n = eng.sql(
+        "INSERT INTO lang_stats "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars "
+        "FROM documents GROUP BY lang")
+    assert n and n > 0, "write-back reported no rows"
+    last = ex.metrics().get("last_sql", "")
+    assert last.lstrip().upper().startswith("INSERT INTO"), \
+        "write-back did not execute as one remote DML statement"
+    return eng.sql("SELECT lang, n_docs, chars FROM lang_stats "
+                   "ORDER BY lang")
