@@ -89,24 +89,50 @@ def main() -> None:
     load_initial = (round(load_initial, 1)
                     if load_initial is not None else None)
 
+    # read the COMMITTED idle artifact before this run overwrites it:
+    # the common-subset ratio below lets the recorded line itself say
+    # "load inflation" vs "structural regression" (VERDICT r11 Next #1
+    # — three straight driver lines were ambient-load artifacts that
+    # each burned judge time on isolated-rerun reconciliation)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    idle_queries = {}
+    try:
+        # the COMMITTED copy is canonical — the working-tree file is
+        # whatever the previous (possibly loaded) run wrote
+        import subprocess
+        blob = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True, text=True, timeout=15)
+        if blob.returncode == 0:
+            idle_queries = json.loads(blob.stdout).get("queries", {}) \
+                or {}
+    except Exception:  # noqa: BLE001 - baseline is best-effort
+        pass
+    if not idle_queries:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_FULL.json")) as f:
+                idle_queries = json.load(f).get("queries", {}) or {}
+        except (OSError, ValueError):
+            pass
+
     # Two full passes, report the per-query MINIMUM (VERDICT r6 Next #1):
     # this box shows EXTERNAL load spikes (loadavg 5+ with zero user
     # processes) that inflated the r6 artifact's common-subset total by
     # +12% over an isolated rerun of identical binaries. Running every
     # query once, then the whole registry again, decorrelates a transient
-    # spike from any one query; min(pass1, pass2) is the load-discounted
+    # spike from any one query; min over passes is the load-discounted
     # warm time the judge's isolated reruns measure. Pass-1 totals stay
     # in the line as a secondary field for continuity with r1-r6.
     # Transients must not hard-fail the run (review r7): a query that
-    # succeeds in EITHER pass keeps its best measurement — pass-1
-    # failures are retried in pass 2, and a pass-2-only flake falls
-    # back to the valid pass-1 time. Only a query that fails in BOTH
-    # passes is reported as failed (and exits nonzero).
-    pass1 = {}
-    pass2 = {}
-    pass_errs = {}
+    # succeeds in ANY pass keeps its best measurement — early-pass
+    # failures are retried in later passes, and a later-pass-only flake
+    # falls back to the valid earlier time. Only a query that fails in
+    # EVERY pass is reported as failed (and exits nonzero).
     registry = entrymod.queries()
-    for pass_no, sink in ((1, pass1), (2, pass2)):
+    pass_errs = {}
+
+    def run_pass(pass_no: int) -> dict:
+        sink = {}
         for name, fn in registry.items():
             t0 = time.time()
             try:
@@ -122,13 +148,42 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 - record and continue
                 pass_errs[name] = str(e)[:200]
                 log(f"bench p{pass_no} {name}: FAILED {str(e)[:200]}")
+        return sink
+
+    all_passes = [run_pass(1), run_pass(2)]
+
+    def common_ratio() -> float:
+        cur = {}
+        for name in registry:
+            vals = [d[name] for d in all_passes if name in d]
+            if vals:
+                cur[name] = min(vals)
+        ks = [k for k in cur if k in idle_queries]
+        it = sum(idle_queries[k] for k in ks)
+        return (sum(cur[k] for k in ks) / it) if it > 0 else 1.0
+
+    # r12 (VERDICT r11 Next #1): escalate to min-of-THREE when the run
+    # started loaded (the guard gave up waiting — ambient by
+    # construction) or the two-pass minimum reads >25% above the
+    # committed idle artifact on the common subset (structural changes
+    # never inflate UNTOUCHED queries uniformly; ambient load does).
+    # End-of-run loadavg is NOT a trigger: the bench's own local[32]
+    # passes push it past 3 even on an otherwise idle box (r11's true-
+    # idle recording ended at 5.5).
+    if ((load_initial is not None and load_initial > 1.2)
+            or (idle_queries and common_ratio() > 1.25)):
+        log(f"bench: loaded environment (start {load_initial}, "
+            f"common-subset ratio {common_ratio():.2f}) — running a "
+            f"third pass")
+        all_passes.append(run_pass(3))
     per_query = {}
     for name in registry:
-        vals = [d[name] for d in (pass1, pass2) if name in d]
+        vals = [d[name] for d in all_passes if name in d]
         if vals:
             per_query[name] = min(vals)
     failures = {name: msg for name, msg in pass_errs.items()
                 if name not in per_query}
+    pass1, pass2 = all_passes[0], all_passes[1]
 
     # The driver records only the tail of stdout (~2 KB): the r03 line at
     # full key length (~2.1 KB) overflowed it and parsed as null. Emit
@@ -161,8 +216,21 @@ def main() -> None:
         # first-pass (cold-ish) total: comparable to the single-pass
         # totals recorded in BENCH_r01-r06
         "pass1_total": round(sum(pass1.values()), 3),
-        "passes": 2,
+        "passes": len(all_passes),
     }
+    # idle-relative self-report (VERDICT r11 Next #1b): total over the
+    # queries this run shares with the committed idle artifact, as a
+    # ratio — ~1.0 says any headline movement is registry growth or
+    # structural change; >>1 under a loaded start says ambient load.
+    # A judge can adjudicate from the artifacts alone.
+    common = [k for k in per_query if k in idle_queries]
+    if common:
+        idle_t = sum(idle_queries[k] for k in common)
+        if idle_t > 0:
+            out["vs_idle"] = {
+                "ratio": round(
+                    sum(per_query[k] for k in common) / idle_t, 3),
+                "n": len(common)}
     if load_wait_s:
         # idle-guard evidence: ambient load at invocation + how long
         # the guard backed off before starting the timed passes
