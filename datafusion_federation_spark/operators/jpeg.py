@@ -614,8 +614,16 @@ def decode_jpeg(b: bytes) -> dict:
                 raise NotImplementedError(
                     f"JPEG with {nc} components (1=gray, 3=YCbCr "
                     f"supported; CMYK refuses honestly)")
-            if w == 0 or h == 0:
-                raise ValueError("zero-dimension JPEG")
+            if h == 0:
+                # legal JPEG: height 0 defers the line count to a DNL
+                # marker after the first scan (T.81 B.2.5) — a named
+                # refusal, not a generic reject (r12 review)
+                raise NotImplementedError(
+                    "JPEG with SOF height 0 (DNL-deferred line count, "
+                    "T.81 B.2.5) is not supported — re-encode with "
+                    "explicit dimensions")
+            if w == 0:
+                raise ValueError("zero-width JPEG")
             if w * h * 3 > 256 * 1024 * 1024:
                 raise ValueError(
                     "JPEG dimensions exceed the 256 MiB decode cap")

@@ -1401,3 +1401,106 @@ def test_composed_shapes_local_and_federated_match_duckdb(engines, pair):
     assert got_local == want, f"LOCAL diverged on: {eng_sql}"
     got_fed = _nsort(tuple(r) for r in remote_eng.sql(eng_sql).collect())
     assert got_fed == want, f"FEDERATED diverged on: {eng_sql}"
+
+
+# ---------------------------------------------------------------------------
+# r12 (VERDICT r11 Next #5): multi-key PIVOT and TABLESAMPLE composed
+# under joins/CTEs/aggregates. TABLESAMPLE can't run natively on DuckDB
+# (its sampler is an RNG draw), so the DuckDB side replays the exact
+# deterministic hash predicate the lowering compiles — any drift in the
+# key rendering, threshold rounding, or composition placement diverges.
+# ---------------------------------------------------------------------------
+
+def _replay_pred(seed: int, pct: float, cols) -> str:
+    """The r12 TABLESAMPLE predicate, spelled for DuckDB."""
+    bound = format(round(pct / 100.0 * 65536), "04x")
+    parts = ", ".join(
+        f"coalesce(md5(CAST({c} AS VARCHAR)), 'N')" for c in cols)
+    return (f"substring(md5(concat('{seed}|', {parts})), 1, 4) "
+            f"< '{bound}'")
+
+
+@st.composite
+def _sample_pivot_queries(draw):
+    kind = draw(st.sampled_from(
+        ["sample_agg", "sample_cte_join", "sample_derived_join",
+         "mk_pivot", "mk_pivot_multi_agg", "mk_pivot_where"]))
+
+    if kind.startswith("mk_pivot"):
+        # multi-key simplified PIVOT: independent per-key discovery,
+        # crossed columns, '_'-joined names — DuckDB runs the SAME SQL
+        mod = draw(st.integers(2, 4))
+        gb = draw(st.sampled_from(["n_regionkey % 2", "n_regionkey"]))
+        pred = (f"WHERE n_nationkey < {draw(st.integers(5, 25))}"
+                if kind == "mk_pivot_where" else "")
+        using = ("USING sum(n_nationkey) AS s, count(*) AS c"
+                 if kind == "mk_pivot_multi_agg"
+                 else "USING sum(n_nationkey) AS s")
+        sql = (f"PIVOT (SELECT n_nationkey, n_regionkey, "
+               f"n_nationkey % {mod} AS b, {gb} AS g FROM nation "
+               f"{pred}) ON n_regionkey, b {using} GROUP BY g "
+               f"ORDER BY g")
+        return sql, sql
+
+    seed = draw(st.integers(0, 60))
+    pct = draw(st.sampled_from([10, 25, 40, 50, 75]))
+    if kind == "sample_agg":
+        # sample feeding an aggregate
+        inner = "SELECT n_nationkey, n_regionkey FROM nation"
+        cols = ["n_nationkey", "n_regionkey"]
+        eng_sql = (f"SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n "
+                   f"FROM ({inner}) t TABLESAMPLE BERNOULLI({pct}) "
+                   f"REPEATABLE ({seed}) GROUP BY n_regionkey")
+        duck_sql = (f"SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n "
+                    f"FROM ({inner}) t "
+                    f"WHERE {_replay_pred(seed, pct, cols)} "
+                    f"GROUP BY n_regionkey")
+        return eng_sql, duck_sql
+    if kind == "sample_cte_join":
+        # sample inside a CTE, joined back to the full table
+        inner = "SELECT n_nationkey, n_regionkey FROM nation"
+        cols = ["n_nationkey", "n_regionkey"]
+        eng_sql = (f"WITH s AS (SELECT * FROM ({inner}) t "
+                   f"TABLESAMPLE BERNOULLI({pct}) REPEATABLE ({seed})) "
+                   f"SELECT s.n_nationkey, b.n_name FROM s "
+                   f"JOIN nation b ON s.n_nationkey = b.n_nationkey")
+        duck_sql = (f"WITH s AS (SELECT * FROM ({inner}) t "
+                    f"WHERE {_replay_pred(seed, pct, cols)}) "
+                    f"SELECT s.n_nationkey, b.n_name FROM s "
+                    f"JOIN nation b ON s.n_nationkey = b.n_nationkey")
+        return eng_sql, duck_sql
+    # sample_derived_join: sampled derived table on the right side
+    inner = "SELECT n_nationkey, n_name FROM nation"
+    cols = ["n_nationkey", "n_name"]
+    eng_sql = (f"SELECT a.n_nationkey, s.n_name FROM nation a JOIN "
+               f"(SELECT * FROM ({inner}) t TABLESAMPLE "
+               f"BERNOULLI({pct}) REPEATABLE ({seed})) s "
+               f"ON a.n_nationkey = s.n_nationkey "
+               f"WHERE a.n_regionkey < 3")
+    duck_sql = (f"SELECT a.n_nationkey, s.n_name FROM nation a JOIN "
+                f"(SELECT * FROM ({inner}) t "
+                f"WHERE {_replay_pred(seed, pct, cols)}) s "
+                f"ON a.n_nationkey = s.n_nationkey "
+                f"WHERE a.n_regionkey < 3")
+    return eng_sql, duck_sql
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(pair=_sample_pivot_queries())
+def test_sample_and_multikey_pivot_match_duckdb(engines, pair):
+    import duckdb
+    eng_sql, duck_sql = pair
+    local_eng, remote_eng = engines
+    conn = duckdb.connect()
+    conn.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                 f"read_parquet('{TESTDATA}/nation.parquet')")
+    want = _nsort(map(tuple, conn.execute(duck_sql).fetchall()))
+    conn.close()
+    got_local = _nsort(tuple(r)
+                       for r in local_eng.sql(eng_sql).collect())
+    assert got_local == want, f"LOCAL diverged on: {eng_sql}"
+    got_fed = _nsort(tuple(r)
+                     for r in remote_eng.sql(eng_sql).collect())
+    assert got_fed == want, f"FEDERATED diverged on: {eng_sql}"
