@@ -87,6 +87,12 @@ class Dialect:
     #: dummy table override (Derby: SYSIBM.SYSDUMMY1). r12, used by
     #: the scanless write-back unparse.
     one_row_from: Optional[str] = None
+    #: CTAS capability gates (r12 write-back): whether the engine
+    #: spells CREATE OR REPLACE TABLE, and whether CTAS-with-data is
+    #: unavailable (Derby: only AS ... WITH NO DATA, so the engine
+    #: runs CREATE + INSERT as two statements)
+    supports_create_or_replace = False
+    ctas_needs_no_data = False
     supports_filter_clause = True    # FILTER (WHERE ...) on aggregates
     #: scalar function specs: canonical (Spark) name -> one of
     #:   str without braces  — plain rename: "substr"
@@ -275,6 +281,7 @@ def _pg_extract(field):
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
+    supports_create_or_replace = True  # CREATE OR REPLACE TABLE (r12)
     supports_semi_anti_join = True  # native SEMI JOIN / ANTI JOIN
     supports_asof_join = True       # native ASOF [LEFT] JOIN
     supports_frame_exclude = True   # EXCLUDE CURRENT ROW/GROUP/TIES
@@ -433,6 +440,7 @@ class DerbyDialect(Dialect):
 
     name = "derby"
     one_row_from = "SYSIBM.SYSDUMMY1"  # Derby refuses FROM-less SELECT
+    ctas_needs_no_data = True   # only CREATE TABLE AS ... WITH NO DATA
     supports_star_replace = False   # no * REPLACE/EXCLUDE syntax
     ignore_nulls_style = None       # no IGNORE NULLS syntax
     supports_filter_clause = False  # no FILTER (WHERE ...) on aggregates

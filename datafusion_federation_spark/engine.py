@@ -91,15 +91,36 @@ class FederationEngine:
         API — the reference's ctx.sql entry point (SURVEY.md §3).
         Constructs outside the parser's surface fall back to Spark's
         parser over per-table federated views (per-table pushdown only).
+        DML statements (INSERT INTO ... SELECT, DELETE, UPDATE,
+        CREATE TABLE AS — r12 write-back) route to the remote engine
+        that owns the target and return the affected-row count the
+        engine reports, not a DataFrame.
         """
+        import re as _re
         from .dialects import UnsupportedUnparse
-        from .sqlfront import SqlParseError, parse_sql, tokenize
-        try:
-            t0 = tokenize(query)[:1]
-        except (SqlParseError, ValueError):
-            t0 = []
-        if t0 and t0[0][0] == "id" and t0[0][1].upper() == "INSERT":
+        from .sqlfront import SqlParseError, parse_sql
+        # raw-text first word: the DML routing must see the verb even
+        # for queries the tokenizer can't lex (e.g. :param markers)
+        m0 = _re.match(r"\s*(?:--[^\n]*\n\s*)*([A-Za-z]+)", query)
+        kw0 = m0.group(1).upper() if m0 else ""
+        if kw0 in ("INSERT", "DELETE", "UPDATE") and params:
+            # silently dropping bound parameters from a WRITE would
+            # mutate rows the user did not select — refuse until the
+            # DML paths bind placeholders
+            raise NotImplementedError(
+                "params are not supported on DML statements — inline "
+                "the values or use the DataFrame APIs")
+        if kw0 == "INSERT":
             return self._sql_insert(query)
+        if kw0 == "DELETE":
+            return self._sql_delete(query)
+        if kw0 == "UPDATE":
+            return self._sql_update(query)
+        if kw0 == "CREATE":
+            try:
+                return self._sql_ctas(query)
+            except SqlParseError:
+                pass        # not CTAS: the view-path fallback may run it
         try:
             plan = parse_sql(query, self.catalog.table)
         except (SqlParseError, KeyError, UnsupportedUnparse):
@@ -184,34 +205,13 @@ class FederationEngine:
         and append via the existing passthrough. Returns the affected
         row count when the engine reports one (remote path) or None
         (local path)."""
-        from .plans.nodes import Project, RemoteQueryNode
         from .sqlfront import parse_insert
         name, cols, plan = parse_insert(query, self.catalog.table)
         h = self.catalog.table(name)
         self._data_changed()        # rows will move: BNL verdicts out
         fed = federate(plan)
-        # look through the wrap_projection SELECT-* shell: a fully
-        # claimed plan is a RemoteQueryNode, possibly under Project(*)
-        core = fed
-        while (isinstance(core, Project) and len(core.projections) == 1
-               and isinstance(core.projections[0], Star)
-               and core.projections[0].table is None
-               and not core.projections[0].replace
-               and not core.projections[0].exclude):
-            core = core.input
         if h.provider is not None and hasattr(h.provider, "executor"):
-            remote_sql = None
-            if (isinstance(core, RemoteQueryNode)
-                    and core.provider is h.provider):
-                remote_sql = core.sql
-            elif not any(isinstance(x, (Scan, RemoteQueryNode))
-                         for x in walk_plan(fed)):
-                # scanless literal source (FROM-less SELECT / VALUES-
-                # as-UNION): reads nothing anywhere, so it renders
-                # directly in the target dialect and ships with the DML
-                from .unparser import Unparser
-                remote_sql = Unparser(
-                    h.provider.executor.dialect).plan_to_sql(plan)
+            remote_sql = self._claimed_source_sql(fed, plan, h.provider)
             if remote_sql is None:
                 raise NotImplementedError(
                     f"INSERT INTO remote table {name!r}: the source "
@@ -231,10 +231,157 @@ class FederationEngine:
                 self.spark, stmt)
         # local target: compute the source (remote subtrees still
         # federate) and append through the passthrough path
-        df = self.compiler.compile(fed)
         if cols:
-            df = df.toDF(*cols)
+            # a parquet append is by-schema, not by-INSERT-column-list:
+            # renaming positionally and appending would leave unnamed
+            # table columns missing from the new files (mixed-schema
+            # directory) — refuse rather than corrupt the layout
+            raise NotImplementedError(
+                f"INSERT INTO local table {name!r} with a column "
+                f"list: parquet appends whole rows — SELECT every "
+                f"column in table order instead")
+        df = self.compiler.compile(fed)
         return self.insert_into(name, df)
+
+    @staticmethod
+    def _unwrap_star_shell(fed: Plan) -> Plan:
+        """Look through wrap_projection's SELECT-* shell: a fully
+        claimed plan is a RemoteQueryNode, possibly under Project(*)."""
+        core = fed
+        while (isinstance(core, Project) and len(core.projections) == 1
+               and isinstance(core.projections[0], Star)
+               and core.projections[0].table is None
+               and not core.projections[0].replace
+               and not core.projections[0].exclude):
+            core = core.input
+        return core
+
+    def _claimed_source_sql(self, fed: Plan, plan: Plan, provider):
+        """Remote SQL for a DML source, or None when the source does
+        not fully claim to ``provider``. Provider identity is (name,
+        compute_context) — the federation's own rule (reference
+        src/lib.rs:76-90) — NOT object identity: two SQLProvider
+        instances wrapping one engine must co-claim here exactly as
+        they do in federate(). Scanless literal sources (FROM-less
+        SELECT / VALUES-as-UNION) read nothing anywhere, so they
+        render directly in the target dialect."""
+        core = self._unwrap_star_shell(fed)
+        if isinstance(core, RemoteQueryNode) and core.provider == provider:
+            return core.sql
+        if not any(isinstance(x, (Scan, RemoteQueryNode))
+                   for x in walk_plan(fed)):
+            from .unparser import Unparser
+            return Unparser(provider.executor.dialect).plan_to_sql(plan)
+        return None
+
+    def _sql_ctas(self, query: str):
+        """``CREATE [OR REPLACE] TABLE name AS <query>`` (r12
+        write-back): when the source fully claims to ONE remote
+        provider, the whole CTAS executes there — the engine builds
+        the table from its own data, nothing crosses Spark — and the
+        new table registers locally under the same provider, so it is
+        immediately queryable/federable. Dialect gates: OR REPLACE
+        only where the engine spells it (DuckDB); Derby has no
+        CTAS-with-data, so it runs CREATE ... WITH NO DATA + INSERT
+        (two statements, same zero-movement property)."""
+        from .sqlfront import parse_ctas
+        name, or_replace, plan = parse_ctas(query, self.catalog.table)
+        self._data_changed()
+        fed = federate(plan)
+        core = self._unwrap_star_shell(fed)
+        if not isinstance(core, RemoteQueryNode):
+            raise NotImplementedError(
+                "CREATE TABLE AS: the source query does not fully "
+                "claim to one remote provider — materialize with "
+                "engine.execute + insert_into instead")
+        prov = core.provider
+        d = prov.dialect
+        tbl = d.quote_table(name)
+        if or_replace and not getattr(d, "supports_create_or_replace",
+                                      False):
+            raise NotImplementedError(
+                f"CREATE OR REPLACE TABLE: the {d.name} dialect has "
+                f"no OR REPLACE spelling — DROP first, or use a new "
+                f"name")
+        kw = "CREATE OR REPLACE TABLE" if or_replace else "CREATE TABLE"
+        if getattr(d, "ctas_needs_no_data", False):
+            prov.executor.execute_statement(
+                self.spark, f"{kw} {tbl} AS {core.sql} WITH NO DATA")
+            n = prov.executor.execute_statement(
+                self.spark, f"INSERT INTO {tbl} {core.sql}")
+        else:
+            n = prov.executor.execute_statement(
+                self.spark, f"{kw} {tbl} AS {core.sql}")
+        self.register_remote(prov, name)
+        return n
+
+    def _dml_target(self, name: str, verb: str):
+        """Resolve + vet a remote DML target; returns (handle,
+        dialect, quoted table ref). Local targets refuse with the
+        recompute-and-overwrite workaround named — parquet is
+        immutable, and pretending otherwise would silently rewrite
+        whole files for a row-level statement."""
+        h = self.catalog.table(name)
+        if h.provider is None or not hasattr(h.provider, "executor"):
+            raise NotImplementedError(
+                f"{verb} targets a LOCAL table {name!r}: parquet is "
+                f"immutable — recompute the surviving rows and "
+                f"insert_into(name, df, mode='overwrite'), or "
+                f"register the table on a remote engine")
+        d = h.provider.dialect
+        tbl = (h.remote.ref.to_sql(d) if h.remote is not None
+               else d.quote_table(name))
+        return h, d, tbl
+
+    @staticmethod
+    def _vet_dml_expr(e, verb: str) -> None:
+        from .expressions import (
+            Exists, InSubquery, ScalarSubquery, SetComparison, walk)
+        if e is None:
+            return
+        for x in walk(e):
+            if isinstance(x, (Exists, InSubquery, ScalarSubquery,
+                              SetComparison)):
+                raise NotImplementedError(
+                    f"{verb} with a subquery in the predicate/value "
+                    f"is outside the write-back surface — compute the "
+                    f"key set first, or run the statement on the "
+                    f"remote engine directly")
+
+    def _sql_delete(self, query: str):
+        """``DELETE FROM <remote> [WHERE pred]`` (r12 write-back): the
+        predicate unparses to the target dialect and the statement
+        executes wholly on the remote engine. Subquery predicates
+        refuse (they would need their own claim analysis); local
+        parquet targets refuse with the overwrite workaround named."""
+        from .sqlfront import parse_delete
+        name, pred = parse_delete(query, self.catalog.table)
+        self._data_changed()
+        h, d, tbl = self._dml_target(name, "DELETE")
+        self._vet_dml_expr(pred, "DELETE")
+        stmt = f"DELETE FROM {tbl}"
+        if pred is not None:
+            stmt += f" WHERE {pred.to_sql(d)}"
+        return h.provider.executor.execute_statement(self.spark, stmt)
+
+    def _sql_update(self, query: str):
+        """``UPDATE <remote> SET col = expr [, ...] [WHERE pred]``
+        (r12 write-back): assignments and predicate unparse to the
+        target dialect; one remote statement, no data through
+        Spark."""
+        from .sqlfront import parse_update
+        name, sets, pred = parse_update(query, self.catalog.table)
+        self._data_changed()
+        h, d, tbl = self._dml_target(name, "UPDATE")
+        self._vet_dml_expr(pred, "UPDATE")
+        for _, e in sets:
+            self._vet_dml_expr(e, "UPDATE")
+        assigns = ", ".join(f"{d.quote(c)} = {e.to_sql(d)}"
+                            for c, e in sets)
+        stmt = f"UPDATE {tbl} SET {assigns}"
+        if pred is not None:
+            stmt += f" WHERE {pred.to_sql(d)}"
+        return h.provider.executor.execute_statement(self.spark, stmt)
 
     def insert_into(self, table_name: str, df: DataFrame,
                     mode: str = "append"):

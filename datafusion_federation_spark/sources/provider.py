@@ -715,3 +715,13 @@ class SparkSQLExecutor(SQLExecutor):
         df = self.remote.sql(sql)
         self._record(sql, time.time() - t0)
         return df
+
+    def execute_statement(self, spark, sql: str):
+        """Remote DML (r12 write-back): the remote SparkSession runs
+        the whole statement itself (its own catalog tables must be
+        writable — saved tables, not temp views). Spark reports no
+        affected-row count for INSERT; returns None."""
+        t0 = time.time()
+        self.remote.sql(sql).collect()    # DML: collect() forces it
+        self._record(sql, time.time() - t0)
+        return None

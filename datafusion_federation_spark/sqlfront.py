@@ -2593,16 +2593,7 @@ def parse_insert(sql: str, resolve_table: Callable[[str], Any]):
         raise SqlParseError("not an INSERT statement")
     p.take()
     p.expect_kw("INTO")
-    t = p.take()
-    if t[0] != "id":
-        raise SqlParseError(f"expected table name after INTO, got {t}")
-    name = t[1]
-    while p.accept_op("."):
-        part = p.take()
-        if part[0] != "id":
-            raise SqlParseError(
-                f"expected identifier after '.', got {part}")
-        name += "." + part[1]
+    name = _parse_dotted_name(p, "INTO")
     cols = None
     # a '(' here is a column list only if it closes before a query
     # keyword — `INSERT INTO t (SELECT ...)` is a parenthesized source
@@ -2627,6 +2618,24 @@ def parse_insert(sql: str, resolve_table: Callable[[str], Any]):
             "INSERT ... VALUES is outside the parser surface — spell "
             "the rows as SELECT ... UNION ALL SELECT ..., or use "
             "engine.insert_into with a DataFrame")
+    # `INSERT INTO t (SELECT ...)` — strip a paren pair that wraps the
+    # ENTIRE remaining source (a partial wrap, e.g. a parenthesized
+    # set-op branch, keeps the normal parse path and its error)
+    if p.peek() == ("op", "(") and p.peek(1) is not None \
+            and p.peek(1)[0] == "id" \
+            and p.peek(1)[1].upper() in ("SELECT", "WITH"):
+        depth, close = 0, None
+        for j in range(p.i, len(p.toks)):
+            if p.toks[j] == ("op", "("):
+                depth += 1
+            elif p.toks[j] == ("op", ")"):
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close == len(p.toks) - 1:
+            del p.toks[close]
+            del p.toks[p.i]
     try:
         plan = p.parse()
     except SqlParseError:
@@ -2635,6 +2644,99 @@ def parse_insert(sql: str, resolve_table: Callable[[str], Any]):
         raise SqlParseError(str(e)) from e
     _validate_supported(plan)
     return name, cols, plan
+
+
+def _parse_dotted_name(p: "Parser", what: str) -> str:
+    t = p.take()
+    if t[0] != "id":
+        raise SqlParseError(f"expected table name after {what}, got {t}")
+    name = t[1]
+    while p.accept_op("."):
+        part = p.take()
+        if part[0] != "id":
+            raise SqlParseError(
+                f"expected identifier after '.', got {part}")
+        name += "." + part[1]
+    return name
+
+
+def parse_delete(sql: str, resolve_table: Callable[[str], Any]):
+    """Parse ``DELETE FROM name [WHERE pred]`` (r12 write-back).
+    Returns ``(table_name, pred_or_None)``."""
+    p = Parser(sql, resolve_table)
+    if not p.at_kw("DELETE"):
+        raise SqlParseError("not a DELETE statement")
+    p.take()
+    p.expect_kw("FROM")
+    name = _parse_dotted_name(p, "FROM")
+    pred = None
+    if p.accept_kw("WHERE"):
+        pred = p.parse_expr(_Scope())
+    if p.peek() is not None:
+        raise SqlParseError(f"trailing tokens at {p.peek()}")
+    return name, pred
+
+
+def parse_update(sql: str, resolve_table: Callable[[str], Any]):
+    """Parse ``UPDATE name SET col = expr [, ...] [WHERE pred]`` (r12
+    write-back). Returns ``(table_name, [(col, expr), ...],
+    pred_or_None)``."""
+    p = Parser(sql, resolve_table)
+    if not p.at_kw("UPDATE"):
+        raise SqlParseError("not an UPDATE statement")
+    p.take()
+    name = _parse_dotted_name(p, "UPDATE")
+    p.expect_kw("SET")
+    sets = []
+    while True:
+        c = p.take()
+        if c[0] != "id":
+            raise SqlParseError(
+                f"expected column name in SET clause, got {c}")
+        p.expect_op("=")
+        sets.append((c[1], p.parse_expr(_Scope())))
+        if not p.accept_op(","):
+            break
+    pred = None
+    if p.accept_kw("WHERE"):
+        pred = p.parse_expr(_Scope())
+    if p.peek() is not None:
+        raise SqlParseError(f"trailing tokens at {p.peek()}")
+    return name, sets, pred
+
+
+def parse_ctas(sql: str, resolve_table: Callable[[str], Any]):
+    """Parse ``CREATE [OR REPLACE] TABLE name AS <query>`` (r12
+    write-back). Returns ``(table_name, or_replace, source_plan)``."""
+    p = Parser(sql, resolve_table)
+    if not p.at_kw("CREATE"):
+        raise SqlParseError("not a CREATE statement")
+    p.take()
+    or_replace = False
+    if p.accept_kw("OR"):
+        p.expect_kw("REPLACE")
+        or_replace = True
+    if not p.accept_kw("TABLE"):
+        raise SqlParseError(
+            "only CREATE [OR REPLACE] TABLE ... AS <query> is "
+            "supported here")
+    name = _parse_dotted_name(p, "TABLE")
+    p.expect_kw("AS")
+    if p.accept_op("("):
+        # CREATE TABLE t AS (SELECT ...): strip the wrap if it closes
+        # the statement
+        if p.toks and p.toks[-1] == ("op", ")"):
+            p.toks = p.toks[:-1]
+        else:
+            raise SqlParseError("unbalanced parens around CTAS source")
+    try:
+        plan = p.parse()
+    except SqlParseError:
+        raise
+    except (ValueError, IndexError, AttributeError, TypeError) as e:
+        raise SqlParseError(str(e)) from e
+    _validate_supported(plan)
+    return name, or_replace, plan
 
 
 def parse_sql(sql: str, resolve_table: Callable[[str], Any]) -> Plan:

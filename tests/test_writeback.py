@@ -161,3 +161,174 @@ def test_derby_remote_writeback(spark):
             jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
         except Exception:
             pass
+
+
+def test_remote_delete_and_update(spark):
+    """DELETE/UPDATE front doors: predicate + assignments unparse to
+    the target dialect, one remote statement each, verified by direct
+    reads of the remote engine."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_dml", compute_context="wb:dml")
+    ex.conn.execute("CREATE TABLE t (k INT, lang VARCHAR, n INT)")
+    ex.conn.execute("INSERT INTO t VALUES (1,'en',5),(2,'de',7),"
+                    "(3,'en',9),(4,'fr',11)")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "t")
+    assert eng.sql("DELETE FROM t WHERE n < 7 AND lang = 'en'") == 1
+    assert eng.sql("UPDATE t SET n = n * 10, lang = upper(lang) "
+                   "WHERE k >= 3") == 2
+    assert ex.conn.execute("SELECT * FROM t ORDER BY k").fetchall() \
+        == [(2, 'de', 7), (3, 'EN', 90), (4, 'FR', 110)]
+    # bare DELETE (no WHERE) empties the table
+    assert eng.sql("DELETE FROM t") == 3
+    assert ex.conn.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 0
+
+
+def test_dml_refusals(spark):
+    """Subquery predicates and local targets refuse loudly."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_ref", compute_context="wb:ref")
+    ex.conn.execute("CREATE TABLE t (k INT)")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "t")
+    eng.register_local_parquet("region", f"{TESTDATA}/region.parquet")
+    with pytest.raises(NotImplementedError, match="subquery"):
+        eng.sql("DELETE FROM t WHERE k IN (SELECT k FROM t)")
+    with pytest.raises(NotImplementedError, match="subquery"):
+        eng.sql("UPDATE t SET k = (SELECT MAX(k) FROM t)")
+    with pytest.raises(NotImplementedError, match="immutable"):
+        eng.sql("DELETE FROM region")
+    with pytest.raises(NotImplementedError, match="immutable"):
+        eng.sql("UPDATE region SET r_name = 'x'")
+
+
+def test_remote_ctas(spark):
+    """CREATE TABLE AS over a fully-claimed source executes on the
+    remote engine and the new table registers locally (immediately
+    federable)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    eng, ex, prov = _duck_engine(spark, ["region", "nation"],
+                                 name="wb_ctas")
+    n = eng.sql("CREATE TABLE region_sizes AS "
+                "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations "
+                "FROM region JOIN nation "
+                "ON n_regionkey = r_regionkey GROUP BY r_name")
+    assert n == 5
+    # registered: immediately queryable through federation
+    got = [tuple(r) for r in eng.sql(
+        "SELECT r_name, n_nations FROM region_sizes "
+        "ORDER BY r_name").collect()]
+    assert len(got) == 5 and all(v == 5 for _, v in got)
+    # OR REPLACE is a DuckDB spelling and works end-to-end
+    assert eng.sql("CREATE OR REPLACE TABLE region_sizes AS "
+                   "SELECT r_name FROM region WHERE r_regionkey < 2"
+                   ) == 2
+    # unclaimed (local) source refuses
+    eng.register_local_parquet("part", f"{TESTDATA}/part.parquet")
+    with pytest.raises(NotImplementedError, match="claim"):
+        eng.sql("CREATE TABLE p2 AS SELECT p_name FROM part")
+
+
+def test_derby_ctas_two_statement(spark):
+    """Derby has no CTAS-with-data: the engine runs CREATE ... WITH
+    NO DATA + INSERT, still entirely remote."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        JDBCExecutor, SQLProvider)
+    url = "jdbc:derby:memory:wbctas"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    try:
+        st = conn.createStatement()
+        st.executeUpdate('CREATE TABLE "src" ("k" INT)')
+        st.executeUpdate('INSERT INTO "src" VALUES (1), (2), (3)')
+        st.close()
+        ex = JDBCExecutor(url=url, name="wb_dctas", dialect="derby")
+        eng = FederationEngine(spark)
+        eng.register_remote(SQLProvider(ex), "src")
+        n = eng.sql('CREATE TABLE dst AS SELECT k FROM src '
+                    'WHERE k > 1')
+        assert n == 2
+        got = sorted(r[0] for r in eng.sql(
+            "SELECT k FROM dst").collect())
+        assert got == [2, 3]
+        # OR REPLACE refuses by dialect gate
+        with pytest.raises(NotImplementedError, match="OR REPLACE"):
+            eng.sql("CREATE OR REPLACE TABLE dst AS "
+                    "SELECT k FROM src")
+    finally:
+        try:
+            jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
+        except Exception:
+            pass
+
+
+def test_insert_paren_and_cte_sources(spark):
+    """r12 review: CTE sources and whole-wrap parenthesized sources
+    parse and ship; ORDER BY in the source is preserved harmlessly."""
+    eng, ex, prov = _duck_engine(spark, ["region"], name="wb_src")
+    ex.conn.execute("CREATE TABLE sink (r VARCHAR, n BIGINT)")
+    eng.register_remote(prov, "sink")
+    assert eng.sql(
+        "INSERT INTO sink WITH f AS (SELECT r_name FROM region) "
+        "SELECT r_name AS r, CAST(COUNT(*) AS BIGINT) AS n FROM f "
+        "GROUP BY r_name") == 5
+    assert eng.sql(
+        "INSERT INTO sink (SELECT r_name AS r, CAST(1 AS BIGINT) "
+        "AS n FROM region)") == 5
+    assert eng.sql(
+        "INSERT INTO sink SELECT r_name AS r, CAST(2 AS BIGINT) AS n "
+        "FROM region ORDER BY r_name") == 5
+    assert ex.conn.execute(
+        "SELECT COUNT(*) FROM sink").fetchone()[0] == 15
+
+
+def test_spark_remote_writeback(spark, tmp_path):
+    """Spark-to-Spark write-back: the remote SparkSession runs the
+    whole INSERT ... SELECT itself (its catalog table is a saved
+    parquet table, not a temp view)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        SparkSQLExecutor, SQLProvider)
+    remote = spark.newSession()
+    wh = str(tmp_path / "sink_tbl")
+    remote.read.parquet(f"{TESTDATA}/region.parquet") \
+        .createOrReplaceTempView("region_r")
+    remote.createDataFrame([], "r_name string, n bigint") \
+        .write.option("path", wh).saveAsTable("wb_sink")
+    try:
+        ex = SparkSQLExecutor(remote, name="spark_wb")
+        eng = FederationEngine(spark)
+        prov = SQLProvider(ex)
+        eng.register_remote(prov, "region_r")
+        eng.register_remote(prov, "wb_sink")
+        n = eng.sql("INSERT INTO wb_sink SELECT r_name, "
+                    "CAST(r_regionkey AS BIGINT) AS n FROM region_r")
+        assert n is None    # Spark reports no affected count
+        got = sorted(tuple(r) for r in eng.sql(
+            "SELECT r_name, n FROM wb_sink").collect())
+        assert len(got) == 5 and all(isinstance(v, int)
+                                     for _, v in got)
+    finally:
+        remote.sql("DROP TABLE IF EXISTS wb_sink")
+
+
+def test_dml_params_and_local_collist_refuse(spark, tmp_path):
+    """r12 review: bound params on DML refuse (silently dropping them
+    would mutate unselected rows); a column list on a LOCAL parquet
+    target refuses (appends are by-schema, not by-list)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame([("a", 1)], "r string, n int").write.parquet(p)
+    eng.register_local_parquet("t", p)
+    with pytest.raises(NotImplementedError, match="params"):
+        eng.sql("DELETE FROM t WHERE n = :x", params={"x": 1})
+    with pytest.raises(NotImplementedError, match="column"):
+        eng.sql("INSERT INTO t (r) SELECT r FROM t")
