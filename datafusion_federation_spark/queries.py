@@ -571,6 +571,12 @@ SECONDARY = {
     #   rows across both spellings, pinned); q118 stays under bench +
     #   tools + the replayed-predicate test
     "q118_tablesample",
+    # round 12 write-back breadth (r6/r7 beyond-window convention):
+    # q121 carries the execute_statement machinery + claim analysis
+    # in-window; the CTAS/DELETE/UPDATE spellings stay under bench +
+    # tools + 11 tests incl. live Derby (test_writeback.py)
+    "q122_remote_delete",
+    "q123_remote_update",
 }
 
 DEC = "decimal(12,2)"

@@ -6455,3 +6455,75 @@ def q121(spark, sf):
         "write-back did not execute as one remote DML statement"
     return eng.sql("SELECT lang, n_docs, chars FROM lang_stats "
                    "ORDER BY lang")
+
+
+_Q122_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents WHERE NOT (n_chars < 400)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@q("q122_remote_delete", _Q122_SQL)
+def q122(spark, sf):
+    """Remote CTAS + DELETE (r12 write-back breadth): CREATE TABLE AS
+    builds a copy INSIDE the remote engine (zero rows through Spark),
+    DELETE FROM ... WHERE unparses the predicate to the remote dialect
+    and removes rows there, and the read-back re-federates. The oracle
+    recomputes the surviving aggregate from the source directly, so a
+    drift in the CTAS claim, the DELETE predicate rendering, or the
+    affected-row accounting mismatches. 100 TB: row-level mutation at
+    the engine that owns the data — Spark ships two statement strings."""
+    from .engine import FederationEngine
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q122", compute_context=f"q122:{sf}")
+    ex.register_parquet("documents", f"{sf}/documents.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "documents")
+    n = eng.sql("CREATE TABLE doc_copy AS "
+                "SELECT doc_id, lang, n_chars FROM documents")
+    assert n and n > 0, "remote CTAS reported no rows"
+    deleted = eng.sql("DELETE FROM doc_copy WHERE n_chars < 400")
+    assert deleted is not None and deleted >= 0
+    assert ex.metrics()["last_sql"].lstrip().upper() \
+        .startswith("DELETE FROM"), "DELETE did not run as remote DML"
+    return eng.sql(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM doc_copy "
+        "GROUP BY lang ORDER BY lang")
+
+
+_Q123_SQL = """
+SELECT lang,
+       CAST(SUM(CASE WHEN lang = 'en' THEN n_chars * 2 + 7
+                     ELSE n_chars END) AS BIGINT) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@q("q123_remote_update", _Q123_SQL)
+def q123(spark, sf):
+    """Remote UPDATE (r12 write-back breadth): assignments and the
+    predicate unparse to the remote dialect and the whole statement
+    executes inside the engine that owns the table; the oracle
+    recomputes the post-update values with a CASE over the source.
+    100 TB: one statement string crosses, never rows."""
+    from .engine import FederationEngine
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q123", compute_context=f"q123:{sf}")
+    ex.register_parquet("documents", f"{sf}/documents.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "documents")
+    eng.sql("CREATE TABLE doc_upd AS "
+            "SELECT doc_id, lang, n_chars FROM documents")
+    updated = eng.sql("UPDATE doc_upd SET n_chars = n_chars * 2 + 7 "
+                      "WHERE lang = 'en'")
+    assert updated is not None and updated > 0, "UPDATE hit no rows"
+    assert ex.metrics()["last_sql"].lstrip().upper() \
+        .startswith("UPDATE"), "UPDATE did not run as remote DML"
+    return eng.sql(
+        "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars "
+        "FROM doc_upd GROUP BY lang ORDER BY lang")
