@@ -1094,10 +1094,24 @@ class Parser:
                         # the Spark-parser fallback, which then choked
                         # on portable type names like bare VARCHAR)
                         cols = self._base_cols(e)
-                        if cols and all(
+                        from .expressions import (
+                            Exists as _Ex, InSubquery as _InS,
+                            ScalarSubquery as _ScS, walk as _walkv)
+                        has_subq = any(
+                            isinstance(x, (_Ex, _InS, _ScS))
+                            for x in _walkv(e))
+                        if (cols or not has_subq) and all(
                                 self._expr_key(c) in group_sql
                                 or self._in_grouping_sets(c, group_by)
                                 for c in cols):
+                            # r12: an empty cols list means the item
+                            # references NO columns — a constant under
+                            # any grouping (SELECT 'x', COUNT(*) FROM t
+                            # is legal everywhere) UNLESS it is a
+                            # subquery (not a post-projection shape);
+                            # with columns present the pre-r12 rule is
+                            # unchanged: every referenced column must
+                            # be grouped
                             post[out] = e
                             continue
                         raise SqlParseError(

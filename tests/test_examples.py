@@ -82,3 +82,14 @@ def test_graph_sketch_demo(spark):
     for et, n in out["exact"].items():
         assert abs(out["hll"][et] - n) / max(n, 1) < 0.6, (et, out)
         assert abs(out["kmv"][et] - n) / max(n, 1) < 0.6, (et, out)
+
+
+def test_writeback_demo(spark):
+    """r12: the write-back demo's four DML statements all run remotely
+    and the final table reflects CTAS - DELETE + UPDATE + INSERT."""
+    from writeback_demo import main
+    rows = main(spark, TESTDATA)
+    segs = [r["segment"] for r in rows]
+    assert "ALL" in segs                     # the INSERT landed
+    assert all(r["n_orders"] >= 5 or r["segment"] == "ALL"
+               for r in rows)                # the DELETE held

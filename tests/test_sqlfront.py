@@ -2869,3 +2869,29 @@ def test_bare_pivot_multi_aggregate(_pivot_fixture):
     from datafusion_federation_spark.sqlfront import SqlParseError
     with pytest.raises(SqlParseError, match="alias"):
         eng.sql_plan("PIVOT p ON k USING sum(v), count(v) GROUP BY g")
+
+
+def test_constant_projection_with_aggregates(spark):
+    """r12 (found by the write-back demo): a projection referencing NO
+    columns is constant under any grouping — `SELECT 'x', COUNT(*)
+    FROM t` is legal everywhere and must not raise non-aggregated;
+    subquery 'constants' stay refused (their compile path is not a
+    post-projection)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_df("t", spark.createDataFrame(
+        [(1, 'a'), (2, 'a'), (3, 'b')], "k int, g string"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k int, g varchar); "
+                "INSERT INTO t VALUES (1,'a'),(2,'a'),(3,'b')")
+    for q in [
+        "SELECT 'ALL' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM t",
+        "SELECT 1 + 2 AS c, CAST(SUM(k) AS BIGINT) AS s FROM t",
+        "SELECT g, 'x' AS tag, CAST(COUNT(*) AS BIGINT) AS n FROM t "
+        "GROUP BY g ORDER BY g",
+    ]:
+        got = [tuple(r) for r in eng.sql(q).collect()]
+        assert got == con.execute(q).fetchall(), q
+    with pytest.raises(Exception, match="non-aggregated|subquer"):
+        eng.sql_plan("SELECT (SELECT MAX(k) FROM t) AS m, COUNT(*) "
+                     "FROM t")
