@@ -258,6 +258,16 @@ def _mysql_date_trunc(args):
     return forms[unit].format(args[1])
 
 
+def _sqlite_no_builtin(name):
+    """Refusal spec for functions sqlite simply does not have — the
+    default passthrough would ship them verbatim and fail at the
+    remote instead of keeping the expression local (r12)."""
+    def f(args):
+        raise UnsupportedUnparse(
+            f"sqlite has no {name}() built-in — compiled locally")
+    return f
+
+
 def _sqlite_part(token):
     """SQLite date parts go through strftime + int cast (no year()/
     month()/... functions)."""
@@ -366,6 +376,15 @@ class SQLiteDialect(Dialect):
         "power": "pow",
         "pow": "pow",
         "log": _log_fn,
+        # r12: sqlite ships NO hash built-ins — the default passthrough
+        # rendered md5(x) verbatim and the claim died at execution with
+        # an sqlite error instead of degrading to a local compile (the
+        # posture every other capability gate takes). Also gates the
+        # deterministic hash-sample pushdown.
+        "md5": _sqlite_no_builtin("md5"),
+        "sha1": _sqlite_no_builtin("sha1"),
+        "sha2": _sqlite_no_builtin("sha2"),
+        "xxhash64": _sqlite_no_builtin("xxhash64"),
     }
 
     def regex_match(self, expr, pattern, negated):

@@ -193,10 +193,13 @@ def scan_plan(p: Plan, enclosing: Optional[frozenset] = None,
         # pivoted input arrives as one remote read
         return ScanResult.ambiguous()
     if isinstance(p, TableSample):
-        # deterministic hash-Bernoulli: remote engines' TABLESAMPLE is
-        # an RNG draw (not rerun-stable) and the md5 predicate needs
-        # the compiled frame's column list — the compiler owns the
-        # node; the sampled input still federates as one remote read
+        # deterministic hash-Bernoulli. r12: statically-typed inputs
+        # never reach here — sqlfront lowers them to a plain Filter
+        # whose md5 predicate claims into the remote SQL (sampling AT
+        # the engine). This node survives only for unknown schemas /
+        # render-unstable types (doubles, timestamps), where the
+        # compiler owns it; the sampled input still federates as one
+        # remote read
         return ScanResult.ambiguous()
     from .plans.nodes import LateralJoin
     if isinstance(p, LateralJoin):

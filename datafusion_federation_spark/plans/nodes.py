@@ -521,8 +521,11 @@ class TableSample(Plan):
     the sample is independent of partition layout: at 100 TB it is a
     narrow filter on the scan, no shuffle, no RNG state. SYSTEM
     (block) sampling refuses honestly — Spark has no stable notion of
-    a storage block to sample. Kept local (the predicate needs the
-    compiled frame's column list); the input still federates."""
+    a storage block to sample. r12: this node survives parse only for
+    inputs whose schema is unknown or render-unstable — statically
+    typed shapes lower to a plain Filter at parse time, so the
+    predicate CLAIMS into remote SQL and the engine that owns the
+    data does the sampling (sqlfront._make_tablesample)."""
 
     input: Plan
     pct: float = 0.0

@@ -1648,7 +1648,7 @@ class Parser:
                     f"REPEATABLE takes an integer seed, got {s}")
             seed = int(s[1])
             self.expect_op(")")
-        return TableSample(plan, pct=pct, seed=seed)
+        return _make_tablesample(plan, pct, seed)
 
     def _parse_using_sample(self, plan: Plan) -> Plan:
         """DuckDB's `rel USING SAMPLE ...` (r11). Accepted forms —
@@ -1693,7 +1693,7 @@ class Parser:
                         f"REPEATABLE takes an integer seed, got {s}")
                 seed = int(s[1])
                 self.expect_op(")")
-            return TableSample(plan, pct=pct, seed=seed)
+            return _make_tablesample(plan, pct, seed)
         if self.at_kw("RESERVOIR", "SYSTEM"):
             raise SqlParseError(
                 "USING SAMPLE reservoir/system: block and reservoir "
@@ -1725,7 +1725,7 @@ class Parser:
                     f"USING SAMPLE seed must be an integer, got {s}")
             seed = int(s[1])
         self.expect_op(")")
-        return TableSample(plan, pct=pct, seed=seed)
+        return _make_tablesample(plan, pct, seed)
 
     def _parse_relation_core(self, scope: _Scope) -> Plan:
         if self.accept_op("("):
@@ -2658,6 +2658,88 @@ def parse_insert(sql: str, resolve_table: Callable[[str], Any]):
         raise SqlParseError(str(e)) from e
     _validate_supported(plan)
     return name, cols, plan
+
+
+#: Spark type-name prefixes whose CAST-to-string rendering agrees
+#: across every dialect this repo ships (ints, strings, dates,
+#: booleans). Doubles ('1.0E20' vs '1e+20'), timestamps, and decimals
+#: stay OFF the pushdown path — the TableSample node compiles locally.
+_SAMPLE_STABLE_TYPES = frozenset(
+    {"string", "int", "bigint", "smallint", "tinyint", "date",
+     "boolean"})   # Spark simpleString names, EXACT match (a prefix
+                   # test would let 'interval day' in via 'int')
+
+
+def _sample_static_fields(plan):
+    """(name, type-simpleString) pairs for relation shapes whose
+    schema is statically known — a Scan (with optional projection),
+    optionally under SubqueryAlias, optionally narrowed by ONE
+    Project of plain columns. None = unknown (keep the TableSample
+    node; the compiler samples locally)."""
+    from .expressions import Alias as _Al, Col as _Co
+    from .plans.nodes import (
+        Project as _Pj, Scan as _Sc, SubqueryAlias as _SA)
+    p = plan
+    if isinstance(p, _SA):
+        p = p.input
+    picked = None
+    if isinstance(p, _Pj):
+        picked = []
+        for e in p.projections:
+            inner = e.expr if isinstance(e, _Al) else e
+            if not isinstance(inner, _Co):
+                return None
+            picked.append((inner.name,
+                           e.name if isinstance(e, _Al) else inner.name))
+        p = p.input
+        if isinstance(p, _SA):
+            p = p.input
+    if not isinstance(p, _Sc):
+        return None
+    schema = getattr(p.table, "schema", None)
+    if schema is None:
+        return None
+    by_name = {f.name.lower(): f for f in schema.fields}
+    if picked is None:
+        names = (list(p.projection) if p.projection
+                 else [f.name for f in schema.fields])
+        picked = [(n, n) for n in names]
+    out = []
+    for src, outname in picked:
+        f = by_name.get(src.lower())
+        if f is None:
+            return None
+        out.append((outname, f.dataType.simpleString()))
+    return out
+
+
+def _make_tablesample(plan, pct: float, seed: int):
+    """Build the sampling node (r12 pushdown): when the input's
+    columns and types are statically known and every type's
+    CAST-to-string render is engine-stable, the deterministic
+    hash-Bernoulli lowers to a plain plan-IR Filter — so it CLAIMS
+    into remote SQL through the ordinary federation path (dialects
+    without md5 — sqlite, derby — refuse at unparse and compile
+    locally, the standard capability-gate degrade). At 100 TB this is
+    the difference between sampling AT the remote engine and pulling
+    the whole table to sample it. Unknown/unstable schemas, p=0/100,
+    and below-granularity rates keep the TableSample node (the
+    compiler's local arm owns validation + the edge cases)."""
+    from .expressions import BinaryOp, Cast, Col, Func, Lit
+    from .plans.nodes import Filter, TableSample
+    idx = round(pct / 100.0 * 65536)
+    fields = _sample_static_fields(plan)
+    if (fields is None or not fields or not 0 < idx < 65536
+            or any(t not in _SAMPLE_STABLE_TYPES for _, t in fields)):
+        return TableSample(plan, pct=pct, seed=seed)
+    key = Func("concat", [Lit(f"{seed}|")] + [
+        Func("coalesce", [Func("md5", [Cast(Col(n), "string")]),
+                          Lit("N")]) for n, _ in fields])
+    pred = BinaryOp(
+        "<",
+        Func("substring", [Func("md5", [key]), Lit(1), Lit(4)]),
+        Lit(format(idx, "04x")))
+    return Filter(plan, pred)
 
 
 def _parse_dotted_name(p: "Parser", what: str) -> str:

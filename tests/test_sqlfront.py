@@ -2152,7 +2152,13 @@ def test_tablesample_refusals(spark):
         eng.sql_plan("SELECT * FROM s TABLESAMPLE BERNOULLI(150)")
 
 
-def test_tablesample_input_federates_node_stays_local(spark):
+def test_tablesample_pushes_into_remote_sql(spark):
+    """r12 (pushdown graduation): a statically-typed sampled relation
+    lowers to a plan-IR Filter at parse time, so the WHOLE query —
+    predicate included — claims into ONE remote SQL (at 100 TB the
+    remote engine samples; the old node-stays-local shape pulled the
+    full table to Spark first). Rows must equal the local lowering's
+    on the same data and seed."""
     from datafusion_federation_spark.engine import FederationEngine
     from datafusion_federation_spark.federation import federate
     from datafusion_federation_spark.plans.nodes import (
@@ -2164,12 +2170,74 @@ def test_tablesample_input_federates_node_stays_local(spark):
     eng = FederationEngine(spark)
     eng.register_remote(SQLProvider(ex), "customer")
     q = ("SELECT c_custkey FROM (SELECT c_custkey FROM customer) c "
-         "TABLESAMPLE BERNOULLI(50) REPEATABLE (3)")
+         "TABLESAMPLE BERNOULLI(50) REPEATABLE (3) ORDER BY c_custkey")
     fed = federate(eng.sql_plan(q).plan)
-    ts = next(x for x in walk_plan(fed) if isinstance(x, TableSample))
-    assert isinstance(ts.input, RemoteQueryNode)   # input claimed
-    n = eng.execute(fed).count()
-    assert 0 < n < 150
+    assert not [x for x in walk_plan(fed) if isinstance(x, TableSample)]
+    rq = [x for x in walk_plan(fed) if isinstance(x, RemoteQueryNode)]
+    assert len(rq) == 1 and "md5" in rq[0].sql.lower(), \
+        "sample predicate did not ride inside the remote SQL"
+    got = [r[0] for r in eng.execute(fed).collect()]
+    assert 0 < len(got) < 150
+    # identical rows when the same data is LOCAL (one deterministic
+    # lowering, two execution paths)
+    eng2 = FederationEngine(spark)
+    eng2.register_local_parquet("customer",
+                                f"{TESTDATA}/customer.parquet")
+    assert got == [r[0] for r in eng2.sql(q).collect()]
+
+
+def test_tablesample_unstable_types_stay_local(spark):
+    """DOUBLE/timestamp columns render differently across engines'
+    CAST-to-string — the lowering must keep the TableSample node (the
+    compiler samples locally; the input still claims)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, TableSample, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="ts_duck2", compute_context="test2")
+    ex.register_parquet("customer", f"{TESTDATA}/customer.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "customer")
+    # c_acctbal is DOUBLE -> unstable render -> node survives
+    q = ("SELECT c_custkey FROM (SELECT c_custkey, c_acctbal "
+         "FROM customer) c TABLESAMPLE BERNOULLI(50) REPEATABLE (3)")
+    fed = federate(eng.sql_plan(q).plan)
+    ts = [x for x in walk_plan(fed) if isinstance(x, TableSample)]
+    assert len(ts) == 1
+    assert isinstance(ts[0].input, RemoteQueryNode)   # input claimed
+    assert 0 < eng.execute(fed).count() < 150
+
+
+def test_tablesample_sqlite_degrades_local(spark):
+    """sqlite has no md5(): the lowered Filter refuses at unparse and
+    compiles locally — the standard capability-gate degrade — with
+    the scan still claimed."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        Filter, RemoteQueryNode, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        SQLiteExecutor, SQLProvider)
+    ex = SQLiteExecutor(name="ts_lite", compute_context="testlite")
+    ex.load_rows("s", "CREATE TABLE s (k INTEGER, lab TEXT)",
+                 [(i, f"v{i % 3}") for i in range(100)])
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "s")
+    q = ("SELECT k FROM s TABLESAMPLE BERNOULLI(40) REPEATABLE (5) "
+         "ORDER BY k")
+    fed = federate(eng.sql_plan(q).plan)
+    rq = [x for x in walk_plan(fed) if isinstance(x, RemoteQueryNode)]
+    assert rq and all("md5" not in x.sql.lower() for x in rq)
+    assert any(isinstance(x, Filter) for x in walk_plan(fed))
+    got = [r[0] for r in eng.execute(fed).collect()]
+    assert 0 < len(got) < 100
+    # equal rows vs the same data sampled locally (same lowering)
+    eng2 = FederationEngine(spark)
+    eng2.register_local_df("s", spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(100)], "k bigint, lab string"))
+    assert got == [r[0] for r in eng2.sql(q).collect()]
 
 
 def test_unpivot_input_federates_node_stays_local(spark):
