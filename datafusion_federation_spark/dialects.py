@@ -421,6 +421,14 @@ class MySQLDialect(Dialect):
     quote_char = "`"
     ilike_op = "LIKE"  # MySQL LIKE is case-insensitive by default collation
     supports_filter_clause = False
+    # r12 (caught pinning the sample-predicate golden): MySQL's CAST
+    # accepts CHAR, not VARCHAR — CAST(x AS VARCHAR) is a syntax error
+    # there. SIGNED/DOUBLE likewise replace the unsupported INT/BIGINT
+    # cast targets.
+    type_map = dict(Dialect.type_map, string="CHAR",
+                    int="SIGNED", integer="SIGNED", long="SIGNED",
+                    bigint="SIGNED", short="SIGNED", byte="SIGNED",
+                    float="DOUBLE")
     function_map = {
         # year/month/day/hour/minute/second/instr/locate/substring are
         # native MySQL; log(x) is already the natural log

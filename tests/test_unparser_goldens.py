@@ -905,3 +905,49 @@ def test_count_distinct_window_renders_duckdb_only():
     for dialect in ("postgres", "sqlite", "mysql", "spark", "ansi"):
         with pytest.raises(UnsupportedUnparse, match="DISTINCT window"):
             sql(p, dialect)
+
+
+# ---------------------------------------------------------------------------
+# r12: the lowered hash-sample predicate — per-dialect rendering pins
+# (the pushdown path ships EXACTLY this SQL; sqlite/derby refuse, the
+# capability-gate degrade that keeps the sample local there)
+# ---------------------------------------------------------------------------
+
+def _sample_filter_plan():
+    from datafusion_federation_spark.sqlfront import _make_tablesample
+    from pyspark.sql import types as T
+    handle = h("docs")
+    handle.schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("lab", T.StringType())])
+    return _make_tablesample(Scan(handle), 25.0, 7)
+
+
+def test_sample_predicate_renders_duckdb_postgres_mysql():
+    p = _sample_filter_plan()
+    assert isinstance(p, Filter)
+    want = ("SELECT * FROM \"docs\" WHERE "
+            "(substring(md5(concat('7|', "
+            "coalesce(md5(CAST(\"k\" AS VARCHAR)), 'N'), "
+            "coalesce(md5(CAST(\"lab\" AS VARCHAR)), 'N'))), 1, 4) "
+            "< '4000')")
+    assert sql(p, "duckdb") == want
+    assert sql(p, "postgres") == want
+    # MySQL: backtick quoting and CHAR cast targets (CAST AS VARCHAR
+    # is a syntax error there — r12 type_map fix)
+    assert sql(p, "mysql") == (
+        "SELECT * FROM `docs` WHERE "
+        "(substring(md5(concat('7|', "
+        "coalesce(md5(CAST(`k` AS CHAR)), 'N'), "
+        "coalesce(md5(CAST(`lab` AS CHAR)), 'N'))), 1, 4) "
+        "< '4000')")
+
+
+def test_sample_predicate_refuses_sqlite_and_derby():
+    import pytest as _pt
+
+    from datafusion_federation_spark.dialects import UnsupportedUnparse
+    p = _sample_filter_plan()
+    for d in ("sqlite", "derby"):
+        with _pt.raises(UnsupportedUnparse, match="md5"):
+            sql(p, d)
