@@ -428,7 +428,9 @@ class MySQLDialect(Dialect):
     type_map = dict(Dialect.type_map, string="CHAR",
                     int="SIGNED", integer="SIGNED", long="SIGNED",
                     bigint="SIGNED", short="SIGNED", byte="SIGNED",
-                    float="DOUBLE")
+                    float="DOUBLE",
+                    timestamp="DATETIME")  # TIMESTAMP isn't a MySQL
+                                           # cast target; DATETIME is
     function_map = {
         # year/month/day/hour/minute/second/instr/locate/substring are
         # native MySQL; log(x) is already the natural log
