@@ -1424,6 +1424,8 @@ def _replay_pred(seed: int, pct: float, cols) -> str:
 def _sample_pivot_queries(draw):
     kind = draw(st.sampled_from(
         ["sample_agg", "sample_cte_join", "sample_derived_join",
+         "sample_filtered", "sample_cte_ref", "sample_renamed",
+         "sample_bool_expr",
          "mk_pivot", "mk_pivot_multi_agg", "mk_pivot_where"]))
 
     if kind.startswith("mk_pivot"):
@@ -1468,6 +1470,52 @@ def _sample_pivot_queries(draw):
                     f"WHERE {_replay_pred(seed, pct, cols)}) "
                     f"SELECT s.n_nationkey, b.n_name FROM s "
                     f"JOIN nation b ON s.n_nationkey = b.n_nationkey")
+        return eng_sql, duck_sql
+    if kind == "sample_filtered":
+        # r13 (VERDICT r12 Next #4): sample over a FILTERED relation —
+        # the filter below the sample leaves the key set unchanged
+        cut = draw(st.integers(1, 4))
+        inner = (f"SELECT n_nationkey, n_name FROM nation "
+                 f"WHERE n_regionkey < {cut}")
+        cols = ["n_nationkey", "n_name"]
+        eng_sql = (f"SELECT n_nationkey, n_name FROM ({inner}) t "
+                   f"TABLESAMPLE BERNOULLI({pct}) REPEATABLE ({seed})")
+        duck_sql = (f"SELECT n_nationkey, n_name FROM ({inner}) t "
+                    f"WHERE {_replay_pred(seed, pct, cols)}")
+        return eng_sql, duck_sql
+    if kind == "sample_cte_ref":
+        # r13: sample suffixed to a CTE REFERENCE (filter + rename
+        # inside the CTE body) — lowers to the pushed predicate over
+        # the CTE's OUTPUT columns
+        cut = draw(st.integers(5, 20))
+        cte = (f"SELECT n_nationkey AS k, n_regionkey FROM nation "
+               f"WHERE n_nationkey < {cut}")
+        eng_sql = (f"WITH c AS ({cte}) SELECT k, n_regionkey FROM c "
+                   f"TABLESAMPLE BERNOULLI({pct}) REPEATABLE ({seed})")
+        duck_sql = (f"WITH c AS ({cte}) SELECT k, n_regionkey FROM c "
+                    f"WHERE {_replay_pred(seed, pct, ['k', 'n_regionkey'])}")
+        return eng_sql, duck_sql
+    if kind == "sample_renamed":
+        # r13: stacked plain-column renames compose down to the scan
+        eng_sql = (f"SELECT k2 FROM (SELECT k AS k2 FROM "
+                   f"(SELECT n_nationkey AS k FROM nation) a) b "
+                   f"TABLESAMPLE BERNOULLI({pct}) REPEATABLE ({seed})")
+        duck_sql = (f"SELECT k2 FROM (SELECT k AS k2 FROM "
+                    f"(SELECT n_nationkey AS k FROM nation) a) b "
+                    f"WHERE {_replay_pred(seed, pct, ['k2'])}")
+        return eng_sql, duck_sql
+    if kind == "sample_bool_expr":
+        # r13 (VERDICT r12 Next #1): a BOOLEAN key column — the local
+        # arm (expression projections stay local) and DuckDB both
+        # render booleans 'true'/'false'/NULL-sentinel; the pushed
+        # arm's CASE render is pinned in the unparser goldens
+        cut = draw(st.integers(1, 4))
+        inner = (f"SELECT n_nationkey, n_regionkey < {cut} AS flag "
+                 f"FROM nation")
+        eng_sql = (f"SELECT n_nationkey, flag FROM ({inner}) t "
+                   f"TABLESAMPLE BERNOULLI({pct}) REPEATABLE ({seed})")
+        duck_sql = (f"SELECT n_nationkey, flag FROM ({inner}) t "
+                    f"WHERE {_replay_pred(seed, pct, ['n_nationkey', 'flag'])}")
         return eng_sql, duck_sql
     # sample_derived_join: sampled derived table on the right side
     inner = "SELECT n_nationkey, n_name FROM nation"

@@ -2963,3 +2963,100 @@ def test_constant_projection_with_aggregates(spark):
     with pytest.raises(Exception, match="non-aggregated|subquer"):
         eng.sql_plan("SELECT (SELECT MAX(k) FROM t) AS m, COUNT(*) "
                      "FROM t")
+
+
+def test_tablesample_boolean_key_pushed_equals_local(spark):
+    """r13 (VERDICT r12 Next #1): a boolean-keyed sample pushed into a
+    remote engine must select the SAME rows as the local lowering and
+    the hashlib prediction where booleans render 'true'/'false' and
+    NULL the 'N' sentinel. The CASE render (not CAST) is what keeps
+    this true on MySQL, where CAST(TINYINT(1) AS CHAR) is '1'/'0'."""
+    import hashlib
+
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, TableSample, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    rows = [(i, [True, False, None][i % 3]) for i in range(90)]
+    ex = DuckDBExecutor(name="ts_bool_duck", compute_context="tsbool")
+    ex.conn.execute("CREATE TABLE flags (k BIGINT, flag BOOLEAN)")
+    ex.conn.executemany("INSERT INTO flags VALUES (?, ?)", rows)
+    ex._tables["flags"] = "flags"
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "flags")
+    q = ("SELECT k, flag FROM flags TABLESAMPLE BERNOULLI(50) "
+         "REPEATABLE (7) ORDER BY k")
+    fed = federate(eng.sql_plan(q).plan)
+    assert not [x for x in walk_plan(fed) if isinstance(x, TableSample)]
+    rq = [x for x in walk_plan(fed) if isinstance(x, RemoteQueryNode)]
+    assert len(rq) == 1 and "CASE WHEN" in rq[0].sql
+    got = [(r[0], r[1]) for r in eng.execute(fed).collect()]
+
+    def included(k, flag):
+        fs = "N" if flag is None else md5("true" if flag else "false")
+        return md5(f"7|{md5(str(k))}{fs}")[:4] < "8000"
+
+    want = [r for r in rows if included(*r)]
+    assert 0 < len(want) < 90
+    assert got == want
+    # identical rows when the same data is LOCAL
+    eng2 = FederationEngine(spark)
+    eng2.register_local_df("flags", spark.createDataFrame(
+        rows, "k bigint, flag boolean"))
+    assert got == [(r[0], r[1]) for r in eng2.sql(q).collect()]
+
+
+def test_tablesample_over_filtered_and_cte_pushes(spark):
+    """r13 (VERDICT r12 Next #4): a sample suffixed to a FILTERED
+    relation or a CTE reference lowers to the pushed Filter too — a
+    filter below the sample does not change the visible columns, so
+    the key set is identical. One RemoteQueryNode, no TableSample
+    node, rows equal the local lowering."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.plans.nodes import (
+        RemoteQueryNode, TableSample, walk_plan)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="ts_flt_duck", compute_context="tsflt")
+    ex.register_parquet("customer", f"{TESTDATA}/customer.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "customer")
+    eng2 = FederationEngine(spark)
+    eng2.register_local_parquet("customer",
+                                f"{TESTDATA}/customer.parquet")
+    for q in [
+        # sample over a filtered derived table
+        ("SELECT c_custkey FROM (SELECT c_custkey FROM customer "
+         "WHERE c_custkey > 20) c TABLESAMPLE BERNOULLI(50) "
+         "REPEATABLE (3) ORDER BY c_custkey"),
+        # sample over a CTE reference (filter + rename inside)
+        ("WITH keys AS (SELECT c_custkey AS k FROM customer "
+         "WHERE c_custkey > 20) "
+         "SELECT k FROM keys TABLESAMPLE BERNOULLI(50) "
+         "REPEATABLE (3) ORDER BY k"),
+        # stacked plain-column renames compose
+        ("SELECT k2 FROM (SELECT k AS k2 FROM (SELECT c_custkey AS k "
+         "FROM customer WHERE c_custkey > 20) a) b "
+         "TABLESAMPLE BERNOULLI(50) REPEATABLE (3) ORDER BY k2"),
+    ]:
+        fed = federate(eng.sql_plan(q).plan)
+        assert not [x for x in walk_plan(fed)
+                    if isinstance(x, TableSample)], q
+        rq = [x for x in walk_plan(fed) if isinstance(x, RemoteQueryNode)]
+        assert len(rq) == 1 and "md5" in rq[0].sql.lower(), q
+        got = [r[0] for r in eng.execute(fed).collect()]
+        assert 0 < len(got) < 130, q
+        assert got == [r[0] for r in eng2.sql(q).collect()], q
+    # a sample over an EXPRESSION projection still stays local (the
+    # key would need the computed value's engine-stable render)
+    q = ("SELECT kk FROM (SELECT c_custkey + 1 AS kk FROM customer) c "
+         "TABLESAMPLE BERNOULLI(50) REPEATABLE (3)")
+    fed = federate(eng.sql_plan(q).plan)
+    assert [x for x in walk_plan(fed) if isinstance(x, TableSample)]

@@ -951,3 +951,40 @@ def test_sample_predicate_refuses_sqlite_and_derby():
     for d in ("sqlite", "derby"):
         with _pt.raises(UnsupportedUnparse, match="md5"):
             sql(p, d)
+
+
+def test_sample_predicate_boolean_renders_case_not_cast():
+    """r13 (VERDICT r12 Next #1 / ADVICE r12): a boolean key column
+    must NOT render through CAST-to-string — MySQL's BOOLEAN is
+    TINYINT(1) and CAST(b AS CHAR) yields '1'/'0' while Spark/DuckDB/
+    Postgres yield 'true'/'false', so a boolean-keyed pushed sample
+    would silently select a DIFFERENT subset on a live MySQL. The
+    NULL-preserving searched CASE renders 'true'/'false' identically
+    on every pushdown dialect (NULL falls through to NULL -> the 'N'
+    sentinel, exactly like every other type)."""
+    from datafusion_federation_spark.sqlfront import _make_tablesample
+    from pyspark.sql import types as T
+    handle = h("docs")
+    handle.schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("flag", T.BooleanType())])
+    p = _make_tablesample(Scan(handle), 25.0, 7)
+    assert isinstance(p, Filter)
+    case = ("CASE WHEN \"flag\" THEN 'true' "
+            "WHEN (NOT \"flag\") THEN 'false' END")
+    want = ("SELECT * FROM \"docs\" WHERE "
+            "(substring(md5(concat('7|', "
+            "coalesce(md5(CAST(\"k\" AS VARCHAR)), 'N'), "
+            f"coalesce(md5({case}), 'N'))), 1, 4) "
+            "< '4000')")
+    assert sql(p, "duckdb") == want
+    assert sql(p, "postgres") == want
+    out = sql(p, "mysql")
+    assert "CAST(`flag`" not in out
+    assert out == (
+        "SELECT * FROM `docs` WHERE "
+        "(substring(md5(concat('7|', "
+        "coalesce(md5(CAST(`k` AS CHAR)), 'N'), "
+        "coalesce(md5(CASE WHEN `flag` THEN 'true' "
+        "WHEN (NOT `flag`) THEN 'false' END), 'N'))), 1, 4) "
+        "< '4000')")
