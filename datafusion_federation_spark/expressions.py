@@ -1610,16 +1610,47 @@ def bind_placeholders(plan, params: dict) -> None:
     from .plans.nodes import walk_plan
     for node in walk_plan(plan):
         for e in node.exprs():
-            for x in walk(e):
-                if isinstance(x, Placeholder):
-                    key = x.name
-                    stripped = key.lstrip("$:@")
-                    if key in params:
-                        x.value = params[key]
-                    elif stripped in params:
-                        x.value = params[stripped]
+            bind_expr_placeholders(e, params)
         for x in _subquery_plans(node):
             bind_placeholders(x, params)
+
+
+def bind_expr_placeholders(expr, params: dict) -> None:
+    """Bind Placeholder values inside ONE expression tree in place
+    (r13: the DML paths carry bare predicates/assignments, not plans).
+    Subquery plans nested in the expression bind too."""
+    if expr is None:
+        return
+    for x in walk(expr):
+        if isinstance(x, Placeholder):
+            key = x.name
+            stripped = key.lstrip("$:@")
+            if key in params:
+                x.value = params[key]
+            elif stripped in params:
+                x.value = params[stripped]
+        elif isinstance(x, (ScalarSubquery, Exists, InSubquery,
+                            SetComparison)):
+            bind_placeholders(x.plan, params)
+
+
+def unbound_placeholders(expr) -> list:
+    """Names of Placeholder markers still unbound in an expression
+    tree (including nested subquery plans) — the engine refuses to
+    ship these to a remote engine verbatim."""
+    from .plans.nodes import walk_plan
+    out = []
+    if expr is None:
+        return out
+    for x in walk(expr):
+        if isinstance(x, Placeholder) and x.value is _UNBOUND:
+            out.append(x.name)
+        elif isinstance(x, (ScalarSubquery, Exists, InSubquery,
+                            SetComparison)):
+            for node in walk_plan(x.plan):
+                for e in node.exprs():
+                    out.extend(unbound_placeholders(e))
+    return out
 
 
 def _subquery_plans(node):

@@ -34,6 +34,22 @@ class Plan:
 
 
 @dataclass(eq=False)
+class VerbatimSQLPlan(Plan):
+    """Unparse-only leaf carrying pre-rendered remote SQL (r13,
+    VERDICT r12 Next #3): a DML predicate subquery whose plan already
+    claimed wholly to the target's provider is swapped for this node,
+    so the enclosing expression's to_sql splices the claimed SQL
+    verbatim into the one remote statement. Never enters federate()
+    or the compiler — DML statements ship as strings, not plans."""
+
+    sql: str
+
+    def with_inputs(self, new_inputs):
+        assert not new_inputs
+        return self
+
+
+@dataclass(eq=False)
 class Scan(Plan):
     """Table scan. ``table`` is a registry TableHandle carrying the local
     name, the owning provider, the remote table reference and the Spark

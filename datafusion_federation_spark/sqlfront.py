@@ -73,6 +73,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<str>'(?:[^']|'')*')
     | (?P<qid>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
     | (?P<id>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<param>\$\d+|:[A-Za-z_][A-Za-z_0-9]*)
     | (?P<op>->|<=|>=|<>|!=|\|\||[=<>+\-*/%(),.*])
     )""", re.X)
 
@@ -164,6 +165,12 @@ def tokenize(sql: str) -> List[Tuple[str, str]]:
             out.append(("id", q[1:-1].replace(q[0] * 2, q[0])))
         elif m.lastgroup == "id":
             out.append(("id", m.group("id")))
+        elif m.lastgroup == "param":
+            # $1 / :name parameter markers (r13, VERDICT r12 Next #2):
+            # lex as their own kind so engine.sql can parse + bind
+            # them through the plan IR instead of degrading every
+            # parameterized query to the per-table-view fallback
+            out.append(("param", m.group("param")))
         else:
             out.append(("op", m.group("op")))
     return out
@@ -2209,6 +2216,14 @@ class Parser:
         if t[0] == "str":
             self.take()
             return Lit(t[1])
+        if t[0] == "param":
+            # $1 / :name -> Placeholder; engine.sql binds params before
+            # execution (unbound markers refuse there, loudly — a
+            # verbatim marker shipped to a remote engine would either
+            # error confusingly or bind to ITS session state)
+            from .expressions import Placeholder
+            self.take()
+            return Placeholder(t[1])
         if self.accept_op("("):
             if self.at_kw("SELECT"):
                 sub = self.parse_query(scope)
@@ -2595,6 +2610,65 @@ def _validate_supported(plan: Plan) -> None:
                         "the compiler surface")
 
 
+def _strip_full_paren_wrap(p: "Parser", kws) -> None:
+    """Remove ONE paren pair wrapping the ENTIRE remaining token
+    stream when the open paren is followed by one of ``kws`` —
+    `... AS (SELECT ...)` / `INSERT INTO t (VALUES ...)`. Balance-
+    scans from the opening paren (ADVICE r12: a naive last-token
+    strip mangles `AS (SELECT ...) UNION (SELECT ...)`); a partial
+    wrap leaves the tokens untouched for the normal parse path."""
+    if p.peek() != ("op", "(") or p.peek(1) is None \
+            or p.peek(1)[0] != "id" or p.peek(1)[1].upper() not in kws:
+        return
+    depth, close = 0, None
+    for j in range(p.i, len(p.toks)):
+        if p.toks[j] == ("op", "("):
+            depth += 1
+        elif p.toks[j] == ("op", ")"):
+            depth -= 1
+            if depth == 0:
+                close = j
+                break
+    if close == len(p.toks) - 1:
+        del p.toks[close]
+        del p.toks[p.i]
+
+
+def _parse_insert_values(p: "Parser", cols) -> Plan:
+    """INSERT-source ``VALUES (e, ...), ...`` rows -> the same
+    UNION-ALL-of-one-row-projections IR as the FROM-clause VALUES
+    relation (so federation/claiming/unparse need no new case).
+    Output names: the INSERT column list when given, else c1..cn —
+    INSERT binds positionally, so the names never reach the engine's
+    semantics."""
+    scope = _Scope()
+    p.expect_kw("VALUES")
+    rows: List[List[Expr]] = []
+    while True:
+        p.expect_op("(")
+        row = [p.parse_expr(scope)]
+        while p.accept_op(","):
+            row.append(p.parse_expr(scope))
+        p.expect_op(")")
+        if rows and len(row) != len(rows[0]):
+            raise SqlParseError(
+                f"VALUES rows have inconsistent arity "
+                f"({len(rows[0])} vs {len(row)})")
+        rows.append(row)
+        if not p.accept_op(","):
+            break
+    names = cols if cols else [f"c{i+1}" for i in range(len(rows[0]))]
+    if len(names) != len(rows[0]):
+        raise SqlParseError(
+            f"INSERT column list names {len(names)} columns but "
+            f"VALUES rows have {len(rows[0])}")
+    branches: List[Plan] = [
+        Project(OneRow(), [Alias(e, c) for e, c in zip(row, names)])
+        for row in rows]
+    return (branches[0] if len(branches) == 1
+            else Union(branches, all=True))
+
+
 def parse_insert(sql: str, resolve_table: Callable[[str], Any]):
     """Parse ``INSERT INTO name [(col, ...)] <query>`` (r12, VERDICT
     r11 Next #6 — federated write-back). Returns
@@ -2627,29 +2701,25 @@ def parse_insert(sql: str, resolve_table: Callable[[str], Any]):
                 continue
             p.expect_op(")")
             break
+    # `INSERT INTO t [(cols)] VALUES (...), (...)` and the
+    # paren-wrapped `INSERT INTO t (VALUES ...)` (r13, VERDICT r12
+    # Next #7 review edge): the rows lower to the same UNION-ALL-of-
+    # one-row-projections IR as a FROM-clause VALUES relation, so a
+    # remote target ships `INSERT INTO t SELECT ... UNION ALL ...` —
+    # the alias-list requirement of the relation form does not apply
+    # (INSERT binds positionally; names come from the column list or
+    # synthetic c1..cn)
+    _strip_full_paren_wrap(p, ("SELECT", "WITH", "VALUES"))
     if p.at_kw("VALUES"):
-        raise SqlParseError(
-            "INSERT ... VALUES is outside the parser surface — spell "
-            "the rows as SELECT ... UNION ALL SELECT ..., or use "
-            "engine.insert_into with a DataFrame")
-    # `INSERT INTO t (SELECT ...)` — strip a paren pair that wraps the
-    # ENTIRE remaining source (a partial wrap, e.g. a parenthesized
-    # set-op branch, keeps the normal parse path and its error)
-    if p.peek() == ("op", "(") and p.peek(1) is not None \
-            and p.peek(1)[0] == "id" \
-            and p.peek(1)[1].upper() in ("SELECT", "WITH"):
-        depth, close = 0, None
-        for j in range(p.i, len(p.toks)):
-            if p.toks[j] == ("op", "("):
-                depth += 1
-            elif p.toks[j] == ("op", ")"):
-                depth -= 1
-                if depth == 0:
-                    close = j
-                    break
-        if close == len(p.toks) - 1:
-            del p.toks[close]
-            del p.toks[p.i]
+        plan = _parse_insert_values(p, cols)
+        if p.peek() is not None:
+            raise SqlParseError(f"trailing tokens at {p.peek()}")
+        _validate_supported(plan)
+        return name, cols, plan
+    # `INSERT INTO t (SELECT ...)` — the full-wrap strip above already
+    # removed a paren pair wrapping the ENTIRE remaining source (a
+    # partial wrap, e.g. a parenthesized set-op branch, keeps the
+    # normal parse path and its error)
     try:
         plan = p.parse()
     except SqlParseError:
@@ -2823,8 +2893,26 @@ def parse_update(sql: str, resolve_table: Callable[[str], Any]):
         if c[0] != "id":
             raise SqlParseError(
                 f"expected column name in SET clause, got {c}")
+        colname = c[1]
+        if p.peek() == ("op", "."):
+            # qualified SET column `t.col` (VERDICT r12 What's-wrong
+            # #3): a single-table UPDATE makes the qualifier
+            # unambiguous — accept it when it names the target table,
+            # refuse loudly otherwise
+            p.take()
+            c2 = p.take()
+            if c2[0] != "id":
+                raise SqlParseError(
+                    f"expected column name after '{colname}.', got {c2}")
+            last = name.split(".")[-1].lower()
+            if colname.lower() not in (name.lower(), last):
+                raise SqlParseError(
+                    f"SET column qualifier {colname!r} does not name "
+                    f"the UPDATE target {name!r} — qualify with the "
+                    f"target table or use the bare column name")
+            colname = c2[1]
         p.expect_op("=")
-        sets.append((c[1], p.parse_expr(_Scope())))
+        sets.append((colname, p.parse_expr(_Scope())))
         if not p.accept_op(","):
             break
     pred = None
@@ -2852,13 +2940,12 @@ def parse_ctas(sql: str, resolve_table: Callable[[str], Any]):
             "supported here")
     name = _parse_dotted_name(p, "TABLE")
     p.expect_kw("AS")
-    if p.accept_op("("):
-        # CREATE TABLE t AS (SELECT ...): strip the wrap if it closes
-        # the statement
-        if p.toks and p.toks[-1] == ("op", ")"):
-            p.toks = p.toks[:-1]
-        else:
-            raise SqlParseError("unbalanced parens around CTAS source")
+    # CREATE TABLE t AS (SELECT ...): strip only a pair wrapping the
+    # WHOLE source — balance-scanned (ADVICE r12: the old last-token
+    # strip mangled `AS (SELECT ...) UNION (SELECT ...)`, and the
+    # swallowed SqlParseError silently degraded the CTAS to a LOCAL
+    # Spark table instead of the remote zero-movement path)
+    _strip_full_paren_wrap(p, ("SELECT", "WITH"))
     try:
         plan = p.parse()
     except SqlParseError:

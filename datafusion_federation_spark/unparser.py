@@ -79,6 +79,11 @@ class Unparser:
 
     # ------------------------------------------------------------------
     def plan_to_sql(self, plan: Plan) -> str:
+        from .plans.nodes import VerbatimSQLPlan
+        if isinstance(plan, VerbatimSQLPlan):
+            # pre-claimed DML subquery SQL (r13) — already rendered in
+            # this dialect with remote table names; splice verbatim
+            return plan.sql
         return self._to_query(plan)
 
     # ------------------------------------------------------------------

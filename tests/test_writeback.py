@@ -113,21 +113,36 @@ def test_local_target_insert_select(spark, tmp_path):
     assert spark.read.parquet(p).count() == 6   # 1 seed + 5 regions
 
 
-def test_insert_values_refuses(spark):
-    from datafusion_federation_spark.engine import FederationEngine
+def test_insert_values(spark):
+    """r13 (VERDICT r12 Next #7 review edge): INSERT ... VALUES — the
+    most common INSERT shape — lowers to the same UNION-ALL-of-
+    one-row-projections IR as a FROM-clause VALUES relation and ships
+    as one remote statement; the paren-wrapped `(VALUES ...)` source
+    and the column-list form work too; arity mismatches refuse."""
     from datafusion_federation_spark.sqlfront import (
         SqlParseError, parse_insert)
     eng, ex, prov = _duck_engine(spark, ["region"], name="wb_vals")
-    ex.conn.execute("CREATE TABLE sink (x INT)")
+    ex.conn.execute("CREATE TABLE sink (x INT, lab VARCHAR)")
     eng.register_remote(prov, "sink")
-    with pytest.raises(SqlParseError, match="VALUES"):
-        parse_insert("INSERT INTO sink VALUES (1)", eng.catalog.table)
-    # UNION ALL of FROM-less SELECTs is the supported spelling
-    n = eng.sql("INSERT INTO sink SELECT 1 AS x UNION ALL "
-                "SELECT 2 AS x")
+    n = eng.sql("INSERT INTO sink VALUES (1, 'a'), (2, 'b')")
     assert n == 2
+    n = eng.sql("INSERT INTO sink (x, lab) VALUES (3, 'c')")
+    assert n == 1
+    n = eng.sql("INSERT INTO sink (VALUES (4, 'd'))")
+    assert n == 1
     assert ex.conn.execute(
-        "SELECT * FROM sink ORDER BY x").fetchall() == [(1,), (2,)]
+        "SELECT * FROM sink ORDER BY x").fetchall() == [
+            (1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    with pytest.raises(SqlParseError, match="arity"):
+        parse_insert("INSERT INTO sink VALUES (1, 'a'), (2)",
+                     eng.catalog.table)
+    with pytest.raises(SqlParseError, match="names 2 columns"):
+        parse_insert("INSERT INTO sink (x, lab) VALUES (1)",
+                     eng.catalog.table)
+    # UNION ALL of FROM-less SELECTs keeps working
+    n = eng.sql("INSERT INTO sink SELECT 5 AS x, 'e' AS lab UNION ALL "
+                "SELECT 6 AS x, 'f' AS lab")
+    assert n == 2
 
 
 def test_derby_remote_writeback(spark):
@@ -187,7 +202,9 @@ def test_remote_delete_and_update(spark):
 
 
 def test_dml_refusals(spark):
-    """Subquery predicates and local targets refuse loudly."""
+    """Cross-provider subquery predicates and local targets refuse
+    loudly (r13: SAME-provider subqueries now ship verbatim — see
+    test_dml_same_provider_subqueries)."""
     from datafusion_federation_spark.engine import FederationEngine
     from datafusion_federation_spark.sources.provider import (
         DuckDBExecutor, SQLProvider)
@@ -196,14 +213,52 @@ def test_dml_refusals(spark):
     eng = FederationEngine(spark)
     eng.register_remote(SQLProvider(ex), "t")
     eng.register_local_parquet("region", f"{TESTDATA}/region.parquet")
-    with pytest.raises(NotImplementedError, match="subquery"):
-        eng.sql("DELETE FROM t WHERE k IN (SELECT k FROM t)")
-    with pytest.raises(NotImplementedError, match="subquery"):
-        eng.sql("UPDATE t SET k = (SELECT MAX(k) FROM t)")
+    # subquery over a LOCAL table: would need Spark-side
+    # materialization — refuses
+    with pytest.raises(NotImplementedError, match="claim"):
+        eng.sql("DELETE FROM t WHERE k IN "
+                "(SELECT r_regionkey FROM region)")
+    with pytest.raises(NotImplementedError, match="claim"):
+        eng.sql("UPDATE t SET k = "
+                "(SELECT MAX(r_regionkey) FROM region)")
     with pytest.raises(NotImplementedError, match="immutable"):
         eng.sql("DELETE FROM region")
     with pytest.raises(NotImplementedError, match="immutable"):
         eng.sql("UPDATE region SET r_name = 'x'")
+
+
+def test_dml_same_provider_subqueries(spark):
+    """r13 (VERDICT r12 Next #3): a DML predicate/value subquery that
+    claims WHOLLY to the target's provider ships inside the one remote
+    statement — verified by recomputing the expected survivors in
+    DuckDB directly."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_sub", compute_context="wb:sub")
+    ex.conn.execute("CREATE TABLE t (k INT, grp VARCHAR)")
+    ex.conn.execute("INSERT INTO t VALUES (1,'a'),(2,'a'),(3,'b'),"
+                    "(4,'b'),(5,'c')")
+    ex.conn.execute("CREATE TABLE drops (k INT)")
+    ex.conn.execute("INSERT INTO drops VALUES (2),(4)")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "t")
+    eng.register_remote(prov, "drops")
+    n = eng.sql("DELETE FROM t WHERE k IN (SELECT k FROM drops)")
+    assert n == 2
+    assert ex.conn.execute(
+        "SELECT k FROM t ORDER BY k").fetchall() == [(1,), (3,), (5,)]
+    # scalar subquery as an UPDATE value
+    n = eng.sql("UPDATE t SET k = (SELECT MAX(k) FROM drops) "
+                "WHERE grp = 'c'")
+    assert n == 1
+    assert ex.conn.execute(
+        "SELECT k FROM t WHERE grp = 'c'").fetchall() == [(4,)]
+    # EXISTS form in DELETE
+    n = eng.sql("DELETE FROM t WHERE EXISTS "
+                "(SELECT 1 FROM drops WHERE drops.k = 4)")
+    assert n == 3
 
 
 def test_remote_ctas(spark):
@@ -320,15 +375,174 @@ def test_spark_remote_writeback(spark, tmp_path):
 
 
 def test_dml_params_and_local_collist_refuse(spark, tmp_path):
-    """r12 review: bound params on DML refuse (silently dropping them
-    would mutate unselected rows); a column list on a LOCAL parquet
-    target refuses (appends are by-schema, not by-list)."""
+    """r13: params on DML now BIND (VERDICT r12 Next #2) — a param
+    DELETE on a local parquet target reaches the immutability refusal;
+    a column list on a LOCAL parquet target still refuses (appends are
+    by-schema, not by-list)."""
     from datafusion_federation_spark.engine import FederationEngine
     eng = FederationEngine(spark)
     p = str(tmp_path / "t")
     spark.createDataFrame([("a", 1)], "r string, n int").write.parquet(p)
     eng.register_local_parquet("t", p)
-    with pytest.raises(NotImplementedError, match="params"):
+    with pytest.raises(NotImplementedError, match="immutable"):
         eng.sql("DELETE FROM t WHERE n = :x", params={"x": 1})
     with pytest.raises(NotImplementedError, match="column"):
         eng.sql("INSERT INTO t (r) SELECT r FROM t")
+
+
+def test_dml_param_binding(spark):
+    """r13 (VERDICT r12 Next #2): $1/:name placeholders bind into
+    DML — the literal reaches the remote statement through the
+    existing expression unparse; unbound markers refuse loudly
+    naming themselves; the oracle is a DuckDB recompute."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_par", compute_context="wb:par")
+    ex.conn.execute("CREATE TABLE t (k INT, lab VARCHAR)")
+    ex.conn.execute(
+        "INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "t")
+    n = eng.sql("DELETE FROM t WHERE k = :k", params={"k": 2})
+    assert n == 1
+    n = eng.sql("UPDATE t SET lab = :lab WHERE k > $1",
+                params={"lab": "Z", "1": 3})
+    assert n == 1
+    n = eng.sql("INSERT INTO t VALUES (:k, :lab)",
+                params={"k": 9, "lab": "ins"})
+    assert n == 1
+    n = eng.sql("INSERT INTO t SELECT k + :off AS k, lab FROM t "
+                "WHERE k = :k", params={"off": 100, "k": 9})
+    assert n == 1
+    assert ex.conn.execute("SELECT k, lab FROM t ORDER BY k").fetchall() \
+        == [(1, "a"), (3, "c"), (4, "Z"), (9, "ins"), (109, "ins")]
+    with pytest.raises(ValueError, match=":missing"):
+        eng.sql("DELETE FROM t WHERE k = :missing", params={"x": 1})
+    with pytest.raises(ValueError, match=":k"):
+        eng.sql("DELETE FROM t WHERE k = :k")
+    # SELECT front door: params bind through the federated plan too
+    got = [tuple(r) for r in eng.sql(
+        "SELECT k, lab FROM t WHERE k >= :lo ORDER BY k",
+        params={"lo": 9}).collect()]
+    assert got == [(9, "ins"), (109, "ins")]
+    with pytest.raises(ValueError, match=":lo"):
+        eng.sql("SELECT k FROM t WHERE k >= :lo")
+
+
+def test_dml_routing_block_comment_and_unregistered(spark):
+    """r13 (VERDICT r12 What's-wrong #2 + ADVICE): a leading /* */
+    block comment must not hide the DML verb from the router; DML on
+    a table outside the federation catalog falls through to Spark's
+    own resolution, which errors loudly naming the table instead of
+    surfacing a bare KeyError."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_cmt", compute_context="wb:cmt")
+    ex.conn.execute("CREATE TABLE t (k INT)")
+    ex.conn.execute("INSERT INTO t VALUES (1),(2)")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "t")
+    n = eng.sql("/* audit: cleanup */ DELETE FROM t WHERE k = 1")
+    assert n == 1
+    n = eng.sql("  -- line one\n/* and\nblock */ INSERT INTO t "
+                "VALUES (7)")
+    assert n == 1
+    assert ex.conn.execute("SELECT k FROM t ORDER BY k").fetchall() \
+        == [(2,), (7,)]
+    # unregistered table: Spark names it (no bare KeyError escapes)
+    with pytest.raises(Exception) as ei:
+        eng.sql("DELETE FROM never_registered WHERE k = 1")
+    assert not isinstance(ei.value, KeyError)
+    assert "never_registered" in str(ei.value)
+
+
+def test_update_qualified_set_columns(spark):
+    """r13 (VERDICT r12 What's-wrong #3): UPDATE t SET t.col = ...
+    accepts the target-table qualifier (single-table UPDATE makes it
+    unambiguous); a qualifier naming some OTHER table refuses."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sqlfront import (
+        SqlParseError, parse_update)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_qs", compute_context="wb:qs")
+    ex.conn.execute("CREATE TABLE t (k INT, lab VARCHAR)")
+    ex.conn.execute("INSERT INTO t VALUES (1,'a'),(2,'b')")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "t")
+    n = eng.sql("UPDATE t SET t.lab = 'Q' WHERE k = 2")
+    assert n == 1
+    assert ex.conn.execute(
+        "SELECT lab FROM t WHERE k = 2").fetchall() == [("Q",)]
+    with pytest.raises(SqlParseError, match="qualifier"):
+        parse_update("UPDATE t SET other.lab = 'x'",
+                     eng.catalog.table)
+
+
+def test_ctas_paren_wrap_and_collision(spark):
+    """r13 (ADVICE r12): `CREATE TABLE t AS (SELECT ...)` strips only
+    a pair wrapping the WHOLE source (balance-scanned) and still runs
+    remotely; a CTAS onto an already-registered name refuses up front
+    instead of dying on the remote CREATE."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.federation import federate
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    eng, ex, prov = _duck_engine(spark, ["region"], name="wb_paren")
+    n = eng.sql("CREATE TABLE wrapped AS (SELECT r_regionkey, r_name "
+                "FROM region WHERE r_regionkey < 3)")
+    assert n == 3
+    assert ex.conn.execute(
+        "SELECT COUNT(*) FROM wrapped").fetchall() == [(3,)]
+    # full-wrap around a set-op inside ONE pair also lowers remotely
+    n = eng.sql("CREATE TABLE wrapped2 AS (SELECT r_name FROM region "
+                "UNION ALL SELECT r_name FROM region)")
+    assert n == 10
+    # name collision refuses up front, naming both outs
+    with pytest.raises(ValueError, match="already registered"):
+        eng.sql("CREATE TABLE wrapped AS SELECT r_name FROM region")
+
+
+def test_derby_ctas_failure_drops_shell(spark):
+    """r13 (ADVICE r12 + VERDICT r12 Next #5): Derby's two-statement
+    CTAS is non-atomic — when the INSERT fails the engine drops the
+    just-created empty shell so a retry does not trip over it."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        JDBCExecutor, SQLProvider)
+    url = "jdbc:derby:memory:wbctasfail"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    try:
+        st = conn.createStatement()
+        st.executeUpdate('CREATE TABLE "src" ("k" INT)')
+        st.executeUpdate('INSERT INTO "src" VALUES (1), (2)')
+        st.close()
+        ex = JDBCExecutor(url=url, name="wb_dcf", dialect="derby")
+        eng = FederationEngine(spark)
+        eng.register_remote(SQLProvider(ex), "src")
+        orig = ex.execute_statement
+        calls = []
+
+        def failing(spark_, stmt):
+            calls.append(stmt)
+            if stmt.lstrip().upper().startswith("INSERT"):
+                raise RuntimeError("injected INSERT failure")
+            return orig(spark_, stmt)
+
+        ex.execute_statement = failing
+        with pytest.raises(RuntimeError, match="injected"):
+            eng.sql("CREATE TABLE dst AS SELECT k FROM src")
+        ex.execute_statement = orig
+        # the shell was dropped: the same CTAS now succeeds
+        assert any(s.lstrip().upper().startswith("DROP TABLE")
+                   for s in calls)
+        n = eng.sql("CREATE TABLE dst AS SELECT k FROM src")
+        assert n == 2
+    finally:
+        try:
+            jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
+        except Exception:
+            pass
