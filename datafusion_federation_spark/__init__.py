@@ -24,10 +24,11 @@ from .expressions import (  # noqa: F401
 from .federation import ScanResult, federate  # noqa: F401
 from .plans.nodes import Analyze  # noqa: F401
 from .sources import (  # noqa: F401
-    DuckDBExecutor, FederatedCatalog, FederationProvider,
-    FlightSQLExecutor, JDBCExecutor, LocalSparkProvider, RemoteTable,
-    RemoteTableRef, SQLExecutor, SQLiteExecutor, SQLProvider,
-    SparkSQLExecutor, TableHandle,
+    DuckDBExecutor, EphemeralPostgres, FederatedCatalog,
+    FederationProvider, FlightSQLExecutor, JDBCExecutor,
+    LocalSparkProvider, PostgresExecutor, RemoteTable, RemoteTableRef,
+    SQLExecutor, SQLiteExecutor, SQLProvider, SparkSQLExecutor,
+    TableHandle,
 )
 from .unparser import Unparser  # noqa: F401
 

@@ -123,6 +123,11 @@ class Dialect:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
+        if isinstance(v, (bytes, bytearray)):
+            # binary literal (r13, live-PG insert passthrough):
+            # ANSI/DuckDB/MySQL spell X'hex'; PostgreSQL overrides
+            # with the bytea hex-string form
+            return self.binary_literal(bytes(v))
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, _dt.datetime):
@@ -131,9 +136,16 @@ class Dialect:
             return f"DATE '{v.isoformat()}'"
         if isinstance(v, (int, float)):
             return repr(v)
+        import decimal as _dec
+        if isinstance(v, _dec.Decimal):
+            return str(v)
         if isinstance(v, (list, tuple)):
             return "(" + ", ".join(self.literal(x) for x in v) + ")"
         raise ValueError(f"cannot render literal {v!r}")
+
+    def binary_literal(self, b: bytes) -> str:
+        return "X'" + b.hex() + "'"
+
 
     def type_name(self, spark_type: str) -> str:
         t = spark_type.strip().lower()
@@ -323,6 +335,10 @@ class DuckDBDialect(Dialect):
 
 class PostgresDialect(Dialect):
     name = "postgres"
+
+    def binary_literal(self, b: bytes) -> str:
+        # bytea hex input format (implicitly cast in INSERT contexts)
+        return "'\\x" + b.hex() + "'"
     supports_star_replace = False  # no * REPLACE/EXCLUDE syntax
     ignore_nulls_style = None      # no IGNORE NULLS syntax
     supports_frame_exclude = True  # EXCLUDE clause since PG 11

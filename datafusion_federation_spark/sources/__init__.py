@@ -8,3 +8,6 @@ from .catalog import FederatedCatalog  # noqa: F401
 from .partitioned import (  # noqa: F401
     PartitionedDuckDBExecutor, read_duckdb_partitioned,
 )
+from .postgres import (  # noqa: F401
+    EphemeralPostgres, PostgresExecutor, ephemeral_postgres_available,
+)
