@@ -566,17 +566,41 @@ SECONDARY = {
     #   test ties the two decoders together; d98 stays under bench +
     #   tools + the triple-validation tests
     "d98_jpeg_decode",
-    # - q118 (TABLESAMPLE): q120 carries the IDENTICAL deterministic
-    #   hash-Bernoulli lowering in-window (equal seeds select equal
-    #   rows across both spellings, pinned); q118 stays under bench +
+    # - q118 (TABLESAMPLE): q126 carries the IDENTICAL deterministic
+    #   hash-Bernoulli lowering in-window (r13: pushed into remote SQL
+    #   under a filter — the superset shape); q118 stays under bench +
     #   tools + the replayed-predicate test
     "q118_tablesample",
-    # round 12 write-back breadth (r6/r7 beyond-window convention):
-    # q121 carries the execute_statement machinery + claim analysis
-    # in-window; the CTAS/DELETE/UPDATE spellings stay under bench +
-    # tools + 11 tests incl. live Derby (test_writeback.py)
+    # round 13 rotation (VERDICT r12 Next #6): q123 (remote UPDATE)
+    # takes a window slot; q122's DELETE-predicate unparse + CTAS +
+    # claim machinery is carried in-window by q124 (remote DELETE with
+    # a same-provider IN-subquery — the superset statement shape);
+    # q122 stays under bench + tools + test_writeback live runs
     "q122_remote_delete",
-    "q123_remote_update",
+    # round 13: q120 (USING SAMPLE) demotes — q126 carries the same
+    # deterministic hash-Bernoulli lowering AND the pushed-into-remote
+    # SQL path in-window (now under a filter, the superset shape); the
+    # USING-SAMPLE/TABLESAMPLE equal-seed equivalence is pinned in
+    # test_sqlfront; q120 stays under bench + tools
+    "q120_using_sample",
+    # round 13: q115 (bare single-key PIVOT) demotes — q119 multi-key
+    # PIVOT carries the identical discovery + Spark-rendered
+    # match-value machinery in-window (multi-key is the superset);
+    # q115 stays under bench + tools + the pivot fuzzer shapes
+    "q115_bare_pivot",
+    # round 13: q61 (correlated NOT EXISTS) demotes — q60 carries the
+    # identical correlated-claim/decorrelation machinery in-window
+    # (semi vs anti is a join-type flag in the one compile path, the
+    # q28/q29 precedent); q61 stays under bench + tools
+    "q61_correlated_not_exists",
+    # round 13: d28 (decontamination) demotes — its components hold
+    # in-window rows (n-gram shingle join via d03, anti-join removal
+    # via d01); d28 stays under bench + tools + test_curation
+    "d28_decontaminate",
+    # round 13: q56 (federated UNION) demotes — q127 carries the same
+    # Union unparse shell in-window, executed on LIVE PostgreSQL (the
+    # new transport row); q56 stays under bench + tools
+    "q56_federated_union",
 }
 
 DEC = "decimal(12,2)"

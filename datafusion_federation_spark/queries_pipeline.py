@@ -6527,3 +6527,204 @@ def q123(spark, sf):
     return eng.sql(
         "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars "
         "FROM doc_upd GROUP BY lang ORDER BY lang")
+
+
+_Q124_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE lang NOT IN (SELECT lang FROM documents
+                   GROUP BY lang HAVING COUNT(*) < 5)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@q("q124_remote_delete_subquery", _Q124_SQL)
+def q124(spark, sf):
+    """Remote DELETE with a same-provider IN-subquery predicate (r13,
+    VERDICT r12 Next #3): the subquery plan claims wholly to the
+    target's provider, so the WHOLE statement — outer predicate plus
+    the grouped/HAVING subquery — ships verbatim as one remote DML
+    string (plans/nodes.py:VerbatimSQLPlan splice). Cross-provider
+    subqueries still refuse. The oracle recomputes the survivors from
+    the source with the same NOT IN. 100 TB: the key set never
+    materializes through Spark — the engine that owns both tables
+    evaluates it in place."""
+    from .engine import FederationEngine
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q124", compute_context=f"q124:{sf}")
+    ex.register_parquet("documents", f"{sf}/documents.parquet")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "documents")
+    eng.sql("CREATE TABLE doc_del AS "
+            "SELECT doc_id, lang FROM documents")
+    eng.register_remote(prov, "doc_del")
+    deleted = eng.sql(
+        "DELETE FROM doc_del WHERE lang IN "
+        "(SELECT lang FROM documents GROUP BY lang "
+        "HAVING COUNT(*) < 5)")
+    assert deleted is not None and deleted >= 0
+    last = ex.metrics()["last_sql"].lstrip().upper()
+    assert last.startswith("DELETE FROM") and "IN (" in last, \
+        "subquery DELETE did not ship as one remote statement"
+    return eng.sql(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM doc_del GROUP BY lang ORDER BY lang")
+
+
+_Q125_SQL = """
+SELECT lang,
+       CAST(SUM(CASE WHEN n_chars < 500 THEN n_chars + 13
+                     ELSE n_chars END) AS BIGINT) AS chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@q("q125_param_dml", _Q125_SQL)
+def q125(spark, sf):
+    """Param-bound DML (r13, VERDICT r12 Next #2): $1/:name markers
+    lex to Placeholder expressions, bind from ``params={...}``, and
+    reach the remote statement as dialect-rendered literals through
+    the ordinary expression unparse — the most common client shape
+    for writes. Unbound markers refuse loudly (a verbatim marker
+    shipped remotely would error confusingly or bind to that
+    session's state). The oracle recomputes the post-update values
+    with a CASE over the source."""
+    from .engine import FederationEngine
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q125", compute_context=f"q125:{sf}")
+    ex.register_parquet("documents", f"{sf}/documents.parquet")
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "documents")
+    eng.sql("CREATE TABLE doc_pup AS "
+            "SELECT doc_id, lang, n_chars FROM documents")
+    eng.register_remote(prov, "doc_pup")
+    updated = eng.sql(
+        "UPDATE doc_pup SET n_chars = n_chars + :boost "
+        "WHERE n_chars < :cap", params={"boost": 13, "cap": 500})
+    assert updated is not None and updated > 0, "param UPDATE hit 0"
+    assert ":boost" not in ex.metrics()["last_sql"], \
+        "placeholder shipped verbatim instead of binding"
+    return eng.sql(
+        "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars "
+        "FROM doc_pup GROUP BY lang ORDER BY lang")
+
+
+_Q126_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, lang FROM documents WHERE n_chars >= 300) d
+WHERE substring(md5(concat('9|',
+                coalesce(md5(CAST(doc_id AS VARCHAR)), 'N'),
+                coalesce(md5(lang), 'N'))),
+                1, 4) < '4000'
+GROUP BY lang ORDER BY lang
+"""
+
+
+@q("q126_sample_filtered_pushdown", _Q126_SQL)
+def q126(spark, sf):
+    """TABLESAMPLE over a FILTERED relation pushes into remote SQL
+    (r13, VERDICT r12 Next #4): a filter below the sample does not
+    change the visible columns, so the deterministic hash-Bernoulli
+    key set is identical and the lowered Filter claims through the
+    ordinary federation path — previously this shape kept the whole
+    node local and the table crossed the wire to be sampled. The
+    inline pin proves the sample predicate rides INSIDE the one
+    remote SQL next to the user filter; the oracle replays both. At
+    100 TB sampling at the engine vs shipping the table is the whole
+    game."""
+    from .engine import FederationEngine
+    from .federation import federate
+    from .plans.nodes import RemoteQueryNode, TableSample, walk_plan
+    from .sources.provider import DuckDBExecutor, SQLProvider
+
+    ex = DuckDBExecutor(name="duck_q126", compute_context=f"q126:{sf}")
+    ex.register_parquet("documents", f"{sf}/documents.parquet")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "documents")
+    q = ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+         "FROM (SELECT doc_id, lang FROM documents "
+         "      WHERE n_chars >= 300) d "
+         "TABLESAMPLE BERNOULLI(25) REPEATABLE (9) "
+         "GROUP BY lang ORDER BY lang")
+    fed = federate(eng.sql_plan(q).plan)
+    assert not [x for x in walk_plan(fed)
+                if isinstance(x, TableSample)], \
+        "sample-over-filter did not lower to the pushed predicate"
+    rq = [x for x in walk_plan(fed) if isinstance(x, RemoteQueryNode)]
+    assert len(rq) == 1 and "md5" in rq[0].sql.lower(), \
+        "sample predicate did not ride inside the remote SQL"
+    return eng.execute(fed)
+
+
+_Q127_SQL = """
+SELECT r_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+UNION ALL
+SELECT 'TOTAL' AS name, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+ORDER BY n DESC, name
+"""
+
+_PG_Q127_EX = {}
+
+
+def _q127_pg_executor(sf):
+    """Ephemeral live-PostgreSQL fixture for q127 (r13): one cluster
+    per process (session_postgres), one schema + load per sf. The
+    repeat-pass memo keeps bench passes from reloading."""
+    if sf in _PG_Q127_EX:
+        return _PG_Q127_EX[sf]
+    import re as _re
+
+    from .sources.postgres import (
+        load_parquet_into_postgres, session_postgres)
+    ns = "q127_" + _re.sub(r"\W", "_", sf).strip("_")[-24:]
+    ex = session_postgres().executor(
+        name="pg_q127", compute_context=f"q127:{sf}", schema_ns=ns)
+    load_parquet_into_postgres(ex, "region", f"{sf}/region.parquet")
+    load_parquet_into_postgres(ex, "nation", f"{sf}/nation.parquet")
+    _PG_Q127_EX[sf] = ex
+    return ex
+
+
+@q("q127_postgres_federated", _Q127_SQL)
+def q127(spark, sf):
+    """LIVE PostgreSQL federation (r13 — closes the r10-r12 standing
+    'live Postgres transport' gap): the sandbox ships PostgreSQL 15
+    binaries + libpq.so.5 but no Python driver or JDBC jar, so
+    PostgresExecutor speaks the libpq C API via ctypes (no pip, no
+    network). This row runs join+agg UNION ALL global-total with
+    ORDER/LIMIT shell against a real PG server: the whole statement
+    claims to the one provider and executes as ONE remote SQL (inline
+    pin), results enter Spark as Arrow typed from column OIDs, and
+    PostgreSQL's arbitrary-precision NUMERIC aggregates coerce
+    through the expected-schema cast (SchemaCastScanExec posture,
+    reference src/schema_cast/mod.rs). Union unparse carried here
+    live (q56's in-window twin). 100 TB: the reductive aggregate is
+    what crosses, never the tables."""
+    from .engine import FederationEngine
+    from .federation import federate
+    from .plans.nodes import RemoteQueryNode, walk_plan
+    from .sources.provider import SQLProvider
+
+    ex = _q127_pg_executor(sf)
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "region")
+    eng.register_remote(prov, "nation")
+    plan = eng.sql_plan(
+        "SELECT r_name AS name, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "GROUP BY r_name "
+        "UNION ALL "
+        "SELECT 'TOTAL' AS name, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM nation ORDER BY n DESC, name").plan
+    fed = federate(plan)
+    rq = [x for x in walk_plan(fed) if isinstance(x, RemoteQueryNode)]
+    assert len(rq) == 1 and "UNION ALL" in rq[0].sql, \
+        "q127 did not collapse to one live-PG SQL"
+    return eng.execute(fed)
