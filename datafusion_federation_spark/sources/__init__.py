@@ -9,5 +9,6 @@ from .partitioned import (  # noqa: F401
     PartitionedDuckDBExecutor, read_duckdb_partitioned,
 )
 from .postgres import (  # noqa: F401
-    EphemeralPostgres, PostgresExecutor, ephemeral_postgres_available,
+    EphemeralPostgres, PartitionedPostgresExecutor, PostgresExecutor,
+    ephemeral_postgres_available, read_postgres_partitioned,
 )

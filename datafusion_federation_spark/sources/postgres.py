@@ -432,6 +432,137 @@ class EphemeralPostgres:
         shutil.rmtree(self.dir, ignore_errors=True)
 
 
+def read_postgres_partitioned(spark, conninfo: str, sql: str,
+                              split_col: str, n_slices: int = 16,
+                              batch_rows: int = 65536):
+    """Distributed read of ``sql`` from PostgreSQL: the query runs
+    ``n_slices`` times, once per Spark TASK, each keeping only its
+    hash slice of ``split_col`` — results land on the executors,
+    never the driver (the partitioned.py slice pattern, here with
+    per-task libpq connections and server-side cursors so a slice
+    streams in ``batch_rows`` chunks instead of one PQexec buffer).
+
+        slice i of N: WHERE (coalesce(hashtext(CAST(col AS text)), 0)
+                             % N + N) % N = i
+
+    The double-mod keeps PostgreSQL's signed hashtext non-negative;
+    coalesce pins NULL split keys to slice 0 instead of dropping them
+    (the classic range-partitioning bug). The driver runs only
+    LIMIT 0 for the schema. Same soundness contract as the DuckDB
+    slice reader: any LIMIT or top-level ORDER BY degrades to ONE
+    slice (re-executing per slice could pick different rows / the
+    union destroys the order); a ``split_col`` absent from the result
+    degrades to one slice, never silent row loss. ``conninfo`` must
+    be reachable from executor hosts — a Unix-socket conninfo only
+    works in local mode; use TCP on a real cluster."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if n_slices < 1:
+        raise ValueError(f"n_slices must be >= 1, got {n_slices}")
+    boot = PostgresConnection(conninfo)
+    try:
+        names, oids, _ = boot.query(
+            f"SELECT * FROM ({sql}) __fed_schema LIMIT 0")
+    finally:
+        boot.close()
+    spark_types = {
+        16: T.BooleanType(), 20: T.LongType(), 21: T.ShortType(),
+        23: T.IntegerType(), 700: T.FloatType(), 701: T.DoubleType(),
+        1082: T.DateType(), 1114: T.TimestampType(),
+        1184: T.TimestampType(), 17: T.BinaryType(),
+        1700: T.DecimalType(38, 9)}
+    schema = T.StructType([
+        T.StructField(n, spark_types.get(o, T.StringType()))
+        for n, o in zip(names, oids)])
+    if split_col not in names:
+        n_slices = 1
+    if re.search(r"\blimit\b", sql, re.IGNORECASE) \
+            or re.search(r"\border\s+by\b", sql, re.IGNORECASE):
+        n_slices = 1
+
+    # PostgresConnection.query already types values by OID; NUMERIC
+    # (no Arrow-native width) comes back as text — convert to Decimal
+    # in the task so the DecimalType(38,9) schema holds
+    numeric_cols = [n for n, o in zip(names, oids) if o == 1700]
+    qcol = '"' + split_col.replace('"', '""') + '"'
+
+    def _slice_sql(i: int) -> str:
+        if n_slices == 1:
+            return sql
+        return (f"SELECT * FROM ({sql}) __fed_part WHERE "
+                f"(coalesce(hashtext(CAST({qcol} AS text)), 0) "
+                f"% {n_slices} + {n_slices}) % {n_slices} = {i}")
+
+    def run_slices(batches):
+        import decimal as _dec
+
+        import pandas as pd
+        for pdf in batches:
+            for i in pdf["__slice"]:
+                conn = PostgresConnection(conninfo)
+                try:
+                    conn.command("BEGIN")
+                    conn.command(
+                        f"DECLARE __fed_cur NO SCROLL CURSOR FOR "
+                        f"{_slice_sql(int(i))}")
+                    while True:
+                        fnames, _, cols = conn.query(
+                            f"FETCH FORWARD {batch_rows} "
+                            f"FROM __fed_cur")
+                        if not cols or not cols[0]:
+                            break
+                        data = {}
+                        for n, c in zip(fnames, cols):
+                            if n in numeric_cols:
+                                c = [None if v is None
+                                     else _dec.Decimal(v) for v in c]
+                            data[n] = pd.Series(c, dtype="object")
+                        yield pd.DataFrame(data)
+                        if len(cols[0]) < batch_rows:
+                            break
+                    conn.command("COMMIT")
+                finally:
+                    conn.close()
+
+    # one slice id per partition EXACTLY, no shuffle (hash-repartition
+    # would collide slices: ~1/e of tasks empty, stragglers serial)
+    slices = spark.range(0, n_slices, 1, numPartitions=n_slices) \
+        .select(F.col("id").cast("int").alias("__slice"))
+    return slices.mapInPandas(run_slices, schema=schema)
+
+
+class PartitionedPostgresExecutor(PostgresExecutor):
+    """PostgresExecutor whose ``execute`` runs the distributed slice
+    read instead of a driver-side fetch — per-TASK libpq connections,
+    server-side cursors, results landing on executors. For large
+    row-preserving extracts; point reductive aggregates at the plain
+    PostgresExecutor (small results, one round trip). ``split_col``
+    must name a column carried through every federated result this
+    executor receives."""
+
+    def __init__(self, conninfo: str, split_col: str,
+                 name: str = "postgres_part",
+                 compute_context: Optional[str] = None,
+                 schema_ns: str = "public", n_slices: int = 16):
+        super().__init__(conninfo, name=name,
+                         compute_context=compute_context,
+                         schema_ns=schema_ns)
+        self.split_col = split_col
+        self.n_slices = n_slices
+
+    def execute(self, spark, sql: str, schema=None):
+        import time as _time
+        t0 = _time.time()
+        df = read_postgres_partitioned(
+            spark, self.conninfo, sql, self.split_col, self.n_slices)
+        # plan-construction time only: slices run lazily inside tasks
+        self._record(sql, _time.time() - t0)
+        return df
+
+
 def load_parquet_into_postgres(ex: PostgresExecutor, table: str,
                                path: str, cols=None) -> int:
     """Load a parquet fixture into PostgreSQL via typed CREATE +

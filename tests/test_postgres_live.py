@@ -324,3 +324,73 @@ def test_pg_statistics_estimate_and_errors(spark, pg):
     assert SQLProvider(ex) is not None
     with pytest.raises(RuntimeError, match="PostgreSQL error"):
         ex.execute_statement(None, "SELECT * FROM no_such_table_xyz")
+
+
+def test_pg_partitioned_read_equals_single_stream(spark, pg):
+    """Distributed slice read (per-task libpq connections, server-side
+    cursors): N-slice union must equal the single-stream read exactly,
+    including NULL split keys (pinned to slice 0, never dropped) and
+    NUMERIC columns (text -> Decimal in the task)."""
+    from datafusion_federation_spark.sources.postgres import (
+        read_postgres_partitioned)
+    ex = pg.executor(name="pg_part", compute_context="pg:part",
+                     schema_ns="part")
+    ex.execute_statement(
+        None, "CREATE TABLE big (k BIGINT, grp TEXT, amt NUMERIC)")
+    ex.execute_statement(
+        None, "INSERT INTO big SELECT i, 'g' || (i % 7), i * 1.5 "
+              "FROM generate_series(0, 999) AS s(i)")
+    ex.execute_statement(
+        None, "INSERT INTO big VALUES (NULL, 'nullkey', NULL)")
+    conninfo = ex.conninfo
+    sql = 'SELECT k, grp, amt FROM "part".big'
+    df = read_postgres_partitioned(spark, conninfo, sql, "k",
+                                   n_slices=4, batch_rows=128)
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted(((r[0], r[1], None if r[2] is None else float(r[2]))
+                  for r in df.collect()), key=repr)
+    single = pg.executor(name="pg_part1", compute_context="pg:part1",
+                         schema_ns="part")
+    want = sorted(((r[0], r[1], None if r[2] is None else float(r[2]))
+                   for r in single.execute(spark, sql).collect()),
+                  key=repr)
+    assert len(got) == 1001
+    assert got == want
+    assert sum(1 for r in got if r[0] is None) == 1
+    # LIMIT / ORDER BY degrade to ONE slice (re-execution soundness)
+    for q in (sql + " ORDER BY k", sql + " LIMIT 10"):
+        assert read_postgres_partitioned(
+            spark, conninfo, q, "k", n_slices=4) \
+            .rdd.getNumPartitions() == 1
+    # absent split_col degrades too
+    assert read_postgres_partitioned(
+        spark, conninfo, 'SELECT grp FROM "part".big', "k",
+        n_slices=4).rdd.getNumPartitions() == 1
+
+
+def test_pg_partitioned_executor_through_engine(spark, pg):
+    """PartitionedPostgresExecutor federates like any provider: the
+    claimed SQL runs as N task-side slices and equals the
+    driver-side executor's rows."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.postgres import (
+        PartitionedPostgresExecutor)
+    from datafusion_federation_spark.sources.provider import SQLProvider
+    base = pg.executor(name="pg_pe0", compute_context="pg:pe",
+                       schema_ns="pe")
+    _load_parquet(base, "customer", f"{TESTDATA}/customer.parquet")
+    ex = PartitionedPostgresExecutor(
+        base.conninfo, split_col="c_custkey", name="pg_pe",
+        compute_context="pg:pe", schema_ns="pe", n_slices=4)
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "customer")
+    df = eng.sql("SELECT c_custkey, c_name FROM customer "
+                 "WHERE c_custkey <= 100")
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT c_custkey, c_name FROM "
+        f"read_parquet('{TESTDATA}/customer.parquet') "
+        f"WHERE c_custkey <= 100 ORDER BY c_custkey").fetchall()
+    assert got == [tuple(r) for r in want]
+    con.close()
