@@ -335,6 +335,12 @@ class DuckDBDialect(Dialect):
 
 class PostgresDialect(Dialect):
     name = "postgres"
+    # r13 (caught by LIVE execution of the surface sweep on a real
+    # PG 15): PostgreSQL has no DOUBLE or TINYINT — CAST(x AS DOUBLE)
+    # errors `type "double" does not exist` on the engine. FLOAT maps
+    # to REAL (Spark float = 4 bytes; bare PG FLOAT is float8).
+    type_map = dict(Dialect.type_map, double="DOUBLE PRECISION",
+                    byte="SMALLINT", float="REAL")
 
     def binary_literal(self, b: bytes) -> str:
         # bytea hex input format (implicitly cast in INSERT contexts)

@@ -1425,7 +1425,7 @@ def _sample_pivot_queries(draw):
     kind = draw(st.sampled_from(
         ["sample_agg", "sample_cte_join", "sample_derived_join",
          "sample_filtered", "sample_cte_ref", "sample_renamed",
-         "sample_bool_expr",
+         "sample_bool_expr", "sample_setop",
          "mk_pivot", "mk_pivot_multi_agg", "mk_pivot_where"]))
 
     if kind.startswith("mk_pivot"):
@@ -1517,6 +1517,26 @@ def _sample_pivot_queries(draw):
         duck_sql = (f"SELECT n_nationkey, flag FROM ({inner}) t "
                     f"WHERE {_replay_pred(seed, pct, ['n_nationkey', 'flag'])}")
         return eng_sql, duck_sql
+    if kind == "sample_setop":
+        # r13 review item: samples composed UNDER set operations —
+        # each branch samples independently (different seeds), the
+        # set op combines the sampled branches
+        s2 = draw(st.integers(0, 60))
+        cut = draw(st.integers(2, 4))
+        op = draw(st.sampled_from(["UNION ALL", "UNION", "EXCEPT"]))
+        b1 = (f"SELECT n_nationkey FROM (SELECT n_nationkey FROM "
+              f"nation WHERE n_regionkey < {cut}) a "
+              f"TABLESAMPLE BERNOULLI({pct}) REPEATABLE ({seed})")
+        b2 = (f"SELECT n_nationkey FROM (SELECT n_nationkey FROM "
+              f"nation) b TABLESAMPLE BERNOULLI({pct}) "
+              f"REPEATABLE ({s2})")
+        d1 = (f"SELECT n_nationkey FROM (SELECT n_nationkey FROM "
+              f"nation WHERE n_regionkey < {cut}) a "
+              f"WHERE {_replay_pred(seed, pct, ['n_nationkey'])}")
+        d2 = (f"SELECT n_nationkey FROM (SELECT n_nationkey FROM "
+              f"nation) b "
+              f"WHERE {_replay_pred(s2, pct, ['n_nationkey'])}")
+        return f"{b1} {op} {b2}", f"{d1} {op} {d2}"
     # sample_derived_join: sampled derived table on the right side
     inner = "SELECT n_nationkey, n_name FROM nation"
     cols = ["n_nationkey", "n_name"]

@@ -110,6 +110,32 @@ def test_pg_surface_queries_match_duckdb(pg_engine):
         ("SELECT n_name, CASE WHEN n_regionkey BETWEEN 1 AND 2 "
          "THEN 'mid' ELSE 'edge' END AS bucket FROM nation "
          "WHERE n_name LIKE '%A%' ORDER BY n_name"),
+        # r13 widening: grouping sets, INTERSECT/EXCEPT, window
+        # frames, ANY/ALL, NOT IN 3VL, named WINDOW, scalar subquery
+        ("SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n "
+         "FROM nation GROUP BY GROUPING SETS ((n_regionkey), ()) "
+         "ORDER BY n_regionkey NULLS FIRST"),
+        ("SELECT n_regionkey FROM nation INTERSECT "
+         "SELECT r_regionkey FROM region WHERE r_regionkey < 3 "
+         "ORDER BY n_regionkey"),
+        ("SELECT r_regionkey FROM region EXCEPT "
+         "SELECT n_regionkey FROM nation WHERE n_regionkey < 4 "
+         "ORDER BY r_regionkey"),
+        ("SELECT n_name, CAST(SUM(n_regionkey) OVER "
+         "(ORDER BY n_name ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+         "AS BIGINT) AS s FROM nation ORDER BY n_name"),
+        ("SELECT n_name FROM nation WHERE n_regionkey = ANY "
+         "(SELECT r_regionkey FROM region WHERE r_name LIKE 'A%') "
+         "ORDER BY n_name"),
+        ("SELECT n_name FROM nation WHERE n_regionkey NOT IN "
+         "(SELECT r_regionkey FROM region WHERE r_regionkey >= 2) "
+         "ORDER BY n_name"),
+        ("SELECT n_name, CAST(RANK() OVER w AS BIGINT) AS rk "
+         "FROM nation WINDOW w AS (PARTITION BY n_regionkey "
+         "ORDER BY n_name) ORDER BY n_name"),
+        ("SELECT r_name FROM region WHERE r_regionkey < "
+         "(SELECT CAST(AVG(n_regionkey) AS DOUBLE) FROM nation) "
+         "ORDER BY r_name"),
     ]
     for q in queries:
         got = [tuple(r) for r in eng.sql(q).collect()]

@@ -988,3 +988,18 @@ def test_sample_predicate_boolean_renders_case_not_cast():
         "coalesce(md5(CASE WHEN `flag` THEN 'true' "
         "WHEN (NOT `flag`) THEN 'false' END), 'N'))), 1, 4) "
         "< '4000')")
+
+
+def test_postgres_cast_targets():
+    """r13 (caught by LIVE PostgreSQL execution of the surface sweep):
+    PostgreSQL has no DOUBLE or TINYINT types — CAST(x AS DOUBLE)
+    raises `type "double" does not exist` on the real engine. The
+    correct targets are DOUBLE PRECISION and SMALLINT."""
+    from datafusion_federation_spark.expressions import Cast, Col
+    p = Project(scan(), [Cast(Col("a"), "double"),
+                         Cast(Col("a"), "byte"),
+                         Cast(Col("a"), "float")])
+    out = sql(p, "postgres")
+    assert 'CAST("a" AS DOUBLE PRECISION)' in out
+    assert 'CAST("a" AS SMALLINT)' in out
+    assert 'CAST("a" AS REAL)' in out
