@@ -107,6 +107,30 @@ class FederationEngine:
         m0 = _re.match(r"(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)*([A-Za-z]+)",
                        query, _re.S)
         kw0 = m0.group(1).upper() if m0 else ""
+        from .sources.catalog import UnknownTableError
+        if kw0 == "EXPLAIN":
+            m1 = _re.match(
+                r"(?:\s|--[^\n]*(?:\n|$)|/\*.*?\*/)*EXPLAIN\s+"
+                r"(ANALYZE\s+)?(?=(INSERT|DELETE|UPDATE|CREATE)\b)",
+                query, _re.S | _re.I)
+            if m1:
+                # staged-SQL dry run for DML (r13): show the exact
+                # statement(s) that WOULD ship to the remote engine,
+                # shaped like Spark's EXPLAIN (one 'plan' string row)
+                if m1.group(1):
+                    raise NotImplementedError(
+                        "EXPLAIN ANALYZE on a DML statement would "
+                        "execute the write — run EXPLAIN to see the "
+                        "staged statement, then run the statement")
+                rest = query[m1.end():]
+                verb = m1.group(2).upper()
+                fn = {"INSERT": self._sql_insert,
+                      "DELETE": self._sql_delete,
+                      "UPDATE": self._sql_update,
+                      "CREATE": self._sql_ctas}[verb]
+                staged = fn(rest, params, dry_run=True)
+                return self.spark.createDataFrame(
+                    [(staged,)], "plan string")
         if kw0 in ("INSERT", "DELETE", "UPDATE"):
             try:
                 if kw0 == "INSERT":
@@ -114,17 +138,19 @@ class FederationEngine:
                 if kw0 == "DELETE":
                     return self._sql_delete(query, params)
                 return self._sql_update(query, params)
-            except KeyError:
+            except UnknownTableError:
                 # a table outside the federation catalog (ADVICE r12):
                 # Spark's own catalog may own it — the view fallback
-                # lets Spark resolve (and error loudly if nobody does)
+                # lets Spark resolve (and error loudly if nobody does).
+                # r13 narrowing: ONLY the typed unresolved-table error
+                # reroutes; any other KeyError is a bug and surfaces
                 return self._sql_via_views(query, params)
         if kw0 == "CREATE":
             try:
                 return self._sql_ctas(query, params)
             except SqlParseError:
                 pass        # not CTAS: the view-path fallback may run it
-            except KeyError:
+            except UnknownTableError:
                 return self._sql_via_views(query, params)
         try:
             plan = parse_sql(query, self.catalog.table)
@@ -226,7 +252,8 @@ class FederationEngine:
                 f"{', '.join(sorted(set(missing)))} in {what} — pass "
                 f"params={{...}} with a value for each marker")
 
-    def _sql_insert(self, query: str, params: Optional[dict] = None):
+    def _sql_insert(self, query: str, params: Optional[dict] = None,
+                    dry_run: bool = False):
         """``INSERT INTO <table> [(cols)] <query>`` front door (r12,
         VERDICT r11 Next #6 — write-back beyond local passthrough).
 
@@ -266,6 +293,8 @@ class FederationEngine:
                        else " (" + ", ".join(d.quote(c) for c in cols)
                        + ")")
             stmt = f"INSERT INTO {tbl}{collist} {remote_sql}"
+            if dry_run:
+                return stmt
             self._data_changed()    # rows will move: BNL verdicts out
             return h.provider.executor.execute_statement(
                 self.spark, stmt)
@@ -280,6 +309,9 @@ class FederationEngine:
                 f"INSERT INTO local table {name!r} with a column "
                 f"list: parquet appends whole rows — SELECT every "
                 f"column in table order instead")
+        if dry_run:
+            return (f"-- LOCAL parquet append to {name!r} via the "
+                    f"DataFrame passthrough; no remote statement")
         df = self.compiler.compile(fed)
         return self.insert_into(name, df)
 
@@ -314,7 +346,8 @@ class FederationEngine:
             return Unparser(provider.executor.dialect).plan_to_sql(plan)
         return None
 
-    def _sql_ctas(self, query: str, params: Optional[dict] = None):
+    def _sql_ctas(self, query: str, params: Optional[dict] = None,
+                  dry_run: bool = False):
         """``CREATE [OR REPLACE] TABLE name AS <query>`` (r12
         write-back): when the source fully claims to ONE remote
         provider, the whole CTAS executes there — the engine builds
@@ -358,6 +391,11 @@ class FederationEngine:
                 f"no OR REPLACE spelling — DROP first, or use a new "
                 f"name")
         kw = "CREATE OR REPLACE TABLE" if or_replace else "CREATE TABLE"
+        if dry_run:
+            if getattr(d, "ctas_needs_no_data", False):
+                return (f"{kw} {tbl} AS {core.sql} WITH NO DATA;\n"
+                        f"INSERT INTO {tbl} {core.sql}")
+            return f"{kw} {tbl} AS {core.sql}"
         self._data_changed()
         if getattr(d, "ctas_needs_no_data", False):
             prov.executor.execute_statement(
@@ -435,7 +473,8 @@ class FederationEngine:
                         f"engine directly")
                 x.plan = VerbatimSQLPlan(core.sql)
 
-    def _sql_delete(self, query: str, params: Optional[dict] = None):
+    def _sql_delete(self, query: str, params: Optional[dict] = None,
+                    dry_run: bool = False):
         """``DELETE FROM <remote> [WHERE pred]`` (r12 write-back): the
         predicate unparses to the target dialect and the statement
         executes wholly on the remote engine. r13: params bind, and
@@ -450,10 +489,13 @@ class FederationEngine:
         stmt = f"DELETE FROM {tbl}"
         if pred is not None:
             stmt += f" WHERE {pred.to_sql(d)}"
+        if dry_run:
+            return stmt
         self._data_changed()
         return h.provider.executor.execute_statement(self.spark, stmt)
 
-    def _sql_update(self, query: str, params: Optional[dict] = None):
+    def _sql_update(self, query: str, params: Optional[dict] = None,
+                    dry_run: bool = False):
         """``UPDATE <remote> SET col = expr [, ...] [WHERE pred]``
         (r12 write-back): assignments and predicate unparse to the
         target dialect; one remote statement, no data through Spark.
@@ -472,6 +514,8 @@ class FederationEngine:
         stmt = f"UPDATE {tbl} SET {assigns}"
         if pred is not None:
             stmt += f" WHERE {pred.to_sql(d)}"
+        if dry_run:
+            return stmt
         self._data_changed()
         return h.provider.executor.execute_statement(self.spark, stmt)
 

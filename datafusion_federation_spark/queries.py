@@ -601,6 +601,11 @@ SECONDARY = {
     # Union unparse shell in-window, executed on LIVE PostgreSQL (the
     # new transport row); q56 stays under bench + tools
     "q56_federated_union",
+    # round 13: partitioned live-PG read — the q74 precedent
+    # (distributed slice-read machinery beyond-window; the live-PG
+    # transport itself holds the q127 in-window row); oracle-checked
+    # by bench + tools at both SFs + 2 dedicated tests
+    "q128_postgres_partitioned",
 }
 
 DEC = "decimal(12,2)"

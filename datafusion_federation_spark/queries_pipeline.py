@@ -6728,3 +6728,68 @@ def q127(spark, sf):
     assert len(rq) == 1 and "UNION ALL" in rq[0].sql, \
         "q127 did not collapse to one live-PG SQL"
     return eng.execute(fed)
+
+
+_Q128_SQL = """
+SELECT c_custkey, c_name,
+       CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer WHERE c_acctbal > 1000
+"""
+
+_PG_Q128_EX = {}
+
+
+def _q128_pg_executor(sf):
+    """PartitionedPostgresExecutor fixture for q128: one cluster per
+    process (shared with q127), one schema + customer load per sf."""
+    if sf in _PG_Q128_EX:
+        return _PG_Q128_EX[sf]
+    import re as _re
+
+    from .sources.postgres import (
+        PartitionedPostgresExecutor, load_parquet_into_postgres,
+        session_postgres)
+    ns = "q128_" + _re.sub(r"\W", "_", sf).strip("_")[-24:]
+    base = session_postgres().executor(
+        name="pg_q128_load", compute_context=f"q128load:{sf}",
+        schema_ns=ns)
+    load_parquet_into_postgres(base, "customer",
+                               f"{sf}/customer.parquet")
+    ex = PartitionedPostgresExecutor(
+        base.conninfo, split_col="c_custkey", name="pg_q128",
+        compute_context=f"q128:{sf}", schema_ns=ns, n_slices=4)
+    _PG_Q128_EX[sf] = ex
+    return ex
+
+
+@q("q128_postgres_partitioned", _Q128_SQL)
+def q128(spark, sf):
+    """Distributed partitioned read from LIVE PostgreSQL (r13): the
+    federated extract runs as 4 disjoint hashtext slices, each inside
+    a Spark TASK over its own libpq connection with a server-side
+    cursor — rows stream to executors, never to the driver (the
+    q74/partitioned.py slice pattern, now on a real remote DBMS).
+    Inline pins: the result carries exactly n_slices partitions, and
+    the plan federates (one RemoteQueryNode). The oracle recomputes
+    from parquet; NUMERIC account balances cross as text and cast to
+    DOUBLE inside the claimed SQL. 100 TB: driver-side fetch is the
+    bottleneck this kills — ingest bandwidth scales with tasks."""
+    from .engine import FederationEngine
+    from .federation import federate
+    from .plans.nodes import RemoteQueryNode, walk_plan
+    from .sources.provider import SQLProvider
+
+    ex = _q128_pg_executor(sf)
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "customer")
+    plan = eng.sql_plan(
+        "SELECT c_custkey, c_name, "
+        "CAST(c_acctbal AS DOUBLE) AS acctbal "
+        "FROM customer WHERE c_acctbal > 1000").plan
+    fed = federate(plan)
+    rq = [x for x in walk_plan(fed) if isinstance(x, RemoteQueryNode)]
+    assert len(rq) == 1, "q128 did not claim to the PG provider"
+    df = eng.execute(fed)
+    assert df.rdd.getNumPartitions() == 4, \
+        "q128 did not run as 4 task-side slices"
+    return df

@@ -13,6 +13,15 @@ from typing import Dict, List, Optional
 from .provider import LocalSparkProvider, SQLProvider
 from .table import RemoteTable, RemoteTableRef, TableHandle
 
+
+class UnknownTableError(KeyError):
+    """A name is not in the federation catalog (r13). Subclassing
+    KeyError keeps every existing `except KeyError` fallback working,
+    while letting engine.sql's DML routing catch EXACTLY the
+    unresolved-table case instead of any KeyError a deep code path
+    might raise — a broad catch there would silently reroute genuine
+    bugs to the view fallback."""
+
 _LOCAL = LocalSparkProvider()
 
 
@@ -137,8 +146,9 @@ class FederatedCatalog:
         try:
             return self._tables[name]
         except KeyError:
-            raise KeyError(f"table {name!r} not registered; have "
-                           f"{sorted(self._tables)}")
+            raise UnknownTableError(
+                f"table {name!r} not registered; have "
+                f"{sorted(self._tables)}")
 
     def tables(self) -> List[str]:
         return sorted(self._tables)

@@ -546,3 +546,69 @@ def test_derby_ctas_failure_drops_shell(spark):
             jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
         except Exception:
             pass
+
+
+def test_explain_dml_staged_sql(spark):
+    """r13: EXPLAIN on a DML statement returns the EXACT statement(s)
+    that would ship to the remote engine — one 'plan' string row,
+    Spark's EXPLAIN shape — without executing anything. EXPLAIN
+    ANALYZE on DML refuses (it would execute the write)."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_ex", compute_context="wb:ex")
+    ex.conn.execute("CREATE TABLE t (k INT, lab VARCHAR)")
+    ex.conn.execute("INSERT INTO t VALUES (1,'a'),(2,'b')")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "t")
+    before = ex.metrics().get("queries", 0)
+    plan = eng.sql("EXPLAIN DELETE FROM t WHERE k = :k",
+                   params={"k": 2}).collect()[0][0]
+    assert plan == 'DELETE FROM "t" WHERE ("k" = 2)'
+    plan = eng.sql("EXPLAIN UPDATE t SET lab = 'x' WHERE k = 1") \
+        .collect()[0][0]
+    assert plan == 'UPDATE "t" SET "lab" = \'x\' WHERE ("k" = 1)'
+    plan = eng.sql("EXPLAIN INSERT INTO t SELECT k + 10 AS k, lab "
+                   "FROM t").collect()[0][0]
+    assert plan.startswith('INSERT INTO "t" ')
+    plan = eng.sql("EXPLAIN CREATE TABLE t2 AS SELECT k FROM t") \
+        .collect()[0][0]
+    assert plan.startswith('CREATE TABLE "t2" AS ')
+    # nothing executed, nothing mutated, nothing registered
+    assert ex.metrics().get("queries", 0) == before
+    assert ex.conn.execute("SELECT COUNT(*) FROM t").fetchone() == (2,)
+    with pytest.raises(Exception):
+        eng.catalog.table("t2")
+    with pytest.raises(NotImplementedError, match="ANALYZE"):
+        eng.sql("EXPLAIN ANALYZE DELETE FROM t")
+    # non-DML EXPLAIN keeps the existing Spark fallback shape
+    rows = eng.sql("EXPLAIN SELECT k FROM t").collect()
+    assert len(rows) >= 1
+
+
+def test_dml_unknown_table_error_is_typed(spark):
+    """r13: only the typed UnknownTableError reroutes DML to the view
+    fallback — a generic KeyError raised deeper surfaces as the bug
+    it is."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.catalog import (
+        UnknownTableError)
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_ut", compute_context="wb:ut")
+    ex.conn.execute("CREATE TABLE t (k INT)")
+    eng = FederationEngine(spark)
+    eng.register_remote(SQLProvider(ex), "t")
+    with pytest.raises(UnknownTableError, match="not registered"):
+        eng.catalog.table("nope")
+    # a deep KeyError must NOT silently reroute: break the executor
+    ex2 = DuckDBExecutor(name="wb_ut2", compute_context="wb:ut2")
+    ex2.conn.execute("CREATE TABLE u (k INT)")
+    eng.register_remote(SQLProvider(ex2), "u")
+
+    def boom(spark_, stmt):
+        raise KeyError("internal bug")
+
+    ex2.execute_statement = boom
+    with pytest.raises(KeyError, match="internal bug"):
+        eng.sql("DELETE FROM u WHERE k = 1")
