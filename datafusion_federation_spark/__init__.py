@@ -28,7 +28,7 @@ from .sources import (  # noqa: F401
     FederationProvider, FlightSQLExecutor, JDBCExecutor,
     LocalSparkProvider, PostgresExecutor, RemoteTable, RemoteTableRef,
     SQLExecutor, SQLiteExecutor, SQLProvider, SparkSQLExecutor,
-    TableHandle,
+    TableHandle, UnknownTableError,
 )
 from .unparser import Unparser  # noqa: F401
 

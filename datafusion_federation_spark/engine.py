@@ -342,6 +342,16 @@ class FederationEngine:
             return core.sql
         if not any(isinstance(x, (Scan, RemoteQueryNode))
                    for x in walk_plan(fed)):
+            # r13 self-review fix: plan-level scanlessness is NOT
+            # enough — EXPRESSION subqueries can hide scans, and a
+            # local-table subquery rendered verbatim would silently
+            # read the remote's SAME-NAMED table. Vet every expression
+            # subquery exactly like a DML predicate: same-provider
+            # claims splice, literal-only ones pass, the rest refuse.
+            for node in walk_plan(plan):
+                for e in node.exprs():
+                    self._inline_dml_subqueries(
+                        e, "INSERT source", provider)
             from .unparser import Unparser
             return Unparser(provider.executor.dialect).plan_to_sql(plan)
         return None
@@ -463,15 +473,26 @@ class FederationEngine:
                     continue     # shared plan object, already claimed
                 fed = federate(x.plan)
                 core = self._unwrap_star_shell(fed)
-                if not (isinstance(core, RemoteQueryNode)
+                if (isinstance(core, RemoteQueryNode)
                         and core.provider == provider):
-                    raise NotImplementedError(
-                        f"{verb} with a subquery that does not claim "
-                        f"wholly to the target's provider "
-                        f"({provider.name}) — compute the key set "
-                        f"first, or run the statement on the remote "
-                        f"engine directly")
-                x.plan = VerbatimSQLPlan(core.sql)
+                    x.plan = VerbatimSQLPlan(core.sql)
+                    continue
+                if not any(isinstance(y, (Scan, RemoteQueryNode))
+                           for y in walk_plan(fed)):
+                    # literal-only subquery (FROM-less SELECT): reads
+                    # nothing anywhere, renders in any dialect — but
+                    # ITS OWN expression subqueries must vet too
+                    for node in walk_plan(fed):
+                        for e2 in node.exprs():
+                            self._inline_dml_subqueries(
+                                e2, verb, provider)
+                    continue
+                raise NotImplementedError(
+                    f"{verb} with a subquery that does not claim "
+                    f"wholly to the target's provider "
+                    f"({provider.name}) — compute the key set "
+                    f"first, or run the statement on the remote "
+                    f"engine directly")
 
     def _sql_delete(self, query: str, params: Optional[dict] = None,
                     dry_run: bool = False):

@@ -4,7 +4,7 @@ from .provider import (  # noqa: F401
     LocalSparkProvider, SQLExecutor, SQLiteExecutor, SQLProvider,
     SparkSQLExecutor,
 )
-from .catalog import FederatedCatalog  # noqa: F401
+from .catalog import FederatedCatalog, UnknownTableError  # noqa: F401
 from .partitioned import (  # noqa: F401
     PartitionedDuckDBExecutor, read_duckdb_partitioned,
 )

@@ -612,3 +612,53 @@ def test_dml_unknown_table_error_is_typed(spark):
     ex2.execute_statement = boom
     with pytest.raises(KeyError, match="internal bug"):
         eng.sql("DELETE FROM u WHERE k = 1")
+
+
+def test_insert_scanless_source_vets_expression_subqueries(spark):
+    """r13 self-review: a 'scanless' INSERT source (VALUES / FROM-less
+    SELECT) can hide scans inside EXPRESSION subqueries. Before the
+    fix, `INSERT INTO <remote> VALUES ((SELECT COUNT(*) FROM docs))`
+    with `docs` registered LOCALLY shipped `(SELECT COUNT(*) FROM
+    "docs")` verbatim to the remote engine — silently reading the
+    remote's SAME-NAMED table instead of the registered one. Now:
+    same-provider subqueries splice their claimed SQL, literal-only
+    subqueries ship (they read nothing anywhere), and local/
+    cross-provider subqueries refuse."""
+    from datafusion_federation_spark.engine import FederationEngine
+    from datafusion_federation_spark.sources.provider import (
+        DuckDBExecutor, SQLProvider)
+    ex = DuckDBExecutor(name="wb_sv", compute_context="wb:sv")
+    ex.conn.execute("CREATE TABLE sink (n BIGINT)")
+    # the remote has its OWN 'docs' with 7 rows; the registered local
+    # 'docs' has 2 — shipping the name verbatim would read the wrong one
+    ex.conn.execute(
+        "CREATE TABLE docs AS SELECT unnest(range(7)) AS k")
+    ex._tables["docs"] = "docs"
+    eng = FederationEngine(spark)
+    prov = SQLProvider(ex)
+    eng.register_remote(prov, "sink")
+    eng.register_local_df("docs", spark.createDataFrame(
+        [(1,), (2,)], "k bigint"))
+    with pytest.raises(NotImplementedError, match="claim"):
+        eng.sql("INSERT INTO sink VALUES ((SELECT COUNT(*) FROM docs))")
+    with pytest.raises(NotImplementedError, match="claim"):
+        eng.sql("INSERT INTO sink SELECT (SELECT COUNT(*) FROM docs) "
+                "AS n")
+    assert ex.conn.execute("SELECT COUNT(*) FROM sink").fetchone() \
+        == (0,)
+    # literal-only subqueries read nothing anywhere: they ship
+    assert eng.sql("INSERT INTO sink VALUES ((SELECT 41 + 1))") == 1
+    # same-provider subqueries splice their claimed SQL and read the
+    # REMOTE docs (the engine that owns the statement)
+    eng2 = FederationEngine(spark)
+    eng2.register_remote(prov, "sink")
+    eng2.register_remote(prov, "docs")
+    assert eng2.sql("INSERT INTO sink VALUES "
+                    "((SELECT COUNT(*) FROM docs))") == 1
+    assert ex.conn.execute(
+        "SELECT n FROM sink ORDER BY n").fetchall() == [(7,), (42,)]
+    # DELETE/UPDATE literal subqueries ship too (previously refused)
+    ex.conn.execute("CREATE TABLE dl (k INT)")
+    ex.conn.execute("INSERT INTO dl VALUES (1),(5)")
+    eng2.register_remote(prov, "dl")
+    assert eng2.sql("DELETE FROM dl WHERE k = (SELECT 2 + 3)") == 1
