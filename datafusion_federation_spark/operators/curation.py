@@ -119,15 +119,25 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     least one n-gram. dup_frac = 1 - n_distinct/n_grams, rounded to 6
     places (cross-engine double stability).
 
-    Scale: one map-side gram explode + a single per-doc aggregate keyed
-    on the doc id — the same shuffle any per-doc stat costs.
+    Scale (r13 optimization round, guide §2.4 — remove shuffles
+    outright): both stats are PER-DOC, so they are row-local
+    expressions — no gram explode, no shuffle, no two-phase
+    countDistinct aggregate at all. n_grams is arithmetic on the word
+    count (size(ws) - n + 1); n_distinct is size(array_distinct(grams))
+    computed in one codegen pass. The gram array is referenced exactly
+    once, so Catalyst's shared-subexpression re-evaluation trap (memory
+    note; verify-skill gotcha) does not apply. Plan shrinks from
+    explode + Exchange + partial/final aggregate to a single Project
+    (d30 bench before/after in OPTIMIZATION_r13.md; oracle hash
+    unchanged at both SFs).
     """
-    g = df.select(F.col(id_col),
-                  F.explode(_word_grams(text_col, n, distinct=False))
-                  .alias("gram"))
-    return (g.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.countDistinct("gram").alias("n_distinct"))
+    ws = F.split(F.col(text_col), " ")
+    n_grams = (F.size(ws) - F.lit(n) + F.lit(1)).cast("long")
+    n_distinct = F.size(F.array_distinct(
+        _word_grams(text_col, n, distinct=False))).cast("long")
+    return (df.select(F.col(id_col), n_grams.alias("n_grams"),
+                      n_distinct.alias("n_distinct"))
+            .filter(F.col("n_grams") >= 1)
             .withColumn(
                 "dup_frac",
                 F.round(F.lit(1.0) - F.col("n_distinct") /

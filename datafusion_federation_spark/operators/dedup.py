@@ -20,11 +20,13 @@ only SimHash bit-packing drops to a pandas UDF.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Iterator, Optional, Sequence  # noqa: F401 (Iterator:
+# pandas_udf type-hint resolution, see below)
 
 # module-level so PySpark's pandas_udf type-hint resolution can see `pd`
-# (with `from __future__ import annotations` the hints are strings and are
-# resolved against this module's globals at decoration time).
+# and `Iterator` (with `from __future__ import annotations` the hints are
+# strings and are resolved against this module's globals at decoration
+# time).
 import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -561,31 +563,59 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     64 bit-votes via aggregate/zip_with/getbit) was benchmarked SLOWER
     than this UDF at sf0.1 (5.5 s vs 4.3 s) — per-word 64-wide array
     arithmetic in codegen costs more than C md5 + Arrow transfer, so
-    the UDF is the deliberately chosen fast path here."""
+    the UDF is the deliberately chosen fast path here.
+
+    r13 (optimization round, guide §4.2/§4.5): the per-word Python
+    inner loop (64 add/shift ops per word occurrence) was the batch's
+    cost center. Votes are now ±1 NUMPY vectors unpacked straight from
+    the md5 digest bytes (np.unpackbits — bit b of the big-endian
+    64-bit prefix is bit b%8 of reversed byte b//8), memoized per
+    UNIQUE word in a per-TASK dict (iterator-form pandas UDF: corpus
+    vocabulary is far smaller than the token stream), and each doc's
+    accumulator is one counts·votes matrix product. Exact-integer
+    arithmetic throughout — bit-identical signatures to the loop form
+    (pinned: test_simhash_pinned; ~5x on the pure-Python kernel, d05
+    bench before/after in OPTIMIZATION_r13.md)."""
     import hashlib
 
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    def _votes_factory(memo):
+        def votes(w: str):
+            v = memo.get(w)
+            if v is None:
+                d = hashlib.md5(w.encode()).digest()[7::-1]
+                bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8),
+                                     bitorder="little")
+                v = bits.astype(np.int64) * 2 - 1
+                memo[w] = v
+            return v
+        return votes
+
     @pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            acc = [0] * 64
-            for w in t.lower().split():
-                h = int.from_bytes(
-                    hashlib.md5(w.encode()).digest()[:8], "big")
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= (1 << bit)
-            # wrap to signed 64-bit for Spark LongType
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out, dtype="object")
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one memo per task, amortized over every batch (guide §4.5)
+        votes = _votes_factory({})
+        weights = np.array([1 << b for b in range(63)] + [-(1 << 63)],
+                           dtype=np.int64)  # bit 63 is the sign bit
+        for texts in batches:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                words = t.lower().split()
+                if not words:
+                    out.append(0)
+                    continue
+                uniq, counts = np.unique(np.asarray(words, dtype=object),
+                                         return_counts=True)
+                acc = counts @ np.stack([votes(w) for w in uniq])
+                # signed-64 wrap comes free from the negative bit-63
+                # weight; ints stay exact (|acc| <= n_words < 2**31)
+                out.append(int(weights[acc > 0].sum()))
+            yield pd.Series(out, dtype="object")
 
     return df.withColumn(out_col, _simhash(F.col(text_col)))
 
@@ -675,16 +705,22 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.b == labels.v)
                  .groupBy("a").agg(F.min("label").alias("nlabel")))
+        # convergence flag computed IN the round's own projection (r13
+        # optimization: labels only ever DECREASE, so changed == new <
+        # old) — the count below is then a filter over the checkpointed
+        # partitions instead of a per-round labels-vs-new join+shuffle
+        # (one exchange and one join fewer per round; results pinned
+        # identical by d16/d38 oracles)
         new = (labels.join(neigh, labels.v == neigh.a, "left")
                .select(labels.v,
                        F.least(labels.label,
                                F.coalesce(F.col("nlabel"),
-                                          labels.label)).alias("label")))
+                                          labels.label)).alias("label"),
+                       (F.coalesce(F.col("nlabel"), labels.label)
+                        < labels.label).alias("__chg")))
         new = new.localCheckpoint()
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new
+        changed = new.filter(F.col("__chg")).count()
+        labels = new.select("v", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -214,18 +214,38 @@ def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     embedding analog of MinHash dedup. Bucket key join instead of O(N^2).
 
     ``dim`` is passed explicitly (no driver-side .first() probe — the
-    operator stays a pure plan transformation with no eager action)."""
+    operator stays a pure plan transformation with no eager action).
+
+    r13 (optimization round): pair generation via groupBy + in-bucket
+    combinations, NOT a self-join — the self-join re-executed the whole
+    signature lineage (n_planes x dim dot products) for BOTH sides and
+    shuffled (id, vec, bucket) twice; this is the same shape the
+    MinHash/SimHash candidate paths use (_lsh_candidates rationale).
+    One signature pass, one shuffle keyed on the bucket, per-bucket
+    ordered-pair expansion (each row has exactly ONE bucket, so a pair
+    can never appear twice — no distinct needed). The exact-cosine
+    expression is unchanged, so emitted values are bit-identical
+    (pinned: test_embedding_near_pairs_pinned; d08/d38 oracles; bench
+    before/after in OPTIMIZATION_r13.md)."""
     planes = random_hyperplanes(dim, n_planes, seed)
     b = df.select(F.col(id_col), F.col(vec_col),
                   lsh_signature(F.col(vec_col), planes).alias("__bucket"))
-    l, r = b.alias("l"), b.alias("r")
-    pairs = (l.join(r, on=[F.col("l.__bucket") == F.col("r.__bucket"),
-                           F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-              .select(F.col(f"l.{id_col}").alias("id_a"),
-                      F.col(f"r.{id_col}").alias("id_b"),
-                      (_dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) /
-                       (_norm(F.col(f"l.{vec_col}")) *
-                        _norm(F.col(f"r.{vec_col}")))).alias("cos")))
+    buckets = (b.groupBy("__bucket")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("i"),
+                            F.col(vec_col).alias("v")))).alias("mem"))
+               .filter(F.size("mem") >= 2))
+    mem = F.col("mem")
+    pair_arr = F.flatten(F.transform(
+        mem, lambda x, i: F.transform(
+            F.slice(mem, i + 2, F.size(mem)),
+            lambda y: F.struct(x["i"].alias("id_a"), y["i"].alias("id_b"),
+                               x["v"].alias("va"), y["v"].alias("vb")))))
+    pairs = (buckets.select(F.explode(pair_arr).alias("p"))
+             .select("p.id_a", "p.id_b",
+                     (_dot(F.col("p.va"), F.col("p.vb")) /
+                      (_norm(F.col("p.va")) *
+                       _norm(F.col("p.vb")))).alias("cos")))
     return (pairs.filter(F.col("cos") >= threshold)
                  .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
 

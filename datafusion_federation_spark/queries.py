@@ -890,19 +890,33 @@ ORDER BY totalprice DESC, o_orderkey
 LIMIT 20
 """)
 def q18(spark, sf):
-    """Aggregate + HAVING + join (TPC-H Q18 shape)."""
+    """Aggregate + HAVING + join (TPC-H Q18 shape).
+
+    r13 (optimization round, guide §2.3 — aggregate before you
+    shuffle): lineitem pre-aggregates by l_orderkey with map-side
+    partial aggregation and the HAVING filter applies BEFORE the joins,
+    so the join input is the handful of qualifying orders instead of
+    every lineitem row carrying c_name into a wide group key.
+    Equivalent because o_orderkey is the orders key and c_custkey the
+    customer key (each lineitem matches exactly one order/customer row,
+    so the 5-column group collapses to the orderkey group); proven by
+    the unchanged q18 oracle hash at sf0.01 AND sf0.1. Plan: the tiny
+    filtered aggregate broadcasts into both joins — the 600k-row
+    3-way-join shuffle disappears (2 Exchange -> broadcast pair)."""
     li = t(spark, sf, "lineitem")
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
+    lq = (li.groupBy("l_orderkey")
+          .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+          .filter(F.col("sum_qty") > 150))
+    return (lq.join(o, lq.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
-            .groupBy("c_name", "c_custkey", "o_orderkey",
-                     F.date_format("o_orderdate", "yyyy-MM-dd")
-                     .alias("orderdate"),
-                     F.round(dec("o_totalprice"), 2).cast("double")
-                     .alias("totalprice"))
-            .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
-            .filter(F.col("sum_qty") > 150)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    F.round(dec("o_totalprice"), 2).cast("double")
+                    .alias("totalprice"),
+                    "sum_qty")
             .orderBy(F.col("totalprice").desc(), "o_orderkey")
             .limit(20))
 
