@@ -193,6 +193,23 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str,
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
 
 
+def shingle_counts(df: DataFrame, text_col: str, id_col: str,
+                   n: int = 3) -> DataFrame:
+    """(id, n_sh): per-doc DISTINCT shingle-set size as a ROW-LOCAL
+    expression — size(word_shingles(...)) — exactly the value
+    ``shingle_table(...).groupBy(id).count()`` produces (the explode
+    emits one row per distinct shingle), without re-running the ~200x
+    shingle explode plus an aggregate exchange for a number each row
+    already knows about itself (r13 optimization round, guide §2.3
+    "aggregate before you shuffle" taken to its limit: no shuffle at
+    all). NULL-text docs are dropped (they produce no shingle rows in
+    the explode form either, so consumers joining on id see identical
+    inputs)."""
+    n_sh = F.size(word_shingles(F.col(text_col), n))
+    return (df.select(F.col(id_col), n_sh.cast("long").alias("n_sh"))
+            .filter(F.col("n_sh") >= 1))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs (exact, set-based)
 # ---------------------------------------------------------------------------
@@ -218,7 +235,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     dropped shingles is logged (never silent), and the registered d03
     query keeps the exact default."""
     sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # per-doc set sizes are ROW-LOCAL (shingle_counts): the old
+    # groupBy-count over `sh` was a SECOND reference to the shingle
+    # table, re-running the whole ~200x explode lineage for a value
+    # each row can compute about itself (r13 optimization round,
+    # guide §2.4; d03 before/after in OPTIMIZATION_r13.md)
+    sizes = shingle_counts(df, text_col, id_col, n)
     # One shuffle instead of a shingle self-join (r5, measured ~25%
     # faster at sf0.1: 3.6s -> 2.7s steady-state): group the doc ids
     # sharing each shingle into a sorted bucket, then expand ordered
@@ -389,7 +411,8 @@ def minhash_signature_from_shingles(shingles_col,
 
 def _lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                     num_hashes: int, bands: int, shingle_n: int,
-                    elem_hash, bucket_hash) -> DataFrame:
+                    elem_hash, bucket_hash,
+                    _sh: Optional[DataFrame] = None) -> DataFrame:
     """Shared LSH-banding skeleton, GROUPED-MIN form: explode shingles
     once, take the K salted minima as K hash-aggregate columns (whole-
     stage-codegen min, map-side combined), hash each band's minima into
@@ -415,11 +438,20 @@ def _lsh_candidates(df: DataFrame, text_col: str, id_col: str,
     # exploding DISTINCT shingles; blank docs shingle to [''] only — the
     # '' shingle is dropped so they exit the candidate space entirely
     # (k blank docs would otherwise share one bucket in every band: a
-    # quadratic k*(k-1)/2 spurious-pair blowup on a dirty corpus)
-    sh = (df.select(F.col(id_col),
-                    F.explode(word_shingles(F.col(text_col), shingle_n))
-                    .alias("__s"))
-          .filter(F.col("__s") != ""))
+    # quadratic k*(k-1)/2 spurious-pair blowup on a dirty corpus).
+    # ``_sh``: optionally a prebuilt (id, shingle) table — the
+    # candidates+verify composition materializes ONE shingle explode
+    # and shares it (see minhash_dedup_pairs; the d65 prefix-path
+    # pattern applied here, r13 optimization round)
+    if _sh is None:
+        sh = (df.select(F.col(id_col),
+                        F.explode(word_shingles(F.col(text_col),
+                                                shingle_n))
+                        .alias("__s"))
+              .filter(F.col("__s") != ""))
+    else:
+        sh = (_sh.select(F.col(id_col), F.col("shingle").alias("__s"))
+              .filter(F.col("__s") != ""))
     mins = sh.groupBy(id_col).agg(
         *[F.min(elem_hash(i, F.col("__s"))).alias(f"__h{i}")
           for i in range(num_hashes)])
@@ -457,19 +489,22 @@ def _lsh_candidates(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int = 32, bands: int = 8,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3,
+                           _sh: Optional[DataFrame] = None) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over xxhash64 MinHash
     signatures (the fast path: one JVM long op per hash)."""
     return _lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         elem_hash=lambda i, s: F.xxhash64(F.lit(i), s),
         bucket_hash=lambda cols: F.xxhash64(
-            F.concat_ws(",", *[c.cast("string") for c in cols])))
+            F.concat_ws(",", *[c.cast("string") for c in cols])),
+        _sh=_sh)
 
 
 def minhash_md5_candidates(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int = 16, bands: int = 4,
-                           shingle_n: int = 3) -> DataFrame:
+                           shingle_n: int = 3,
+                           _sh: Optional[DataFrame] = None) -> DataFrame:
     """ENGINE-PORTABLE MinHash+LSH candidates: h_i(shingle) =
     md5(i || ':' || shingle) compared AS HEX STRINGS — MIN over strings
     is total-ordered and bit-identical in every engine with md5, so the
@@ -483,7 +518,8 @@ def minhash_md5_candidates(df: DataFrame, text_col: str, id_col: str,
     return _lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         elem_hash=lambda i, s: F.md5(F.concat(F.lit(f"{i}:"), s)),
-        bucket_hash=lambda cols: F.md5(F.concat_ws("|", *cols)))
+        bucket_hash=lambda cols: F.md5(F.concat_ws("|", *cols)),
+        _sh=_sh)
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -491,11 +527,21 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_n: int = 3,
                         threshold: float = 0.5) -> DataFrame:
     """LSH candidates -> exact Jaccard verification (the standard
-    two-stage near-dup pipeline)."""
+    two-stage near-dup pipeline).
+
+    r13 (optimization round): the candidate pass and the verifier
+    both consume the (id, shingle) explode — four lineage executions
+    of the ~200x inflation without sharing (the K-minima aggregate,
+    sizes, sh_a, sh_b). Materializing it ONCE here is the exact d65
+    prefix-path lesson (ngram_jaccard_pairs_prefix docstring, r7)
+    applied to the xxhash64 pipeline; candidates and verified values
+    are unchanged (d04 rows; d24 runs the same skeleton under a full
+    md5 oracle)."""
+    sh = shingle_table(df, text_col, id_col, shingle_n).localCheckpoint()
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
-                                  shingle_n)
+                                  shingle_n, _sh=sh)
     return verify_candidates(df, cand, text_col, id_col, shingle_n,
-                             threshold)
+                             threshold, _sh=sh)
 
 
 def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
@@ -522,7 +568,11 @@ def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
     cand = cand.localCheckpoint(eager=True)
     sh = (shingle_table(df, text_col, id_col, shingle_n)
           if _sh is None else _sh)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # per-doc set sizes are ROW-LOCAL (shingle_counts): one narrow pass
+    # over the doc table instead of an aggregate over (or a further
+    # lineage re-execution of) the ~200x shingle explode — identical
+    # values by construction (r13 optimization round, guide §2.4)
+    sizes = shingle_counts(df, text_col, id_col, shingle_n)
     sh_a = sh.select(F.col(id_col).alias("id_a"),
                      F.col("shingle").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"),
@@ -802,8 +852,16 @@ def incremental_dedup(new: DataFrame, corpus: DataFrame, text_col: str,
           .withColumnRenamed(id_col, "__b_id"))
     cs = (shingle_table(corpus, text_col, id_col, n)
           .withColumnRenamed(id_col, "__c_id"))
-    nb = bs.groupBy("__b_id").agg(F.count("*").alias("__nb"))
-    nc = cs.groupBy("__c_id").agg(F.count("*").alias("__nc"))
+    # per-doc set sizes are ROW-LOCAL (shingle_counts): the groupBy
+    # form was a second reference to each shingle table, re-running
+    # the corpus-side ~200x explode once more for a per-row number
+    # (r13 optimization round, guide §2.4; d33 in OPTIMIZATION_r13.md)
+    nb = (shingle_counts(s2, text_col, id_col, n)
+          .select(F.col(id_col).alias("__b_id"),
+                  F.col("n_sh").alias("__nb")))
+    nc = (shingle_counts(corpus, text_col, id_col, n)
+          .select(F.col(id_col).alias("__c_id"),
+                  F.col("n_sh").alias("__nc")))
     inter = (bs.join(cs, "shingle")
              .groupBy("__b_id", "__c_id")
              .agg(F.count("*").alias("__inter")))

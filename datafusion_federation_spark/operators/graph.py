@@ -111,25 +111,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     base = F.lit(1.0 - damping) / F.col("_n").cast("double")
 
     if dangling:
-        # static doubled node set for the null-safe distribution join
-        # (see docstring step 3) — built once, outside the recurrence
-        node_type = nodes.schema["node"].dataType
-        nodes2 = nodes.select(
-            "node", "_n", F.col("node").alias("_k")).unionAll(
-            nodes.select("node", "_n",
-                         F.lit(None).cast(node_type).alias("_k")))
         # r10 (VERDICT r9 Next #2 — the d68 suite-ceiling profile):
-        # the dangling recurrence references e_deg and the doubled
-        # node set EVERY iteration, so without a cut each round
-        # re-runs the degree groupBy and the node-set distinct from
-        # raw edges. Unlike the non-dangling arm (where checkpointing
-        # measured as a loss — see above), these two frames feed three
-        # shuffles per iteration; materializing them once was measured
-        # at sf0.1 (5 iters, 488k edges, warm, 3 reps): 4.3-5.5 s ->
+        # the dangling recurrence references e_deg and the node set
+        # EVERY iteration, so without a cut each round re-runs the
+        # degree groupBy and the node-set distinct from raw edges.
+        # Unlike the non-dangling arm (where checkpointing measured
+        # as a loss — see above), these frames feed multiple shuffles
+        # per iteration; materializing them once was measured at
+        # sf0.1 (5 iters, 488k edges, warm, 3 reps): 4.3-5.5 s ->
         # 2.4-2.9 s. Eager: every iteration reads the blocks, so
         # racing the first-use build buys nothing.
+        #
+        # r13 (optimization round, guide §2.4): the dangling-mass
+        # distribution no longer goes through the doubled node set +
+        # null-safe join + second groupBy (3 exchanges over 2|V|
+        # rows). The per-round aggregate is lazily checkpointed (a
+        # LogicalRDD, so referencing it twice neither doubles the
+        # logical plan nor re-executes it — the q88 fixpoint pattern),
+        # the NULL-key row's mass becomes a 1-row BROADCAST, and one
+        # plain LEFT join attaches the spread to the |V|-row node set.
+        # Per iteration that is one exchange and one aggregate pass
+        # fewer, and the static join input halves; the rank expression
+        # tree is unchanged term for term, so emitted doubles are
+        # bit-identical (hand-reference tests at 1e-12; d68 oracle).
         e_deg = e_deg.localCheckpoint()
-        nodes2 = nodes2.localCheckpoint()
+        nodes = nodes.localCheckpoint()
         for it in range(1, iters + 1):
             # ONE left join: edge fan-out for non-sinks, a single
             # NULL-key marker row carrying the rank for each sink
@@ -143,24 +149,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 F.when(F.col("_deg").isNull(), F.col("rank"))
                  .otherwise(F.lit(0.0)).alias("_m"))
                 .groupBy("_k")
-                .agg(F.sum("_c").alias("_s"), F.sum("_m").alias("_dm")))
-            joined = nodes2.join(
-                grouped, nodes2["_k"].eqNullSafe(grouped["_k"]), "left")
-            ranks = (joined.groupBy(nodes2["node"], nodes2["_n"])
-                     .agg(F.sum(F.when(nodes2["_k"].isNotNull(),
-                                       F.coalesce(F.col("_s"),
-                                                  F.lit(0.0)))
-                                .otherwise(F.lit(0.0))).alias("_sp"),
-                          F.sum(F.when(nodes2["_k"].isNull(),
-                                       F.coalesce(F.col("_dm"),
-                                                  F.lit(0.0)))
-                                .otherwise(F.lit(0.0))).alias("_d"))
-                     .select("node", "_n",
-                             (base + F.lit(damping)
-                              * (F.col("_sp")
-                                 + F.col("_d")
-                                 / F.col("_n").cast("double")))
-                             .alias("rank")))
+                .agg(F.sum("_c").alias("_s"), F.sum("_m").alias("_dm"))
+                .localCheckpoint(eager=False))
+            # dangling mass: the NULL-key row's _dm (0.0 when the
+            # graph has no sinks and the row therefore never forms)
+            dmrow = (grouped.filter(F.col("_k").isNull())
+                     .agg(F.coalesce(F.sum("_dm"), F.lit(0.0))
+                          .alias("_d")))
+            spread = (grouped.filter(F.col("_k").isNotNull())
+                      .select(F.col("_k"), F.col("_s")))
+            joined = (nodes.join(spread,
+                                 nodes["node"] == spread["_k"], "left")
+                      .crossJoin(F.broadcast(dmrow)))
+            ranks = joined.select(
+                nodes["node"], nodes["_n"],
+                (base + F.lit(damping)
+                 * (F.coalesce(F.col("_s"), F.lit(0.0))
+                    + F.col("_d")
+                    / nodes["_n"].cast("double"))).alias("rank"))
             # same opt-in lineage cut as the non-dangling arm (review
             # r7: the parameter was silently dead on this branch) —
             # the recurrence is plan-LINEAR without it, but Catalyst
@@ -171,21 +177,46 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 ranks = ranks.localCheckpoint(eager=False)
         return ranks.select("node", "rank")
 
+    # COMPACT-STATE recurrence (r13 optimization round, guide §2.4 —
+    # remove shuffles outright): the per-iteration state holds ONLY
+    # nodes with in-edges. A node absent from the state has rank ==
+    # base EXACTLY (its old stored value was base + d*0.0, and IEEE
+    # gives d*0.0 == 0.0 and x + 0.0 == x for x > 0), so the edge join
+    # reads absent ranks back via coalesce(rank, base) — bit-identical
+    # to the stored value. This drops the per-iteration LEFT join
+    # against the full node set AND the node set's union+distinct
+    # lineage from every round: the r12 plan carried 68 Exchanges / 30
+    # SortMergeJoins at 5 iterations, the compact form ~24/10 (d51
+    # before/after in plans/r13; oracle d51 hash unchanged, hand-
+    # reference tests at 1e-12 green). The node set is joined ONCE at
+    # the end to surface no-in-edge nodes at base rank. Iteration 1
+    # needs no join at all: every rank is the uniform 1/N.
+    e_deg_n = e_deg.crossJoin(F.broadcast(n1)).localCheckpoint()
+    cranks = None
     for it in range(1, iters + 1):
-        contrib = (ranks.join(e_deg, ranks["node"] == e_deg["_src"])
-                   .groupBy("_dst")
-                   .agg(F.sum(F.col("rank") / F.col("_deg")
-                              .cast("double")).alias("_s")))
-        spread = F.coalesce(F.col("_s"), F.lit(0.0))
-        nxt = nodes.join(contrib,
-                         nodes["node"] == contrib["_dst"], "left")
-        ranks = nxt.select(nodes["node"], nodes["_n"],
-                           (base + F.lit(damping) * spread)
-                           .alias("rank"))
+        base_e = (F.lit(1.0 - damping)
+                  / e_deg_n["_n"].cast("double"))
+        if cranks is None:
+            j = e_deg_n
+            src_rank = F.lit(1.0) / e_deg_n["_n"].cast("double")
+        else:
+            j = e_deg_n.join(cranks,
+                             e_deg_n["_src"] == cranks["node"], "left")
+            src_rank = F.coalesce(cranks["rank"], base_e)
+        cranks = (j.groupBy(e_deg_n["_dst"], e_deg_n["_n"])
+                  .agg(F.sum(src_rank / e_deg_n["_deg"].cast("double"))
+                       .alias("_s"))
+                  .select(F.col("_dst").alias("node"),
+                          (F.lit(1.0 - damping)
+                           / F.col("_n").cast("double")
+                           + F.lit(damping) * F.col("_s"))
+                          .alias("rank")))
         if checkpoint_every and it % checkpoint_every == 0 \
                 and it < iters:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select("node", "rank")
+            cranks = cranks.localCheckpoint(eager=False)
+    return (nodes.join(cranks, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("rank"), base).alias("rank")))
 
 
 def triangle_counts(edges: DataFrame, src: str = "src",
@@ -267,7 +298,8 @@ def triangle_counts(edges: DataFrame, src: str = "src",
 
 
 def label_propagation(edges: DataFrame, src: str = "src",
-                      dst: str = "dst", iters: int = 3) -> DataFrame:
+                      dst: str = "dst", iters: int = 3,
+                      materialize: bool = True) -> DataFrame:
     """Synchronous label-propagation community detection over the
     UNDIRECTED view of the edge list: every node starts as its own
     label; each iteration adopts the most frequent label among its
@@ -286,7 +318,17 @@ def label_propagation(edges: DataFrame, src: str = "src",
     referenced ONCE per iteration, so the logical plan stays linear in
     ``iters`` (the dangling-PageRank lesson, r7). 100 TB: both
     shuffles key on node ids; hub-node skew is AQE-splittable equi
-    shuffle, and synchronous rounds mean no driver-side state."""
+    shuffle, and synchronous rounds mean no driver-side state.
+
+    ``materialize`` (default True, r13 optimization round): the
+    symmetric edge table is referenced iters+1 times (every round's
+    neighbor join + the label init), so without a cut its whole
+    dedupe+symmetrize lineage — and whatever upstream derivation the
+    caller built — re-plans and re-executes per round (the d80 plan
+    carried 68 Exchanges at 3 iterations; the triangle_counts
+    materialize rationale, applied to the same k>=2-reference shape).
+    One lazy localCheckpoint cuts it; pass False to keep the operator
+    barrier-free inside a larger pipelined plan."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     a, b = F.col(src), F.col(dst)
@@ -298,6 +340,8 @@ def label_propagation(edges: DataFrame, src: str = "src",
     # both directions: neighbor lists are symmetric
     e = und.unionAll(und.select(F.col("_v").alias("_u"),
                                 F.col("_u").alias("_v")))
+    if materialize:
+        e = e.localCheckpoint(eager=False)
     labels = (e.select(F.col("_u").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("label")))

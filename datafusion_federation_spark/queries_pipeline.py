@@ -810,10 +810,14 @@ def d24(spark, sf):
     THROUGH exact-Jaccard verification — is oracle-checked, not just
     pinned (the xxhash64 twin d04 stays the fast path)."""
     docs = t(spark, sf, "documents")
+    # ONE materialized shingle explode shared by candidates + verifier
+    # (r13 optimization round — the d65/minhash_dedup_pairs pattern;
+    # oracle hash unchanged: same shingle set, same md5 formulas)
+    sh = dedup.shingle_table(docs, "text", "doc_id", 3).localCheckpoint()
     cand = dedup.minhash_md5_candidates(docs, "text", "doc_id",
-                                        num_hashes=8, bands=2)
+                                        num_hashes=8, bands=2, _sh=sh)
     return (dedup.verify_candidates(docs, cand, "text", "doc_id",
-                                    shingle_n=3, threshold=0.7)
+                                    shingle_n=3, threshold=0.7, _sh=sh)
             .orderBy("id_a", "id_b"))
 
 
