@@ -252,14 +252,22 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     counts distinct documents), so a poem's chorus survives unless
     other documents carry it too.
 
-    Plan: posexploded tokens -> windowed n-gram hashes (one pass, no
-    self-join) -> global df count per gram hash (map-side combined;
-    the only corpus-wide shuffle, keyed on the 16-byte hash) ->
-    semi-join back -> position explode of flagged starts -> anti-join
-    tokens -> per-doc ordered reassembly. 100 TB: everything keys on
-    gram hashes or (doc, position); the duplicated-gram set is the
-    natural candidate for a bloom-filter prune (operators/sketches)
-    when it is small relative to the corpus.
+    Plan (r13 optimization round, guide §2.1/§2.4): exploded grams ->
+    global df count per gram (map-side combined; the corpus-wide
+    shuffle, keyed on the gram) -> semi-join back -> ONE groupBy
+    collecting each doc's duplicated-gram START positions into an
+    array -> left-join that small frame back to the documents -> the
+    whole excision is then ROW-LOCAL: covered positions are
+    flatten(transform(starts, s -> sequence(s, s+n-1))) and the kept
+    positions are array_except(sequence(0, len-1), covered) —
+    order-preserving and hash-set backed, O(tokens + starts*n) per
+    row. This replaces the old tail (position explode -> DISTINCT ->
+    token anti-join -> collect_list/array_sort reassembly), cutting
+    the exchanges from 14 to 10 and the sort of every surviving token.
+    100 TB: everything keys on gram hashes or doc id; the
+    duplicated-gram set is the natural candidate for a bloom-filter
+    prune (operators/sketches) when it is small relative to the
+    corpus. Before/after plans in plans/r13/d83_span_dedup_*.txt.
 
     Returns (id, n_tokens, n_removed, new_text) — one row per input
     document, new_text '' when everything was duplicated away.
@@ -276,9 +284,6 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     # Measured sf0.1 warm: 6.4s plain -> 2.5-3.2s with both.
     df = _fan_out(df)
     raw = F.split(F.col(text_col), " ")
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(raw).alias("_pos", "_tok"))
     # grams come from the SAME raw split as the token positions
     # (array_grams — review r7: word_grams NORMALIZES text, so its
     # gram indices misaligned with raw positions and case-folded
@@ -294,34 +299,47 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                .agg(F.countDistinct(id_col).alias("_df"))
                .filter(F.col("_df") >= min_docs)
                .select("_g"))
-    dup_starts = grams.join(gram_df, "_g").select(id_col, "_i")
-    covered = (dup_starts.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("_i"),
-                             F.col("_i") + F.lit(n - 1))).alias("_pos"))
-        .distinct())
-    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("_n_kept"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct(F.col("_pos").alias("p"),
-                                         F.col("_tok").alias("t")))),
-                            lambda s: s["t"]), " ").alias("new_text")))
-    # per-row token counts — no second explode, no extra shuffle, and
+    # ONE exchange gathers each doc's duplicated-gram start positions
+    # into an array; docs with no duplicated gram have no row here
+    starts = (grams.join(gram_df, "_g")
+              .groupBy(id_col)
+              .agg(F.collect_set("_i").alias("_starts")))
     # a NULL-text document KEEPS its row (n_tokens NULL, like the SQL
     # oracle's LEFT JOIN; explicit when() so the result does not
     # depend on ANSI's size(NULL) behavior — review r7)
-    totals = df.select(
+    base = df.select(
         F.col(id_col),
         F.when(F.col(text_col).isNull(),
                F.lit(None).cast("long"))
-         .otherwise(F.size(raw).cast("long")).alias("n_tokens"))
-    return (totals.join(rebuilt, id_col, "left")
-            .select(id_col, "n_tokens",
-                    (F.col("n_tokens")
-                     - F.coalesce(F.col("_n_kept"), F.lit(0)))
-                    .cast("long").alias("n_removed"),
-                    F.coalesce(F.col("new_text"), F.lit(""))
-                    .alias("new_text")))
+         .otherwise(F.size(raw).cast("long")).alias("n_tokens"),
+        raw.alias("_ws"))
+    j = base.join(starts, id_col, "left")
+    # covered positions may run past the last token (partial tail
+    # grams) — harmless: array_except only keeps members of the first
+    # array. array_except preserves first-array order, so kept
+    # positions stay ascending and the rebuild is position-ordered.
+    covered = F.flatten(F.transform(
+        F.col("_starts"),
+        lambda s: F.sequence(s, s + F.lit(n - 1))))
+    kept_pos = F.when(
+        F.col("_starts").isNull(),
+        F.sequence(F.lit(0), F.col("n_tokens").cast("int") - 1)
+    ).otherwise(
+        F.array_except(
+            F.sequence(F.lit(0), F.col("n_tokens").cast("int") - 1),
+            covered))
+    return (j.select(
+        F.col(id_col), F.col("n_tokens"),
+        kept_pos.alias("_kp"),
+        F.col("_ws"))
+        .select(
+            F.col(id_col), F.col("n_tokens"),
+            F.when(F.col("n_tokens").isNull(), F.lit(None).cast("long"))
+             .otherwise((F.col("n_tokens") - F.size("_kp"))
+                        .cast("long")).alias("n_removed"),
+            F.when(F.col("n_tokens").isNull(), F.lit(""))
+             .otherwise(F.array_join(
+                 F.transform(F.col("_kp"),
+                             lambda p: F.element_at(F.col("_ws"),
+                                                    p + F.lit(1))),
+                 " ")).alias("new_text")))

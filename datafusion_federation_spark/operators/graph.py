@@ -371,33 +371,43 @@ def kcore_prune(edges: DataFrame, src: str = "src", dst: str = "dst",
     run-to-fixpoint form is data-dependent in depth, so the FIXED
     count is what a SQL oracle can replay, like the d51/d80 pattern).
 
-    Formulation note: the naive peel (deg = groupBy; edges semi-join
-    survivors) references the edge state TWICE per round, doubling
-    the logical plan each iteration (the r6 dangling-PageRank trap).
-    This form keeps the symmetric (u,v)+(v,u) edge table and attaches
-    BOTH endpoint degrees with two window counts — one state
-    reference per round, plan linear in ``rounds``; the symmetric
-    filter keeps (u,v) iff it keeps (v,u), so the table stays
-    symmetric by construction. 100 TB: two keyed window exchanges per
-    round, no joins at all, no driver state."""
+    Formulation note (r13 optimization round, guide §2.1/§3.4; the
+    earlier two-window form's before/after plans are in
+    plans/r13/d81_kcore_*.txt): the edge state is ONE canonical
+    (u<v) table, lazily checkpointed per round so the two references
+    each round (degree count + survivor filter) read materialized
+    blocks instead of doubling the logical plan (the r6
+    dangling-PageRank trap). Degrees come from exploding both
+    endpoints into a map-side-combined groupBy — the shuffle carries
+    at most one tiny (node, count) row per node per input partition —
+    and the < k nodes (the peeled set, usually the small side) ship
+    back as two semi-joins (SMJ in the static plan; AQE converts to
+    broadcast at runtime when the surviving-node aggregate is small).
+    The old form shuffled AND sorted the full symmetric (2x) edge
+    table twice per round; now the shuffled state per round is one
+    node-sized aggregate plus the canonical (1x) edge table through
+    the semi-joins (measured: exchanges 26 -> 10, sorts 12 -> 8,
+    plan lines 389 -> 180 at 3 rounds). 100 TB: zero edge movement
+    while the surviving-node set fits a broadcast, degraded by AQE
+    to a keyed shuffle when it does not."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    from pyspark.sql import Window as W
     a, b = F.col(src), F.col(dst)
-    und = (edges.select(F.least(a, b).alias("_u"),
-                        F.greatest(a, b).alias("_v"))
-           .filter(F.col("_u") != F.col("_v"))
-           .filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
-           .distinct())
-    e = und.unionAll(und.select(F.col("_v").alias("_u"),
-                                F.col("_u").alias("_v")))
+    e = (edges.select(F.least(a, b).alias("_u"),
+                      F.greatest(a, b).alias("_v"))
+         .filter(F.col("_u") != F.col("_v"))
+         .filter(F.col("_u").isNotNull() & F.col("_v").isNotNull())
+         .distinct())
     for _ in range(rounds):
-        du = F.count(F.lit(1)).over(W.partitionBy("_u"))
-        dv = F.count(F.lit(1)).over(W.partitionBy("_v"))
-        e = (e.withColumn("_du", du).withColumn("_dv", dv)
-             .filter((F.col("_du") >= k) & (F.col("_dv") >= k))
+        e = e.localCheckpoint(eager=False)
+        deg = (e.select(F.explode(F.array("_u", "_v")).alias("_n"))
+               .groupBy("_n").agg(F.count(F.lit(1)).alias("_d")))
+        ok = deg.filter(F.col("_d") >= k).select("_n")
+        e = (e.join(ok.withColumnRenamed("_n", "_u"), "_u", "semi")
+             .join(ok.withColumnRenamed("_n", "_v"), "_v", "semi")
              .select("_u", "_v"))
-    return (e.groupBy(F.col("_u").alias("node"))
+    return (e.select(F.explode(F.array("_u", "_v")).alias("node"))
+            .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("degree")))

@@ -216,7 +216,8 @@ def cm_hash_bucket(key: Column, row, width: int,
 
 
 def cm_sketch(df: DataFrame, key: str, depth: int = 4,
-              width: int = 512, salt: str = "cm") -> DataFrame:
+              width: int = 512, salt: str = "cm",
+              weight_col: str | None = None) -> DataFrame:
     """Count-min sketch of the FREQUENCY distribution of ``key``:
     ``depth`` independent hash rows of ``width`` counters, stored as
     (row, bucket, cnt) rows — depth*width counters regardless of
@@ -232,14 +233,28 @@ def cm_sketch(df: DataFrame, key: str, depth: int = 4,
 
     One explode (xdepth) + one groupBy — map-side combined, at most
     depth*width result rows however big the corpus.
+
+    ``weight_col``: when the caller already holds PRE-AGGREGATED
+    (key, count) rows, pass the count column and each key is hashed
+    ONCE per row instead of once per occurrence — the counters are
+    plain sums, so sketch(counts) == sketch(raw stream) exactly (r13
+    optimization round, guide §2.4 partial aggregation: d53 already
+    computes the per-token counts for its heavy-hitter ranking, and
+    reusing them cuts the md5 evaluations from depth x N_tokens to
+    depth x vocabulary).
     """
     _check_cm(depth, width)
     rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
-    e = df.select(F.col(key).alias("_k"), rows.alias("row"))
+    cols = [F.col(key).alias("_k")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+    e = df.select(*cols, rows.alias("row"))
     e = e.withColumn("bucket", cm_hash_bucket(
         F.col("_k"), F.col("row"), width, salt))
+    agg = (F.count(F.lit(1)) if weight_col is None
+           else F.sum("_w"))
     return (e.groupBy("row", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt")))
+            .agg(agg.alias("cnt")))
 
 
 def _check_cm(depth: int, width: int) -> None:

@@ -2033,9 +2033,16 @@ def d53(spark, sf):
     toks = (docs.select(F.explode(F.split(F.lower("text"), " "))
                         .alias("w"))
             .filter(F.col("w") != ""))
-    top = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
-           .orderBy(F.desc("exact"), "w").limit(20))
-    sk = cm_sketch(toks, "w", depth=3, width=512)
+    # r13 (guide §2.4): aggregate the token stream ONCE; the ranking
+    # takes the top of the counts and the sketch hashes each DISTINCT
+    # token weighted by its count (sketch counters are plain sums, so
+    # sketch(counts) == sketch(stream) exactly) — md5 work drops from
+    # depth x N_tokens to depth x vocabulary, and the explode lineage
+    # runs once (checkpointed vocab-sized frame) instead of twice.
+    counts = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+              .localCheckpoint(eager=False))
+    top = counts.orderBy(F.desc("exact"), "w").limit(20)
+    sk = cm_sketch(counts, "w", depth=3, width=512, weight_col="exact")
     est = cm_estimate(sk, top.select("w"), "w", depth=3, width=512)
     return (top.join(est, "w")
             .select(F.col("w").alias("word"),

@@ -156,6 +156,21 @@ class TestCountMin:
         assert sorted(map(tuple, merged.collect())) == \
             sorted(map(tuple, whole.collect()))
 
+    def test_weighted_counts_equal_raw_stream(self, spark):
+        # r13: sketch(pre-aggregated counts, weight_col) must equal
+        # sketch(raw stream) EXACTLY — counters are plain sums (the
+        # d53 optimization relies on this identity)
+        from pyspark.sql import functions as F
+        from datafusion_federation_spark.operators.sketches import (
+            cm_sketch)
+        df = self._df(spark)
+        counts = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        weighted = cm_sketch(counts, "v", depth=3, width=512,
+                             weight_col="n")
+        raw = cm_sketch(df, "v", depth=3, width=512)
+        assert sorted(map(tuple, weighted.collect())) == \
+            sorted(map(tuple, raw.collect()))
+
     def test_missing_probe_estimates_zero_or_collision(self, spark):
         from datafusion_federation_spark.operators.sketches import (
             cm_estimate, cm_sketch)
