@@ -310,22 +310,37 @@ def jaccard_prefix_candidates(df: DataFrame, text_col: str, id_col: str,
     ``_sh``: optionally a prebuilt (id, shingle) table — the full-path
     caller materializes ONE shingle explode and shares it with the
     verifier (see ngram_jaccard_pairs_prefix)."""
-    from pyspark.sql import Window as W
     sh = shingle_table(df, text_col, id_col, n) if _sh is None else _sh
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-    pref_len = (F.col("__nsh") -
-                F.ceil(F.lit(threshold) * F.col("__nsh")) + 1)
-    # per-doc set size comes from a count() over the SAME doc-keyed
-    # window partition as the frequency rank — one Exchange instead of
-    # a separate groupBy + join back (measured r6: the extra
-    # aggregate+join pair was two full shuffles of the shingle table)
-    wp = W.partitionBy(id_col)
+    # per-doc prefix selection as a doc-bounded AGGREGATE instead of a
+    # row_number window (r13 optimization round, guide §2.4): the old
+    # form sorted the whole (shingle, df) table within doc partitions
+    # and ran two window functions; collecting each doc's (df, shingle)
+    # structs and array_sort-ing ROW-LOCALLY ranks by exactly the same
+    # (df asc, shingle asc) order — struct comparison is field-major
+    # and (df, shingle) is unique within a doc, so the slice keeps the
+    # identical prefix set. The collected array is bounded by the
+    # doc's own distinct-shingle count (never corpus-scale), so the
+    # aggregation buffer stays as safe as the window's sort run was.
+    # Measured at sf0.1: wall-time NEUTRAL (verification dominates
+    # d65; candidates stage ~1.7s both forms), kept for the plan
+    # shape — the per-partition sort of the full joined shingle table
+    # and both window nodes are gone, and candidate sets are pinned
+    # identical across sf0.01/sf0.1 at thresholds 0.5/0.72/0.8.
     prefix = (sh.join(freq, "shingle")
-              .withColumn("__rk", F.row_number().over(
-                  wp.orderBy("__df", "shingle")))
-              .withColumn("__nsh", F.count(F.lit(1)).over(wp))
-              .filter(F.col("__rk") <= pref_len)
-              .select(id_col, "shingle"))
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_list(
+                  F.struct(F.col("__df"), F.col("shingle")))).alias("__a"))
+              .select(id_col, F.explode(F.expr(
+                  # the D suffix pins the threshold literal to DOUBLE —
+                  # a bare 0.8 parses as DECIMAL(1,1), whose exact
+                  # ceil(0.8*5)=4 diverges from the double form's
+                  # ceil(.8000000000000000444*5)=5 the old window
+                  # arithmetic (F.lit(threshold)) computed
+                  f"slice(__a, 1, cast(size(__a) - "
+                  f"ceil({float(threshold)!r}D * size(__a)) + 1 as int))"
+              )).alias("__p"))
+              .select(id_col, F.col("__p.shingle").alias("shingle")))
     buckets = (prefix.groupBy("shingle")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") >= 2))
