@@ -682,12 +682,39 @@ def decode_image(payload: bytes) -> dict:
         "without PIL; this payload's magic is none of those")
 
 
+def _payload_pairs(pdf: "pd.DataFrame", id_col: str, payload_col: str,
+                   payload_fn, meta_cols):
+    """(id, payload bytes) pairs for one Arrow batch — either read from
+    a payload column, or BUILT in place by ``payload_fn(id, *meta)``.
+    The fused form (r13 optimization round, guide §4.1) lets a caller
+    that synthesizes payloads run build + decode in ONE mapInPandas:
+    the intermediate (id, payload) frame previously crossed the Python
+    boundary twice (builder out, decoder in) for bytes the JVM never
+    touches. One shared iterator keeps the decode/stats code path
+    identical for both forms, so fused and two-step results cannot
+    diverge."""
+    if payload_fn is None:
+        for i, b in zip(pdf[id_col].values, pdf[payload_col]):
+            yield i, bytes(b)
+    else:
+        metas = [pdf[c].values for c in meta_cols]
+        for i, *mv in zip(pdf[id_col].values, *metas):
+            yield i, payload_fn(int(i), *mv)
+
+
 def extract_image_stats(df: DataFrame, payload_col: str = "payload",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        payload_fn=None,
+                        meta_cols=("n_chars",)) -> DataFrame:
     """REAL decode inside the Arrow-batched mapInPandas seam: parse
     each payload's header + raster with ``decode_image`` and emit
     per-image channel statistics. One Python crossing per batch;
-    payload bytes never shuffle (the projection drops them)."""
+    payload bytes never shuffle (the projection drops them).
+
+    ``payload_fn``: optional ``(id, *meta_cols values) -> bytes``
+    builder; when given, ``df`` carries (id, *meta_cols) instead of
+    payloads and the build happens inside the SAME crossing — see
+    ``_payload_pairs``."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("width", T.IntegerType()),
@@ -702,8 +729,9 @@ def extract_image_stats(df: DataFrame, payload_col: str = "payload",
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for i, b in zip(pdf[id_col].values, pdf[payload_col]):
-                d = decode_image(bytes(b))
+            for i, b in _payload_pairs(pdf, id_col, payload_col,
+                                       payload_fn, meta_cols):
+                d = decode_image(b)
                 ras = d["raster"]
                 rows.append((int(i), d["width"], d["height"], d["codec"],
                              sum(ras[0::3]), sum(ras[1::3]),
@@ -713,8 +741,9 @@ def extract_image_stats(df: DataFrame, payload_col: str = "payload",
                 id_col, "width", "height", "codec",
                 "sum_r", "sum_g", "sum_b", "n_px"])
 
-    return (df.select(id_col, payload_col)
-              .mapInPandas(_batches, schema=out_schema))
+    cols = ([id_col, payload_col] if payload_fn is None
+            else [id_col, *meta_cols])
+    return df.select(*cols).mapInPandas(_batches, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -782,9 +811,13 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def extract_audio_stats(df: DataFrame, payload_col: str = "payload",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        payload_fn=None,
+                        meta_cols=("n_chars",)) -> DataFrame:
     """REAL WAV decode inside the Arrow-batched mapInPandas seam:
-    parse header + interleaved frames, emit per-clip statistics."""
+    parse header + interleaved frames, emit per-clip statistics.
+    ``payload_fn``: optional in-crossing builder (see
+    ``_payload_pairs``)."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("sample_rate", T.IntegerType()),
@@ -798,8 +831,9 @@ def extract_audio_stats(df: DataFrame, payload_col: str = "payload",
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for i, b in zip(pdf[id_col].values, pdf[payload_col]):
-                d = decode_wav(bytes(b))
+            for i, b in _payload_pairs(pdf, id_col, payload_col,
+                                       payload_fn, meta_cols):
+                d = decode_wav(b)
                 s = d["samples"]
                 rows.append((int(i), d["sample_rate"], d["channels"],
                              d["n_frames"], d["duration_ms"],
@@ -808,8 +842,9 @@ def extract_audio_stats(df: DataFrame, payload_col: str = "payload",
                 id_col, "sample_rate", "channels", "n_frames",
                 "duration_ms", "sum_samples", "sum_abs"])
 
-    return (df.select(id_col, payload_col)
-              .mapInPandas(_batches, schema=out_schema))
+    cols = ([id_col, payload_col] if payload_fn is None
+            else [id_col, *meta_cols])
+    return df.select(*cols).mapInPandas(_batches, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -965,13 +1000,16 @@ def decode_avi_dib(payload: bytes) -> dict:
 
 def frame_sample_real(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "doc_id",
-                      every_n: int = 1) -> DataFrame:
+                      every_n: int = 1,
+                      payload_fn=None,
+                      meta_cols=("n_chars",)) -> DataFrame:
     """REAL video frame sampling (r9; the stub above remains for
     formats without a decoder): parse each AVI payload, keep every
     ``every_n``-th frame, and emit one row per sampled frame with its
     timestamp and channel sums — the one-row-to-many-frames shape with
     payload bytes never shuffling (they cross Python once per Arrow
-    batch and leave as fixed-width stats)."""
+    batch and leave as fixed-width stats). ``payload_fn``: optional
+    in-crossing builder (see ``_payload_pairs``)."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -986,8 +1024,9 @@ def frame_sample_real(df: DataFrame, payload_col: str = "payload",
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for i, b in zip(pdf[id_col].values, pdf[payload_col]):
-                d = decode_avi_dib(bytes(b))
+            for i, b in _payload_pairs(pdf, id_col, payload_col,
+                                       payload_fn, meta_cols):
+                d = decode_avi_dib(b)
                 for fi in range(0, d["n_frames"], every_n):
                     ras = d["frames"][fi]
                     rows.append((int(i), fi,
@@ -999,5 +1038,6 @@ def frame_sample_real(df: DataFrame, payload_col: str = "payload",
                 id_col, "frame_idx", "frame_ts_ms", "width", "height",
                 "sum_r", "sum_g", "sum_b"])
 
-    return (df.select(id_col, payload_col)
-              .mapInPandas(_batches, schema=out_schema))
+    cols = ([id_col, payload_col] if payload_fn is None
+            else [id_col, *meta_cols])
+    return df.select(*cols).mapInPandas(_batches, schema=out_schema)

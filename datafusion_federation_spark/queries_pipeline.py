@@ -5644,10 +5644,7 @@ def d93(spark, sf):
     tests/test_operators.py. 100 TB: payloads are built and decoded
     inside one mapInPandas pass each — bytes cross Python once per
     Arrow batch and never shuffle."""
-    import pandas as _pd
-
     from .operators.multimodal import encode_ppm_p6, extract_image_stats
-    from pyspark.sql import types as T
 
     # the sf-scale documents table is ONE parquet split, which would
     # serialize the whole build+decode pipeline onto a single core
@@ -5657,23 +5654,18 @@ def d93(spark, sf):
     docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
             .repartition(spark.sparkContext.defaultParallelism))
 
-    def _mk(it):
-        for pdf in it:
-            payloads = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                w = int(nc) % 8 + 2
-                h = (int(nc) // 8) % 6 + 2
-                ras = bytes((int(did) * 7 + j) % 256
-                            for j in range(w * h * 3))
-                payloads.append(encode_ppm_p6(w, h, ras))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
+    # fixture build + decode fused into ONE Python crossing via the
+    # operator's payload_fn seam (r13 optimization round, guide §4.1:
+    # the intermediate (id, payload) frame crossed JVM<->Python twice
+    # for bytes the JVM never touches); measured 1.3s -> 1.0s warm at
+    # sf0.1, rows identical
+    def _payload(did, nc):
+        w = int(nc) % 8 + 2
+        h = (int(nc) // 8) % 6 + 2
+        ras = bytes((did * 7 + j) % 256 for j in range(w * h * 3))
+        return encode_ppm_p6(w, h, ras)
 
-    with_payload = docs.mapInPandas(
-        _mk, schema=T.StructType([
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType())]))
-    return (extract_image_stats(with_payload)
+    return (extract_image_stats(docs, payload_fn=_payload)
             .orderBy("doc_id"))
 
 
@@ -5714,11 +5706,8 @@ def d94(spark, sf):
     or broke on word alignment would mismatch. 100 TB: payloads are
     built and decoded inside one mapInPandas pass each — bytes cross
     Python once per Arrow batch and never shuffle."""
-    import pandas as _pd
-
     from .operators.multimodal import encode_wav_pcm16, \
         extract_audio_stats
-    from pyspark.sql import types as T
 
     # the sf-scale documents table is ONE parquet split, which would
     # serialize the whole build+decode pipeline onto a single core
@@ -5728,23 +5717,17 @@ def d94(spark, sf):
     docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
             .repartition(spark.sparkContext.defaultParallelism))
 
-    def _mk(it):
-        for pdf in it:
-            payloads = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                frames = int(nc) % 50 + 10
-                ch = 1 + int(did) % 2
-                samples = [(int(did) * 13 + k) % 4001 - 2000
-                           for k in range(frames * ch)]
-                payloads.append(encode_wav_pcm16(8000, ch, samples))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
+    # fixture build + decode fused into ONE Python crossing (r13
+    # optimization round, guide §4.1; see d93)
+    def _payload(did, nc):
+        frames = int(nc) % 50 + 10
+        ch = 1 + did % 2
+        samples = [(did * 13 + k) % 4001 - 2000
+                   for k in range(frames * ch)]
+        return encode_wav_pcm16(8000, ch, samples)
 
-    with_payload = docs.mapInPandas(
-        _mk, schema=T.StructType([
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType())]))
-    return extract_audio_stats(with_payload).orderBy("doc_id")
+    return (extract_audio_stats(docs, payload_fn=_payload)
+            .orderBy("doc_id"))
 
 
 _Q113_SQL = """
@@ -5861,23 +5844,16 @@ def d95(spark, sf):
             .repartition(spark.sparkContext.defaultParallelism))
     W, H = 3, 2
 
-    def _mk(it):
-        for pdf in it:
-            payloads = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                nf = int(nc) % 4 + 2
-                frames = [bytes((int(did) * 7 + f * 97 + j) % 256
-                                for j in range(W * H * 3))
-                          for f in range(nf)]
-                payloads.append(encode_avi_dib(W, H, 10, frames))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
+    # fixture build + decode fused into ONE Python crossing (r13
+    # optimization round, guide §4.1; see d93)
+    def _payload(did, nc):
+        nf = int(nc) % 4 + 2
+        frames = [bytes((did * 7 + f * 97 + j) % 256
+                        for j in range(W * H * 3))
+                  for f in range(nf)]
+        return encode_avi_dib(W, H, 10, frames)
 
-    with_payload = docs.mapInPandas(
-        _mk, schema=T.StructType([
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType())]))
-    return (frame_sample_real(with_payload)
+    return (frame_sample_real(docs, payload_fn=_payload)
             .orderBy("doc_id", "frame_idx"))
 
 
@@ -5923,10 +5899,7 @@ def d96(spark, sf):
     refuses palette/low-bit-depth ones (tests/test_operators.py). 100
     TB: payloads are built and decoded inside one mapInPandas pass each
     — bytes cross Python once per Arrow batch and never shuffle."""
-    import pandas as _pd
-
     from .operators.multimodal import encode_png, extract_image_stats
-    from pyspark.sql import types as T
 
     # the sf-scale documents table is ONE parquet split, which would
     # serialize the whole build+decode pipeline onto a single core
@@ -5936,26 +5909,17 @@ def d96(spark, sf):
     docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
             .repartition(spark.sparkContext.defaultParallelism))
 
-    def _mk(it):
-        for pdf in it:
-            payloads = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                w = int(nc) % 7 + 2
-                h = (int(nc) // 7) % 5 + 2
-                ras = bytes((int(did) * 11 + j) % 256
-                            for j in range(w * h * 3))
-                alpha = (bytes((int(did) + i) % 256
-                               for i in range(w * h))
-                         if int(did) % 2 == 1 else None)
-                payloads.append(encode_png(w, h, ras, alpha=alpha))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
+    # fixture build + decode fused into ONE Python crossing (r13
+    # optimization round, guide §4.1; see d93)
+    def _payload(did, nc):
+        w = int(nc) % 7 + 2
+        h = (int(nc) // 7) % 5 + 2
+        ras = bytes((did * 11 + j) % 256 for j in range(w * h * 3))
+        alpha = (bytes((did + i) % 256 for i in range(w * h))
+                 if did % 2 == 1 else None)
+        return encode_png(w, h, ras, alpha=alpha)
 
-    with_payload = docs.mapInPandas(
-        _mk, schema=T.StructType([
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType())]))
-    return (extract_image_stats(with_payload)
+    return (extract_image_stats(docs, payload_fn=_payload)
             .orderBy("doc_id"))
 
 
@@ -6184,10 +6148,7 @@ def d97(spark, sf):
     produce (tests/test_operators.py — interlaced files previously
     skipped now assert-decode). 100 TB: same Arrow-batched
     mapInPandas seam as d93-d96; bytes never shuffle."""
-    import pandas as _pd
-
     from .operators.multimodal import encode_png, extract_image_stats
-    from pyspark.sql import types as T
 
     # the sf-scale documents table is ONE parquet split, which would
     # serialize the whole build+decode pipeline onto a single core
@@ -6197,26 +6158,17 @@ def d97(spark, sf):
     docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
             .repartition(spark.sparkContext.defaultParallelism))
 
-    def _mk(it):
-        for pdf in it:
-            payloads = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                w = int(nc) % 6 + 2
-                h = (int(nc) // 6) % 4 + 2
-                ras = bytes((int(did) * 13 + j) % 256
-                            for j in range(w * h * 3))
-                payloads.append(encode_png(
-                    w, h, ras,
-                    depth=16 if int(did) % 3 == 0 else 8,
-                    interlace=int(did) % 2 == 0))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
+    # fixture build + decode fused into ONE Python crossing (r13
+    # optimization round, guide §4.1; see d93)
+    def _payload(did, nc):
+        w = int(nc) % 6 + 2
+        h = (int(nc) // 6) % 4 + 2
+        ras = bytes((did * 13 + j) % 256 for j in range(w * h * 3))
+        return encode_png(w, h, ras,
+                          depth=16 if did % 3 == 0 else 8,
+                          interlace=did % 2 == 0)
 
-    with_payload = docs.mapInPandas(
-        _mk, schema=T.StructType([
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType())]))
-    return (extract_image_stats(with_payload)
+    return (extract_image_stats(docs, payload_fn=_payload)
             .orderBy("doc_id"))
 
 
@@ -6261,11 +6213,8 @@ def d98(spark, sf):
     are pinned in tests with +-1 tolerance; progressive/arithmetic
     coding refuses honestly. 100 TB: same Arrow-batched mapInPandas
     seam as d93-d97; bytes never shuffle."""
-    import pandas as _pd
-
     from .operators.jpeg import encode_jpeg_baseline
     from .operators.multimodal import extract_image_stats
-    from pyspark.sql import types as T
 
     # the sf-scale documents table is ONE parquet split, which would
     # serialize the whole build+decode pipeline onto a single core
@@ -6275,30 +6224,23 @@ def d98(spark, sf):
     docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
             .repartition(spark.sparkContext.defaultParallelism))
 
-    def _mk(it):
-        for pdf in it:
-            payloads = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                did, nc = int(did), int(nc)
-                w = (nc % 3 + 1) * 8
-                h = ((nc // 3) % 2 + 1) * 8
-                nbx = w // 8
-                g = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        b_ = (y // 8) * nbx + (x // 8)
-                        g.append((did * 17 + b_ * 29) % 256)
-                payloads.append(encode_jpeg_baseline(
-                    w, h, gray=bytes(g), quant=1,
-                    restart_interval=1 if did % 4 == 0 else 0))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
+    # fixture build + decode fused into ONE Python crossing (r13
+    # optimization round, guide §4.1; see d93)
+    def _payload(did, nc):
+        did, nc = int(did), int(nc)
+        w = (nc % 3 + 1) * 8
+        h = ((nc // 3) % 2 + 1) * 8
+        nbx = w // 8
+        g = bytearray()
+        for y in range(h):
+            for x in range(w):
+                b_ = (y // 8) * nbx + (x // 8)
+                g.append((did * 17 + b_ * 29) % 256)
+        return encode_jpeg_baseline(
+            w, h, gray=bytes(g), quant=1,
+            restart_interval=1 if did % 4 == 0 else 0)
 
-    with_payload = docs.mapInPandas(
-        _mk, schema=T.StructType([
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType())]))
-    return (extract_image_stats(with_payload)
+    return (extract_image_stats(docs, payload_fn=_payload)
             .orderBy("doc_id"))
 
 
@@ -6342,40 +6284,29 @@ def d99(spark, sf):
     files this repo did not produce — decode with the content their
     names claim (tests/test_operators.py). 100 TB: same Arrow-batched
     mapInPandas seam; bytes never shuffle."""
-    import pandas as _pd
-
     from .operators.jpeg import encode_jpeg_progressive
     from .operators.multimodal import extract_image_stats
-    from pyspark.sql import types as T
 
     # the sf-scale documents table is ONE parquet split, which would
     # serialize the whole build+decode pipeline onto a single core
     docs = (t(spark, sf, "documents").select("doc_id", "n_chars")
             .repartition(spark.sparkContext.defaultParallelism))
 
-    def _mk(it):
-        for pdf in it:
-            payloads = []
-            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
-                did, nc = int(did), int(nc)
-                w = (nc % 2 + 1) * 8
-                h = ((nc // 2) % 3 + 1) * 8
-                nbx = w // 8
-                g = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        b_ = (y // 8) * nbx + (x // 8)
-                        g.append((did * 23 + b_ * 31) % 256)
-                payloads.append(encode_jpeg_progressive(
-                    w, h, gray=bytes(g), quant=1))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"].values,
-                                 "payload": payloads})
+    # fixture build + decode fused into ONE Python crossing (r13
+    # optimization round, guide §4.1; see d93)
+    def _payload(did, nc):
+        did, nc = int(did), int(nc)
+        w = (nc % 2 + 1) * 8
+        h = ((nc // 2) % 3 + 1) * 8
+        nbx = w // 8
+        g = bytearray()
+        for y in range(h):
+            for x in range(w):
+                b_ = (y // 8) * nbx + (x // 8)
+                g.append((did * 23 + b_ * 31) % 256)
+        return encode_jpeg_progressive(w, h, gray=bytes(g), quant=1)
 
-    with_payload = docs.mapInPandas(
-        _mk, schema=T.StructType([
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType())]))
-    return (extract_image_stats(with_payload)
+    return (extract_image_stats(docs, payload_fn=_payload)
             .orderBy("doc_id"))
 
 

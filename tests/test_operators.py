@@ -1761,3 +1761,45 @@ def test_jpeg_progressive_equals_baseline_decode():
     got = np.frombuffer(dp["raster"], np.uint8).reshape(24, 24, 3)
     assert np.array_equal(got[..., 0],
                           np.frombuffer(g, np.uint8).reshape(24, 24))
+
+
+def test_payload_fn_fusion_matches_bytes_path(spark):
+    """r13 optimization round: the extractors' payload_fn seam (fixture
+    build fused into the decode crossing, guide §4.1) must produce
+    EXACTLY the rows of the two-step bytes path, and the fused plan
+    must contain ONE MapInPandas node instead of two."""
+    from datafusion_federation_spark.operators.multimodal import (
+        encode_avi_dib, encode_ppm_p6, encode_wav_pcm16,
+        extract_audio_stats, extract_image_stats, frame_sample_real)
+
+    meta = spark.createDataFrame([(i, 10 + i) for i in range(6)],
+                                 "doc_id LONG, n_chars LONG")
+
+    def img(did, nc):
+        n = int(nc) % 3 + 2
+        return encode_ppm_p6(n, 2, bytes((did * 7 + j) % 256
+                                         for j in range(n * 2 * 3)))
+
+    def wav(did, nc):
+        ch = 1 + did % 2
+        return encode_wav_pcm16(
+            8000, ch, [(did * 13 + k) % 4001 - 2000
+                       for k in range((int(nc) % 5 + 2) * ch)])
+
+    def avi(did, nc):
+        nf = int(nc) % 3 + 2
+        return encode_avi_dib(3, 2, 10, [
+            bytes((did * 7 + f * 97 + j) % 256 for j in range(18))
+            for f in range(nf)])
+
+    for extractor, builder in ((extract_image_stats, img),
+                               (extract_audio_stats, wav),
+                               (frame_sample_real, avi)):
+        two_step = extractor(spark.createDataFrame(
+            [(i, builder(i, 10 + i)) for i in range(6)],
+            "doc_id LONG, payload BINARY"))
+        fused = extractor(meta, payload_fn=builder)
+        assert sorted(map(tuple, two_step.collect())) == \
+            sorted(map(tuple, fused.collect()))
+        plan = fused._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
