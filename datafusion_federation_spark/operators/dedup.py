@@ -184,13 +184,55 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
 
 def shingle_table(df: DataFrame, text_col: str, id_col: str,
-                  n: int = 3) -> DataFrame:
-    """(id, shingle) exploded pairs (input fanned out across tasks —
-    the explode inflates ~200x, so upstream splits understate the
-    downstream work)."""
-    return (_fan_out(df).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
+                  n: int = 3, with_size: bool = False) -> DataFrame:
+    """(id, shingle[, n_sh]) exploded pairs (input fanned out across
+    tasks — the explode inflates ~200x, so upstream splits understate
+    the downstream work).
+
+    ``with_size=True`` additionally carries the doc's DISTINCT shingle
+    count on every exploded row (r14 optimization round, guide §2.3):
+    the shingle array is built ONCE in its own projection, the Generate
+    retains it, and ``n_sh = size(arr)`` is O(1) per exploded row — so
+    consumers that need per-doc set sizes (the Jaccard union term) read
+    them off the rows they already hold instead of re-running the
+    gram build in a second scan (the r13 row-local ``shingle_counts``
+    form, measured +0.3–0.4 s on d03: one full normalize+zip_with pass
+    PER size reference with no exchange for ReuseExchange to dedupe) or
+    re-aggregating the explode (the pre-r13 form)."""
+    arr = _fan_out(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("__arr"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate adds
+    # size(child)>0 below a plain explode once the child is a cheap
+    # attribute, and predicate pushdown then substitutes the alias all
+    # the way into the scan — re-evaluating the whole gram build per
+    # row in a filter that prunes nothing (observed: 2 zip_with chains
+    # in the d03 plan, one at the scan). The rule skips OUTER
+    # generators; a NULL-text doc (the only null/empty __arr source —
+    # word_shingles yields >= 1 element otherwise) then emits one
+    # NULL row, dropped right here above the Generate where the filter
+    # cannot sink. Net: the gram build appears ONCE in the plan (r14
+    # optimization round, guide §2.4/§7.2).
+    if not with_size:
+        return (arr.select(F.col(id_col),
+                           F.explode_outer("__arr").alias("shingle"))
+                .filter(F.col("shingle").isNotNull()))
+    # with_size: pack (shingle, n_sh) INTO the generator output. A bare
+    # n_sh = size(__arr) projection is alias-substitutable, and the
+    # isnotnull(n_sh) constraints inferred from downstream Jaccard
+    # filters/joins sink through it into the scan — re-running the gram
+    # build there (observed on d33's corpus side). Generator OUTPUT
+    # attributes are a pushdown barrier, so field extraction stops any
+    # inferred predicate right above the Generate. size() inside the
+    # lambda is O(1) per element (array length header).
+    gen = F.explode_outer(F.transform(
+        F.col("__arr"),
+        lambda s: F.struct(
+            s.alias("shingle"),
+            F.size(F.col("__arr")).cast("long").alias("n_sh"))))
+    return (arr.select(F.col(id_col), gen.alias("__p"))
+            .filter(F.col("__p").isNotNull())
+            .select(F.col(id_col), F.col("__p.shingle").alias("shingle"),
+                    F.col("__p.n_sh").alias("n_sh")))
 
 
 def shingle_counts(df: DataFrame, text_col: str, id_col: str,
@@ -234,26 +276,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     mostly of corpus-wide boilerplate are affected. The number of
     dropped shingles is logged (never silent), and the registered d03
     query keeps the exact default."""
-    sh = shingle_table(df, text_col, id_col, n)
-    # per-doc set sizes are ROW-LOCAL (shingle_counts): the old
-    # groupBy-count over `sh` was a SECOND reference to the shingle
-    # table, re-running the whole ~200x explode lineage for a value
-    # each row can compute about itself (r13 optimization round,
-    # guide §2.4; d03 before/after in OPTIMIZATION_r13.md)
-    sizes = shingle_counts(df, text_col, id_col, n)
+    # per-doc set sizes RIDE THE ONE EXPLODE (with_size=True): the r13
+    # row-local form re-ran the gram build once per size reference
+    # (measured +0.3-0.4s on d03, no exchange for ReuseExchange to
+    # dedupe), and the pre-r13 groupBy-count form re-aggregated the
+    # explode. Carrying n_sh on the exploded rows costs 8 bytes per
+    # row and removes BOTH size joins and BOTH extra scans (r14
+    # optimization round, guide §2.3/§2.4).
+    sh = shingle_table(df, text_col, id_col, n, with_size=True)
     # One shuffle instead of a shingle self-join (r5, measured ~25%
     # faster at sf0.1: 3.6s -> 2.7s steady-state): group the doc ids
     # sharing each shingle into a sorted bucket, then expand ordered
     # pairs INSIDE the bucket (the same shape the LSH path uses).
     # Singleton buckets are dropped — the lossless df>=2 prune — and
-    # per-doc set sizes (the union term) still come from the unpruned
-    # `sizes`, so Jaccard stays exact. A hot stop-phrase shingle now
+    # per-doc set sizes (the union term) ride each member struct, so
+    # Jaccard stays exact. A hot stop-phrase shingle now
     # holds its k doc ids in one array row rather than streaming k^2
     # join rows; with the df cap (or an LSH pre-filter upstream) k is
     # bounded, which is why exact standalone runs on boilerplate-heavy
     # corpora should set max_doc_freq.
     buckets = (sh.groupBy("shingle")
-               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("n_sh").alias("ns")))).alias("ids"))
                .filter(F.size("ids") >= 2))
     if max_doc_freq is not None:
         # materialize the bucket aggregate once: the logging count
@@ -272,17 +317,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     # textbook next prune for heterogeneous corpora; on this fixture's
     # uniform doc lengths it prunes nothing and the extra broadcast join
     # measured net-negative, so it is intentionally omitted.)
+    # na/nb are functionally dependent on (id_a, id_b), so adding them
+    # to the grouping keys changes no group — and the jaccard becomes
+    # row-local arithmetic: no sizes join at all
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "x.ns AS na, y.ns AS nb))))")).alias("p"))
+        .select("p.id_a", "p.id_b", "p.na", "p.nb")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    out = (pairs.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("jaccard",
+    out = (pairs.withColumn("jaccard",
                             F.col("inter") /
                             (F.col("na") + F.col("nb") - F.col("inter")))
                 .filter(F.col("jaccard") >= threshold)
@@ -310,6 +356,13 @@ def jaccard_prefix_candidates(df: DataFrame, text_col: str, id_col: str,
     ``_sh``: optionally a prebuilt (id, shingle) table — the full-path
     caller materializes ONE shingle explode and shares it with the
     verifier (see ngram_jaccard_pairs_prefix)."""
+    if not 0.0 < threshold <= 1.0:
+        # threshold > 1 would drive the slice length below zero and
+        # fail mid-job with an opaque slice error; <= 0 makes every
+        # pair a candidate. Fail at entry with a clear message
+        # (ADVICE r13).
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}")
     sh = shingle_table(df, text_col, id_col, n) if _sh is None else _sh
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     # per-doc prefix selection as a doc-bounded AGGREGATE instead of a
@@ -320,8 +373,12 @@ def jaccard_prefix_candidates(df: DataFrame, text_col: str, id_col: str,
     # (df asc, shingle asc) order — struct comparison is field-major
     # and (df, shingle) is unique within a doc, so the slice keeps the
     # identical prefix set. The collected array is bounded by the
-    # doc's own distinct-shingle count (never corpus-scale), so the
-    # aggregation buffer stays as safe as the window's sort run was.
+    # doc's own distinct-shingle count (never corpus-scale) — note the
+    # residual trade (ADVICE r13): a pathological single document with
+    # a huge distinct-shingle set holds its whole struct array in one
+    # aggregation buffer, where the old window's external sort could
+    # spill within the doc; bound document length upstream (the
+    # curation operators' job) before relying on this at 100 TB.
     # Measured at sf0.1: wall-time NEUTRAL (verification dominates
     # d65; candidates stage ~1.7s both forms), kept for the plan
     # shape — the per-partition sort of the full joined shingle table
@@ -374,7 +431,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
     MEMORY_AND_DISK, so at extreme corpus sizes this trades executor
     storage for recompute — the right trade for a 5x-referenced
     frame."""
-    sh = shingle_table(df, text_col, id_col, n).localCheckpoint()
+    sh = shingle_table(df, text_col, id_col, n,
+                       with_size=True).localCheckpoint()
     cand = jaccard_prefix_candidates(df, text_col, id_col, n, threshold,
                                      _sh=sh)
     return verify_candidates(df, cand, text_col, id_col, n, threshold,
@@ -552,7 +610,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     applied to the xxhash64 pipeline; candidates and verified values
     are unchanged (d04 rows; d24 runs the same skeleton under a full
     md5 oracle)."""
-    sh = shingle_table(df, text_col, id_col, shingle_n).localCheckpoint()
+    sh = shingle_table(df, text_col, id_col, shingle_n,
+                       with_size=True).localCheckpoint()
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands,
                                   shingle_n, _sh=sh)
     return verify_candidates(df, cand, text_col, id_col, shingle_n,
@@ -581,37 +640,45 @@ def verify_candidates(df: DataFrame, cand: DataFrame, text_col: str,
     # (the r2 note about a cache barrier being net-negative applied to
     # the BIG shingle table, not to this small frame).
     cand = cand.localCheckpoint(eager=True)
-    sh = (shingle_table(df, text_col, id_col, shingle_n)
+    sh = (shingle_table(df, text_col, id_col, shingle_n, with_size=True)
           if _sh is None else _sh)
-    # per-doc set sizes are ROW-LOCAL (shingle_counts): one narrow pass
-    # over the doc table instead of an aggregate over (or a further
-    # lineage re-execution of) the ~200x shingle explode — identical
-    # values by construction (r13 optimization round, guide §2.4)
-    sizes = shingle_counts(df, text_col, id_col, shingle_n)
+    # per-doc set sizes RIDE THE SHINGLE ROWS (shingle_table
+    # with_size=True; r14 optimization round, guide §2.3): the union
+    # term is carried through the intersection join instead of joined
+    # back from a separate sizes frame — two joins and two extra
+    # gram-build scans removed. A prebuilt `_sh` without n_sh (external
+    # caller on the old schema) falls back to attaching the row-local
+    # sizes once, here, before the rename.
+    if "n_sh" not in sh.columns:
+        sh = sh.join(shingle_counts(df, text_col, id_col, shingle_n),
+                     id_col)
     sh_a = sh.select(F.col(id_col).alias("id_a"),
-                     F.col("shingle").alias("sh_a"))
+                     F.col("shingle").alias("sh_a"),
+                     F.col("n_sh").alias("na"))
     sh_b = sh.select(F.col(id_col).alias("id_b"),
-                     F.col("shingle").alias("sh_b"))
+                     F.col("shingle").alias("sh_b"),
+                     F.col("n_sh").alias("nb"))
     # candidates are a tiny fraction of the corpus: semi-join the shingle
     # tables down to candidate ids before the expensive shingle-equality
     # join (at 100 TB this is the difference between joining the corpus
     # and joining the near-dup sliver).
     sh_a = sh_a.join(cand.select("id_a").distinct(), "id_a", "left_semi")
     sh_b = sh_b.join(cand.select("id_b").distinct(), "id_b", "left_semi")
+    # na/nb are functionally dependent on the pair keys, so grouping on
+    # them changes no group and the jaccard is row-local afterwards
     inter = (cand
              .join(sh_a, "id_a")
              .join(sh_b, on=[cand.id_b == sh_b.id_b,
                              F.col("sh_a") == F.col("sh_b")])
              .drop(sh_b.id_b)
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("jaccard", F.col("inter") /
-                             (F.col("na") + F.col("nb") - F.col("inter")))
-                 .filter(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b",
-                         F.round("jaccard", 6).alias("jaccard")))
+             .groupBy("id_a", "id_b", "na", "nb")
+             .agg(F.count("*").alias("inter")))
+    return (inter
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 # ---------------------------------------------------------------------------
@@ -863,24 +930,22 @@ def incremental_dedup(new: DataFrame, corpus: DataFrame, text_col: str,
                  .select("fingerprint").distinct())
     s2 = s1.join(corpus_fp, "fingerprint", "left_anti")
 
-    bs = (shingle_table(s2, text_col, id_col, n)
-          .withColumnRenamed(id_col, "__b_id"))
-    cs = (shingle_table(corpus, text_col, id_col, n)
-          .withColumnRenamed(id_col, "__c_id"))
-    # per-doc set sizes are ROW-LOCAL (shingle_counts): the groupBy
-    # form was a second reference to each shingle table, re-running
-    # the corpus-side ~200x explode once more for a per-row number
-    # (r13 optimization round, guide §2.4; d33 in OPTIMIZATION_r13.md)
-    nb = (shingle_counts(s2, text_col, id_col, n)
-          .select(F.col(id_col).alias("__b_id"),
+    # per-doc set sizes RIDE THE ONE EXPLODE of each side
+    # (shingle_table with_size=True; r14 optimization round, guide
+    # §2.3): the corpus-side gram build runs ONCE (the explode) instead
+    # of twice (explode + row-local size scan), and the two size joins
+    # disappear — the counts are carried through the intersection join
+    # and group on the pair keys they are functionally dependent on.
+    bs = (shingle_table(s2, text_col, id_col, n, with_size=True)
+          .select(F.col(id_col).alias("__b_id"), "shingle",
                   F.col("n_sh").alias("__nb")))
-    nc = (shingle_counts(corpus, text_col, id_col, n)
-          .select(F.col(id_col).alias("__c_id"),
+    cs = (shingle_table(corpus, text_col, id_col, n, with_size=True)
+          .select(F.col(id_col).alias("__c_id"), "shingle",
                   F.col("n_sh").alias("__nc")))
     inter = (bs.join(cs, "shingle")
-             .groupBy("__b_id", "__c_id")
+             .groupBy("__b_id", "__c_id", "__nb", "__nc")
              .agg(F.count("*").alias("__inter")))
-    dupped = (inter.join(nb, "__b_id").join(nc, "__c_id")
+    dupped = (inter
               .filter(F.col("__inter") /
                       (F.col("__nb") + F.col("__nc") - F.col("__inter"))
                       >= threshold)
