@@ -203,6 +203,86 @@ def test_min_exclude_ties_moving_range(spark, frame):
           "EXCLUDE TIES) AS mn FROM t")
 
 
+def test_min_exclude_group_running_range(spark, frame):
+    # RANGE UP..CURRENT ROW + EXCLUDE GROUP: the r14 one-sided
+    # ordinal-split path (strictly-before peer groups only)
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MIN(x) OVER (PARTITION BY p ORDER BY g "
+          "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW "
+          "EXCLUDE GROUP) AS mn FROM t")
+
+
+def test_max_exclude_ties_forward_range(spark, frame):
+    # RANGE CURRENT ROW..UNBOUNDED FOLLOWING + EXCLUDE TIES: the other
+    # one-sided ordinal split, recombined with the row's own value
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MAX(x) OVER (PARTITION BY p ORDER BY g "
+          "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING "
+          "EXCLUDE TIES) AS mx FROM t")
+
+
+def test_min_exclude_ties_whole_partition(spark, frame):
+    # ROWS UP..UF + EXCLUDE TIES == whole partition minus other peers
+    # plus self (the q107 mt shape)
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MIN(x) OVER (PARTITION BY p ORDER BY g "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+          "EXCLUDE TIES) AS mn FROM t")
+
+
+def test_max_exclude_current_running_rows(spark, frame):
+    # ROWS UP..CURRENT ROW + EXCLUDE CURRENT ROW: one-sided rows split
+    # (unique order key so the frame is tie-deterministic)
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MAX(x) OVER (PARTITION BY p ORDER BY k "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW "
+          "EXCLUDE CURRENT ROW) AS mx FROM t")
+
+
+def test_group_only_frame_exclusions(spark, frame):
+    # RANGE CURRENT ROW..CURRENT ROW is exactly the peer group:
+    # EXCLUDE GROUP empties every frame (NULL), EXCLUDE TIES leaves
+    # only the row itself
+    df, con = frame
+    eng = _engine(spark, {"t": df})
+    _both(eng, con,
+          "SELECT k, MIN(x) OVER (PARTITION BY p ORDER BY g "
+          "RANGE BETWEEN CURRENT ROW AND CURRENT ROW "
+          "EXCLUDE GROUP) AS mn, "
+          "MAX(x) OVER (PARTITION BY p ORDER BY g "
+          "RANGE BETWEEN CURRENT ROW AND CURRENT ROW "
+          "EXCLUDE TIES) AS mt FROM t")
+
+
+def test_minmax_exclude_unbounded_plan_has_no_collect(spark):
+    # the r13 verdict's named scale-killer: whole-partition EXCLUDE
+    # frames must NOT materialize the partition per row — the split
+    # lowering keeps O(1) state (r14)
+    from datafusion_federation_spark.engine import FederationEngine
+    eng = FederationEngine(spark)
+    eng.register_local_parquet("orders", f"{TESTDATA}/orders.parquet")
+    df = eng.sql(
+        "SELECT MAX(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING EXCLUDE GROUP) AS mx, "
+        "MIN(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "UNBOUNDED FOLLOWING EXCLUDE TIES) AS mt FROM orders")
+    plan = _plan(df)
+    assert "collect_list" not in plan, \
+        "whole-partition EXCLUDE must use the split lowering"
+    assert plan.count("Exchange") == 1, \
+        "helper ordinal and split windows must share the partitioning"
+
+
 def test_max_exclude_current_all_excluded_is_null(spark):
     # single-row partitions: EXCLUDE CURRENT ROW empties every frame
     rows = [(1, 1.0), (2, 2.0)]
