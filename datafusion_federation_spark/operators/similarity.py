@@ -208,7 +208,8 @@ def ivf_fixed_topk(df: DataFrame, vec_col: str, query: Sequence[float],
 def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                           dim: int,
                           threshold: float = 0.9,
-                          n_planes: int = 8, seed: int = 42) -> DataFrame:
+                          n_planes: int = 8, seed: int = 42,
+                          max_bucket: int = 256) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket the corpus, compare only
     within buckets (id_a < id_b), keep pairs above threshold — the
     embedding analog of MinHash dedup. Bucket key join instead of O(N^2).
@@ -226,7 +227,22 @@ def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     can never appear twice — no distinct needed). The exact-cosine
     expression is unchanged, so emitted values are bit-identical
     (pinned: test_embedding_near_pairs_pinned; d08/d38 oracles; bench
-    before/after in OPTIMIZATION_r13.md)."""
+    before/after in OPTIMIZATION_r13.md).
+
+    ``max_bucket`` (r14, VERDICT r13 What's-wrong #2): the in-row pair
+    expansion of a bucket with n members materializes ~n^2/2 structs
+    EACH CARRYING BOTH VECTORS in one row's memory — a pathological hot
+    bucket (many near-identical embeddings) turns a spillable join into
+    an executor OOM. Buckets larger than ``max_bucket`` therefore take
+    a FALLBACK lane: their members are exploded back to rows and pair
+    via a plain self-join on the bucket key (position-ordered, so each
+    unordered pair appears exactly once) — quadratic ROWS streaming
+    through a spillable SortMergeJoin instead of a quadratic in-memory
+    ARRAY. Both lanes are exact and disjoint (a bucket is entirely in
+    one lane), so the result set is IDENTICAL for any cap value; both
+    read the same bucket aggregate, which the engine executes once
+    (ReusedExchange) — on a benign corpus the hot lane is empty and
+    costs two empty-join passes over the reused shuffle output."""
     planes = random_hyperplanes(dim, n_planes, seed)
     b = df.select(F.col(id_col), F.col(vec_col),
                   lsh_signature(F.col(vec_col), planes).alias("__bucket"))
@@ -235,17 +251,32 @@ def pairwise_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                    F.struct(F.col(id_col).alias("i"),
                             F.col(vec_col).alias("v")))).alias("mem"))
                .filter(F.size("mem") >= 2))
+    small = buckets.filter(F.size("mem") <= max_bucket)
     mem = F.col("mem")
     pair_arr = F.flatten(F.transform(
         mem, lambda x, i: F.transform(
             F.slice(mem, i + 2, F.size(mem)),
             lambda y: F.struct(x["i"].alias("id_a"), y["i"].alias("id_b"),
                                x["v"].alias("va"), y["v"].alias("vb")))))
-    pairs = (buckets.select(F.explode(pair_arr).alias("p"))
-             .select("p.id_a", "p.id_b",
-                     (_dot(F.col("p.va"), F.col("p.vb")) /
-                      (_norm(F.col("p.va")) *
-                       _norm(F.col("p.vb")))).alias("cos")))
+    small_pairs = (small.select(F.explode(pair_arr).alias("p"))
+                   .select("p.id_a", "p.id_b", "p.va", "p.vb"))
+    # hot-bucket lane: explode members back to rows, self-join within
+    # the bucket on position order (mem is sorted by id, so pos_a <
+    # pos_b IS id_a < id_b) — the join spills where the array could not
+    hot = (buckets.filter(F.size("mem") > max_bucket)
+           .select("__bucket", F.posexplode("mem").alias("__pos", "__m")))
+    ha, hb = hot.alias("ha"), hot.alias("hb")
+    hot_pairs = (ha.join(hb, (F.col("ha.__bucket") == F.col("hb.__bucket"))
+                         & (F.col("ha.__pos") < F.col("hb.__pos")))
+                 .select(F.col("ha.__m.i").alias("id_a"),
+                         F.col("hb.__m.i").alias("id_b"),
+                         F.col("ha.__m.v").alias("va"),
+                         F.col("hb.__m.v").alias("vb")))
+    pairs = (small_pairs.unionByName(hot_pairs)
+             .select("id_a", "id_b",
+                     (_dot(F.col("va"), F.col("vb")) /
+                      (_norm(F.col("va")) *
+                       _norm(F.col("vb")))).alias("cos")))
     return (pairs.filter(F.col("cos") >= threshold)
                  .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
 

