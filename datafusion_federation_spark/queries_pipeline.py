@@ -644,11 +644,13 @@ def d21(spark, sf):
     history."""
     from .streaming.windows import hourly_event_aggregation
     return _run_events_stream(spark, sf, hourly_event_aggregation,
-                              "d21_stream_hourly_mem", "complete")
+                              "d21_stream_hourly_mem", "complete",
+                              no_data_batch=False)
 
 
 def _run_events_stream(spark, sf, topology, name, output_mode,
-                       state_partitions: int = 8):
+                       state_partitions: int = 8,
+                       no_data_batch: bool = True):
     """Run `topology(stream_df) -> DataFrame` over the events table read
     as a FILE STREAM (availableNow trigger — one bounded backfill pass)
     into a memory sink, and return the finalized table.
@@ -667,7 +669,23 @@ def _run_events_stream(spark, sf, topology, name, output_mode,
     near-empty state stores than joining (measured 5.2s -> 1.9s at
     sf0.1). At production scale set it to keep per-partition state in
     memory, exactly as one would for any streaming job. The session
-    conf is restored afterwards; the sink table keeps the result."""
+    conf is restored afterwards; the sink table keeps the result.
+
+    ``no_data_batch=False`` disables the trailing zero-input
+    micro-batch (spark.sql.streaming.noDataMicroBatches.enabled) for
+    topologies whose SINK CONTENT provably cannot depend on it: a
+    stream-stream INNER join emits only on data batches (the no-data
+    batch advances the watermark for state eviction — moot when
+    availableNow terminates the query), a complete-mode aggregation
+    re-emits unchanged state, and a NoTimeout applyInPandasWithState
+    operator (everything in streaming/stateful.py) is invoked only
+    for keys WITH data, so a zero-input batch emits nothing. Measured
+    on d34 (r14): the no-data batch re-ran the full join plan plus 16
+    state-store commits for zero input rows — ~30% of the stream's
+    wall. Leave it True (Spark's default) for any topology with
+    timeout- or watermark-triggered FINAL emission (event-time
+    timeouts, append-mode windowed aggregation), whose last rows
+    appear exactly in that batch."""
     from pyspark.sql import types as T
 
     batch = t(spark, sf, "events")
@@ -683,7 +701,12 @@ def _run_events_stream(spark, sf, topology, name, output_mode,
         for f in batch.schema.fields])
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batch:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false")
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -707,6 +730,14 @@ def _run_events_stream(spark, sf, topology, name, output_mode,
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not no_data_batch:
+            if prev_ndb is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.noDataMicroBatches.enabled")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.noDataMicroBatches.enabled",
+                    prev_ndb)
         if nanos:
             if prev is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -813,7 +844,8 @@ def d24(spark, sf):
     # ONE materialized shingle explode shared by candidates + verifier
     # (r13 optimization round — the d65/minhash_dedup_pairs pattern;
     # oracle hash unchanged: same shingle set, same md5 formulas)
-    sh = dedup.shingle_table(docs, "text", "doc_id", 3).localCheckpoint()
+    sh = dedup.shingle_table(docs, "text", "doc_id", 3,
+                             with_size=True).localCheckpoint()
     cand = dedup.minhash_md5_candidates(docs, "text", "doc_id",
                                         num_hashes=8, bands=2, _sh=sh)
     return (dedup.verify_candidates(docs, cand, "text", "doc_id",
@@ -1096,7 +1128,8 @@ def d32(spark, sf):
     topology runs unbounded with the watermark bounding state."""
     from .streaming.windows import sessionize_stream
     return _run_events_stream(spark, sf, sessionize_stream,
-                              "d32_stream_sessions_mem", "complete")
+                              "d32_stream_sessions_mem", "complete",
+                              no_data_batch=False)
 
 
 _D33_ORACLE = f"""
@@ -1169,7 +1202,8 @@ def d34(spark, sf):
     match the batch interval-join SQL exactly."""
     from .streaming.joins import view_to_purchase_attribution
     out = _run_events_stream(spark, sf, view_to_purchase_attribution,
-                             "d34_stream_attribution_mem", "append")
+                             "d34_stream_attribution_mem", "append",
+                             no_data_batch=False)
     return out.select(
         "user_id", "purchase_id", "view_id",
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss")
@@ -1684,28 +1718,43 @@ def d46(spark, sf):
     from .operators.sketches import kmv_partials, kmv_set_estimates
     e = t(spark, sf, "events")
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")
-    clicks = (e.filter(F.col("event_type") == "click")
-              .select(day, "user_id"))
-    purch = (e.filter(F.col("event_type") == "purchase")
-             .select(day, "user_id"))
+    # ONE scan + one DISTINCT exchange builds BOTH sides' sketches
+    # (r14, VERDICT r13 Next #7): the per-type partials are the same
+    # distinct+topk pipeline grouped by (day, event_type); splitting by
+    # type afterwards filters on a window partition key, so each branch
+    # reads the shared exchange instead of re-scanning events. The
+    # sketch rows are identical — same hashes, same per-(day, type)
+    # top-k — and the extra event_type column is projected away by the
+    # estimator's explode.
+    cp64 = (e.filter(F.col("event_type").isin("click", "purchase"))
+            .select(day, "event_type", "user_id"))
+    fused = kmv_partials(cp64, "user_id", ["day", "event_type"], k=64)
     ests = kmv_set_estimates(
-        kmv_partials(clicks, "user_id", ["day"], k=64),
-        kmv_partials(purch, "user_id", ["day"], k=64),
+        fused.filter(F.col("event_type") == "click").select("day", "kmv"),
+        fused.filter(F.col("event_type") == "purchase")
+        .select("day", "kmv"),
         ["day"], k=64)
     cp = (e.filter(F.col("event_type").isin("click", "purchase"))
           .select(day, "user_id", "event_type"))
-    xu = (cp.groupBy("day")
-          .agg(F.count_distinct("user_id").cast("bigint")
-               .alias("exact_union")))
-    xi = (cp.groupBy("day", "user_id")
-          .agg(F.count_distinct("event_type").alias("nt"))
-          .filter(F.col("nt") == 2)
-          .groupBy("day")
-          .agg(F.count(F.lit(1)).cast("bigint").alias("exact_int")))
-    return (ests.join(xu, "day").join(xi, "day", "left")
+    # exact union AND exact intersection from ONE aggregation chain
+    # (r14, VERDICT r13 Next #7): both exact twins are functions of the
+    # (day, user) groups — COUNT(DISTINCT user) per day is the number
+    # of groups with a non-null user (count_distinct skips NULLs, and
+    # F.count("user_id") over the grouped frame skips the NULL-user
+    # group identically), and the intersection count is the number of
+    # groups seen under both types. One scan + two pipelined
+    # aggregations replace two scans, three aggregations and a second
+    # join; a day with no both-typed user sums to 0, exactly the old
+    # left-join + coalesce.
+    g = (cp.groupBy("day", "user_id")
+         .agg(F.count_distinct("event_type").alias("nt")))
+    both = (g.groupBy("day")
+            .agg(F.count("user_id").cast("bigint").alias("exact_union"),
+                 F.sum(F.when(F.col("nt") == 2, 1).otherwise(0))
+                 .cast("bigint").alias("exact_int")))
+    return (ests.join(both, "day")
             .select("day", "union_est", "intersect_est", "exact_union",
-                    F.coalesce(F.col("exact_int"), F.lit(0))
-                    .cast("bigint").alias("exact_int"))
+                    "exact_int")
             .orderBy("day"))
 
 
@@ -1723,7 +1772,8 @@ def d47(spark, sf):
     dropDuplicatesWithinWatermark)."""
     from .streaming.dedup import first_touch_counts
     return _run_events_stream(spark, sf, first_touch_counts,
-                              "d47_stream_dedup_mem", "complete")
+                              "d47_stream_dedup_mem", "complete",
+                              no_data_batch=False)
 
 
 @q("d48_weighted_sample", """
@@ -3151,7 +3201,7 @@ def d75(spark, sf):
     from .streaming.stateful import streaming_last_n
     out = _run_events_stream(
         spark, sf, lambda s: streaming_last_n(s, n=5),
-        "stream_lastn_sink", "append")
+        "stream_lastn_sink", "append", no_data_batch=False)
     fin = (out.withColumn(
         "_rn", F.row_number().over(
             W.partitionBy("user_id").orderBy(F.col("n_seen").desc())))
@@ -3929,7 +3979,8 @@ def d82(spark, sf):
     rmax = 60 - p + 1
     c = _hll_alpha(m) * float(m * m * (1 << rmax))
     out = _run_events_stream(spark, sf, partial(streaming_hll, p=p),
-                             "stream_hll_sink", "append")
+                             "stream_hll_sink", "append",
+                             no_data_batch=False)
     fin = (out.withColumn(
         "_rn", F.row_number().over(
             W.partitionBy("event_type")
@@ -4213,7 +4264,7 @@ def d85(spark, sf):
     depth, width = 3, 512
     out = _run_events_stream(
         spark, sf, partial(streaming_cm, depth=depth, width=width),
-        "stream_cm_sink", "append")
+        "stream_cm_sink", "append", no_data_batch=False)
     fin = (out.withColumn(
         "_rn", F.row_number().over(
             W.partitionBy("row").orderBy(F.col("n_seen").desc())))
@@ -4373,7 +4424,7 @@ def d88(spark, sf):
     out = _run_events_stream(
         spark, sf, partial(streaming_hist, key_col="event_type",
                            value_col="value", lo=lo, hi=hi, n_bins=nb),
-        "stream_hist_sink", "append")
+        "stream_hist_sink", "append", no_data_batch=False)
     fin = (out.withColumn(
         "_rn", F.row_number().over(
             W.partitionBy("event_type").orderBy(F.col("n_seen").desc())))
@@ -5251,13 +5302,15 @@ def q107(spark, sf):
     (r8; graduated from an r7 count/sum/avg-only refusal — removing a
     row can EXPOSE a new extremum, so no subtraction arithmetic
     exists). Identical SQL on both engines. Exact lowering
-    (compiler._lower_exclude_minmax): a row_number identity column,
-    collect_list(struct(rn, order-key, x)) over the DECLARED frame,
-    an array filter dropping the excluded rows by identity/peer-key,
-    array_min/array_max over the survivors — works for ANY
-    frame+mode combination because out-of-frame rows were never
-    collected. DECIMAL keeps the sums exact; all-excluded frames
-    yield NULL, which SUM skips on both engines."""
+    (compiler._lower_exclude_minmax, r14): the frame is SPLIT around
+    the excluded rows — ROWS halves [lo,-1]/[1,hi] for EXCLUDE
+    CURRENT ROW, prefix/suffix aggregates over a dense_rank ordinal
+    for EXCLUDE GROUP/TIES on unbounded/current-row-bounded frames —
+    and recombined with NULL-skipping least/greatest, so per-row state
+    is O(1) however large the partition (the r8 collect-the-frame form
+    survives only as the fallback for bounded exotic frames). DECIMAL
+    keeps the sums exact; all-excluded frames yield NULL, which SUM
+    skips on both engines."""
     from .engine import FederationEngine
     eng = FederationEngine(spark)
     eng.register_local_df("orders", t(spark, sf, "orders"))
