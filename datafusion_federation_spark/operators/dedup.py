@@ -827,12 +827,17 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                F.col(src).alias("b"))))
     # materialize the edge set ONCE: its lineage is typically the
     # expensive pair-detection join, and every propagation round joins
-    # against it — without this each round re-executes pair detection
-    sym = sym.localCheckpoint()
+    # against it — without this each round re-executes pair detection.
+    # LAZY (r14): an eager checkpoint is its own job; lazy folds the
+    # materialization into the first consuming job (round 1's count),
+    # halving the per-round job count — same blocks, fewer scheduling
+    # constants, which PERF_r13's ~1.0 scaling ratios showed IS the
+    # residual cost of the iterative operators at this SF.
+    sym = sym.localCheckpoint(eager=False)
     labels = (sym.select("a").union(sym.select(F.col("b").alias("a")))
               .distinct().select(F.col("a").alias("v"),
                                  F.col("a").alias("label")))
-    labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint(eager=False)
     changed = 0
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.b == labels.v)
@@ -850,7 +855,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                           labels.label)).alias("label"),
                        (F.coalesce(F.col("nlabel"), labels.label)
                         < labels.label).alias("__chg")))
-        new = new.localCheckpoint()
+        # lazy: the count() below IS the materializing job — one job
+        # per round instead of checkpoint-then-count (r14)
+        new = new.localCheckpoint(eager=False)
         changed = new.filter(F.col("__chg")).count()
         labels = new.select("v", "label")
         if changed == 0:
